@@ -1,0 +1,593 @@
+package graft.testbed
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+
+import graft.model.Schema
+import graft.operators.{Regions, Spatial, Temporal, TileMath, Validate}
+
+/** The datacube-surface query battery: one oracle-checked query per operator
+  * of SURVEY.md §2 (keys prefixed with the §2 id they cover). Each Spark
+  * query is mirrored by a DuckDB SQL string over the same parquet tables.
+  */
+object DatacubeQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def round4(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.foldLeft(df)((d, c) => d.withColumn(c, round(col(c), 4)))
+
+  /** Temporally-aggregated cube (A1). */
+  def temporalCube(spark: SparkSession, dir: String, timeRes: String,
+                   weighted: Boolean = false): DataFrame = {
+    val cube0 = Datacube(spark, dir)
+    val cube = if (weighted) cube0 else cube0.drop("weight")
+    Temporal.aggregate(cube, timeRes, if (weighted) "weight" else "")
+  }
+
+  /** DuckDB mirror of [[temporalCube]] as CTE `t`. */
+  def temporalCubeSql(timeRes: String, weighted: Boolean = false): String = {
+    val bucket = Datacube.sqlBucket("\"timestamp\"", timeRes)
+    val keys = "country, admin1, admin2, admin3, lat, lng, feature, qual1"
+    if (!weighted)
+      s"""${Datacube.sqlCte},
+         | t AS (
+         |  SELECT $bucket AS "timestamp", $keys,
+         |         SUM("value") AS t_sum, AVG("value") AS t_mean
+         |  FROM cube GROUP BY ALL
+         | )""".stripMargin
+    else
+      s"""${Datacube.sqlCte},
+         | t AS (
+         |  SELECT $bucket AS "timestamp", $keys,
+         |         SUM("value") AS t_sum, AVG("value") AS t_mean,
+         |         AVG(weight) AS weight,
+         |         SUM("value" * weight) / SUM(weight) AS t_wavg
+         |  FROM cube GROUP BY ALL
+         | )""".stripMargin
+  }
+
+  def globalTimeseries(spark: SparkSession, dir: String, timeRes: String): DataFrame = {
+    val (agg, aggCols) =
+      Spatial.aggregate(temporalCube(spark, dir, timeRes), Seq("feature", "timestamp"), Seq("sum", "mean"))
+    round4(agg, aggCols.filterNot(_ == "s_count")).orderBy("feature", "timestamp")
+  }
+
+  private def globalTimeseriesSql(timeRes: String): String =
+    s"""${temporalCubeSql(timeRes)}
+       |SELECT feature, "timestamp",
+       |       ROUND(SUM(t_sum), 4)  AS s_sum_t_sum,
+       |       ROUND(AVG(t_sum), 4)  AS s_mean_t_sum,
+       |       ROUND(SUM(t_mean), 4) AS s_sum_t_mean,
+       |       ROUND(AVG(t_mean), 4) AS s_mean_t_mean,
+       |       COUNT(t_mean)         AS s_count
+       |FROM t GROUP BY feature, "timestamp"
+       |ORDER BY feature, "timestamp"""".stripMargin
+
+  /** Standard spatial-agg output block for oracle SQL ([sum, mean] aggs). */
+  private def sAggSql(keys: String, from: String): String =
+    s"""SELECT $keys,
+       |       ROUND(SUM(t_sum), 4)  AS s_sum_t_sum,
+       |       ROUND(AVG(t_sum), 4)  AS s_mean_t_sum,
+       |       ROUND(SUM(t_mean), 4) AS s_sum_t_mean,
+       |       ROUND(AVG(t_mean), 4) AS s_mean_t_mean,
+       |       COUNT(t_mean)         AS s_count
+       |FROM $from GROUP BY $keys
+       |ORDER BY $keys""".stripMargin
+
+  // ---- subtile helpers (P13, A8) ------------------------------------------
+
+  /** Zoom-14 subtile aggregation of the monthly cube (A8): weight disabled,
+    * s_sum_t_sum / s_sum_t_mean / s_count per (feature, timestamp, z, x, y).
+    * Subtile struct flattened to int columns for oracle comparability. */
+  def subtileAgg(spark: SparkSession, dir: String): DataFrame = {
+    val t = temporalCube(spark, dir, "month")
+      .withColumn("subtile", TileMath.deg2num(col("lat"), col("lng"), Schema.MaxSubtilePrecision))
+    t.groupBy(col("feature"), col("timestamp"),
+        col("subtile.z").as("z"), col("subtile.x").as("x"), col("subtile.y").as("y"))
+      .agg(
+        sum("t_sum").as("s_sum_t_sum"),
+        sum("t_mean").as("s_sum_t_mean"),
+        count("t_mean").as("s_count"))
+  }
+
+  /** DuckDB mirror of the zoom-14 subtile mapping as CTE `st` (over `t`).
+    * `asinh` is absent in DuckDB 1.0 → ln(x+sqrt(x^2+1)); CAST(double AS INT)
+    * rounds in DuckDB, so FLOOR first (coords are non-negative here, where
+    * floor == the reference's Python int() truncation). */
+  private val subtileSqlCte: String =
+    """ st AS (
+      |  SELECT feature, "timestamp",
+      |         14 AS z,
+      |         CAST(FLOOR((lng + 180.0) / 360.0 * 16384) AS INT) AS x,
+      |         CAST(FLOOR((1.0 - ln(tan(radians(lat)) + sqrt(tan(radians(lat))*tan(radians(lat)) + 1.0)) / pi()) / 2.0 * 16384) AS INT) AS y,
+      |         SUM(t_sum) AS s_sum_t_sum, SUM(t_mean) AS s_sum_t_mean,
+      |         COUNT(t_mean) AS s_count
+      |  FROM t GROUP BY ALL
+      | )""".stripMargin
+
+  // ---- the inventory ------------------------------------------------------
+
+  def queries: Map[String, Q] = Map(
+    "a1_temporal_month" -> ((s, dir) =>
+      temporalCube(s, dir, "month")
+        .withColumn("t_mean", round(col("t_mean"), 4))
+        .orderBy("feature", "timestamp", "country", "admin1", "admin2", "lat", "lng", "qual1")),
+
+    "a1_temporal_all" -> ((s, dir) =>
+      temporalCube(s, dir, "all")
+        .withColumn("t_mean", round(col("t_mean"), 4))
+        .orderBy("feature", "country", "admin1", "admin2", "lat", "lng", "qual1")),
+
+    "a1_temporal_weighted" -> ((s, dir) =>
+      temporalCube(s, dir, "year", weighted = true)
+        .withColumn("t_mean", round(col("t_mean"), 4))
+        .withColumn("t_wavg", round(col("t_wavg"), 4))
+        .withColumn("weight", round(col("weight"), 4))
+        .orderBy("feature", "timestamp", "country", "admin1", "admin2", "lat", "lng", "qual1")),
+
+    "a4_global_timeseries" -> ((s, dir) => globalTimeseries(s, dir, "month")),
+
+    "a5_regional_agg" -> ((s, dir) => {
+      val t = Regions.withRegionId(temporalCube(s, dir, "month"), 1)
+      val (agg, aggCols) =
+        Spatial.aggregate(t, Seq("feature", "timestamp", "region_id"), Seq("sum", "mean"))
+      round4(agg, aggCols.filterNot(_ == "s_count")).orderBy("feature", "timestamp", "region_id")
+    }),
+
+    // A2 weighted spatial matrix: s_{agg}_t_wavg + s_wavg_t_{sum,mean,wavg}
+    "a2_spatial_weighted" -> ((s, dir) => {
+      val t = temporalCube(s, dir, "year", weighted = true)
+      val (agg, aggCols) = Spatial.aggregate(t, Seq("feature", "timestamp"), Seq("sum", "mean"), "weight")
+      round4(agg, aggCols.filterNot(_ == "s_count")).orderBy("feature", "timestamp")
+    }),
+
+    // A6: per-region timeseries at country level with qualifier breakdown
+    "a6_regional_timeseries" -> ((s, dir) => {
+      val t = Regions.withRegionId(temporalCube(s, dir, "month"), 0)
+      val (agg, aggCols) =
+        Spatial.aggregate(t, Seq("feature", "region_id", "timestamp", "qual1"), Seq("sum", "mean"))
+      round4(agg, aggCols.filterNot(_ == "s_count"))
+        .orderBy("feature", "region_id", "timestamp", "qual1")
+    }),
+
+    // A7: regional roll-up at admin2 with qualifier keys
+    "a7_regional_agg_qualifier" -> ((s, dir) => {
+      val t = Regions.withRegionId(temporalCube(s, dir, "month"), 2)
+      val (agg, aggCols) =
+        Spatial.aggregate(t, Seq("feature", "timestamp", "region_id", "qual1"), Seq("sum", "mean"))
+      round4(agg, aggCols.filterNot(_ == "s_count"))
+        .orderBy("feature", "timestamp", "region_id", "qual1")
+    }),
+
+    // A10: qualifier pivot — one column per qualifier value
+    "a10_qualifier_pivot" -> ((s, dir) => {
+      val t = Regions.withRegionId(temporalCube(s, dir, "month"), 0)
+      val (agg, _) = Spatial.aggregate(t, Seq("feature", "timestamp", "qual1"), Seq("sum", "mean"))
+      agg.filter(col("feature") === "A")
+        .groupBy("timestamp")
+        .pivot("qual1", Seq("F", "O"))
+        .agg(first(col("s_sum_t_sum")))
+        .orderBy("timestamp")
+    }),
+
+    // A11 + O1: per-feature extrema rows, capped at 20 latest
+    "a11_extrema" -> ((s, dir) => {
+      val t = Regions.withRegionId(temporalCube(s, dir, "month"), 1)
+      val (agg, _) = Spatial.aggregate(t, Seq("feature", "timestamp", "region_id"), Seq("sum", "mean"))
+      val w = Window.partitionBy("feature")
+      val marked = agg
+        .withColumn("mn", min("s_sum_t_sum").over(w))
+        .withColumn("mx", max("s_sum_t_sum").over(w))
+      val mins = marked.filter(col("s_sum_t_sum") === col("mn")).withColumn("kind", lit("min"))
+      val maxs = marked.filter(col("s_sum_t_sum") === col("mx")).withColumn("kind", lit("max"))
+      val cap = Window.partitionBy("feature", "kind")
+        .orderBy(col("timestamp").desc, col("region_id"))
+      mins.unionByName(maxs)
+        .withColumn("rn", row_number().over(cap))
+        .filter(col("rn") <= 20)
+        .select("feature", "kind", "region_id", "timestamp", "s_sum_t_sum")
+        .orderBy("feature", "kind", "timestamp", "region_id")
+    }),
+
+    // A12: output summary — temporal "all", spatial [min,max,sum,mean]
+    "a12_output_summary" -> ((s, dir) => {
+      val t = temporalCube(s, dir, "all")
+      val (agg, aggCols) =
+        Spatial.aggregate(t, Seq("feature", "timestamp"), Seq("min", "max", "sum", "mean"))
+      round4(agg.drop("s_count"), aggCols.filterNot(_ == "s_count")).orderBy("feature")
+    }),
+
+    // A13: per-feature raw row counts (the raw_count_threshold gate)
+    "a13_raw_counts" -> ((s, dir) =>
+      Datacube(s, dir).groupBy("feature").agg(count(lit(1)).as("num_rows")).orderBy("feature")),
+
+    // A14 + A16: distinct region-id list per feature and level
+    "a14_region_lists" -> ((s, dir) => {
+      val cube = Datacube(s, dir)
+      val rcols = Regions.extractRegionColumns(cube)
+      val withIds = (0 to 3).foldLeft(cube) { (d, l) =>
+        d.withColumn(s"rid$l", Regions.joinRegionColumns(rcols, l))
+      }
+      withIds.groupBy("feature")
+        .agg(
+          array_join(sort_array(collect_set(col("rid0"))), "|").as("countries"),
+          array_join(sort_array(collect_set(col("rid1"))), "|").as("admin1s"),
+          array_join(sort_array(collect_set(col("rid2"))), "|").as("admin2s"),
+          array_join(sort_array(collect_set(col("rid3"))), "|").as("admin3s"))
+        .orderBy("feature")
+    }),
+
+    // A15 + A16: qualifier value lists + counts per feature
+    "a15_qualifier_lists" -> ((s, dir) =>
+      Datacube(s, dir).groupBy("feature")
+        .agg(
+          array_join(sort_array(collect_set(col("qual1"))), "|").as("qual1_values"),
+          countDistinct(col("qual1")).as("qual1_count"))
+        .orderBy("feature")),
+
+    // O1: general top-k per group via ranking window
+    "o1_topk_window" -> ((s, dir) => {
+      val t = temporalCube(s, dir, "month")
+      val w = Window.partitionBy("feature")
+        .orderBy(col("timestamp").desc, col("country"), col("admin1"), col("admin2"),
+          col("lat"), col("lng"), col("qual1"))
+      t.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20)
+        .withColumn("t_mean", round(col("t_mean"), 4))
+        .orderBy(col("feature"), col("rn"))
+    }),
+
+    // S4 + §2.6: multi-file schema unification (missing cols filled "")
+    "s4_schema_union" -> ((s, dir) => {
+      val cube = Datacube(s, dir).select("timestamp", "country", "feature", "value", "qual1")
+      val orders = Datacube.table(s, dir, "orders").select(
+        unix_millis(col("o_orderdate").cast("timestamp")).as("timestamp"),
+        lit("ORDERS").as("country"),
+        col("o_orderstatus").as("feature"),
+        (col("o_custkey") % 50).cast(DoubleType).as("value"))
+      val unified = cube.unionByName(orders, allowMissingColumns = true)
+        .na.fill("", Seq("qual1"))
+      unified.groupBy("country", "feature", "qual1")
+        .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+        .orderBy("country", "feature", "qual1")
+    }),
+
+    // P1-P9: validation pass over a deliberately dirty frame
+    "p9_validate_fix" -> ((s, dir) => {
+      val ev = Datacube.table(s, dir, "events")
+      val dirty = ev.select(
+        col("event_id"),
+        when(col("event_id") % 19 === 0, lit(null).cast(LongType))
+          .when(col("event_id") % 23 === 0, lit(Schema.MaxTimestampMs + 5))
+          .otherwise(unix_millis(col("ts").cast("timestamp"))).as("timestamp"),
+        when(col("event_id") % 7 === 0, lit(null).cast(StringType))
+          .when(col("event_id") % 11 === 0, concat(col("event_type"), lit("//x")))
+          .otherwise(col("event_type")).as("country"),
+        col("event_type").as("feature"),
+        when(col("event_id") % 13 === 0, lit(Double.PositiveInfinity))
+          .when(col("event_id") % 17 === 0, lit(null).cast(DoubleType))
+          .otherwise(col("value")).as("value"),
+        lit(null).cast(StringType).as("dead_col"))
+      val res = Validate(dirty, weightColumn = "", fillTimestamp = 42L)
+      res.df.orderBy("event_id")
+    }),
+
+    // P13: slippy-map binning at zoom 14
+    "p13_deg2num" -> ((s, dir) => {
+      val cube = Datacube(s, dir)
+        .withColumn("subtile", TileMath.deg2num(col("lat"), col("lng"), Schema.MaxSubtilePrecision))
+      cube.groupBy(col("subtile.z").as("z"), col("subtile.x").as("x"), col("subtile.y").as("y"))
+        .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+        .orderBy("z", "x", "y")
+    }),
+
+    // P14/P15: parent-tile walk (LEVEL_DIFF=6 up)
+    "p15_tile_coord" -> ((s, dir) => {
+      val cube = Datacube(s, dir)
+        .withColumn("subtile", TileMath.deg2num(col("lat"), col("lng"), Schema.MaxSubtilePrecision))
+        .withColumn("tile", TileMath.tileCoord(col("subtile")))
+      cube.groupBy(col("tile.z").as("z"), col("tile.x").as("x"), col("tile.y").as("y"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("z", "x", "y")
+    }),
+
+    // P16: bin-index projection into the owning tile's 4096-bin grid
+    "p16_project" -> ((s, dir) => {
+      val cube = Datacube(s, dir)
+        .withColumn("subtile", TileMath.deg2num(col("lat"), col("lng"), Schema.MaxSubtilePrecision))
+        .withColumn("tile", TileMath.tileCoord(col("subtile")))
+        .withColumn("bin", TileMath.project(col("subtile"), col("tile")))
+      cube.groupBy(col("tile.x").as("tx"), col("tile.y").as("ty"), col("bin"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("tx", "ty", "bin")
+    }),
+
+    // A8: subtile aggregation
+    "a8_subtile_agg" -> ((s, dir) =>
+      round4(subtileAgg(s, dir), Seq("s_sum_t_mean"))
+        .orderBy("feature", "timestamp", "z", "x", "y")),
+
+    // A9: zoom-pyramid grid stats 14→6 — single-pass explode + one shuffle
+    // (vs the reference's 9 sequential re-aggregations, flows/common.py:679-734)
+    "a9_grid_stats" -> ((s, dir) => {
+      val st = subtileAgg(s, dir)
+      val pyramid = st
+        .withColumn("zoom", explode(expr(s"sequence(${Schema.LevelDiff}, ${Schema.MaxSubtilePrecision})")))
+        .withColumn("px", expr(s"shiftright(x, ${Schema.MaxSubtilePrecision} - zoom)"))
+        .withColumn("py", expr(s"shiftright(y, ${Schema.MaxSubtilePrecision} - zoom)"))
+        .groupBy("feature", "timestamp", "zoom", "px", "py")
+        .agg(sum("s_sum_t_sum").as("s_sum_t_sum"),
+          sum("s_sum_t_mean").as("s_sum_t_mean"),
+          sum("s_count").as("s_count"))
+        .withColumn("s_mean_t_sum", col("s_sum_t_sum") / col("s_count"))
+        .withColumn("s_mean_t_mean", col("s_sum_t_mean") / col("s_count"))
+      val stats = pyramid.groupBy("feature", "timestamp", "zoom").agg(
+        min("s_sum_t_sum").as("min_s_sum_t_sum"), max("s_sum_t_sum").as("max_s_sum_t_sum"),
+        min("s_sum_t_mean").as("min_s_sum_t_mean"), max("s_sum_t_mean").as("max_s_sum_t_mean"),
+        min("s_mean_t_sum").as("min_s_mean_t_sum"), max("s_mean_t_sum").as("max_s_mean_t_sum"),
+        min("s_mean_t_mean").as("min_s_mean_t_mean"), max("s_mean_t_mean").as("max_s_mean_t_mean"))
+      round4(stats, stats.columns.filter(c => c.contains("t_mean") || c.contains("s_mean")).toSeq)
+        .orderBy("feature", "timestamp", "zoom")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "a1_temporal_month" ->
+      s"""${temporalCubeSql("month")}
+         |SELECT "timestamp", country, admin1, admin2, admin3, lat, lng, feature, qual1,
+         |       t_sum, ROUND(t_mean, 4) AS t_mean
+         |FROM t
+         |ORDER BY feature, "timestamp", country, admin1, admin2, lat, lng, qual1""".stripMargin,
+
+    "a1_temporal_all" ->
+      s"""${temporalCubeSql("all")}
+         |SELECT "timestamp", country, admin1, admin2, admin3, lat, lng, feature, qual1,
+         |       t_sum, ROUND(t_mean, 4) AS t_mean
+         |FROM t
+         |ORDER BY feature, country, admin1, admin2, lat, lng, qual1""".stripMargin,
+
+    "a1_temporal_weighted" ->
+      s"""${temporalCubeSql("year", weighted = true)}
+         |SELECT "timestamp", country, admin1, admin2, admin3, lat, lng, feature, qual1,
+         |       t_sum, ROUND(t_mean, 4) AS t_mean,
+         |       ROUND(weight, 4) AS weight, ROUND(t_wavg, 4) AS t_wavg
+         |FROM t
+         |ORDER BY feature, "timestamp", country, admin1, admin2, lat, lng, qual1""".stripMargin,
+
+    "a4_global_timeseries" -> globalTimeseriesSql("month"),
+
+    "a5_regional_agg" ->
+      s"""${temporalCubeSql("month")},
+         | r AS (SELECT *, country || '__' || admin1 AS region_id FROM t)
+         |${sAggSql("feature, \"timestamp\", region_id", "r")}""".stripMargin,
+
+    "a2_spatial_weighted" ->
+      s"""${temporalCubeSql("year", weighted = true)}
+         |SELECT feature, "timestamp",
+         |       ROUND(SUM(t_sum), 4)   AS s_sum_t_sum,
+         |       ROUND(AVG(t_sum), 4)   AS s_mean_t_sum,
+         |       ROUND(SUM(t_mean), 4)  AS s_sum_t_mean,
+         |       ROUND(AVG(t_mean), 4)  AS s_mean_t_mean,
+         |       COUNT(t_mean)          AS s_count,
+         |       ROUND(SUM(t_wavg), 4)  AS s_sum_t_wavg,
+         |       ROUND(AVG(t_wavg), 4)  AS s_mean_t_wavg,
+         |       ROUND(SUM(t_sum * weight) / SUM(weight), 4)  AS s_wavg_t_sum,
+         |       ROUND(SUM(t_mean * weight) / SUM(weight), 4) AS s_wavg_t_mean,
+         |       ROUND(SUM(t_wavg * weight) / SUM(weight), 4) AS s_wavg_t_wavg
+         |FROM t GROUP BY feature, "timestamp"
+         |ORDER BY feature, "timestamp"""".stripMargin,
+
+    "a6_regional_timeseries" ->
+      s"""${temporalCubeSql("month")},
+         | r AS (SELECT *, country AS region_id FROM t)
+         |${sAggSql("feature, region_id, \"timestamp\", qual1", "r")}""".stripMargin,
+
+    "a7_regional_agg_qualifier" ->
+      s"""${temporalCubeSql("month")},
+         | r AS (SELECT *, country || '__' || admin1 || '__' || admin2 AS region_id FROM t)
+         |${sAggSql("feature, \"timestamp\", region_id, qual1", "r")}""".stripMargin,
+
+    "a10_qualifier_pivot" ->
+      s"""${temporalCubeSql("month")},
+         | sa AS (
+         |  SELECT feature, "timestamp", qual1, ROUND(SUM(t_sum), 4) AS s_sum_t_sum
+         |  FROM t GROUP BY feature, "timestamp", qual1
+         | )
+         |SELECT "timestamp",
+         |       MIN(CASE WHEN qual1 = 'F' THEN s_sum_t_sum END) AS "F",
+         |       MIN(CASE WHEN qual1 = 'O' THEN s_sum_t_sum END) AS "O"
+         |FROM sa WHERE feature = 'A'
+         |GROUP BY "timestamp" ORDER BY "timestamp"""".stripMargin,
+
+    "a11_extrema" ->
+      s"""${temporalCubeSql("month")},
+         | r AS (SELECT *, country || '__' || admin1 AS region_id FROM t),
+         | sa AS (
+         |  SELECT feature, "timestamp", region_id, ROUND(SUM(t_sum), 4) AS s_sum_t_sum
+         |  FROM r GROUP BY feature, "timestamp", region_id
+         | ),
+         | marked AS (
+         |  SELECT *, MIN(s_sum_t_sum) OVER (PARTITION BY feature) AS mn,
+         |            MAX(s_sum_t_sum) OVER (PARTITION BY feature) AS mx
+         |  FROM sa
+         | ),
+         | both AS (
+         |  SELECT feature, 'min' AS kind, region_id, "timestamp", s_sum_t_sum FROM marked WHERE s_sum_t_sum = mn
+         |  UNION ALL
+         |  SELECT feature, 'max' AS kind, region_id, "timestamp", s_sum_t_sum FROM marked WHERE s_sum_t_sum = mx
+         | ),
+         | ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY feature, kind ORDER BY "timestamp" DESC, region_id) AS rn
+         |  FROM both
+         | )
+         |SELECT feature, kind, region_id, "timestamp", s_sum_t_sum
+         |FROM ranked WHERE rn <= 20
+         |ORDER BY feature, kind, "timestamp", region_id""".stripMargin,
+
+    "a12_output_summary" ->
+      s"""${temporalCubeSql("all")}
+         |SELECT feature, "timestamp",
+         |       ROUND(MIN(t_sum), 4)  AS s_min_t_sum,
+         |       ROUND(MAX(t_sum), 4)  AS s_max_t_sum,
+         |       ROUND(SUM(t_sum), 4)  AS s_sum_t_sum,
+         |       ROUND(AVG(t_sum), 4)  AS s_mean_t_sum,
+         |       ROUND(MIN(t_mean), 4) AS s_min_t_mean,
+         |       ROUND(MAX(t_mean), 4) AS s_max_t_mean,
+         |       ROUND(SUM(t_mean), 4) AS s_sum_t_mean,
+         |       ROUND(AVG(t_mean), 4) AS s_mean_t_mean
+         |FROM t GROUP BY feature, "timestamp"
+         |ORDER BY feature""".stripMargin,
+
+    "a13_raw_counts" ->
+      s"""${Datacube.sqlCte}
+         |SELECT feature, COUNT(*) AS num_rows FROM cube GROUP BY feature ORDER BY feature""".stripMargin,
+
+    "a14_region_lists" ->
+      s"""${Datacube.sqlCte},
+         | rid AS (
+         |  SELECT feature, country AS rid0,
+         |         country || '__' || admin1 AS rid1,
+         |         country || '__' || admin1 || '__' || admin2 AS rid2,
+         |         country || '__' || admin1 || '__' || admin2 || '__' || admin3 AS rid3
+         |  FROM cube
+         | )
+         |SELECT feature,
+         |       string_agg(DISTINCT rid0, '|' ORDER BY rid0) AS countries,
+         |       string_agg(DISTINCT rid1, '|' ORDER BY rid1) AS admin1s,
+         |       string_agg(DISTINCT rid2, '|' ORDER BY rid2) AS admin2s,
+         |       string_agg(DISTINCT rid3, '|' ORDER BY rid3) AS admin3s
+         |FROM rid GROUP BY feature ORDER BY feature""".stripMargin,
+
+    "a15_qualifier_lists" ->
+      s"""${Datacube.sqlCte}
+         |SELECT feature,
+         |       string_agg(DISTINCT qual1, '|' ORDER BY qual1) AS qual1_values,
+         |       COUNT(DISTINCT qual1) AS qual1_count
+         |FROM cube GROUP BY feature ORDER BY feature""".stripMargin,
+
+    "o1_topk_window" ->
+      s"""${temporalCubeSql("month")},
+         | ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY feature
+         |    ORDER BY "timestamp" DESC, country, admin1, admin2, lat, lng, qual1) AS rn
+         |  FROM t
+         | )
+         |SELECT "timestamp", country, admin1, admin2, admin3, lat, lng, feature, qual1,
+         |       t_sum, ROUND(t_mean, 4) AS t_mean, rn
+         |FROM ranked WHERE rn <= 20
+         |ORDER BY feature, rn""".stripMargin,
+
+    "s4_schema_union" ->
+      s"""${Datacube.sqlCte},
+         | u AS (
+         |  SELECT "timestamp", country, feature, "value", qual1 FROM cube
+         |  UNION ALL BY NAME
+         |  SELECT epoch_ms(o_orderdate) AS "timestamp", 'ORDERS' AS country,
+         |         o_orderstatus AS feature, CAST(o_custkey % 50 AS DOUBLE) AS "value",
+         |         '' AS qual1
+         |  FROM orders
+         | )
+         |SELECT country, feature, qual1, COUNT(*) AS n, SUM("value") AS sum_value
+         |FROM u GROUP BY country, feature, qual1
+         |ORDER BY country, feature, qual1""".stripMargin,
+
+    "p9_validate_fix" ->
+      """WITH dirty AS (
+        |  SELECT event_id,
+        |         CASE WHEN event_id % 19 = 0 THEN NULL
+        |              WHEN event_id % 23 = 0 THEN 9223372036854 + 5
+        |              ELSE epoch_ms(ts) END AS "timestamp",
+        |         CASE WHEN event_id % 7 = 0 THEN NULL
+        |              WHEN event_id % 11 = 0 THEN event_type || '//x'
+        |              ELSE event_type END AS country,
+        |         event_type AS feature,
+        |         CASE WHEN event_id % 13 = 0 THEN 'infinity'::DOUBLE
+        |              WHEN event_id % 17 = 0 THEN NULL
+        |              ELSE "value" END AS "value"
+        |  FROM events
+        | ),
+        | fixed AS (
+        |  SELECT event_id,
+        |         COALESCE("timestamp", 42) AS "timestamp",
+        |         replace(COALESCE(country, 'None'), '//', '') AS country,
+        |         feature,
+        |         CASE WHEN abs("value") = 'infinity'::DOUBLE THEN NULL ELSE "value" END AS "value"
+        |  FROM dirty
+        | )
+        |SELECT * FROM fixed WHERE "timestamp" < 9223372036854
+        |ORDER BY event_id""".stripMargin,
+
+    "p13_deg2num" ->
+      s"""${Datacube.sqlCte},
+         | st AS (
+         |  SELECT 14 AS z,
+         |         CAST(FLOOR((lng + 180.0) / 360.0 * 16384) AS INT) AS x,
+         |         CAST(FLOOR((1.0 - ln(tan(radians(lat)) + sqrt(tan(radians(lat))*tan(radians(lat)) + 1.0)) / pi()) / 2.0 * 16384) AS INT) AS y,
+         |         "value"
+         |  FROM cube
+         | )
+         |SELECT z, x, y, COUNT(*) AS n, SUM("value") AS sum_value
+         |FROM st GROUP BY z, x, y ORDER BY z, x, y""".stripMargin,
+
+    "p15_tile_coord" ->
+      s"""${Datacube.sqlCte},
+         | st AS (
+         |  SELECT CAST(FLOOR((lng + 180.0) / 360.0 * 16384) AS INT) AS sx,
+         |         CAST(FLOOR((1.0 - ln(tan(radians(lat)) + sqrt(tan(radians(lat))*tan(radians(lat)) + 1.0)) / pi()) / 2.0 * 16384) AS INT) AS sy
+         |  FROM cube
+         | )
+         |SELECT 8 AS z, CAST(FLOOR(sx / 64.0) AS INT) AS x, CAST(FLOOR(sy / 64.0) AS INT) AS y,
+         |       COUNT(*) AS n
+         |FROM st GROUP BY 1, 2, 3 ORDER BY z, x, y""".stripMargin,
+
+    "p16_project" ->
+      s"""${Datacube.sqlCte},
+         | st AS (
+         |  SELECT CAST(FLOOR((lng + 180.0) / 360.0 * 16384) AS INT) AS sx,
+         |         CAST(FLOOR((1.0 - ln(tan(radians(lat)) + sqrt(tan(radians(lat))*tan(radians(lat)) + 1.0)) / pi()) / 2.0 * 16384) AS INT) AS sy
+         |  FROM cube
+         | ),
+         | proj AS (
+         |  SELECT CAST(FLOOR(sx / 64.0) AS INT) AS tx, CAST(FLOOR(sy / 64.0) AS INT) AS ty,
+         |         (sx - CAST(FLOOR(sx / 64.0) AS INT) * 64)
+         |         + (sy - CAST(FLOOR(sy / 64.0) AS INT) * 64) * 64 AS bin
+         |  FROM st
+         | )
+         |SELECT tx, ty, bin, COUNT(*) AS n FROM proj GROUP BY tx, ty, bin
+         |ORDER BY tx, ty, bin""".stripMargin,
+
+    "a8_subtile_agg" ->
+      s"""${temporalCubeSql("month")},
+         |$subtileSqlCte
+         |SELECT feature, "timestamp", z, x, y,
+         |       s_sum_t_sum, ROUND(s_sum_t_mean, 4) AS s_sum_t_mean, s_count
+         |FROM st ORDER BY feature, "timestamp", z, x, y""".stripMargin,
+
+    "a9_grid_stats" ->
+      s"""${temporalCubeSql("month")},
+         |$subtileSqlCte,
+         | pyramid AS (
+         |  SELECT feature, "timestamp", zoom,
+         |         x >> (14 - zoom) AS px, y >> (14 - zoom) AS py,
+         |         SUM(s_sum_t_sum) AS s_sum_t_sum, SUM(s_sum_t_mean) AS s_sum_t_mean,
+         |         SUM(s_count) AS s_count
+         |  FROM st CROSS JOIN (SELECT CAST(range AS INT) AS zoom FROM range(6, 15)) zl
+         |  GROUP BY ALL
+         | ),
+         | withmeans AS (
+         |  SELECT *, s_sum_t_sum / s_count AS s_mean_t_sum,
+         |            s_sum_t_mean / s_count AS s_mean_t_mean
+         |  FROM pyramid
+         | )
+         |SELECT feature, "timestamp", zoom,
+         |       MIN(s_sum_t_sum) AS min_s_sum_t_sum, MAX(s_sum_t_sum) AS max_s_sum_t_sum,
+         |       ROUND(MIN(s_sum_t_mean), 4) AS min_s_sum_t_mean, ROUND(MAX(s_sum_t_mean), 4) AS max_s_sum_t_mean,
+         |       ROUND(MIN(s_mean_t_sum), 4) AS min_s_mean_t_sum, ROUND(MAX(s_mean_t_sum), 4) AS max_s_mean_t_sum,
+         |       ROUND(MIN(s_mean_t_mean), 4) AS min_s_mean_t_mean, ROUND(MAX(s_mean_t_mean), 4) AS max_s_mean_t_mean
+         |FROM withmeans GROUP BY feature, "timestamp", zoom
+         |ORDER BY feature, "timestamp", zoom""".stripMargin
+  )
+}
