@@ -66,12 +66,15 @@ object Validate {
     val dropCols = nullOrEmptyCols(input).filterNot(ExcludeCols.contains)
     var df = input.drop(dropCols: _*)
 
-    // P2: numeric coercion
-    df = df.withColumn("value", col("value").cast(DoubleType))
+    // P2: numeric coercion. try_cast, not cast: Spark 4 defaults ANSI mode
+    // on, where cast THROWS on unparseable strings — try_cast yields null,
+    // matching the reference's pandas to_numeric(errors="coerce").
+    def tryDouble(c: String) = expr(s"try_cast(`$c` AS DOUBLE)")
+    df = df.withColumn("value", tryDouble("value"))
     if (df.columns.contains("lat") && df.columns.contains("lng")) {
       df = df
-        .withColumn("lat", col("lat").cast(DoubleType))
-        .withColumn("lng", col("lng").cast(DoubleType))
+        .withColumn("lat", tryDouble("lat"))
+        .withColumn("lng", tryDouble("lng"))
     }
 
     val hasWeight = weightColumn.nonEmpty && df.columns.contains(weightColumn)
@@ -83,18 +86,13 @@ object Validate {
     for (c <- categoricalCols)
       df = df.withColumn(c, coalesce(col(c).cast(StringType), lit(Schema.NoneStr)))
 
-    // P6: weight coercion
+    // P6: weight coercion (try_cast: same ANSI coerce-to-null rationale)
     if (hasWeight)
-      df = df.withColumn(weightColumn, coalesce(col(weightColumn).cast(DoubleType), lit(0.0)))
+      df = df.withColumn(weightColumn, coalesce(tryDouble(weightColumn), lit(0.0)))
 
-    // P7: infinity scrub
-    df = df.withColumn("value", when(abs(col("value")) === Double.PositiveInfinity, lit(null)).otherwise(col("value")))
-
-    // P8: object-store-unsafe chars out of region names
-    for (c <- Schema.RegionLevels if df.columns.contains(c))
-      df = df.withColumn(c, regexp_replace(col(c), "//", ""))
-
-    // P4/P5/P9 counters in one aggregate pass (timestamp not yet filled)
+    // P4/P5/P9 counters in one aggregate pass, BEFORE the infinity scrub:
+    // the reference counts num_missing_val (data_pipeline.py:351) before
+    // replacing infinities with NaN (:363) — an ±inf row is not "missing".
     val counterRow: Row = df
       .agg(
         sum(when(col("timestamp").isNull, 1L).otherwise(0L)).as("missing_ts"),
@@ -104,9 +102,16 @@ object Validate {
       .head()
     def cnt(i: Int): Long = if (counterRow.isNullAt(i)) 0L else counterRow.getLong(i)
 
+    // P7: infinity scrub
+    df = df.withColumn("value", when(abs(col("value")) === Double.PositiveInfinity, lit(null)).otherwise(col("value")))
+
+    // P8: object-store-unsafe chars out of region names
+    for (c <- Schema.RegionLevels if df.columns.contains(c))
+      df = df.withColumn(c, regexp_replace(col(c), "//", ""))
+
     // P4 fill, P9 drop
     df = df
-      .withColumn("timestamp", coalesce(col("timestamp").cast(LongType), lit(fillTimestamp)))
+      .withColumn("timestamp", coalesce(expr("try_cast(`timestamp` AS BIGINT)"), lit(fillTimestamp)))
       .filter(col("timestamp") < Schema.MaxTimestampMs)
 
     ValidationResult(df, effectiveWeight, cnt(0), cnt(2), cnt(1), dropCols)

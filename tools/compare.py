@@ -1,69 +1,52 @@
 #!/usr/bin/env python3
-"""Local stand-in for the driver's DuckDB-oracle correctness check.
+"""Local mirror of the driver's correctness gate: run each oracle SQL in
+DuckDB over the testdata parquet tables, load the Spark result parquet,
+sort columns by name, and compare values (exact on sorted rows).
 
-Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
-
-Registers each <sfDir>/*.parquet as a DuckDB view named after the table,
-runs every oracle_sql.json query, and compares against the Spark result
-parquet (rows sorted by all columns, column order normalized by name) —
-exact match on values, which is what a hash compare implies.
+Usage: python3 tools/compare.py /root/testdata/sf0.01 /tmp/verify_r2
 """
-import sys, json, glob, os
+import sys, os, json, glob
 import duckdb
 import pandas as pd
-import numpy as np
 
-sf_dir, out_dir = sys.argv[1], sys.argv[2]
+sfdir, outdir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
-for p in glob.glob(f"{sf_dir}/*.parquet"):
+for p in glob.glob(f"{sfdir}/*.parquet"):
     name = os.path.basename(p).replace(".parquet", "")
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
 
-oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-fail = 0
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+ok = fail = 0
 for name, sql in sorted(oracle.items()):
-    spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
-    if not spark_files:
-        print(f"FAIL {name}: no spark output")
-        fail += 1
-        continue
+    spath = f"{outdir}/{name}"
+    if not os.path.isdir(spath):
+        print(f"{name}: MISSING spark output"); fail += 1; continue
     try:
-        want = con.execute(sql).df()
+        odf = con.sql(sql).df()
     except Exception as e:
-        print(f"FAIL {name}: oracle error {e}")
-        fail += 1
-        continue
-    got = pd.concat([pd.read_parquet(f) for f in sorted(spark_files)])
-    # normalize: column order by name, row order by all columns
-    want = want.reindex(sorted(want.columns), axis=1)
-    got = got.reindex(sorted(got.columns), axis=1)
-    if list(want.columns) != list(got.columns):
-        print(f"FAIL {name}: columns want={list(want.columns)} got={list(got.columns)}")
-        fail += 1
-        continue
-    want = want.sort_values(by=list(want.columns)).reset_index(drop=True)
-    got = got.sort_values(by=list(got.columns)).reset_index(drop=True)
-    if len(want) != len(got):
-        print(f"FAIL {name}: rows want={len(want)} got={len(got)}")
-        fail += 1
-        continue
-    ok = True
-    for c in want.columns:
-        w, g = want[c], got[c]
-        if w.dtype.kind == "f" or g.dtype.kind == "f":
-            same = np.allclose(w.astype(float), g.astype(float), rtol=0, atol=0, equal_nan=True)
-            exact = same
-        else:
-            exact = w.astype(str).equals(g.astype(str))
-        if not exact:
-            diff = (w.astype(str) != g.astype(str))
-            idx = diff[diff].index[:3]
-            print(f"FAIL {name}: col {c} differs, e.g. rows {list(idx)}: want={list(w[idx])} got={list(g[idx])}")
-            ok = False
-            break
-    if ok:
-        print(f"PASS {name} ({len(want)} rows)")
-    else:
-        fail += 1
-print(f"\n{len(oracle) - fail}/{len(oracle)} pass")
+        print(f"{name}: ORACLE ERROR {str(e)[:200]}"); fail += 1; continue
+    sdf = pd.read_parquet(spath)
+    sdf = sdf.reindex(sorted(sdf.columns), axis=1)
+    odf = odf.reindex(sorted(odf.columns), axis=1)
+    if list(sdf.columns) != list(odf.columns):
+        print(f"{name}: SCHEMA {list(sdf.columns)} vs {list(odf.columns)}"); fail += 1; continue
+    if len(sdf) != len(odf):
+        print(f"{name}: ROWS {len(sdf)} vs {len(odf)}"); fail += 1; continue
+    # exact compare on row-order as returned AND on sorted rows
+    ss = sdf.sort_values(by=list(sdf.columns)).reset_index(drop=True)
+    oo = odf.sort_values(by=list(odf.columns)).reset_index(drop=True)
+    try:
+        pd.testing.assert_frame_equal(ss, oo, check_dtype=False, check_exact=True)
+    except AssertionError as e:
+        print(f"{name}: VALUE MISMATCH {str(e)[:300]}"); fail += 1; continue
+    inorder = True
+    try:
+        pd.testing.assert_frame_equal(
+            sdf.reset_index(drop=True), odf.reset_index(drop=True),
+            check_dtype=False, check_exact=True)
+    except AssertionError:
+        inorder = False
+    print(f"{name}: OK rows={len(sdf)}" + ("" if inorder else " (row order differs)"))
+    ok += 1
+print(f"\n{ok} ok, {fail} fail")
 sys.exit(1 if fail else 0)
