@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.testbed.DatacubeQueries
+import graft.testbed.{DatacubeQueries, DocQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,8 +21,8 @@ object SparkEntry {
     DatacubeQueries.globalTimeseries(spark, "/root/testdata/sf0.001", "month")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    DatacubeQueries.queries
+    DatacubeQueries.queries ++ DocQueries.queries
 
   def oracleSql: Map[String, String] =
-    DatacubeQueries.oracles
+    DatacubeQueries.oracles ++ DocQueries.oracles
 }

@@ -1,0 +1,134 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data pipelines:
+  * tokenization, quality stats, marker-based language ID, bag fingerprints
+  * and SimHash — all pure Catalyst expressions (higher-order array functions,
+  * no UDFs, no shuffles), so a 100 TB corpus pays only a codegen'd projection
+  * per document.
+  *
+  * Functions take the text column NAME (they splice it into SQL lambda
+  * expressions, where a bare Column can't be captured).
+  *
+  * Beyond-parity module (SURVEY.md §7.5): the reference pipeline
+  * (geo-temporal ETL) has no text surface; these operators extend the engine
+  * toward LLM-corpus preparation.
+  */
+object TextFunctions {
+
+  /** SQL fragment: whitespace-collapsed, trimmed text. */
+  private def normSql(c: String) = s"regexp_replace(trim(`$c`), '\\\\s+', ' ')"
+
+  /** SQL fragment: whitespace tokens of the normalized text. */
+  private def toksSql(c: String) = s"split(${normSql(c)}, ' ')"
+
+  /** Whitespace-collapsed, trimmed text (normalization shared by every op). */
+  def normText(c: String): Column = expr(normSql(c))
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(c: String): Column = expr(toksSql(c))
+
+  /** Common English function words used by the quality score. Public
+    * knowledge; any stopword list can be substituted. */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  private def inList(t: String, values: Seq[String]): String =
+    values.map(v => s"'$v'").mkString(s"$t IN (", ", ", ")")
+
+  /** n tokens / distinct tokens / type-token ratio / average token length /
+    * punctuation ratio / stopword ratio / composite quality score, as a
+    * struct column. One pass, fully codegen'd. */
+  def textStats(c: String): Column = {
+    val norm = normText(c)
+    val toks = tokens(c)
+    val nTokens = size(toks)
+    val nTypes = size(array_distinct(toks))
+    val ttr = nTypes.cast("double") / nTokens
+    // single-space separated => total token chars = len(norm) - (n-1)
+    val avgLen = (length(norm) - (nTokens - lit(1))).cast("double") / nTokens
+    val punct =
+      (length(norm) - length(regexp_replace(norm, "[^a-zA-Z0-9 ]", ""))).cast("double") /
+        length(norm)
+    val stopCount = size(expr(s"filter(${toksSql(c)}, t -> ${inList("t", Stopwords)})"))
+    val stopRatio = stopCount.cast("double") / nTokens
+    // Deterministic composite: length saturation x lexical diversity x cleanliness.
+    val quality = least(lit(1.0), nTokens.cast("double") / 50.0) * ttr * (lit(1.0) - punct)
+    struct(
+      nTokens.as("n_tokens"),
+      nTypes.as("n_types"),
+      round(ttr, 4).as("ttr"),
+      round(avgLen, 4).as("avg_token_len"),
+      round(punct, 4).as("punct_ratio"),
+      round(stopRatio, 4).as("stopword_ratio"),
+      round(quality, 4).as("quality_score")
+    )
+  }
+
+  /** Function-word markers per language (public-knowledge closed-class
+    * words); the language whose markers appear most often wins. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "nicht"),
+    "en" -> Seq("the", "is", "of", "and", "a"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "fr" -> Seq("le", "les", "des", "est", "une"),
+    "zh" -> Seq("的", "了", "是", "在", "我")
+  )
+
+  /** Marker-count n-gram heuristic language ID. Returns a struct with one
+    * `score_<lang>` per language plus the argmax `predicted` (ties broken by
+    * language code ascending; all-zero defaults to the first code). */
+  def langId(c: String): Column = {
+    val scores = LangMarkers.map { case (lang, markers) =>
+      lang -> size(expr(s"filter(${toksSql(c)}, t -> ${inList("t", markers)})"))
+    }
+    // argmax with lexicographic tie-break: fold over langs in order, strictly
+    // greater score replaces — first (alphabetically) max wins.
+    val (firstLang, firstScore) = scores.head
+    val (predicted, _) = scores.tail.foldLeft((lit(firstLang), firstScore)) {
+      case ((bestLang, bestScore), (lang, score)) =>
+        (when(score > bestScore, lit(lang)).otherwise(bestLang),
+         when(score > bestScore, score).otherwise(bestScore))
+    }
+    struct(
+      scores.map { case (l, s) => s.as(s"score_$l") } :+ predicted.as("predicted"): _*)
+  }
+
+  /** Order-insensitive bag fingerprint: md5 over the sorted distinct token
+    * list. Two documents with the same vocabulary collide regardless of word
+    * order — a cheap first-stage near-dup key. */
+  def bagFingerprint(c: String): Column =
+    md5(array_join(array_sort(array_distinct(tokens(c))), " "))
+
+  /** Number of SimHash bits (60 = 15 md5 nibbles, keeping the accumulated
+    * value positive in a signed 64-bit long). */
+  val SimHashBits = 60
+
+  /** 60-bit SimHash of the token multiset, as a non-negative long.
+    *
+    * Per token, bit j (0-based) is nibble `j/4` of `md5(token)` probed at
+    * position `3 - j%4`; the document bit is 1 when strictly more than half
+    * the tokens have it set. Computed entirely with higher-order array
+    * expressions — per-row work only, no explode, no shuffle — so it runs at
+    * scan speed on an arbitrarily large corpus. The md5 base hash is chosen
+    * for engine-portability (any salted 64-bit hash works).
+    */
+  def simHash(c: String): Column = {
+    // bits(t): array<int> of the 60 bit values of token t
+    val bits =
+      s"""transform(sequence(0, ${SimHashBits - 1}), j ->
+         |  shiftright(instr('0123456789abcdef', substring(md5(t), (j div 4) + 1, 1)) - 1,
+         |             3 - (j % 4)) & 1)""".stripMargin
+    expr(
+      s"""aggregate(
+         |  zip_with(
+         |    aggregate(${toksSql(c)},
+         |              array_repeat(CAST(0 AS BIGINT), ${SimHashBits}),
+         |              (acc, t) -> zip_with(acc, $bits, (a, b) -> a + CAST(b AS BIGINT))),
+         |    sequence(0, ${SimHashBits - 1}),
+         |    (ones, j) -> IF(2 * ones > size(${toksSql(c)}), shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))),
+         |  CAST(0 AS BIGINT), (s, v) -> s + v)""".stripMargin)
+  }
+}

@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Document deduplication for large-scale corpus preparation: exact
+  * (normalized content hash), n-gram Jaccard, and MinHash-LSH near-dup.
+  *
+  * Scale design:
+  *  - exact dedup is a window over the content hash — a high-cardinality
+  *    key, so the shuffle is evenly spread (no 3-value partition skew);
+  *  - MinHash signatures and LSH band keys are pure per-row higher-order
+  *    array expressions (no explode, no shuffle, codegen'd) — signature
+  *    computation runs at scan speed on 100 TB;
+  *  - candidate generation joins on (band, bandHash) — only documents
+  *    sharing a band bucket ever meet, never all-pairs;
+  *  - exact Jaccard joins on shingle with an optional document-frequency
+  *    cap (`maxDocFreq`) to break hot-shingle skew (boilerplate shingles
+  *    shared by millions of docs would otherwise make one join key
+  *    quadratic).
+  */
+object Dedup {
+
+  /** Normalized form used for exact duplicate detection: lowercase,
+    * whitespace-collapsed. */
+  def normalizedSql(c: String) = s"lower(regexp_replace(trim(`$c`), '\\\\s+', ' '))"
+
+  /** Exact-duplicate clustering on md5 of the normalized text. Adds
+    * `content_hash`, `cluster_size`, `canonical_id` (min doc id of the
+    * cluster), `is_duplicate`. */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy("content_hash")
+    docs
+      .withColumn("content_hash", md5(expr(normalizedSql(textCol))))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("canonical_id", min(col(idCol)).over(w))
+      .withColumn("is_duplicate", col(idCol) =!= col("canonical_id"))
+  }
+
+  private def toksOf(c: String) = s"split(regexp_replace(trim(`$c`), '\\\\s+', ' '), ' ')"
+
+  /** SQL for the distinct shingle set, empty when the document has fewer
+    * than n tokens (guards Spark's descending `sequence`). */
+  private def shinglesSql(c: String, n: Int): String =
+    s"""CASE WHEN size(${toksOf(c)}) < $n THEN CAST(array() AS ARRAY<STRING>)
+       |ELSE array_distinct(transform(sequence(1, size(${toksOf(c)}) - ${n - 1}),
+       |       i -> concat_ws(' ', slice(${toksOf(c)}, i, $n))))
+       |END""".stripMargin
+
+  /** Distinct word n-gram (shingle) set as an array column. */
+  def shingles(textCol: String, n: Int = 3): Column = expr(shinglesSql(textCol, n))
+
+  /** Exact pairwise n-gram Jaccard similarity via a shingle co-occurrence
+    * join. Returns (doc_a, doc_b, n_shared, jaccard) for unordered pairs
+    * with `jaccard >= minJaccard`.
+    *
+    * @param maxDocFreq drop shingles occurring in more than this many
+    *                   documents before pairing (skew guard); None = keep all.
+    */
+  def jaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      minJaccard: Double = 0.8,
+      maxDocFreq: Option[Int] = None
+  ): DataFrame = {
+    val sh0 = docs
+      .select(col(idCol).as("doc_id"), explode(shingles(textCol, n)).as("s"))
+    val sh = maxDocFreq match {
+      case Some(cap) =>
+        val w = Window.partitionBy("s")
+        sh0.withColumn("_df", count(lit(1)).over(w)).filter(col("_df") <= cap).drop("_df")
+      case None => sh0
+    }
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
+      .withColumn("jaccard", col("n_shared").cast("double") /
+        (col("na") + col("nb") - col("n_shared")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** MinHash signature: `numHashes` lexicographic minima of per-function
+    * salted md5 over the shingle set (an order-`numHashes` permutation
+    * family). Pure per-row expression — no shuffle. Empty-shingle docs get
+    * an empty signature. */
+  def minHashSignature(textCol: String, n: Int = 3, numHashes: Int = 64): Column = {
+    val shSql = shinglesSql(textCol, n)
+    expr(
+      s"""CASE WHEN size($shSql) = 0 THEN CAST(array() AS ARRAY<STRING>)
+         |ELSE transform(sequence(0, ${numHashes - 1}),
+         |       i -> array_min(transform($shSql, s -> md5(concat(CAST(i AS STRING), '|', s)))))
+         |END""".stripMargin)
+  }
+
+  /** LSH band keys over an already-materialized signature column (referenced
+    * by name): `bands` structs `(band, band_hash)` where band_hash = md5 of
+    * the concatenated rows of that band. Docs sharing any (band, band_hash)
+    * are near-dup candidates (s-curve threshold ≈ (1/bands)^(rowsPerBand)). */
+  def lshBands(sigCol: String, bands: Int, rowsPerBand: Int): Column =
+    expr(
+      s"""transform(sequence(0, ${bands - 1}),
+         |  b -> struct(b AS band,
+         |              md5(concat_ws('', slice(`$sigCol`, b * $rowsPerBand + 1, $rowsPerBand))) AS band_hash))"""
+        .stripMargin)
+
+  /** Candidate near-duplicate pairs from MinHash-LSH: unordered doc pairs
+    * sharing >= 1 band bucket, with the count of shared bands. Join is on
+    * (band, band_hash) — never all-pairs. */
+  def minHashCandidates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16
+  ): DataFrame = {
+    val rows = numHashes / bands
+    val withBands = docs
+      .select(col(idCol).as("doc_id"),
+        minHashSignature(textCol, n, numHashes).as("sig"))
+      .filter(size(col("sig")) > 0)
+      .select(col("doc_id"), explode(lshBands("sig", bands, rows)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
+    withBands.as("a")
+      .join(withBands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_bands"))
+  }
+}

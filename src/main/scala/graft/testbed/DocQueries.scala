@@ -1,0 +1,269 @@
+package graft.testbed
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** LLM-training-data pipeline battery over the `documents` / `embeddings`
+  * tables: text analysis, language ID, fingerprinting, exact + near dedup,
+  * vector similarity search, multimodal plumbing. Every query is mirrored by
+  * a DuckDB oracle over the same parquet (the MinHash/LSH entries included —
+  * the signature family is lexicographic-min of salted md5, which DuckDB can
+  * reproduce exactly).
+  */
+object DocQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+  private def table(s: SparkSession, dir: String, name: String): DataFrame =
+    cache.getOrElseUpdate((s, dir, name),
+      s.read.parquet(s"$dir/$name.parquet").cache())
+
+  // ---- shared DuckDB fragments --------------------------------------------
+
+  /** Whitespace-collapsed trimmed text (DuckDB regexp_replace needs the 'g'
+    * flag — unlike Spark it replaces only the first match by default). */
+  private val norm = "regexp_replace(trim(text), '\\s+', ' ', 'g')"
+  private val ws = s"regexp_split_to_array($norm, ' ')"
+  private def inList(t: String, values: Seq[String]): String =
+    values.map(v => s"'$v'").mkString(s"$t IN (", ", ", ")")
+
+  /** CTE `w`: (doc_id, lang, norm, ws, nt) over documents. */
+  private val wCte =
+    s"""WITH w AS (
+       |  SELECT doc_id, lang, $norm AS norm, $ws AS ws, len($ws) AS nt
+       |  FROM documents
+       | )""".stripMargin
+
+  /** DuckDB shingle-list expression over `ws` (3-gram). */
+  private val shListSql =
+    "list_distinct(list_transform(generate_series(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))"
+
+  // ---- the battery --------------------------------------------------------
+
+  def queries: Map[String, Q] = Map(
+    // T1: per-document token/quality statistics (pure projection — scan speed)
+    "t1_text_stats" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), TextFunctions.textStats("text").as("st"))
+        .select(col("doc_id"), col("lang"), col("st.*"))
+        .orderBy("doc_id")),
+
+    // T2: marker-based language ID
+    "t2_lang_id" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), TextFunctions.langId("text").as("li"))
+        .select(col("doc_id"), col("lang"), col("li.*"))
+        .orderBy("doc_id")),
+
+    // T3: bag fingerprint + 60-bit SimHash (per-row higher-order exprs)
+    "t3_fingerprint" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.bagFingerprint("text").as("bag_fingerprint"),
+          TextFunctions.simHash("text").as("simhash"))
+        .orderBy("doc_id")),
+
+    // D1: exact dedup clusters on normalized-content hash
+    "d1_exact_dedup" -> ((s, dir) =>
+      Dedup.exactDedup(table(s, dir, "documents"), "doc_id", "text")
+        .select("doc_id", "content_hash", "cluster_size", "canonical_id", "is_duplicate")
+        .orderBy("doc_id")),
+
+    // D2: exact 3-gram Jaccard near-dup pairs (shingle co-occurrence join)
+    "d2_jaccard_neardup" -> ((s, dir) =>
+      Dedup.jaccardPairs(table(s, dir, "documents"), "doc_id", "text",
+          n = 3, minJaccard = 0.8)
+        .orderBy("doc_a", "doc_b")),
+
+    // D3: MinHash-LSH candidate pairs (64 hashes, 16 bands x 4)
+    "d3_minhash_lsh" -> ((s, dir) =>
+      Dedup.minHashCandidates(table(s, dir, "documents"), "doc_id", "text",
+          n = 3, numHashes = 64, bands = 16)
+        .orderBy("doc_a", "doc_b")),
+
+    // V1: exact brute-force cosine top-5 for the first 20 vectors
+    "v1_cosine_topk" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // V2: hyperplane-LSH-bucketed ANN top-3 (the 100 TB-partitionable plan)
+    "v2_ann_lsh" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Similarity.annTopK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+          k = 3, dims = 64, numPlanes = 16)
+        .orderBy("query_id", "rank")
+    }),
+
+    // M1: multimodal payload plumbing — binary column + typed metadata
+    "m1_multimodal_meta" -> ((s, dir) =>
+      Multimodal.withPayload(table(s, dir, "documents"), "text", "text/plain")
+        .select(col("doc_id"), col("meta.media_type").as("media_type"),
+          col("meta.n_bytes").as("n_bytes"), col("meta.checksum").as("checksum"),
+          ascii(substring(col("text"), 1, 1)).as("first_code"))
+        .orderBy("doc_id"))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "t1_text_stats" ->
+      s"""$wCte,
+         | stats AS (
+         |  SELECT doc_id, lang, nt AS n_tokens, len(list_distinct(ws)) AS n_types,
+         |         length(norm) AS nc,
+         |         length(regexp_replace(norm, '[^a-zA-Z0-9 ]', '', 'g')) AS nclean,
+         |         len(list_filter(ws, t -> ${inList("t", TextFunctions.Stopwords)})) AS nstop
+         |  FROM w
+         | )
+         |SELECT doc_id, lang, n_tokens, n_types,
+         |       ROUND(n_types * 1.0 / n_tokens, 4) AS ttr,
+         |       ROUND((nc - (n_tokens - 1)) * 1.0 / n_tokens, 4) AS avg_token_len,
+         |       ROUND((nc - nclean) * 1.0 / nc, 4) AS punct_ratio,
+         |       ROUND(nstop * 1.0 / n_tokens, 4) AS stopword_ratio,
+         |       ROUND(LEAST(1.0, n_tokens / 50.0) * (n_types * 1.0 / n_tokens)
+         |             * (1.0 - (nc - nclean) * 1.0 / nc), 4) AS quality_score
+         |FROM stats ORDER BY doc_id""".stripMargin,
+
+    "t2_lang_id" ->
+      s"""$wCte,
+         | scores AS (
+         |  SELECT doc_id, lang,
+         |${TextFunctions.LangMarkers.map { case (l, m) =>
+             s"         len(list_filter(ws, t -> ${inList("t", m)})) AS score_$l"
+           }.mkString(",\n")}
+         |  FROM w
+         | )
+         |SELECT doc_id, lang, score_de, score_en, score_es, score_fr, score_zh,
+         |       CASE GREATEST(score_de, score_en, score_es, score_fr, score_zh)
+         |            WHEN score_de THEN 'de' WHEN score_en THEN 'en'
+         |            WHEN score_es THEN 'es' WHEN score_fr THEN 'fr'
+         |            ELSE 'zh' END AS predicted
+         |FROM scores ORDER BY doc_id""".stripMargin,
+
+    "t3_fingerprint" ->
+      s"""$wCte,
+         | fp AS (
+         |  SELECT doc_id, md5(array_to_string(list_sort(list_distinct(ws)), ' ')) AS bag_fingerprint
+         |  FROM w
+         | ),
+         | tok AS (SELECT doc_id, nt, unnest(ws) AS t FROM w),
+         | tokj AS (SELECT doc_id, nt, t, unnest(generate_series(0, 59)) AS j FROM tok),
+         | bits AS (
+         |  SELECT doc_id, nt, j,
+         |         ((strpos('0123456789abcdef', substr(md5(t), CAST(j // 4 AS INT) + 1, 1)) - 1)
+         |          >> CAST(3 - (j % 4) AS INT)) & 1 AS bit
+         |  FROM tokj
+         | ),
+         | ones AS (SELECT doc_id, nt, j, SUM(bit) AS ones FROM bits GROUP BY 1, 2, 3),
+         | sh AS (
+         |  SELECT doc_id,
+         |         SUM(CASE WHEN 2 * ones > nt THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS simhash
+         |  FROM ones GROUP BY 1
+         | )
+         |SELECT fp.doc_id AS doc_id, bag_fingerprint, CAST(simhash AS BIGINT) AS simhash
+         |FROM fp JOIN sh ON fp.doc_id = sh.doc_id
+         |ORDER BY fp.doc_id""".stripMargin,
+
+    "d1_exact_dedup" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, md5(lower($norm)) AS content_hash FROM documents
+         | )
+         |SELECT doc_id, content_hash,
+         |       COUNT(*) OVER (PARTITION BY content_hash) AS cluster_size,
+         |       MIN(doc_id) OVER (PARTITION BY content_hash) AS canonical_id,
+         |       doc_id <> MIN(doc_id) OVER (PARTITION BY content_hash) AS is_duplicate
+         |FROM h ORDER BY doc_id""".stripMargin,
+
+    "d2_jaccard_neardup" ->
+      s"""$wCte,
+         | sh AS (SELECT DISTINCT doc_id, unnest($shListSql) AS s FROM w WHERE nt >= 3),
+         | sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         | inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         | )
+         |SELECT doc_a, doc_b, n_shared,
+         |       ROUND(n_shared * 1.0 / (sa.n + sb.n - n_shared), 4) AS jaccard
+         |FROM inter
+         |JOIN sz sa ON doc_a = sa.doc_id
+         |JOIN sz sb ON doc_b = sb.doc_id
+         |WHERE n_shared * 1.0 / (sa.n + sb.n - n_shared) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "d3_minhash_lsh" ->
+      s"""$wCte,
+         | sh AS (SELECT doc_id, $shListSql AS shingles FROM w WHERE nt >= 3),
+         | sig AS (
+         |  SELECT doc_id,
+         |         list_transform(generate_series(0, 63),
+         |           i -> list_min(list_transform(shingles, s -> md5(i::VARCHAR || '|' || s)))) AS sig
+         |  FROM sh
+         | ),
+         | bandrows AS (SELECT doc_id, sig, unnest(generate_series(0, 15)) AS b FROM sig),
+         | bands AS (
+         |  SELECT doc_id, b,
+         |         md5(array_to_string(sig[CAST(b*4+1 AS INT):CAST(b*4+4 AS INT)], '')) AS bh
+         |  FROM bandrows
+         | )
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_bands
+         |FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "v1_cosine_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         | q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+         | scored AS (
+         |  SELECT query_id, e.vec_id AS neighbor_id,
+         |         ROUND(list_dot_product(qv, v)
+         |               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 4) AS cosine
+         |  FROM q, e WHERE e.vec_id <> q.query_id
+         | ),
+         | ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS "rank"
+         |  FROM scored
+         | )
+         |SELECT query_id, "rank", neighbor_id, cosine
+         |FROM ranked WHERE "rank" <= 5
+         |ORDER BY query_id, "rank"""".stripMargin,
+
+    "v2_ann_lsh" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |         CAST(list_sum(list_transform(generate_series(0, 15), i ->
+         |           CASE WHEN list_dot_product(embedding::DOUBLE[],
+         |                  list_transform(generate_series(0, 63),
+         |                    d -> ((i * 64 + d) * 2654435761) % 1000 / 1000.0 - 0.5)) >= 0.0
+         |                THEN (1 << CAST(i AS INT)) ELSE 0 END)) AS INT) AS bucket
+         |  FROM embeddings
+         | ),
+         | q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id < 20),
+         | scored AS (
+         |  SELECT query_id, q.bucket, e.vec_id AS neighbor_id,
+         |         ROUND(list_dot_product(qv, v)
+         |               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 4) AS cosine
+         |  FROM q JOIN e ON q.bucket = e.bucket AND e.vec_id <> q.query_id
+         | ),
+         | ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS "rank"
+         |  FROM scored
+         | )
+         |SELECT query_id, bucket, "rank", neighbor_id, cosine
+         |FROM ranked WHERE "rank" <= 3
+         |ORDER BY query_id, "rank"""".stripMargin,
+
+    "m1_multimodal_meta" ->
+      """SELECT doc_id,
+        |       'text/plain' AS media_type,
+        |       octet_length(encode(text)) AS n_bytes,
+        |       md5(text) AS checksum,
+        |       ascii(substr(text, 1, 1)) AS first_code
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
