@@ -1,0 +1,70 @@
+package graft.io
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+/** Output writers (S6-S9): one logical object per call, addressed by a
+  * bucket-relative path — the reference's defining sink behavior is
+  * materializing thousands of exactly-named small objects
+  * (reference: flows/common.py:240-287, flows/data_pipeline.py:49-60).
+  *
+  * Implementations must be Serializable: they are constructed on the driver
+  * from config and used inside `foreachPartition` on executors. Expensive
+  * clients (S3) are held in per-JVM lazy singletons, mirroring the
+  * reference's per-worker cached boto client.
+  */
+trait Writer extends Serializable {
+  def write(body: Array[Byte], path: String): Unit
+  def write(body: String, path: String): Unit =
+    write(body.getBytes(StandardCharsets.UTF_8), path)
+}
+
+/** No-op writer for profiling (S8; reference: flows/common.py:269-270). */
+object NullWriter extends Writer {
+  override def write(body: Array[Byte], path: String): Unit = ()
+}
+
+/** Local-filesystem writer (S7; reference: flows/common.py:274-287):
+  * `{bucketDir}/{path}`, creating parent directories. */
+final case class FileWriter(bucketDir: String) extends Writer {
+  override def write(body: Array[Byte], path: String): Unit = {
+    val p = Paths.get(bucketDir, path)
+    Files.createDirectories(p.getParent)
+    Files.write(p, body)
+  }
+}
+
+/** Object-store writer through the Hadoop FileSystem API (S6). With
+  * `hadoop-aws` on the cluster classpath and `fs.s3a.*` credentials
+  * configured, `baseUri = "s3a://bucket"` writes S3 objects; the same code
+  * path serves hdfs:// or file:// URIs. The FileSystem handle is resolved
+  * lazily once per executor JVM (reference keeps a per-worker boto client,
+  * flows/common.py:240-265).
+  *
+  * @param confKV Hadoop configuration overrides (endpoint, credentials)
+  *               carried as data so the task closure stays serializable.
+  */
+final case class HadoopFsWriter(baseUri: String, confKV: Map[String, String] = Map.empty)
+    extends Writer {
+  @transient private lazy val fs = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    confKV.foreach { case (k, v) => conf.set(k, v) }
+    org.apache.hadoop.fs.FileSystem.get(java.net.URI.create(baseUri), conf)
+  }
+  override def write(body: Array[Byte], path: String): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$baseUri/$path"), true)
+    try out.write(body)
+    finally out.close()
+  }
+}
+
+/** Writer dispatch by destination type (S9; reference:
+  * flows/data_pipeline.py:49-60 WRITE_TYPES). */
+object Writer {
+  def forDest(destType: String, bucket: String): Writer = destType match {
+    case "file" => FileWriter(bucket)
+    case "none" => NullWriter
+    case "s3"   => HadoopFsWriter(bucket)
+    case other  => throw new IllegalArgumentException(s"unknown dest type: $other")
+  }
+}

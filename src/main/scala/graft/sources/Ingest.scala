@@ -1,0 +1,80 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField}
+
+import graft.model.Schema
+
+/** Datacube ingest (S1-S5; reference: flows/data_pipeline.py:150-235).
+  *
+  *  - S1: parquet read. Object-store access is Spark-native: pass
+  *    `s3a://...` paths with `fs.s3a.*` credentials on the Hadoop conf —
+  *    no separate client code needed.
+  *  - S3: files matching `_str(.N)?.parquet(.gzip)?` hold string-typed
+  *    values and are skipped (filename-level pushdown).
+  *  - S4: multi-file schema unification. The reference COERCES rather than
+  *    fails: columns missing from a file are filled with the empty string;
+  *    `feature` is forced string; region columns whose dtypes conflict
+  *    across files are null-filled with "None" and re-typed string. Plain
+  *    `mergeSchema` would abort on conflicting dtypes, so unification is
+  *    explicit per-file projection + `unionByName`.
+  *  - S5: hard failures on empty path list / all-string files / zero rows.
+  *
+  * Scale: per-file projections are narrow and codegen'd; the union is a
+  * plan-level concatenation (no shuffle); parquet row-group pruning and
+  * column pruning pass straight through.
+  */
+object Ingest {
+
+  private val StrFileRe = ".*_str(\\.[0-9]+)?\\.parquet(\\.gzip)?$".r
+
+  def isStringTypedFile(path: String): Boolean =
+    StrFileRe.matches(path.split('/').last)
+
+  def readData(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    require(paths.nonEmpty, "no input data paths given")
+    val numericPaths = paths.filterNot(isStringTypedFile)
+    require(numericPaths.nonEmpty, s"no numeric parquet files in ${paths.mkString(",")}")
+
+    val dfs = numericPaths.map(p => spark.read.parquet(p))
+    val unified = unifySchemas(dfs)
+    require(!unified.isEmpty, "input data has 0 rows")
+    unified
+  }
+
+  /** S4 unification across already-loaded frames (separable for tests). */
+  def unifySchemas(dfs: Seq[DataFrame]): DataFrame = {
+    // ordered union of all columns (first-seen order, like the reference's
+    // pandas union of Index objects)
+    val allCols = dfs.foldLeft(Vector.empty[String]) { (acc, df) =>
+      acc ++ df.columns.filterNot(acc.contains)
+    }
+    def dtypeOf(df: DataFrame, c: String): Option[StructField] =
+      df.schema.fields.find(_.name == c)
+
+    // a column must become string when it's `feature`, or when files
+    // disagree on its type (the reference re-types region columns on
+    // conflict; we apply the same rule to any conflicted column)
+    val forceString: Set[String] = allCols.filter { c =>
+      val types = dfs.flatMap(dtypeOf(_, c)).map(_.dataType).distinct
+      c == "feature" || types.length > 1
+    }.toSet
+
+    val projected = dfs.map { df =>
+      val cols = allCols.map { c =>
+        if (!df.columns.contains(c))
+          lit("").cast(StringType).as(c) // missing column -> empty string
+        else if (forceString.contains(c)) {
+          val base =
+            if (Schema.RegionLevels.contains(c))
+              coalesce(col(c).cast(StringType), lit(Schema.NoneStr))
+            else col(c).cast(StringType)
+          base.as(c)
+        } else col(c)
+      }
+      df.select(cols: _*)
+    }
+    projected.reduce(_.unionByName(_))
+  }
+}

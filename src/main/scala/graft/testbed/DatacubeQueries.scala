@@ -7,6 +7,7 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
 
 import graft.model.Schema
 import graft.operators.{Regions, Spatial, Temporal, TileMath, Validate}
+import graft.tiles.Tiling
 
 /** The datacube-surface query battery: one oracle-checked query per operator
   * of SURVEY.md §2 (keys prefixed with the §2 id they cover). Each Spark
@@ -358,6 +359,16 @@ object DatacubeQueries {
         min("s_mean_t_mean").as("min_s_mean_t_mean"), max("s_mean_t_mean").as("max_s_mean_t_mean"))
       round4(stats, stats.columns.filter(c => c.contains("t_mean") || c.contains("s_mean")).toSeq)
         .orderBy("feature", "timestamp", "zoom")
+    }),
+
+    // §2.8: tile-bin pyramid — every (tile, bin) row of compute_tiling's
+    // 9 zoom levels in ONE explode + ONE hash aggregation (the proto
+    // encoding itself is covered by the TileProto round-trip golden tests)
+    "a17_tile_bins" -> ((s, dir) => {
+      val bins = Tiling.binsPyramid(subtileAgg(s, dir))
+      bins
+        .withColumn("s_sum_t_mean", round(col("s_sum_t_mean"), 4))
+        .orderBy("feature", "timestamp", "z", "x", "y", "bin")
     })
   )
 
@@ -618,6 +629,28 @@ object DatacubeQueries {
          |       ROUND(MIN(s_mean_t_sum), 4) AS min_s_mean_t_sum, ROUND(MAX(s_mean_t_sum), 4) AS max_s_mean_t_sum,
          |       ROUND(MIN(s_mean_t_mean), 4) AS min_s_mean_t_mean, ROUND(MAX(s_mean_t_mean), 4) AS max_s_mean_t_mean
          |FROM withmeans GROUP BY feature, "timestamp", zoom
-         |ORDER BY feature, "timestamp", zoom""".stripMargin
+         |ORDER BY feature, "timestamp", zoom""".stripMargin,
+
+    "a17_tile_bins" ->
+      s"""${temporalCubeSql("month")},
+         |$subtileSqlCte,
+         | pyr AS (
+         |  SELECT feature, "timestamp", level,
+         |         x >> (14 - level) AS px, y >> (14 - level) AS py,
+         |         s_sum_t_sum, s_sum_t_mean, s_count
+         |  FROM st CROSS JOIN (SELECT CAST(range AS INT) AS level FROM range(6, 15)) zl
+         |  WHERE x >= 0 AND y >= 0
+         | ),
+         | bins AS (
+         |  SELECT feature, "timestamp", CAST(level - 6 AS INT) AS z,
+         |         CAST(px >> 6 AS INT) AS x, CAST(py >> 6 AS INT) AS y,
+         |         CAST((px - ((px >> 6) << 6)) + (py - ((py >> 6) << 6)) * 64 AS INT) AS bin,
+         |         SUM(s_sum_t_sum) AS s_sum_t_sum, SUM(s_sum_t_mean) AS s_sum_t_mean,
+         |         CAST(SUM(s_count) AS BIGINT) AS weight
+         |  FROM pyr GROUP BY feature, "timestamp", 3, 4, 5, 6
+         | )
+         |SELECT feature, "timestamp", z, x, y, bin,
+         |       s_sum_t_sum, ROUND(s_sum_t_mean, 4) AS s_sum_t_mean, weight
+         |FROM bins ORDER BY feature, "timestamp", z, x, y, bin""".stripMargin
   )
 }
