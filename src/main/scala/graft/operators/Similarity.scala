@@ -38,19 +38,33 @@ object Similarity {
   def planeComponentSql(i: String, d: String, dims: Int): String =
     s"(CAST((($i * $dims + $d) * 2654435761) % 1000 AS DOUBLE) / 1000.0 - 0.5)"
 
-  /** LSH bucket id: integer from the sign bits of the dot products with
-    * `numPlanes` hyperplanes. Pure per-row expression. */
-  def lshBucket(vecCol: String, dims: Int, numPlanes: Int): Column =
+  /** LSH bucket id from the sign bits of dot products with `numPlanes`
+    * hyperplanes starting at global plane index `planeOffset`. Pure
+    * per-row expression. */
+  def lshBucket(vecCol: String, dims: Int, numPlanes: Int, planeOffset: Int = 0): Column =
     expr(
       s"""aggregate(
          |  transform(sequence(0, ${numPlanes - 1}), i ->
          |    IF(aggregate(
          |         zip_with(`$vecCol`,
-         |                  transform(sequence(0, ${dims - 1}), d -> ${planeComponentSql("i", "d", dims)}),
+         |                  transform(sequence(0, ${dims - 1}), d -> ${planeComponentSql(s"(i + $planeOffset)", "d", dims)}),
          |                  (x, p) -> x * p),
          |         CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) >= 0.0,
          |       shiftleft(1, i), 0)),
          |  0, (s, v) -> s + v)""".stripMargin)
+
+  /** Multi-table LSH buckets (OR-amplification): array of structs
+    * `(t, bucket)` for `tables` independent hash tables of `planesPerTable`
+    * hyperplanes each. Single-bucket random-hyperplane LSH has poor recall;
+    * candidates from ANY shared (table, bucket) restore it while keeping
+    * the per-table join key cardinality high. */
+  def lshBuckets(vecCol: String, dims: Int, tables: Int, planesPerTable: Int): Column = {
+    val buckets = (0 until tables).map { t =>
+      struct(lit(t).as("t"),
+        lshBucket(vecCol, dims, planesPerTable, t * planesPerTable).as("bucket"))
+    }
+    array(buckets: _*)
+  }
 
   /** Exact brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors (self excluded), ranked by (rounded score desc, id).
@@ -78,10 +92,12 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
-  /** LSH-bucketed ANN top-k: like [[bruteForceTopK]] but candidates are
-    * restricted to the query's hyperplane bucket. Trades recall for a
-    * corpus-partitionable plan: at 100 TB the bucket id is a shuffle key,
-    * not a broadcast — each bucket's candidates co-locate. */
+  /** Multi-table LSH-bucketed ANN top-k: candidates are corpus vectors
+    * sharing ANY (table, bucket) with the query, deduplicated, then scored
+    * exactly. Trades some recall for a corpus-partitionable plan: at 100 TB
+    * the (table, bucket) pair is a shuffle key, not a broadcast — each
+    * bucket's candidates co-locate, and recall/cost is tuned by
+    * (tables, planesPerTable). */
   def annTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -89,21 +105,27 @@ object Similarity {
       vecCol: String,
       k: Int,
       dims: Int,
-      numPlanes: Int = 16
+      tables: Int = 8,
+      planesPerTable: Int = 4
   ): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"),
-      col(vecCol).cast("array<double>").as("qv"),
-      lshBucket(vecCol, dims, numPlanes).as("bucket"))
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).cast("array<double>").as("cv"),
-      lshBucket(vecCol, dims, numPlanes).as("bucket"))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+    def bucketed(df: DataFrame, outId: String) = df
+      .select(col(idCol).as(outId),
+        explode(lshBuckets(vecCol, dims, tables, planesPerTable)).as("tb"))
+      .select(col(outId), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    val candPairs = bucketed(corpus, "neighbor_id")
+      .join(broadcast(bucketed(queries, "query_id")), Seq("t", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
+    val scored = candPairs
+      .join(cv, Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
       .withColumn("cosine", round(cosine("qv", "cv"), 4))
     val fin = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored
       .withColumn("rank", row_number().over(fin)).filter(col("rank") <= k)
-      .select(col("query_id"), col("bucket"), col("rank"), col("neighbor_id"), col("cosine"))
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 }

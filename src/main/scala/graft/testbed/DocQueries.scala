@@ -93,11 +93,12 @@ object DocQueries {
         .orderBy("query_id", "rank")
     }),
 
-    // V2: hyperplane-LSH-bucketed ANN top-3 (the 100 TB-partitionable plan)
+    // V2: multi-table hyperplane-LSH ANN top-3 (the 100 TB-partitionable
+    // plan: candidates only meet inside a shared (table, bucket))
     "v2_ann_lsh" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       Similarity.annTopK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
-          k = 3, dims = 64, numPlanes = 16)
+          k = 3, dims = 64, tables = 8, planesPerTable = 4)
         .orderBy("query_id", "rank")
     }),
 
@@ -234,27 +235,34 @@ object DocQueries {
          |ORDER BY query_id, "rank"""".stripMargin,
 
     "v2_ann_lsh" ->
-      s"""WITH e AS (
-         |  SELECT vec_id, embedding::DOUBLE[] AS v,
-         |         CAST(list_sum(list_transform(generate_series(0, 15), i ->
-         |           CASE WHEN list_dot_product(embedding::DOUBLE[],
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         | tb AS (
+         |  SELECT vec_id, t,
+         |         CAST(list_sum(list_transform(generate_series(0, 3), i ->
+         |           CASE WHEN list_dot_product(v,
          |                  list_transform(generate_series(0, 63),
-         |                    d -> ((i * 64 + d) * 2654435761) % 1000 / 1000.0 - 0.5)) >= 0.0
+         |                    d -> (((t * 4 + i) * 64 + d) * 2654435761) % 1000 / 1000.0 - 0.5)) >= 0.0
          |                THEN (1 << CAST(i AS INT)) ELSE 0 END)) AS INT) AS bucket
-         |  FROM embeddings
+         |  FROM e CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS t) tt
          | ),
-         | q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id < 20),
+         | cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM tb q JOIN tb c ON q.t = c.t AND q.bucket = c.bucket AND c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 20
+         | ),
          | scored AS (
-         |  SELECT query_id, q.bucket, e.vec_id AS neighbor_id,
-         |         ROUND(list_dot_product(qv, v)
-         |               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 4) AS cosine
-         |  FROM q JOIN e ON q.bucket = e.bucket AND e.vec_id <> q.query_id
+         |  SELECT query_id, neighbor_id,
+         |         ROUND(list_dot_product(qe.v, ce.v)
+         |               / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))), 4) AS cosine
+         |  FROM cand
+         |  JOIN e qe ON qe.vec_id = cand.query_id
+         |  JOIN e ce ON ce.vec_id = cand.neighbor_id
          | ),
          | ranked AS (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS "rank"
          |  FROM scored
          | )
-         |SELECT query_id, bucket, "rank", neighbor_id, cosine
+         |SELECT query_id, "rank", neighbor_id, cosine
          |FROM ranked WHERE "rank" <= 3
          |ORDER BY query_id, "rank"""".stripMargin,
 

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** Semantics of the LLM-corpus operators: dedup recall, ANN vs brute force,
+  * text stats, multimodal decode plumbing. Uses the sf0.001 documents /
+  * embeddings tables where corpus-shaped data is needed. */
+class CorpusOpsSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet").cache()
+  private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+
+  test("exact dedup clusters identical normalized text") {
+    val in = df("doc_id LONG, text STRING", Seq(
+      Row(1L, "Hello  World"),
+      Row(2L, "hello world"),      // same after normalization
+      Row(3L, "something else"),
+      Row(4L, "HELLO   WORLD ")))  // same after normalization
+    val out = Dedup.exactDedup(in, "doc_id", "text")
+      .select("doc_id", "cluster_size", "canonical_id", "is_duplicate")
+    assert(rowSet(out) === Set(
+      Seq(1L, 3L, 1L, false),
+      Seq(2L, 3L, 1L, true),
+      Seq(3L, 1L, 3L, false),
+      Seq(4L, 3L, 1L, true)))
+  }
+
+  test("MinHash-LSH candidates cover all high-Jaccard pairs (recall)") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.9)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cands = Dedup.minHashCandidates(docs, "doc_id", "text", n = 3, numHashes = 64, bands = 16)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-duplicates")
+    val missed = exact -- cands
+    assert(missed.isEmpty, s"LSH missed high-similarity pairs: $missed")
+  }
+
+  test("LSH candidate count stays far below all-pairs (precision at scale)") {
+    val n = docs.count()
+    val allPairs = n * (n - 1) / 2
+    val cands = Dedup.minHashCandidates(docs, "doc_id", "text").count()
+    assert(cands < allPairs / 10, s"LSH produced $cands of $allPairs pairs")
+  }
+
+  test("multi-table ANN recovers a good fraction of exact nearest neighbors") {
+    val queries = emb.filter(col("vec_id") < 50)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 1)
+      .filter(col("rank") === 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ann = Similarity.annTopK(emb, queries, "vec_id", "embedding", k = 1,
+        dims = 64, tables = 8, planesPerTable = 4)
+      .filter(col("rank") === 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // OR-amplified LSH: losing some neighbors is the documented trade;
+    // measured NN-in-bucket recall for 8x4 on this fixture is ~0.64
+    val agree = brute.count { case (q, nb) => ann.get(q).contains(nb) }
+    assert(ann.nonEmpty)
+    assert(agree >= (brute.size * 2) / 5,
+      s"ANN agreed on only $agree of ${brute.size} nearest neighbors")
+  }
+
+  test("text stats are internally consistent") {
+    val st = docs.select(col("doc_id"), TextFunctions.textStats("text").as("s"))
+      .select(col("doc_id"), col("s.*")).collect()
+    st.foreach { r =>
+      val nTokens = r.getInt(r.fieldIndex("n_tokens"))
+      val nTypes = r.getInt(r.fieldIndex("n_types"))
+      val ttr = r.getDouble(r.fieldIndex("ttr"))
+      assert(nTypes <= nTokens && nTypes > 0)
+      assert(math.abs(ttr - nTypes.toDouble / nTokens) < 1e-3)
+      val q = r.getDouble(r.fieldIndex("quality_score"))
+      assert(q >= 0.0 && q <= 1.0)
+    }
+  }
+
+  test("simhash of near-identical docs differs in few bits") {
+    val in = df("doc_id LONG, text STRING", Seq(
+      Row(1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      Row(2L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      Row(3L, "completely different words about database engines and query plans")))
+    val hashes = in.select(col("doc_id"), TextFunctions.simHash("text").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(hashes(1L), hashes(2L)) < hamming(hashes(1L), hashes(3L)))
+  }
+
+  test("multimodal payload plumbing: metadata + partition-wise decode") {
+    val withPayload = Multimodal.withPayload(docs.limit(10), "text", "text/plain")
+    val meta = withPayload.select("doc_id", "meta.media_type", "meta.n_bytes").collect()
+    assert(meta.forall(_.getString(1) == "text/plain"))
+    assert(meta.forall(_.getLong(2) > 0))
+
+    val decoded = Multimodal.decodePartition(withPayload, "doc_id")
+    val feats = decoded.collect()
+    assert(feats.length === 10)
+    feats.foreach { r =>
+      val v = r.getSeq[Double](1)
+      assert(v.length === Multimodal.FeatureDims)
+      assert(v.forall(x => x >= 0.0 && !x.isNaN))
+    }
+  }
+
+  test("deterministic LSH bucket assignment is stable across runs") {
+    val b1 = emb.select(col("vec_id"), Similarity.lshBucket("embedding", 64, 16).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b2 = emb.select(col("vec_id"), Similarity.lshBucket("embedding", 64, 16).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(b1 === b2)
+    assert(b1.values.toSet.size > 1, "buckets should partition the corpus")
+  }
+}

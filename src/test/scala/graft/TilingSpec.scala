@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.Row
+
+import graft.io.FileWriter
+import graft.tiles.{TileProto, Tiling}
+
+/** Golden semantics of compute_tiling (reference:
+  * tests/unit/test_compute_tiling.py:34-159 — same 8 input subtile rows,
+  * same expected tiles/bins at zooms 0, 1 and 8). */
+class TilingSpec extends SparkSpec {
+
+  private def subtiles = df(
+    "feature STRING, timestamp LONG, z INT, x INT, y INT, " +
+      "s_sum_t_sum DOUBLE, s_sum_t_mean DOUBLE, s_count LONG", Seq(
+      Row("F1", 0L, 14, 10041, 7726, 96.0, 48.0, 3L),
+      Row("F1", 0L, 14, 9632, 7755, 120.0, 60.0, 2L),
+      Row("F1", 1L, 14, 10041, 7726, 80.0, 40.0, 3L),
+      Row("F1", 1L, 14, 9632, 7755, 90.0, 1.8, 2L),
+      Row("F2", 0L, 14, 10041, 7726, 96.0, 48.0, 3L),
+      Row("F2", 0L, 14, 9632, 7755, 120.0, 60.0, 2L),
+      Row("F2", 1L, 14, 10041, 7726, 80.0, 40.0, 3L),
+      Row("F2", 1L, 14, 9632, 7755, 90.0, 1.8, 2L)))
+
+  private lazy val outDir: String = {
+    val dir = Files.createTempDirectory("grafttiles").toString
+    Tiling.saveTiles(Tiling.encodeTiles(Tiling.binsPyramid(subtiles)),
+      FileWriter(dir), "model-id-1", "run-id-1", "month")
+    dir
+  }
+
+  private def readTile(rel: String): TileProto.Tile =
+    TileProto.decode(Files.readAllBytes(Paths.get(outDir, rel)))
+
+  private def stats(t: TileProto.Tile): Map[Int, (Double, Double, Double)] =
+    t.stats.view.mapValues(s => (s.sSumTSum, s.sSumTMean, s.weight)).toMap
+
+  test("zoom 0 tiles accumulate both subtiles into the root tile") {
+    val t = readTile("model-id-1/run-id-1/month/F1/tiles/0-0-0-0.tile")
+    assert((t.z, t.x, t.y) === (0, 0, 0))
+    assert(t.totalBins === 4096)
+    assert(stats(t) === Map(
+      1957 -> (120.0, 60.0, 2.0),
+      1959 -> (96.0, 48.0, 3.0)))
+
+    val t1 = readTile("model-id-1/run-id-1/month/F1/tiles/1-0-0-0.tile")
+    assert(stats(t1) === Map(
+      1957 -> (90.0, 1.8, 2.0),
+      1959 -> (80.0, 40.0, 3.0)))
+  }
+
+  test("zoom 1 tiles") {
+    val t = readTile("model-id-1/run-id-1/month/F1/tiles/0-1-1-0.tile")
+    assert((t.z, t.x, t.y) === (1, 1, 0))
+    assert(stats(t) === Map(
+      3851 -> (120.0, 60.0, 2.0),
+      3854 -> (96.0, 48.0, 3.0)))
+
+    val t2 = readTile("model-id-1/run-id-1/month/F2/tiles/1-1-1-0.tile")
+    assert(stats(t2) === Map(
+      3851 -> (90.0, 1.8, 2.0),
+      3854 -> (80.0, 40.0, 3.0)))
+  }
+
+  test("zoom 8 tiles split the subtiles into separate tiles") {
+    val a = readTile("model-id-1/run-id-1/month/F1/tiles/0-8-156-120.tile")
+    assert(stats(a) === Map(3001 -> (96.0, 48.0, 3.0)))
+
+    val b = readTile("model-id-1/run-id-1/month/F1/tiles/1-8-156-120.tile")
+    assert(stats(b) === Map(3001 -> (80.0, 40.0, 3.0)))
+
+    val c = readTile("model-id-1/run-id-1/month/F2/tiles/0-8-156-120.tile")
+    assert(stats(c) === Map(3001 -> (96.0, 48.0, 3.0)))
+
+    val d = readTile("model-id-1/run-id-1/month/F2/tiles/1-8-150-121.tile")
+    assert(stats(d) === Map(736 -> (90.0, 1.8, 2.0)))
+  }
+
+  test("proto wire format round-trips") {
+    val tile = TileProto.Tile(x = 156, y = 120, z = 8, t = 0L, totalBins = 4096,
+      stats = Map(
+        0 -> TileProto.TileStats(count = 7, sum = 1.5, avg = 0.5, sSumTSum = 96.0,
+          sSumTMean = 48.0, weight = 3.0),
+        4095 -> TileProto.TileStats(sSumTSum = -1.25)))
+    assert(TileProto.decode(TileProto.encode(tile)) === tile)
+  }
+
+  test("proto3 zero-default fields are omitted from the wire") {
+    val empty = TileProto.Tile(x = 0, y = 0, z = 0, t = 0L, totalBins = 0, stats = Map.empty)
+    // all-zero coord and bins submessages encode to length-0 bodies
+    assert(TileProto.encode(empty).length === 4) // two tag+len pairs only
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+import graft.model.Schema
+import graft.operators.Validate
+
+/** Golden semantics of P1-P9 validation
+  * (reference: tests/unit/test_validate_and_fix.py:9-113). */
+class ValidateSpec extends SparkSpec {
+
+  test("drops all-null/whitespace columns, keeps partially-filled ones") {
+    val in = df(
+      "timestamp LONG, feature STRING, value DOUBLE, lat DOUBLE, lng DOUBLE, " +
+        "country STRING, other_col DOUBLE, other_col2 STRING", Seq(
+        Row(1L, "A", 1.1, 1.1, null, null, 1.0, null),
+        Row(2L, "B", 2.2, 2.2, 2.2, null, null, null),
+        Row(3L, "C", 3.3, null, 3.3, null, null, "   ")))
+    val res = Validate(in, "weight", 0L)
+    assert(res.df.columns.toSet ===
+      Set("timestamp", "feature", "value", "lat", "lng", "other_col"))
+    assert(res.droppedColumns.toSet === Set("country", "other_col2"))
+  }
+
+  test("coerces string-typed numerics; garbage becomes null (ANSI-safe)") {
+    val in = df(
+      "timestamp LONG, feature STRING, value STRING, lat STRING, lng STRING", Seq(
+        Row(1L, "A", "1.1", "string", "1.1"),
+        Row(2L, "B", "2.2", "2.2", "2.2"),
+        Row(3L, "C", "3.3", "3.3", "3.3")))
+    val res = Validate(in, "weight", 0L)
+    val fields = res.df.schema.fields.map(f => f.name -> f.dataType.typeName).toMap
+    assert(fields("value") === "double")
+    assert(fields("lat") === "double")
+    assert(fields("lng") === "double")
+    val latOfA = res.df.filter(res.df("feature") === "A").select("lat").head()
+    assert(latOfA.isNullAt(0))
+  }
+
+  test("counts+fills missing timestamps, counts missing values, fills categoricals") {
+    val in = df(
+      "timestamp LONG, feature STRING, value DOUBLE, lat DOUBLE, lng DOUBLE, country STRING", Seq(
+        Row(1L, "A", null, 1.1, 1.1, "val1"),
+        Row(null, "B", null, 2.2, 2.2, null),
+        Row(3L, "C", null, 3.3, 3.3, "val2")))
+    val res = Validate(in, "weight", 0L)
+    assert(res.numMissingTs === 1)
+    assert(res.numMissingVal === 3)
+    val rows = res.df.select("timestamp", "country").collect().map(_.toSeq).toSet
+    assert(rows === Set(Seq(1L, "val1"), Seq(0L, "None"), Seq(3L, "val2")))
+  }
+
+  test("weight column coercion with null->0; absent weight disables weighting") {
+    val in = df(
+      "timestamp LONG, feature STRING, value DOUBLE, other_col STRING", Seq(
+        Row(1L, "A", 1.1, "1"),
+        Row(2L, "B", 2.2, null),
+        Row(3L, "C", 3.3, "2")))
+    val res = Validate(in, "other_col", 0L)
+    assert(res.weightColumn === "other_col")
+    assert(res.df.select("other_col").collect().map(_.getDouble(0)).sorted.toSeq === Seq(0.0, 1.0, 2.0))
+
+    assert(Validate(in, "other_col2", 0L).weightColumn === "")
+    assert(Validate(in, "", 0L).weightColumn === "")
+  }
+
+  test("infinity scrub, extreme-timestamp drop, object-store char strip") {
+    val in = df(
+      "timestamp LONG, feature STRING, value DOUBLE, country STRING, admin1 STRING", Seq(
+        Row(1L, "A", Double.PositiveInfinity, "c1", "val1//2"),
+        Row(2L, "B", Double.NegativeInfinity, "c2", "val2"),
+        Row(Schema.MaxTimestampMs + 1, "C", 3.4, "c3", "val3")))
+    val res = Validate(in, "weight", 0L)
+    assert(res.numInvalidTs === 1)
+    val rows = res.df.select("timestamp", "value", "admin1").collect()
+    assert(rows.length === 2)
+    assert(rows.forall(_.isNullAt(1))) // infinities nulled
+    assert(rows.map(_.getString(2)).toSet === Set("val12", "val2"))
+    // infinities were NOT counted as missing values (counter runs pre-scrub)
+    assert(res.numMissingVal === 0)
+  }
+}
