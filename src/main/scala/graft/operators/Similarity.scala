@@ -35,23 +35,24 @@ object Similarity {
   /** Deterministic pseudo-random hyperplane component for (plane i, dim d):
     * an exact-in-double rational in [-0.5, 0.5) derived from a Knuth
     * multiplicative hash — identical across engines, no RNG state. */
-  def planeComponentSql(i: String, d: String, dims: Int): String =
-    s"(CAST((($i * $dims + $d) * 2654435761) % 1000 AS DOUBLE) / 1000.0 - 0.5)"
+  def planeComponent(i: Int, d: Int, dims: Int): Double =
+    (((i.toLong * dims + d) * 2654435761L) % 1000L).toDouble / 1000.0 - 0.5
 
   /** LSH bucket id from the sign bits of dot products with `numPlanes`
-    * hyperplanes starting at global plane index `planeOffset`. Pure
-    * per-row expression. */
-  def lshBucket(vecCol: String, dims: Int, numPlanes: Int, planeOffset: Int = 0): Column =
-    expr(
-      s"""aggregate(
-         |  transform(sequence(0, ${numPlanes - 1}), i ->
-         |    IF(aggregate(
-         |         zip_with(`$vecCol`,
-         |                  transform(sequence(0, ${dims - 1}), d -> ${planeComponentSql(s"(i + $planeOffset)", "d", dims)}),
-         |                  (x, p) -> x * p),
-         |         CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) >= 0.0,
-         |       shiftleft(1, i), 0)),
-         |  0, (s, v) -> s + v)""".stripMargin)
+    * hyperplanes starting at global plane index `planeOffset`. Plane
+    * components are embedded as literal arrays (computed once at plan
+    * time, not per row-element on the interpreted lambda path). */
+  def lshBucket(vecCol: String, dims: Int, numPlanes: Int, planeOffset: Int = 0): Column = {
+    val terms = (0 until numPlanes).map { i =>
+      val plane = array((0 until dims).map(d =>
+        lit(planeComponent(i + planeOffset, d, dims))): _*)
+      val dot = aggregate(
+        zip_with(col(vecCol), plane, (x, p) => x * p),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0.0, lit(1 << i)).otherwise(lit(0))
+    }
+    terms.reduce(_ + _)
+  }
 
   /** Multi-table LSH buckets (OR-amplification): array of structs
     * `(t, bucket)` for `tables` independent hash tables of `planesPerTable`

@@ -197,19 +197,30 @@ object DocQueries {
          |WHERE n_shared * 1.0 / (sa.n + sb.n - n_shared) >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // MinHash family mirrored exactly: base hash = first 8 md5 hex digits
+    // masked to 31 bits, then 64 affine permutations mod 2^31-1.
     "d3_minhash_lsh" ->
       s"""$wCte,
          | sh AS (SELECT doc_id, $shListSql AS shingles FROM w WHERE nt >= 3),
+         | hs AS (
+         |  SELECT doc_id,
+         |         list_transform(shingles, s ->
+         |           CAST(list_sum(list_transform(generate_series(1, 8), k ->
+         |             (strpos('0123456789abcdef', substr(md5(s), CAST(k AS INT), 1)) - 1)
+         |               * (16.0 ** (8 - k)))) AS BIGINT) & 2147483647) AS hs
+         |  FROM sh
+         | ),
          | sig AS (
          |  SELECT doc_id,
          |         list_transform(generate_series(0, 63),
-         |           i -> list_min(list_transform(shingles, s -> md5(i::VARCHAR || '|' || s)))) AS sig
-         |  FROM sh
+         |           i -> list_min(list_transform(hs,
+         |                  h -> ((2 * i + 1) * h + i * 40503 + 12345) % 2147483647))) AS sig
+         |  FROM hs
          | ),
          | bandrows AS (SELECT doc_id, sig, unnest(generate_series(0, 15)) AS b FROM sig),
          | bands AS (
          |  SELECT doc_id, b,
-         |         md5(array_to_string(sig[CAST(b*4+1 AS INT):CAST(b*4+4 AS INT)], '')) AS bh
+         |         md5(array_to_string(sig[CAST(b*4+1 AS INT):CAST(b*4+4 AS INT)], '_')) AS bh
          |  FROM bandrows
          | )
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_bands
