@@ -60,6 +60,14 @@ object Dedup {
     * @param maxDocFreq drop shingles occurring in more than this many
     *                   documents before pairing (skew guard); None = keep all.
     */
+  /** 60-bit shingle hash (15 md5 hex digits): the co-occurrence join runs
+    * on a fixed-width long instead of ~50-byte shingle strings — smaller
+    * shuffle, cheaper key compare. Collision odds at 2^60 are negligible,
+    * and both the Spark plan and the DuckDB oracle use the same hash, so
+    * results agree identically even on a collision. */
+  def shingleHash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
   def jaccardPairs(
       docs: DataFrame,
       idCol: String,
@@ -69,7 +77,9 @@ object Dedup {
       maxDocFreq: Option[Int] = None
   ): DataFrame = {
     val sh0 = docs
-      .select(col(idCol).as("doc_id"), explode(shingles(textCol, n)).as("s"))
+      .select(col(idCol).as("doc_id"), explode(shingles(textCol, n)).as("sstr"))
+      .select(col("doc_id"), shingleHash60(col("sstr")).as("s"))
+      .distinct()
     val sh = maxDocFreq match {
       case Some(cap) =>
         val w = Window.partitionBy("s")

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
 
 import graft.model.Schema
-import graft.operators.{Regions, Spatial, Temporal, TileMath, Validate}
+import graft.operators.{Qualifiers, Regions, Spatial, Temporal, TileMath, Validate}
 import graft.tiles.Tiling
 
 /** The datacube-surface query battery: one oracle-checked query per operator
@@ -369,6 +369,42 @@ object DatacubeQueries {
       bins
         .withColumn("s_sum_t_mean", round(col("s_sum_t_mean"), 4))
         .orderBy("feature", "timestamp", "z", "x", "y", "bin")
+    }),
+
+    // Qualifier-threshold machinery (common.py:218-236): per-feature
+    // distinct-value counts drive apply_qualifier_count_limit pruning;
+    // the high-cardinality derived qualifier (partkey % 500) exceeds the
+    // 100-value threshold and is dropped, the small ones survive.
+    "a18_qualifier_prune" -> ((s, dir) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val li = Datacube.table(s, dir, "lineitem")
+      val quals = Seq("qual1", "qual_hi", "qual_lo")
+      val f = li.select(
+        col("l_returnflag").as("feature"),
+        col("l_linestatus").as("qual1"),
+        (col("l_partkey") % 500).cast(StringType).as("qual_hi"),
+        (col("l_orderkey") % 7).cast(StringType).as("qual_lo"))
+      val counts = f.groupBy("feature")
+        .agg(countDistinct("qual1").as("qual1"),
+          countDistinct("qual_hi").as("qual_hi"),
+          countDistinct("qual_lo").as("qual_lo"))
+        .collect()
+        .map(r => r.getString(0) -> quals.map(q => q -> r.getLong(r.fieldIndex(q))).toMap)
+        .toMap
+      val qmap = counts.keys.map(_ -> quals).toMap
+      val (pruned, _) = Qualifiers.applyQualifierCountLimit(qmap, quals, counts, 100L)
+      val rows = for {
+        (feature, qcounts) <- counts.toSeq.sortBy(_._1)
+        q <- quals
+      } yield Row(feature, q, qcounts(q), pruned(feature).contains(q))
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+          StructType(Seq(
+            StructField("feature", StringType),
+            StructField("qualifier", StringType),
+            StructField("n_values", LongType),
+            StructField("kept", BooleanType))))
+        .orderBy("feature", "qualifier")
     })
   )
 
@@ -651,6 +687,26 @@ object DatacubeQueries {
          | )
          |SELECT feature, "timestamp", z, x, y, bin,
          |       s_sum_t_sum, ROUND(s_sum_t_mean, 4) AS s_sum_t_mean, weight
-         |FROM bins ORDER BY feature, "timestamp", z, x, y, bin""".stripMargin
+         |FROM bins ORDER BY feature, "timestamp", z, x, y, bin""".stripMargin,
+
+    "a18_qualifier_prune" ->
+      """WITH f AS (
+        |  SELECT l_returnflag AS feature, l_linestatus AS qual1,
+        |         CAST(l_partkey % 500 AS VARCHAR) AS qual_hi,
+        |         CAST(l_orderkey % 7 AS VARCHAR) AS qual_lo
+        |  FROM lineitem
+        | ),
+        | c AS (
+        |  SELECT feature, COUNT(DISTINCT qual1) AS c1,
+        |         COUNT(DISTINCT qual_hi) AS chi, COUNT(DISTINCT qual_lo) AS clo
+        |  FROM f GROUP BY feature
+        | ),
+        | u AS (
+        |  SELECT feature, 'qual1' AS qualifier, c1 AS n_values FROM c
+        |  UNION ALL SELECT feature, 'qual_hi', chi FROM c
+        |  UNION ALL SELECT feature, 'qual_lo', clo FROM c
+        | )
+        |SELECT feature, qualifier, n_values, n_values <= 100 AS kept
+        |FROM u ORDER BY feature, qualifier""".stripMargin
   )
 }

@@ -180,9 +180,22 @@ object DocQueries {
          |       doc_id <> MIN(doc_id) OVER (PARTITION BY content_hash) AS is_duplicate
          |FROM h ORDER BY doc_id""".stripMargin,
 
+    // the co-occurrence join runs on a 60-bit shingle hash (15 md5 hex
+    // digits = hi7 << 32 + lo8, both halves exact in doubles) — mirror of
+    // Dedup.shingleHash60
     "d2_jaccard_neardup" ->
       s"""$wCte,
-         | sh AS (SELECT DISTINCT doc_id, unnest($shListSql) AS s FROM w WHERE nt >= 3),
+         | sh0 AS (SELECT DISTINCT doc_id, unnest($shListSql) AS sstr FROM w WHERE nt >= 3),
+         | sh AS (
+         |  SELECT DISTINCT doc_id,
+         |         (CAST(list_sum(list_transform(generate_series(1, 7), k ->
+         |            (strpos('0123456789abcdef', substr(md5(sstr), CAST(k AS INT), 1)) - 1)
+         |              * (16.0 ** (7 - k)))) AS BIGINT) << 32)
+         |         + CAST(list_sum(list_transform(generate_series(8, 15), k ->
+         |            (strpos('0123456789abcdef', substr(md5(sstr), CAST(k AS INT), 1)) - 1)
+         |              * (16.0 ** (15 - k)))) AS BIGINT) AS s
+         |  FROM sh0
+         | ),
          | sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
          | inter AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
