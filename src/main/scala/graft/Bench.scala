@@ -11,6 +11,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftExtensions.register(spark)
     // A failed query must be visible as a failure, not a fast timing:
     // -1 sec marks it and the error list is emitted alongside.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]

@@ -22,15 +22,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two array<double> columns (names), as a codegen'd
-    * fold: dot / (||a|| * ||b||). Deterministic left-to-right summation. */
-  def cosineSql(a: String, b: String): String = {
-    def dot(x: String, y: String) =
-      s"aggregate(zip_with($x, $y, (p, q) -> p * q), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
-  }
+  /** Dot product via the native codegen'd [[graft.functions.VectorDot]]
+    * expression (registered by [[graft.plans.GraftExtensions]]) — a tight
+    * primitive loop in generated code instead of the interpreted
+    * higher-order-function path. Left-to-right summation. */
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
-  def cosine(a: String, b: String): Column = expr(cosineSql(a, b))
+  /** Cosine similarity of two array<double> columns (by name). */
+  def cosine(a: String, b: String): Column =
+    dot(col(a), col(b)) / (sqrt(dot(col(a), col(a))) * sqrt(dot(col(b), col(b))))
 
   /** Deterministic pseudo-random hyperplane component for (plane i, dim d):
     * an exact-in-double rational in [-0.5, 0.5) derived from a Knuth
@@ -46,10 +46,7 @@ object Similarity {
     val terms = (0 until numPlanes).map { i =>
       val plane = array((0 until dims).map(d =>
         lit(planeComponent(i + planeOffset, d, dims))): _*)
-      val dot = aggregate(
-        zip_with(col(vecCol), plane, (x, p) => x * p),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot >= 0.0, lit(1 << i)).otherwise(lit(0))
+      when(dot(col(vecCol).cast("array<double>"), plane) >= 0.0, lit(1 << i)).otherwise(lit(0))
     }
     terms.reduce(_ + _)
   }
@@ -77,6 +74,7 @@ object Similarity {
       vecCol: String,
       k: Int
   ): DataFrame = {
+    graft.plans.GraftExtensions.register(corpus.sparkSession)
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"),
@@ -109,6 +107,7 @@ object Similarity {
       tables: Int = 8,
       planesPerTable: Int = 4
   ): DataFrame = {
+    graft.plans.GraftExtensions.register(corpus.sparkSession)
     def bucketed(df: DataFrame, outId: String) = df
       .select(col(idCol).as(outId),
         explode(lshBuckets(vecCol, dims, tables, planesPerTable)).as("tb"))

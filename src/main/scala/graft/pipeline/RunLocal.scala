@@ -22,6 +22,7 @@ object RunLocal {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftExtensions.register(spark)
 
     val input = s"$outDir/input"
     Datacube(spark, sfDir).write.mode("overwrite").parquet(input)

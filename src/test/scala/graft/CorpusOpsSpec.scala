@@ -107,6 +107,17 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("native vec_dot matches the interpreted higher-order fold") {
+    val hofDot = expr(
+      "aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), CAST(embedding AS ARRAY<DOUBLE>), " +
+        "(p, q) -> p * q), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    val both = emb.select(
+      Similarity.dot(col("embedding").cast("array<double>"),
+        col("embedding").cast("array<double>")).as("native"),
+      hofDot.as("hof")).collect()
+    both.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
+
   test("deterministic LSH bucket assignment is stable across runs") {
     val b1 = emb.select(col("vec_id"), Similarity.lshBucket("embedding", 64, 16).as("b"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
