@@ -196,7 +196,7 @@ object Pipeline {
   // ---- stage implementations ----------------------------------------------
 
   /** A4: global timeseries — default + one breakdown per qualifier. */
-  private def globalTimeseries(
+  private[graft] def globalTimeseries(
       t: DataFrame, qualifierCols: Seq[String], qualifierMap: Map[String, Seq[String]],
       weightCol: String, cfg: PipelineConfig, timeRes: String, writer: Writer
   ): (Long, Map[String, Long]) = {
@@ -242,7 +242,7 @@ object Pipeline {
   /** A5/A11: per-level regional stats with top-20-capped extrema JSON.
     * Scale-safe plan: per-feature min/max via agg + broadcast join back
     * (no window over a low-cardinality feature key). */
-  private def regionalStats(
+  private[graft] def regionalStats(
       t: DataFrame, regionCols: Seq[String], weightCol: String,
       cfg: PipelineConfig, timeRes: String, writer: Writer
   ): Long = {
@@ -297,7 +297,7 @@ object Pipeline {
   }
 
   /** A6: one timeseries CSV per (feature, region, qualifier value). */
-  private def regionalTimeseries(
+  private[graft] def regionalTimeseries(
       t: DataFrame, regionCols: Seq[String], qualifierCols: Seq[String],
       qualifierMap: Map[String, Seq[String]], qualifierCounts: Map[String, Map[String, Long]],
       weightCol: String, cfg: PipelineConfig, timeRes: String, writer: Writer
@@ -340,7 +340,7 @@ object Pipeline {
   }
 
   /** A7: one regions-list CSV per (feature, timestamp[, qualifier]). */
-  private def regionalAggregation(
+  private[graft] def regionalAggregation(
       t: DataFrame, regionCols: Seq[String], qualifierCols: Seq[String],
       qualifierMap: Map[String, Seq[String]],
       weightCol: String, cfg: PipelineConfig, timeRes: String, writer: Writer
@@ -393,7 +393,7 @@ object Pipeline {
         count("t_mean").as("s_count"))
 
   /** A9: zoom-pyramid min/max grid stats → one CSV per (feature, timestamp). */
-  private def gridStats(
+  private[graft] def gridStats(
       subtiles: DataFrame, cfg: PipelineConfig, timeRes: String, writer: Writer
   ): Long = {
     val pyramid = subtiles
