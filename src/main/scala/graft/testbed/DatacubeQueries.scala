@@ -298,6 +298,12 @@ object DatacubeQueries {
         when(col("event_id") % 13 === 0, lit(Double.PositiveInfinity))
           .when(col("event_id") % 17 === 0, lit(null).cast(DoubleType))
           .otherwise(col("value")).as("value"),
+        // string-typed lat/lng with unparseable garbage: P2 must coerce
+        // to double with garbage -> null (try_cast under ANSI mode)
+        when(col("event_id") % 29 === 0, lit("garbage"))
+          .otherwise((col("event_id") % 90 + lit(0.5)).cast(StringType)).as("lat"),
+        when(col("event_id") % 31 === 0, lit("bad"))
+          .otherwise((col("event_id") % 180 + lit(0.5)).cast(StringType)).as("lng"),
         lit(null).cast(StringType).as("dead_col"))
       val res = Validate(dirty, weightColumn = "", fillTimestamp = 42L)
       res.df.orderBy("event_id")
@@ -583,7 +589,11 @@ object DatacubeQueries {
         |         event_type AS feature,
         |         CASE WHEN event_id % 13 = 0 THEN 'infinity'::DOUBLE
         |              WHEN event_id % 17 = 0 THEN NULL
-        |              ELSE "value" END AS "value"
+        |              ELSE "value" END AS "value",
+        |         CASE WHEN event_id % 29 = 0 THEN 'garbage'
+        |              ELSE CAST(event_id % 90 + 0.5 AS VARCHAR) END AS lat,
+        |         CASE WHEN event_id % 31 = 0 THEN 'bad'
+        |              ELSE CAST(event_id % 180 + 0.5 AS VARCHAR) END AS lng
         |  FROM events
         | ),
         | fixed AS (
@@ -591,7 +601,9 @@ object DatacubeQueries {
         |         COALESCE("timestamp", 42) AS "timestamp",
         |         replace(COALESCE(country, 'None'), '//', '') AS country,
         |         feature,
-        |         CASE WHEN abs("value") = 'infinity'::DOUBLE THEN NULL ELSE "value" END AS "value"
+        |         CASE WHEN abs("value") = 'infinity'::DOUBLE THEN NULL ELSE "value" END AS "value",
+        |         TRY_CAST(lat AS DOUBLE) AS lat,
+        |         TRY_CAST(lng AS DOUBLE) AS lng
         |  FROM dirty
         | )
         |SELECT * FROM fixed WHERE "timestamp" < 9223372036854
