@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.Row
+
+import graft.pipeline.{Pipeline, PipelineConfig}
+
+/** Full end-to-end pipeline run on a tiny fixture: every stage executes,
+  * the output tree matches the reference layout, and results.json carries
+  * the reference's data_info contract (tests/unit/test_record_results.py
+  * semantics). */
+class PipelineRunSpec extends SparkSpec {
+
+  test("end-to-end run materializes the reference tree and results.json") {
+    val outDir = Files.createTempDirectory("grafte2e").toString
+    val input = s"$outDir/input"
+    df(
+      "timestamp LONG, country STRING, admin1 STRING, lat DOUBLE, lng DOUBLE, " +
+        "feature STRING, value DOUBLE, qual1 STRING, w DOUBLE",
+      Seq(
+        Row(ts("2022-01-01"), "A", "AA", 10.168, 40.646, "F1", 1.0, "qa", 1.0),
+        Row(ts("2022-01-15"), "A", "AA", 10.168, 40.646, "F1", 3.0, "qb", 2.0),
+        Row(ts("2022-02-02"), "A", "AB", 9.55, 31.65, "F1", 5.0, "qa", 1.0),
+        Row(ts("2022-02-02"), "B", "BA", -9.55, -31.65, "F1", 7.0, "qa", 1.0),
+        Row(ts("2022-01-01"), "B", "BA", -9.55, -31.65, "F2", 2.0, "qb", 3.0),
+        Row(ts("2023-03-05"), "B", "BB", 0.5, 0.5, "F2", 4.0, "qa", 1.0)))
+      .write.parquet(input)
+
+    val cfg = PipelineConfig("m1", "r1", Seq(input),
+      weightColumn = "w", destType = "file", modelBucket = s"$outDir/bucket")
+    val result = Pipeline.run(spark, cfg)
+
+    assert(result.numRows === 6)
+    assert(result.features === Seq("F1", "F2"))
+    assert(result.regionColumns === Seq("country", "admin1"))
+    assert(result.objectsWritten > 50)
+
+    val b = s"$outDir/bucket"
+    // reference tree spots (doc/minio-folder-structure.md)
+    assert(Files.exists(Paths.get(b, "m1/r1/month/F1/timeseries/global/global.csv")))
+    assert(Files.exists(Paths.get(b, "m1/r1/year/F1/timeseries/global/global.csv")))
+    assert(Files.exists(Paths.get(b, "m1/r1/month/F1/regional/country/stats/default/extrema.json")))
+    assert(Files.exists(Paths.get(b, "m1/r1/month/F1/regional/admin1/timeseries/default/A__AA.csv")))
+    assert(Files.exists(Paths.get(b, "m1/r1/raw/F1/info/region_lists.json")))
+    assert(Files.exists(Paths.get(b, "m1/r1/raw/F1/info/qualifiers/qual1.json")))
+    assert(Files.exists(Paths.get(b, "m1/r1/raw/F1/info/qualifier_counts.json")))
+    assert(Files.exists(Paths.get(b, "m1/r1/raw/F1/raw/raw.csv")))
+    assert(Files.exists(Paths.get(b, "m1/r1/results/results.json")))
+    // tiles present for a geo dataset
+    val tileDir = Paths.get(b, "m1/r1/month/F1/tiles")
+    assert(Files.exists(tileDir) && Files.list(tileDir).count() > 0)
+
+    // results.json data_info contract
+    val results = Files.readString(Paths.get(b, "m1/r1/results/results.json"))
+    for (key <- Seq("\"num_rows\": 6", "\"num_missing_ts\": 0", "\"num_invalid_ts\": 0",
+        "\"num_missing_val\": 0", "\"has_tiles\": true", "\"has_monthly\": true",
+        "\"has_annual\": true", "\"has_weights\": true", "\"grid data\"",
+        "\"output_agg_values\"")) {
+      assert(results.contains(key), s"results.json missing $key")
+    }
+
+    // global.csv for F1 month: weighted agg columns present, header first
+    val csv = Files.readString(Paths.get(b, "m1/r1/month/F1/timeseries/global/global.csv"))
+    assert(csv.startsWith("timestamp,s_sum_t_sum,s_mean_t_sum,s_sum_t_mean,s_mean_t_mean,s_count," +
+      "s_sum_t_wavg,s_mean_t_wavg,s_wavg_t_sum,s_wavg_t_mean,s_wavg_t_wavg\n"))
+  }
+
+  test("indicator run with selected tasks skips summary, tiles and results") {
+    val outDir = Files.createTempDirectory("grafte2b").toString
+    val input = s"$outDir/input"
+    df("timestamp LONG, country STRING, feature STRING, value DOUBLE",
+      Seq(Row(0L, "A", "F1", 1.0), Row(86400000L, "B", "F1", 2.0)))
+      .write.parquet(input)
+    val cfg = PipelineConfig("m2", "r2", Seq(input), isIndicator = true,
+      selectedOutputTasks = Seq("compute_global_timeseries"),
+      destType = "file", indicatorBucket = s"$outDir/ind")
+    Pipeline.run(spark, cfg)
+    val b = s"$outDir/ind"
+    assert(Files.exists(Paths.get(b, "m2/r2/month/F1/timeseries/global/global.csv")))
+    // skipped: regional outputs, tiles (no lat/lng anyway), results.json
+    assert(!Files.exists(Paths.get(b, "m2/r2/month/F1/regional")))
+    assert(!Files.exists(Paths.get(b, "m2/r2/results/results.json")))
+  }
+}
