@@ -102,6 +102,21 @@ object TextFunctions {
   def bagFingerprint(c: String): Column =
     md5(array_join(array_sort(array_distinct(tokens(c))), " "))
 
+  /** PII scrub patterns (kept lookaround-free so the Java and RE2 regex
+    * dialects agree): emails, URLs, simple dashed phone numbers. */
+  val EmailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-z]{2,}"
+  val UrlPattern = "https?://[^\\s]+"
+  val PhonePattern = "\\b[0-9]{3}-[0-9]{3,6}\\b"
+
+  /** Redact emails/URLs/phone numbers — the standard corpus-preparation
+    * scrub, as three chained codegen'd regexp_replace passes. */
+  def scrubPii(c: String): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(col(c), UrlPattern, "<URL>"),
+        EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+
   /** Number of SimHash bits (60 = 15 md5 nibbles, keeping the accumulated
     * value positive in a signed 64-bit long). */
   val SimHashBits = 60

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Salted, Similarity}
 
 /** LLM-training-data pipeline battery over the `documents` / `embeddings`
   * tables: text analysis, language ID, fingerprinting, exact + near dedup,
@@ -100,6 +100,33 @@ object DocQueries {
       Similarity.annTopK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
           k = 3, dims = 64, tables = 8, planesPerTable = 4)
         .orderBy("query_id", "rank")
+    }),
+
+    // T4: PII scrubbing — synthetic emails/URLs/phones injected per doc,
+    // detected and redacted (docs 0-9 get a too-short phone that must NOT
+    // match — the patterns are exercised both ways)
+    "t4_pii_scrub" -> ((s, dir) => {
+      val withPii = table(s, dir, "documents").withColumn("text2",
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or https://site"),
+          col("doc_id"), lit(".org tel 555-0"), col("doc_id")))
+      withPii.select(
+        col("doc_id"),
+        regexp_count(col("text2"), lit(TextFunctions.EmailPattern)).as("n_emails"),
+        regexp_count(col("text2"), lit(TextFunctions.UrlPattern)).as("n_urls"),
+        regexp_count(col("text2"), lit(TextFunctions.PhonePattern)).as("n_phones"),
+        md5(TextFunctions.scrubPii("text2")).as("scrubbed_hash"))
+        .orderBy("doc_id")
+    }),
+
+    // T5: corpus vocabulary stats per language; the exact distinct count
+    // runs through the skew-safe salted aggregation
+    "t5_vocab_stats" -> ((s, dir) => {
+      val toks = table(s, dir, "documents")
+        .select(col("lang"), explode(TextFunctions.tokens("text")).as("t"))
+      val totals = toks.groupBy("lang").agg(count(lit(1)).as("n_tokens"))
+      totals.join(Salted.saltedCountDistinct(toks, Seq("lang"), "t", buckets = 16), "lang")
+        .orderBy("lang")
     }),
 
     // M1: multimodal payload plumbing — binary column + typed metadata
@@ -289,6 +316,30 @@ object DocQueries {
          |SELECT query_id, "rank", neighbor_id, cosine
          |FROM ranked WHERE "rank" <= 3
          |ORDER BY query_id, "rank"""".stripMargin,
+
+    "t4_pii_scrub" ->
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |         text || ' contact user' || doc_id || '@example.com or https://site'
+         |              || doc_id || '.org tel 555-0' || doc_id AS text2
+         |  FROM documents
+         | )
+         |SELECT doc_id,
+         |       len(regexp_extract_all(text2, '${TextFunctions.EmailPattern}')) AS n_emails,
+         |       len(regexp_extract_all(text2, '${TextFunctions.UrlPattern}')) AS n_urls,
+         |       len(regexp_extract_all(text2, '${TextFunctions.PhonePattern}')) AS n_phones,
+         |       md5(regexp_replace(regexp_replace(regexp_replace(text2,
+         |             '${TextFunctions.UrlPattern}', '<URL>', 'g'),
+         |             '${TextFunctions.EmailPattern}', '<EMAIL>', 'g'),
+         |             '${TextFunctions.PhonePattern}', '<PHONE>', 'g')) AS scrubbed_hash
+         |FROM p ORDER BY doc_id""".stripMargin,
+
+    "t5_vocab_stats" ->
+      s"""WITH tok AS (
+         |  SELECT lang, unnest($ws) AS t FROM documents
+         | )
+         |SELECT lang, COUNT(*) AS n_tokens, COUNT(DISTINCT t) AS n_distinct
+         |FROM tok GROUP BY lang ORDER BY lang""".stripMargin,
 
     "m1_multimodal_meta" ->
       """SELECT doc_id,
