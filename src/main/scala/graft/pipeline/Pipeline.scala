@@ -122,7 +122,7 @@ object Pipeline {
     // ---- region lists + qualifier lists (A14/A15) -------------------------
     objects += writeRegionLists(df, regionCols, features, cfg, writer)
     val qualifierCounts = writeQualifierLists(df, qualifierCols, features, cfg, writer)
-    objects += features.size * (qualifierCols.size + 1)
+    if (qualifierCols.nonEmpty) objects += features.size.toLong * (qualifierCols.size + 1)
 
     // ---- monthly + annual chains ------------------------------------------
     var monthTsSize: Map[String, Long] = Map.empty
