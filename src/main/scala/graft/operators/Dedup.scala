@@ -142,6 +142,47 @@ object Dedup {
          |                                       x -> CAST(x AS STRING)), '_')) AS band_hash))"""
         .stripMargin)
 
+  /** Duplicate-cluster assignment: connected components over a pair frame
+    * (e.g. [[jaccardPairs]] or verified [[minHashCandidates]]) via
+    * iterative min-label propagation. Each node's component is the minimum
+    * doc id reachable from it — the canonical representative to keep.
+    *
+    * Converges in O(graph diameter) joins; near-dup graphs are unions of
+    * small cliques, so 2-3 rounds in practice. (For adversarially long
+    * chains at planetary scale the standard acceleration is
+    * large-star/small-star; the loop shape below is the same.)
+    * Returns (doc_id, component) for every node that appears in a pair.
+    */
+  def connectedComponents(
+      pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
+      maxIterations: Int = 20
+  ): DataFrame = {
+    val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().cache()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("comp", col("node")).cache()
+    var iterations = 0
+    var converged = false
+    while (!converged && iterations < maxIterations) {
+      val prop = sym.join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node")).agg(min("comp").as("neighbor_comp"))
+      val next = labels.join(prop, Seq("node"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("neighbor_comp"), col("comp"))).as("comp"))
+        .cache()
+      val changes = next.withColumnRenamed("comp", "next_comp")
+        .join(labels, "node")
+        .filter(col("next_comp") =!= col("comp")).count()
+      labels.unpersist()
+      labels = next
+      converged = changes == 0
+      iterations += 1
+    }
+    sym.unpersist()
+    labels.select(col("node").as("doc_id"), col("comp").as("component"))
+  }
+
   /** Candidate near-duplicate pairs from MinHash-LSH: unordered doc pairs
     * sharing >= 1 band bucket, with the count of shared bands. Join is on
     * (band, band_hash) — never all-pairs. */

@@ -43,6 +43,28 @@ object DocQueries {
   private val shListSql =
     "list_distinct(list_transform(generate_series(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))"
 
+  /** Shared CTE chain (after `w`) computing exact-Jaccard pair candidates
+    * over 60-bit shingle hashes — used by the d2 and d4 oracles; mirror of
+    * Dedup.jaccardPairs / Dedup.shingleHash60. */
+  private val jaccardCtes =
+    s""" sh0 AS (SELECT DISTINCT doc_id, unnest($shListSql) AS sstr FROM w WHERE nt >= 3),
+       | sh AS (
+       |  SELECT DISTINCT doc_id,
+       |         (CAST(list_sum(list_transform(generate_series(1, 7), k ->
+       |            (strpos('0123456789abcdef', substr(md5(sstr), CAST(k AS INT), 1)) - 1)
+       |              * (16.0 ** (7 - k)))) AS BIGINT) << 32)
+       |         + CAST(list_sum(list_transform(generate_series(8, 15), k ->
+       |            (strpos('0123456789abcdef', substr(md5(sstr), CAST(k AS INT), 1)) - 1)
+       |              * (16.0 ** (15 - k)))) AS BIGINT) AS s
+       |  FROM sh0
+       | ),
+       | sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       | inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       | )""".stripMargin
+
   // ---- the battery --------------------------------------------------------
 
   def queries: Map[String, Q] = Map(
@@ -79,6 +101,13 @@ object DocQueries {
       Dedup.jaccardPairs(table(s, dir, "documents"), "doc_id", "text",
           n = 3, minJaccard = 0.8)
         .orderBy("doc_a", "doc_b")),
+
+    // D4: duplicate clusters over the exact-Jaccard pair graph
+    "d4_dedup_clusters" -> ((s, dir) => {
+      val edges = Dedup.jaccardPairs(table(s, dir, "documents"), "doc_id", "text",
+        n = 3, minJaccard = 0.8)
+      Dedup.connectedComponents(edges).orderBy("doc_id")
+    }),
 
     // D3: MinHash-LSH candidate pairs (64 hashes, 16 bands x 4)
     "d3_minhash_lsh" -> ((s, dir) =>
@@ -212,23 +241,7 @@ object DocQueries {
     // Dedup.shingleHash60
     "d2_jaccard_neardup" ->
       s"""$wCte,
-         | sh0 AS (SELECT DISTINCT doc_id, unnest($shListSql) AS sstr FROM w WHERE nt >= 3),
-         | sh AS (
-         |  SELECT DISTINCT doc_id,
-         |         (CAST(list_sum(list_transform(generate_series(1, 7), k ->
-         |            (strpos('0123456789abcdef', substr(md5(sstr), CAST(k AS INT), 1)) - 1)
-         |              * (16.0 ** (7 - k)))) AS BIGINT) << 32)
-         |         + CAST(list_sum(list_transform(generate_series(8, 15), k ->
-         |            (strpos('0123456789abcdef', substr(md5(sstr), CAST(k AS INT), 1)) - 1)
-         |              * (16.0 ** (15 - k)))) AS BIGINT) AS s
-         |  FROM sh0
-         | ),
-         | sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-         | inter AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2
-         | )
+         |$jaccardCtes
          |SELECT doc_a, doc_b, n_shared,
          |       ROUND(n_shared * 1.0 / (sa.n + sb.n - n_shared), 4) AS jaccard
          |FROM inter
@@ -236,6 +249,33 @@ object DocQueries {
          |JOIN sz sb ON doc_b = sb.doc_id
          |WHERE n_shared * 1.0 / (sa.n + sb.n - n_shared) >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // D4: duplicate clusters — connected components of the >= 0.8-Jaccard
+    // pair graph; component = min reachable doc id (transitive closure via
+    // recursive CTE on the oracle side, min-label propagation in Spark)
+    "d4_dedup_clusters" ->
+      s"""WITH RECURSIVE ${wCte.stripPrefix("WITH ")},
+         |$jaccardCtes,
+         | edges AS (
+         |  SELECT doc_a, doc_b
+         |  FROM inter
+         |  JOIN sz sa ON doc_a = sa.doc_id
+         |  JOIN sz sb ON doc_b = sb.doc_id
+         |  WHERE n_shared * 1.0 / (sa.n + sb.n - n_shared) >= 0.8
+         | ),
+         | sym AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM edges
+         |  UNION SELECT doc_b, doc_a FROM edges
+         |  UNION SELECT doc_a, doc_a FROM edges
+         |  UNION SELECT doc_b, doc_b FROM edges
+         | ),
+         | reach(a, b) AS (
+         |  SELECT a, b FROM sym
+         |  UNION
+         |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+         | )
+         |SELECT a AS doc_id, MIN(b) AS component
+         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
 
     // MinHash family mirrored exactly: base hash = first 8 md5 hex digits
     // masked to 31 bits, then 64 affine permutations mod 2^31-1.

@@ -107,6 +107,20 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("connected components merge chains and leave islands apart") {
+    // chain 1-2-3-4 (via separate edges), island pair 10-11, singleton edge 20-21
+    val edges = df("doc_a LONG, doc_b LONG", Seq(
+      Row(1L, 2L), Row(3L, 2L), Row(3L, 4L),
+      Row(10L, 11L),
+      Row(21L, 20L)))
+    val comp = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
   test("native vec_dot matches the interpreted higher-order fold") {
     val hofDot = expr(
       "aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), CAST(embedding AS ARRAY<DOUBLE>), " +
