@@ -23,6 +23,13 @@ object DocQueries {
     cache.getOrElseUpdate((s, dir, name),
       s.read.parquet(s"$dir/$name.parquet").cache())
 
+  /** Exact-Jaccard >= 0.8 pair graph, cached across the battery (d2 emits
+    * it, d4 clusters it — the shingle co-occurrence join runs once). */
+  private def jaccardEdges(s: SparkSession, dir: String): DataFrame =
+    cache.getOrElseUpdate((s, dir, "_jaccard_edges"),
+      Dedup.jaccardPairs(table(s, dir, "documents"), "doc_id", "text",
+        n = 3, minJaccard = 0.8).cache())
+
   // ---- shared DuckDB fragments --------------------------------------------
 
   /** Whitespace-collapsed trimmed text (DuckDB regexp_replace needs the 'g'
@@ -98,16 +105,11 @@ object DocQueries {
 
     // D2: exact 3-gram Jaccard near-dup pairs (shingle co-occurrence join)
     "d2_jaccard_neardup" -> ((s, dir) =>
-      Dedup.jaccardPairs(table(s, dir, "documents"), "doc_id", "text",
-          n = 3, minJaccard = 0.8)
-        .orderBy("doc_a", "doc_b")),
+      jaccardEdges(s, dir).orderBy("doc_a", "doc_b")),
 
     // D4: duplicate clusters over the exact-Jaccard pair graph
-    "d4_dedup_clusters" -> ((s, dir) => {
-      val edges = Dedup.jaccardPairs(table(s, dir, "documents"), "doc_id", "text",
-        n = 3, minJaccard = 0.8)
-      Dedup.connectedComponents(edges).orderBy("doc_id")
-    }),
+    "d4_dedup_clusters" -> ((s, dir) =>
+      Dedup.connectedComponents(jaccardEdges(s, dir)).orderBy("doc_id")),
 
     // D3: MinHash-LSH candidate pairs (64 hashes, 16 bands x 4)
     "d3_minhash_lsh" -> ((s, dir) =>
