@@ -90,7 +90,7 @@ object GroupSink {
     // Double.toString matches except exotic exponent formatting
     case d: Double => d.toString
     case s: String =>
-      if (s.contains(",") || s.contains("\"") || s.contains("\n"))
+      if (s.contains(",") || s.contains("\"") || s.contains("\n") || s.contains("\r"))
         "\"" + s.replace("\"", "\"\"") + "\""
       else s
     case other => other.toString

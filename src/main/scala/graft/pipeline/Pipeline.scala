@@ -10,7 +10,12 @@ import graft.sources.Ingest
 import graft.tiles.Tiling
 
 /** Pipeline parameters (reference flow parameters,
-  * flows/data_pipeline.py:927-962). */
+  * flows/data_pipeline.py:927-962).
+  *
+  * `qualifierMap` (feature -> qualifier columns to break down by) follows
+  * reference semantics: when EMPTY, no qualifier breakdowns are produced
+  * (flows/common.py:342 gates on `feature in qualifier_map`); qualifier
+  * value-list/count metadata is still written for every qualifier column. */
 final case class PipelineConfig(
     modelId: String,
     runId: String,
@@ -84,8 +89,8 @@ object Pipeline {
     * points and unpersisted when their chain ends. */
   def run(spark: SparkSession, cfg: PipelineConfig): PipelineResult = {
     val raw = Ingest.readData(spark, cfg.dataPaths)
-    val dropped = Validate.nullOrEmptyCols(raw)
     val vr = Validate(raw, cfg.weightColumn, cfg.fillTimestamp)
+    val dropped = vr.droppedColumns
     val df = vr.df.cache()
     val numRows = df.count()
 
@@ -97,10 +102,9 @@ object Pipeline {
     val regionCols = Regions.extractRegionColumns(df)
     val features: Seq[String] =
       df.select("feature").distinct().collect().map(_.getString(0)).sorted.toSeq
-    // default qualifier map: every feature gets every qualifier column
-    val qualifierMap: Map[String, Seq[String]] =
-      if (cfg.qualifierMap.nonEmpty) cfg.qualifierMap
-      else features.map(_ -> qualifierCols).toMap
+    // Reference semantics: an empty qualifier_map produces NO qualifier
+    // breakdowns (flows/common.py:342 gates on `feature in qualifier_map`).
+    val requestedQualifierMap: Map[String, Seq[String]] = cfg.qualifierMap
 
     // ---- raw data + per-feature counts (A13) ------------------------------
     val rowsPerFeature: Map[String, Long] =
@@ -124,6 +128,12 @@ object Pipeline {
     val qualifierCounts = writeQualifierLists(df, qualifierCols, features, cfg, writer)
     if (qualifierCols.nonEmpty) objects += features.size.toLong * (qualifierCols.size + 1)
 
+    // max_count pruning runs once, before ALL output tasks
+    // (reference: flows/data_pipeline.py:995-996) — bounds every downstream
+    // breakdown (and the driver-side pivot collect) by thresholds.maxCount.
+    val (qualifierMap, prunedQualifierCols) = Qualifiers.applyQualifierCountLimit(
+      requestedQualifierMap, qualifierCols, qualifierCounts, cfg.thresholds.maxCount)
+
     // ---- monthly + annual chains ------------------------------------------
     var monthTsSize: Map[String, Long] = Map.empty
     var yearTsSize: Map[String, Long] = Map.empty
@@ -134,17 +144,17 @@ object Pipeline {
       try {
         if (decisions.runs(OutputTask.GlobalTimeseries)) {
           val (written, tsSize) =
-            globalTimeseries(t, qualifierCols, qualifierMap, vr.weightColumn, cfg, timeRes, writer)
+            globalTimeseries(t, prunedQualifierCols, qualifierMap, vr.weightColumn, cfg, timeRes, writer)
           objects += written
           if (timeRes == "month") monthTsSize = tsSize else yearTsSize = tsSize
         }
         if (decisions.runs(OutputTask.RegionalStats))
           objects += regionalStats(t, regionCols, vr.weightColumn, cfg, timeRes, writer)
         if (decisions.runs(OutputTask.RegionalTimeseries))
-          objects += regionalTimeseries(t, regionCols, qualifierCols, qualifierMap,
+          objects += regionalTimeseries(t, regionCols, prunedQualifierCols, qualifierMap,
             qualifierCounts, vr.weightColumn, cfg, timeRes, writer)
         if (decisions.runs(OutputTask.RegionalAggregation))
-          objects += regionalAggregation(t, regionCols, qualifierCols, qualifierMap,
+          objects += regionalAggregation(t, regionCols, prunedQualifierCols, qualifierMap,
             vr.weightColumn, cfg, timeRes, writer)
         if (decisions.runs(OutputTask.ComputeTiles)) {
           // A8: weight forcibly disabled — the tile proto has no wavg

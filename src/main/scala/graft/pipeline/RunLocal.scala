@@ -32,6 +32,9 @@ object RunLocal {
       runId = "testrun",
       dataPaths = Seq(input),
       weightColumn = "weight",
+      // breakdowns are opt-in (reference: empty map = none); request qual1
+      // for every feature so the smoke run covers the qualifier paths
+      qualifierMap = Seq("A", "N", "R").map(_ -> Seq("qual1")).toMap,
       destType = "file",
       modelBucket = s"$outDir/bucket")
     val t0 = System.nanoTime()

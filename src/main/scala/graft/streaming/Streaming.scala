@@ -56,7 +56,10 @@ object Streaming {
     events
       .withColumn("event_time", timestamp_millis(col(tsCol)))
       .withWatermark("event_time", watermarkDelay)
-      .dropDuplicatesWithinWatermark(idCols :+ "event_time")
+      // dedup key is idCols ONLY: a re-delivery with the same ids but a
+      // different event time must still be dropped (the watermark column
+      // need not be part of the subset — it only bounds state retention)
+      .dropDuplicatesWithinWatermark(idCols)
       .drop("event_time")
 
   final case class KeyStats(key: String, count: Long, total: Double)

@@ -28,7 +28,9 @@ class PipelineRunSpec extends SparkSpec {
       .write.parquet(input)
 
     val cfg = PipelineConfig("m1", "r1", Seq(input),
-      weightColumn = "w", destType = "file", modelBucket = s"$outDir/bucket")
+      weightColumn = "w",
+      qualifierMap = Map("F1" -> Seq("qual1"), "F2" -> Seq("qual1")),
+      destType = "file", modelBucket = s"$outDir/bucket")
     val result = Pipeline.run(spark, cfg)
 
     assert(result.numRows === 6)
@@ -42,6 +44,9 @@ class PipelineRunSpec extends SparkSpec {
     assert(Files.exists(Paths.get(b, "m1/r1/year/F1/timeseries/global/global.csv")))
     assert(Files.exists(Paths.get(b, "m1/r1/month/F1/regional/country/stats/default/extrema.json")))
     assert(Files.exists(Paths.get(b, "m1/r1/month/F1/regional/admin1/timeseries/default/A__AA.csv")))
+    // qualifier breakdowns present because cfg.qualifierMap requested qual1
+    assert(Files.exists(Paths.get(b, "m1/r1/month/F1/timeseries/qualifiers/qual1/s_sum_t_sum.csv")))
+    assert(Files.exists(Paths.get(b, "m1/r1/month/F1/regional/country/timeseries/qualifiers/qual1/qa/A.csv")))
     assert(Files.exists(Paths.get(b, "m1/r1/raw/F1/info/region_lists.json")))
     assert(Files.exists(Paths.get(b, "m1/r1/raw/F1/info/qualifiers/qual1.json")))
     assert(Files.exists(Paths.get(b, "m1/r1/raw/F1/info/qualifier_counts.json")))

@@ -53,7 +53,8 @@ class StreamingSpec extends SparkSpec {
     try {
       input.addData((1L, 1000L, 1.0), (2L, 2000L, 2.0), (1L, 1000L, 1.0))
       q.processAllAvailable()
-      input.addData((2L, 2000L, 2.0), (3L, 3000L, 3.0))
+      // (2L, 9000L): same id, DIFFERENT event time — still a duplicate
+      input.addData((2L, 2000L, 2.0), (2L, 9000L, 2.5), (3L, 3000L, 3.0))
       q.processAllAvailable()
       val ids = spark.table("dedup").select("id").collect().map(_.getLong(0)).toSeq
       assert(ids.sorted === Seq(1L, 2L, 3L))
