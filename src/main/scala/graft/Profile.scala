@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Stage-level timing probe: materializes the shared cube caches one step at
+  * a time so per-query bench numbers can be attributed to build vs compute.
+  * Usage: runMain graft.Profile [sfDir]
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.inMemoryColumnarStorage.compressed",
+        sys.env.getOrElse("SPARK_GRAFT_CACHE_COMPRESSED", "true"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftExtensions.register(spark)
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"PROFILE $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+    }
+
+    import graft.testbed.{Datacube, DatacubeQueries => Q}
+    time("warmup(count lineitem)")(Datacube.table(spark, sfDir, "lineitem").count())
+    time("base_cube_nocache")(Datacube(spark, sfDir).count())
+    time("base_cube_cache")(Q.baseCube(spark, sfDir).count())
+    time("base_cube_cached_again")(Q.baseCube(spark, sfDir).count())
+    time("month_cube(count)")(Q.temporalCube(spark, sfDir, "month").count())
+    time("month_cube_again")(Q.temporalCube(spark, sfDir, "month").count())
+    time("all_cube")(Q.temporalCube(spark, sfDir, "all").count())
+    time("weighted_year_cube")(Q.temporalCube(spark, sfDir, "year", weighted = true).count())
+    time("a10_after_cube")(Q.queries("a10_qualifier_pivot")(spark, sfDir).count())
+    time("a11_after_cube")(Q.queries("a11_extrema")(spark, sfDir).count())
+    time("a17_after_cube")(Q.queries("a17_tile_bins")(spark, sfDir).count())
+    time("d2_jaccard")(SparkEntry.queries("d2_jaccard_neardup")(spark, sfDir).count())
+    time("d3_minhash")(SparkEntry.queries("d3_minhash_lsh")(spark, sfDir).count())
+    time("d4_clusters")(SparkEntry.queries("d4_dedup_clusters")(spark, sfDir).count())
+    spark.stop()
+  }
+}

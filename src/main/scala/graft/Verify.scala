@@ -14,6 +14,10 @@ object Verify {
       // testdata events.parquet stores TIMESTAMP(NANOS), which Spark 4
       // otherwise refuses to read (PARQUET_TYPE_ILLEGAL); read as long nanos.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // battery caches (base cube + temporal cubes) are short-lived ~1:1
+      // intermediates: columnar compression buys little and costs ~35% of
+      // the cache build; memory is not the constraint for these frames
+      .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -43,12 +43,23 @@ object Dedup {
   private def toksOf(c: String) = s"split(regexp_replace(trim(`$c`), '\\\\s+', ' '), ' ')"
 
   /** SQL for the distinct shingle set, empty when the document has fewer
-    * than n tokens (guards Spark's descending `sequence`). */
-  private def shinglesSql(c: String, n: Int): String =
+    * than n tokens (guards Spark's descending `sequence`).
+    *
+    * The token array is BOUND as a lambda variable (`transform` over a
+    * one-element array) before the per-shingle lambda runs: higher-order
+    * lambdas re-evaluate any non-bound subexpression per element, so
+    * referencing `split(regexp_replace(...))` directly inside the inner
+    * lambda would re-tokenize the whole document once per shingle —
+    * O(len²) per document (measured ~5× slower at sf0.1). With the
+    * binding, tokenization runs once and each shingle is three O(1)
+    * array index reads. */
+  private def shinglesSql(c: String, n: Int): String = {
+    val gram = (0 until n).map(k => s"ts[i + $k]").mkString("concat_ws(' ', ", ", ", ")")
     s"""CASE WHEN size(${toksOf(c)}) < $n THEN CAST(array() AS ARRAY<STRING>)
-       |ELSE array_distinct(transform(sequence(1, size(${toksOf(c)}) - ${n - 1}),
-       |       i -> concat_ws(' ', slice(${toksOf(c)}, i, $n))))
+       |ELSE array_distinct(flatten(transform(array(${toksOf(c)}),
+       |       ts -> transform(sequence(0, size(ts) - $n), i -> $gram))))
        |END""".stripMargin
+  }
 
   /** Distinct word n-gram (shingle) set as an array column. */
   def shingles(textCol: String, n: Int = 3): Column = expr(shinglesSql(textCol, n))
@@ -160,22 +171,25 @@ object Dedup {
     val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().cache()
-    var labels = sym.select(col("src").as("node")).distinct()
+    var cached = sym.select(col("src").as("node")).distinct()
       .withColumn("comp", col("node")).cache()
+    var labels = cached
     var iterations = 0
     var converged = false
     while (!converged && iterations < maxIterations) {
       val prop = sym.join(labels.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node")).agg(min("comp").as("neighbor_comp"))
-      val next = labels.join(prop, Seq("node"), "left")
-        .select(col("node"),
-          least(col("comp"), coalesce(col("neighbor_comp"), col("comp"))).as("comp"))
+      // one joined frame per iteration carries BOTH the new label and the
+      // old one, so the convergence check is a filter over the cached join
+      // instead of a second join against the previous labels
+      val joined = labels.join(prop, Seq("node"), "left")
+        .select(col("node"), col("comp"),
+          least(col("comp"), coalesce(col("neighbor_comp"), col("comp"))).as("next_comp"))
         .cache()
-      val changes = next.withColumnRenamed("comp", "next_comp")
-        .join(labels, "node")
-        .filter(col("next_comp") =!= col("comp")).count()
-      labels.unpersist()
-      labels = next
+      val changes = joined.filter(col("next_comp") =!= col("comp")).count()
+      cached.unpersist()
+      cached = joined
+      labels = joined.select(col("node"), col("next_comp").as("comp"))
       converged = changes == 0
       iterations += 1
     }

@@ -268,17 +268,24 @@ object Pipeline {
           aggCols.flatMap(c => Seq(min(c).as(s"mn_$c"), max(c).as(s"mx_$c"))).head,
           aggCols.flatMap(c => Seq(min(c).as(s"mn_$c"), max(c).as(s"mx_$c"))).tail: _*)
         val marked = agg.join(broadcast(minmax), Seq("feature"))
-        // one slim frame of candidate extrema rows across all agg columns
-        val perCol = aggCols.flatMap { c =>
+        // one slim frame of candidate extrema rows across all agg columns,
+        // produced in a SINGLE pass over `marked`: each row explodes into
+        // its (agg_col, kind, value) extrema hits (usually zero) instead of
+        // 2×|aggCols| filtered union branches re-scanning the aggregate
+        val entryType = "array<struct<agg_col:string,kind:string,value:double>>"
+        val hits = aggCols.flatMap { c =>
           Seq(
-            marked.filter(col(c) === col(s"mn_$c"))
-              .select(col("feature"), lit(c).as("agg_col"), lit("min").as("kind"),
-                col("region_id"), col("timestamp"), col(c).as("value")),
-            marked.filter(col(c) === col(s"mx_$c"))
-              .select(col("feature"), lit(c).as("agg_col"), lit("max").as("kind"),
-                col("region_id"), col("timestamp"), col(c).as("value")))
+            when(col(c) === col(s"mn_$c"),
+              array(struct(lit(c).as("agg_col"), lit("min").as("kind"), col(c).as("value"))))
+              .otherwise(expr(s"CAST(array() AS $entryType)")).cast(entryType),
+            when(col(c) === col(s"mx_$c"),
+              array(struct(lit(c).as("agg_col"), lit("max").as("kind"), col(c).as("value"))))
+              .otherwise(expr(s"CAST(array() AS $entryType)")).cast(entryType))
         }
-        val extrema = perCol.reduce(_.unionByName(_))
+        val extrema = marked
+          .withColumn("hit", explode(concat(hits: _*)))
+          .select(col("feature"), col("hit.agg_col").as("agg_col"), col("hit.kind").as("kind"),
+            col("region_id"), col("timestamp"), col("hit.value").as("value"))
           .withColumn("rn", row_number().over(
             org.apache.spark.sql.expressions.Window
               .partitionBy("feature", "agg_col", "kind")

@@ -31,7 +31,7 @@ object DatacubeQueries {
   private val cubeCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String, Boolean), DataFrame]
 
-  private def baseCube(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def baseCube(spark: SparkSession, dir: String): DataFrame =
     baseCache.getOrElseUpdate((spark, dir), Datacube(spark, dir).cache())
 
   /** Temporally-aggregated cube (A1), cached per (session, dir, res, weighted). */
@@ -200,11 +200,18 @@ object DatacubeQueries {
       val minmax = agg.groupBy("feature")
         .agg(min("s_sum_t_sum").as("mn"), max("s_sum_t_sum").as("mx"))
       val marked = agg.join(broadcast(minmax), Seq("feature"))
-      val mins = marked.filter(col("s_sum_t_sum") === col("mn")).withColumn("kind", lit("min"))
-      val maxs = marked.filter(col("s_sum_t_sum") === col("mx")).withColumn("kind", lit("max"))
+      // one pass over `marked`: explode a 0/1/2-element kind array instead of
+      // unioning two filtered branches (which would re-run the whole
+      // aggregate subtree once per branch); a row that is both min and max
+      // still yields both kinds, matching the two-branch semantics
+      val kinds = marked.withColumn("kind", explode(concat(
+        when(col("s_sum_t_sum") === col("mn"), array(lit("min")))
+          .otherwise(array().cast("array<string>")).cast("array<string>"),
+        when(col("s_sum_t_sum") === col("mx"), array(lit("max")))
+          .otherwise(array().cast("array<string>")).cast("array<string>"))))
       val cap = Window.partitionBy("feature", "kind")
         .orderBy(col("timestamp").desc, col("region_id"))
-      mins.unionByName(maxs)
+      kinds
         .withColumn("rn", row_number().over(cap))
         .filter(col("rn") <= 20)
         .select("feature", "kind", "region_id", "timestamp", "s_sum_t_sum")
