@@ -14,6 +14,8 @@ import graft.testbed.{DatacubeQueries, DocQueries}
   */
 object SparkEntry {
 
+  type Q = (SparkSession, String) => DataFrame
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full monthly global-timeseries slice (ingest → validate → temporal
     * agg → spatial agg), SURVEY §7.2. */

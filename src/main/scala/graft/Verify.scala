@@ -14,22 +14,30 @@ object Verify {
       // testdata events.parquet stores TIMESTAMP(NANOS), which Spark 4
       // otherwise refuses to read (PARQUET_TYPE_ILLEGAL); read as long nanos.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // battery caches (base cube + temporal cubes) are short-lived ~1:1
-      // intermediates: columnar compression buys little and costs ~35% of
-      // the cache build; memory is not the constraint for these frames
-      .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
+      // compressed caches: the stable + memory-safe configuration (see the
+      // r4 A/B note in Bench); env-overridable for future A/Bs
+      .config("spark.sql.inMemoryColumnarStorage.compressed",
+        sys.env.getOrElse("SPARK_GRAFT_CACHE_COMPRESSED", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftExtensions.register(spark)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    def dump(qs: Seq[(String, SparkEntry.Q)]): Unit = qs.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // datacube family first, then drop its caches before the doc battery
+    // (same family barrier as Bench — keeps peak cache memory bounded)
+    val docKeys = graft.testbed.DocQueries.queries.keySet
+    val (docQs, cubeQs) = SparkEntry.queries.toSeq.sortBy(_._1)
+      .partition(q => docKeys.contains(q._1))
+    dump(cubeQs)
+    graft.testbed.DatacubeQueries.clearCaches(spark)
+    dump(docQs)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -64,7 +64,15 @@ object Writer {
   def forDest(destType: String, bucket: String): Writer = destType match {
     case "file" => FileWriter(bucket)
     case "none" => NullWriter
-    case "s3"   => HadoopFsWriter(bucket)
+    case "s3" =>
+      // fail fast on a config typo instead of a deep runtime URI error;
+      // normalize the common s3:// alias to Hadoop's s3a connector
+      val scheme = Option(java.net.URI.create(bucket).getScheme).getOrElse(
+        throw new IllegalArgumentException(
+          s"s3 destination must be a URI with a scheme (e.g. s3a://bucket), got: '$bucket'"))
+      val normalized =
+        if (scheme == "s3") "s3a://" + bucket.stripPrefix("s3://") else bucket
+      HadoopFsWriter(normalized)
     case other  => throw new IllegalArgumentException(s"unknown dest type: $other")
   }
 }

@@ -193,8 +193,14 @@ object Dedup {
       converged = changes == 0
       iterations += 1
     }
+    // cache + materialize the (small) result BEFORE dropping the edge/loop
+    // caches: otherwise an evicted partition would replay the whole
+    // iterative join lineage against an uncached `sym`
+    val out = labels.select(col("node").as("doc_id"), col("comp").as("component")).cache()
+    out.count()
     sym.unpersist()
-    labels.select(col("node").as("doc_id"), col("comp").as("component"))
+    cached.unpersist()
+    out
   }
 
   /** Candidate near-duplicate pairs from MinHash-LSH: unordered doc pairs

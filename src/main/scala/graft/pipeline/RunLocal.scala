@@ -25,16 +25,20 @@ object RunLocal {
     graft.plans.GraftExtensions.register(spark)
 
     val input = s"$outDir/input"
-    Datacube(spark, sfDir).write.mode("overwrite").parquet(input)
+    val cube = Datacube(spark, sfDir)
+    cube.write.mode("overwrite").parquet(input)
+    // breakdowns are opt-in (reference: empty map = none); request qual1 for
+    // every feature ACTUALLY PRESENT so the qualifier paths stay exercised
+    // even if the generated features change
+    val features = cube.select("feature").distinct()
+      .collect().map(_.getString(0)).toSeq
 
     val cfg = PipelineConfig(
       modelId = "testmodel",
       runId = "testrun",
       dataPaths = Seq(input),
       weightColumn = "weight",
-      // breakdowns are opt-in (reference: empty map = none); request qual1
-      // for every feature so the smoke run covers the qualifier paths
-      qualifierMap = Seq("A", "N", "R").map(_ -> Seq("qual1")).toMap,
+      qualifierMap = features.map(_ -> Seq("qual1")).toMap,
       destType = "file",
       modelBucket = s"$outDir/bucket")
     val t0 = System.nanoTime()

@@ -34,6 +34,16 @@ object DatacubeQueries {
   private[graft] def baseCube(spark: SparkSession, dir: String): DataFrame =
     baseCache.getOrElseUpdate((spark, dir), Datacube(spark, dir).cache())
 
+  /** Unpersist and forget every cached cube for `spark`. Bench/Verify call
+    * this between query families so the doc battery doesn't inherit the
+    * datacube battery's cache pressure (the r3 d3/d4 timing artifact). */
+  def clearCaches(spark: SparkSession): Unit = {
+    baseCache.filterInPlace { case ((s, _), df) =>
+      if (s eq spark) { df.unpersist(); false } else true }
+    cubeCache.filterInPlace { case ((s, _, _, _), df) =>
+      if (s eq spark) { df.unpersist(); false } else true }
+  }
+
   /** Temporally-aggregated cube (A1), cached per (session, dir, res, weighted). */
   def temporalCube(spark: SparkSession, dir: String, timeRes: String,
                    weighted: Boolean = false): DataFrame =

@@ -23,6 +23,12 @@ object DocQueries {
     cache.getOrElseUpdate((s, dir, name),
       s.read.parquet(s"$dir/$name.parquet").cache())
 
+  /** Unpersist and forget every cached frame for `spark` (see
+    * DatacubeQueries.clearCaches). */
+  def clearCaches(spark: SparkSession): Unit =
+    cache.filterInPlace { case ((s, _, _), df) =>
+      if (s eq spark) { df.unpersist(); false } else true }
+
   /** Exact-Jaccard >= 0.8 pair graph, cached across the battery (d2 emits
     * it, d4 clusters it — the shingle co-occurrence join runs once). */
   private def jaccardEdges(s: SparkSession, dir: String): DataFrame =
@@ -51,9 +57,14 @@ object DocQueries {
     "list_distinct(list_transform(generate_series(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))"
 
   /** Shared CTE chain (after `w`) computing exact-Jaccard pair candidates
-    * over 60-bit shingle hashes — used by the d2 and d4 oracles; mirror of
-    * Dedup.jaccardPairs / Dedup.shingleHash60. */
-  private val jaccardCtes =
+    * over 60-bit shingle hashes — used by the d2/d4/d5 oracles; mirror of
+    * Dedup.jaccardPairs / Dedup.shingleHash60. `maxDocFreq` mirrors the
+    * hot-shingle skew cap (shingles in more than k docs are dropped BEFORE
+    * sizes and pairing, exactly like the Spark window filter). */
+  private def jaccardCtes(maxDocFreq: Option[Int] = None) = {
+    val capFilter = maxDocFreq
+      .map(k => s" QUALIFY COUNT(*) OVER (PARTITION BY s) <= $k")
+      .getOrElse("")
     s""" sh0 AS (SELECT DISTINCT doc_id, unnest($shListSql) AS sstr FROM w WHERE nt >= 3),
        | sh AS (
        |  SELECT DISTINCT doc_id,
@@ -63,7 +74,7 @@ object DocQueries {
        |         + CAST(list_sum(list_transform(generate_series(8, 15), k ->
        |            (strpos('0123456789abcdef', substr(md5(sstr), CAST(k AS INT), 1)) - 1)
        |              * (16.0 ** (15 - k)))) AS BIGINT) AS s
-       |  FROM sh0
+       |  FROM sh0$capFilter
        | ),
        | sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
        | inter AS (
@@ -71,6 +82,7 @@ object DocQueries {
        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2
        | )""".stripMargin
+  }
 
   // ---- the battery --------------------------------------------------------
 
@@ -115,6 +127,14 @@ object DocQueries {
     "d3_minhash_lsh" -> ((s, dir) =>
       Dedup.minHashCandidates(table(s, dir, "documents"), "doc_id", "text",
           n = 3, numHashes = 64, bands = 16)
+        .orderBy("doc_a", "doc_b")),
+
+    // D5: the 100 TB skew guard exercised — same exact-Jaccard join but
+    // boilerplate shingles shared by > maxDocFreq docs are dropped before
+    // pairing (changes n_shared/jaccard vs the uncapped d2 on this data)
+    "d5_jaccard_capped" -> ((s, dir) =>
+      Dedup.jaccardPairs(table(s, dir, "documents"), "doc_id", "text",
+          n = 3, minJaccard = 0.8, maxDocFreq = Some(3))
         .orderBy("doc_a", "doc_b")),
 
     // V1: exact brute-force cosine top-5 for the first 20 vectors
@@ -243,7 +263,7 @@ object DocQueries {
     // Dedup.shingleHash60
     "d2_jaccard_neardup" ->
       s"""$wCte,
-         |$jaccardCtes
+         |${jaccardCtes()}
          |SELECT doc_a, doc_b, n_shared,
          |       ROUND(n_shared * 1.0 / (sa.n + sb.n - n_shared), 4) AS jaccard
          |FROM inter
@@ -257,7 +277,7 @@ object DocQueries {
     // recursive CTE on the oracle side, min-label propagation in Spark)
     "d4_dedup_clusters" ->
       s"""WITH RECURSIVE ${wCte.stripPrefix("WITH ")},
-         |$jaccardCtes,
+         |${jaccardCtes()},
          | edges AS (
          |  SELECT doc_a, doc_b
          |  FROM inter
@@ -278,6 +298,19 @@ object DocQueries {
          | )
          |SELECT a AS doc_id, MIN(b) AS component
          |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    // D5: capped mirror — the QUALIFY df-filter runs before sizes/pairing,
+    // exactly like the Spark-side window filter in Dedup.jaccardPairs
+    "d5_jaccard_capped" ->
+      s"""$wCte,
+         |${jaccardCtes(maxDocFreq = Some(3))}
+         |SELECT doc_a, doc_b, n_shared,
+         |       ROUND(n_shared * 1.0 / (sa.n + sb.n - n_shared), 4) AS jaccard
+         |FROM inter
+         |JOIN sz sa ON doc_a = sa.doc_id
+         |JOIN sz sb ON doc_b = sb.doc_id
+         |WHERE n_shared * 1.0 / (sa.n + sb.n - n_shared) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // MinHash family mirrored exactly: base hash = first 8 md5 hex digits
     // masked to 31 bits, then 64 affine permutations mod 2^31-1.
