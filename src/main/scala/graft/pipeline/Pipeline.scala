@@ -90,7 +90,6 @@ object Pipeline {
   def run(spark: SparkSession, cfg: PipelineConfig): PipelineResult = {
     val raw = Ingest.readData(spark, cfg.dataPaths)
     val vr = Validate(raw, cfg.weightColumn, cfg.fillTimestamp)
-    val dropped = vr.droppedColumns
     val df = vr.df.cache()
     val numRows = df.count()
 
@@ -174,29 +173,18 @@ object Pipeline {
       if (decisions.computeSummary) Some(outputSummary(df, vr.weightColumn)) else None
 
     if (decisions.runs(OutputTask.RecordResults)) {
-      val regionLevelsOut =
-        regionCols ++ (if (decisions.runs(OutputTask.ComputeTiles)) Seq("grid data") else Nil)
-      val dataInfo = Seq(
-        "num_rows" -> Json.JLong(numRows),
-        "num_rows_per_feature" -> Json.of(rowsPerFeature),
-        "num_missing_ts" -> Json.JLong(vr.numMissingTs),
-        "num_invalid_ts" -> Json.JLong(vr.numInvalidTs),
-        "num_missing_val" -> Json.JLong(vr.numMissingVal),
-        "dropped_columns" -> Json.of(dropped),
-        "region_levels" -> Json.of(regionLevelsOut),
-        "features" -> Json.of(features),
-        "raw_count_threshold" -> Json.JLong(cfg.rawCountThreshold),
-        "has_tiles" -> Json.JBool(decisions.runs(OutputTask.ComputeTiles)),
-        "has_monthly" -> Json.JBool(decisions.computeMonthly),
-        "has_annual" -> Json.JBool(decisions.computeAnnual),
-        "has_weights" -> Json.JBool(vr.weightColumn.nonEmpty),
-        "month_timeseries_size" -> Json.of(monthTsSize),
-        "year_timeseries_size" -> Json.of(yearTsSize)
-      )
-      val results = Json.JObj(
-        Seq("data_info" -> Json.JObj(dataInfo)) ++
-          summaryValues.map("output_agg_values" -> _))
-      writer.write(results.render, s"${cfg.modelId}/${cfg.runId}/results/results.json")
+      val results = recordResultsJson(
+        numRows = numRows, rowsPerFeature = rowsPerFeature,
+        numMissingTs = vr.numMissingTs, numInvalidTs = vr.numInvalidTs,
+        numMissingVal = vr.numMissingVal, regionColumns = regionCols,
+        features = features, rawCountThreshold = cfg.rawCountThreshold,
+        computeTiles = decisions.runs(OutputTask.ComputeTiles),
+        computeMonthly = decisions.computeMonthly,
+        computeAnnual = decisions.computeAnnual,
+        hasWeights = vr.weightColumn.nonEmpty,
+        monthTsSize = Some(monthTsSize), yearTsSize = Some(yearTsSize),
+        summaryValues = summaryValues)
+      writer.write(results, s"${cfg.modelId}/${cfg.runId}/results/results.json")
       objects += 1
     }
     df.unpersist()
@@ -204,6 +192,43 @@ object Pipeline {
   }
 
   // ---- stage implementations ----------------------------------------------
+
+  /** A12/record_results: the results.json payload, field-for-field identical
+    * to the reference's `record_results` dict (flows/data_pipeline.py:726-750;
+    * goldens tests/unit/test_record_results.py:70-158). "grid data" is
+    * appended to region_levels when tiles were computed, and the timeseries
+    * size maps appear only when their chain ran AND produced sizes. */
+  private[graft] def recordResultsJson(
+      numRows: Long, rowsPerFeature: Map[String, Long],
+      numMissingTs: Long, numInvalidTs: Long, numMissingVal: Long,
+      regionColumns: Seq[String], features: Seq[String],
+      rawCountThreshold: Long, computeTiles: Boolean,
+      computeMonthly: Boolean, computeAnnual: Boolean, hasWeights: Boolean,
+      monthTsSize: Option[Map[String, Long]],
+      yearTsSize: Option[Map[String, Long]],
+      summaryValues: Option[Json.JValue]): String = {
+    val regionLevelsOut =
+      regionColumns ++ (if (computeTiles) Seq("grid data") else Nil)
+    val dataInfo = Seq(
+      "num_rows" -> Json.JLong(numRows),
+      "num_rows_per_feature" -> Json.of(rowsPerFeature),
+      "num_missing_ts" -> Json.JLong(numMissingTs),
+      "num_invalid_ts" -> Json.JLong(numInvalidTs),
+      "num_missing_val" -> Json.JLong(numMissingVal),
+      "region_levels" -> Json.of(regionLevelsOut),
+      "features" -> Json.of(features),
+      "raw_count_threshold" -> Json.JLong(rawCountThreshold),
+      "has_tiles" -> Json.JBool(computeTiles),
+      "has_monthly" -> Json.JBool(computeMonthly),
+      "has_annual" -> Json.JBool(computeAnnual),
+      "has_weights" -> Json.JBool(hasWeights)
+    ) ++
+      (if (computeMonthly) monthTsSize.map("month_timeseries_size" -> Json.of(_)) else None) ++
+      (if (computeAnnual) yearTsSize.map("year_timeseries_size" -> Json.of(_)) else None)
+    Json.JObj(
+      Seq("data_info" -> Json.JObj(dataInfo)) ++
+        summaryValues.map("output_agg_values" -> _)).render
+  }
 
   /** A4: global timeseries — default + one breakdown per qualifier. */
   private[graft] def globalTimeseries(

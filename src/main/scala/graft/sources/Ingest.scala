@@ -30,14 +30,45 @@ object Ingest {
   private val StrFileRe = ".*_str(\\.[0-9]+)?\\.parquet(\\.gzip)?$".r
 
   def isStringTypedFile(path: String): Boolean =
-    StrFileRe.matches(path.split('/').last)
+    StrFileRe.matches(basename(path))
 
-  def readData(spark: SparkSession, paths: Seq[String]): DataFrame = {
+  /** URL basename with any query/fragment stripped — presigned URLs carry
+    * `?X-Amz-...` suffixes that must not defeat the `_str` filename filter. */
+  private def basename(path: String): String =
+    path.split('/').last.takeWhile(c => c != '?' && c != '#')
+
+  /** S2: paths Spark's parquet source cannot open directly (datasets often
+    * arrive as presigned http(s) URLs; the reference reads them per-file
+    * with pandas, which accepts URLs — flows/data_pipeline.py:179-182). */
+  def isDownloadUrl(path: String): Boolean =
+    path.startsWith("http://") || path.startsWith("https://")
+
+  /** Fetch one URL to `dir` keeping its basename, returning a file: URI
+    * Spark can read. Driver-side and sequential like the reference's
+    * per-file loop; input files are bounded uploads, not 100 TB shards. */
+  private[sources] def downloadToTemp(url: String, dir: java.nio.file.Path): String = {
+    val target = dir.resolve(basename(url))
+    val in = java.net.URI.create(url).toURL.openStream()
+    try java.nio.file.Files.copy(in, target,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    finally in.close()
+    target.toUri.toString
+  }
+
+  def readData(spark: SparkSession, paths: Seq[String],
+               needsDownload: String => Boolean = isDownloadUrl): DataFrame = {
     require(paths.nonEmpty, "no input data paths given")
+    // the _str filter runs on the ORIGINAL paths (URL basenames included)
+    // so string-typed files are never even downloaded
     val numericPaths = paths.filterNot(isStringTypedFile)
     require(numericPaths.nonEmpty, s"no numeric parquet files in ${paths.mkString(",")}")
 
-    val dfs = numericPaths.map(p => spark.read.parquet(p))
+    lazy val tmpDir = java.nio.file.Files.createTempDirectory("graft-ingest-")
+    val localPaths = numericPaths.map { p =>
+      if (needsDownload(p)) downloadToTemp(p, tmpDir) else p
+    }
+
+    val dfs = localPaths.map(p => spark.read.parquet(p))
     val unified = unifySchemas(dfs)
     require(!unified.isEmpty, "input data has 0 rows")
     unified

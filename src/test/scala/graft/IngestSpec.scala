@@ -50,6 +50,26 @@ class IngestSpec extends SparkSpec {
       Seq(1L, "X"), Seq(2L, "7")))
   }
 
+  test("URL ingest downloads to temp before reading; _str filter sees URL basenames (S2)") {
+    // presigned-style URLs: the query string must not defeat the _str filter
+    assert(Ingest.isStringTypedFile("https://host/run/out_str.parquet.gzip?X-Sig=abc"))
+    assert(!Ingest.isStringTypedFile("https://host/run/out.parquet?X-Sig=abc"))
+    assert(Ingest.isDownloadUrl("https://host/x.parquet") &&
+      Ingest.isDownloadUrl("http://host/x.parquet") &&
+      !Ingest.isDownloadUrl("/data/x.parquet") && !Ingest.isDownloadUrl("s3a://b/x.parquet"))
+
+    // full readData through the download machinery, with file:// URLs
+    // standing in for http(s) (zero-egress test environment)
+    val dir = Files.createTempDirectory("graftdl")
+    val a = df("timestamp LONG, feature STRING, value DOUBLE", Seq(Row(1L, "F", 4.5)))
+    a.coalesce(1).write.parquet(s"$dir/remote.parquet")
+    val onePart = Files.list(java.nio.file.Paths.get(s"$dir/remote.parquet"))
+      .filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+    val url = onePart.toUri.toString // file:///...part-0000....parquet
+    val u = Ingest.readData(spark, Seq(url), needsDownload = _.startsWith("file:"))
+    assert(rowSet(u) === Set(Seq(1L, "F", 4.5)))
+  }
+
   test("round-trip through parquet files (S1)") {
     val dir = Files.createTempDirectory("graftingest").toString
     val a = df("timestamp LONG, feature STRING, value DOUBLE", Seq(Row(1L, "F", 1.0)))

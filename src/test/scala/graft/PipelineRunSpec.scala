@@ -71,6 +71,47 @@ class PipelineRunSpec extends SparkSpec {
       "s_sum_t_wavg,s_mean_t_wavg,s_wavg_t_sum,s_wavg_t_mean,s_wavg_t_wavg\n"))
   }
 
+  test("object-store sink (S6): Hadoop FS path produces a byte-identical tree") {
+    // file:/ through HadoopFsWriter exercises the same FileSystem code path
+    // a real s3a:// destination takes (create/close per object)
+    val outDir = Files.createTempDirectory("grafts6").toString
+    val input = s"$outDir/input"
+    df(
+      "timestamp LONG, country STRING, admin1 STRING, feature STRING, value DOUBLE",
+      Seq(
+        Row(ts("2022-01-01"), "A", "AA", "F1", 1.0),
+        Row(ts("2022-02-02"), "A", "AB", "F1", 5.0),
+        Row(ts("2022-02-02"), "B", "BA", "F1", 7.0)))
+      .write.parquet(input)
+
+    def run(destType: String, bucket: String): Unit =
+      Pipeline.run(spark, PipelineConfig("m3", "r3", Seq(input),
+        destType = destType, modelBucket = bucket))
+    run("file", s"$outDir/bucketA")
+    run("s3", Paths.get(s"$outDir/bucketB").toUri.toString)
+
+    def tree(root: String): Map[String, Array[Byte]] = {
+      val r = Paths.get(root)
+      val s = Files.walk(r)
+      try s.filter(p => Files.isRegularFile(p) && !p.getFileName.toString.startsWith("."))
+        .toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .map(p => r.relativize(p).toString -> Files.readAllBytes(p)).toMap
+      finally s.close()
+    }
+    val (a, b) = (tree(s"$outDir/bucketA"), tree(s"$outDir/bucketB"))
+    assert(a.keySet === b.keySet)
+    assert(a.keySet.exists(_.endsWith("results/results.json")))
+    for ((k, bytes) <- a) assert(java.util.Arrays.equals(bytes, b(k)), s"byte mismatch: $k")
+  }
+
+  test("s3 destination URIs are validated and s3:// is normalized to s3a://") {
+    import graft.io.{HadoopFsWriter, Writer}
+    assert(Writer.forDest("s3", "s3://bkt") === HadoopFsWriter("s3a://bkt"))
+    assert(Writer.forDest("s3", "s3a://bkt") === HadoopFsWriter("s3a://bkt"))
+    intercept[IllegalArgumentException] { Writer.forDest("s3", "just-a-bucket-name") }
+    intercept[IllegalArgumentException] { Writer.forDest("gcs", "gs://bkt") }
+  }
+
   test("indicator run with selected tasks skips summary, tiles and results") {
     val outDir = Files.createTempDirectory("grafte2b").toString
     val input = s"$outDir/input"
