@@ -33,12 +33,12 @@ object Spatial {
     * @param weightColumn weight column name or "" when unweighted
     * @return (aggregated frame, agg column names in canonical order)
     */
-  def aggregate(
-      df: DataFrame,
-      groupby: Seq[String],
-      spatialAggs: Seq[String],
-      weightColumn: String = ""
-  ): (DataFrame, Seq[String]) = {
+  /** The `s_{agg}_t_{tagg}` matrix shared by [[aggregate]] and
+    * [[aggregateLevels]]: aggregation expressions, the canonical output
+    * column order, and the wavg post-projection. */
+  private def aggMatrix(
+      df: DataFrame, spatialAggs: Seq[String], weightColumn: String
+  ): (Seq[Column], Seq[String], DataFrame => DataFrame) = {
     val aggs = spatialAggs.filterNot(_ == "count")
     val weighted = weightColumn.nonEmpty && df.columns.contains(weightColumn)
 
@@ -58,9 +58,6 @@ object Spatial {
           sum(col(weightColumn)).as("_s_weight")
         ) ++ aggs.map(a => aggFn(a)(col("t_wavg")).as(s"s_${a}_t_wavg"))
 
-    val allAggs = base ++ weightedAggs
-    val grouped = df.groupBy(groupby.map(col): _*).agg(allAggs.head, allAggs.tail: _*)
-
     val aggColumns =
       aggs.map(a => s"s_${a}_t_sum") ++
         aggs.map(a => s"s_${a}_t_mean") ++ Seq("s_count") ++
@@ -69,15 +66,81 @@ object Spatial {
              Seq("s_wavg_t_sum", "s_wavg_t_mean", "s_wavg_t_wavg")
          else Seq.empty)
 
-    val result =
-      if (!weighted) grouped
+    val post: DataFrame => DataFrame =
+      if (!weighted) identity
       else
-        grouped
-          .withColumn("s_wavg_t_sum", col("_wsum_t_sum") / col("_s_weight"))
+        _.withColumn("s_wavg_t_sum", col("_wsum_t_sum") / col("_s_weight"))
           .withColumn("s_wavg_t_mean", col("_wsum_t_mean") / col("_s_weight"))
           .withColumn("s_wavg_t_wavg", col("_wsum_t_wavg") / col("_s_weight"))
           .drop("_wsum_t_sum", "_wsum_t_mean", "_wsum_t_wavg", "_s_weight")
 
-    (result, aggColumns)
+    (base ++ weightedAggs, aggColumns, post)
+  }
+
+  def aggregate(
+      df: DataFrame,
+      groupby: Seq[String],
+      spatialAggs: Seq[String],
+      weightColumn: String = ""
+  ): (DataFrame, Seq[String]) = {
+    val (allAggs, aggColumns, post) = aggMatrix(df, spatialAggs, weightColumn)
+    val grouped = df.groupBy(groupby.map(col): _*).agg(allAggs.head, allAggs.tail: _*)
+    (post(grouped), aggColumns)
+  }
+
+  /** Every requested region level in ONE shuffle via `GROUPING SETS`
+    * (replacing the reference's per-level re-aggregation loop,
+    * flows/data_pipeline.py:438-470: 4 admin levels = 4 passes over the
+    * frame). Output rows carry `level` (0=country..) and the level's
+    * `region_id` (`__`-joined ancestor chain, absent hierarchy columns as
+    * the literal "None" — semantics of [[Regions.joinRegionColumns]]).
+    *
+    * The grouping-set id distinguishes levels, so data-borne "None"/null
+    * region values can never be confused with rollup markers. All aggs in
+    * the matrix are algebraic (sum/avg/count/min/max + weighted-sum
+    * ratios), so partial aggregation still combines map-side; the shuffle
+    * carries one partial row per (input partition, grouping set, key) —
+    * strictly less than the per-level loop's repeated full scans.
+    *
+    * @param fixedKeys  keys common to every level (feature, timestamp, ...)
+    * @param regionCols region columns PRESENT in df (for "None" filling)
+    * @param levels     admin levels to produce (each 0..3)
+    */
+  def aggregateLevels(
+      df: DataFrame,
+      fixedKeys: Seq[String],
+      regionCols: Seq[String],
+      levels: Seq[Int],
+      spatialAggs: Seq[String],
+      weightColumn: String = ""
+  ): (DataFrame, Seq[String]) = {
+    require(levels.nonEmpty, "no region levels requested")
+    val n = levels.max + 1
+    val partNames = (0 until n).map(j => s"_rp$j")
+    val withParts = (0 until n).foldLeft(df) { (d, j) =>
+      val name = graft.model.Schema.RegionLevels(j)
+      d.withColumn(partNames(j),
+        if (regionCols.contains(name)) col(name) else lit(graft.model.Schema.NoneStr))
+    }
+    val fixedC = fixedKeys.map(col)
+    val sets = levels.map(l => fixedC ++ partNames.take(l + 1).map(col))
+    val (allAggs, aggColumns, post) = aggMatrix(withParts, spatialAggs, weightColumn)
+    // grouping_id bit j (region part j, counted from the LAST grouping col)
+    // is 1 when that part is NOT grouped: level l ⇒ gid = 2^(n-1-l) - 1
+    def gidFor(l: Int): Long = (1L << (n - 1 - l)) - 1
+    val levelExpr = levels.tail
+      .foldLeft(when(grouping_id() === lit(gidFor(levels.head)), lit(levels.head))) {
+        (acc, l) => acc.when(grouping_id() === lit(gidFor(l)), lit(l))
+      }
+    val grouped = withParts
+      .groupingSets(sets, (fixedC ++ partNames.map(col)): _*)
+      .agg(allAggs.head, (allAggs.tail :+ levelExpr.as("level")): _*)
+    val out = post(grouped)
+      // concat_ws skips the NULLs of non-grouped parts, leaving exactly
+      // the level's ancestor chain
+      .withColumn("region_id",
+        concat_ws(graft.model.Schema.RegionDelim, partNames.map(col): _*))
+      .drop(partNames: _*)
+    (out, aggColumns)
   }
 }

@@ -274,67 +274,68 @@ object Pipeline {
     (written, tsSize)
   }
 
-  /** A5/A11: per-level regional stats with top-20-capped extrema JSON.
-    * Scale-safe plan: per-feature min/max via agg + broadcast join back
-    * (no window over a low-cardinality feature key). */
+  /** A5/A11: regional stats with top-20-capped extrema JSON, ALL admin
+    * levels in one grouping-sets shuffle (SURVEY §2.3's flagged idiomatic
+    * win over the reference's per-level loop). Scale-safe plan: per-(level,
+    * feature) min/max via agg + broadcast join back (no window over a
+    * low-cardinality feature key). */
   private[graft] def regionalStats(
       t: DataFrame, regionCols: Seq[String], weightCol: String,
       cfg: PipelineConfig, timeRes: String, writer: Writer
   ): Long = {
     var written = 0L
-    for (level <- regionCols.indices) {
-      val withRegion = t.withColumn("region_id", Regions.joinRegionColumns(regionCols, level))
-      val (agg0, aggCols0) =
-        Spatial.aggregate(withRegion, Seq("feature", "timestamp", "region_id"), Seq("sum", "mean"), weightCol)
-      val aggCols = aggCols0.filterNot(_ == "s_count")
-      val agg = agg0.drop("s_count").cache()
-      try {
-        val minmax = agg.groupBy("feature").agg(
-          aggCols.flatMap(c => Seq(min(c).as(s"mn_$c"), max(c).as(s"mx_$c"))).head,
-          aggCols.flatMap(c => Seq(min(c).as(s"mn_$c"), max(c).as(s"mx_$c"))).tail: _*)
-        val marked = agg.join(broadcast(minmax), Seq("feature"))
-        // one slim frame of candidate extrema rows across all agg columns,
-        // produced in a SINGLE pass over `marked`: each row explodes into
-        // its (agg_col, kind, value) extrema hits (usually zero) instead of
-        // 2×|aggCols| filtered union branches re-scanning the aggregate
-        val entryType = "array<struct<agg_col:string,kind:string,value:double>>"
-        val hits = aggCols.flatMap { c =>
-          Seq(
-            when(col(c) === col(s"mn_$c"),
-              array(struct(lit(c).as("agg_col"), lit("min").as("kind"), col(c).as("value"))))
-              .otherwise(expr(s"CAST(array() AS $entryType)")).cast(entryType),
-            when(col(c) === col(s"mx_$c"),
-              array(struct(lit(c).as("agg_col"), lit("max").as("kind"), col(c).as("value"))))
-              .otherwise(expr(s"CAST(array() AS $entryType)")).cast(entryType))
-        }
-        val extrema = marked
-          .withColumn("hit", explode(concat(hits: _*)))
-          .select(col("feature"), col("hit.agg_col").as("agg_col"), col("hit.kind").as("kind"),
-            col("region_id"), col("timestamp"), col("hit.value").as("value"))
-          .withColumn("rn", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy("feature", "agg_col", "kind")
-              .orderBy(col("timestamp").desc, col("region_id"))))
-          .filter(col("rn") <= 20) // reference nlargest(20, timestamp)
-        written += GroupSink.writeGroups(extrema,
-          Seq("feature"), Seq("agg_col", "kind", "rn"),
-          (key, rows) => {
-            val feature = key.getString(key.fieldIndex("feature"))
-            val grouped = rows.toSeq.groupBy(r =>
-              (r.getString(r.fieldIndex("kind")), r.getString(r.fieldIndex("agg_col"))))
-            def entries(kind: String) = Json.JObj(aggCols.map { c =>
-              c -> Json.JArr(grouped.getOrElse((kind, c), Seq.empty).map(r => Json.JObj(Seq(
-                "region_id" -> Json.JStr(r.getString(r.fieldIndex("region_id"))),
-                "timestamp" -> Json.JLong(r.getLong(r.fieldIndex("timestamp"))),
-                "value" -> Json.JDouble(r.getDouble(r.fieldIndex("value")))))))
-            })
-            val body = Json.JObj(Seq("min" -> entries("min"), "max" -> entries("max"))).render
-            (s"${cfg.modelId}/${cfg.runId}/$timeRes/$feature/regional/${regionCols(level)}/stats/default/extrema.json",
-              body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          },
-          writer)
-      } finally agg.unpersist()
-    }
+    val (agg0, aggCols0) = Spatial.aggregateLevels(t, Seq("feature", "timestamp"),
+      regionCols, regionCols.indices, Seq("sum", "mean"), weightCol)
+    val aggCols = aggCols0.filterNot(_ == "s_count")
+    val agg = agg0.drop("s_count").cache()
+    try {
+      val minmax = agg.groupBy("level", "feature").agg(
+        aggCols.flatMap(c => Seq(min(c).as(s"mn_$c"), max(c).as(s"mx_$c"))).head,
+        aggCols.flatMap(c => Seq(min(c).as(s"mn_$c"), max(c).as(s"mx_$c"))).tail: _*)
+      val marked = agg.join(broadcast(minmax), Seq("level", "feature"))
+      // one slim frame of candidate extrema rows across all agg columns,
+      // produced in a SINGLE pass over `marked`: each row explodes into
+      // its (agg_col, kind, value) extrema hits (usually zero) instead of
+      // 2×|aggCols| filtered union branches re-scanning the aggregate
+      val entryType = "array<struct<agg_col:string,kind:string,value:double>>"
+      val hits = aggCols.flatMap { c =>
+        Seq(
+          when(col(c) === col(s"mn_$c"),
+            array(struct(lit(c).as("agg_col"), lit("min").as("kind"), col(c).as("value"))))
+            .otherwise(expr(s"CAST(array() AS $entryType)")).cast(entryType),
+          when(col(c) === col(s"mx_$c"),
+            array(struct(lit(c).as("agg_col"), lit("max").as("kind"), col(c).as("value"))))
+            .otherwise(expr(s"CAST(array() AS $entryType)")).cast(entryType))
+      }
+      val extrema = marked
+        .withColumn("hit", explode(concat(hits: _*)))
+        .select(col("level"), col("feature"), col("hit.agg_col").as("agg_col"),
+          col("hit.kind").as("kind"),
+          col("region_id"), col("timestamp"), col("hit.value").as("value"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("level", "feature", "agg_col", "kind")
+            .orderBy(col("timestamp").desc, col("region_id"))))
+        .filter(col("rn") <= 20) // reference nlargest(20, timestamp)
+      written += GroupSink.writeGroups(extrema,
+        Seq("level", "feature"), Seq("agg_col", "kind", "rn"),
+        (key, rows) => {
+          val level = key.getInt(key.fieldIndex("level"))
+          val feature = key.getString(key.fieldIndex("feature"))
+          val grouped = rows.toSeq.groupBy(r =>
+            (r.getString(r.fieldIndex("kind")), r.getString(r.fieldIndex("agg_col"))))
+          def entries(kind: String) = Json.JObj(aggCols.map { c =>
+            c -> Json.JArr(grouped.getOrElse((kind, c), Seq.empty).map(r => Json.JObj(Seq(
+              "region_id" -> Json.JStr(r.getString(r.fieldIndex("region_id"))),
+              "timestamp" -> Json.JLong(r.getLong(r.fieldIndex("timestamp"))),
+              "value" -> Json.JDouble(r.getDouble(r.fieldIndex("value")))))))
+          })
+          val body = Json.JObj(Seq("min" -> entries("min"), "max" -> entries("max"))).render
+          (s"${cfg.modelId}/${cfg.runId}/$timeRes/$feature/regional/${regionCols(level)}/stats/default/extrema.json",
+            body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        },
+        writer)
+    } finally agg.unpersist()
     written
   }
 
@@ -347,35 +348,43 @@ object Pipeline {
     var written = 0L
     val (prunedMap, prunedCols) = Qualifiers.applyQualifierCountLimit(
       qualifierMap, qualifierCols, qualifierCounts, cfg.thresholds.regionalTimeseriesCount)
-    for (level <- regionCols.indices) {
-      val levelQuals = Qualifiers.qualifiersForLevel(level, prunedCols, cfg.thresholds)
-      val withRegion = t.withColumn("region_id", Regions.joinRegionColumns(regionCols, level))
-      for (qualOpt <- (levelQuals.map(Some(_)) :+ None)) {
-        val keys = Seq("feature", "region_id", "timestamp") ++ qualOpt
-        val (agg, aggCols) = Spatial.aggregate(withRegion, keys, Seq("sum", "mean"), weightCol)
-        val aggF = qualOpt match {
-          case Some(q) =>
-            val fs = prunedMap.collect { case (f, qs) if qs.contains(q) => f }.toSeq
-            if (fs.isEmpty) None else Some(agg.filter(col("feature").isin(fs: _*)))
-          case None => Some(agg)
+    // one grouping-sets pass per qualifier option covers every admin level
+    // it applies to (qualifier breakdowns are suppressed above
+    // regionalTimeseriesMaxLevel) — levels × quals passes become 1 + quals
+    for (qualOpt <- (prunedCols.map(Some(_)) :+ None)) {
+      val levels = qualOpt match {
+        case Some(q) => regionCols.indices.filter(l =>
+          Qualifiers.qualifiersForLevel(l, Seq(q), cfg.thresholds).nonEmpty)
+        case None => regionCols.indices
+      }
+      // features that requested this qualifier (None = default pass, all)
+      val featureFilter = qualOpt.map(q =>
+        prunedMap.collect { case (f, qs) if qs.contains(q) => f }.toSeq)
+      val skip = levels.isEmpty || featureFilter.exists(_.isEmpty)
+      if (!skip) {
+        val fixed = Seq("feature", "timestamp") ++ qualOpt
+        val (agg, aggCols) =
+          Spatial.aggregateLevels(t, fixed, regionCols, levels, Seq("sum", "mean"), weightCol)
+        val frame = featureFilter match {
+          case Some(fs) => agg.filter(col("feature").isin(fs: _*))
+          case None => agg
         }
-        aggF.foreach { frame =>
-          val header = "timestamp" +: aggCols
-          val idx = header.map(frame.schema.fieldIndex)
-          written += GroupSink.writeGroups(frame,
-            Seq("feature", "region_id") ++ qualOpt, Seq("timestamp"),
-            (key, rows) => {
-              val feature = key.getString(key.fieldIndex("feature"))
-              val regionId = key.getString(key.fieldIndex("region_id"))
-              val sub = qualOpt match {
-                case Some(q) => s"qualifiers/$q/${key.getString(key.fieldIndex(q))}"
-                case None => "default"
-              }
-              (s"${cfg.modelId}/${cfg.runId}/$timeRes/$feature/regional/${regionCols(level)}/timeseries/$sub/$regionId.csv",
-                GroupSink.renderCsv(header, idx, rows))
-            },
-            writer)
-        }
+        val header = "timestamp" +: aggCols
+        val idx = header.map(frame.schema.fieldIndex)
+        written += GroupSink.writeGroups(frame,
+          Seq("level", "feature", "region_id") ++ qualOpt, Seq("timestamp"),
+          (key, rows) => {
+            val level = key.getInt(key.fieldIndex("level"))
+            val feature = key.getString(key.fieldIndex("feature"))
+            val regionId = key.getString(key.fieldIndex("region_id"))
+            val sub = qualOpt match {
+              case Some(q) => s"qualifiers/$q/${key.getString(key.fieldIndex(q))}"
+              case None => "default"
+            }
+            (s"${cfg.modelId}/${cfg.runId}/$timeRes/$feature/regional/${regionCols(level)}/timeseries/$sub/$regionId.csv",
+              GroupSink.renderCsv(header, idx, rows))
+          },
+          writer)
       }
     }
     written
@@ -388,35 +397,36 @@ object Pipeline {
       weightCol: String, cfg: PipelineConfig, timeRes: String, writer: Writer
   ): Long = {
     var written = 0L
-    for (level <- regionCols.indices) {
-      val withRegion = t.withColumn("region_id", Regions.joinRegionColumns(regionCols, level))
-      for (qualOpt <- (None +: qualifierCols.map(Some(_)))) {
-        val keys = Seq("feature", "timestamp", "region_id") ++ qualOpt
-        val (agg, aggCols) = Spatial.aggregate(withRegion, keys, Seq("sum", "mean"), weightCol)
-        val frame = qualOpt match {
-          case Some(q) =>
-            val fs = qualifierMap.collect { case (f, qs) if qs.contains(q) => f }.toSeq
-            if (fs.isEmpty) None else Some(agg.filter(col("feature").isin(fs: _*)))
-          case None => Some(agg)
+    // one grouping-sets pass per qualifier option covers all admin levels:
+    // levels × (1 + quals) aggregation shuffles become (1 + quals)
+    for (qualOpt <- (None +: qualifierCols.map(Some(_)))) {
+      val featureFilter = qualOpt.map(q =>
+        qualifierMap.collect { case (f, qs) if qs.contains(q) => f }.toSeq)
+      if (!featureFilter.exists(_.isEmpty)) {
+        val fixed = Seq("feature", "timestamp") ++ qualOpt
+        val (agg, aggCols) = Spatial.aggregateLevels(t, fixed, regionCols,
+          regionCols.indices, Seq("sum", "mean"), weightCol)
+        val fr = featureFilter match {
+          case Some(fs) => agg.filter(col("feature").isin(fs: _*))
+          case None => agg
         }
-        frame.foreach { fr =>
-          val header = qualOpt match {
-            case Some(q) => Seq("id", q) ++ aggCols
-            case None => "id" +: aggCols
-          }
-          val renamed = fr.withColumnRenamed("region_id", "id")
-          val idx = header.map(renamed.schema.fieldIndex)
-          written += GroupSink.writeGroups(renamed,
-            Seq("feature", "timestamp"), Seq("id") ++ qualOpt,
-            (key, rows) => {
-              val feature = key.getString(key.fieldIndex("feature"))
-              val ts = key.getLong(key.fieldIndex("timestamp"))
-              val name = qualOpt.map(q => s"qualifiers/$q").getOrElse("default/default")
-              (s"${cfg.modelId}/${cfg.runId}/$timeRes/$feature/regional/${regionCols(level)}/aggs/$ts/$name.csv",
-                GroupSink.renderCsv(header, idx, rows))
-            },
-            writer)
+        val header = qualOpt match {
+          case Some(q) => Seq("id", q) ++ aggCols
+          case None => "id" +: aggCols
         }
+        val renamed = fr.withColumnRenamed("region_id", "id")
+        val idx = header.map(renamed.schema.fieldIndex)
+        written += GroupSink.writeGroups(renamed,
+          Seq("level", "feature", "timestamp"), Seq("id") ++ qualOpt,
+          (key, rows) => {
+            val level = key.getInt(key.fieldIndex("level"))
+            val feature = key.getString(key.fieldIndex("feature"))
+            val ts = key.getLong(key.fieldIndex("timestamp"))
+            val name = qualOpt.map(q => s"qualifiers/$q").getOrElse("default/default")
+            (s"${cfg.modelId}/${cfg.runId}/$timeRes/$feature/regional/${regionCols(level)}/aggs/$ts/$name.csv",
+              GroupSink.renderCsv(header, idx, rows))
+          },
+          writer)
       }
     }
     written

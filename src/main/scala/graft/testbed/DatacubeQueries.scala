@@ -394,6 +394,18 @@ object DatacubeQueries {
         .orderBy("feature", "timestamp", "z", "x", "y", "bin")
     }),
 
+    // A19: all four admin levels in ONE grouping-sets shuffle — the
+    // engine's single-pass replacement for the reference's per-level
+    // re-aggregation loop (flows/data_pipeline.py:438-470)
+    "a19_region_rollup" -> ((s, dir) => {
+      val t = temporalCube(s, dir, "month")
+      val (agg, aggCols) = Spatial.aggregateLevels(t, Seq("feature", "timestamp"),
+        Regions.extractRegionColumns(t), 0 to 3, Seq("sum", "mean"))
+      round4(agg, aggCols.filterNot(_ == "s_count"))
+        .select((Seq("level", "feature", "timestamp", "region_id") ++ aggCols).map(col): _*)
+        .orderBy("level", "feature", "timestamp", "region_id")
+    }),
+
     // Qualifier-threshold machinery (common.py:218-236): per-feature
     // distinct-value counts drive apply_qualifier_count_limit pruning;
     // the high-cardinality derived qualifier (partkey % 500) exceeds the
@@ -717,6 +729,28 @@ object DatacubeQueries {
          |SELECT feature, "timestamp", z, x, y, bin,
          |       s_sum_t_sum, ROUND(s_sum_t_mean, 4) AS s_sum_t_mean, weight
          |FROM bins ORDER BY feature, "timestamp", z, x, y, bin""".stripMargin,
+
+    // A19: level-stacked mirror — UNION ALL of the four per-level
+    // aggregations is semantically identical to the grouping-sets plan
+    "a19_region_rollup" ->
+      s"""${temporalCubeSql("month")},
+         | lv AS (
+         |  SELECT 0 AS level, feature, "timestamp", country AS region_id, t_sum, t_mean FROM t
+         |  UNION ALL
+         |  SELECT 1, feature, "timestamp", country || '__' || admin1, t_sum, t_mean FROM t
+         |  UNION ALL
+         |  SELECT 2, feature, "timestamp", country || '__' || admin1 || '__' || admin2, t_sum, t_mean FROM t
+         |  UNION ALL
+         |  SELECT 3, feature, "timestamp", country || '__' || admin1 || '__' || admin2 || '__' || admin3, t_sum, t_mean FROM t
+         | )
+         |SELECT level, feature, "timestamp", region_id,
+         |       ROUND(SUM(t_sum), 4)  AS s_sum_t_sum,
+         |       ROUND(AVG(t_sum), 4)  AS s_mean_t_sum,
+         |       ROUND(SUM(t_mean), 4) AS s_sum_t_mean,
+         |       ROUND(AVG(t_mean), 4) AS s_mean_t_mean,
+         |       COUNT(t_mean)         AS s_count
+         |FROM lv GROUP BY 1, 2, 3, 4
+         |ORDER BY 1, 2, 3, 4""".stripMargin,
 
     "a18_qualifier_prune" ->
       """WITH f AS (

@@ -33,6 +33,33 @@ class SpatialSinkSpec extends SparkSpec {
       Seq("feature2", 1L, 186.0, 93.0, 4.8, 2.4, 2L)))
   }
 
+  test("aggregateLevels (one grouping-sets shuffle) equals the per-level loop") {
+    val t = df(
+      "feature STRING, timestamp LONG, country STRING, admin1 STRING, admin2 STRING, " +
+        "t_sum DOUBLE, t_mean DOUBLE, t_wavg DOUBLE, w DOUBLE", Seq(
+        Row("F1", 0L, "A", "AA", "AAA", 4.0, 2.0, 2.5, 1.0),
+        Row("F1", 0L, "A", "AA", "AAB", 6.0, 3.0, 3.5, 2.0),
+        Row("F1", 0L, "A", "AB", "ABA", 8.0, 4.0, 4.5, 1.0),
+        Row("F1", 0L, "B", "BA", "BAA", 10.0, 5.0, 5.5, 3.0),
+        Row("F2", 1L, "A", "AA", "AAA", 12.0, 6.0, 6.5, 1.0),
+        Row("F2", 1L, "B", "BA", "BAA", 14.0, 7.0, 7.5, 2.0)))
+    val regionCols = Seq("country", "admin1", "admin2")
+    val (lv, aggCols) = graft.operators.Spatial.aggregateLevels(
+      t, Seq("feature", "timestamp"), regionCols, 0 until 3, Seq("sum", "mean"), "w")
+    def round4(d: org.apache.spark.sql.DataFrame) =
+      aggCols.foldLeft(d)((x, c) => x.withColumn(c, org.apache.spark.sql.functions.round(col(c), 4)))
+    for (level <- 0 until 3) {
+      val withR = t.withColumn("region_id",
+        graft.operators.Regions.joinRegionColumns(regionCols, level))
+      val (agg, _) = Spatial.aggregate(withR,
+        Seq("feature", "timestamp", "region_id"), Seq("sum", "mean"), "w")
+      val outCols = (Seq("feature", "timestamp", "region_id") ++ aggCols).map(col)
+      val expected = rowSet(round4(agg).select(outCols: _*))
+      val got = rowSet(round4(lv.filter(col("level") === level)).select(outCols: _*))
+      assert(got === expected, s"level $level mismatch")
+    }
+  }
+
   test("one global.csv object per feature with pandas-compatible bytes") {
     val dir = Files.createTempDirectory("graftsink").toString
     val (agg, aggCols) = Spatial.aggregate(input, Seq("feature", "timestamp"), Seq("sum", "mean"))
