@@ -168,11 +168,16 @@ object Dedup {
       pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
       maxIterations: Int = 20
   ): DataFrame = {
+    // localCheckpoint (eager) instead of cache: each iteration references
+    // the previous labels twice, so without lineage truncation the logical
+    // plan DOUBLES per iteration — exponential analyzer/explain cost that
+    // OOMs the driver on long chains (near-dup cliques converge in 2-3
+    // rounds and never showed it)
     val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct().cache()
+      .distinct().localCheckpoint(true)
     var cached = sym.select(col("src").as("node")).distinct()
-      .withColumn("comp", col("node")).cache()
+      .withColumn("comp", col("node")).localCheckpoint(true)
     var labels = cached
     var iterations = 0
     var converged = false
@@ -185,7 +190,7 @@ object Dedup {
       val joined = labels.join(prop, Seq("node"), "left")
         .select(col("node"), col("comp"),
           least(col("comp"), coalesce(col("neighbor_comp"), col("comp"))).as("next_comp"))
-        .cache()
+        .localCheckpoint(true)
       val changes = joined.filter(col("next_comp") =!= col("comp")).count()
       cached.unpersist()
       cached = joined
@@ -200,6 +205,76 @@ object Dedup {
     out.count()
     sym.unpersist()
     cached.unpersist()
+    out
+  }
+
+  /** Connected components via alternating large-star/small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — same output contract as [[connectedComponents]], but
+    * converges in O(log n) rounds instead of O(diameter), the standard
+    * acceleration for adversarially long chains at planetary scale.
+    *
+    * Invariant: edges are kept oriented (u, v) with u > v; both operations
+    * emit only such edges, and the fixpoint is the star forest where every
+    * node points at its component minimum.
+    */
+  def connectedComponentsStar(
+      pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
+      maxIterations: Int = 20
+  ): DataFrame = {
+    // large-star: every neighbor v > u links to m(u) = min(N(u) ∪ {u})
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy("u").agg(min("v").as("mnv"))
+        .select(col("u"), least(col("u"), col("mnv")).as("m"))
+      sym.join(m, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    // small-star: every smaller neighbor (and u itself) links to the
+    // minimum smaller neighbor
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy("u").agg(min("v").as("m"))
+      val joined = e.join(m, "u")
+      joined.select(col("v").as("u"), col("m").as("v"))
+        .union(joined.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    // localCheckpoint (eager) truncates lineage every round: each round
+    // references `edges` several times (symmetrization + min-join), so an
+    // un-truncated plan grows multiplicatively with iterations — the
+    // classic iterative-algorithm plan blow-up.
+    var edges = pairs
+      .select(greatest(col(aCol), col(bCol)).as("u"), least(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    var edgeCount = edges.count()
+    var iterations = 0
+    var converged = edgeCount == 0
+    while (!converged && iterations < maxIterations) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nextCount = next.count()
+      // fixpoint check: identical edge SETS (counts equal and union adds
+      // nothing); both frames are cached so this is one cheap distinct
+      converged = nextCount == edgeCount &&
+        next.union(edges).distinct().count() == edgeCount
+      edges.unpersist()
+      edges = next
+      edgeCount = nextCount
+      iterations += 1
+    }
+    val nodes = pairs.select(col(aCol).as("node"))
+      .union(pairs.select(col(bCol).as("node"))).distinct()
+    val out = nodes
+      .join(edges.select(col("u").as("node"), col("v").as("comp")), Seq("node"), "left")
+      .select(col("node").as("doc_id"),
+        coalesce(col("comp"), col("node")).as("component"))
+      .cache()
+    out.count() // materialize before dropping the iteration cache
+    edges.unpersist()
     out
   }
 

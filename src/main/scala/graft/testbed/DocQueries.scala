@@ -84,6 +84,33 @@ object DocQueries {
        | )""".stripMargin
   }
 
+  /** Shared d4/d6 oracle: both CC implementations must produce the same
+    * min-reachable component per node (transitive closure via DuckDB
+    * recursive CTE). */
+  private lazy val dedupClustersSql =
+    s"""WITH RECURSIVE ${wCte.stripPrefix("WITH ")},
+       |${jaccardCtes()},
+       | edges AS (
+       |  SELECT doc_a, doc_b
+       |  FROM inter
+       |  JOIN sz sa ON doc_a = sa.doc_id
+       |  JOIN sz sb ON doc_b = sb.doc_id
+       |  WHERE n_shared * 1.0 / (sa.n + sb.n - n_shared) >= 0.8
+       | ),
+       | sym AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM edges
+       |  UNION SELECT doc_b, doc_a FROM edges
+       |  UNION SELECT doc_a, doc_a FROM edges
+       |  UNION SELECT doc_b, doc_b FROM edges
+       | ),
+       | reach(a, b) AS (
+       |  SELECT a, b FROM sym
+       |  UNION
+       |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+       | )
+       |SELECT a AS doc_id, MIN(b) AS component
+       |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+
   // ---- the battery --------------------------------------------------------
 
   def queries: Map[String, Q] = Map(
@@ -122,6 +149,11 @@ object DocQueries {
     // D4: duplicate clusters over the exact-Jaccard pair graph
     "d4_dedup_clusters" -> ((s, dir) =>
       Dedup.connectedComponents(jaccardEdges(s, dir)).orderBy("doc_id")),
+
+    // D6: same clustering contract via large-star/small-star (O(log n)
+    // rounds — the planetary-scale path); same oracle as d4
+    "d6_dedup_clusters_star" -> ((s, dir) =>
+      Dedup.connectedComponentsStar(jaccardEdges(s, dir)).orderBy("doc_id")),
 
     // D3: MinHash-LSH candidate pairs (64 hashes, 16 bands x 4)
     "d3_minhash_lsh" -> ((s, dir) =>
@@ -275,29 +307,10 @@ object DocQueries {
     // D4: duplicate clusters — connected components of the >= 0.8-Jaccard
     // pair graph; component = min reachable doc id (transitive closure via
     // recursive CTE on the oracle side, min-label propagation in Spark)
-    "d4_dedup_clusters" ->
-      s"""WITH RECURSIVE ${wCte.stripPrefix("WITH ")},
-         |${jaccardCtes()},
-         | edges AS (
-         |  SELECT doc_a, doc_b
-         |  FROM inter
-         |  JOIN sz sa ON doc_a = sa.doc_id
-         |  JOIN sz sb ON doc_b = sb.doc_id
-         |  WHERE n_shared * 1.0 / (sa.n + sb.n - n_shared) >= 0.8
-         | ),
-         | sym AS (
-         |  SELECT doc_a AS a, doc_b AS b FROM edges
-         |  UNION SELECT doc_b, doc_a FROM edges
-         |  UNION SELECT doc_a, doc_a FROM edges
-         |  UNION SELECT doc_b, doc_b FROM edges
-         | ),
-         | reach(a, b) AS (
-         |  SELECT a, b FROM sym
-         |  UNION
-         |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
-         | )
-         |SELECT a AS doc_id, MIN(b) AS component
-         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+    "d4_dedup_clusters" -> dedupClustersSql,
+
+    // D6: identical contract, large-star/small-star on the Spark side
+    "d6_dedup_clusters_star" -> dedupClustersSql,
 
     // D5: capped mirror — the QUALIFY df-filter runs before sizes/pairing,
     // exactly like the Spark-side window filter in Dedup.jaccardPairs
