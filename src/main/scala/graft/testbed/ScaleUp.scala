@@ -1,0 +1,74 @@
+package graft.testbed
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale rehearsal data generator: writes a K× copy of an sf directory with
+  * jittered keys, so the battery can be run at ~sf1 (6M lineitem rows) to
+  * check memory headroom and near-linear scaling. Key jitter rules:
+  *
+  *  - fact tables get their primary keys offset per copy (new groups, new
+  *    (lat,lng) cells — the cube grows in GROUP count, not group size);
+  *  - `documents.text` for copy k>0 has every WORD suffixed with a
+  *    copy-unique tag: the shingle set of each copy is isomorphic to the
+  *    original but disjoint across copies, so the near-dup graph is K
+  *    disjoint replicas of the original — edge count scales linearly.
+  *    (Two rejected alternatives, measured: verbatim copies turn every
+  *    cluster into a K-times clique, quadratic pairs; a single token
+  *    INTERLEAVED between words creates shingles like (tag, w, tag)
+  *    shared by every doc pair with one common word — the hot-shingle
+  *    skew that took uncapped d2 from 3.7 s to 475 s at K=10 while the
+  *    maxDocFreq-capped d5 stayed linear);
+  *  - dimension tables are copied as-is (they stay broadcast-sized).
+  *
+  * Usage: runMain graft.testbed.ScaleUp [srcDir] [dstDir] [K]
+  */
+object ScaleUp {
+
+  def main(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val dst = args.lift(1).getOrElse("/tmp/sf1")
+    val k = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .appName("graft-scaleup").master("local[*]")
+      .config("spark.sql.shuffle.partitions", Runtime.getRuntime.availableProcessors())
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    def write(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    def scaled(t: String)(jitter: (DataFrame, Int) => DataFrame): Unit = {
+      val base = read(t)
+      write((0 until k).map(i => jitter(base, i)).reduce(_.unionByName(_)), t)
+    }
+    val Off = 100000000L // key offset per copy, beyond any real key range
+
+    for (t <- Seq("region", "nation", "supplier", "customer", "part"))
+      write(read(t), t)
+
+    scaled("lineitem") { (df, i) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(i * Off))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * Off))
+    }
+    scaled("orders") { (df, i) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(i * Off))
+    }
+    scaled("events") { (df, i) =>
+      df.withColumn("event_id", col("event_id") + lit(i * Off))
+    }
+    scaled("documents") { (df, i) =>
+      val d = df.withColumn("doc_id", col("doc_id") + lit(i * Off))
+      if (i == 0) d
+      else d.withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1w$i"))
+    }
+    scaled("embeddings") { (df, i) =>
+      df.withColumn("vec_id", col("vec_id") + lit(i * Off))
+    }
+    println(s"scaled $src -> $dst x$k")
+    spark.stop()
+  }
+}
