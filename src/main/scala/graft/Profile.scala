@@ -40,6 +40,14 @@ object Profile {
     time("a10_after_cube")(Q.queries("a10_qualifier_pivot")(spark, sfDir).count())
     time("a11_after_cube")(Q.queries("a11_extrema")(spark, sfDir).count())
     time("a17_after_cube")(Q.queries("a17_tile_bins")(spark, sfDir).count())
+    // A/B the two pyramid strategies on the same cached subtile frame
+    val subtiles = Q.subtileAgg(spark, sfDir).cache()
+    time("subtile_cache_build")(subtiles.count())
+    time("pyramid_explode")(graft.tiles.Tiling.binsPyramid(subtiles).count())
+    time("pyramid_explode_again")(graft.tiles.Tiling.binsPyramid(subtiles).count())
+    time("pyramid_progressive")(graft.tiles.Tiling.binsPyramidProgressive(subtiles).count())
+    time("pyramid_progressive_again")(graft.tiles.Tiling.binsPyramidProgressive(subtiles).count())
+    subtiles.unpersist()
     time("d2_jaccard")(SparkEntry.queries("d2_jaccard_neardup")(spark, sfDir).count())
     time("d3_minhash")(SparkEntry.queries("d3_minhash_lsh")(spark, sfDir).count())
     time("d4_clusters")(SparkEntry.queries("d4_dedup_clusters")(spark, sfDir).count())

@@ -51,6 +51,15 @@ class TilingSpec extends SparkSpec {
       1959 -> (80.0, 40.0, 3.0)))
   }
 
+  test("progressive pyramid equals the explode pyramid at every level") {
+    val cols = Seq("feature", "timestamp", "z", "x", "y", "bin",
+      "s_sum_t_sum", "s_sum_t_mean", "weight")
+    val a = rowSet(Tiling.binsPyramid(subtiles).select(cols.head, cols.tail: _*))
+    val b = rowSet(Tiling.binsPyramidProgressive(subtiles).select(cols.head, cols.tail: _*))
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
   test("zoom 1 tiles") {
     val t = readTile("model-id-1/run-id-1/month/F1/tiles/0-1-1-0.tile")
     assert((t.z, t.x, t.y) === (1, 1, 0))
