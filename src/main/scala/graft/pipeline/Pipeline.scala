@@ -410,14 +410,18 @@ object Pipeline {
           case Some(fs) => agg.filter(col("feature").isin(fs: _*))
           case None => agg
         }
+        // the reference's qualifier CSVs carry the column under the literal
+        // name "qualifier" (tests/unit/test_compute_regional_aggregation.py)
         val header = qualOpt match {
-          case Some(q) => Seq("id", q) ++ aggCols
+          case Some(_) => Seq("id", "qualifier") ++ aggCols
           case None => "id" +: aggCols
         }
-        val renamed = fr.withColumnRenamed("region_id", "id")
+        val renamed = qualOpt
+          .foldLeft(fr.withColumnRenamed("region_id", "id"))(_.withColumnRenamed(_, "qualifier"))
         val idx = header.map(renamed.schema.fieldIndex)
         written += GroupSink.writeGroups(renamed,
-          Seq("level", "feature", "timestamp"), Seq("id") ++ qualOpt,
+          Seq("level", "feature", "timestamp"),
+          Seq("id") ++ qualOpt.map(_ => "qualifier"),
           (key, rows) => {
             val level = key.getInt(key.fieldIndex("level"))
             val feature = key.getString(key.fieldIndex("feature"))
@@ -488,7 +492,7 @@ object Pipeline {
 
   // ---- metadata artifacts -------------------------------------------------
 
-  private def writeRegionLists(
+  private[graft] def writeRegionLists(
       df: DataFrame, regionCols: Seq[String], features: Seq[String],
       cfg: PipelineConfig, writer: Writer
   ): Long = {
@@ -509,7 +513,7 @@ object Pipeline {
 
   /** Writes per-qualifier value lists + the counts summary; returns
     * feature -> (qualifier -> distinct count). */
-  private def writeQualifierLists(
+  private[graft] def writeQualifierLists(
       df: DataFrame, qualifierCols: Seq[String], features: Seq[String],
       cfg: PipelineConfig, writer: Writer
   ): Map[String, Map[String, Long]] = {

@@ -79,4 +79,15 @@ class ValidateSpec extends SparkSpec {
     // infinities were NOT counted as missing values (counter runs pre-scrub)
     assert(res.numMissingVal === 0)
   }
+
+  test("qualifier columns are the non-required columns minus the weight column") {
+    // reference: tests/unit/test_get_qualifer_columns.py:23-35
+    val in = df(
+      "timestamp LONG, country STRING, admin1 STRING, admin2 STRING, admin3 STRING, " +
+        "lat DOUBLE, lng DOUBLE, feature STRING, value DOUBLE, qual1 STRING, qual2 STRING",
+      Seq(Row(4L, "United States", "New York", "nyadmi2", "nyadmin3",
+        1.1, 3.3, "A", 6.2, "d", "q2a")))
+    assert(Validate.qualifierColumns(in, "").sorted === Seq("qual1", "qual2"))
+    assert(Validate.qualifierColumns(in, "qual1") === Seq("qual2"))
+  }
 }
