@@ -91,6 +91,62 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** IVF (inverted-file) ANN top-k — the cell-partitioned scale path:
+    *
+    *  1. centroids = the first `nCentroids` corpus vectors by id
+    *     (deterministic; production refines them with k-means iterations,
+    *     whose assignment step is exactly the plan below);
+    *  2. every corpus vector is assigned to its max-cosine centroid via a
+    *     broadcast join + map-side `max(struct)` hash agg — one pass, no
+    *     window over the corpus;
+    *  3. each query probes its `nProbe` nearest centroids and scores ONLY
+    *     the vectors assigned to those cells, exactly.
+    *
+    * At 100 TB the centroid id is a shuffle key: each cell's vectors
+    * co-locate, a probe touches nProbe/nCentroids of the corpus, and
+    * recall/cost tunes by (nCentroids, nProbe). Each (query, neighbor)
+    * pair meets at most once (a vector lives in ONE cell), so no dedup.
+    * Returns (query_id, rank, neighbor_id, cosine). */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4
+  ): DataFrame = {
+    graft.plans.GraftExtensions.register(corpus.sparkSession)
+    val cent = corpus.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).as("cent_id"), col(vecCol).cast("array<double>").as("centv"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    // max-cosine assignment, ties to the smallest centroid id: max of
+    // (cosine, -cent_id) struct — algebraic, partial-aggregated map-side
+    val assign = cv.join(broadcast(cent))
+      .withColumn("cos_c", cosine("cv", "centv"))
+      .groupBy("neighbor_id")
+      .agg(max(struct(col("cos_c"), (-col("cent_id")).as("neg_cent"))).as("m"),
+        first("cv").as("cv"))
+      .select(col("neighbor_id"), (-col("m.neg_cent")).as("cent_id"), col("cv"))
+    val qv = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val probeWin = Window.partitionBy("query_id")
+      .orderBy(col("cos_c").desc, col("cent_id").asc)
+    val probes = qv.join(broadcast(cent))
+      .withColumn("cos_c", cosine("qv", "centv"))
+      .withColumn("_pr", row_number().over(probeWin)).filter(col("_pr") <= nProbe)
+      .select("query_id", "cent_id", "qv")
+    val scored = assign.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", round(cosine("qv", "cv"), 4))
+    val fin = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(fin)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** Multi-table LSH-bucketed ANN top-k: candidates are corpus vectors
     * sharing ANY (table, bucket) with the query, deduplicated, then scored
     * exactly. Trades some recall for a corpus-partitionable plan: at 100 TB

@@ -185,6 +185,15 @@ object DocQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // V3: IVF ANN top-3 (16 first-vector centroids, 4 probes) — the
+    // cell-partitioned scale path; assignment + probe both oracle-mirrored
+    "v3_ivf_topk" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+          k = 3, nCentroids = 16, nProbe = 4)
+        .orderBy("query_id", "rank")
+    }),
+
     // T4: PII scrubbing — synthetic emails/URLs/phones injected per doc,
     // detected and redacted (docs 0-9 get a too-short phone that must NOT
     // match — the patterns are exercised both ways)
@@ -371,6 +380,44 @@ object DocQueries {
          | )
          |SELECT query_id, "rank", neighbor_id, cosine
          |FROM ranked WHERE "rank" <= 5
+         |ORDER BY query_id, "rank"""".stripMargin,
+
+    // V3: IVF mirror — same centroid set (first 16 by id), same max-cosine
+    // assignment with smallest-centroid tie-break, same 4-probe scoring
+    "v3_ivf_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         | cent AS (SELECT vec_id AS cent_id, v AS centv FROM e ORDER BY vec_id LIMIT 16),
+         | assign AS (
+         |  SELECT vec_id AS neighbor_id, v AS cv, cent_id FROM (
+         |   SELECT e.vec_id, e.v, cent.cent_id,
+         |          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |            list_dot_product(v, centv)
+         |              / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(centv, centv))) DESC,
+         |            cent_id) AS rn
+         |   FROM e, cent) WHERE rn = 1
+         | ),
+         | probes AS (
+         |  SELECT query_id, qv, cent_id FROM (
+         |   SELECT q.vec_id AS query_id, q.v AS qv, cent.cent_id,
+         |          ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |            list_dot_product(q.v, centv)
+         |              / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(centv, centv))) DESC,
+         |            cent_id) AS rn
+         |   FROM (SELECT * FROM e WHERE vec_id < 20) q, cent) WHERE rn <= 4
+         | ),
+         | scored AS (
+         |  SELECT query_id, neighbor_id,
+         |         ROUND(list_dot_product(qv, cv)
+         |               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4) AS cosine
+         |  FROM probes JOIN assign USING (cent_id)
+         |  WHERE neighbor_id <> query_id
+         | ),
+         | ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS "rank"
+         |  FROM scored
+         | )
+         |SELECT query_id, "rank", neighbor_id, cosine
+         |FROM ranked WHERE "rank" <= 3
          |ORDER BY query_id, "rank"""".stripMargin,
 
     "v2_ann_lsh" ->
