@@ -96,6 +96,21 @@ object TextFunctions {
       scores.map { case (l, s) => s.as(s"score_$l") } :+ predicted.as("predicted"): _*)
   }
 
+  /** GPT-2-style pretokenizer pattern, ASCII-simplified and
+    * lookaround-free so the Java and RE2/DuckDB regex dialects agree:
+    * contraction suffixes, space-prefixed letter runs, digit runs,
+    * punctuation runs, residual whitespace. Counting matches of this
+    * pattern approximates a BPE tokenizer's pre-merge token count — the
+    * standard cheap LLM-budget estimator (real BPE merges only reduce it). */
+  val BpeTokenPattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+"
+
+  /** BPE-ish token count: matches of [[BpeTokenPattern]] (regex scanning
+    * skips unmatched whitespace between tokens). Pure codegen'd
+    * regexp_count — scan speed. */
+  def bpeTokenCount(c: String): Column =
+    regexp_count(col(c), lit(BpeTokenPattern))
+
   /** Order-insensitive bag fingerprint: md5 over the sorted distinct token
     * list. Two documents with the same vocabulary collide regardless of word
     * order — a cheap first-stage near-dup key. */

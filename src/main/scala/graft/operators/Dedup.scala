@@ -208,6 +208,39 @@ object Dedup {
     out
   }
 
+  /** Embedding-cosine near-duplicate pairs: unordered id pairs whose
+    * embedding cosine is >= `minCosine`, found through multi-table
+    * random-hyperplane LSH bucketing (the 100 TB plan: candidate pairs only
+    * meet inside a shared (table, bucket) — the bucket id is a shuffle key,
+    * never all-pairs) and then scored EXACTLY with the codegen'd vec_dot.
+    * Recall tunes by (tables, planesPerTable) exactly like
+    * [[Similarity.annTopK]]. Returns (doc_a, doc_b, cosine), a < b. */
+  def embeddingNearDupPairs(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCosine: Double,
+      dims: Int,
+      tables: Int = 8,
+      planesPerTable: Int = 4
+  ): DataFrame = {
+    graft.plans.GraftExtensions.register(emb.sparkSession)
+    val tb = emb
+      .select(col(idCol).as("id"),
+        explode(Similarity.lshBuckets(vecCol, dims, tables, planesPerTable)).as("b"))
+      .select(col("id"), col("b.t").as("t"), col("b.bucket").as("bucket"))
+    val cand = tb.join(tb.select(col("id").as("id2"), col("t"), col("bucket")), Seq("t", "bucket"))
+      .filter(col("id") < col("id2"))
+      .select(col("id").as("doc_a"), col("id2").as("doc_b")).distinct()
+    val v = emb.select(col(idCol).as("vid"), col(vecCol).cast("array<double>").as("v"))
+    cand
+      .join(v.select(col("vid").as("doc_a"), col("v").as("va")), Seq("doc_a"))
+      .join(v.select(col("vid").as("doc_b"), col("v").as("vb")), Seq("doc_b"))
+      .withColumn("cosine", round(Similarity.cosine("va", "vb"), 4))
+      .filter(col("cosine") >= minCosine)
+      .select("doc_a", "doc_b", "cosine")
+  }
+
   /** Connected components via alternating large-star/small-star rounds
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
     * SoCC'14) — same output contract as [[connectedComponents]], but

@@ -185,6 +185,23 @@ object DocQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // D7: embedding-cosine near-dup pairs — LSH-bucketed candidates scored
+    // exactly (the synthetic embeddings have no true near-dups, so the
+    // threshold sits in the distribution tail to exercise the pipeline)
+    "d7_embedding_neardup" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairs(table(s, dir, "embeddings"), "vec_id", "embedding",
+          minCosine = 0.4, dims = 64, tables = 8, planesPerTable = 4)
+        .orderBy("doc_a", "doc_b")),
+
+    // T6: BPE-ish token counting next to the whitespace count — the LLM
+    // budget estimator pair
+    "t6_token_count" -> ((s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        size(TextFunctions.tokens("text")).as("n_ws_tokens"),
+        TextFunctions.bpeTokenCount("text").as("n_bpe_tokens"))
+        .orderBy("doc_id")),
+
     // V3: IVF ANN top-3 (16 first-vector centroids, 4 probes) — the
     // cell-partitioned scale path; assignment + probe both oracle-mirrored
     "v3_ivf_topk" -> ((s, dir) => {
@@ -381,6 +398,41 @@ object DocQueries {
          |SELECT query_id, "rank", neighbor_id, cosine
          |FROM ranked WHERE "rank" <= 5
          |ORDER BY query_id, "rank"""".stripMargin,
+
+    // D7: same bucket CTE as v2, unordered pairs, exact-cosine filter
+    "d7_embedding_neardup" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         | tb AS (
+         |  SELECT vec_id, t,
+         |         CAST(list_sum(list_transform(generate_series(0, 3), i ->
+         |           CASE WHEN list_dot_product(v,
+         |                  list_transform(generate_series(0, 63),
+         |                    d -> (((t * 4 + i) * 64 + d) * 2654435761) % 1000 / 1000.0 - 0.5)) >= 0.0
+         |                THEN (1 << CAST(i AS INT)) ELSE 0 END)) AS INT) AS bucket
+         |  FROM e CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS t) tt
+         | ),
+         | cand AS (
+         |  SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+         |  FROM tb a JOIN tb b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+         | ),
+         | scored AS (
+         |  SELECT doc_a, doc_b,
+         |         ROUND(list_dot_product(ae.v, be.v)
+         |               / (sqrt(list_dot_product(ae.v, ae.v)) * sqrt(list_dot_product(be.v, be.v))), 4) AS cosine
+         |  FROM cand JOIN e ae ON ae.vec_id = doc_a JOIN e be ON be.vec_id = doc_b
+         | )
+         |SELECT doc_a, doc_b, cosine FROM scored
+         |WHERE cosine >= 0.4 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // T6: whitespace count over normalized text + BPE-ish regex count
+    // (DuckDB '...' literals are escape-free, so only quotes need doubling)
+    "t6_token_count" ->
+      s"""$wCte
+         |SELECT doc_id, CAST(nt AS INT) AS n_ws_tokens,
+         |       CAST(len(regexp_extract_all(text,
+         |         '${TextFunctions.BpeTokenPattern.replace("'", "''")}')) AS INT) AS n_bpe_tokens
+         |FROM w JOIN documents USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     // V3: IVF mirror — same centroid set (first 16 by id), same max-cosine
     // assignment with smallest-centroid tie-break, same 4-probe scoring
