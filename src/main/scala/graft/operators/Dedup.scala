@@ -64,6 +64,52 @@ object Dedup {
   /** Distinct word n-gram (shingle) set as an array column. */
   def shingles(textCol: String, n: Int = 3): Column = expr(shinglesSql(textCol, n))
 
+  /** ORDERED, non-distinct shingle sequence (positional — for winnowing). */
+  def orderedShingles(textCol: String, n: Int = 3): Column = {
+    val gram = (0 until n).map(k => s"ts[i + $k]").mkString("concat_ws(' ', ", ", ", ")")
+    expr(
+      s"""CASE WHEN size(${toksOf(textCol)}) < $n THEN CAST(array() AS ARRAY<STRING>)
+         |ELSE flatten(transform(array(${toksOf(textCol)}),
+         |       ts -> transform(sequence(0, size(ts) - $n), i -> $gram)))
+         |END""".stripMargin)
+  }
+
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    * SIGMOD'03 — the MOSS rolling-hash scheme): hash every positional
+    * word n-gram, slide a `window`-wide window over the hash sequence and
+    * select each window's minimum; the distinct selected hashes are the
+    * document's fingerprints. Guarantees any shared run of
+    * `window + n - 1` tokens between two documents yields a shared
+    * fingerprint.
+    *
+    * Spark-shaped: posexplode → one codegen'd hash per shingle → ONE
+    * bounded-frame window min partitioned by doc (high-cardinality key —
+    * scale-even) → hash-agg of the distinct minima. Output
+    * (doc_id, n_fingerprints, fp_hash) where fp_hash is md5 over the
+    * sorted fingerprint list (a compact, engine-comparable digest). */
+  def winnowFingerprints(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, window: Int = 4
+  ): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(orderedShingles(textCol, n)).as(Seq("pos", "sstr")))
+      .select(col("doc_id"), col("pos"), shingleHash60(col("sstr")).as("h"))
+    val frame = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, window - 1)
+    val part = Window.partitionBy("doc_id")
+    sh
+      .withColumn("n_pos", count(lit(1)).over(part))
+      .withColumn("wmin", min("h").over(frame))
+      // only full windows select (starts 0 .. n_pos - window, 0-based pos)
+      .filter(col("pos") <= col("n_pos") - window)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("wmin"))).as("fps"))
+      .select(col("doc_id"),
+        size(col("fps")).as("n_fingerprints"),
+        md5(array_join(expr("transform(fps, x -> cast(x AS string))"), " ")).as("fp_hash"))
+  }
+
   /** Exact pairwise n-gram Jaccard similarity via a shingle co-occurrence
     * join. Returns (doc_a, doc_b, n_shared, jaccard) for unordered pairs
     * with `jaccard >= minJaccard`.

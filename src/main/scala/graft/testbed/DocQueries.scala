@@ -84,6 +84,17 @@ object DocQueries {
        | )""".stripMargin
   }
 
+  /** DuckDB mirror of Dedup.shingleHash60 over a VARCHAR expression:
+    * 15 md5 hex digits as a 60-bit BIGINT, split hi7<<32 + lo8 to stay
+    * exact in doubles (16.0**k is exact only up to 8 hex digits). */
+  private def hash60Sql(e: String): String =
+    s"""(CAST(list_sum(list_transform(generate_series(1, 7), k ->
+       |    (strpos('0123456789abcdef', substr(md5($e), CAST(k AS INT), 1)) - 1)
+       |      * (16.0 ** (7 - k)))) AS BIGINT) << 32)
+       | + CAST(list_sum(list_transform(generate_series(8, 15), k ->
+       |    (strpos('0123456789abcdef', substr(md5($e), CAST(k AS INT), 1)) - 1)
+       |      * (16.0 ** (15 - k)))) AS BIGINT)""".stripMargin
+
   /** Shared d4/d6 oracle: both CC implementations must produce the same
     * min-reachable component per node (transitive closure via DuckDB
     * recursive CTE). */
@@ -200,6 +211,12 @@ object DocQueries {
         col("doc_id"),
         size(TextFunctions.tokens("text")).as("n_ws_tokens"),
         TextFunctions.bpeTokenCount("text").as("n_bpe_tokens"))
+        .orderBy("doc_id")),
+
+    // T7: winnowing rolling-hash fingerprints (window 4 over 3-gram hashes)
+    "t7_winnowing" -> ((s, dir) =>
+      Dedup.winnowFingerprints(table(s, dir, "documents"), "doc_id", "text",
+          n = 3, window = 4)
         .orderBy("doc_id")),
 
     // V3: IVF ANN top-3 (16 first-vector centroids, 4 probes) — the
@@ -398,6 +415,31 @@ object DocQueries {
          |SELECT query_id, "rank", neighbor_id, cosine
          |FROM ranked WHERE "rank" <= 5
          |ORDER BY query_id, "rank"""".stripMargin,
+
+    // T7: winnowing mirror — positional (non-distinct) shingles, the same
+    // 60-bit hash, a 4-wide window min over full windows only, distinct
+    // minima digested as md5 over the sorted list
+    "t7_winnowing" ->
+      s"""$wCte,
+         | shp AS (
+         |  SELECT doc_id,
+         |         unnest(generate_series(1, len(ws) - 2)) AS pos,
+         |         unnest(list_transform(generate_series(1, len(ws) - 2),
+         |                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sstr
+         |  FROM w WHERE len(ws) >= 3
+         | ),
+         | sh AS (SELECT doc_id, pos, ${hash60Sql("sstr")} AS h FROM shp),
+         | mn AS (
+         |  SELECT doc_id, pos,
+         |         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+         |         COUNT(*) OVER (PARTITION BY doc_id) AS n_pos
+         |  FROM sh
+         | ),
+         | sel AS (SELECT DISTINCT doc_id, wmin FROM mn WHERE pos <= n_pos - 3)
+         |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_fingerprints,
+         |       md5(array_to_string(list_sort(list(wmin)), ' ')) AS fp_hash
+         |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // D7: same bucket CTE as v2, unordered pairs, exact-cosine filter
     "d7_embedding_neardup" ->
