@@ -61,6 +61,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source ingest: readStream -> windowed agg -> checkpointed parquet sink") {
+    // the production-shaped path: new parquet files land in a directory,
+    // the stream picks them up incrementally, state survives via the
+    // checkpoint, results append to a parquet sink
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graftstream").toString
+    val (in, out, chk) = (s"$root/in", s"$root/out", s"$root/chk")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+
+    def land(rows: (Long, String, Double)*): Unit =
+      rows.toSeq.toDF("ts", "feature", "value")
+        .coalesce(1).write.mode("append").parquet(in)
+
+    land((10L * 60 * 1000, "A", 1.0), (20L * 60 * 1000, "A", 3.0))
+    val src = spark.readStream
+      .schema("ts LONG, feature STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in)
+    val q = Streaming.windowedAgg(src, windowDuration = "1 hour",
+        watermarkDelay = "10 minutes")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", chk)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // second file advances the watermark past hour 0 -> window closes
+      land((3 * H, "A", 5.0))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(out)
+        .select("window_start", "feature", "w_sum", "w_count")
+        .collect().map(_.toSeq).toSet
+      assert(rows.contains(Seq(0L, "A", 4.0, 2L)))
+    } finally q.stop()
+  }
+
   test("runningStats keeps per-key state across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
