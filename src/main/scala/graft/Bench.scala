@@ -43,7 +43,9 @@ object Bench {
       .partition(q => docKeys.contains(q._1))
     val cubeResults = run(cubeQs)
     graft.testbed.DatacubeQueries.clearCaches(spark)
-    val results = (cubeResults ++ run(docQs)).sortBy(_._1)
+    val docResults = run(docQs)
+    graft.testbed.DocQueries.clearCaches(spark)
+    val results = (cubeResults ++ docResults).sortBy(_._1)
     def q(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"

@@ -38,6 +38,7 @@ object Verify {
     dump(cubeQs)
     graft.testbed.DatacubeQueries.clearCaches(spark)
     dump(docQs)
+    graft.testbed.DocQueries.clearCaches(spark)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

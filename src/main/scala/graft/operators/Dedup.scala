@@ -213,7 +213,7 @@ object Dedup {
   def connectedComponents(
       pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
       maxIterations: Int = 20
-  ): DataFrame = {
+  ): DataFrame = freeingIntermediateCheckpoints(pairs.sparkSession) {
     // localCheckpoint (eager) instead of cache: each iteration references
     // the previous labels twice, so without lineage truncation the logical
     // plan DOUBLES per iteration — exponential analyzer/explain cost that
@@ -222,36 +222,31 @@ object Dedup {
     val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().localCheckpoint(true)
-    var cached = sym.select(col("src").as("node")).distinct()
+    var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("comp", col("node")).localCheckpoint(true)
-    var labels = cached
     var iterations = 0
     var converged = false
     while (!converged && iterations < maxIterations) {
       val prop = sym.join(labels.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node")).agg(min("comp").as("neighbor_comp"))
       // one joined frame per iteration carries BOTH the new label and the
-      // old one, so the convergence check is a filter over the cached join
-      // instead of a second join against the previous labels
+      // old one, so the convergence check is a filter over the checkpointed
+      // join instead of a second join against the previous labels
       val joined = labels.join(prop, Seq("node"), "left")
         .select(col("node"), col("comp"),
           least(col("comp"), coalesce(col("neighbor_comp"), col("comp"))).as("next_comp"))
         .localCheckpoint(true)
       val changes = joined.filter(col("next_comp") =!= col("comp")).count()
-      cached.unpersist()
-      cached = joined
       labels = joined.select(col("node"), col("next_comp").as("comp"))
       converged = changes == 0
       iterations += 1
     }
-    // cache + materialize the (small) result BEFORE dropping the edge/loop
-    // caches: otherwise an evicted partition would replay the whole
-    // iterative join lineage against an uncached `sym`
-    val out = labels.select(col("node").as("doc_id"), col("comp").as("component")).cache()
-    out.count()
-    sym.unpersist()
-    cached.unpersist()
-    out
+    // the result is ITSELF an eager localCheckpoint: self-contained
+    // (MEMORY_AND_DISK) data, so the wrapper can free the iteration
+    // checkpoints it was computed from without risking an unrecomputable
+    // cache eviction
+    labels.select(col("node").as("doc_id"), col("comp").as("component"))
+      .localCheckpoint(true)
   }
 
   /** Embedding-cosine near-duplicate pairs: unordered id pairs whose
@@ -287,6 +282,24 @@ object Dedup {
       .select("doc_a", "doc_b", "cosine")
   }
 
+  /** Runs `body` and deterministically frees every RDD it persisted EXCEPT
+    * the one backing its result (created last — callers are
+    * single-threaded). `unpersist()` on a localCheckpoint'd Dataset is a
+    * no-op (it only drops CacheManager entries, and checkpoints persist
+    * the RDD directly), so without this the per-iteration checkpoint
+    * blocks of the CC loops would linger until driver GC — re-creating
+    * exactly the battery cache pressure the bench family barrier fixed. */
+  private def freeingIntermediateCheckpoints(
+      spark: org.apache.spark.sql.SparkSession)(body: => DataFrame): DataFrame = {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val out = body
+    val created = sc.getPersistentRDDs.keySet.toSet.diff(before).toSeq.sorted
+    created.dropRight(1).foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    out
+  }
+
   /** Connected components via alternating large-star/small-star rounds
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
     * SoCC'14) — same output contract as [[connectedComponents]], but
@@ -300,7 +313,7 @@ object Dedup {
   def connectedComponentsStar(
       pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
       maxIterations: Int = 20
-  ): DataFrame = {
+  ): DataFrame = freeingIntermediateCheckpoints(pairs.sparkSession) {
     // large-star: every neighbor v > u links to m(u) = min(N(u) ∪ {u})
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
@@ -337,24 +350,26 @@ object Dedup {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
       val nextCount = next.count()
       // fixpoint check: identical edge SETS (counts equal and union adds
-      // nothing); both frames are cached so this is one cheap distinct
+      // nothing); both frames are checkpointed so this is one cheap distinct
       converged = nextCount == edgeCount &&
         next.union(edges).distinct().count() == edgeCount
-      edges.unpersist()
       edges = next
       edgeCount = nextCount
       iterations += 1
     }
     val nodes = pairs.select(col(aCol).as("node"))
       .union(pairs.select(col(bCol).as("node"))).distinct()
-    val out = nodes
+    // min-aggregate keeps the one-row-per-doc contract even if
+    // maxIterations exhausted before the star-forest fixpoint (a node may
+    // then still carry several outgoing edges — degrade to the minimum
+    // label, like the propagation variant, instead of fanning out)
+    nodes
       .join(edges.select(col("u").as("node"), col("v").as("comp")), Seq("node"), "left")
-      .select(col("node").as("doc_id"),
-        coalesce(col("comp"), col("node")).as("component"))
-      .cache()
-    out.count() // materialize before dropping the iteration cache
-    edges.unpersist()
-    out
+      .groupBy("node")
+      .agg(min(coalesce(col("comp"), col("node"))).as("component"))
+      .select(col("node").as("doc_id"), col("component"))
+      // self-contained eager checkpoint — see connectedComponents
+      .localCheckpoint(true)
   }
 
   /** Candidate near-duplicate pairs from MinHash-LSH: unordered doc pairs

@@ -116,31 +116,32 @@ object Spatial {
   ): (DataFrame, Seq[String]) = {
     require(levels.nonEmpty, "no region levels requested")
     val n = levels.max + 1
-    val partNames = (0 until n).map(j => s"_rp$j")
-    val withParts = (0 until n).foldLeft(df) { (d, j) =>
-      val name = graft.model.Schema.RegionLevels(j)
-      d.withColumn(partNames(j),
-        if (regionCols.contains(name)) col(name) else lit(graft.model.Schema.NoneStr))
+    // each level groups on its RENDERED region-id prefix (the "__"-joined
+    // ancestor chain) — one string column per level, exactly the key the
+    // per-level loop grouped on, so region values that themselves contain
+    // the delimiter collapse identically (grouping on the raw parts would
+    // split "A__B" + "C" from "A" + "B__C")
+    val prefixNames = (0 until n).map(j => s"_rid$j")
+    val withPrefixes = (0 until n).foldLeft(df) { (d, j) =>
+      d.withColumn(prefixNames(j), Regions.joinRegionColumns(regionCols, j))
     }
     val fixedC = fixedKeys.map(col)
-    val sets = levels.map(l => fixedC ++ partNames.take(l + 1).map(col))
-    val (allAggs, aggColumns, post) = aggMatrix(withParts, spatialAggs, weightColumn)
-    // grouping_id bit j (region part j, counted from the LAST grouping col)
-    // is 1 when that part is NOT grouped: level l ⇒ gid = 2^(n-1-l) - 1
-    def gidFor(l: Int): Long = (1L << (n - 1 - l)) - 1
+    val sets = levels.map(l => fixedC :+ col(prefixNames(l)))
+    val (allAggs, aggColumns, post) = aggMatrix(withPrefixes, spatialAggs, weightColumn)
+    // grouping_id bit j (prefix column j, MSB-first after the always-
+    // grouped fixed keys): level l ⇒ only bit l is CLEAR
+    def gidFor(l: Int): Long = ((1L << n) - 1) & ~(1L << (n - 1 - l))
     val levelExpr = levels.tail
       .foldLeft(when(grouping_id() === lit(gidFor(levels.head)), lit(levels.head))) {
         (acc, l) => acc.when(grouping_id() === lit(gidFor(l)), lit(l))
       }
-    val grouped = withParts
-      .groupingSets(sets, (fixedC ++ partNames.map(col)): _*)
+    val grouped = withPrefixes
+      .groupingSets(sets, (fixedC ++ prefixNames.map(col)): _*)
       .agg(allAggs.head, (allAggs.tail :+ levelExpr.as("level")): _*)
     val out = post(grouped)
-      // concat_ws skips the NULLs of non-grouped parts, leaving exactly
-      // the level's ancestor chain
-      .withColumn("region_id",
-        concat_ws(graft.model.Schema.RegionDelim, partNames.map(col): _*))
-      .drop(partNames: _*)
+      // exactly one prefix column is non-null per output row (its level's)
+      .withColumn("region_id", coalesce(prefixNames.reverse.map(col): _*))
+      .drop(prefixNames: _*)
     (out, aggColumns)
   }
 }

@@ -283,6 +283,7 @@ object Pipeline {
       t: DataFrame, regionCols: Seq[String], weightCol: String,
       cfg: PipelineConfig, timeRes: String, writer: Writer
   ): Long = {
+    if (regionCols.isEmpty) return 0L // no admin hierarchy -> no regional outputs
     var written = 0L
     val (agg0, aggCols0) = Spatial.aggregateLevels(t, Seq("feature", "timestamp"),
       regionCols, regionCols.indices, Seq("sum", "mean"), weightCol)
@@ -396,6 +397,7 @@ object Pipeline {
       qualifierMap: Map[String, Seq[String]],
       weightCol: String, cfg: PipelineConfig, timeRes: String, writer: Writer
   ): Long = {
+    if (regionCols.isEmpty) return 0L // no admin hierarchy -> no regional outputs
     var written = 0L
     // one grouping-sets pass per qualifier option covers all admin levels:
     // levels × (1 + quals) aggregation shuffles become (1 + quals)

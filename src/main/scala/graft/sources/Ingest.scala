@@ -43,15 +43,24 @@ object Ingest {
   def isDownloadUrl(path: String): Boolean =
     path.startsWith("http://") || path.startsWith("https://")
 
-  /** Fetch one URL to `dir` keeping its basename, returning a file: URI
-    * Spark can read. Driver-side and sequential like the reference's
-    * per-file loop; input files are bounded uploads, not 100 TB shards. */
-  private[sources] def downloadToTemp(url: String, dir: java.nio.file.Path): String = {
-    val target = dir.resolve(basename(url))
+  /** Fetch one URL into its own subdirectory of `dir` (distinct URLs can
+    * share a basename — e.g. presigned re-uploads of `data.parquet` from
+    * different prefixes — and must not overwrite each other), returning a
+    * file: URI Spark can read. Driver-side and sequential like the
+    * reference's per-file loop; input files are bounded uploads, not
+    * 100 TB shards. Temp files are registered for JVM-exit deletion (the
+    * returned DataFrame reads them lazily, so they must outlive this
+    * call). */
+  private[sources] def downloadToTemp(url: String, dir: java.nio.file.Path,
+                                      index: Int = 0): String = {
+    val sub = java.nio.file.Files.createDirectories(dir.resolve(index.toString))
+    val target = sub.resolve(basename(url))
     val in = java.net.URI.create(url).toURL.openStream()
     try java.nio.file.Files.copy(in, target,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     finally in.close()
+    target.toFile.deleteOnExit()
+    sub.toFile.deleteOnExit()
     target.toUri.toString
   }
 
@@ -63,9 +72,13 @@ object Ingest {
     val numericPaths = paths.filterNot(isStringTypedFile)
     require(numericPaths.nonEmpty, s"no numeric parquet files in ${paths.mkString(",")}")
 
-    lazy val tmpDir = java.nio.file.Files.createTempDirectory("graft-ingest-")
-    val localPaths = numericPaths.map { p =>
-      if (needsDownload(p)) downloadToTemp(p, tmpDir) else p
+    lazy val tmpDir = {
+      val d = java.nio.file.Files.createTempDirectory("graft-ingest-")
+      d.toFile.deleteOnExit()
+      d
+    }
+    val localPaths = numericPaths.zipWithIndex.map { case (p, i) =>
+      if (needsDownload(p)) downloadToTemp(p, tmpDir, i) else p
     }
 
     val dfs = localPaths.map(p => spark.read.parquet(p))

@@ -112,6 +112,27 @@ class PipelineRunSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Writer.forDest("gcs", "gs://bkt") }
   }
 
+  test("run with no region columns completes and skips regional outputs") {
+    val outDir = Files.createTempDirectory("grafte2c").toString
+    val input = s"$outDir/input"
+    df("timestamp LONG, lat DOUBLE, lng DOUBLE, feature STRING, value DOUBLE",
+      Seq(
+        Row(ts("2022-01-01"), 10.1, 40.6, "F1", 1.0),
+        Row(ts("2022-02-02"), 9.5, 31.6, "F1", 5.0)))
+      .write.parquet(input)
+    val cfg = PipelineConfig("m4", "r4", Seq(input),
+      destType = "file", modelBucket = s"$outDir/bucket")
+    val result = Pipeline.run(spark, cfg)
+    assert(result.numRows === 2)
+    assert(result.regionColumns === Seq.empty)
+    val b = s"$outDir/bucket"
+    assert(Files.exists(Paths.get(b, "m4/r4/month/F1/timeseries/global/global.csv")))
+    assert(!Files.exists(Paths.get(b, "m4/r4/month/F1/regional"))) // no admin cols
+    assert(Files.exists(Paths.get(b, "m4/r4/results/results.json"))) // still a full run
+    // tiles present: lat/lng exist even without an admin hierarchy
+    assert(Files.list(Paths.get(b, "m4/r4/month/F1/tiles")).count() > 0)
+  }
+
   test("indicator run with selected tasks skips summary, tiles and results") {
     val outDir = Files.createTempDirectory("grafte2b").toString
     val input = s"$outDir/input"

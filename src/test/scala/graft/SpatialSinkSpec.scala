@@ -42,7 +42,11 @@ class SpatialSinkSpec extends SparkSpec {
         Row("F1", 0L, "A", "AB", "ABA", 8.0, 4.0, 4.5, 1.0),
         Row("F1", 0L, "B", "BA", "BAA", 10.0, 5.0, 5.5, 3.0),
         Row("F2", 1L, "A", "AA", "AAA", 12.0, 6.0, 6.5, 1.0),
-        Row("F2", 1L, "B", "BA", "BAA", 14.0, 7.0, 7.5, 2.0)))
+        Row("F2", 1L, "B", "BA", "BAA", 14.0, 7.0, 7.5, 2.0),
+        // region values containing the "__" delimiter must collapse by the
+        // RENDERED region id, exactly like the per-level loop
+        Row("F3", 0L, "X__Y", "Z", "ZZ", 2.0, 1.0, 1.5, 1.0),
+        Row("F3", 0L, "X", "Y__Z", "ZZ", 4.0, 2.0, 2.5, 1.0)))
     val regionCols = Seq("country", "admin1", "admin2")
     val (lv, aggCols) = graft.operators.Spatial.aggregateLevels(
       t, Seq("feature", "timestamp"), regionCols, 0 until 3, Seq("sum", "mean"), "w")
