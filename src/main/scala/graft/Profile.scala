@@ -51,6 +51,11 @@ object Profile {
     time("d2_jaccard")(SparkEntry.queries("d2_jaccard_neardup")(spark, sfDir).count())
     time("d3_minhash")(SparkEntry.queries("d3_minhash_lsh")(spark, sfDir).count())
     time("d4_clusters")(SparkEntry.queries("d4_dedup_clusters")(spark, sfDir).count())
+    time("d5_capped")(SparkEntry.queries("d5_jaccard_capped")(spark, sfDir).count())
+    time("d6_clusters_star")(SparkEntry.queries("d6_dedup_clusters_star")(spark, sfDir).count())
+    time("d7_embedding_neardup")(SparkEntry.queries("d7_embedding_neardup")(spark, sfDir).count())
+    time("t7_winnowing")(SparkEntry.queries("t7_winnowing")(spark, sfDir).count())
+    time("v3_ivf")(SparkEntry.queries("v3_ivf_topk")(spark, sfDir).count())
     spark.stop()
   }
 }

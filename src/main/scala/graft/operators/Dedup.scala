@@ -255,7 +255,14 @@ object Dedup {
     * meet inside a shared (table, bucket) — the bucket id is a shuffle key,
     * never all-pairs) and then scored EXACTLY with the codegen'd vec_dot.
     * Recall tunes by (tables, planesPerTable) exactly like
-    * [[Similarity.annTopK]]. Returns (doc_a, doc_b, cosine), a < b. */
+    * [[Similarity.annTopK]].
+    *
+    * SCALE KNOB: candidate pairs grow with the SQUARE of per-bucket
+    * occupancy (corpus / 2^planesPerTable per table), so planesPerTable
+    * must grow ~log2 with corpus size to keep the pair join linear —
+    * measured at the 10× rehearsal: 4 planes (16 buckets) was 31×
+    * super-linear on a 20k corpus; see SCALE.md. Returns
+    * (doc_a, doc_b, cosine), a < b. */
   def embeddingNearDupPairs(
       emb: DataFrame,
       idCol: String,
