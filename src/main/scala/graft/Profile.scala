@@ -56,6 +56,15 @@ object Profile {
     time("d7_embedding_neardup")(SparkEntry.queries("d7_embedding_neardup")(spark, sfDir).count())
     time("t7_winnowing")(SparkEntry.queries("t7_winnowing")(spark, sfDir).count())
     time("v3_ivf")(SparkEntry.queries("v3_ivf_topk")(spark, sfDir).count())
+    // the occupancy-held-constant configuration of the embedding near-dup
+    // join: 10 planes = 1024 buckets/table keeps per-bucket population at
+    // a 20k-vector corpus comparable to d7's at 2k — cost should track the
+    // corpus, not its square (SCALE.md)
+    time("d7_planes10") {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      graft.operators.Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
+        minCosine = 0.4, dims = 64, tables = 8, planesPerTable = 10).count()
+    }
     spark.stop()
   }
 }

@@ -204,6 +204,15 @@ object DocQueries {
           minCosine = 0.4, dims = 64, tables = 8, planesPerTable = 4)
         .orderBy("doc_a", "doc_b")),
 
+    // D8: the occupancy-bounded configuration of the same operator —
+    // 7 planes = 128 buckets/table keeps per-bucket occupancy (and so the
+    // quadratic within-bucket join) bounded as the corpus grows; SCALE.md
+    // measures d7 (16 buckets) quadratic vs this linear at 10×
+    "d8_embedding_neardup_bounded" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairs(table(s, dir, "embeddings"), "vec_id", "embedding",
+          minCosine = 0.4, dims = 64, tables = 8, planesPerTable = 7)
+        .orderBy("doc_a", "doc_b")),
+
     // T6: BPE-ish token counting next to the whitespace count — the LLM
     // budget estimator pair
     "t6_token_count" -> ((s, dir) =>
@@ -450,6 +459,31 @@ object DocQueries {
          |           CASE WHEN list_dot_product(v,
          |                  list_transform(generate_series(0, 63),
          |                    d -> (((t * 4 + i) * 64 + d) * 2654435761) % 1000 / 1000.0 - 0.5)) >= 0.0
+         |                THEN (1 << CAST(i AS INT)) ELSE 0 END)) AS INT) AS bucket
+         |  FROM e CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS t) tt
+         | ),
+         | cand AS (
+         |  SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+         |  FROM tb a JOIN tb b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+         | ),
+         | scored AS (
+         |  SELECT doc_a, doc_b,
+         |         ROUND(list_dot_product(ae.v, be.v)
+         |               / (sqrt(list_dot_product(ae.v, ae.v)) * sqrt(list_dot_product(be.v, be.v))), 4) AS cosine
+         |  FROM cand JOIN e ae ON ae.vec_id = doc_a JOIN e be ON be.vec_id = doc_b
+         | )
+         |SELECT doc_a, doc_b, cosine FROM scored
+         |WHERE cosine >= 0.4 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // D8: same mirror with the 7-plane bucket CTE
+    "d8_embedding_neardup_bounded" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         | tb AS (
+         |  SELECT vec_id, t,
+         |         CAST(list_sum(list_transform(generate_series(0, 6), i ->
+         |           CASE WHEN list_dot_product(v,
+         |                  list_transform(generate_series(0, 63),
+         |                    d -> (((t * 7 + i) * 64 + d) * 2654435761) % 1000 / 1000.0 - 0.5)) >= 0.0
          |                THEN (1 << CAST(i AS INT)) ELSE 0 END)) AS INT) AS bucket
          |  FROM e CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS t) tt
          | ),

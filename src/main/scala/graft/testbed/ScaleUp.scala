@@ -66,7 +66,21 @@ object ScaleUp {
       else d.withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1w$i"))
     }
     scaled("embeddings") { (df, i) =>
-      df.withColumn("vec_id", col("vec_id") + lit(i * Off))
+      val d0 = df.withColumn("vec_id", col("vec_id") + lit(i * Off))
+      if (i == 0) d0
+      else {
+        // per-copy deterministic sign flips: cos(s∘a, s∘b) = cos(a, b)
+        // exactly (s_d² = 1), so each copy's near-dup graph is isomorphic
+        // to the original, while cross-copy cosines decorrelate to ~0 —
+        // verbatim copies would make every vector a 10-clique of cosine-1.0
+        // duplicates and the true pair set quadratic in K
+        val signs = (0 until 64).map { d =>
+          if ((((i.toLong * 64 + d) * 2654435761L) >>> 13) % 2 == 0) 1.0f else -1.0f
+        }
+        val signArr = array(signs.map(lit): _*)
+        d0.withColumn("embedding",
+          zip_with(col("embedding"), signArr, (x, s) => (x * s).cast("float")))
+      }
     }
     println(s"scaled $src -> $dst x$k")
     spark.stop()
