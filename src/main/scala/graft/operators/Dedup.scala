@@ -86,7 +86,13 @@ object Dedup {
     * bounded-frame window min partitioned by doc (high-cardinality key —
     * scale-even) → hash-agg of the distinct minima. Output
     * (doc_id, n_fingerprints, fp_hash) where fp_hash is md5 over the
-    * sorted fingerprint list (a compact, engine-comparable digest). */
+    * sorted fingerprint list (a compact, engine-comparable digest).
+    *
+    * EVERY input document appears in the output: documents shorter than
+    * `window + n - 1` tokens have no full window and therefore no
+    * fingerprints — they come back as (doc_id, 0, null) rather than being
+    * silently dropped, so downstream joins on doc_id never lose short
+    * docs. */
   def winnowFingerprints(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, window: Int = 4
@@ -98,7 +104,7 @@ object Dedup {
     val frame = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(Window.currentRow, window - 1)
     val part = Window.partitionBy("doc_id")
-    sh
+    val fps = sh
       .withColumn("n_pos", count(lit(1)).over(part))
       .withColumn("wmin", min("h").over(frame))
       // only full windows select (starts 0 .. n_pos - window, 0-based pos)
@@ -108,6 +114,11 @@ object Dedup {
       .select(col("doc_id"),
         size(col("fps")).as("n_fingerprints"),
         md5(array_join(expr("transform(fps, x -> cast(x AS string))"), " ")).as("fp_hash"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(fps, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_fingerprints"), lit(0)).as("n_fingerprints"),
+        col("fp_hash"))
   }
 
   /** Exact pairwise n-gram Jaccard similarity via a shingle co-occurrence
@@ -213,17 +224,17 @@ object Dedup {
   def connectedComponents(
       pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
       maxIterations: Int = 20
-  ): DataFrame = freeingIntermediateCheckpoints(pairs.sparkSession) {
-    // localCheckpoint (eager) instead of cache: each iteration references
-    // the previous labels twice, so without lineage truncation the logical
-    // plan DOUBLES per iteration — exponential analyzer/explain cost that
-    // OOMs the driver on long chains (near-dup cliques converge in 2-3
-    // rounds and never showed it)
-    val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+  ): DataFrame = freeingIntermediateCheckpoints(pairs.sparkSession) { ck =>
+    // eager localCheckpoint (`ck`, tracked by the wrapper) instead of
+    // cache: each iteration references the previous labels twice, so
+    // without lineage truncation the logical plan DOUBLES per iteration —
+    // exponential analyzer/explain cost that OOMs the driver on long
+    // chains (near-dup cliques converge in 2-3 rounds and never showed it)
+    val sym = ck(pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct().localCheckpoint(true)
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("comp", col("node")).localCheckpoint(true)
+      .distinct())
+    var labels = ck(sym.select(col("src").as("node")).distinct()
+      .withColumn("comp", col("node")))
     var iterations = 0
     var converged = false
     while (!converged && iterations < maxIterations) {
@@ -232,10 +243,9 @@ object Dedup {
       // one joined frame per iteration carries BOTH the new label and the
       // old one, so the convergence check is a filter over the checkpointed
       // join instead of a second join against the previous labels
-      val joined = labels.join(prop, Seq("node"), "left")
+      val joined = ck(labels.join(prop, Seq("node"), "left")
         .select(col("node"), col("comp"),
-          least(col("comp"), coalesce(col("neighbor_comp"), col("comp"))).as("next_comp"))
-        .localCheckpoint(true)
+          least(col("comp"), coalesce(col("neighbor_comp"), col("comp"))).as("next_comp")))
       val changes = joined.filter(col("next_comp") =!= col("comp")).count()
       labels = joined.select(col("node"), col("next_comp").as("comp"))
       converged = changes == 0
@@ -244,9 +254,8 @@ object Dedup {
     // the result is ITSELF an eager localCheckpoint: self-contained
     // (MEMORY_AND_DISK) data, so the wrapper can free the iteration
     // checkpoints it was computed from without risking an unrecomputable
-    // cache eviction
-    labels.select(col("node").as("doc_id"), col("comp").as("component"))
-      .localCheckpoint(true)
+    // cache eviction; callers free it with [[release]] when done
+    ck(labels.select(col("node").as("doc_id"), col("comp").as("component")))
   }
 
   /** Embedding-cosine near-duplicate pairs: unordered id pairs whose
@@ -289,22 +298,53 @@ object Dedup {
       .select("doc_a", "doc_b", "cosine")
   }
 
-  /** Runs `body` and deterministically frees every RDD it persisted EXCEPT
-    * the one backing its result (created last — callers are
-    * single-threaded). `unpersist()` on a localCheckpoint'd Dataset is a
-    * no-op (it only drops CacheManager entries, and checkpoints persist
-    * the RDD directly), so without this the per-iteration checkpoint
-    * blocks of the CC loops would linger until driver GC — re-creating
-    * exactly the battery cache pressure the bench family barrier fixed. */
+  /** The persisted RDD backing a localCheckpoint'd DataFrame (None for any
+    * other plan shape): `Dataset.localCheckpoint` wraps exactly the RDD it
+    * persisted in a `LogicalRDD` leaf, so matching the analyzed plan
+    * identifies it without touching any global SparkContext state. */
+  private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+      case _ => None
+    }
+
+  /** Frees the persisted RDD backing a checkpoint-backed DataFrame returned
+    * by [[connectedComponents]]/[[connectedComponentsStar]] (plain
+    * `unpersist()` on such a Dataset is a no-op — it only drops
+    * CacheManager entries, and checkpoints persist the RDD directly).
+    * No-op for non-checkpoint-backed frames. The frame is NOT recomputable
+    * afterwards (its lineage was truncated) — release only when done. */
+  def release(df: DataFrame): Unit =
+    checkpointRdd(df).foreach(_.unpersist(blocking = false))
+
+  /** Runs `body`, handing it an eager-localCheckpoint function `ck` that
+    * records the EXACT RDD each checkpoint persisted; on completion every
+    * recorded RDD except the one backing the result is freed. Tracking the
+    * ids as they are created (instead of diffing global
+    * `sc.getPersistentRDDs`) keeps concurrent persists on the same
+    * SparkContext — a second CC call, a battery cache materializing — safe:
+    * this wrapper can only ever unpersist checkpoints it took itself.
+    * Without the freeing, the per-iteration checkpoint blocks of the CC
+    * loops would linger until driver GC — re-creating exactly the battery
+    * cache pressure the bench family barrier fixed. */
   private def freeingIntermediateCheckpoints(
-      spark: org.apache.spark.sql.SparkSession)(body: => DataFrame): DataFrame = {
-    val sc = spark.sparkContext
-    val before = sc.getPersistentRDDs.keySet.toSet
-    val out = body
-    val created = sc.getPersistentRDDs.keySet.toSet.diff(before).toSeq.sorted
-    created.dropRight(1).foreach(id =>
-      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-    out
+      spark: org.apache.spark.sql.SparkSession)(
+      body: (DataFrame => DataFrame) => DataFrame): DataFrame = {
+    val created = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.rdd.RDD[_]]
+    val ck: DataFrame => DataFrame = { df =>
+      val out = df.localCheckpoint(true)
+      checkpointRdd(out).foreach(created += _)
+      out
+    }
+    val result = body(ck)
+    val keep = checkpointRdd(result).map(_.id).toSet
+    // freeing a local checkpoint intentionally truncates an unrecomputable
+    // lineage — Spark logs a WARN per RDD for it; silence that one logger
+    // (the RDD's own class name) for this deliberate, tracked case
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD", org.apache.logging.log4j.Level.ERROR)
+    created.filterNot(r => keep.contains(r.id)).foreach(_.unpersist(blocking = false))
+    result
   }
 
   /** Connected components via alternating large-star/small-star rounds
@@ -320,7 +360,7 @@ object Dedup {
   def connectedComponentsStar(
       pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
       maxIterations: Int = 20
-  ): DataFrame = freeingIntermediateCheckpoints(pairs.sparkSession) {
+  ): DataFrame = freeingIntermediateCheckpoints(pairs.sparkSession) { ck =>
     // large-star: every neighbor v > u links to m(u) = min(N(u) ∪ {u})
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
@@ -347,14 +387,14 @@ object Dedup {
     // references `edges` several times (symmetrization + min-join), so an
     // un-truncated plan grows multiplicatively with iterations — the
     // classic iterative-algorithm plan blow-up.
-    var edges = pairs
+    var edges = ck(pairs
       .select(greatest(col(aCol), col(bCol)).as("u"), least(col(aCol), col(bCol)).as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+      .filter(col("u") =!= col("v")).distinct())
     var edgeCount = edges.count()
     var iterations = 0
     var converged = edgeCount == 0
     while (!converged && iterations < maxIterations) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val next = ck(smallStar(largeStar(edges)))
       val nextCount = next.count()
       // fixpoint check: identical edge SETS (counts equal and union adds
       // nothing); both frames are checkpointed so this is one cheap distinct
@@ -370,13 +410,12 @@ object Dedup {
     // maxIterations exhausted before the star-forest fixpoint (a node may
     // then still carry several outgoing edges — degrade to the minimum
     // label, like the propagation variant, instead of fanning out)
-    nodes
+    // self-contained eager checkpoint — see connectedComponents
+    ck(nodes
       .join(edges.select(col("u").as("node"), col("v").as("comp")), Seq("node"), "left")
       .groupBy("node")
       .agg(min(coalesce(col("comp"), col("node"))).as("component"))
-      .select(col("node").as("doc_id"), col("component"))
-      // self-contained eager checkpoint — see connectedComponents
-      .localCheckpoint(true)
+      .select(col("node").as("doc_id"), col("component")))
   }
 
   /** Candidate near-duplicate pairs from MinHash-LSH: unordered doc pairs

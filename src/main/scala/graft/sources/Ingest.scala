@@ -55,12 +55,30 @@ object Ingest {
                                       index: Int = 0): String = {
     val sub = java.nio.file.Files.createDirectories(dir.resolve(index.toString))
     val target = sub.resolve(basename(url))
-    val in = java.net.URI.create(url).toURL.openStream()
+    // deleteOnExit runs in REVERSE registration order, so the directory
+    // must register BEFORE the file for the tree to actually come off disk
+    sub.toFile.deleteOnExit()
+    target.toFile.deleteOnExit()
+    // bounded connect/read timeouts: a stalled presigned-URL server must
+    // fail ingest loudly, not hang it; and a non-2xx response must fail
+    // HERE (an HTML error page copied to .parquet would otherwise surface
+    // later as an opaque parquet parse failure)
+    val conn = java.net.URI.create(url).toURL.openConnection()
+    conn.setConnectTimeout(30000)
+    conn.setReadTimeout(120000)
+    conn match {
+      case http: java.net.HttpURLConnection =>
+        val code = http.getResponseCode
+        if (code < 200 || code >= 300) {
+          http.disconnect()
+          throw new java.io.IOException(s"GET $url returned HTTP $code")
+        }
+      case _ => // file: and other direct-stream schemes have no status code
+    }
+    val in = conn.getInputStream
     try java.nio.file.Files.copy(in, target,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     finally in.close()
-    target.toFile.deleteOnExit()
-    sub.toFile.deleteOnExit()
     target.toUri.toString
   }
 

@@ -24,10 +24,13 @@ object DocQueries {
       s.read.parquet(s"$dir/$name.parquet").cache())
 
   /** Unpersist and forget every cached frame for `spark` (see
-    * DatacubeQueries.clearCaches). */
+    * DatacubeQueries.clearCaches). Checkpoint-backed frames (the CC
+    * results) need [[Dedup.release]] — plain unpersist() is a no-op on
+    * them, and without the release every battery run would leak one
+    * persisted label frame per CC invocation for the JVM lifetime. */
   def clearCaches(spark: SparkSession): Unit =
     cache.filterInPlace { case ((s, _, _), df) =>
-      if (s eq spark) { df.unpersist(); false } else true }
+      if (s eq spark) { df.unpersist(); Dedup.release(df); false } else true }
 
   /** Exact-Jaccard >= 0.8 pair graph, cached across the battery (d2 emits
     * it, d4 clusters it — the shingle co-occurrence join runs once). */
@@ -157,14 +160,18 @@ object DocQueries {
     "d2_jaccard_neardup" -> ((s, dir) =>
       jaccardEdges(s, dir).orderBy("doc_a", "doc_b")),
 
-    // D4: duplicate clusters over the exact-Jaccard pair graph
+    // D4: duplicate clusters over the exact-Jaccard pair graph. The CC
+    // result is checkpoint-backed, so it goes through the battery cache:
+    // repeated calls reuse it and clearCaches releases its persisted RDD.
     "d4_dedup_clusters" -> ((s, dir) =>
-      Dedup.connectedComponents(jaccardEdges(s, dir)).orderBy("doc_id")),
+      cache.getOrElseUpdate((s, dir, "_cc_labels"),
+        Dedup.connectedComponents(jaccardEdges(s, dir))).orderBy("doc_id")),
 
     // D6: same clustering contract via large-star/small-star (O(log n)
     // rounds — the planetary-scale path); same oracle as d4
     "d6_dedup_clusters_star" -> ((s, dir) =>
-      Dedup.connectedComponentsStar(jaccardEdges(s, dir)).orderBy("doc_id")),
+      cache.getOrElseUpdate((s, dir, "_cc_labels_star"),
+        Dedup.connectedComponentsStar(jaccardEdges(s, dir))).orderBy("doc_id")),
 
     // D3: MinHash-LSH candidate pairs (64 hashes, 16 bands x 4)
     "d3_minhash_lsh" -> ((s, dir) =>
@@ -427,7 +434,8 @@ object DocQueries {
 
     // T7: winnowing mirror — positional (non-distinct) shingles, the same
     // 60-bit hash, a 4-wide window min over full windows only, distinct
-    // minima digested as md5 over the sorted list
+    // minima digested as md5 over the sorted list; short docs (< window
+    // + n - 1 tokens) come back via the left join as (doc_id, 0, NULL)
     "t7_winnowing" ->
       s"""$wCte,
          | shp AS (
@@ -445,10 +453,16 @@ object DocQueries {
          |         COUNT(*) OVER (PARTITION BY doc_id) AS n_pos
          |  FROM sh
          | ),
-         | sel AS (SELECT DISTINCT doc_id, wmin FROM mn WHERE pos <= n_pos - 3)
-         |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_fingerprints,
-         |       md5(array_to_string(list_sort(list(wmin)), ' ')) AS fp_hash
-         |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+         | sel AS (SELECT DISTINCT doc_id, wmin FROM mn WHERE pos <= n_pos - 3),
+         | fp AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_fingerprints,
+         |         md5(array_to_string(list_sort(list(wmin)), ' ')) AS fp_hash
+         |  FROM sel GROUP BY doc_id
+         | )
+         |SELECT d.doc_id AS doc_id,
+         |       COALESCE(n_fingerprints, 0) AS n_fingerprints, fp_hash
+         |FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
+         |ORDER BY doc_id""".stripMargin,
 
     // D7: same bucket CTE as v2, unordered pairs, exact-cosine filter
     "d7_embedding_neardup" ->
