@@ -423,6 +423,27 @@ object DatacubeQueries {
         .orderBy("level", "feature", "timestamp", "region_id")
     }),
 
+    // O2: as-of (point-in-time) join — each click enriched with the same
+    // user's latest purchase at or before it. One shuffle+sort on user_id
+    // (the union-window plan in AsOf), vs the quadratic theta-join naive
+    // form; oracle is DuckDB's native ASOF LEFT JOIN — an independent
+    // implementation of the same semantics.
+    "o2_asof_join" -> ((s, dir) => {
+      val ev = Datacube.table(s, dir, "events").select(
+        col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000000").as("ts_ms"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_ms", "value")
+      // right side unique per (user_id, ts_ms): same-instant purchases
+      // collapse to their max value (deterministic regardless of input)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts_ms").agg(max("value").as("purchase_value"))
+        .withColumn("purchase_ts", col("ts_ms"))
+      graft.operators.AsOf.joinAsOf(clicks, purchases, Seq("user_id"), "ts_ms",
+          Seq("purchase_ts", "purchase_value"))
+        .orderBy("event_id")
+    }),
+
     // Qualifier-threshold machinery (common.py:218-236): per-feature
     // distinct-value counts drive apply_qualifier_count_limit pruning;
     // the high-cardinality derived qualifier (partkey % 500) exceeds the
@@ -788,6 +809,24 @@ object DatacubeQueries {
          |       COUNT(t_mean)         AS s_count
          |FROM lv GROUP BY 1, 2, 3, 4
          |ORDER BY 1, 2, 3, 4""".stripMargin,
+
+    "o2_asof_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms, "value"
+        |  FROM events
+        | ),
+        | clicks AS (
+        |  SELECT event_id, user_id, ts_ms, "value" FROM ev WHERE event_type = 'click'
+        | ),
+        | purchases AS (
+        |  SELECT user_id, ts_ms, MAX("value") AS purchase_value
+        |  FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2
+        | )
+        |SELECT c.event_id, c.user_id, c.ts_ms, c."value",
+        |       p.ts_ms AS purchase_ts, p.purchase_value
+        |FROM clicks c ASOF LEFT JOIN purchases p
+        |  ON c.user_id = p.user_id AND p.ts_ms <= c.ts_ms
+        |ORDER BY event_id""".stripMargin,
 
     "a18_qualifier_prune" ->
       """WITH f AS (

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Multimodal, Salted, Similarity}
+import graft.operators.{Dedup, Multimodal, Packing, Salted, Sampling, Similarity}
 
 /** LLM-training-data pipeline battery over the `documents` / `embeddings`
   * tables: text analysis, language ID, fingerprinting, exact + near dedup,
@@ -269,6 +269,41 @@ object DocQueries {
       val totals = toks.groupBy("lang").agg(count(lit(1)).as("n_tokens"))
       totals.join(Salted.saltedCountDistinct(toks, Seq("lang"), "t", buckets = 16), "lang")
         .orderBy("lang")
+    }),
+
+    // T8: exact per-language quality-score quantiles (linear interpolation
+    // on both engines) — the corpus-distribution step that picks quality
+    // filter thresholds before sampling
+    "t8_quality_quantiles" -> ((s, dir) => {
+      val st = table(s, dir, "documents")
+        .select(col("lang"), TextFunctions.textStats("text").as("st"))
+        .select(col("lang"), col("st.quality_score").as("q"))
+      val out = Sampling.exactQuantiles(st, Seq("lang"), "q",
+        Seq(0.25, 0.5, 0.75, 0.9), Seq("q25", "q50", "q75", "q90"))
+      Seq("q25", "q50", "q75", "q90")
+        .foldLeft(out)((d, c) => d.withColumn(c, round(col(c), 4)))
+        .orderBy("lang")
+    }),
+
+    // T9: deterministic stratified sampling for language mixing — the
+    // per-row md5-threshold decision is reproducible bit-for-bit across
+    // engines and cluster sizes (no RNG, no partitioning dependence), so
+    // the oracle matches the sampled ROWS, not just the counts
+    "t9_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedSample(table(s, dir, "documents"), "lang", "doc_id",
+          rates = Map("en" -> 0.5, "zh" -> 0.9), defaultRate = 0.25)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
+    // T10: greedy sequence packing — docs concatenated into 256-token
+    // training windows per language, deterministic first-fit in id order;
+    // the oracle replays the same fold as a recursive CTE
+    "t10_seq_packing" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          size(TextFunctions.tokens("text")).as("n_tokens"))
+      Packing.packSequences(d, "lang", "doc_id", "n_tokens", capacity = 256)
+        .orderBy("lang", "doc_id")
     }),
 
     // M1: multimodal payload plumbing — binary column + typed metadata
@@ -617,6 +652,62 @@ object DocQueries {
          | )
          |SELECT lang, COUNT(*) AS n_tokens, COUNT(DISTINCT t) AS n_distinct
          |FROM tok GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // T8: quantile_cont is DuckDB's linear-interpolation quantile — the
+    // same definition as Spark's exact `percentile`; both interpolate over
+    // the 4-rounded quality scores and round the result
+    "t8_quality_quantiles" ->
+      s"""$wCte,
+         | stats AS (
+         |  SELECT lang,
+         |         ROUND(LEAST(1.0, nt / 50.0) * (len(list_distinct(ws)) * 1.0 / nt)
+         |               * (1.0 - (length(norm) - length(regexp_replace(norm, '[^a-zA-Z0-9 ]', '', 'g'))) * 1.0 / length(norm)), 4) AS q
+         |  FROM w
+         | )
+         |SELECT lang,
+         |       ROUND(quantile_cont(q, 0.25), 4) AS q25,
+         |       ROUND(quantile_cont(q, 0.50), 4) AS q50,
+         |       ROUND(quantile_cont(q, 0.75), 4) AS q75,
+         |       ROUND(quantile_cont(q, 0.90), 4) AS q90
+         |FROM stats GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // T9: exact mirror of Sampling.hashUnit — 60-bit md5 prefix of
+    // 'graft-sample:<id>' scaled to [0,1), compared against the per-lang
+    // rate (both engines round the 60-bit integer to double identically)
+    "t9_stratified_sample" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, lang,
+         |         CAST(${hash60Sql("'graft-sample:' || CAST(doc_id AS VARCHAR)")} AS DOUBLE)
+         |           / 1152921504606846976.0 AS u
+         |  FROM documents
+         | )
+         |SELECT doc_id, lang FROM h
+         |WHERE u < CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.9 ELSE 0.25 END
+         |ORDER BY doc_id""".stripMargin,
+
+    // T10: the packing fold replayed as a recursive CTE — one recursion
+    // step per in-language rank, advancing (pack_id, pack_offset, filled)
+    // with exactly the first-fit rule of Packing.packSequences
+    "t10_seq_packing" ->
+      s"""WITH RECURSIVE ${wCte.stripPrefix("WITH ")},
+         | d AS (
+         |  SELECT lang, doc_id, CAST(nt AS INT) AS nt,
+         |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+         |  FROM w
+         | ),
+         | pk AS (
+         |  SELECT lang, doc_id, nt, rn,
+         |         CAST(0 AS BIGINT) AS pack_id, 0 AS pack_offset, nt AS filled
+         |  FROM d WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.lang, d.doc_id, d.nt, d.rn,
+         |         CASE WHEN pk.filled + d.nt <= 256 THEN pk.pack_id ELSE pk.pack_id + 1 END,
+         |         CASE WHEN pk.filled + d.nt <= 256 THEN pk.filled ELSE 0 END,
+         |         CASE WHEN pk.filled + d.nt <= 256 THEN pk.filled + d.nt ELSE d.nt END
+         |  FROM pk JOIN d ON d.lang = pk.lang AND d.rn = pk.rn + 1
+         | )
+         |SELECT lang, doc_id, nt AS n_tokens, pack_id, pack_offset
+         |FROM pk ORDER BY lang, doc_id""".stripMargin,
 
     "m1_multimodal_meta" ->
       """SELECT doc_id,

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOf, Packing, Sampling}
+
+/** Semantics of the training-data curation operators: as-of joins,
+  * deterministic stratified sampling, exact quantiles, sequence packing. */
+class CurationOpsSpec extends SparkSpec {
+
+  test("as-of join picks the latest right row at or before each left ts") {
+    val left = df("id LONG, k STRING, ts LONG", Seq(
+      Row(1L, "u1", 10L),   // before any right row -> null
+      Row(2L, "u1", 20L),   // exactly at right ts 20 -> <= matches it
+      Row(3L, "u1", 35L),   // between 30 and 40 -> 30
+      Row(4L, "u1", 99L),   // after everything -> 40
+      Row(5L, "u2", 50L),   // other key: only u2 rows visible -> 45
+      Row(6L, "u3", 50L)))  // key with no right rows at all -> null
+    val right = df("k STRING, ts LONG, price DOUBLE", Seq(
+      Row("u1", 20L, 2.0), Row("u1", 30L, 3.0), Row("u1", 40L, 4.0),
+      Row("u2", 45L, 45.0)))
+    val out = AsOf.joinAsOf(left, right, Seq("k"), "ts", Seq("price"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    assert(out === Map(
+      1L -> None, 2L -> Some(2.0), 3L -> Some(3.0), 4L -> Some(4.0),
+      5L -> Some(45.0), 6L -> None))
+  }
+
+  test("as-of join payload overload carries all non-key right columns") {
+    val left = df("id LONG, k STRING, ts LONG", Seq(Row(1L, "a", 5L)))
+    val right = df("k STRING, ts LONG, x DOUBLE, y STRING", Seq(Row("a", 3L, 1.5, "v")))
+    val out = AsOf.joinAsOf(left, right, Seq("k"), "ts").collect().head
+    assert(out.getDouble(3) === 1.5)
+    assert(out.getString(4) === "v")
+  }
+
+  test("sequence packing is first-fit in id order with per-group reset") {
+    val in = df("lang STRING, doc_id LONG, n INT", Seq(
+      Row("en", 1L, 60), Row("en", 2L, 30), Row("en", 3L, 20),  // 60+30 fit, 20 overflows
+      Row("en", 4L, 150),                                       // oversized -> own pack
+      Row("en", 5L, 10),
+      Row("de", 1L, 70), Row("de", 2L, 20)))                    // fresh group restarts at pack 0
+    val out = Packing.packSequences(in, "lang", "doc_id", "n", capacity = 100)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(3), r.getInt(4))).toMap
+    assert(out(("en", 1L)) === ((0L, 0)))
+    assert(out(("en", 2L)) === ((0L, 60)))
+    assert(out(("en", 3L)) === ((1L, 0)))    // 90 + 20 > 100 -> next pack
+    assert(out(("en", 4L)) === ((2L, 0)))    // 150 > capacity -> its own pack
+    assert(out(("en", 5L)) === ((3L, 0)))    // oversized pack is full -> next
+    assert(out(("de", 1L)) === ((0L, 0)))
+    assert(out(("de", 2L)) === ((0L, 70)))
+  }
+
+  test("packing never splits a pack across groups and respects capacity") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("lang"), col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("n"))
+    val packed = Packing.packSequences(docs, "lang", "doc_id", "n", capacity = 256)
+    val perPack = packed.groupBy("lang", "pack_id")
+      .agg(sum("n").as("tot"), max("n").as("mx")).collect()
+    perPack.foreach { r =>
+      assert(r.getLong(2) <= 256 || r.getLong(3) > 256,
+        s"pack over capacity without an oversized doc: $r")
+    }
+    assert(packed.count() === docs.count())
+  }
+
+  test("stratified sample is deterministic and tracks the requested rates") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rates = Map("en" -> 0.5, "zh" -> 0.9)
+    def ids() = Sampling.stratifiedSample(docs, "lang", "doc_id", rates, defaultRate = 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s1 = ids()
+    assert(s1 === ids(), "same inputs must sample the same rows")
+    // repartitioning must not change the sample (partition independence)
+    val s2 = Sampling.stratifiedSample(docs.repartition(13), "lang", "doc_id",
+        rates, defaultRate = 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 === s2)
+    // rate sanity on the biggest stratum (en, n=22 at sf0.001 is small; use
+    // loose bounds): sampled fraction within [0.2, 0.8] for rate 0.5
+    val en = docs.filter(col("lang") === "en").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val enSampled = s1.intersect(en).size.toDouble / en.size
+    assert(enSampled > 0.2 && enSampled < 0.8, s"en sampled fraction $enSampled")
+  }
+
+  test("exact quantiles match a hand-computed interpolation") {
+    val in = df("g STRING, v DOUBLE", Seq(
+      Row("a", 1.0), Row("a", 2.0), Row("a", 3.0), Row("a", 4.0),
+      Row("b", 10.0)))
+    val out = Sampling.exactQuantiles(in, Seq("g"), "v",
+        Seq(0.5, 0.25), Seq("med", "q1"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out("a") === ((2.5, 1.75)))  // linear interpolation between ranks
+    assert(out("b") === ((10.0, 10.0)))
+  }
+}
