@@ -418,6 +418,61 @@ object Dedup {
       .select(col("node").as("doc_id"), col("component")))
   }
 
+  /** Benchmark-contamination scan (train/test overlap detection): for each
+    * corpus document, the count and fraction of its distinct n-gram
+    * shingles that also occur in the `benchmark` set — the standard
+    * decontamination signal before training (docs overlapping an eval set
+    * get dropped or flagged).
+    *
+    * Scale shape: the benchmark side is small by definition (eval sets are
+    * thousands of docs, the corpus is billions), so its distinct shingle
+    * hashes BROADCAST and the overlap test is a map-side left-semi join —
+    * the 100 TB corpus is scanned once with no shuffle of the corpus
+    * shingles; only the per-doc count aggregation shuffles (high-
+    * cardinality doc key, even spread).
+    *
+    * Every input document appears in the output; docs with no shingles
+    * (< n tokens) come back as (doc_id, 0, 0, null). */
+  def contaminationScan(
+      docs: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 3
+  ): DataFrame = {
+    val docSh = docs
+      .select(col(idCol).as("doc_id"), explode(shingles(textCol, n)).as("s0"))
+      .select(col("doc_id"), shingleHash60(col("s0")).as("s"))
+    val benchSh = benchmark
+      .select(explode(shingles(textCol, n)).as("s0"))
+      .select(shingleHash60(col("s0")).as("s")).distinct()
+    val total = docSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val hits = docSh.join(broadcast(benchSh), Seq("s"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(total, Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        // ANSI mode: guard the 0-shingle division instead of erroring
+        when(col("n_shingles") > 0,
+          round(coalesce(col("n_contaminated"), lit(0L)) / col("n_shingles"), 4))
+          .as("contamination"))
+  }
+
+  /** Intra-document repetition score: 1 - distinct/total positional
+    * n-grams — the cheap quality filter that catches boilerplate loops and
+    * degenerate generations. Pure per-row expression work (no shuffle). */
+  def repetitionScore(
+      docs: DataFrame, idCol: String, textCol: String, n: Int = 3
+  ): DataFrame = {
+    val og = orderedShingles(textCol, n)
+    docs
+      .select(col(idCol).as("doc_id"),
+        size(og).as("n_grams"), size(array_distinct(og)).as("n_distinct"))
+      .withColumn("repetition",
+        when(col("n_grams") > 0,
+          round(lit(1.0) - col("n_distinct") / col("n_grams"), 4)))
+  }
+
   /** Candidate near-duplicate pairs from MinHash-LSH: unordered doc pairs
     * sharing >= 1 band bucket, with the count of shared bands. Join is on
     * (band, band_hash) — never all-pairs. */

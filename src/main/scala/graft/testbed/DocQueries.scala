@@ -306,6 +306,21 @@ object DocQueries {
         .orderBy("lang", "doc_id")
     }),
 
+    // T11: benchmark-contamination scan — docs 0-9 stand in for the eval
+    // set; their distinct shingle hashes broadcast and the corpus side is
+    // a map-side semi-join (no corpus shuffle)
+    "t11_contamination" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      Dedup.contaminationScan(docs, docs.filter(col("doc_id") < 10), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // T12: intra-document repetition (1 - distinct/total positional
+    // 3-grams) — the boilerplate/degenerate-text quality filter
+    "t12_repetition" -> ((s, dir) =>
+      Dedup.repetitionScore(table(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // M1: multimodal payload plumbing — binary column + typed metadata
     "m1_multimodal_meta" -> ((s, dir) =>
       Multimodal.withPayload(table(s, dir, "documents"), "text", "text/plain")
@@ -652,6 +667,47 @@ object DocQueries {
          | )
          |SELECT lang, COUNT(*) AS n_tokens, COUNT(DISTINCT t) AS n_distinct
          |FROM tok GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // T11: same 60-bit shingle hashes; the benchmark set is doc_id < 10
+    "t11_contamination" ->
+      s"""$wCte,
+         | sh0 AS (SELECT DISTINCT doc_id, unnest($shListSql) AS sstr FROM w WHERE nt >= 3),
+         | sh AS (SELECT doc_id, ${hash60Sql("sstr")} AS s FROM sh0),
+         | bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 10),
+         | tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY 1),
+         | hit AS (
+         |  SELECT doc_id, COUNT(*) AS n_contaminated
+         |  FROM sh WHERE s IN (SELECT s FROM bench) GROUP BY 1
+         | )
+         |SELECT d.doc_id AS doc_id,
+         |       COALESCE(n_shingles, 0) AS n_shingles,
+         |       COALESCE(n_contaminated, 0) AS n_contaminated,
+         |       CASE WHEN n_shingles > 0
+         |            THEN ROUND(COALESCE(n_contaminated, 0) * 1.0 / n_shingles, 4)
+         |       END AS contamination
+         |FROM documents d
+         |LEFT JOIN tot ON d.doc_id = tot.doc_id
+         |LEFT JOIN hit ON d.doc_id = hit.doc_id
+         |ORDER BY doc_id""".stripMargin,
+
+    // T12: positional (non-distinct) 3-grams — mirror of the Spark
+    // orderedShingles expression
+    "t12_repetition" ->
+      s"""$wCte,
+         | og AS (
+         |  SELECT doc_id,
+         |         CASE WHEN nt < 3 THEN []::VARCHAR[]
+         |              ELSE list_transform(generate_series(1, len(ws) - 2),
+         |                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+         |         END AS g
+         |  FROM w
+         | )
+         |SELECT doc_id, CAST(len(g) AS INT) AS n_grams,
+         |       CAST(len(list_distinct(g)) AS INT) AS n_distinct,
+         |       CASE WHEN len(g) > 0
+         |            THEN ROUND(1.0 - len(list_distinct(g)) * 1.0 / len(g), 4)
+         |       END AS repetition
+         |FROM og ORDER BY doc_id""".stripMargin,
 
     // T8: quantile_cont is DuckDB's linear-interpolation quantile — the
     // same definition as Spark's exact `percentile`; both interpolate over
