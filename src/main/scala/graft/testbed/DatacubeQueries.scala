@@ -454,6 +454,18 @@ object DatacubeQueries {
         .orderBy("event_id")
     }),
 
+    // O3: gap-based sessionization — one window per user (lag marks
+    // session starts, running sum numbers them), then per-session stats.
+    // 12 h timeout sits above the ~7 h median inter-event gap, so the
+    // fixture produces real multi-event sessions AND real splits.
+    "o3_sessionize" -> ((s, dir) => {
+      val ev = Datacube.table(s, dir, "events").select(
+        col("event_id"), col("user_id"), expr("ts div 1000000").as("ts_ms"))
+      graft.operators.Sessionize.sessionStats(ev, Seq("user_id"), "ts_ms",
+          gapMs = 12L * 3600 * 1000, tieCols = Seq("event_id"))
+        .orderBy("user_id", "session_seq")
+    }),
+
     // Qualifier-threshold machinery (common.py:218-236): per-feature
     // distinct-value counts drive apply_qualifier_count_limit pruning;
     // the high-cardinality derived qualifier (partkey % 500) exceeds the
@@ -837,6 +849,29 @@ object DatacubeQueries {
         |FROM clicks c ASOF LEFT JOIN purchases p
         |  ON c.user_id = p.user_id AND p.ts_ms <= c.ts_ms
         |ORDER BY event_id""".stripMargin,
+
+    "o3_sessionize" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events
+        | ),
+        | marked AS (
+        |  SELECT *,
+        |         CASE WHEN ts_ms - lag(ts_ms) OVER w IS NULL
+        |                OR ts_ms - lag(ts_ms) OVER w > 43200000 THEN 1 ELSE 0 END AS new_session
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+        | ),
+        | sess AS (
+        |  SELECT *,
+        |         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM marked
+        | )
+        |SELECT user_id, session_seq, COUNT(*) AS n_events,
+        |       MIN(ts_ms) AS session_start, MAX(ts_ms) AS session_end,
+        |       MAX(ts_ms) - MIN(ts_ms) AS duration_ms
+        |FROM sess GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
 
     "a18_qualifier_prune" ->
       """WITH f AS (

@@ -86,6 +86,22 @@ class CurationOpsSpec extends SparkSpec {
     assert(enSampled > 0.2 && enSampled < 0.8, s"en sampled fraction $enSampled")
   }
 
+  test("sessionization splits on gap > timeout and resets per key") {
+    import graft.operators.Sessionize
+    val ev = df("id LONG, k STRING, ts LONG", Seq(
+      Row(1L, "u1", 0L), Row(2L, "u1", 50L), Row(3L, "u1", 90L),  // one session
+      Row(4L, "u1", 300L),                                        // gap 210 > 100 -> new
+      Row(5L, "u1", 350L),
+      Row(6L, "u2", 0L)))                                         // other key restarts at 1
+    val out = Sessionize.sessionStats(ev, Seq("k"), "ts", gapMs = 100L, tieCols = Seq("id"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out(("u1", 1L)) === ((3L, 0L, 90L, 90L)))
+    assert(out(("u1", 2L)) === ((2L, 300L, 350L, 50L)))
+    assert(out(("u2", 1L)) === ((1L, 0L, 0L, 0L)))
+    assert(out.size === 3)
+  }
+
   test("exact quantiles match a hand-computed interpolation") {
     val in = df("g STRING, v DOUBLE", Seq(
       Row("a", 1.0), Row("a", 2.0), Row("a", 3.0), Row("a", 4.0),
