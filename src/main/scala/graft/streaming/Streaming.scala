@@ -62,6 +62,32 @@ object Streaming {
       .dropDuplicatesWithinWatermark(idCols)
       .drop("event_time")
 
+  /** Streaming sessionization — the streaming face of
+    * `operators.Sessionize`: Spark's native `session_window` merges
+    * events whose gaps are below `gapDuration` into one growing window
+    * per key, emitting a session's stats once the watermark passes its
+    * close (state is bounded by open sessions, not stream history).
+    * Output mirrors `Sessionize.sessionStats` minus the per-key session
+    * index (streams have no global order to number sessions by; the
+    * session's start time is the stable identifier). */
+  def sessionizedStats(
+      events: DataFrame,
+      keyCol: String = "user_id",
+      tsCol: String = "ts",
+      gapDuration: String = "12 hours",
+      watermarkDelay: String = "10 minutes"
+  ): DataFrame =
+    events
+      .withColumn("event_time", timestamp_millis(col(tsCol)))
+      .withWatermark("event_time", watermarkDelay)
+      .groupBy(session_window(col("event_time"), gapDuration), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col(keyCol),
+        unix_millis(col("session_window.start")).as("session_start"),
+        unix_millis(col("session_window.end")).as("session_end"),
+        col("n_events"))
+
   final case class KeyStats(key: String, count: Long, total: Double)
 
   /** Running per-key count/sum with custom state; emits updated stats on

@@ -96,6 +96,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session_window merges sub-gap events and closes sessions at the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Long)]
+    val sessions = Streaming.sessionizedStats(
+      input.toDF().toDF("user_id", "ts"), keyCol = "user_id",
+      gapDuration = "1 hour", watermarkDelay = "10 minutes")
+    val q = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 30 min apart (one session); user 2: one event
+      input.addData((1L, 0L), (1L, 30L * 60 * 1000), (2L, 0L))
+      q.processAllAvailable()
+      // far-future event advances the watermark past both sessions' close
+      input.addData((1L, 10 * H))
+      q.processAllAvailable()
+      val rows = spark.table("sess")
+        .select("user_id", "session_start", "n_events")
+        .collect().map(_.toSeq).toSet
+      assert(rows.contains(Seq(1L, 0L, 2L)))  // merged: 2 events, one session
+      assert(rows.contains(Seq(2L, 0L, 1L)))
+    } finally q.stop()
+  }
+
   test("runningStats keeps per-key state across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
