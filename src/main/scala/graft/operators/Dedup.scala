@@ -418,6 +418,40 @@ object Dedup {
       .select(col("node").as("doc_id"), col("component")))
   }
 
+  /** SimHash near-duplicate candidate pairs (Charikar bit-sampling LSH):
+    * the 60-bit SimHash splits into `bands` equal bit-slices; documents
+    * sharing ANY slice value meet as candidates (a shuffle-key join on
+    * (band, band_val), never all-pairs), and candidates are kept when the
+    * FULL hashes' Hamming distance is <= `maxHamming`.
+    *
+    * Recall contract: by pigeonhole, every pair within `bands - 1` bit
+    * flips shares an identical band, so recall is exact for
+    * maxHamming <= bands - 1; above that the output is "banded candidates
+    * within maxHamming" (the standard trade — more bands buys recall at
+    * the cost of candidate volume). Returns (doc_a, doc_b, hamming). */
+  def simHashCandidates(
+      docs: DataFrame, idCol: String, textCol: String,
+      bands: Int = 4, maxHamming: Int = 3
+  ): DataFrame = {
+    require(60 % bands == 0, s"bands must divide 60, got $bands")
+    val width = 60 / bands
+    val mask = (1L << width) - 1
+    val sh = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.simHash(textCol).as("sh"))
+    val banded = sh
+      .select(col("doc_id"), col("sh"),
+        explode(expr(s"sequence(0, ${bands - 1})")).as("b"))
+      .withColumn("band_val", expr(s"shiftright(sh, b * $width) & $mask"))
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.b") === col("y.b") && col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        expr("bit_count(x.sh ^ y.sh)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Benchmark-contamination scan (train/test overlap detection): for each
     * corpus document, the count and fraction of its distinct n-gram
     * shingles that also occur in the `benchmark` set — the standard

@@ -306,6 +306,15 @@ object DocQueries {
         .orderBy("lang", "doc_id")
     }),
 
+    // D9: SimHash near-dup candidates — 4 x 15-bit band join over the
+    // 60-bit SimHash, exact Hamming rescoring of candidates (<= 10; the
+    // guaranteed-recall regime is <= bands-1, the rest is the documented
+    // banded-candidate contract)
+    "d9_simhash_neardup" -> ((s, dir) =>
+      Dedup.simHashCandidates(table(s, dir, "documents"), "doc_id", "text",
+          bands = 4, maxHamming = 10)
+        .orderBy("doc_a", "doc_b")),
+
     // T11: benchmark-contamination scan — docs 0-9 stand in for the eval
     // set; their distinct shingle hashes broadcast and the corpus side is
     // a map-side semi-join (no corpus shuffle)
@@ -667,6 +676,44 @@ object DocQueries {
          | )
          |SELECT lang, COUNT(*) AS n_tokens, COUNT(DISTINCT t) AS n_distinct
          |FROM tok GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // D9: the t3 SimHash chain feeding a 4-band (15-bit slice) self-join,
+    // exact Hamming via a per-bit fold over the xor (portable across
+    // DuckDB versions; candidates are few so 60 lambda steps are cheap)
+    "d9_simhash_neardup" ->
+      s"""$wCte,
+         | tok AS (SELECT doc_id, nt, unnest(ws) AS t FROM w),
+         | tokj AS (SELECT doc_id, nt, t, unnest(generate_series(0, 59)) AS j FROM tok),
+         | bits AS (
+         |  SELECT doc_id, nt, j,
+         |         ((strpos('0123456789abcdef', substr(md5(t), CAST(j // 4 AS INT) + 1, 1)) - 1)
+         |          >> CAST(3 - (j % 4) AS INT)) & 1 AS bit
+         |  FROM tokj
+         | ),
+         | ones AS (SELECT doc_id, nt, j, SUM(bit) AS ones FROM bits GROUP BY 1, 2, 3),
+         | sh AS (
+         |  SELECT doc_id,
+         |         CAST(SUM(CASE WHEN 2 * ones > nt THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS shh
+         |  FROM ones GROUP BY 1
+         | ),
+         | banded AS (
+         |  SELECT doc_id, shh, b, (shh >> CAST(b * 15 AS INT)) & 32767 AS band_val
+         |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bb
+         | ),
+         | cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |         x.shh AS ha, y.shh AS hb
+         |  FROM banded x JOIN banded y
+         |    ON x.b = y.b AND x.band_val = y.band_val AND x.doc_id < y.doc_id
+         | ),
+         | scored AS (
+         |  SELECT doc_a, doc_b,
+         |         CAST(list_sum(list_transform(generate_series(0, 59),
+         |           i -> CAST((xor(ha, hb) >> CAST(i AS INT)) & 1 AS INT))) AS INT) AS hamming
+         |  FROM cand
+         | )
+         |SELECT doc_a, doc_b, hamming FROM scored
+         |WHERE hamming <= 10 ORDER BY doc_a, doc_b""".stripMargin,
 
     // T11: same 60-bit shingle hashes; the benchmark set is doc_id < 10
     "t11_contamination" ->
