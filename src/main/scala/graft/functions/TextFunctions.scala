@@ -117,6 +117,27 @@ object TextFunctions {
   def bagFingerprint(c: String): Column =
     md5(array_join(array_sort(array_distinct(tokens(c))), " "))
 
+  /** Fixed-size overlapping token chunks — the embedding-pipeline
+    * precursor (long documents split into encoder-window pieces before
+    * vectorization). Returns array<struct<chunk_id, toks>> where chunk k
+    * covers tokens [k*(size-overlap), k*(size-overlap)+size); the last
+    * chunk may be shorter, and every token is covered.
+    *
+    * Pure per-row expression: the token array is BOUND once (transform
+    * over a one-element array) so the document is tokenized once, not
+    * once per chunk — then each chunk is an O(size) slice. No explode
+    * here; callers explode when they want one row per chunk. */
+  def chunks(c: String, size: Int, overlap: Int): Column = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"need 0 <= overlap < size, got size=$size overlap=$overlap")
+    val stride = size - overlap
+    expr(
+      s"""flatten(transform(array(${toksSql(c)}), ts ->
+         |  transform(sequence(0, size(ts) - 1, $stride), s ->
+         |    struct(CAST(s div $stride AS INT) AS chunk_id,
+         |           slice(ts, s + 1, $size) AS toks))))""".stripMargin)
+  }
+
   /** PII scrub patterns (kept lookaround-free so the Java and RE2 regex
     * dialects agree): emails, URLs, simple dashed phone numbers. */
   val EmailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-z]{2,}"

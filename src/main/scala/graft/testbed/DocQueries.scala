@@ -306,6 +306,16 @@ object DocQueries {
         .orderBy("lang", "doc_id")
     }),
 
+    // T13: overlapping token chunking (32-token windows, 8-token overlap)
+    // — one row per chunk with its token count and content hash
+    "t13_chunking" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"), explode(TextFunctions.chunks("text", 32, 8)).as("c"))
+        .select(col("doc_id"), col("c.chunk_id").as("chunk_id"),
+          size(col("c.toks")).as("n_chunk_tokens"),
+          md5(array_join(col("c.toks"), " ")).as("chunk_hash"))
+        .orderBy("doc_id", "chunk_id")),
+
     // D9: SimHash near-dup candidates — 4 x 15-bit band join over the
     // 60-bit SimHash, exact Hamming rescoring of candidates (<= 10; the
     // guaranteed-recall regime is <= bands-1, the rest is the documented
@@ -676,6 +686,20 @@ object DocQueries {
          | )
          |SELECT lang, COUNT(*) AS n_tokens, COUNT(DISTINCT t) AS n_distinct
          |FROM tok GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // T13: stride-24 window starts; list_slice clamps the tail chunk just
+    // like Spark's slice(ts, s+1, 32)
+    "t13_chunking" ->
+      s"""$wCte,
+         | ch AS (
+         |  SELECT doc_id, ws,
+         |         unnest(generate_series(0, CAST(nt - 1 AS BIGINT), 24)) AS s
+         |  FROM w
+         | )
+         |SELECT doc_id, CAST(s // 24 AS INT) AS chunk_id,
+         |       CAST(len(list_slice(ws, CAST(s + 1 AS INT), CAST(s + 32 AS INT))) AS INT) AS n_chunk_tokens,
+         |       md5(array_to_string(list_slice(ws, CAST(s + 1 AS INT), CAST(s + 32 AS INT)), ' ')) AS chunk_hash
+         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
 
     // D9: the t3 SimHash chain feeding a 4-band (15-bit slice) self-join,
     // exact Hamming via a per-bit fold over the xor (portable across
