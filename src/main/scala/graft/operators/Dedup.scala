@@ -436,7 +436,7 @@ object Dedup {
     *                    Homogeneous corpora (templates, boilerplate)
     *                    concentrate SimHash bits, so one hot bucket makes
     *                    the candidate join quadratic (measured: uncapped
-    *                    51 s vs capped 1.3 s on the 5k-doc synthetic
+    *                    51 s vs capped 6 s on the 5k-doc synthetic
     *                    corpus, whose shared vocabulary is exactly such a
     *                    concentrator). None = keep all. */
   def simHashCandidates(

@@ -322,7 +322,7 @@ object DocQueries {
     // banded-candidate contract). maxBandFreq = 50 exercises the hot-band
     // skew guard: the synthetic corpus's shared template vocabulary
     // concentrates SimHash bits, and the uncapped join is quadratic on it
-    // (51 s vs 1.3 s at sf0.1)
+    // (51 s uncapped vs 6 s capped at sf0.1)
     "d9_simhash_neardup" -> ((s, dir) =>
       Dedup.simHashCandidates(table(s, dir, "documents"), "doc_id", "text",
           bands = 4, maxHamming = 10, maxBandFreq = Some(50))
