@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Multimodal, Packing, Salted, Sampling, Similarity}
+import graft.operators.{Dedup, Keywords, Multimodal, Packing, Salted, Sampling, Similarity}
 
 /** LLM-training-data pipeline battery over the `documents` / `embeddings`
   * tables: text analysis, language ID, fingerprinting, exact + near dedup,
@@ -305,6 +305,13 @@ object DocQueries {
       Packing.packSequences(d, "lang", "doc_id", "n_tokens", capacity = 256)
         .orderBy("lang", "doc_id")
     }),
+
+    // T14: TF-IDF keyword extraction — top-3 terms per document by
+    // tf x smoothed-idf; the ranking window partitions on doc_id (high
+    // cardinality), never on a low-cardinality key
+    "t14_tfidf_topk" -> ((s, dir) =>
+      Keywords.topTerms(table(s, dir, "documents"), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rank")),
 
     // T13: overlapping token chunking (32-token windows, 8-token overlap)
     // — one row per chunk with its token count and content hash
@@ -689,6 +696,28 @@ object DocQueries {
          | )
          |SELECT lang, COUNT(*) AS n_tokens, COUNT(DISTINCT t) AS n_distinct
          |FROM tok GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // T14: both engines rank on the ROUNDED score with term as the
+    // tie-break, so row sets match exactly
+    "t14_tfidf_topk" ->
+      s"""$wCte,
+         | terms AS (SELECT doc_id, unnest(ws) AS term FROM w),
+         | tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+         | dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+         | n AS (SELECT COUNT(*) AS n FROM documents),
+         | scored AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf,
+         |         ROUND(tf.tf * (ln((n.n + 1.0) / (dfq.df + 1.0)) + 1.0), 4) AS score
+         |  FROM tf JOIN dfq USING (term) CROSS JOIN n
+         | ),
+         | ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |                               ORDER BY score DESC, term ASC) AS "rank"
+         |  FROM scored
+         | )
+         |SELECT doc_id, "rank", term, CAST(tf AS BIGINT) AS tf, score
+         |FROM ranked WHERE "rank" <= 3
+         |ORDER BY doc_id, "rank"""".stripMargin,
 
     // T13: stride-24 window starts; list_slice clamps the tail chunk just
     // like Spark's slice(ts, s+1, 32)
