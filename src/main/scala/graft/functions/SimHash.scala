@@ -5,17 +5,25 @@ import java.security.MessageDigest
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst 60-bit SimHash over a token array (`array<string>`).
   *
-  * Bit-identical to the documented higher-order-lambda formulation
-  * ([[TextFunctions.simHashLambda]]): per token, bit j (0-based) is nibble
-  * `j/4` of `md5(token)` hex probed at position `3 - j%4`; the document bit
-  * is 1 when strictly more than half the tokens (multiset, so duplicates
-  * count) have it set. 60 bits = 15 md5 nibbles, keeping the result
-  * non-negative in a signed 64-bit long.
+  * Bit-identical to the higher-order-lambda formulation
+  * ([[TextFunctions.simHashLambda]], kept as the equivalence-test witness)
+  * for null-free token arrays: per token, bit j (0-based) is nibble `j/4`
+  * of `md5(token)` hex probed at position `3 - j%4`; the document bit is 1
+  * when strictly more than half the tokens (multiset, so duplicates count)
+  * have it set. 60 bits = 15 md5 nibbles, keeping the result non-negative
+  * in a signed 64-bit long.
+  *
+  * Intentional divergence on null ELEMENTS (unreachable from
+  * [[TextFunctions.simHash]], whose `split` never yields them): the lambda
+  * fold nulls its accumulator on the first null token, which collapses the
+  * whole document hash to 0; this expression skips null tokens' bits but
+  * keeps them in the majority denominator — the saner semantics for a
+  * hand-built token array.
   *
   * Why native: the lambda formulation runs on the interpreted
   * higher-order-function path — per-token closure dispatch, boxed
@@ -28,7 +36,10 @@ import org.apache.spark.unsafe.types.UTF8String
 case class SimHash60(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
 
-  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  // Seq[DataType] <: Seq[AbstractDataType] (covariance) — AbstractDataType
+  // itself is private[sql] in Spark 4.1, so the override is declared with
+  // the public subtype.
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash60"
 

@@ -161,12 +161,24 @@ object TextFunctions {
     *
     * Per token, bit j (0-based) is nibble `j/4` of `md5(token)` probed at
     * position `3 - j%4`; the document bit is 1 when strictly more than half
-    * the tokens have it set. Computed entirely with higher-order array
-    * expressions — per-row work only, no explode, no shuffle — so it runs at
-    * scan speed on an arbitrarily large corpus. The md5 base hash is chosen
-    * for engine-portability (any salted 64-bit hash works).
+    * the tokens have it set. Delegates to the native codegen'd
+    * [[SimHash60]] expression (registered on the active session) — the
+    * lambda formulation ([[simHashLambda]]) was the engine's last
+    * interpreted hot path. Per-row work only, no explode, no shuffle.
     */
   def simHash(c: String): Column = {
+    graft.plans.GraftExtensions.register(
+      org.apache.spark.sql.SparkSession.active)
+    expr(s"simhash60(${toksSql(c)})")
+  }
+
+  /** The portable higher-order-lambda formulation of [[simHash]] — same
+    * math on the interpreted HOF path. Kept as the equivalence-test witness
+    * for [[SimHash60]] and as the engine-portable form (plain SQL, runs on
+    * any engine with md5 + array lambdas). The md5 base hash is chosen for
+    * exactly that portability (any salted 64-bit hash works).
+    */
+  def simHashLambda(c: String): Column = {
     // bits(h): array<int> of the 60 bit values probed from md5 hex h.
     // BINDING DISCIPLINE (the engine-wide higher-order rule): interpreted
     // lambdas re-evaluate unbound subexpressions per element, so md5 must

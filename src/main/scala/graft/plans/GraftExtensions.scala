@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.VectorDot
+import graft.functions.{SimHash60, VectorDot}
 
 /** Session extensions registering the engine's native Catalyst functions.
   * Install with `spark.sql.extensions=graft.plans.GraftExtensions`, or call
@@ -12,8 +12,10 @@ import graft.functions.VectorDot
   * operator library does the latter automatically where it needs them.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.vecDot)
+    ext.injectFunction(GraftExtensions.simHash60)
+  }
 }
 
 object GraftExtensions {
@@ -26,11 +28,24 @@ object GraftExtensions {
     }
   )
 
+  private val simHash60 = (
+    new FunctionIdentifier("simhash60"),
+    new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.length == 1, "simhash60 takes exactly 1 argument")
+      SimHash60(children.head)
+    }
+  )
+
+  private val all = Seq(vecDot, simHash60)
+
   /** Idempotently register the functions on a live session. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(vecDot._1)) {
-      registry.registerFunction(vecDot._1, vecDot._2, vecDot._3)
+    all.foreach { case (id, info, builder) =>
+      if (!registry.functionExists(id)) {
+        registry.registerFunction(id, info, builder)
+      }
     }
   }
 }
