@@ -258,6 +258,23 @@ object Dedup {
     ck(labels.select(col("node").as("doc_id"), col("comp").as("component")))
   }
 
+  /** Hyperplane count that pins expected per-(table, bucket) occupancy
+    * near `targetOccupancy` as the corpus grows:
+    * `max(4, ceil(log2(n / targetOccupancy)))`. Within-bucket candidate
+    * joins are quadratic in occupancy, so holding occupancy constant holds
+    * the join linear in corpus size (SCALE.md measured the fixed-4-plane
+    * config 31× super-linear at 10×). Computed with integer bit math
+    * (`ceil(log2(ceil(n/occ))) == ceil(log2(n/occ))` for any n > occ), so
+    * there is no `log(x)/log(2)` rounding edge at powers of two; the
+    * DuckDB oracle's `CEIL(LOG2(n/64.0))` agrees because power-of-two
+    * ratios are exact in double. */
+  def autoPlanes(corpusSize: Long, targetOccupancy: Long = 64L): Int = {
+    val ratio = (corpusSize + targetOccupancy - 1) / targetOccupancy
+    val ceilLog2 =
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, ratio - 1))
+    math.max(4, ceilLog2)
+  }
+
   /** Embedding-cosine near-duplicate pairs: unordered id pairs whose
     * embedding cosine is >= `minCosine`, found through multi-table
     * random-hyperplane LSH bucketing (the 100 TB plan: candidate pairs only
@@ -270,8 +287,11 @@ object Dedup {
     * occupancy (corpus / 2^planesPerTable per table), so planesPerTable
     * must grow ~log2 with corpus size to keep the pair join linear —
     * measured at the 10× rehearsal: 4 planes (16 buckets) was 31×
-    * super-linear on a 20k corpus; see SCALE.md. Returns
-    * (doc_a, doc_b, cosine), a < b. */
+    * super-linear on a 20k corpus; see SCALE.md. The DEFAULT
+    * (`planesPerTable = 0`) therefore derives the count from the corpus
+    * via [[autoPlanes]] — one metadata-cheap `count()` buys a config that
+    * stays linear at any scale; pass an explicit count to pin a config.
+    * Returns (doc_a, doc_b, cosine), a < b. */
   def embeddingNearDupPairs(
       emb: DataFrame,
       idCol: String,
@@ -279,12 +299,14 @@ object Dedup {
       minCosine: Double,
       dims: Int,
       tables: Int = 8,
-      planesPerTable: Int = 4
+      planesPerTable: Int = 0
   ): DataFrame = {
     graft.plans.GraftExtensions.register(emb.sparkSession)
+    val planes =
+      if (planesPerTable > 0) planesPerTable else autoPlanes(emb.count())
     val tb = emb
       .select(col(idCol).as("id"),
-        explode(Similarity.lshBuckets(vecCol, dims, tables, planesPerTable)).as("b"))
+        explode(Similarity.lshBuckets(vecCol, dims, tables, planes)).as("b"))
       .select(col("id"), col("b.t").as("t"), col("b.bucket").as("bucket"))
     val cand = tb.join(tb.select(col("id").as("id2"), col("t"), col("bucket")), Seq("t", "bucket"))
       .filter(col("id") < col("id2"))

@@ -91,11 +91,86 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Spherical k-means (Lloyd) refinement of IVF centroids.
+    *
+    * Seeds with the first `nCentroids` corpus vectors by id (the same
+    * deterministic seed [[ivfTopK]] uses directly), then runs `iters`
+    * assignment + re-center steps:
+    *
+    *  - ASSIGN: each (unit-normalized) corpus vector joins the broadcast
+    *    centroid table and keeps its max-cosine centroid — a map-side
+    *    `max(struct)` hash agg, one corpus pass, no window;
+    *  - RE-CENTER: the new centroid is the element-wise mean of its cell's
+    *    normalized vectors rescaled to unit length (the exact maximizer of
+    *    the cell's summed cosine), via `posexplode` → (cent_id, pos)
+    *    partial-agg mean → reassembly. The (cent_id, pos) key has
+    *    nCentroids × dims cardinality, so the shuffle is tiny regardless
+    *    of corpus size; the heavy side is map-side partial means.
+    *  - An emptied cell keeps its previous centroid (left join fallback).
+    *
+    * Normalizing before the mean makes the update the exact maximizer of
+    * the spherical objective (mean cosine to the assigned centroid), so
+    * the objective is non-decreasing per iteration — the property
+    * SimilaritySpec asserts. Centroids are collected per iteration
+    * (nCentroids rows — driver-tiny), which also truncates lineage: the
+    * loop never stacks `iters` joins into one plan.
+    *
+    * Returns (cent_id, centv) with the seed's centroid ids. */
+  def kmeansCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCentroids: Int = 16,
+      iters: Int = 3
+  ): DataFrame = {
+    graft.plans.GraftExtensions.register(corpus.sparkSession)
+    val spark = corpus.sparkSession
+    val unit = corpus.select(col(idCol).as("vid"),
+        col(vecCol).cast("array<double>").as("raw"))
+      .withColumn("nrm", sqrt(dot(col("raw"), col("raw"))))
+      .filter(col("nrm") > 0.0)
+      .select(col("vid"), transform(col("raw"), x => x / col("nrm")).as("uv"))
+    val seed = unit.orderBy(col("vid")).limit(nCentroids)
+      .withColumn("cent_id", row_number().over(Window.orderBy(col("vid"))) - 1)
+      .select(col("cent_id"), col("uv").as("centv"))
+    var cent = seed.collect().map(r =>
+      (r.getInt(0), r.getSeq[Double](1).toArray))
+    for (_ <- 0 until iters) {
+      val centDf = spark.createDataFrame(cent.toIndexedSeq.map { case (cid, v) =>
+        (cid, v.toSeq)
+      }).toDF("cent_id", "centv")
+      val assigned = unit.join(broadcast(centDf))
+        .withColumn("cos_c", dot(col("uv"), col("centv")))
+        .groupBy("vid")
+        .agg(max(struct(col("cos_c"), (-col("cent_id")).as("neg_cent"))).as("m"),
+          first("uv").as("uv"))
+        .select((-col("m.neg_cent")).cast("int").as("cent_id"), col("uv"))
+      val means = assigned
+        .select(col("cent_id"), posexplode(col("uv")).as(Seq("pos", "x")))
+        .groupBy("cent_id", "pos").agg(avg(col("x")).as("mx"))
+        .groupBy("cent_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("mx")))).as("ps"))
+        .select(col("cent_id"), transform(col("ps"), p => p("mx")).as("centv"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toMap
+      // re-normalize to unit length (spherical k-means: the unit-scaled
+      // mean is the exact maximizer of the cell's summed cosine; it also
+      // keeps dot == cosine in the assignment step above)
+      cent = cent.map { case (cid, prev) =>
+        val m = means.getOrElse(cid, prev)
+        val n = math.sqrt(m.map(x => x * x).sum)
+        (cid, if (n > 0.0) m.map(_ / n) else prev)
+      }
+    }
+    spark.createDataFrame(cent.toIndexedSeq.map { case (cid, v) => (cid, v.toSeq) })
+      .toDF("cent_id", "centv")
+  }
+
   /** IVF (inverted-file) ANN top-k — the cell-partitioned scale path:
     *
     *  1. centroids = the first `nCentroids` corpus vectors by id
-    *     (deterministic; production refines them with k-means iterations,
-    *     whose assignment step is exactly the plan below);
+    *     (deterministic), optionally Lloyd-refined for `refineIters`
+    *     spherical k-means steps ([[kmeansCentroids]] — better-balanced
+    *     cells, higher recall at the same nProbe);
     *  2. every corpus vector is assigned to its max-cosine centroid via a
     *     broadcast join + map-side `max(struct)` hash agg — one pass, no
     *     window over the corpus;
@@ -114,11 +189,16 @@ object Similarity {
       vecCol: String,
       k: Int,
       nCentroids: Int = 16,
-      nProbe: Int = 4
+      nProbe: Int = 4,
+      refineIters: Int = 0
   ): DataFrame = {
     graft.plans.GraftExtensions.register(corpus.sparkSession)
-    val cent = corpus.orderBy(col(idCol)).limit(nCentroids)
-      .select(col(idCol).as("cent_id"), col(vecCol).cast("array<double>").as("centv"))
+    val cent =
+      if (refineIters > 0)
+        kmeansCentroids(corpus, idCol, vecCol, nCentroids, refineIters)
+      else
+        corpus.orderBy(col(idCol)).limit(nCentroids)
+          .select(col(idCol).as("cent_id"), col(vecCol).cast("array<double>").as("centv"))
     val cv = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("cv"))
     // max-cosine assignment, ties to the smallest centroid id: max of

@@ -220,6 +220,27 @@ object DocQueries {
           minCosine = 0.4, dims = 64, tables = 8, planesPerTable = 7)
         .orderBy("doc_a", "doc_b")),
 
+    // D10: the DEFAULT config of the same operator — planesPerTable
+    // auto-derived from the corpus count (Dedup.autoPlanes), so occupancy
+    // (and the within-bucket quadratic join) stays bounded at ANY corpus
+    // size; the oracle derives the identical count from COUNT(*)
+    "d10_embedding_neardup_auto" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairs(table(s, dir, "embeddings"), "vec_id", "embedding",
+          minCosine = 0.4, dims = 64, tables = 8)
+        .orderBy("doc_a", "doc_b")),
+
+    // V4: IVF top-3 with Lloyd-refined (spherical k-means) centroids —
+    // no SQL oracle (3 distributed k-means iterations have no tractable
+    // DuckDB mirror; the driver records the rows-only check, and
+    // CorpusOpsSpec asserts the monotone-objective + recall-band
+    // properties against brute force)
+    "v4_ann_ivf_refined" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+          k = 3, nCentroids = 16, nProbe = 4, refineIters = 3)
+        .orderBy("query_id", "rank")
+    }),
+
     // T6: BPE-ish token counting next to the whitespace count — the LLM
     // budget estimator pair
     "t6_token_count" -> ((s, dir) =>
@@ -579,6 +600,34 @@ object DocQueries {
          |                    d -> (((t * 7 + i) * 64 + d) * 2654435761) % 1000 / 1000.0 - 0.5)) >= 0.0
          |                THEN (1 << CAST(i AS INT)) ELSE 0 END)) AS INT) AS bucket
          |  FROM e CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS t) tt
+         | ),
+         | cand AS (
+         |  SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+         |  FROM tb a JOIN tb b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+         | ),
+         | scored AS (
+         |  SELECT doc_a, doc_b,
+         |         ROUND(list_dot_product(ae.v, be.v)
+         |               / (sqrt(list_dot_product(ae.v, ae.v)) * sqrt(list_dot_product(be.v, be.v))), 4) AS cosine
+         |  FROM cand JOIN e ae ON ae.vec_id = doc_a JOIN e be ON be.vec_id = doc_b
+         | )
+         |SELECT doc_a, doc_b, cosine FROM scored
+         |WHERE cosine >= 0.4 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // D10: the auto-plane mirror — p derived from COUNT(*) exactly like
+    // Dedup.autoPlanes (CEIL(LOG2(n/64.0)) is FP-safe: power-of-two ratios
+    // are exact in double), then the same bucket CTE with p planes
+    "d10_embedding_neardup_auto" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         | params AS (SELECT GREATEST(4, CAST(CEIL(LOG2(COUNT(*) / 64.0)) AS INT)) AS p FROM e),
+         | tb AS (
+         |  SELECT vec_id, t,
+         |         CAST(list_sum(list_transform(generate_series(0, p - 1), i ->
+         |           CASE WHEN list_dot_product(v,
+         |                  list_transform(generate_series(0, 63),
+         |                    d -> (((t * p + i) * 64 + d) * 2654435761) % 1000 / 1000.0 - 0.5)) >= 0.0
+         |                THEN (1 << CAST(i AS INT)) ELSE 0 END)) AS INT) AS bucket
+         |  FROM e CROSS JOIN params CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS t) tt
          | ),
          | cand AS (
          |  SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
