@@ -8,12 +8,15 @@ import org.apache.spark.sql.types._
   * payloads with typed metadata; decode / feature-extraction runs as a
   * per-partition batch transform.
   *
-  * The actual media decode is STUBBED (no image/audio codecs in this
-  * environment): [[fakeDecodeFeatures]] derives a deterministic feature
-  * vector from the raw bytes so the Spark-side plumbing — schema, batch
-  * shape, partition-wise execution, downstream joins — is real and tested,
-  * and a production decoder (JNI codec, ONNX runtime, ...) can be swapped
-  * into [[decodePartition]] without touching the plan.
+  * Container-header decode (PNG IHDR / JPEG SOF / GIF screen descriptor —
+  * [[parseImageHeader]]) is REAL: format sniffing, dimensions, and
+  * corrupt-payload rejection need no codec library and gate the pipeline
+  * at scan speed. Only the pixel decode is stubbed (no image/audio codecs
+  * in this environment): [[fakeDecodeFeatures]] derives a deterministic
+  * feature vector from the raw bytes so the Spark-side plumbing — schema,
+  * batch shape, partition-wise execution, downstream joins — is real and
+  * tested, and a production decoder (JNI codec, ONNX runtime, ...) can be
+  * swapped into [[decodePartition]] without touching the plan.
   *
   * Scale design: payloads never pass through a shuffle wider than their
   * grouping key; feature extraction is `mapPartitions` (one decoder
@@ -70,5 +73,97 @@ object Multimodal {
         rows.map { case (id, payload) => (id, fakeDecodeFeatures(payload)) }
       }
       .toDF("id", "features")
+  }
+
+  /** Parsed image header: container format and pixel dimensions. */
+  final case class ImageHeader(format: String, width: Int, height: Int)
+
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+
+  private def be16(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+
+  /** REAL (not stubbed) container-header decode for the three ubiquitous
+    * web-image formats — the falsifiable part of the media pipeline that
+    * needs no codec library:
+    *
+    *  - PNG: 8-byte signature, then the IHDR chunk is REQUIRED first, so
+    *    width/height are the big-endian u32 pair at offsets 16/20;
+    *  - JPEG: `FF D8` SOI, then a walk of `FF mm len` segments to the
+    *    first frame header (SOF0–SOF15 except the DHT/DAC/RST aliases
+    *    C4/C8/CC), whose payload is [precision u8][height u16][width u16];
+    *  - GIF: `GIF87a`/`GIF89a`, width/height little-endian u16 at 6/8.
+    *
+    * Returns None for anything else (including truncated headers) — a
+    * production pixel decoder slots in AFTER this gate, which already
+    * rejects mislabeled/corrupt payloads at scan speed. */
+  def parseImageHeader(bytes: Array[Byte]): Option[ImageHeader] = {
+    if (bytes == null || bytes.length < 10) return None
+    // PNG
+    val pngSig = Array[Int](0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    if (bytes.length >= 24 && pngSig.indices.forall(i => (bytes(i) & 0xff) == pngSig(i))
+        && bytes(12) == 'I' && bytes(13) == 'H' && bytes(14) == 'D' && bytes(15) == 'R') {
+      val w = be32(bytes, 16); val h = be32(bytes, 20)
+      if (w > 0 && h > 0 && w <= Int.MaxValue && h <= Int.MaxValue)
+        return Some(ImageHeader("png", w.toInt, h.toInt))
+      return None
+    }
+    // JPEG
+    if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) {
+      var o = 2
+      while (o + 3 < bytes.length) {
+        if ((bytes(o) & 0xff) != 0xff) return None // desynced segment walk
+        val marker = bytes(o + 1) & 0xff
+        if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) {
+          o += 2 // standalone markers: SOI / RSTn carry no length
+        } else if (marker == 0xff) {
+          o += 1 // fill byte
+        } else {
+          val len = be16(bytes, o + 2)
+          if (len < 2) return None
+          val isSof = marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+          if (isSof) {
+            if (o + 9 >= bytes.length) return None
+            val h = be16(bytes, o + 5); val w = be16(bytes, o + 7)
+            if (w > 0 && h > 0) return Some(ImageHeader("jpeg", w, h))
+            return None
+          }
+          o += 2 + len
+        }
+      }
+      return None
+    }
+    // GIF
+    if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == '8' &&
+        (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a') {
+      val w = (bytes(6) & 0xff) | ((bytes(7) & 0xff) << 8)
+      val h = (bytes(8) & 0xff) | ((bytes(9) & 0xff) << 8)
+      if (w > 0 && h > 0) return Some(ImageHeader("gif", w, h))
+      return None
+    }
+    None
+  }
+
+  /** Partition-wise header decode over payload columns: (id, format,
+    * width, height), with NULLs for undecodable payloads. Same batch shape
+    * as [[decodePartition]]; metadata-only downstream queries (resolution
+    * histograms, format counts, aspect-ratio filters) never touch a codec. */
+  def decodeImageMeta(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          parseImageHeader(payload) match {
+            case Some(h) => (id, Option(h.format), Option(h.width), Option(h.height))
+            case None    => (id, None: Option[String], None: Option[Int], None: Option[Int])
+          }
+        }
+      }
+      .toDF("id", "format", "width", "height")
   }
 }

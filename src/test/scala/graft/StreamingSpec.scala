@@ -120,6 +120,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessions equal batch Sessionize on the same events") {
+    // THE batch<->streaming parity harness: one fixture, both engines, the
+    // closed streaming sessions must be exactly the batch sessions under
+    // the documented mapping (streaming session_end = batch end + gap —
+    // session_window extends the window one gap past the last event).
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val M = 60L * 1000L
+    val gapMs = 10 * M
+    // u1: two sessions (0,1m,2m | 30m,31m); u2: one singleton (5m);
+    // u3: events straddling the gap boundary exactly (gap NOT exceeded at
+    // == gap in batch; session_window also merges events gap apart)
+    val events = Seq(
+      (1L, 0L), (1L, 1 * M), (1L, 2 * M), (1L, 30 * M), (1L, 31 * M),
+      (2L, 5 * M),
+      (3L, 0L), (3L, gapMs))
+    val batch = graft.operators.Sessionize.sessionStats(
+        events.toDF("user_id", "ts"), Seq("user_id"), "ts", gapMs = gapMs)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+
+    val input = MemoryStream[(Long, Long)]
+    val sessions = Streaming.sessionizedStats(
+      input.toDF().toDF("user_id", "ts"), keyCol = "user_id",
+      gapDuration = "10 minutes", watermarkDelay = "1 minute")
+    val q = sessions.writeStream.format("memory").queryName("paritysess")
+      .outputMode("append").start()
+    try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      input.addData((99L, 100 * H)) // flusher: watermark past every close
+      q.processAllAvailable()
+      val stream = spark.table("paritysess")
+        .filter(col("user_id") =!= 99L)
+        .select("user_id", "session_start", "session_end", "n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      assert(stream.keySet === batch.keySet,
+        s"session (key, start) sets differ: $stream vs $batch")
+      stream.foreach { case (k, (endS, nS)) =>
+        val (endB, nB) = batch(k)
+        assert(nS === nB, s"event count differs for $k")
+        assert(endS === endB + gapMs, s"end mapping differs for $k")
+      }
+    } finally q.stop()
+  }
+
   test("runningStats keeps per-key state across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
