@@ -147,6 +147,91 @@ object Multimodal {
     None
   }
 
+  /** Parsed audio/video container header. `sampleRate`/`channels`/
+    * `bitsPerSample` are 0 where the container doesn't carry them (MP4
+    * needs the codec-level sample entries for those). */
+  final case class AvHeader(
+      format: String, durationMs: Long,
+      sampleRate: Int, channels: Int, bitsPerSample: Int)
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+
+  private def le32(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+
+  private def tag(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** REAL audio/video container-header decode, same contract as
+    * [[parseImageHeader]]:
+    *
+    *  - WAV: `RIFF….WAVE` then a chunk walk — `fmt ` carries channels /
+    *    sample rate / bits per sample (little-endian), `data`'s size over
+    *    `fmt `'s byte rate gives the duration;
+    *  - MP4 (ISO BMFF): a `size type` box walk — requires a leading
+    *    `ftyp`, then reads `moov`/`mvhd` (version 0 or 1) for
+    *    timescale + duration.
+    *
+    * Returns None for anything else, including truncated or desynced
+    * walks — the corpus-hygiene gate before any real codec runs. */
+  def parseAvHeader(bytes: Array[Byte]): Option[AvHeader] = {
+    if (bytes == null || bytes.length < 16) return None
+    // WAV
+    if (tag(bytes, 0) == "RIFF" && tag(bytes, 8) == "WAVE") {
+      var o = 12
+      var rate = 0L; var channels = 0; var bits = 0; var byteRate = 0L
+      var dataLen = -1L
+      while (o + 8 <= bytes.length) {
+        val id = tag(bytes, o); val len = le32(bytes, o + 4)
+        if (id == "fmt " && o + 8 + 16 <= bytes.length) {
+          channels = le16(bytes, o + 10)
+          rate = le32(bytes, o + 12)
+          byteRate = le32(bytes, o + 16)
+          bits = le16(bytes, o + 22)
+        } else if (id == "data") {
+          dataLen = len
+        }
+        o += 8 + len.toInt + (len.toInt & 1) // RIFF chunks are word-aligned
+      }
+      if (rate <= 0 || channels <= 0 || dataLen < 0 || byteRate <= 0) return None
+      return Some(AvHeader("wav", dataLen * 1000L / byteRate,
+        rate.toInt, channels, bits))
+    }
+    // MP4 — top-level boxes; mvhd searched one level inside moov
+    def be64(o: Int): Long =
+      (be32(bytes, o) << 32) | be32(bytes, o + 4)
+    def findBox(from: Int, until: Int, name: String): Option[(Int, Int)] = {
+      var o = from
+      while (o + 8 <= until) {
+        val size = be32(bytes, o)
+        if (size < 8 || o + size > until) return None
+        if (tag(bytes, o + 4) == name) return Some((o + 8, o + size.toInt))
+        o += size.toInt
+      }
+      None
+    }
+    if (bytes.length >= 12 && tag(bytes, 4) == "ftyp") {
+      return findBox(0, bytes.length, "moov").flatMap { case (ms, me) =>
+        findBox(ms, me, "mvhd").flatMap { case (hs, _) =>
+          val version = bytes(hs) & 0xff
+          // after version+flags (4): creation/modification, then
+          // timescale + duration — 4-byte times in v0, 8-byte in v1
+          val (timescale, duration) =
+            if (version == 1 && hs + 28 <= bytes.length)
+              (be32(bytes, hs + 20), be64(hs + 24))
+            else if (version == 0 && hs + 20 <= bytes.length)
+              (be32(bytes, hs + 12), be32(bytes, hs + 16))
+            else (0L, 0L)
+          if (timescale <= 0) None
+          else Some(AvHeader("mp4", duration * 1000L / timescale, 0, 0, 0))
+        }
+      }
+    }
+    None
+  }
+
   /** Partition-wise header decode over payload columns: (id, format,
     * width, height), with NULLs for undecodable payloads. Same batch shape
     * as [[decodePartition]]; metadata-only downstream queries (resolution
@@ -165,5 +250,43 @@ object Multimodal {
         }
       }
       .toDF("id", "format", "width", "height")
+  }
+
+  /** Minimal valid PCM WAV header+descriptor bytes (no sample data beyond
+    * the declared `data` chunk length) — the inverse of [[parseAvHeader]];
+    * used to synthesize payload fixtures wherever real media can't ship
+    * (specs, the m2 oracle battery entry). */
+  def syntheticWav(rate: Int, channels: Int, bits: Int, dataLen: Int): Array[Byte] = {
+    val byteRate = rate * channels * bits / 8
+    val b = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+    b.put("fmt ".getBytes).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(rate).putInt(byteRate)
+      .putShort((channels * bits / 8).toShort).putShort(bits.toShort)
+    b.put("data".getBytes).putInt(dataLen)
+    b.array()
+  }
+
+  /** Partition-wise audio/video header decode: (id, format, duration_ms,
+    * sample_rate, channels), NULLs for undecodable payloads. */
+  def decodeAvMeta(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          parseAvHeader(payload) match {
+            case Some(h) =>
+              (id, Option(h.format), Option(h.durationMs),
+                Option(h.sampleRate), Option(h.channels))
+            case None =>
+              (id, None: Option[String], None: Option[Long],
+                None: Option[Int], None: Option[Int])
+          }
+        }
+      }
+      .toDF("id", "format", "duration_ms", "sample_rate", "channels")
   }
 }

@@ -377,7 +377,28 @@ object DocQueries {
         .select(col("doc_id"), col("meta.media_type").as("media_type"),
           col("meta.n_bytes").as("n_bytes"), col("meta.checksum").as("checksum"),
           ascii(substring(col("text"), 1, 1)).as("first_code"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // M2: the REAL header-decode path end-to-end — synthesize a valid WAV
+    // payload per doc (params derived from doc_id), parse it back with
+    // Multimodal.decodeAvMeta; the oracle computes the expected metadata
+    // from the SAME doc_id arithmetic, so a parser (or builder) bug that
+    // flips any field fails the hash compare
+    "m2_av_header_decode" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = table(s, dir, "documents").select(col("doc_id"))
+        .as[Long]
+        .mapPartitions(_.map { id =>
+          val rate = 8000 + (id % 8).toInt * 1000
+          val channels = 1 + (id % 2).toInt
+          val dataLen = 1000 * (1 + (id % 5).toInt)
+          (id, Multimodal.syntheticWav(rate, channels, 16, dataLen))
+        })
+        .toDF("doc_id", "payload")
+      Multimodal.decodeAvMeta(payloads, "doc_id")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -924,6 +945,24 @@ object DocQueries {
         |       octet_length(encode(text)) AS n_bytes,
         |       md5(text) AS checksum,
         |       ascii(substr(text, 1, 1)) AS first_code
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // M2: expected WAV metadata from the same doc_id-derived parameters
+    // the Spark side synthesizes; // is DuckDB integer division, matching
+    // Scala Long division on the non-negative operands
+    "m2_av_header_decode" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         8000 + (doc_id % 8) * 1000 AS rate,
+        |         1 + (doc_id % 2) AS channels,
+        |         1000 * (1 + (doc_id % 5)) AS data_len
+        |  FROM documents
+        | )
+        |SELECT doc_id,
+        |       'wav' AS format,
+        |       CAST((data_len * 1000) // (rate * channels * 2) AS BIGINT) AS duration_ms,
+        |       CAST(rate AS INT) AS sample_rate,
+        |       CAST(channels AS INT) AS channels
+        |FROM p ORDER BY doc_id""".stripMargin
   )
 }

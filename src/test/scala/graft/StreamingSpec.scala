@@ -168,6 +168,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("runningStats final state equals a batch aggregation of the stream") {
+    // parity harness #2: after all micro-batches, each key's latest
+    // emitted state must equal the batch groupBy over the full fixture —
+    // custom flatMapGroupsWithState state cannot drift from its batch
+    // definition regardless of how events were batched
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val events = Seq(
+      (1L, "A", 1.5), (2L, "A", 2.5), (3L, "B", 10.0),
+      (4L, "A", -1.0), (5L, "C", 0.0), (6L, "B", 4.0))
+    val batch = events.toDF("ts", "feature", "value")
+      .groupBy("feature")
+      .agg(count(lit(1)).as("count"), sum("value").as("total"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+    val input = MemoryStream[(Long, String, Double)]
+    val stats = Streaming.runningStats(input.toDF().toDF("ts", "feature", "value"))
+    val q = stats.writeStream.format("memory").queryName("rparity")
+      .outputMode("append").start()
+    try {
+      // deliberately uneven batching, including a key split across batches
+      events.grouped(2).foreach { g => input.addData(g: _*); q.processAllAvailable() }
+      // latest emission per key = the one with the highest running count
+      val stream = spark.table("rparity")
+        .select("key", "count", "total")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).map { case (k, rows) =>
+          val last = rows.maxBy(_._2); k -> (last._2, last._3)
+        }
+      assert(stream === batch)
+    } finally q.stop()
+  }
+
   test("runningStats keeps per-key state across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
