@@ -67,6 +67,66 @@ object TextFunctions {
     )
   }
 
+  /** Gopher-style composite quality gate: per-document boolean rules over
+    * the one-pass text stats, plus the conjunction as `keep`. All arithmetic
+    * is the unrounded ratio (rounding before a threshold compare would make
+    * the boundary engine-dependent). Default thresholds follow the published
+    * Gopher/C4 heuristics scaled to short documents; every threshold is a
+    * parameter because curation pipelines always re-tune them per corpus.
+    * One codegen'd projection — no shuffle, no UDF. */
+  def qualityFilter(
+      c: String,
+      minTokens: Int = 20,
+      maxTokens: Int = 80,
+      minTtr: Double = 0.4,
+      minStopRatio: Double = 0.05,
+      maxPunctRatio: Double = 0.1,
+      minAvgTokenLen: Double = 3.0,
+      maxAvgTokenLen: Double = 6.0): Column = {
+    val norm = normText(c)
+    val toks = tokens(c)
+    val nTokens = size(toks)
+    val ttr = size(array_distinct(toks)).cast("double") / nTokens
+    val avgLen = (length(norm) - (nTokens - lit(1))).cast("double") / nTokens
+    val punct =
+      (length(norm) - length(regexp_replace(norm, "[^a-zA-Z0-9 ]", ""))).cast("double") /
+        length(norm)
+    val stopRatio =
+      size(expr(s"filter(${toksSql(c)}, t -> ${inList("t", Stopwords)})")).cast("double") / nTokens
+    val rLen = nTokens >= minTokens && nTokens <= maxTokens
+    val rTtr = ttr >= minTtr
+    val rStop = stopRatio >= minStopRatio
+    val rPunct = punct <= maxPunctRatio
+    val rAvgLen = avgLen >= minAvgTokenLen && avgLen <= maxAvgTokenLen
+    struct(
+      nTokens.as("n_tokens"),
+      rLen.as("r_len"),
+      rTtr.as("r_ttr"),
+      rStop.as("r_stop"),
+      rPunct.as("r_punct"),
+      rAvgLen.as("r_avg_len"),
+      (rLen && rTtr && rStop && rPunct && rAvgLen).as("keep")
+    )
+  }
+
+  /** DEFLATE-compressed length of the text's UTF-8 bytes — delegates to
+    * the native codegen'd [[DeflateLen]] expression. */
+  def deflateLen(c: String): Column = {
+    graft.plans.GraftExtensions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("deflate_len", col(c))
+  }
+
+  /** Compression-ratio quality signal: `deflate_len / byte_len`, rounded
+    * to 4 decimals. Template/boilerplate spam compresses far below natural
+    * prose and random noise barely compresses, so one scan flags both
+    * tails (the RefinedWeb-style curation heuristic). Null for empty
+    * text. */
+  def compressionRatio(c: String): Column = {
+    val n = octet_length(col(c))
+    round(when(n > 0, deflateLen(c).cast("double") / n), 4)
+  }
+
   /** Function-word markers per language (public-knowledge closed-class
     * words); the language whose markers appear most often wins. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(

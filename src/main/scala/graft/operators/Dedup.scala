@@ -168,6 +168,40 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_shared"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Per-document duplicate n-gram fraction: the share of a document's
+    * distinct n-gram shingles that occur in at least one OTHER document —
+    * the RefinedWeb/Dolma "duplicated text" curation signal, reported per
+    * document instead of per pair so it scales as two aggregations and one
+    * join rather than a pair join.
+    *
+    * Returns (doc_id, n_shingles, n_dup, dup_fraction) for documents with
+    * at least one shingle (nt >= n).
+    *
+    * Scale shape: per-doc distinct on the 60-bit shingle hash (one shuffle,
+    * map-side combine), a count-docs-per-shingle aggregation (second
+    * shuffle, partial aggs), and a shuffle join back on the hash — the
+    * post-aggregation sides are co-partitioned on `s`, so no all-pairs
+    * blow-up exists anywhere regardless of skew. */
+  def dupShingleFraction(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3
+  ): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("doc_id"), explode(shingles(textCol, n)).as("sstr"))
+      .select(col("doc_id"), shingleHash60(col("sstr")).as("s"))
+      .distinct()
+    val docFreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    sh.join(docFreq, "s")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_fraction",
+        round(col("n_dup").cast("double") / col("n_shingles"), 4))
+  }
+
   /** MinHash prime modulus (2^31 - 1). */
   val MinHashP = 2147483647L
 

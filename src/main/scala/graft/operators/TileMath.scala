@@ -47,4 +47,16 @@ object TileMath {
     val biny = subtile.getField("y") - (side * tile.getField("y")).cast("int")
     (binx + biny * side.cast("int")).cast("int")
   }
+
+  /** Z-order (Morton) key of a tile x/y pair — the storage-layout key for
+    * spatial clustering: `df.repartitionByRange(col("z"))` (or a sort on
+    * it before write) keeps 2-D-adjacent subtiles in the same parquet row
+    * groups, so viewport / parent-tile scans at 100 TB prune to a few
+    * contiguous files. Delegates to the native codegen'd
+    * [[graft.functions.ZOrder60]] expression (low 30 bits per axis). */
+  def zorder(x: Column, y: Column): Column = {
+    graft.plans.GraftExtensions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("zorder60", x.cast("long"), y.cast("long"))
+  }
 }

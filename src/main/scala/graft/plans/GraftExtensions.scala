@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{SimHash60, VectorDot}
+import graft.functions.{DeflateLen, SimHash60, VectorDot, ZOrder60}
 
 /** Session extensions registering the engine's native Catalyst functions.
   * Install with `spark.sql.extensions=graft.plans.GraftExtensions`, or call
@@ -15,6 +15,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.vecDot)
     ext.injectFunction(GraftExtensions.simHash60)
+    ext.injectFunction(GraftExtensions.zOrder60)
+    ext.injectFunction(GraftExtensions.deflateLen)
   }
 }
 
@@ -37,7 +39,25 @@ object GraftExtensions {
     }
   )
 
-  private val all = Seq(vecDot, simHash60)
+  private val zOrder60 = (
+    new FunctionIdentifier("zorder60"),
+    new ExpressionInfo(classOf[ZOrder60].getName, "zorder60"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.length == 2, "zorder60 takes exactly 2 arguments")
+      ZOrder60(children.head, children(1))
+    }
+  )
+
+  private val deflateLen = (
+    new FunctionIdentifier("deflate_len"),
+    new ExpressionInfo(classOf[DeflateLen].getName, "deflate_len"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.length == 1, "deflate_len takes exactly 1 argument")
+      DeflateLen(children.head)
+    }
+  )
+
+  private val all = Seq(vecDot, simHash60, zOrder60, deflateLen)
 
   /** Idempotently register the functions on a live session. */
   def register(spark: SparkSession): Unit = {

@@ -383,6 +383,20 @@ object DatacubeQueries {
         .orderBy("tx", "ty", "bin")
     }),
 
+    // P17: Z-order (Morton) storage-layout key over the zoom-14 subtile
+    // grid — the clustering key a 100 TB tile store sorts/range-partitions
+    // on before write (2-D-adjacent subtiles -> adjacent row groups). The
+    // oracle recomputes the interleave with plain integer arithmetic.
+    "p17_zorder" -> ((s, dir) => {
+      val cube = baseCube(s, dir)
+        .withColumn("subtile", TileMath.deg2num(col("lat"), col("lng"), Schema.MaxSubtilePrecision))
+      cube
+        .groupBy(col("subtile.x").as("x"), col("subtile.y").as("y"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("z", TileMath.zorder(col("x"), col("y")))
+        .orderBy("z")
+    }),
+
     // A8: subtile aggregation
     "a8_subtile_agg" -> ((s, dir) =>
       round4(subtileAgg(s, dir), Seq("s_sum_t_mean"))
@@ -729,6 +743,21 @@ object DatacubeQueries {
          | )
          |SELECT z, x, y, COUNT(*) AS n, SUM("value") AS sum_value
          |FROM st GROUP BY z, x, y ORDER BY z, x, y""".stripMargin,
+    // P17: Morton interleave by integer arithmetic — bit i of x to 2i, of
+    // y to 2i+1; integer shifts keep every term exact (no double rounding)
+    "p17_zorder" ->
+      s"""${Datacube.sqlCte},
+         | st AS (
+         |  SELECT CAST(FLOOR((lng + 180.0) / 360.0 * 16384) AS INT) AS x,
+         |         CAST(FLOOR((1.0 - ln(tan(radians(lat)) + sqrt(tan(radians(lat))*tan(radians(lat)) + 1.0)) / pi()) / 2.0 * 16384) AS INT) AS y
+         |  FROM cube
+         | ),
+         | g AS (SELECT x, y, COUNT(*) AS n FROM st GROUP BY x, y)
+         |SELECT x, y, n,
+         |       CAST(list_sum(list_transform(generate_series(0, 29), i ->
+         |         (((CAST(x AS BIGINT) >> i) & 1) << (2*i))
+         |         + (((CAST(y AS BIGINT) >> i) & 1) << (2*i+1)))) AS BIGINT) AS z
+         |FROM g ORDER BY z""".stripMargin,
 
     "p15_tile_coord" ->
       s"""${Datacube.sqlCte},

@@ -379,6 +379,32 @@ object DocQueries {
           ascii(substring(col("text"), 1, 1)).as("first_code"))
         .orderBy("doc_id")),
 
+    // T15: Gopher-style composite quality gate — per-rule booleans + keep,
+    // one codegen'd projection
+    "t15_quality_filter" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.qualityFilter("text").as("q"))
+        .select(col("doc_id"), col("q.*"))
+        .orderBy("doc_id")),
+
+    // T16: compression-ratio quality signal (native deflate_len expression).
+    // No DuckDB mirror exists for raw-DEFLATE length -> rows-only driver
+    // check; the value semantics are spec-verified (DeflateSpec golden
+    // inequalities + inflate round-trip)
+    "t16_compress_ratio" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).as("n_bytes"),
+          TextFunctions.deflateLen("text").as("deflate_len"),
+          TextFunctions.compressionRatio("text").as("compress_ratio"))
+        .orderBy("doc_id")),
+
+    // D11: per-document duplicate n-gram fraction (the RefinedWeb-style
+    // duplicated-text signal — per doc, not per pair)
+    "d11_dupgram_fraction" -> ((s, dir) =>
+      Dedup.dupShingleFraction(table(s, dir, "documents"), "doc_id", "text", n = 3)
+        .orderBy("doc_id")),
+
     // M2: the REAL header-decode path end-to-end — synthesize a valid WAV
     // payload per doc (params derived from doc_id), parse it back with
     // Multimodal.decodeAvMeta; the oracle computes the expected metadata
@@ -938,6 +964,43 @@ object DocQueries {
          | )
          |SELECT lang, doc_id, nt AS n_tokens, pack_id, pack_offset
          |FROM pk ORDER BY lang, doc_id""".stripMargin,
+
+    // T15: same unrounded ratios as the Spark-side qualityFilter — both
+    // engines compute the doubles with identical arithmetic, so threshold
+    // compares agree even at the boundary
+    "t15_quality_filter" ->
+      s"""$wCte,
+         | s AS (
+         |  SELECT doc_id, nt,
+         |         len(list_distinct(ws)) * 1.0 / nt AS ttr,
+         |         (length(norm) - (nt - 1)) * 1.0 / nt AS avg_len,
+         |         (length(norm) - length(regexp_replace(norm, '[^a-zA-Z0-9 ]', '', 'g'))) * 1.0
+         |           / length(norm) AS punct,
+         |         len(list_filter(ws, t -> ${inList("t", TextFunctions.Stopwords)})) * 1.0 / nt AS swr
+         |  FROM w
+         | )
+         |SELECT doc_id, nt AS n_tokens,
+         |       nt BETWEEN 20 AND 80 AS r_len,
+         |       ttr >= 0.4 AS r_ttr,
+         |       swr >= 0.05 AS r_stop,
+         |       punct <= 0.1 AS r_punct,
+         |       avg_len BETWEEN 3.0 AND 6.0 AS r_avg_len,
+         |       (nt BETWEEN 20 AND 80) AND ttr >= 0.4 AND swr >= 0.05
+         |         AND punct <= 0.1 AND (avg_len BETWEEN 3.0 AND 6.0) AS keep
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // D11: duplicate-shingle fraction — mirror of Dedup.dupShingleFraction
+    // over the same 60-bit shingle hashes as d2/d5
+    "d11_dupgram_fraction" ->
+      s"""$wCte,
+         | sh0 AS (SELECT DISTINCT doc_id, unnest($shListSql) AS sstr FROM w WHERE nt >= 3),
+         | sh AS (SELECT DISTINCT doc_id, ${hash60Sql("sstr")} AS s FROM sh0),
+         | df AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1)
+         |SELECT sh.doc_id AS doc_id, COUNT(*) AS n_shingles,
+         |       SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS n_dup,
+         |       ROUND(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) AS dup_fraction
+         |FROM sh JOIN df USING (s)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "m1_multimodal_meta" ->
       """SELECT doc_id,
