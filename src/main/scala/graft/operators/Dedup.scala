@@ -566,6 +566,58 @@ object Dedup {
           .as("contamination"))
   }
 
+  /** [[contaminationScan]] with a Bloom-filter prefilter — the scale path
+    * for benchmark sets too large to broadcast as raw 8-byte hashes.
+    *
+    * The benchmark's distinct shingle hashes build a distributed Bloom
+    * filter (`DataFrameStatFunctions.bloomFilter` — a treeAggregate, no
+    * driver bottleneck) at `fpp`; ~1.2 bytes per shingle at 1% instead of
+    * 8+ bytes per raw hash, so a 100×-larger benchmark still broadcasts.
+    * Corpus shingles probe the broadcast sketch at scan speed; only the
+    * surviving sliver (true hits + fpp false positives) reaches the exact
+    * semi-join that removes the false positives. Bloom filters have no
+    * false negatives, so the result is IDENTICAL to [[contaminationScan]]
+    * — the oracle gate checks that end to end.
+    *
+    * The sketch probe is a deliberate UDF: a broadcast mutable sketch has
+    * no Catalyst expression form, the filter is not correctness-bearing
+    * (the exact join behind it is), and it prunes ~(1-fpp) of the join
+    * input in exchange for leaving whole-stage codegen on one filter. */
+  def contaminationScanBloom(
+      docs: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 3,
+      fpp: Double = 0.01
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    val benchSh = benchmark
+      .select(explode(shingles(textCol, n)).as("s0"))
+      .select(shingleHash60(col("s0")).as("s")).distinct()
+      .cache()
+    val expected = math.max(benchSh.count(), 1L)
+    val bf = benchSh.stat.bloomFilter("s", expected, fpp)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((s: Long) => bfB.value.mightContain(s))
+    val docSh = docs
+      .select(col(idCol).as("doc_id"), explode(shingles(textCol, n)).as("s0"))
+      .select(col("doc_id"), shingleHash60(col("s0")).as("s"))
+    val total = docSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val hits = docSh
+      .filter(mightContain(col("s")))
+      .join(broadcast(benchSh), Seq("s"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+    val out = docs.select(col(idCol).as("doc_id"))
+      .join(total, Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        when(col("n_shingles") > 0,
+          round(coalesce(col("n_contaminated"), lit(0L)) / col("n_shingles"), 4))
+          .as("contamination"))
+    benchSh.unpersist()
+    out
+  }
+
   /** Intra-document repetition score: 1 - distinct/total positional
     * n-grams — the cheap quality filter that catches boilerplate loops and
     * degenerate generations. Pure per-row expression work (no shuffle). */

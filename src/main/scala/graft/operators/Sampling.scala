@@ -59,4 +59,29 @@ object Sampling {
     df.groupBy(groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Approximate per-group quantiles via the Greenwald-Khanna sketch
+    * (`approx_percentile`) — the 100 TB path: `percentile` materializes
+    * and sorts every group's values inside the aggregation buffer, while
+    * the sketch is one streaming pass with O(1/accuracy) state per group
+    * and mergeable partials (map-side combine works). Rank error is
+    * bounded by 1/accuracy of the group size; values are genuine data
+    * points (no interpolation), so the result is engine-dependent —
+    * verified against [[exactQuantiles]] within tolerance in
+    * CurationOpsSpec, rows-only at the driver gate. */
+  def approxQuantiles(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      probs: Seq[Double],
+      names: Seq[String],
+      accuracy: Int = 10000
+  ): DataFrame = {
+    require(probs.length == names.length, "one output name per probability")
+    val aggs = probs.zip(names).map { case (p, n) =>
+      percentile_approx(col(valueCol), lit(p), lit(accuracy)).as(n)
+    }
+    df.groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
 }

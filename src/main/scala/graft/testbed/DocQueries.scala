@@ -98,6 +98,29 @@ object DocQueries {
        |    (strpos('0123456789abcdef', substr(md5($e), CAST(k AS INT), 1)) - 1)
        |      * (16.0 ** (15 - k)))) AS BIGINT)""".stripMargin
 
+  /** Shared t11/t17 oracle: the exact contamination computation — the
+    * Bloom-prefiltered variant must reproduce it bit for bit. */
+  private lazy val contaminationSql =
+    s"""$wCte,
+       | sh0 AS (SELECT DISTINCT doc_id, unnest($shListSql) AS sstr FROM w WHERE nt >= 3),
+       | sh AS (SELECT doc_id, ${hash60Sql("sstr")} AS s FROM sh0),
+       | bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 10),
+       | tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY 1),
+       | hit AS (
+       |  SELECT doc_id, COUNT(*) AS n_contaminated
+       |  FROM sh WHERE s IN (SELECT s FROM bench) GROUP BY 1
+       | )
+       |SELECT d.doc_id AS doc_id,
+       |       COALESCE(n_shingles, 0) AS n_shingles,
+       |       COALESCE(n_contaminated, 0) AS n_contaminated,
+       |       CASE WHEN n_shingles > 0
+       |            THEN ROUND(COALESCE(n_contaminated, 0) * 1.0 / n_shingles, 4)
+       |       END AS contamination
+       |FROM documents d
+       |LEFT JOIN tot ON d.doc_id = tot.doc_id
+       |LEFT JOIN hit ON d.doc_id = hit.doc_id
+       |ORDER BY doc_id""".stripMargin
+
   /** Shared d4/d6 oracle: both CC implementations must produce the same
     * min-reachable component per node (transitive closure via DuckDB
     * recursive CTE). */
@@ -306,6 +329,22 @@ object DocQueries {
         .orderBy("lang")
     }),
 
+    // T18: sketch-based quantiles — the one-pass bounded-state scale path
+    // for t8's thresholds. Sketch results are engine-dependent (genuine
+    // data points, no interpolation) -> rows-only driver check; the
+    // rank-error bound vs the exact quantiles is asserted in
+    // CurationOpsSpec
+    "t18_quality_quantiles_approx" -> ((s, dir) => {
+      val st = table(s, dir, "documents")
+        .select(col("lang"), TextFunctions.textStats("text").as("st"))
+        .select(col("lang"), col("st.quality_score").as("q"))
+      val out = Sampling.approxQuantiles(st, Seq("lang"), "q",
+        Seq(0.25, 0.5, 0.75, 0.9), Seq("q25", "q50", "q75", "q90"))
+      Seq("q25", "q50", "q75", "q90")
+        .foldLeft(out)((d, c) => d.withColumn(c, round(col(c), 4)))
+        .orderBy("lang")
+    }),
+
     // T9: deterministic stratified sampling for language mixing — the
     // per-row md5-threshold decision is reproducible bit-for-bit across
     // engines and cluster sizes (no RNG, no partitioning dependence), so
@@ -362,6 +401,15 @@ object DocQueries {
     "t11_contamination" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
       Dedup.contaminationScan(docs, docs.filter(col("doc_id") < 10), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // T17: the Bloom-prefiltered contamination scan — must produce the
+    // IDENTICAL result to t11 (no false negatives + exact confirm), which
+    // the shared oracle checks end to end
+    "t17_contamination_bloom" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      Dedup.contaminationScanBloom(docs, docs.filter(col("doc_id") < 10), "doc_id", "text")
         .orderBy("doc_id")
     }),
 
@@ -869,26 +917,11 @@ object DocQueries {
          |WHERE hamming <= 10 ORDER BY doc_a, doc_b""".stripMargin,
 
     // T11: same 60-bit shingle hashes; the benchmark set is doc_id < 10
-    "t11_contamination" ->
-      s"""$wCte,
-         | sh0 AS (SELECT DISTINCT doc_id, unnest($shListSql) AS sstr FROM w WHERE nt >= 3),
-         | sh AS (SELECT doc_id, ${hash60Sql("sstr")} AS s FROM sh0),
-         | bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 10),
-         | tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY 1),
-         | hit AS (
-         |  SELECT doc_id, COUNT(*) AS n_contaminated
-         |  FROM sh WHERE s IN (SELECT s FROM bench) GROUP BY 1
-         | )
-         |SELECT d.doc_id AS doc_id,
-         |       COALESCE(n_shingles, 0) AS n_shingles,
-         |       COALESCE(n_contaminated, 0) AS n_contaminated,
-         |       CASE WHEN n_shingles > 0
-         |            THEN ROUND(COALESCE(n_contaminated, 0) * 1.0 / n_shingles, 4)
-         |       END AS contamination
-         |FROM documents d
-         |LEFT JOIN tot ON d.doc_id = tot.doc_id
-         |LEFT JOIN hit ON d.doc_id = hit.doc_id
-         |ORDER BY doc_id""".stripMargin,
+    "t11_contamination" -> contaminationSql,
+
+    // T17: same exact-result contract as t11 — the Bloom prefilter must
+    // not change the answer (no false negatives, exact confirm join)
+    "t17_contamination_bloom" -> contaminationSql,
 
     // T12: positional (non-distinct) 3-grams — mirror of the Spark
     // orderedShingles expression

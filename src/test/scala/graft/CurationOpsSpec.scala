@@ -112,4 +112,27 @@ class CurationOpsSpec extends SparkSpec {
     assert(out("a") === ((2.5, 1.75)))  // linear interpolation between ranks
     assert(out("b") === ((10.0, 10.0)))
   }
+
+  test("approx quantiles return genuine data points within the rank bound") {
+    // 1..1000 per group: at accuracy 10000 the rank error is <= n/accuracy
+    // = 0.1 ranks, i.e. the sketch must land on a value within one rank of
+    // the true quantile position
+    val rows = for (g <- Seq("a", "b"); v <- 1 to 1000)
+      yield Row(g, v.toDouble * (if (g == "a") 1 else 3))
+    val in = df("g STRING, v DOUBLE", rows)
+    val out = Sampling.approxQuantiles(in, Seq("g"), "v",
+        Seq(0.25, 0.5, 0.9), Seq("q25", "q50", "q90"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val scaleOf = Map("a" -> 1.0, "b" -> 3.0)
+    for ((g, (q25, q50, q90)) <- out) {
+      val s = scaleOf(g)
+      // each must be an actual data point of its group...
+      Seq(q25, q50, q90).foreach(q => assert((q / s) == math.rint(q / s) && q >= s && q <= 1000 * s))
+      // ...within one rank of the exact quantile position
+      assert(math.abs(q25 / s - 250.0) <= 1.0)
+      assert(math.abs(q50 / s - 500.0) <= 1.0)
+      assert(math.abs(q90 / s - 900.0) <= 1.0)
+    }
+    assert(out.size === 2)
+  }
 }
