@@ -566,6 +566,22 @@ object Dedup {
           .as("contamination"))
   }
 
+  /** The user-facing end of near-dedup: given cluster labels from
+    * [[connectedComponents]] / [[connectedComponentsStar]] (doc_id,
+    * component), drop every cluster member except the minimum-id
+    * canonical and keep all unclustered documents.
+    *
+    * Scale shape: the duplicate-id set (labels where component != id) is
+    * filtered BEFORE the anti-join, so the join's build side holds only
+    * the documents actually being dropped; with a low duplicate rate AQE
+    * turns it into a broadcast anti-join and the corpus never shuffles. */
+  def keepCanonical(docs: DataFrame, idCol: String, labels: DataFrame): DataFrame = {
+    val dropIds = labels
+      .filter(col("component") =!= col("doc_id"))
+      .select(col("doc_id").as("_drop_id"))
+    docs.join(dropIds, docs(idCol) === col("_drop_id"), "left_anti")
+  }
+
   /** [[contaminationScan]] with a Bloom-filter prefilter — the scale path
     * for benchmark sets too large to broadcast as raw 8-byte hashes.
     *

@@ -124,7 +124,7 @@ object DocQueries {
   /** Shared d4/d6 oracle: both CC implementations must produce the same
     * min-reachable component per node (transitive closure via DuckDB
     * recursive CTE). */
-  private lazy val dedupClustersSql =
+  private lazy val ccCtes =
     s"""WITH RECURSIVE ${wCte.stripPrefix("WITH ")},
        |${jaccardCtes()},
        | edges AS (
@@ -144,9 +144,12 @@ object DocQueries {
        |  SELECT a, b FROM sym
        |  UNION
        |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
-       | )
-       |SELECT a AS doc_id, MIN(b) AS component
-       |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+       | ),
+       | comp AS (SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a)""".stripMargin
+
+  private lazy val dedupClustersSql =
+    s"""$ccCtes
+       |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin
 
   // ---- the battery --------------------------------------------------------
 
@@ -402,6 +405,37 @@ object DocQueries {
       val docs = table(s, dir, "documents")
       Dedup.contaminationScan(docs, docs.filter(col("doc_id") < 10), "doc_id", "text")
         .orderBy("doc_id")
+    }),
+
+    // D12: the user-facing end of near-dedup — the corpus with every
+    // >=0.8-Jaccard cluster reduced to its min-id canonical (reuses the
+    // battery-cached edge graph + labels)
+    "d12_dedup_keep" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val labels = cache.getOrElseUpdate((s, dir, "_cc_labels"),
+        Dedup.connectedComponents(jaccardEdges(s, dir)))
+      Dedup.keepCanonical(docs, "doc_id", labels)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
+    // T19: the curation dashboard — per (lang, source): volume, token
+    // mass, mean quality, exact-dup count, quality-gate keep count; one
+    // grouped aggregation over the composed per-row signals
+    "t19_corpus_report" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      Dedup.exactDedup(docs, "doc_id", "text")
+        .select(col("lang"), col("source"), col("is_duplicate"),
+          TextFunctions.textStats("text").as("st"),
+          TextFunctions.qualityFilter("text").as("q"))
+        .groupBy("lang", "source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("st.n_tokens").cast("long")).as("n_tokens"),
+          round(avg(col("st.quality_score")), 4).as("avg_quality"),
+          sum(when(col("is_duplicate"), 1L).otherwise(0L)).as("n_exact_dup"),
+          sum(when(col("q.keep"), 1L).otherwise(0L)).as("n_quality_keep"))
+        .orderBy("lang", "source")
     }),
 
     // T17: the Bloom-prefiltered contamination scan — must produce the
@@ -917,6 +951,44 @@ object DocQueries {
          |WHERE hamming <= 10 ORDER BY doc_a, doc_b""".stripMargin,
 
     // T11: same 60-bit shingle hashes; the benchmark set is doc_id < 10
+    // D12: keep = unclustered docs + cluster minima, from the same
+    // recursive-CTE closure as d4/d6
+    "d12_dedup_keep" ->
+      s"""$ccCtes
+         |SELECT d.doc_id AS doc_id, d.lang AS lang, d.source AS source
+         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+         |WHERE c.doc_id IS NULL OR c.component = c.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // T19: per-(lang, source) curation report — per-doc signals mirrored
+    // from t1/t15/d1, then one grouped aggregation
+    "t19_corpus_report" ->
+      s"""$wCte,
+         | st AS (
+         |  SELECT w.doc_id, w.lang, d.source, nt,
+         |         ROUND(LEAST(1.0, nt / 50.0) * (len(list_distinct(ws)) * 1.0 / nt)
+         |               * (1.0 - (length(norm) - length(regexp_replace(norm, '[^a-zA-Z0-9 ]', '', 'g'))) * 1.0 / length(norm)), 4) AS q,
+         |         (nt BETWEEN 20 AND 80)
+         |           AND len(list_distinct(ws)) * 1.0 / nt >= 0.4
+         |           AND len(list_filter(ws, t -> ${inList("t", TextFunctions.Stopwords)})) * 1.0 / nt >= 0.05
+         |           AND (length(norm) - length(regexp_replace(norm, '[^a-zA-Z0-9 ]', '', 'g'))) * 1.0 / length(norm) <= 0.1
+         |           AND ((length(norm) - (nt - 1)) * 1.0 / nt BETWEEN 3.0 AND 6.0) AS keep
+         |  FROM w JOIN documents d ON w.doc_id = d.doc_id
+         | ),
+         | h AS (
+         |  SELECT doc_id,
+         |         doc_id <> MIN(doc_id) OVER (PARTITION BY md5(lower($norm))) AS is_dup
+         |  FROM documents
+         | )
+         |SELECT lang, source,
+         |       COUNT(*) AS n_docs,
+         |       SUM(nt) AS n_tokens,
+         |       ROUND(AVG(q), 4) AS avg_quality,
+         |       SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_exact_dup,
+         |       SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_quality_keep
+         |FROM st JOIN h USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "t11_contamination" -> contaminationSql,
 
     // T17: same exact-result contract as t11 — the Bloom prefilter must
