@@ -220,4 +220,35 @@ class StreamingSpec extends SparkSpec {
       assert(latest("B") === ((1L, 10.0)))
     } finally q.stop()
   }
+
+  test("curation gate runs stateless on a stream, matching its batch face") {
+    // the quality gate is a pure projection, so it composes with
+    // readStream unchanged (curation-at-ingest); parity harness #3:
+    // streamed decisions == batch decisions on the same fixture,
+    // regardless of micro-batching
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val texts = Seq(
+      (1L, "too short"),
+      (2L, "the quick brown fox jumps over a lazy dog of and in on is with " +
+        "for to near far up down left right under above beyond across through " +
+        "around between"),
+      (3L, ("spam " * 40).trim))
+    val gate = (d: org.apache.spark.sql.DataFrame) =>
+      d.select(col("doc_id"), graft.functions.TextFunctions.qualityFilter("text").as("q"))
+        .select(col("doc_id"), col("q.keep").as("keep"))
+    val batch = gate(texts.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+
+    val input = MemoryStream[(Long, String)]
+    val q = gate(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("qgate").outputMode("append").start()
+    try {
+      texts.grouped(1).foreach { g => input.addData(g: _*); q.processAllAvailable() }
+      val stream = spark.table("qgate")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(stream === batch)
+      assert(batch(2L) === true && batch(1L) === false && batch(3L) === false)
+    } finally q.stop()
+  }
 }
