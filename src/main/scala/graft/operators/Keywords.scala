@@ -46,4 +46,47 @@ object Keywords {
       .filter(col("rank") <= k)
       .select("doc_id", "rank", "term", "tf", "score")
   }
+
+  /** Per-document cross-entropy under an add-alpha-smoothed corpus unigram
+    * LM — the perplexity-style quality signal: documents whose token
+    * distribution diverges from the corpus (rare-token soup, noise, wrong
+    * language) score a high negative log-likelihood and can be filtered
+    * on a threshold. Self-scored here (the LM is the corpus itself); to
+    * score against a reference corpus, pass it as `lmDocs`.
+    *
+    * nll = avg over tokens of -ln((c_t + alpha) / (N + alpha * V)), in
+    * nats, rounded to 4 decimals. Returns (doc_id, n_tokens, nll).
+    * Internally each token's -ln p is rounded to 8 decimals and summed as
+    * a scaled integer: float summation ORDER differs between engines and
+    * across parallel runs, so averaging raw doubles near a rounding
+    * boundary is nondeterministic, while integer sums are exact and
+    * order-free (the t19 lesson).
+    *
+    * Plan shape: one hash aggregation builds the unigram table (vocab-
+    * sized — Heaps' law keeps it sub-linear in the corpus, so it
+    * broadcasts), its (N, V) totals ride along as a broadcast 1-row cross
+    * join (no driver action), and the corpus is scanned once — the only
+    * corpus-sized shuffle is the final per-doc aggregation on the
+    * high-cardinality doc key. */
+  def unigramLogProb(
+      docs: DataFrame, idCol: String, textCol: String,
+      alpha: Double = 1.0, lmDocs: Option[DataFrame] = None
+  ): DataFrame = {
+    require(alpha > 0, "alpha must be positive (unsmoothed zeros break ln)")
+    val tok = docs
+      .select(col(idCol).as("doc_id"), explode(TextFunctions.tokens(textCol)).as("t"))
+    val lmTok = lmDocs.fold(tok)(
+      _.select(col(idCol).as("doc_id"), explode(TextFunctions.tokens(textCol)).as("t")))
+    val counts = lmTok.groupBy("t").agg(count(lit(1)).as("c"))
+    val totals = counts.agg(sum("c").as("n"), count(lit(1)).as("v"))
+    tok
+      .join(broadcast(counts), Seq("t"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("logp",
+        log((coalesce(col("c"), lit(0L)) + alpha) / (col("n") + lit(alpha) * col("v"))))
+      .withColumn("q8", round(-col("logp") * 1e8).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("q8")) / 1e8 / count(lit(1)), 4).as("nll"))
+  }
 }

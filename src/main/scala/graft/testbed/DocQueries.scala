@@ -432,11 +432,21 @@ object DocQueries {
         .agg(
           count(lit(1)).as("n_docs"),
           sum(col("st.n_tokens").cast("long")).as("n_tokens"),
-          round(avg(col("st.quality_score")), 4).as("avg_quality"),
+          // exact integer sum of the 4-dp per-doc scores (x10000): float
+          // summation ORDER differs between engines and across parallel
+          // runs, so ROUND(AVG(..)) of values that land on a .00005
+          // boundary flips nondeterministically — integer sums don't
+          sum(round(col("st.quality_score") * 10000).cast("long")).as("sum_quality4"),
           sum(when(col("is_duplicate"), 1L).otherwise(0L)).as("n_exact_dup"),
           sum(when(col("q.keep"), 1L).otherwise(0L)).as("n_quality_keep"))
         .orderBy("lang", "source")
     }),
+
+    // T20: perplexity-style quality scoring — per-doc cross-entropy under
+    // the corpus's own smoothed unigram LM
+    "t20_unigram_nll" -> ((s, dir) =>
+      Keywords.unigramLogProb(table(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
 
     // T17: the Bloom-prefiltered contamination scan — must produce the
     // IDENTICAL result to t11 (no false negatives + exact confirm), which
@@ -983,7 +993,7 @@ object DocQueries {
          |SELECT lang, source,
          |       COUNT(*) AS n_docs,
          |       SUM(nt) AS n_tokens,
-         |       ROUND(AVG(q), 4) AS avg_quality,
+         |       SUM(CAST(ROUND(q * 10000) AS BIGINT)) AS sum_quality4,
          |       SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_exact_dup,
          |       SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_quality_keep
          |FROM st JOIN h USING (doc_id)
@@ -994,6 +1004,24 @@ object DocQueries {
     // T17: same exact-result contract as t11 — the Bloom prefilter must
     // not change the answer (no false negatives, exact confirm join)
     "t17_contamination_bloom" -> contaminationSql,
+
+    // T20: add-1-smoothed unigram cross-entropy, alpha = 1. Per-token
+    // -ln p is rounded to 8 decimals and summed as a scaled integer so the
+    // per-doc mean is order-independent on both engines (the t19 lesson);
+    // the division then runs on identical integer-valued doubles
+    "t20_unigram_nll" ->
+      s"""$wCte,
+         | tok AS (SELECT doc_id, unnest(ws) AS t FROM w),
+         | c AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY 1),
+         | tot AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM c),
+         | tq AS (
+         |  SELECT doc_id,
+         |         CAST(ROUND(-ln((c + 1.0) / (n + v)) * 100000000) AS BIGINT) AS q8
+         |  FROM tok JOIN c USING (t) CROSS JOIN tot
+         | )
+         |SELECT doc_id, COUNT(*) AS n_tokens,
+         |       ROUND(SUM(q8) / 100000000.0 / COUNT(*), 4) AS nll
+         |FROM tq GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // T12: positional (non-distinct) 3-grams — mirror of the Spark
     // orderedShingles expression
