@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Sampling, Similarity}
+
+/** Physical-plan regression gate for the scale-bearing claims: the
+  * per-row operator family must stay shuffle-free (scan speed on 100 TB),
+  * and the distributed operators must keep their documented exchange
+  * structure. Counts are taken from the AQE-disabled executedPlan over the
+  * sf0.001 fixture — deterministic for a fixed input and config — so a
+  * refactor that silently adds a corpus shuffle (or drops a broadcast)
+  * fails here long before it costs anything on a cluster.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  /** (shuffle exchanges, broadcast exchanges) of the final physical plan,
+    * with AQE off so EnsureRequirements' output is inspected directly. */
+  private def shape(mk: => DataFrame): (Int, Int) = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val p = mk.queryExecution.executedPlan
+      (p.collect { case _: ShuffleExchangeExec => 1 }.size,
+       p.collect { case _: BroadcastExchangeExec => 1 }.size)
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("per-row curation operators are shuffle-free projections") {
+    assert(shape(docs.select(TextFunctions.textStats("text"))) === ((0, 0)))
+    assert(shape(docs.select(TextFunctions.qualityFilter("text"))) === ((0, 0)))
+    assert(shape(docs.select(TextFunctions.compressionRatio("text"))) === ((0, 0)))
+    assert(shape(docs.select(TextFunctions.simHash("text"))) === ((0, 0)))
+    assert(shape(docs.select(TextFunctions.langId("text"))) === ((0, 0)))
+    assert(shape(docs.select(TextFunctions.bpeTokenCount("text"))) === ((0, 0)))
+  }
+
+  test("stratified sampling never shuffles (the determinism claim's twin)") {
+    assert(shape(Sampling.stratifiedSample(
+      docs, "doc_id", "lang", Map("en" -> 0.5), 0.25)) === ((0, 0)))
+  }
+
+  test("contamination scan: corpus aggregates, benchmark broadcasts") {
+    // 3 shuffles: the two per-doc count aggregations + the doc-side
+    // exchange of the assembly join; 3 broadcasts: the benchmark shingle
+    // semi-join build + the (fixture-small) total/hits sides of the
+    // assembly join — the corpus-side shingle stream itself never shuffles
+    assert(shape(Dedup.contaminationScan(
+      docs, docs.filter(col("doc_id") < 10), "doc_id", "text")) === ((3, 3)))
+  }
+
+  test("dupShingleFraction: two aggregations + one broadcast-able join") {
+    // 3 shuffles: per-doc distinct, the shingle df count, the final
+    // per-doc aggregation; the df join broadcasts at fixture size (and
+    // correctly degrades to a shuffle join when the vocab outgrows it)
+    assert(shape(Dedup.dupShingleFraction(docs, "doc_id", "text")) === ((3, 1)))
+  }
+
+  test("brute-force top-k: queries broadcast, two-phase rank") {
+    // 1 broadcast: the query vectors (never the corpus); 2 shuffles: the
+    // pre-rank window on (query_id, partition) and the final rank on
+    // query_id over per-partition survivors only
+    assert(shape(Similarity.bruteForceTopK(
+      emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 3)) === ((2, 1)))
+  }
+}
