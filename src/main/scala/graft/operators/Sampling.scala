@@ -60,6 +60,78 @@ object Sampling {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Greedy selection under a global cost budget: take documents in
+    * (score DESC, id ASC) order while the running cost total stays within
+    * `budget` — the "fill the token budget with the best quality first"
+    * curation step. Returns (id, score, cost, cum_cost) for the selected
+    * rows, where `cum_cost` is the inclusive running total in selection
+    * order.
+    *
+    * The running total over a global order is the classic single-partition
+    * window trap (`SUM OVER (ORDER BY ...)` with no PARTITION BY moves the
+    * corpus to one task). Instead, a distributed prefix sum:
+    *
+    *  1. range-repartition + in-partition sort on the selection order —
+    *     partition p holds a contiguous rank slice;
+    *  2. one tiny pass collects per-partition cost totals (numPartitions
+    *     values to the driver), whose exclusive prefix sums are each
+    *     partition's starting offset;
+    *  3. a per-partition streaming scan (mapPartitions — justified O(1)
+    *     imperative state, like Packing) adds the offset and emits rows
+    *     until the budget is crossed. Partitions whose offset already
+    *     exceeds the budget are skipped WITHOUT scanning — at scale only
+    *     the boundary partition does post-offset work.
+    *
+    * Selection order ties are impossible (id breaks them), so the chosen
+    * set is deterministic across engines and partitionings. */
+  def selectByBudget(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      costCol: String,
+      budget: Long,
+      numPartitions: Int = 0
+  ): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    // eager localCheckpoint, not cache: the offsets pass and the final
+    // read MUST see identical partition boundaries, and the range
+    // exchange re-samples (reseeded) on every execution — a dropped cache
+    // block would silently shift rows across offsets. The checkpoint pins
+    // one materialization; its blocks free when the result is GC'd.
+    val ranged = df
+      .select(col(idCol).cast("long").as("id"),
+        col(scoreCol).cast("double").as("score"),
+        col(costCol).cast("long").as("cost"))
+      .as[(Long, Double, Long)]
+      .repartitionByRange(parts, col("score").desc, col("id").asc)
+      .sortWithinPartitions(col("score").desc, col("id").asc)
+      .localCheckpoint()
+    val totals = ranged.rdd
+      .mapPartitionsWithIndex { (p, it) =>
+        var s = 0L; it.foreach(s += _._3); Iterator((p, s))
+      }
+      .collect().toMap
+    val offsets = (0 until parts).map { p =>
+      p -> (0 until p).map(q => totals.getOrElse(q, 0L)).sum
+    }.toMap
+    val offsetsB = spark.sparkContext.broadcast(offsets)
+    val selected = ranged.rdd.mapPartitionsWithIndex { (p, it) =>
+      var run = offsetsB.value(p)
+      if (run >= budget) Iterator.empty
+      else it.map { case (id, score, cost) =>
+        run += cost
+        (id, score, cost, run)
+      }.takeWhile(_._4 <= budget)
+    }
+    spark.createDataFrame(selected)
+      .toDF(idCol, scoreCol, costCol, "cum_cost")
+  }
+
   /** Approximate per-group quantiles via the Greenwald-Khanna sketch
     * (`approx_percentile`) — the 100 TB path: `percentile` materializes
     * and sorts every group's values inside the aggregation buffer, while

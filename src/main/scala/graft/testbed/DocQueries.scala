@@ -448,6 +448,18 @@ object DocQueries {
       Keywords.unigramLogProb(table(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // T21: greedy max-quality selection under a global token budget via
+    // the distributed prefix sum (no single-partition window anywhere);
+    // the oracle computes the same selection with a plain SQL running sum
+    "t21_budget_select" -> ((s, dir) => {
+      val st = table(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.textStats("text").as("st"))
+        .select(col("doc_id"), col("st.quality_score").as("q"),
+          col("st.n_tokens").cast("long").as("nt"))
+      Sampling.selectByBudget(st, "doc_id", "q", "nt", budget = 10000L)
+        .orderBy("doc_id")
+    }),
+
     // T17: the Bloom-prefiltered contamination scan — must produce the
     // IDENTICAL result to t11 (no false negatives + exact confirm), which
     // the shared oracle checks end to end
@@ -1004,6 +1016,25 @@ object DocQueries {
     // T17: same exact-result contract as t11 — the Bloom prefilter must
     // not change the answer (no false negatives, exact confirm join)
     "t17_contamination_bloom" -> contaminationSql,
+
+    // T21: the same greedy budget fill as one SQL running sum — ordering
+    // ties are impossible (doc_id breaks them), so the selected set is
+    // unique and engine-independent
+    "t21_budget_select" ->
+      s"""$wCte,
+         | st AS (
+         |  SELECT doc_id, nt,
+         |         ROUND(LEAST(1.0, nt / 50.0) * (len(list_distinct(ws)) * 1.0 / nt)
+         |               * (1.0 - (length(norm) - length(regexp_replace(norm, '[^a-zA-Z0-9 ]', '', 'g'))) * 1.0 / length(norm)), 4) AS q
+         |  FROM w
+         | ),
+         | c AS (
+         |  SELECT doc_id, q, nt,
+         |         SUM(nt) OVER (ORDER BY q DESC, doc_id) AS cum_cost
+         |  FROM st
+         | )
+         |SELECT doc_id, q, nt, cum_cost FROM c
+         |WHERE cum_cost <= 10000 ORDER BY doc_id""".stripMargin,
 
     // T20: add-1-smoothed unigram cross-entropy, alpha = 1. Per-token
     // -ln p is rounded to 8 decimals and summed as a scaled integer so the

@@ -113,6 +113,32 @@ class CurationOpsSpec extends SparkSpec {
     assert(out("b") === ((10.0, 10.0)))
   }
 
+  test("selectByBudget fills greedily by score and stops at the budget") {
+    val in = df("id LONG, score DOUBLE, cost LONG", Seq(
+      Row(1L, 0.9, 40L),   // rank 1: cum 40
+      Row(2L, 0.9, 30L),   // rank 2 (tie -> id): cum 70
+      Row(3L, 0.5, 50L),   // rank 4: cum 140 > 120 -> excluded
+      Row(4L, 0.7, 20L),   // rank 3: cum 90
+      Row(5L, 0.1, 10L)))  // rank 5: excluded (selection is prefix-only)
+    val out = Sampling.selectByBudget(in, "id", "score", "cost", budget = 120L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out === Map(1L -> 40L, 2L -> 70L, 4L -> 90L))
+  }
+
+  test("selectByBudget is partitioning-invariant and handles edge budgets") {
+    val rows = (1 to 200).map(i => Row(i.toLong, (i % 17).toDouble, (i % 7 + 1).toLong))
+    val in = df("id LONG, score DOUBLE, cost LONG", rows)
+    def ids(parts: Int, budget: Long) =
+      Sampling.selectByBudget(in.repartition(parts), "id", "score", "cost",
+        budget, numPartitions = parts).collect().map(_.getLong(0)).toSet
+    val base = ids(2, 300L)
+    assert(ids(7, 300L) === base)
+    assert(ids(32, 300L) === base)
+    assert(ids(4, 0L) === Set.empty)
+    val total = rows.map(_.getLong(2)).sum
+    assert(ids(4, total) === (1 to 200).map(_.toLong).toSet)
+  }
+
   test("approx quantiles return genuine data points within the rank bound") {
     // 1..1000 per group: at accuracy 10000 the rank error is <= n/accuracy
     // = 0.1 ranks, i.e. the sketch must land on a value within one rank of
