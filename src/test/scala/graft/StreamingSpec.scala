@@ -221,6 +221,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact dedup by CONTENT drops re-worded whitespace dupes") {
+    // content-level streaming dedup = the batch normalizer composed with
+    // dropDuplicatesWithinWatermark: the dedup key is the normalized
+    // content hash, so an exact re-crawl with different ids/whitespace is
+    // dropped at ingest while state stays watermark-bounded
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Long, String)]
+    val hashed = input.toDF().toDF("doc_id", "ts", "text")
+      .withColumn("content_hash",
+        md5(expr(graft.operators.Dedup.normalizedSql("text"))))
+    val q = Streaming.dedupWithinWatermark(hashed, Seq("content_hash"))
+      .writeStream.format("memory").queryName("cdedup").outputMode("append").start()
+    try {
+      input.addData((1L, 1000L, "Hello  World"), (2L, 2000L, "other text"))
+      q.processAllAvailable()
+      input.addData((3L, 3000L, "hello world"))   // same normalized content
+      input.addData((4L, 4000L, "brand new doc"))
+      q.processAllAvailable()
+      val kept = spark.table("cdedup").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept === Set(1L, 2L, 4L))
+    } finally q.stop()
+  }
+
   test("curation gate runs stateless on a stream, matching its batch face") {
     // the quality gate is a pure projection, so it composes with
     // readStream unchanged (curation-at-ingest); parity harness #3:
