@@ -38,10 +38,15 @@ object TextFunctions {
   private def inList(t: String, values: Seq[String]): String =
     values.map(v => s"'$v'").mkString(s"$t IN (", ", ", ")")
 
-  /** n tokens / distinct tokens / type-token ratio / average token length /
-    * punctuation ratio / stopword ratio / composite quality score, as a
-    * struct column. One pass, fully codegen'd. */
-  def textStats(c: String): Column = {
+  /** The raw (unrounded) per-document signal columns shared by
+    * [[textStats]] and [[qualityFilter]] — ONE definition per signal, so a
+    * tokenizer or regex change cannot desynchronize the two surfaces (and
+    * their oracle mirrors). */
+  private final case class RawStats(
+      nTokens: Column, nTypes: Column, ttr: Column,
+      avgLen: Column, punct: Column, stopRatio: Column)
+
+  private def rawStats(c: String): RawStats = {
     val norm = normText(c)
     val toks = tokens(c)
     val nTokens = size(toks)
@@ -53,16 +58,24 @@ object TextFunctions {
       (length(norm) - length(regexp_replace(norm, "[^a-zA-Z0-9 ]", ""))).cast("double") /
         length(norm)
     val stopCount = size(expr(s"filter(${toksSql(c)}, t -> ${inList("t", Stopwords)})"))
-    val stopRatio = stopCount.cast("double") / nTokens
+    RawStats(nTokens, nTypes, ttr, avgLen, punct, stopCount.cast("double") / nTokens)
+  }
+
+  /** n tokens / distinct tokens / type-token ratio / average token length /
+    * punctuation ratio / stopword ratio / composite quality score, as a
+    * struct column. One pass, fully codegen'd. */
+  def textStats(c: String): Column = {
+    val s = rawStats(c)
     // Deterministic composite: length saturation x lexical diversity x cleanliness.
-    val quality = least(lit(1.0), nTokens.cast("double") / 50.0) * ttr * (lit(1.0) - punct)
+    val quality =
+      least(lit(1.0), s.nTokens.cast("double") / 50.0) * s.ttr * (lit(1.0) - s.punct)
     struct(
-      nTokens.as("n_tokens"),
-      nTypes.as("n_types"),
-      round(ttr, 4).as("ttr"),
-      round(avgLen, 4).as("avg_token_len"),
-      round(punct, 4).as("punct_ratio"),
-      round(stopRatio, 4).as("stopword_ratio"),
+      s.nTokens.as("n_tokens"),
+      s.nTypes.as("n_types"),
+      round(s.ttr, 4).as("ttr"),
+      round(s.avgLen, 4).as("avg_token_len"),
+      round(s.punct, 4).as("punct_ratio"),
+      round(s.stopRatio, 4).as("stopword_ratio"),
       round(quality, 4).as("quality_score")
     )
   }
@@ -83,23 +96,14 @@ object TextFunctions {
       maxPunctRatio: Double = 0.1,
       minAvgTokenLen: Double = 3.0,
       maxAvgTokenLen: Double = 6.0): Column = {
-    val norm = normText(c)
-    val toks = tokens(c)
-    val nTokens = size(toks)
-    val ttr = size(array_distinct(toks)).cast("double") / nTokens
-    val avgLen = (length(norm) - (nTokens - lit(1))).cast("double") / nTokens
-    val punct =
-      (length(norm) - length(regexp_replace(norm, "[^a-zA-Z0-9 ]", ""))).cast("double") /
-        length(norm)
-    val stopRatio =
-      size(expr(s"filter(${toksSql(c)}, t -> ${inList("t", Stopwords)})")).cast("double") / nTokens
-    val rLen = nTokens >= minTokens && nTokens <= maxTokens
-    val rTtr = ttr >= minTtr
-    val rStop = stopRatio >= minStopRatio
-    val rPunct = punct <= maxPunctRatio
-    val rAvgLen = avgLen >= minAvgTokenLen && avgLen <= maxAvgTokenLen
+    val s = rawStats(c)
+    val rLen = s.nTokens >= minTokens && s.nTokens <= maxTokens
+    val rTtr = s.ttr >= minTtr
+    val rStop = s.stopRatio >= minStopRatio
+    val rPunct = s.punct <= maxPunctRatio
+    val rAvgLen = s.avgLen >= minAvgTokenLen && s.avgLen <= maxAvgTokenLen
     struct(
-      nTokens.as("n_tokens"),
+      s.nTokens.as("n_tokens"),
       rLen.as("r_len"),
       rTtr.as("r_ttr"),
       rStop.as("r_stop"),
@@ -110,7 +114,10 @@ object TextFunctions {
   }
 
   /** DEFLATE-compressed length of the text's UTF-8 bytes — delegates to
-    * the native codegen'd [[DeflateLen]] expression. */
+    * the native codegen'd [[DeflateLen]] expression. Registered on the
+    * ACTIVE session (a Column function has no handle on the frame's own);
+    * multi-session JVMs must call `GraftExtensions.register` on the
+    * session that analyzes the plan. */
   def deflateLen(c: String): Column = {
     graft.plans.GraftExtensions.register(
       org.apache.spark.sql.SparkSession.active)

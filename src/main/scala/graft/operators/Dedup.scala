@@ -136,6 +136,21 @@ object Dedup {
   def shingleHash60(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
+  /** (doc_id, s): each document's shingles as 60-bit hashes — the shared
+    * front of every shingle-join operator, so a hashing/normalization
+    * change lands in ONE place (and its oracle mirrors). `shingles` is
+    * already distinct per document; `dedup` additionally collapses 60-bit
+    * hash collisions within a doc (mirrors `SELECT DISTINCT doc_id, hash`
+    * in the d2/d5/d11 oracles — the contamination oracles skip it). */
+  private def docShingleHashes(
+      docs: DataFrame, idCol: String, textCol: String, n: Int,
+      dedup: Boolean): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("doc_id"), explode(shingles(textCol, n)).as("sstr"))
+      .select(col("doc_id"), shingleHash60(col("sstr")).as("s"))
+    if (dedup) sh.distinct() else sh
+  }
+
   def jaccardPairs(
       docs: DataFrame,
       idCol: String,
@@ -144,10 +159,7 @@ object Dedup {
       minJaccard: Double = 0.8,
       maxDocFreq: Option[Int] = None
   ): DataFrame = {
-    val sh0 = docs
-      .select(col(idCol).as("doc_id"), explode(shingles(textCol, n)).as("sstr"))
-      .select(col("doc_id"), shingleHash60(col("sstr")).as("s"))
-      .distinct()
+    val sh0 = docShingleHashes(docs, idCol, textCol, n, dedup = true)
     val sh = maxDocFreq match {
       case Some(cap) =>
         val w = Window.partitionBy("s")
@@ -188,10 +200,7 @@ object Dedup {
       textCol: String,
       n: Int = 3
   ): DataFrame = {
-    val sh = docs
-      .select(col(idCol).as("doc_id"), explode(shingles(textCol, n)).as("sstr"))
-      .select(col("doc_id"), shingleHash60(col("sstr")).as("s"))
-      .distinct()
+    val sh = docShingleHashes(docs, idCol, textCol, n, dedup = true)
     val docFreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
     sh.join(docFreq, "s")
       .groupBy("doc_id")
@@ -545,9 +554,7 @@ object Dedup {
       docs: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int = 3
   ): DataFrame = {
-    val docSh = docs
-      .select(col(idCol).as("doc_id"), explode(shingles(textCol, n)).as("s0"))
-      .select(col("doc_id"), shingleHash60(col("s0")).as("s"))
+    val docSh = docShingleHashes(docs, idCol, textCol, n, dedup = false)
     val benchSh = benchmark
       .select(explode(shingles(textCol, n)).as("s0"))
       .select(shingleHash60(col("s0")).as("s")).distinct()
@@ -605,23 +612,25 @@ object Dedup {
       fpp: Double = 0.01
   ): DataFrame = {
     val spark = docs.sparkSession
+    // eager localCheckpoint, not cache+unpersist: the frame is consumed by
+    // THREE separate executions (count, Bloom build, confirm join) and the
+    // last one runs whenever the caller acts on the result — a premature
+    // unpersist would recompute the whole benchmark shingle pipeline there
     val benchSh = benchmark
       .select(explode(shingles(textCol, n)).as("s0"))
       .select(shingleHash60(col("s0")).as("s")).distinct()
-      .cache()
+      .localCheckpoint()
     val expected = math.max(benchSh.count(), 1L)
     val bf = benchSh.stat.bloomFilter("s", expected, fpp)
     val bfB = spark.sparkContext.broadcast(bf)
     val mightContain = udf((s: Long) => bfB.value.mightContain(s))
-    val docSh = docs
-      .select(col(idCol).as("doc_id"), explode(shingles(textCol, n)).as("s0"))
-      .select(col("doc_id"), shingleHash60(col("s0")).as("s"))
+    val docSh = docShingleHashes(docs, idCol, textCol, n, dedup = false)
     val total = docSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val hits = docSh
       .filter(mightContain(col("s")))
       .join(broadcast(benchSh), Seq("s"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
-    val out = docs.select(col(idCol).as("doc_id"))
+    docs.select(col(idCol).as("doc_id"))
       .join(total, Seq("doc_id"), "left")
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -630,8 +639,6 @@ object Dedup {
         when(col("n_shingles") > 0,
           round(coalesce(col("n_contaminated"), lit(0L)) / col("n_shingles"), 4))
           .as("contamination"))
-    benchSh.unpersist()
-    out
   }
 
   /** Intra-document repetition score: 1 - distinct/total positional

@@ -126,7 +126,7 @@ object Multimodal {
           val isSof = marker >= 0xc0 && marker <= 0xcf &&
             marker != 0xc4 && marker != 0xc8 && marker != 0xcc
           if (isSof) {
-            if (o + 9 >= bytes.length) return None
+            if (o + 9 > bytes.length) return None // last read is bytes(o+8)
             val h = be16(bytes, o + 5); val w = be16(bytes, o + 7)
             if (w > 0 && h > 0) return Some(ImageHeader("jpeg", w, h))
             return None
@@ -193,9 +193,15 @@ object Multimodal {
         } else if (id == "data") {
           dataLen = len
         }
-        o += 8 + len.toInt + (len.toInt & 1) // RIFF chunks are word-aligned
+        // advance in LONG arithmetic: len is an unsigned 32-bit field, so
+        // .toInt could wrap negative and stall or reverse the walk — one
+        // malformed chunk length must end the walk, not hang the task
+        val next = o.toLong + 8L + len + (len & 1L) // RIFF chunks are word-aligned
+        if (next > Int.MaxValue) return None
+        o = next.toInt
       }
-      if (rate <= 0 || channels <= 0 || dataLen < 0 || byteRate <= 0) return None
+      if (rate <= 0 || rate > Int.MaxValue || channels <= 0 ||
+        dataLen < 0 || byteRate <= 0) return None
       return Some(AvHeader("wav", dataLen * 1000L / byteRate,
         rate.toInt, channels, bits))
     }
@@ -214,18 +220,25 @@ object Multimodal {
     }
     if (bytes.length >= 12 && tag(bytes, 4) == "ftyp") {
       return findBox(0, bytes.length, "moov").flatMap { case (ms, me) =>
-        findBox(ms, me, "mvhd").flatMap { case (hs, _) =>
-          val version = bytes(hs) & 0xff
-          // after version+flags (4): creation/modification, then
-          // timescale + duration — 4-byte times in v0, 8-byte in v1
-          val (timescale, duration) =
-            if (version == 1 && hs + 28 <= bytes.length)
-              (be32(bytes, hs + 20), be64(hs + 24))
-            else if (version == 0 && hs + 20 <= bytes.length)
-              (be32(bytes, hs + 12), be32(bytes, hs + 16))
-            else (0L, 0L)
-          if (timescale <= 0) None
-          else Some(AvHeader("mp4", duration * 1000L / timescale, 0, 0, 0))
+        findBox(ms, me, "mvhd").flatMap { case (hs, he) =>
+          // bound every read by the box's own content end `he` (<= buffer
+          // length): an empty or truncated mvhd must yield None, not an
+          // out-of-bounds read — v1 needs 32 content bytes (be64 at
+          // hs+24 reads through hs+31), v0 needs 20
+          if (hs >= he) None
+          else {
+            val version = bytes(hs) & 0xff
+            // after version+flags (4): creation/modification, then
+            // timescale + duration — 4-byte times in v0, 8-byte in v1
+            val (timescale, duration) =
+              if (version == 1 && hs + 32 <= he)
+                (be32(bytes, hs + 20), be64(hs + 24))
+              else if (version == 0 && hs + 20 <= he)
+                (be32(bytes, hs + 12), be32(bytes, hs + 16))
+              else (0L, 0L)
+            if (timescale <= 0) None
+            else Some(AvHeader("mp4", duration * 1000L / timescale, 0, 0, 0))
+          }
         }
       }
     }

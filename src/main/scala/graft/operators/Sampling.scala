@@ -83,7 +83,9 @@ object Sampling {
     *     the boundary partition does post-offset work.
     *
     * Selection order ties are impossible (id breaks them), so the chosen
-    * set is deterministic across engines and partitionings. */
+    * set is deterministic across engines and partitionings. Costs must be
+    * non-negative (a negative cost would make the greedy prefix
+    * ill-defined). */
   def selectByBudget(
       df: DataFrame,
       idCol: String,
@@ -122,7 +124,10 @@ object Sampling {
     val offsetsB = spark.sparkContext.broadcast(offsets)
     val selected = ranged.rdd.mapPartitionsWithIndex { (p, it) =>
       var run = offsetsB.value(p)
-      if (run >= budget) Iterator.empty
+      // skip strictly-past-budget partitions only: at run == budget a
+      // leading zero-cost row still satisfies cum <= budget and must be
+      // selected (exactly what the SQL running-sum oracle does)
+      if (run > budget) Iterator.empty
       else it.map { case (id, score, cost) =>
         run += cost
         (id, score, cost, run)

@@ -53,7 +53,9 @@ object TileMath {
     * it before write) keeps 2-D-adjacent subtiles in the same parquet row
     * groups, so viewport / parent-tile scans at 100 TB prune to a few
     * contiguous files. Delegates to the native codegen'd
-    * [[graft.functions.ZOrder60]] expression (low 30 bits per axis). */
+    * [[graft.functions.ZOrder60]] expression (low 30 bits per axis),
+    * registered on the ACTIVE session — multi-session JVMs must call
+    * `GraftExtensions.register` on the session analyzing the plan. */
   def zorder(x: Column, y: Column): Column = {
     graft.plans.GraftExtensions.register(
       org.apache.spark.sql.SparkSession.active)
