@@ -264,4 +264,27 @@ object Similarity {
       .withColumn("rank", row_number().over(fin)).filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
+
+  /** Per-dimension corpus statistics of an embedding column — the health
+    * check run before any ANN indexing (collapsed dimensions, biased
+    * encoders, wrong normalization all show up here). Returns
+    * (dim, n, mean, std), 0-based dims.
+    *
+    * One posexplode + one hash aggregation keyed by dimension (tiny key
+    * space — partial aggs do all the work map-side). Values are rounded
+    * to 1e-6 and summed as scaled integers so the result is exact and
+    * summation-order-free on any engine (the t19 lesson); q*q stays
+    * within a signed 64-bit sum up to ~2^23 rows per dimension at |x|<=1
+    * — beyond that, pre-aggregate per partition or widen to decimal. */
+  def embeddingStats(corpus: DataFrame, vecCol: String): DataFrame =
+    corpus
+      .select(posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .withColumn("q", round(col("x").cast("double") * 1e6).cast("long"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum("q").as("sq"),
+        sum(col("q") * col("q")).as("sqq"))
+      .select(col("dim"), col("n"),
+        round(col("sq") / 1e6 / col("n"), 4).as("mean"),
+        round(sqrt(col("sqq") / 1e12 / col("n")
+          - (col("sq") / 1e6 / col("n")) * (col("sq") / 1e6 / col("n"))), 4).as("std"))
 }

@@ -483,6 +483,12 @@ object DocQueries {
           ascii(substring(col("text"), 1, 1)).as("first_code"))
         .orderBy("doc_id")),
 
+    // V5: per-dimension embedding health stats (mean/std via exact
+    // integer-scaled sums — order-free on both engines)
+    "v5_embedding_stats" -> ((s, dir) =>
+      Similarity.embeddingStats(table(s, dir, "embeddings"), "embedding")
+        .orderBy("dim")),
+
     // T15: Gopher-style composite quality gate — per-rule booleans + keep,
     // one codegen'd projection
     "t15_quality_filter" -> ((s, dir) =>
@@ -1010,6 +1016,22 @@ object DocQueries {
          |       SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_quality_keep
          |FROM st JOIN h USING (doc_id)
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // V5: same scaled-integer sums as the Spark side; the double math
+    // after aggregation runs on identical integer-valued inputs, so the
+    // rounding is bit-for-bit reproducible
+    "v5_embedding_stats" ->
+      """WITH e AS (
+        |  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+        |         unnest(embedding) AS x
+        |  FROM embeddings
+        | ),
+        | q AS (SELECT dim, CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS q FROM e)
+        |SELECT dim, COUNT(*) AS n,
+        |       ROUND(SUM(q) / 1000000.0 / COUNT(*), 4) AS mean,
+        |       ROUND(sqrt(SUM(q*q) / 1000000000000.0 / COUNT(*)
+        |             - (SUM(q)/1000000.0/COUNT(*)) * (SUM(q)/1000000.0/COUNT(*))), 4) AS std
+        |FROM q GROUP BY dim ORDER BY dim""".stripMargin,
 
     "t11_contamination" -> contaminationSql,
 
