@@ -71,7 +71,9 @@ object GroupSink {
     * via shortest-roundtrip `Double.toString`). */
   def renderCsv(header: Seq[String], fieldIdx: Seq[Int], rows: Iterator[Row]): Array[Byte] = {
     val sb = new StringBuilder
-    sb.append(header.mkString(",")).append('\n')
+    // header cells escape like body cells: pivoted qualifier VALUES become
+    // column names, so a data-derived "Washington, DC" header must quote
+    sb.append(header.map(csvCell).mkString(",")).append('\n')
     rows.foreach { r =>
       var i = 0
       while (i < fieldIdx.length) {

@@ -49,7 +49,14 @@ final case class HadoopFsWriter(baseUri: String, confKV: Map[String, String] = M
   @transient private lazy val fs = {
     val conf = new org.apache.hadoop.conf.Configuration()
     confKV.foreach { case (k, v) => conf.set(k, v) }
-    org.apache.hadoop.fs.FileSystem.get(java.net.URI.create(baseUri), conf)
+    val uri = java.net.URI.create(baseUri)
+    // FileSystem.get caches by scheme/authority only — if Spark already
+    // opened this bucket with cluster config, the cached instance wins and
+    // every confKV override (endpoint, credentials) is silently dropped.
+    // With overrides present, force a private instance; it lives for the
+    // executor JVM (this val is a per-JVM lazy singleton).
+    if (confKV.nonEmpty) org.apache.hadoop.fs.FileSystem.newInstance(uri, conf)
+    else org.apache.hadoop.fs.FileSystem.get(uri, conf)
   }
   override def write(body: Array[Byte], path: String): Unit = {
     val out = fs.create(new org.apache.hadoop.fs.Path(s"$baseUri/$path"), true)

@@ -48,8 +48,12 @@ object AsOf {
       s"payload columns ${payload.intersect(leftCols).mkString(",")} collide with left side")
 
     // side = 1 for right rows so that, at an equal timestamp, the right row
-    // sorts BEFORE the left row it should match (ties are `<=` semantics)
-    val rTagged = right.select(
+    // sorts BEFORE the left row it should match (ties are `<=` semantics).
+    // Null right timestamps are dropped: ascending order sorts nulls FIRST,
+    // so a dirty null-ts right row would otherwise become the "latest at or
+    // before" match for every left row preceding the real right rows —
+    // `r.ts <= l.ts` is never true for a null r.ts
+    val rTagged = right.filter(col(tsCol).isNotNull).select(
       keyAndTs.map(col) ++
         Seq(lit(1).as("_side"), struct(payload.map(col): _*).as("_payload")) ++
         leftCols.filterNot(keyAndTs.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)

@@ -54,7 +54,11 @@ object Validate {
         sum(when(nonEmpty, 1L).otherwise(0L)).as(c)
       }.toSeq: _*)
       .head()
-    df.columns.zipWithIndex.collect { case (c, i) if counts.getLong(i) == 0L => c }.toSeq
+    // sum() over ZERO rows is null — unboxing would NPE; an empty frame's
+    // columns are vacuously all-null, so they count as 0 non-empty rows
+    df.columns.zipWithIndex.collect {
+      case (c, i) if counts.isNullAt(i) || counts.getLong(i) == 0L => c
+    }.toSeq
   }
 
   def apply(
@@ -71,11 +75,11 @@ object Validate {
     // matching the reference's pandas to_numeric(errors="coerce").
     def tryDouble(c: String) = expr(s"try_cast(`$c` AS DOUBLE)")
     df = df.withColumn("value", tryDouble("value"))
-    if (df.columns.contains("lat") && df.columns.contains("lng")) {
-      df = df
-        .withColumn("lat", tryDouble("lat"))
-        .withColumn("lng", tryDouble("lng"))
-    }
+    // each geo column independently: partial geo data (a lone lat or lng)
+    // must still be coerced — it is also excluded from the categorical
+    // fill below, so skipping it here would leave it entirely unvalidated
+    for (c <- LatLngCols if df.columns.contains(c))
+      df = df.withColumn(c, tryDouble(c))
 
     val hasWeight = weightColumn.nonEmpty && df.columns.contains(weightColumn)
     val effectiveWeight = if (hasWeight) weightColumn else ""
@@ -93,11 +97,16 @@ object Validate {
     // P4/P5/P9 counters in one aggregate pass, BEFORE the infinity scrub:
     // the reference counts num_missing_val (data_pipeline.py:351) before
     // replacing infinities with NaN (:363) — an ±inf row is not "missing".
+    // count on the try_cast form, not the raw column: a string-typed
+    // timestamp column would make the raw >= comparison an ANSI cast
+    // (throws on garbage), and an unparseable timestamp IS missing — the
+    // fill below replaces it with fillTimestamp, so it must be counted
+    val tsCast = expr("try_cast(`timestamp` AS BIGINT)")
     val counterRow: Row = df
       .agg(
-        sum(when(col("timestamp").isNull, 1L).otherwise(0L)).as("missing_ts"),
+        sum(when(tsCast.isNull, 1L).otherwise(0L)).as("missing_ts"),
         sum(when(col("value").isNull, 1L).otherwise(0L)).as("missing_val"),
-        sum(when(col("timestamp") >= Schema.MaxTimestampMs, 1L).otherwise(0L)).as("invalid_ts")
+        sum(when(tsCast >= Schema.MaxTimestampMs, 1L).otherwise(0L)).as("invalid_ts")
       )
       .head()
     def cnt(i: Int): Long = if (counterRow.isNullAt(i)) 0L else counterRow.getLong(i)

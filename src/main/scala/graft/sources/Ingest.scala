@@ -33,9 +33,12 @@ object Ingest {
     StrFileRe.matches(basename(path))
 
   /** URL basename with any query/fragment stripped — presigned URLs carry
-    * `?X-Amz-...` suffixes that must not defeat the `_str` filename filter. */
+    * `?X-Amz-...` suffixes that must not defeat the `_str` filename filter.
+    * The query is stripped BEFORE splitting on '/': a raw '/' inside a
+    * query value (legal per RFC 3986, common in redirect params) would
+    * otherwise become the basename. */
   private def basename(path: String): String =
-    path.split('/').last.takeWhile(c => c != '?' && c != '#')
+    path.takeWhile(c => c != '?' && c != '#').split('/').last
 
   /** S2: paths Spark's parquet source cannot open directly (datasets often
     * arrive as presigned http(s) URLs; the reference reads them per-file
@@ -115,12 +118,16 @@ object Ingest {
     def dtypeOf(df: DataFrame, c: String): Option[StructField] =
       df.schema.fields.find(_.name == c)
 
-    // a column must become string when it's `feature`, or when files
-    // disagree on its type (the reference re-types region columns on
-    // conflict; we apply the same rule to any conflicted column)
+    // a column must become string when it's `feature`, when files disagree
+    // on its type (the reference re-types region columns on conflict; we
+    // apply the same rule to any conflicted column), or when it's MISSING
+    // from any file — the missing-column fill is the string '', so a
+    // column left numeric in the files that have it would type-conflict
+    // the union (an ANSI-mode runtime cast error)
     val forceString: Set[String] = allCols.filter { c =>
       val types = dfs.flatMap(dtypeOf(_, c)).map(_.dataType).distinct
-      c == "feature" || types.length > 1
+      c == "feature" || types.length > 1 ||
+        dfs.exists(df => !df.columns.contains(c))
     }.toSet
 
     val projected = dfs.map { df =>

@@ -77,15 +77,19 @@ object Tiling {
         col("s_sum_t_sum"), col("s_sum_t_mean"), col("s_count").cast("long").as("weight"))
     val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (level <- (levelDiff to maxPrecision).reverse) {
-      if (level < maxPrecision) {
-        cur = cur
-          .groupBy(col("feature"), col("timestamp"),
-            shiftright(col("px"), 1).as("hpx"), shiftright(col("py"), 1).as("hpy"))
-          .agg(sum("s_sum_t_sum").as("s_sum_t_sum"),
-            sum("s_sum_t_mean").as("s_sum_t_mean"),
-            sum("weight").as("weight"))
-          .withColumnRenamed("hpx", "px").withColumnRenamed("hpy", "py")
-      }
+      // the FINEST level aggregates too (keys unchanged, no halving):
+      // duplicate input rows for one subtile must SUM exactly as the
+      // explode plan's groupBy does, or the two plans diverge and
+      // encodeTiles' per-bin map silently drops one duplicate's stats
+      val (kx, ky) =
+        if (level < maxPrecision) (shiftright(col("px"), 1), shiftright(col("py"), 1))
+        else (col("px"), col("py"))
+      cur = cur
+        .groupBy(col("feature"), col("timestamp"), kx.as("hpx"), ky.as("hpy"))
+        .agg(sum("s_sum_t_sum").as("s_sum_t_sum"),
+          sum("s_sum_t_mean").as("s_sum_t_mean"),
+          sum("weight").as("weight"))
+        .withColumnRenamed("hpx", "px").withColumnRenamed("hpy", "py")
       parts += cur
         .withColumn("z", lit(level - levelDiff))
         .withColumn("x", shiftright(col("px"), levelDiff).cast("int"))
@@ -107,6 +111,11 @@ object Tiling {
     import spark.implicits._
     val totalBins = 1 << (2 * levelDiff)
     bins
+      // a bin whose every source value was null carries null sums (the
+      // aggregation layer keeps SQL null semantics); it has no stats to
+      // encode, and deserializing null into BinRow's primitive Double
+      // would fail the job — no data, no bin
+      .filter(col("s_sum_t_sum").isNotNull)
       .groupBy("feature", "timestamp", "z", "x", "y")
       .agg(collect_list(struct(col("bin"), col("s_sum_t_sum"), col("s_sum_t_mean"), col("weight"))).as("bins"))
       .as[TileGroup]

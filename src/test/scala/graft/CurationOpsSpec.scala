@@ -27,6 +27,17 @@ class CurationOpsSpec extends SparkSpec {
       5L -> Some(45.0), 6L -> None))
   }
 
+  test("as-of join ignores right rows with a null timestamp") {
+    // ascending sort puts nulls first: an unfiltered null-ts right row
+    // would become the match for left rows preceding every real right row
+    val left = df("id LONG, k STRING, ts LONG", Seq(Row(1L, "u1", 10L)))
+    val right = df("k STRING, ts LONG, price DOUBLE", Seq(
+      Row("u1", null, 99.0),   // dirty row: r.ts <= l.ts is never true
+      Row("u1", 20L, 2.0)))
+    val out = AsOf.joinAsOf(left, right, Seq("k"), "ts", Seq("price")).collect().head
+    assert(out.isNullAt(3))
+  }
+
   test("as-of join payload overload carries all non-key right columns") {
     val left = df("id LONG, k STRING, ts LONG", Seq(Row(1L, "a", 5L)))
     val right = df("k STRING, ts LONG, x DOUBLE, y STRING", Seq(Row("a", 3L, 1.5, "v")))

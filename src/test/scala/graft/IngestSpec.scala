@@ -39,6 +39,25 @@ class IngestSpec extends SparkSpec {
       Seq(2L, "F", 2.0, "")))
   }
 
+  test("a column missing from one file coerces to string everywhere (S4)") {
+    // 'score' is double in a, absent in b: the ''-fill for b means the
+    // union must be string-typed in a too, or ANSI casting '' to double
+    // fails at runtime
+    val a = df("timestamp LONG, feature STRING, value DOUBLE, score DOUBLE", Seq(
+      Row(1L, "F", 1.0, 0.5)))
+    val b = df("timestamp LONG, feature STRING, value DOUBLE", Seq(
+      Row(2L, "F", 2.0)))
+    val u = Ingest.unifySchemas(Seq(a, b))
+    assert(u.schema("score").dataType.typeName === "string")
+    assert(rowSet(u.select("timestamp", "score")) === Set(
+      Seq(1L, "0.5"), Seq(2L, "")))
+  }
+
+  test("a raw '/' inside a URL query does not defeat the basename (S2/S3)") {
+    assert(Ingest.isStringTypedFile("https://h/data_str.parquet?redirect=/tmp/x"))
+    assert(!Ingest.isStringTypedFile("https://h/data.parquet?path=/a_str.parquet"))
+  }
+
   test("conflicting dtypes coerce to string instead of failing (S4)") {
     val a = df("timestamp LONG, feature STRING, value DOUBLE, admin1 STRING", Seq(
       Row(1L, "F", 1.0, "X")))

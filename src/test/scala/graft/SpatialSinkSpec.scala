@@ -86,6 +86,17 @@ class SpatialSinkSpec extends SparkSpec {
         "1,186.0,93.0,4.8,2.4,2\n")
   }
 
+  test("csv header cells escape data-derived names like body cells") {
+    // pivoted qualifier VALUES become column names — a comma in one must
+    // quote, or the header has more columns than every data row
+    val bytes = graft.io.GroupSink.renderCsv(
+      Seq("plain", "Washington, DC", "quo\"te"), Seq(0, 1, 2),
+      Iterator(Row("x", 1.0, "y")))
+    val lines = new String(bytes, java.nio.charset.StandardCharsets.UTF_8).linesIterator.toSeq
+    assert(lines.head === "plain,\"Washington, DC\",\"quo\"\"te\"")
+    assert(lines(1) === "x,1.0,y")
+  }
+
   test("qualifier pivot timeseries values (A10)") {
     val in = df(
       "timestamp LONG, country STRING, feature STRING, qual1 STRING, t_sum DOUBLE, t_mean DOUBLE", Seq(

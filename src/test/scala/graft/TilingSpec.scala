@@ -60,6 +60,32 @@ class TilingSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
+  test("progressive pyramid sums duplicate subtile rows like the explode plan") {
+    // two input rows for the SAME subtile: the finest level must aggregate
+    // them (a previously-unaggregated finest level emitted duplicate bins,
+    // and encodeTiles' per-bin map silently dropped one)
+    val dup = subtiles.unionByName(subtiles)
+    val cols = Seq("feature", "timestamp", "z", "x", "y", "bin",
+      "s_sum_t_sum", "s_sum_t_mean", "weight")
+    val a = rowSet(Tiling.binsPyramid(dup).select(cols.head, cols.tail: _*))
+    val b = rowSet(Tiling.binsPyramidProgressive(dup).select(cols.head, cols.tail: _*))
+    assert(a === b)
+    assert(b.map(r => (r(0), r(1), r(2), r(3), r(4), r(5))).size === b.size,
+      "one row per (feature, timestamp, z, x, y, bin)")
+  }
+
+  test("encodeTiles skips bins whose every source value was null") {
+    val bins = df(
+      "feature STRING, timestamp LONG, z INT, x INT, y INT, bin INT, " +
+        "s_sum_t_sum DOUBLE, s_sum_t_mean DOUBLE, weight LONG", Seq(
+        Row("F", 0L, 0, 0, 0, 7, 10.0, 5.0, 2L),
+        Row("F", 0L, 0, 0, 0, 9, null, null, 3L))) // all-null-value group
+    val tiles = Tiling.encodeTiles(bins).collect()
+    assert(tiles.length === 1)
+    val t = TileProto.decode(tiles.head.body)
+    assert(t.stats.keySet === Set(7))
+  }
+
   test("zoom 1 tiles") {
     val t = readTile("model-id-1/run-id-1/month/F1/tiles/0-1-1-0.tile")
     assert((t.z, t.x, t.y) === (1, 1, 0))

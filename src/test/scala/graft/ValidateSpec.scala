@@ -50,6 +50,37 @@ class ValidateSpec extends SparkSpec {
     assert(rows === Set(Seq(1L, "val1"), Seq(0L, "None"), Seq(3L, "val2")))
   }
 
+  test("string timestamps: garbage counts as missing, no ANSI crash") {
+    val in = df(
+      "timestamp STRING, feature STRING, value DOUBLE", Seq(
+        Row("1000", "A", 1.0),
+        Row("garbage", "B", 2.0),   // unparseable -> missing, filled
+        Row(null, "C", 3.0)))
+    val res = Validate(in, "", fillTimestamp = 42L)
+    assert(res.numMissingTs === 2)  // null AND unparseable
+    val ts = res.df.select("timestamp", "feature").collect()
+      .map(r => r.getString(1) -> r.getLong(0)).toMap
+    assert(ts === Map("A" -> 1000L, "B" -> 42L, "C" -> 42L))
+  }
+
+  test("a lone lat column (no lng) is still coerced to double") {
+    val in = df("timestamp LONG, feature STRING, value DOUBLE, lat STRING", Seq(
+      Row(1L, "A", 1.0, "3.5"),
+      Row(2L, "B", 2.0, "junk")))
+    val res = Validate(in, "", 0L)
+    assert(res.df.schema("lat").dataType.typeName === "double")
+    val lat = res.df.select("feature", "lat").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(lat === Map("A" -> Some(3.5), "B" -> None))
+  }
+
+  test("an empty frame validates without NPE") {
+    val in = df("timestamp LONG, feature STRING, value DOUBLE", Seq.empty)
+    val res = Validate(in, "", 0L)
+    assert(res.df.count() === 0L)
+    assert(res.numMissingTs === 0L && res.numMissingVal === 0L)
+  }
+
   test("weight column coercion with null->0; absent weight disables weighting") {
     val in = df(
       "timestamp LONG, feature STRING, value DOUBLE, other_col STRING", Seq(
