@@ -19,6 +19,29 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftExtensions.register(spark)
+    // Contention canary: a fixed pure-CPU probe timed before and after the
+    // battery. It reads no files and shuffles one row per core, so any
+    // first-vs-last divergence measures machine contention (other processes
+    // sharing the cores during the run), not our plan costs — driver-run
+    // benches have carried ~1.4-2x inflation vs quiet same-machine re-runs,
+    // and the flag makes that visible in the emitted JSON instead of
+    // silently poisoning round-over-round comparison. One untimed warm-up
+    // run absorbs JIT/codegen so the first timed probe is not inflated by
+    // JVM warmup.
+    // min-of-2 per probe: a single timed run also measures whatever GC /
+    // heap-aging the preceding work left behind, which is not contention;
+    // the min of two back-to-back runs is the steady-state number.
+    def canary(): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(0L, 200000000L, 1L, cpus.toInt)
+          .selectExpr("sum((id * 2654435761) % 1000000007) as s").collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once(), once())
+    }
+    canary()
+    val canaryFirst = canary()
     // A failed query must be visible as a failure, not a fast timing:
     // -1 sec marks it and the error list is emitted alongside.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -57,7 +80,13 @@ object Bench {
     val errJson = errors.map { case (k, v) => q(k) + ":" + q(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val canaryLast = canary()
+    val contended =
+      math.max(canaryFirst, canaryLast) /
+        math.max(1e-9, math.min(canaryFirst, canaryLast)) > 1.5
+    val canaryJson =
+      s"""{"first":$canaryFirst,"last":$canaryLast,"contended":$contended}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"canary":$canaryJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

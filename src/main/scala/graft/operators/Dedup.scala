@@ -405,10 +405,18 @@ object Dedup {
     val keep = checkpointRdd(result).map(_.id).toSet
     // freeing a local checkpoint intentionally truncates an unrecomputable
     // lineage — Spark logs a WARN per RDD for it; silence that one logger
-    // (the RDD's own class name) for this deliberate, tracked case
+    // (the RDD's own class name) only for this deliberate, tracked case,
+    // restoring the caller's level afterwards so the suppression cannot
+    // leak into unrelated code that hits a real lineage-truncation bug
+    val rddLogger = "org.apache.spark.rdd.MapPartitionsRDD"
+    val prevLevel =
+      org.apache.logging.log4j.LogManager.getLogger(rddLogger).getLevel
     org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd.MapPartitionsRDD", org.apache.logging.log4j.Level.ERROR)
-    created.filterNot(r => keep.contains(r.id)).foreach(_.unpersist(blocking = false))
+      rddLogger, org.apache.logging.log4j.Level.ERROR)
+    try
+      created.filterNot(r => keep.contains(r.id)).foreach(_.unpersist(blocking = false))
+    finally
+      org.apache.logging.log4j.core.config.Configurator.setLevel(rddLogger, prevLevel)
     result
   }
 

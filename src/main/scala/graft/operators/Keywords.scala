@@ -31,13 +31,18 @@ object Keywords {
       docs: DataFrame, idCol: String, textCol: String, k: Int
   ): DataFrame = {
     require(k > 0, "k must be positive")
-    val n = docs.count()
+    // corpus size enters only through the IDF constant — keep it inside
+    // the DAG as a broadcast 1-row frame instead of a driver-side count()
+    // action, so building the plan costs zero jobs and the count rides the
+    // same execution as the term aggregation
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val terms = docs
       .select(col(idCol).as("doc_id"), explode(TextFunctions.tokens(textCol)).as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = terms.select("doc_id", "term").distinct()
       .groupBy("term").agg(count(lit(1)).as("df"))
-      .withColumn("idf", log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0)
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf", log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0)
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("term").asc)
     tf.join(df.select("term", "idf"), "term")
