@@ -97,18 +97,7 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, window: Int = 4
   ): DataFrame = {
-    val sh = docs
-      .select(col(idCol).as("doc_id"),
-        posexplode(orderedShingles(textCol, n)).as(Seq("pos", "sstr")))
-      .select(col("doc_id"), col("pos"), shingleHash60(col("sstr")).as("h"))
-    val frame = Window.partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(Window.currentRow, window - 1)
-    val part = Window.partitionBy("doc_id")
-    val fps = sh
-      .withColumn("n_pos", count(lit(1)).over(part))
-      .withColumn("wmin", min("h").over(frame))
-      // only full windows select (starts 0 .. n_pos - window, 0-based pos)
-      .filter(col("pos") <= col("n_pos") - window)
+    val fps = winnowSelected(docs, idCol, textCol, n, window)
       .groupBy("doc_id")
       .agg(sort_array(collect_set(col("wmin"))).as("fps"))
       .select(col("doc_id"),
@@ -119,6 +108,69 @@ object Dedup {
       .select(col("doc_id"),
         coalesce(col("n_fingerprints"), lit(0)).as("n_fingerprints"),
         col("fp_hash"))
+  }
+
+  /** The winnowing-selected fingerprint set: distinct (doc_id, wmin) where
+    * wmin is the minimum shingle hash of each full `window`-sized frame
+    * (the Schleimer et al. selection rule [[winnowFingerprints]] hashes
+    * per document). */
+  private def winnowSelected(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, window: Int
+  ): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(orderedShingles(textCol, n)).as(Seq("pos", "sstr")))
+      .select(col("doc_id"), col("pos"), shingleHash60(col("sstr")).as("h"))
+    val frame = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, window - 1)
+    val part = Window.partitionBy("doc_id")
+    sh
+      .withColumn("n_pos", count(lit(1)).over(part))
+      .withColumn("wmin", min("h").over(frame))
+      // only full windows select (starts 0 .. n_pos - window, 0-based pos)
+      .filter(col("pos") <= col("n_pos") - window)
+      .select("doc_id", "wmin").distinct()
+  }
+
+  /** Winnowing near-duplicate pairs (the MOSS report shape): unordered doc
+    * pairs sharing at least `minShared` selected fingerprints, with
+    * `overlap = n_shared / min(|fps_a|, |fps_b|)` — the containment-style
+    * score that still flags a small document embedded in a big one.
+    *
+    * Same scale posture as [[jaccardPairs]]: candidates meet ONLY through
+    * a shared fingerprint (the fingerprint is the shuffle key, never
+    * all-pairs), winnowing already thins shingles ~2/(window+1)×, and
+    * `maxHashFreq` drops fingerprints selected by more than k documents
+    * BEFORE sizes and pairing — the boilerplate guard; a fingerprint that
+    * common identifies a template, not a duplicate.
+    *
+    * Returns (doc_a, doc_b, n_shared, overlap), doc_a < doc_b,
+    * overlap rounded to 4 decimals. */
+  def winnowPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, window: Int = 4,
+      minShared: Int = 2, maxHashFreq: Option[Int] = None
+  ): DataFrame = {
+    val sel = winnowSelected(docs, idCol, textCol, n, window)
+    val capped = maxHashFreq.map { k =>
+      val w = Window.partitionBy("wmin")
+      sel.withColumn("_df", count(lit(1)).over(w))
+        .filter(col("_df") <= k).drop("_df")
+    }.getOrElse(sel)
+    val sz = capped.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
+    val shared = capped
+      .join(capped.select(col("doc_id").as("doc_b"), col("wmin")), Seq("wmin"))
+      .filter(col("doc_id") < col("doc_b"))
+      .groupBy(col("doc_id").as("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    shared
+      .join(sz.select(col("doc_id").as("doc_a"), col("nfp").as("nfp_a")), Seq("doc_a"))
+      .join(sz.select(col("doc_id").as("doc_b"), col("nfp").as("nfp_b")), Seq("doc_b"))
+      .withColumn("overlap",
+        round(col("n_shared") / least(col("nfp_a"), col("nfp_b")), 4))
+      .select("doc_a", "doc_b", "n_shared", "overlap")
   }
 
   /** Exact pairwise n-gram Jaccard similarity via a shingle co-occurrence
@@ -361,6 +413,71 @@ object Dedup {
       .withColumn("cosine", round(Similarity.cosine("va", "vb"), 4))
       .filter(col("cosine") >= minCosine)
       .select("doc_a", "doc_b", "cosine")
+  }
+
+  /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): partition the embedding space with spherical k-means
+    * ([[Similarity.kmeansCentroids]] — deterministic seed, Lloyd-refined)
+    * and compare pairs ONLY within a cluster. The cluster id is the
+    * shuffle key — vectors of a cluster co-locate and the pair join is
+    * per-cluster-quadratic instead of corpus-quadratic, which is the whole
+    * point of the method: at fixed expected cluster size (nClusters grown
+    * linearly with the corpus, the paper's regime) the join stays linear.
+    * Cross-cluster near-duplicates are invisible by design — the method
+    * trades that recall for the partitionable plan; raise kmeansIters /
+    * nClusters to sharpen boundaries rather than re-scoring across them.
+    *
+    * Returns (cent_id, doc_a, doc_b, cosine) with doc_a < doc_b and
+    * round(cosine, 4) >= minCosine (thresholding the ROUNDED value keeps
+    * the boundary decision engine-independent). */
+  def semDedupPairs(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCosine: Double,
+      nClusters: Int = 16,
+      kmeansIters: Int = 3
+  ): DataFrame = {
+    graft.plans.GraftExtensions.register(emb.sparkSession)
+    val cent =
+      Similarity.kmeansCentroids(emb, idCol, vecCol, nClusters, kmeansIters)
+    val v = emb.select(col(idCol).as("vid"),
+      col(vecCol).cast("array<double>").as("v"))
+    // max-cosine assignment, ties to the smallest centroid id — the same
+    // broadcast join + algebraic max(struct) pass as Similarity.ivfTopK
+    val assign = v.join(broadcast(cent))
+      .withColumn("cos_c", Similarity.cosine("v", "centv"))
+      .groupBy("vid")
+      .agg(max(struct(col("cos_c"), (-col("cent_id")).as("neg_cent"))).as("m"),
+        first("v").as("v"))
+      .select(col("vid"), (-col("m.neg_cent")).cast("int").as("cent_id"), col("v"))
+    val a = assign.select(col("cent_id"), col("vid").as("doc_a"), col("v").as("va"))
+    val b = assign.select(col("cent_id"), col("vid").as("doc_b"), col("v").as("vb"))
+    a.join(b, Seq("cent_id"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("cosine", round(Similarity.cosine("va", "vb"), 4))
+      .filter(col("cosine") >= minCosine)
+      .select("cent_id", "doc_a", "doc_b", "cosine")
+  }
+
+  /** The SemDeDup keep-set: drops every vector that has a SMALLER-id
+    * semantic near-duplicate in its own cluster (the deterministic,
+    * order-free version of the paper's keep-one-per-near-set rule — the
+    * survivor of a near-set is its minimum id, matching [[keepCanonical]]'s
+    * convention). Anti-join on the pair output, so the corpus is touched
+    * once more with no extra shuffle beyond the pair join itself. */
+  def semDedupKeep(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCosine: Double,
+      nClusters: Int = 16,
+      kmeansIters: Int = 3
+  ): DataFrame = {
+    val drops = semDedupPairs(emb, idCol, vecCol, minCosine, nClusters, kmeansIters)
+      .select(col("doc_b").as(idCol)).distinct()
+    emb.join(drops, Seq(idCol), "left_anti")
   }
 
   /** The persisted RDD backing a localCheckpoint'd DataFrame (None for any

@@ -38,6 +38,50 @@ object Sampling {
     df.filter(hashUnit(col(idCol), salt) < rate)
   }
 
+  /** Temperature-weighted corpus mixing: re-balances strata (languages,
+    * source domains) toward the tempered distribution
+    * p'_s ∝ n_s^(1/T) — the standard multilingual-pretraining re-weighting
+    * (T=1 keeps natural proportions, T→∞ approaches uniform) — while
+    * keeping the total at ~`targetFraction` of the corpus. Each stratum's
+    * keep-rate is
+    *
+    *   rate_s = min(1, targetFraction · N · p'_s / n_s)
+    *
+    * and the row decision is the same content-addressed [[hashUnit]]
+    * threshold as [[stratifiedSample]] — a pure codegen'd filter, exactly
+    * reproducible across engines, partitionings and cluster sizes. The
+    * stratum statistics are computed in-DAG (tiny per-stratum aggregate,
+    * broadcast back onto the scan), so the sample is one corpus pass with
+    * no driver-side collect and no shuffle of corpus rows. Oversampled
+    * strata cap at 1.0 (sampling without replacement cannot upsample), so
+    * the realized total can land under targetFraction when a stratum's
+    * tempered share exceeds its size — the standard behavior.
+    *
+    * Returns the sampled rows with their original columns. */
+  def temperatureMix(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      temperature: Double,
+      targetFraction: Double,
+      salt: String = "graft-mix"
+  ): DataFrame = {
+    require(temperature > 0.0, "temperature must be positive")
+    require(targetFraction > 0.0 && targetFraction <= 1.0,
+      "targetFraction must be in (0, 1]")
+    val counts = df.groupBy(strataCol).agg(count(lit(1)).cast("double").as("n_s"))
+      .withColumn("w", pow(col("n_s"), lit(1.0 / temperature)))
+    val totals = counts.agg(sum("n_s").as("n_total"), sum("w").as("w_total"))
+    val rates = counts.crossJoin(broadcast(totals))
+      .withColumn("rate", least(lit(1.0),
+        lit(targetFraction) * col("n_total") * col("w")
+          / (col("w_total") * col("n_s"))))
+      .select(col(strataCol), col("rate"))
+    df.join(broadcast(rates), Seq(strataCol))
+      .filter(hashUnit(col(idCol), salt) < col("rate"))
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
   /** Exact per-group quantiles of `valueCol` at the given probabilities
     * (linear interpolation, the numpy/DuckDB `quantile_cont` definition).
     * One hash-agg shuffle on the group keys; `percentile` is a sort-based

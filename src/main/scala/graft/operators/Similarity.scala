@@ -91,6 +91,58 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Int8 scalar-quantized brute-force top-k — the memory-bandwidth scale
+    * path for exact-ish search: unit-normalize, then map every component
+    * to an 8-bit integer with ONE global scale (127 / max |component| over
+    * the normalized corpus, computed in-DAG and broadcast), and rank by
+    * the integer dot product of the quantized vectors. An int8 corpus is
+    * 8× smaller than float64 — at 100 TB that is the difference between a
+    * scan-bound and a memory-resident index — and the integer scores make
+    * the ranking EXACTLY reproducible across engines: every product is
+    * ≤ 127² and a 64-dim sum stays ≤ ~10^6, exact in doubles, so unlike a
+    * float cosine there is no rounding boundary to disagree on.
+    *
+    * Queries quantize with the corpus scale (a query component larger than
+    * the corpus max simply maps above 127 — the contract bounds CORPUS
+    * storage, not query registers). Ties rank by neighbor id. Returns
+    * (query_id, rank, neighbor_id, qscore), qscore the integer dot. */
+  def quantizedTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
+    graft.plans.GraftExtensions.register(corpus.sparkSession)
+    def unit(df: DataFrame, outId: String) = df
+      .select(col(idCol).as(outId), col(vecCol).cast("array<double>").as("raw"))
+      .withColumn("nrm", sqrt(dot(col("raw"), col("raw"))))
+      .filter(col("nrm") > 0.0)
+      .select(col(outId), transform(col("raw"), x => x / col("nrm")).as("uv"))
+    val cu = unit(corpus, "neighbor_id")
+    val scale = cu
+      .agg((lit(127.0) / max(array_max(transform(col("uv"), x => abs(x)))))
+        .as("scale"))
+    def quantize(df: DataFrame, outVec: String) = df
+      .crossJoin(broadcast(scale))
+      .withColumn(outVec,
+        transform(col("uv"), x => round(x * col("scale")).cast("int")))
+      .drop("uv", "scale")
+    val c = quantize(cu, "qc")
+    val q = quantize(unit(queries, "query_id"), "qq")
+    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("qscore",
+        dot(col("qq").cast("array<double>"), col("qc").cast("array<double>"))
+          .cast("long"))
+    val ord = Seq(col("qscore").desc, col("neighbor_id").asc)
+    val pre = Window.partitionBy(col("query_id"), spark_partition_id()).orderBy(ord: _*)
+    val fin = Window.partitionBy(col("query_id")).orderBy(ord: _*)
+    scored
+      .withColumn("_rn0", row_number().over(pre)).filter(col("_rn0") <= k).drop("_rn0")
+      .withColumn("rank", row_number().over(fin)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("qscore"))
+  }
+
   /** Spherical k-means (Lloyd) refinement of IVF centroids.
     *
     * Seeds with the first `nCentroids` corpus vectors by id (the same

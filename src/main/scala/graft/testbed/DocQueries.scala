@@ -98,6 +98,59 @@ object DocQueries {
        |    (strpos('0123456789abcdef', substr(md5($e), CAST(k AS INT), 1)) - 1)
        |      * (16.0 ** (15 - k)))) AS BIGINT)""".stripMargin
 
+  /** Shared CTE chain mirroring [[Similarity.kmeansCentroids]] over the
+    * embeddings table: `unit` (unit-normalized corpus), seed `c0` (first
+    * `nCent` vectors by vec_id, re-ids 0..nCent-1), then `iters` UNROLLED
+    * Lloyd steps a{i} (max-cosine assignment, ties to the smallest
+    * cent_id) / m{i} (per-dimension mean) / c{i} (re-normalized, empty or
+    * zero-norm cell keeps the previous centroid); ends with
+    * `cent(cent_id, centv)`. Engines can diverge only where a vector sits
+    * within float-noise of equidistant between two centroids (measure
+    * zero for these embeddings), and the cosines scored downstream are
+    * centroid-independent, so the mirror is hash-stable. */
+  private def kmeansCtes(nCent: Int, iters: Int): String = {
+    val head =
+      s""" e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         | unit AS (
+         |  SELECT vec_id, list_transform(v, x -> x / nrm) AS uv
+         |  FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+         |  WHERE nrm > 0
+         | ),
+         | c0 AS (
+         |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cent_id, uv AS centv
+         |  FROM (SELECT vec_id, uv FROM unit ORDER BY vec_id LIMIT $nCent)
+         | )""".stripMargin
+    val steps = (1 to iters).map { i =>
+      val p = i - 1
+      s""" a$i AS (
+         |  SELECT cent_id, uv FROM (
+         |   SELECT u.uv, c.cent_id,
+         |          ROW_NUMBER() OVER (PARTITION BY u.vec_id
+         |            ORDER BY list_dot_product(u.uv, c.centv) DESC, c.cent_id) AS rn
+         |   FROM unit u CROSS JOIN c$p c) WHERE rn = 1
+         | ),
+         | m$i AS (
+         |  SELECT cent_id, list(mx ORDER BY pos) AS mv
+         |  FROM (SELECT cent_id, pos, avg(x) AS mx
+         |        FROM (SELECT cent_id, unnest(uv) AS x,
+         |                     generate_subscripts(uv, 1) AS pos FROM a$i)
+         |        GROUP BY cent_id, pos)
+         |  GROUP BY cent_id
+         | ),
+         | c$i AS (
+         |  SELECT p.cent_id,
+         |         CASE WHEN m.mv IS NULL THEN p.centv
+         |              WHEN m.mn = 0 THEN p.centv
+         |              ELSE list_transform(m.mv, x -> x / m.mn) END AS centv
+         |  FROM c$p p LEFT JOIN (SELECT cent_id, mv,
+         |                               sqrt(list_dot_product(mv, mv)) AS mn
+         |                        FROM m$i) m USING (cent_id)
+         | )""".stripMargin
+    }
+    val cent = s" cent AS (SELECT cent_id, centv FROM c$iters)"
+    (head +: steps :+ cent).mkString(",\n")
+  }
+
   /** Shared t11/t17 oracle: the exact contamination computation — the
     * Bloom-prefiltered variant must reproduce it bit for bit. */
   private lazy val contaminationSql =
@@ -260,10 +313,36 @@ object DocQueries {
     // DuckDB mirror; the driver records the rows-only check, and
     // CorpusOpsSpec asserts the monotone-objective + recall-band
     // properties against brute force)
+    // D14: winnowing near-dup pairs (the MOSS report shape) — pairs meet
+    // only through a shared selected fingerprint, boilerplate-capped,
+    // scored by containment-style overlap
+    "d14_winnow_neardup" -> ((s, dir) =>
+      Dedup.winnowPairs(table(s, dir, "documents"), "doc_id", "text",
+          n = 3, window = 4, minShared = 3, maxHashFreq = Some(50))
+        .orderBy("doc_a", "doc_b")),
+
+    // D13: SemDeDup — spherical-k-means-clustered semantic near-dup pairs;
+    // the cluster id keys the pair join (per-cluster-quadratic, never
+    // corpus-quadratic), and the full k-means chain is oracle-mirrored
+    "d13_semdedup" -> ((s, dir) =>
+      Dedup.semDedupPairs(table(s, dir, "embeddings"), "vec_id", "embedding",
+          minCosine = 0.35, nClusters = 16, kmeansIters = 3)
+        .orderBy("cent_id", "doc_a", "doc_b")),
+
     "v4_ann_ivf_refined" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
           k = 3, nCentroids = 16, nProbe = 4, refineIters = 3)
+        .orderBy("query_id", "rank")
+    }),
+
+    // V6: int8 scalar-quantized brute-force top-3 — integer dot scores,
+    // bit-exact across engines (no float rounding boundary); the 8×
+    // memory-compression scale path
+    "v6_quantized_topk" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 3)
         .orderBy("query_id", "rank")
     }),
 
@@ -355,6 +434,15 @@ object DocQueries {
     "t9_stratified_sample" -> ((s, dir) =>
       Sampling.stratifiedSample(table(s, dir, "documents"), "lang", "doc_id",
           rates = Map("en" -> 0.5, "zh" -> 0.9), defaultRate = 0.25)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
+    // T22: temperature-weighted corpus mixing — per-language keep-rates
+    // derived in-DAG from tempered counts (T=2 flattens toward uniform),
+    // row decisions by the same content-addressed hash as t9
+    "t22_corpus_mix" -> ((s, dir) =>
+      Sampling.temperatureMix(table(s, dir, "documents"), "lang", "doc_id",
+          temperature = 2.0, targetFraction = 0.3)
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
@@ -847,6 +935,129 @@ object DocQueries {
          |FROM ranked WHERE "rank" <= 3
          |ORDER BY query_id, "rank"""".stripMargin,
 
+    "d14_winnow_neardup" ->
+      s"""$wCte,
+         | shp AS (
+         |  SELECT doc_id,
+         |         unnest(generate_series(1, len(ws) - 2)) AS pos,
+         |         unnest(list_transform(generate_series(1, len(ws) - 2),
+         |                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sstr
+         |  FROM w WHERE len(ws) >= 3
+         | ),
+         | sh AS (SELECT doc_id, pos, ${hash60Sql("sstr")} AS h FROM shp),
+         | mn AS (
+         |  SELECT doc_id, pos,
+         |         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+         |         COUNT(*) OVER (PARTITION BY doc_id) AS n_pos
+         |  FROM sh
+         | ),
+         | sel AS (SELECT DISTINCT doc_id, wmin FROM mn WHERE pos <= n_pos - 3),
+         | cap AS (
+         |  SELECT doc_id, wmin FROM sel
+         |  QUALIFY COUNT(*) OVER (PARTITION BY wmin) <= 50
+         | ),
+         | sz AS (SELECT doc_id, COUNT(*) AS nfp FROM cap GROUP BY 1),
+         | pr AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+         |  FROM cap a JOIN cap b ON a.wmin = b.wmin AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |  HAVING COUNT(*) >= 3
+         | )
+         |SELECT doc_a, doc_b, n_shared,
+         |       ROUND(n_shared * 1.0 / LEAST(sa.nfp, sb.nfp), 4) AS overlap
+         |FROM pr
+         |JOIN sz sa ON doc_a = sa.doc_id
+         |JOIN sz sb ON doc_b = sb.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "d13_semdedup" ->
+      s"""WITH ${kmeansCtes(16, 3)},
+         | assign AS (
+         |  SELECT vec_id, v, cent_id FROM (
+         |   SELECT e.vec_id, e.v, cent.cent_id,
+         |          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |            list_dot_product(v, centv)
+         |              / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(centv, centv))) DESC,
+         |            cent_id) AS rn
+         |   FROM e, cent) WHERE rn = 1
+         | ),
+         | p AS (
+         |  SELECT a.cent_id, a.vec_id AS doc_a, b.vec_id AS doc_b,
+         |         ROUND(list_dot_product(a.v, b.v)
+         |               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
+         |  FROM assign a JOIN assign b USING (cent_id)
+         |  WHERE a.vec_id < b.vec_id
+         | )
+         |SELECT cent_id, doc_a, doc_b, cosine FROM p
+         |WHERE cosine >= 0.35
+         |ORDER BY cent_id, doc_a, doc_b""".stripMargin,
+
+    "v4_ann_ivf_refined" ->
+      s"""WITH ${kmeansCtes(16, 3)},
+         | assign AS (
+         |  SELECT vec_id AS neighbor_id, v AS cv, cent_id FROM (
+         |   SELECT e.vec_id, e.v, cent.cent_id,
+         |          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |            list_dot_product(v, centv)
+         |              / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(centv, centv))) DESC,
+         |            cent_id) AS rn
+         |   FROM e, cent) WHERE rn = 1
+         | ),
+         | probes AS (
+         |  SELECT query_id, qv, cent_id FROM (
+         |   SELECT q.vec_id AS query_id, q.v AS qv, cent.cent_id,
+         |          ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |            list_dot_product(q.v, centv)
+         |              / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(centv, centv))) DESC,
+         |            cent_id) AS rn
+         |   FROM (SELECT * FROM e WHERE vec_id < 20) q, cent) WHERE rn <= 4
+         | ),
+         | scored AS (
+         |  SELECT query_id, neighbor_id,
+         |         ROUND(list_dot_product(qv, cv)
+         |               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4) AS cosine
+         |  FROM probes JOIN assign USING (cent_id)
+         |  WHERE neighbor_id <> query_id
+         | ),
+         | ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS "rank"
+         |  FROM scored
+         | )
+         |SELECT query_id, "rank", neighbor_id, cosine
+         |FROM ranked WHERE "rank" <= 3
+         |ORDER BY query_id, "rank"""".stripMargin,
+
+    "v6_quantized_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         | unit AS (
+         |  SELECT vec_id, list_transform(v, x -> x / nrm) AS uv
+         |  FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+         |  WHERE nrm > 0
+         | ),
+         | sc AS (
+         |  SELECT 127.0 / MAX(list_max(list_transform(uv, x -> abs(x)))) AS scale
+         |  FROM unit
+         | ),
+         | qz AS (
+         |  SELECT vec_id,
+         |         list_transform(uv, x -> CAST(round(x * scale) AS INT)) AS qv
+         |  FROM unit CROSS JOIN sc
+         | ),
+         | scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         CAST(list_dot_product(q.qv::DOUBLE[], c.qv::DOUBLE[]) AS BIGINT) AS qscore
+         |  FROM (SELECT * FROM qz WHERE vec_id < 20) q
+         |  JOIN qz c ON c.vec_id <> q.vec_id
+         | ),
+         | ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qscore DESC, neighbor_id) AS "rank"
+         |  FROM scored
+         | )
+         |SELECT query_id, "rank", neighbor_id, qscore
+         |FROM ranked WHERE "rank" <= 3
+         |ORDER BY query_id, "rank"""".stripMargin,
+
     "v2_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          | tb AS (
@@ -1125,6 +1336,28 @@ object DocQueries {
          | )
          |SELECT doc_id, lang FROM h
          |WHERE u < CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.9 ELSE 0.25 END
+         |ORDER BY doc_id""".stripMargin,
+
+    "t22_corpus_mix" ->
+      s"""WITH c AS (
+         |  SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n_s,
+         |         pow(CAST(COUNT(*) AS DOUBLE), 0.5) AS w
+         |  FROM documents GROUP BY lang
+         | ),
+         | tot AS (SELECT SUM(n_s) AS n_total, SUM(w) AS w_total FROM c),
+         | r AS (
+         |  SELECT lang,
+         |         LEAST(1.0, 0.3 * n_total * w / (w_total * n_s)) AS rate
+         |  FROM c CROSS JOIN tot
+         | ),
+         | h AS (
+         |  SELECT doc_id, lang,
+         |         CAST(${hash60Sql("'graft-mix:' || CAST(doc_id AS VARCHAR)")} AS DOUBLE)
+         |           / 1152921504606846976.0 AS u
+         |  FROM documents
+         | )
+         |SELECT doc_id, lang FROM h JOIN r USING (lang)
+         |WHERE u < rate
          |ORDER BY doc_id""".stripMargin,
 
     // T10: the packing fold replayed as a recursive CTE — one recursion

@@ -97,6 +97,42 @@ class CurationOpsSpec extends SparkSpec {
     assert(enSampled > 0.2 && enSampled < 0.8, s"en sampled fraction $enSampled")
   }
 
+  test("temperature mix applies the tempered per-stratum rates exactly") {
+    // strata: en n=4, zh n=1; T=2 -> w = sqrt(n) = (2, 1); N=5, W=3
+    //   rate_en = 0.5*5*2/(3*4) = 0.41666..., rate_zh = 0.5*5*1/(3*1) = 0.8333...
+    val in = df("doc_id LONG, lang STRING", Seq(
+      Row(1L, "en"), Row(2L, "en"), Row(3L, "en"), Row(4L, "en"), Row(5L, "zh")))
+    val out = Sampling.temperatureMix(in, "lang", "doc_id",
+      temperature = 2.0, targetFraction = 0.5)
+    val rateEn = 0.5 * 5.0 * 2.0 / (3.0 * 4.0)
+    val rateZh = 0.5 * 5.0 * 1.0 / (3.0 * 1.0)
+    val expected = in.filter(Sampling.hashUnit(col("doc_id"), "graft-mix") <
+      when(col("lang") === "en", rateEn).otherwise(rateZh))
+    assert(rowSet(out) === rowSet(expected))
+    assert(out.columns.toSeq === in.columns.toSeq, "original columns only")
+  }
+
+  test("temperature mix lifts rare strata and lands near the target total") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val n = docs.count().toDouble
+    val sampled = Sampling.temperatureMix(docs, "lang", "doc_id",
+      temperature = 2.0, targetFraction = 0.3)
+    val frac = sampled.count() / n
+    assert(frac > 0.2 && frac < 0.4, s"sampled fraction $frac vs target 0.3")
+    // tempering must keep a LARGER fraction of the rarest language than of
+    // the most common one (that is the whole point of T > 1)
+    val byLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keptByLang = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rarest = byLang.minBy(_._2)._1
+    val biggest = byLang.maxBy(_._2)._1
+    val rarestFrac = keptByLang.getOrElse(rarest, 0L).toDouble / byLang(rarest)
+    val biggestFrac = keptByLang.getOrElse(biggest, 0L).toDouble / byLang(biggest)
+    assert(rarestFrac > biggestFrac,
+      s"rarest '$rarest' kept $rarestFrac <= biggest '$biggest' kept $biggestFrac")
+  }
+
   test("sessionization splits on gap > timeout and resets per key") {
     import graft.operators.Sessionize
     val ev = df("id LONG, k STRING, ts LONG", Seq(
