@@ -63,6 +63,46 @@ class PlanShapeSpec extends SparkSpec {
     assert(shape(Dedup.dupShingleFraction(docs, "doc_id", "text")) === ((3, 1)))
   }
 
+  test("temperature mix: corpus rows never shuffle; rates broadcast onto the scan") {
+    // 3 shuffles, ALL stratum-cardinality tiny (the per-stratum count agg
+    // feeds two branches — totals and rates — plus the single-partition
+    // totals exchange); 2 broadcasts (totals into the rate projection,
+    // rates onto the corpus scan). The corpus-row path itself is a
+    // broadcast join + filter — zero corpus shuffles, the determinism
+    // claim's twin, same as stratifiedSample.
+    assert(shape(Sampling.temperatureMix(
+      docs, "lang", "doc_id", 2.0, 0.3)) === ((3, 2)))
+  }
+
+  test("quantized top-k: scale and queries broadcast, two-phase rank") {
+    // 3 shuffles: the global-max scale aggregation + the two rank windows
+    // (pre-rank on (query_id, partition), final on per-partition
+    // survivors); 2 broadcasts: the scale (reused across the corpus and
+    // query quantize projections) and the quantized queries — the corpus
+    // itself never shuffles before the k-pruned pre-rank.
+    assert(shape(Similarity.quantizedTopK(
+      emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 3)) === ((3, 2)))
+  }
+
+  test("winnowing pairs meet only through the fingerprint-keyed join") {
+    // 1 shuffle: the per-doc winnowing window (its doc_id partitioning is
+    // reused by the distinct and size aggregations — subset clustering);
+    // 2 broadcasts: the fixture-small pair-join build and size side (at
+    // corpus scale these degrade to joins keyed by wmin/doc pair — the
+    // structural claim is that candidates only ever meet through wmin).
+    assert(shape(Dedup.winnowPairs(
+      docs, "doc_id", "text", minShared = 2)) === ((1, 2)))
+  }
+
+  test("semDedup pair join is keyed by the cluster id, centroids broadcast") {
+    // 1 broadcast: the centroid table (reused by both pair-join sides);
+    // 2 shuffles: the per-vector assignment aggregation and the
+    // cluster-id-keyed pair join (the second side reuses the first's
+    // exchange) — never an all-pairs corpus join.
+    assert(shape(Dedup.semDedupPairs(
+      emb, "vec_id", "embedding", 0.35, nClusters = 4, kmeansIters = 1)) === ((2, 1)))
+  }
+
   test("brute-force top-k: queries broadcast, two-phase rank") {
     // 1 broadcast: the query vectors (never the corpus); 2 shuffles: the
     // pre-rank window on (query_id, partition) and the final rank on
