@@ -52,6 +52,49 @@ object Keywords {
       .select("doc_id", "rank", "term", "tf", "score")
   }
 
+  /** Per-document top-k terms under Okapi BM25 — the keyword-search
+    * relevance score a user of a corpus search box actually expects:
+    * TF saturates (k1) and long documents are penalized toward the
+    * corpus-average length (b), so boilerplate-heavy long docs stop
+    * winning on raw term counts.
+    *
+    *   idf  = ln((N - df + 0.5) / (df + 0.5) + 1)          (Lucene form,
+    *          always positive)
+    *   score = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+    *
+    * Same plan shape as [[topTerms]] (two corpus-keyed hash aggs, a
+    * vocabulary join that broadcasts under Heaps' law, a doc_id-partitioned
+    * ranking window); N and avgdl ride along as a broadcast 1-row
+    * aggregate — no driver action. Returns (doc_id, rank, term, tf, score)
+    * with score rounded to 4 decimals. */
+  def bm25TopTerms(
+      docs: DataFrame, idCol: String, textCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75
+  ): DataFrame = {
+    require(k > 0, "k must be positive")
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      avg(size(TextFunctions.tokens(textCol))).as("avgdl"))
+    val base = docs.select(col(idCol).as("doc_id"),
+      size(TextFunctions.tokens(textCol)).as("dl"),
+      explode(TextFunctions.tokens(textCol)).as("term"))
+    val tf = base.groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), first("dl").as("dl"))
+    val df = base.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(df, "term").crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("score", round(
+        col("idf") * (col("tf") * (lit(k1) + 1.0))
+          / (col("tf") + lit(k1)
+             * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("doc_id", "rank", "term", "tf", "score")
+  }
+
   /** Per-document cross-entropy under an add-alpha-smoothed corpus unigram
     * LM — the perplexity-style quality signal: documents whose token
     * distribution diverges from the corpus (rare-token soup, noise, wrong

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling and exact distribution statistics for
@@ -14,12 +15,19 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** The raw 60-bit decision integer behind [[hashUnit]]: the first 15 md5
+    * hex digits of `salt:id`. Use THIS for ordering — the scaled double
+    * loses 7 bits to the 53-bit mantissa, so two distinct keys can compare
+    * equal as doubles while an exact-integer oracle still separates them. */
+  def hashKey(idCol: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt + ":"), idCol.cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+
   /** Uniform [0, 1) decision value derived from the row's id: the first 15
     * md5 hex digits (60 bits) of `salt:id` scaled down. Content-addressed —
     * independent of partitioning, ordering, engine. */
   def hashUnit(idCol: Column, salt: String): Column =
-    conv(substring(md5(concat(lit(salt + ":"), idCol.cast("string"))), 1, 15), 16, 10)
-      .cast("double") / lit(1152921504606846976.0) // 2^60
+    hashKey(idCol, salt).cast("double") / lit(1152921504606846976.0) // 2^60
 
   /** Keep each row with its stratum's rate: rows where
     * hashUnit(id) < rate(stratum). Strata missing from `rates` get
@@ -79,6 +87,37 @@ object Sampling {
       .select(col(strataCol), col("rate"))
     df.join(broadcast(rates), Seq(strataCol))
       .filter(hashUnit(col(idCol), salt) < col("rate"))
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /** Exactly-n-per-stratum deterministic sample — the eval-set carve:
+    * within each stratum rows rank by the content-addressed [[hashUnit]]
+    * (ties, i.e. hash collisions, break by id) and the first `n` survive.
+    * Unlike a rate-based sample the count is exact, and unlike `LIMIT` the
+    * choice is content-addressed: re-running on a re-partitioned, re-
+    * ordered or incrementally-grown corpus keeps already-chosen rows
+    * chosen (a row is displaced only when a new row hashes below it).
+    *
+    * Two-phase rank (the [[Similarity.bruteForceTopK]] pattern): a
+    * per-(stratum, input-partition) pre-rank prunes to n survivors per
+    * partition BEFORE the stratum-keyed shuffle, so the final window sorts
+    * n × numPartitions rows per stratum, never the stratum itself — the
+    * 3-value-stratum 100 TB case stays safe. */
+  def takePerStratum(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      n: Int,
+      salt: String = "graft-take"
+  ): DataFrame = {
+    require(n > 0, "n must be positive")
+    val ord = Seq(hashKey(col(idCol), salt).asc, col(idCol).asc)
+    val pre = Window.partitionBy(col(strataCol), spark_partition_id())
+      .orderBy(ord: _*)
+    val fin = Window.partitionBy(col(strataCol)).orderBy(ord: _*)
+    df
+      .withColumn("_rn0", row_number().over(pre)).filter(col("_rn0") <= n)
+      .withColumn("_rn", row_number().over(fin)).filter(col("_rn") <= n)
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
 

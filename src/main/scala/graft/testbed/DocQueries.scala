@@ -460,6 +460,19 @@ object DocQueries {
     // T14: TF-IDF keyword extraction — top-3 terms per document by
     // tf x smoothed-idf; the ranking window partitions on doc_id (high
     // cardinality), never on a low-cardinality key
+    // T23: Okapi BM25 top-3 terms per document — saturating TF +
+    // length-normalized relevance, the corpus search-box score
+    "t23_bm25_topk" -> ((s, dir) =>
+      Keywords.bm25TopTerms(table(s, dir, "documents"), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rank")),
+
+    // T24: exactly-10-per-language eval carve — content-addressed rank,
+    // count-exact, stable under corpus growth and repartition
+    "t24_eval_carve" -> ((s, dir) =>
+      Sampling.takePerStratum(table(s, dir, "documents"), "lang", "doc_id", n = 10)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
     "t14_tfidf_topk" -> ((s, dir) =>
       Keywords.topTerms(table(s, dir, "documents"), "doc_id", "text", k = 3)
         .orderBy("doc_id", "rank")),
@@ -1116,6 +1129,48 @@ object DocQueries {
 
     // T14: both engines rank on the ROUNDED score with term as the
     // tie-break, so row sets match exactly
+    "t23_bm25_topk" ->
+      s"""$wCte,
+         | terms AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM w),
+         | tf AS (SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
+         |        FROM terms GROUP BY 1, 2),
+         | dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+         | st AS (SELECT COUNT(*) AS n_docs,
+         |               AVG(len($ws)) AS avgdl
+         |        FROM documents),
+         | scored AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf,
+         |         ROUND(
+         |           ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+         |             * (tf.tf * (1.2 + 1.0))
+         |             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / st.avgdl)),
+         |           4) AS score
+         |  FROM tf JOIN dfq USING (term) CROSS JOIN st
+         | ),
+         | ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |                               ORDER BY score DESC, term ASC) AS "rank"
+         |  FROM scored
+         | )
+         |SELECT doc_id, "rank", term, CAST(tf AS BIGINT) AS tf, score
+         |FROM ranked WHERE "rank" <= 3
+         |ORDER BY doc_id, "rank"""".stripMargin,
+
+    "t24_eval_carve" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, lang,
+         |         ${hash60Sql("'graft-take:' || CAST(doc_id AS VARCHAR)")} AS hv
+         |  FROM documents
+         | ),
+         | ranked AS (
+         |  SELECT doc_id, lang,
+         |         ROW_NUMBER() OVER (PARTITION BY lang
+         |                            ORDER BY hv, doc_id) AS rn
+         |  FROM h
+         | )
+         |SELECT doc_id, lang FROM ranked WHERE rn <= 10
+         |ORDER BY doc_id""".stripMargin,
+
     "t14_tfidf_topk" ->
       s"""$wCte,
          | terms AS (SELECT doc_id, unnest(ws) AS term FROM w),

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOf, Packing, Sampling}
+import graft.operators.{AsOf, Keywords, Packing, Sampling}
 
 /** Semantics of the training-data curation operators: as-of joins,
   * deterministic stratified sampling, exact quantiles, sequence packing. */
@@ -131,6 +131,48 @@ class CurationOpsSpec extends SparkSpec {
     val biggestFrac = keptByLang.getOrElse(biggest, 0L).toDouble / byLang(biggest)
     assert(rarestFrac > biggestFrac,
       s"rarest '$rarest' kept $rarestFrac <= biggest '$biggest' kept $biggestFrac")
+  }
+
+  test("takePerStratum is count-exact, repartition-invariant and growth-stable") {
+    val base = df("doc_id LONG, lang STRING",
+      (1L to 9L).map(i => Row(i, if (i <= 6) "en" else "zh")))
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      Sampling.takePerStratum(d, "lang", "doc_id", n = 2)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s1 = ids(base)
+    // count-exact: min(n, stratum size) per stratum — 2 en + 2 zh
+    assert(s1.size === 4)
+    assert(ids(base.repartition(7)) === s1, "partitioning must not matter")
+    // a one-doc stratum yields that one doc
+    val tiny = base.union(df("doc_id LONG, lang STRING", Seq(Row(100L, "fr"))))
+    assert(ids(tiny).contains(100L))
+    // growth stability: adding docs never ADMITS a previously-rejected doc
+    // (a chosen doc can only be displaced by a new doc hashing below it)
+    val grown = base.union(df("doc_id LONG, lang STRING",
+      (10L to 15L).map(i => Row(i, if (i % 2 == 0) "en" else "zh"))))
+    val s2 = ids(grown)
+    assert(s2.filter(_ <= 9L).subsetOf(s1),
+      s"grown sample re-admitted a rejected doc: $s1 -> $s2")
+  }
+
+  test("bm25 matches hand arithmetic and saturates vs raw tf-idf") {
+    val in = df("doc_id LONG, text STRING", Seq(
+      Row(1L, "apple banana apple"),
+      Row(2L, "banana cherry")))
+    // N=2, avgdl=2.5; apple: tf=2 df=1 dl=3
+    val out = Keywords.bm25TopTerms(in, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getString(2)) -> r.getDouble(4)).toMap
+    def sc(tf: Long, df: Long, dl: Long): Double = {
+      val idf = math.log((2.0 - df + 0.5) / (df + 0.5) + 1.0)
+      val raw = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / 2.5))
+      math.rint(raw * 10000) / 10000 // close enough for these fixtures
+    }
+    assert(math.abs(out((1L, "apple")) - sc(2, 1, 3)) < 1e-9)
+    assert(math.abs(out((1L, "banana")) - sc(1, 2, 3)) < 1e-9)
+    assert(math.abs(out((2L, "cherry")) - sc(1, 1, 2)) < 1e-9)
+    // the distinctive term outranks the corpus-wide one in both docs
+    assert(out((1L, "apple")) > out((1L, "banana")))
+    assert(out((2L, "cherry")) > out((2L, "banana")))
   }
 
   test("sessionization splits on gap > timeout and resets per key") {

@@ -21,16 +21,23 @@ class PlanShapeSpec extends SparkSpec {
   private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
 
   /** (shuffle exchanges, broadcast exchanges) of the final physical plan,
-    * with AQE off so EnsureRequirements' output is inspected directly. */
-  private def shape(mk: => DataFrame): (Int, Int) = {
-    val key = "spark.sql.adaptive.enabled"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, "false")
+    * with AQE off so EnsureRequirements' output is inspected directly.
+    * `autoBroadcast = false` additionally zeroes the size-based broadcast
+    * threshold, for plans whose small sides sit near it — whether another
+    * suite has cached the same fixture parquet changes its size statistics,
+    * and a pin must not depend on ambient cache state (explicit
+    * `broadcast()` hints are unaffected). */
+  private def shape(mk: => DataFrame, autoBroadcast: Boolean = true): (Int, Int) = {
+    val keys = Seq("spark.sql.adaptive.enabled") ++
+      (if (autoBroadcast) Nil else Seq("spark.sql.autoBroadcastJoinThreshold"))
+    val prev = keys.map(k => k -> spark.conf.get(k))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    if (!autoBroadcast) spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val p = mk.queryExecution.executedPlan
       (p.collect { case _: ShuffleExchangeExec => 1 }.size,
        p.collect { case _: BroadcastExchangeExec => 1 }.size)
-    } finally spark.conf.set(key, prev)
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
   test("per-row curation operators are shuffle-free projections") {
@@ -95,12 +102,16 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("semDedup pair join is keyed by the cluster id, centroids broadcast") {
-    // 1 broadcast: the centroid table (reused by both pair-join sides);
-    // 2 shuffles: the per-vector assignment aggregation and the
-    // cluster-id-keyed pair join (the second side reuses the first's
-    // exchange) — never an all-pairs corpus join.
+    // measured with the size-based broadcast path off (the assignment
+    // frame sits near the threshold, and ambient fixture caching must not
+    // flip the pin): 1 broadcast — the explicit centroid-table hint; 2
+    // shuffles — the per-vector assignment aggregation and the cluster-id-
+    // KEYED pair join (the second side reuses the first's exchange). The
+    // structural claim: candidates only ever meet through cent_id, never
+    // an all-pairs corpus join.
     assert(shape(Dedup.semDedupPairs(
-      emb, "vec_id", "embedding", 0.35, nClusters = 4, kmeansIters = 1)) === ((2, 1)))
+      emb, "vec_id", "embedding", 0.35, nClusters = 4, kmeansIters = 1),
+      autoBroadcast = false) === ((2, 1)))
   }
 
   test("brute-force top-k: queries broadcast, two-phase rank") {
