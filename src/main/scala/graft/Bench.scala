@@ -28,9 +28,11 @@ object Bench {
     // silently poisoning round-over-round comparison. One untimed warm-up
     // run absorbs JIT/codegen so the first timed probe is not inflated by
     // JVM warmup.
-    // min-of-2 per probe: a single timed run also measures whatever GC /
-    // heap-aging the preceding work left behind, which is not contention;
-    // the min of two back-to-back runs is the steady-state number.
+    // min-of-3 per probe: a single timed run also measures whatever GC /
+    // heap-aging / residual JIT the preceding work left behind, which is
+    // not contention; the min of three back-to-back runs is the
+    // steady-state number (min-of-2 still flagged a quiet machine at 1.51×
+    // once — the first probe's JIT tail).
     def canary(): Double = {
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -38,7 +40,7 @@ object Bench {
           .selectExpr("sum((id * 2654435761) % 1000000007) as s").collect()
         (System.nanoTime() - t0) / 1e9
       }
-      math.min(once(), once())
+      Seq.fill(3)(once()).min
     }
     canary()
     val canaryFirst = canary()
