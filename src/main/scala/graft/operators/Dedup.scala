@@ -110,10 +110,12 @@ object Dedup {
         col("fp_hash"))
   }
 
-  /** The winnowing-selected fingerprint set: distinct (doc_id, wmin) where
-    * wmin is the minimum shingle hash of each full `window`-sized frame
-    * (the Schleimer et al. selection rule [[winnowFingerprints]] hashes
-    * per document). */
+  /** The winnowing-selected fingerprint stream: (doc_id, wmin) where wmin
+    * is the minimum shingle hash of each full `window`-sized frame (the
+    * Schleimer et al. selection rule). One row per WINDOW — adjacent
+    * windows usually select the same hash, so consumers needing the set
+    * must dedup ([[winnowFingerprints]]'s collect_set does it for free;
+    * [[winnowPairs]] pays one distinct). */
   private def winnowSelected(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, window: Int
@@ -130,7 +132,7 @@ object Dedup {
       .withColumn("wmin", min("h").over(frame))
       // only full windows select (starts 0 .. n_pos - window, 0-based pos)
       .filter(col("pos") <= col("n_pos") - window)
-      .select("doc_id", "wmin").distinct()
+      .select("doc_id", "wmin")
   }
 
   /** Winnowing near-duplicate pairs (the MOSS report shape): unordered doc
@@ -152,7 +154,7 @@ object Dedup {
       n: Int = 3, window: Int = 4,
       minShared: Int = 2, maxHashFreq: Option[Int] = None
   ): DataFrame = {
-    val sel = winnowSelected(docs, idCol, textCol, n, window)
+    val sel = winnowSelected(docs, idCol, textCol, n, window).distinct()
     val capped = maxHashFreq.map { k =>
       val w = Window.partitionBy("wmin")
       sel.withColumn("_df", count(lit(1)).over(w))

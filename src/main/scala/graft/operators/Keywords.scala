@@ -72,11 +72,17 @@ object Keywords {
       k1: Double = 1.2, b: Double = 0.75
   ): DataFrame = {
     require(k > 0, "k must be positive")
-    val stats = docs.agg(count(lit(1)).as("n_docs"),
-      avg(size(TextFunctions.tokens(textCol))).as("avgdl"))
-    val base = docs.select(col(idCol).as("doc_id"),
-      size(TextFunctions.tokens(textCol)).as("dl"),
-      explode(TextFunctions.tokens(textCol)).as("term"))
+    // tokenize ONCE into a column, then derive dl / the generator / avgdl
+    // from it — size(tokens(..)) and explode(tokens(..)) are separate
+    // operators CSE cannot merge, so inlining the call would run the
+    // regex split three times per document
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(textCol).as("toks"))
+    val stats = toks.agg(count(lit(1)).as("n_docs"),
+      avg(size(col("toks"))).as("avgdl"))
+    val base = toks.select(col("doc_id"),
+      size(col("toks")).as("dl"),
+      explode(col("toks")).as("term"))
     val tf = base.groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"), first("dl").as("dl"))
     val df = base.select("doc_id", "term").distinct()

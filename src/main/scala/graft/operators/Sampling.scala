@@ -80,12 +80,20 @@ object Sampling {
     val counts = df.groupBy(strataCol).agg(count(lit(1)).cast("double").as("n_s"))
       .withColumn("w", pow(col("n_s"), lit(1.0 / temperature)))
     val totals = counts.agg(sum("n_s").as("n_total"), sum("w").as("w_total"))
+    // the rate is rounded to 6 decimals BEFORE the threshold compare: it
+    // carries a pow(), and the last-ulp of two engines' pow can differ —
+    // thresholding the rounded value keeps the row decision
+    // engine-independent (the same convention as the rounded-cosine
+    // near-dup filters)
     val rates = counts.crossJoin(broadcast(totals))
-      .withColumn("rate", least(lit(1.0),
+      .withColumn("rate", round(least(lit(1.0),
         lit(targetFraction) * col("n_total") * col("w")
-          / (col("w_total") * col("n_s"))))
-      .select(col(strataCol), col("rate"))
-    df.join(broadcast(rates), Seq(strataCol))
+          / (col("w_total") * col("n_s"))), 6))
+      .select(col(strataCol).as("_stratum"), col("rate"))
+    // null-safe stratum match: a NULL stratum (failed language ID) is a
+    // stratum like any other — groupBy already counts it, and an equi-join
+    // would silently drop its rows while still deflating everyone's rate
+    df.join(broadcast(rates), col(strataCol) <=> col("_stratum"))
       .filter(hashUnit(col(idCol), salt) < col("rate"))
       .select(df.columns.map(col).toIndexedSeq: _*)
   }

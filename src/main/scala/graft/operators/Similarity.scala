@@ -28,9 +28,17 @@ object Similarity {
     * higher-order-function path. Left-to-right summation. */
   def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
-  /** Cosine similarity of two array<double> columns (by name). */
-  def cosine(a: String, b: String): Column =
-    dot(col(a), col(b)) / (sqrt(dot(col(a), col(a))) * sqrt(dot(col(b), col(b))))
+  /** Cosine similarity of two array<double> columns (by name). NULL when
+    * either vector has zero norm: the raw ratio is 0/0 there — ANSI Spark
+    * throws DIVIDE_BY_ZERO and non-ANSI yields NaN, which compares GREATER
+    * than every value, so an unguarded zero-norm vector (a dead encoder
+    * output) would either crash the query or pass every `cosine >= t`
+    * near-dup threshold and rank first in every desc top-k. NULL does
+    * neither: comparisons are false, desc ordering puts it last. */
+  def cosine(a: String, b: String): Column = {
+    val denom = sqrt(dot(col(a), col(a))) * sqrt(dot(col(b), col(b)))
+    when(denom > 0.0, dot(col(a), col(b)) / denom)
+  }
 
   /** Deterministic pseudo-random hyperplane component for (plane i, dim d):
     * an exact-in-double rational in [-0.5, 0.5) derived from a Knuth

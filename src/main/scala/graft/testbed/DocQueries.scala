@@ -308,11 +308,6 @@ object DocQueries {
           minCosine = 0.4, dims = 64, tables = 8)
         .orderBy("doc_a", "doc_b")),
 
-    // V4: IVF top-3 with Lloyd-refined (spherical k-means) centroids —
-    // no SQL oracle (3 distributed k-means iterations have no tractable
-    // DuckDB mirror; the driver records the rows-only check, and
-    // CorpusOpsSpec asserts the monotone-objective + recall-band
-    // properties against brute force)
     // D14: winnowing near-dup pairs (the MOSS report shape) — pairs meet
     // only through a shared selected fingerprint, boilerplate-capped,
     // scored by containment-style overlap
@@ -329,6 +324,10 @@ object DocQueries {
           minCosine = 0.35, nClusters = 16, kmeansIters = 3)
         .orderBy("cent_id", "doc_a", "doc_b")),
 
+    // V4: IVF top-3 with Lloyd-refined (spherical k-means) centroids —
+    // fully oracle-mirrored (the Lloyd iterations unroll into SQL CTEs);
+    // CorpusOpsSpec additionally asserts the monotone-objective and
+    // recall-band properties against brute force
     "v4_ann_ivf_refined" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
@@ -457,9 +456,6 @@ object DocQueries {
         .orderBy("lang", "doc_id")
     }),
 
-    // T14: TF-IDF keyword extraction — top-3 terms per document by
-    // tf x smoothed-idf; the ranking window partitions on doc_id (high
-    // cardinality), never on a low-cardinality key
     // T23: Okapi BM25 top-3 terms per document — saturating TF +
     // length-normalized relevance, the corpus search-box score
     "t23_bm25_topk" -> ((s, dir) =>
@@ -473,6 +469,9 @@ object DocQueries {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    // T14: TF-IDF keyword extraction — top-3 terms per document by
+    // tf x smoothed-idf; the ranking window partitions on doc_id (high
+    // cardinality), never on a low-cardinality key
     "t14_tfidf_topk" -> ((s, dir) =>
       Keywords.topTerms(table(s, dir, "documents"), "doc_id", "text", k = 3)
         .orderBy("doc_id", "rank")),
@@ -1402,7 +1401,7 @@ object DocQueries {
          | tot AS (SELECT SUM(n_s) AS n_total, SUM(w) AS w_total FROM c),
          | r AS (
          |  SELECT lang,
-         |         LEAST(1.0, 0.3 * n_total * w / (w_total * n_s)) AS rate
+         |         ROUND(LEAST(1.0, 0.3 * n_total * w / (w_total * n_s)), 6) AS rate
          |  FROM c CROSS JOIN tot
          | ),
          | h AS (
@@ -1411,7 +1410,8 @@ object DocQueries {
          |           / 1152921504606846976.0 AS u
          |  FROM documents
          | )
-         |SELECT doc_id, lang FROM h JOIN r USING (lang)
+         |SELECT h.doc_id AS doc_id, h.lang AS lang
+         |FROM h JOIN r ON (h.lang IS NOT DISTINCT FROM r.lang)
          |WHERE u < rate
          |ORDER BY doc_id""".stripMargin,
 

@@ -100,16 +100,31 @@ class CurationOpsSpec extends SparkSpec {
   test("temperature mix applies the tempered per-stratum rates exactly") {
     // strata: en n=4, zh n=1; T=2 -> w = sqrt(n) = (2, 1); N=5, W=3
     //   rate_en = 0.5*5*2/(3*4) = 0.41666..., rate_zh = 0.5*5*1/(3*1) = 0.8333...
+    // (rates round to 6 decimals before the threshold compare)
     val in = df("doc_id LONG, lang STRING", Seq(
       Row(1L, "en"), Row(2L, "en"), Row(3L, "en"), Row(4L, "en"), Row(5L, "zh")))
     val out = Sampling.temperatureMix(in, "lang", "doc_id",
       temperature = 2.0, targetFraction = 0.5)
-    val rateEn = 0.5 * 5.0 * 2.0 / (3.0 * 4.0)
-    val rateZh = 0.5 * 5.0 * 1.0 / (3.0 * 1.0)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rateEn = r6(0.5 * 5.0 * 2.0 / (3.0 * 4.0))
+    val rateZh = r6(0.5 * 5.0 * 1.0 / (3.0 * 1.0))
     val expected = in.filter(Sampling.hashUnit(col("doc_id"), "graft-mix") <
       when(col("lang") === "en", rateEn).otherwise(rateZh))
     assert(rowSet(out) === rowSet(expected))
     assert(out.columns.toSeq === in.columns.toSeq, "original columns only")
+  }
+
+  test("temperature mix treats a NULL stratum as a stratum, not a drop") {
+    // failed language ID must neither vanish nor deflate everyone's rate:
+    // 4 null-lang docs + 4 en docs, T=2, target 1.0 -> both rates
+    // = 1.0*8*2/(4*4) = 1.0 -> EVERY row survives. An equi-join
+    // implementation would silently drop all 4 null rows.
+    val in = df("doc_id LONG, lang STRING",
+      (1L to 8L).map(i => Row(i, if (i <= 4) null else "en")))
+    val out = Sampling.temperatureMix(in, "lang", "doc_id",
+      temperature = 2.0, targetFraction = 1.0)
+    assert(out.count() === 8)
   }
 
   test("temperature mix lifts rare strata and lands near the target total") {

@@ -71,14 +71,14 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("temperature mix: corpus rows never shuffle; rates broadcast onto the scan") {
-    // 3 shuffles, ALL stratum-cardinality tiny (the per-stratum count agg
-    // feeds two branches — totals and rates — plus the single-partition
-    // totals exchange); 2 broadcasts (totals into the rate projection,
-    // rates onto the corpus scan). The corpus-row path itself is a
-    // broadcast join + filter — zero corpus shuffles, the determinism
-    // claim's twin, same as stratifiedSample.
+    // 2 shuffles, BOTH stratum-cardinality tiny (the per-stratum count
+    // aggregation and the single-partition totals exchange — the rates
+    // branch reuses the counts exchange); 2 broadcasts (totals into the
+    // rate projection, rates onto the corpus scan). The corpus-row path
+    // itself is a broadcast join + filter — zero corpus shuffles, the
+    // determinism claim's twin, same as stratifiedSample.
     assert(shape(Sampling.temperatureMix(
-      docs, "lang", "doc_id", 2.0, 0.3)) === ((3, 2)))
+      docs, "lang", "doc_id", 2.0, 0.3)) === ((2, 2)))
   }
 
   test("quantized top-k: scale and queries broadcast, two-phase rank") {
