@@ -1275,10 +1275,10 @@ object DocQueries {
          | )
          |SELECT lang, source,
          |       COUNT(*) AS n_docs,
-         |       SUM(nt) AS n_tokens,
-         |       SUM(CAST(ROUND(q * 10000) AS BIGINT)) AS sum_quality4,
-         |       SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_exact_dup,
-         |       SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_quality_keep
+         |       CAST(SUM(nt) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(CAST(ROUND(q * 10000) AS BIGINT)) AS BIGINT) AS sum_quality4,
+         |       CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+         |       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_keep
          |FROM st JOIN h USING (doc_id)
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
@@ -1317,7 +1317,7 @@ object DocQueries {
          | ),
          | c AS (
          |  SELECT doc_id, q, nt,
-         |         SUM(nt) OVER (ORDER BY q DESC, doc_id) AS cum_cost
+         |         CAST(SUM(nt) OVER (ORDER BY q DESC, doc_id) AS BIGINT) AS cum_cost
          |  FROM st
          | )
          |SELECT doc_id, q, nt, cum_cost FROM c
@@ -1471,7 +1471,7 @@ object DocQueries {
          | sh AS (SELECT DISTINCT doc_id, ${hash60Sql("sstr")} AS s FROM sh0),
          | df AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1)
          |SELECT sh.doc_id AS doc_id, COUNT(*) AS n_shingles,
-         |       SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS n_dup,
+         |       CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
          |       ROUND(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) AS dup_fraction
          |FROM sh JOIN df USING (s)
          |GROUP BY 1 ORDER BY doc_id""".stripMargin,
