@@ -372,6 +372,17 @@ object Dedup {
     math.max(4, ceilLog2)
   }
 
+  /** Cluster count for [[semDedupPairs]] grown linearly with the corpus —
+    * the SemDeDup paper's own regime (k proportional to n holds the
+    * EXPECTED cluster size, and therefore the per-cluster quadratic pair
+    * join, constant per cluster and linear in total). A static k is the
+    * same scale failure [[autoPlanes]] exists to kill: at fixed k the join
+    * is n²/k. `ceil(n / targetClusterSize)`, floored at 4 so toy corpora
+    * still exercise multi-cluster plans; integer ceil-division matches the
+    * oracle's `CEIL(n / 64.0)` exactly for any n < 2^52. */
+  def autoClusters(corpusSize: Long, targetClusterSize: Long = 64L): Int =
+    math.max(4L, (corpusSize + targetClusterSize - 1) / targetClusterSize).toInt
+
   /** Embedding-cosine near-duplicate pairs: unordered id pairs whose
     * embedding cosine is >= `minCosine`, found through multi-table
     * random-hyperplane LSH bucketing (the 100 TB plan: candidate pairs only
@@ -430,6 +441,12 @@ object Dedup {
     * trades that recall for the partitionable plan; raise kmeansIters /
     * nClusters to sharpen boundaries rather than re-scoring across them.
     *
+    * SCALE KNOB: the DEFAULT (`nClusters = 0`) derives k from the corpus
+    * via [[autoClusters]] — one metadata-cheap `count()` keeps the
+    * expected cluster size (and the per-cluster quadratic join) constant
+    * at any corpus size, the paper's regime. Pass an explicit k only to
+    * pin a config (e.g. for a deterministic oracle).
+    *
     * Returns (cent_id, doc_a, doc_b, cosine) with doc_a < doc_b and
     * round(cosine, 4) >= minCosine (thresholding the ROUNDED value keeps
     * the boundary decision engine-independent). */
@@ -438,12 +455,13 @@ object Dedup {
       idCol: String,
       vecCol: String,
       minCosine: Double,
-      nClusters: Int = 16,
+      nClusters: Int = 0,
       kmeansIters: Int = 3
   ): DataFrame = {
     graft.plans.GraftExtensions.register(emb.sparkSession)
+    val k = if (nClusters > 0) nClusters else autoClusters(emb.count())
     val cent =
-      Similarity.kmeansCentroids(emb, idCol, vecCol, nClusters, kmeansIters)
+      Similarity.kmeansCentroids(emb, idCol, vecCol, k, kmeansIters)
     val v = emb.select(col(idCol).as("vid"),
       col(vecCol).cast("array<double>").as("v"))
     // max-cosine assignment, ties to the smallest centroid id — the same
@@ -468,13 +486,23 @@ object Dedup {
     * order-free version of the paper's keep-one-per-near-set rule — the
     * survivor of a near-set is its minimum id, matching [[keepCanonical]]'s
     * convention). Anti-join on the pair output, so the corpus is touched
-    * once more with no extra shuffle beyond the pair join itself. */
+    * once more with no extra shuffle beyond the pair join itself.
+    *
+    * DELIBERATE DEVIATION from the paper's greedy keep rule: a vector is
+    * dropped when ANY smaller-id in-cluster near-dup exists, even if that
+    * near-dup was itself dropped — on a similarity chain 1~2, 2~3, 1!~3
+    * this keeps {1} where the greedy rule would keep {1, 3} (transitive
+    * over-drop). Chosen on purpose: the rule is a single anti-join
+    * (order-free, one pass, no iteration), whereas greedy keep is
+    * inherently sequential within a near-set; callers who need
+    * paper-faithful chain semantics should run [[connectedComponents]]
+    * over the pair output and keep each component's min id. */
   def semDedupKeep(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
       minCosine: Double,
-      nClusters: Int = 16,
+      nClusters: Int = 0,
       kmeansIters: Int = 3
   ): DataFrame = {
     val drops = semDedupPairs(emb, idCol, vecCol, minCosine, nClusters, kmeansIters)

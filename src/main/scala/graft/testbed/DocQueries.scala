@@ -107,18 +107,26 @@ object DocQueries {
     * `cent(cent_id, centv)`. Engines can diverge only where a vector sits
     * within float-noise of equidistant between two centroids (measure
     * zero for these embeddings), and the cosines scored downstream are
-    * centroid-independent, so the mirror is hash-stable. */
-  private def kmeansCtes(nCent: Int, iters: Int): String = {
+    * centroid-independent, so the mirror is hash-stable.
+    *
+    * `nCentSql` is a SQL expression (a literal like `"16"`, or a scalar
+    * subquery against an `extraCte` such as a COUNT(*)-derived `params` —
+    * the Dedup.autoClusters mirror); `extraCte` is spliced between `unit`
+    * and `c0` so it can reference `e`/`unit`. */
+  private def kmeansCtes(nCentSql: String, iters: Int, extraCte: String = ""): String = {
     val head =
       s""" e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          | unit AS (
          |  SELECT vec_id, list_transform(v, x -> x / nrm) AS uv
          |  FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
          |  WHERE nrm > 0
-         | ),
+         | ),""".stripMargin +
+        (if (extraCte.isEmpty) "" else s"\n $extraCte,") +
+      s"""
          | c0 AS (
-         |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cent_id, uv AS centv
-         |  FROM (SELECT vec_id, uv FROM unit ORDER BY vec_id LIMIT $nCent)
+         |  SELECT cent_id, centv FROM (
+         |   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cent_id, uv AS centv
+         |   FROM unit) WHERE cent_id < $nCentSql
          | )""".stripMargin
     val steps = (1 to iters).map { i =>
       val p = i - 1
@@ -150,6 +158,31 @@ object DocQueries {
     val cent = s" cent AS (SELECT cent_id, centv FROM c$iters)"
     (head +: steps :+ cent).mkString(",\n")
   }
+
+  /** Shared d13/d15 oracle body: max-cosine cluster assignment over the
+    * supplied k-means CTE chain, then the within-cluster pair join —
+    * identical for the pinned-k and auto-k (Dedup.autoClusters) configs. */
+  private def semDedupSql(kmeans: String): String =
+    s"""WITH $kmeans,
+       | assign AS (
+       |  SELECT vec_id, v, cent_id FROM (
+       |   SELECT e.vec_id, e.v, cent.cent_id,
+       |          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |            list_dot_product(v, centv)
+       |              / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(centv, centv))) DESC,
+       |            cent_id) AS rn
+       |   FROM e, cent) WHERE rn = 1
+       | ),
+       | p AS (
+       |  SELECT a.cent_id, a.vec_id AS doc_a, b.vec_id AS doc_b,
+       |         ROUND(list_dot_product(a.v, b.v)
+       |               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
+       |  FROM assign a JOIN assign b USING (cent_id)
+       |  WHERE a.vec_id < b.vec_id
+       | )
+       |SELECT cent_id, doc_a, doc_b, cosine FROM p
+       |WHERE cosine >= 0.35
+       |ORDER BY cent_id, doc_a, doc_b""".stripMargin
 
   /** Shared t11/t17 oracle: the exact contamination computation — the
     * Bloom-prefiltered variant must reproduce it bit for bit. */
@@ -322,6 +355,15 @@ object DocQueries {
     "d13_semdedup" -> ((s, dir) =>
       Dedup.semDedupPairs(table(s, dir, "embeddings"), "vec_id", "embedding",
           minCosine = 0.35, nClusters = 16, kmeansIters = 3)
+        .orderBy("cent_id", "doc_a", "doc_b")),
+
+    // D15: the DEFAULT config — nClusters auto-derived from the corpus
+    // count (Dedup.autoClusters), so expected cluster size (and the
+    // per-cluster quadratic pair join) stays bounded at any corpus size;
+    // the oracle derives the identical k from COUNT(*)
+    "d15_semdedup_auto" -> ((s, dir) =>
+      Dedup.semDedupPairs(table(s, dir, "embeddings"), "vec_id", "embedding",
+          minCosine = 0.35, kmeansIters = 3)
         .orderBy("cent_id", "doc_a", "doc_b")),
 
     // V4: IVF top-3 with Lloyd-refined (spherical k-means) centroids —
@@ -983,30 +1025,19 @@ object DocQueries {
          |JOIN sz sb ON doc_b = sb.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
 
-    "d13_semdedup" ->
-      s"""WITH ${kmeansCtes(16, 3)},
-         | assign AS (
-         |  SELECT vec_id, v, cent_id FROM (
-         |   SELECT e.vec_id, e.v, cent.cent_id,
-         |          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-         |            list_dot_product(v, centv)
-         |              / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(centv, centv))) DESC,
-         |            cent_id) AS rn
-         |   FROM e, cent) WHERE rn = 1
-         | ),
-         | p AS (
-         |  SELECT a.cent_id, a.vec_id AS doc_a, b.vec_id AS doc_b,
-         |         ROUND(list_dot_product(a.v, b.v)
-         |               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
-         |  FROM assign a JOIN assign b USING (cent_id)
-         |  WHERE a.vec_id < b.vec_id
-         | )
-         |SELECT cent_id, doc_a, doc_b, cosine FROM p
-         |WHERE cosine >= 0.35
-         |ORDER BY cent_id, doc_a, doc_b""".stripMargin,
+    "d13_semdedup" -> semDedupSql(kmeansCtes("16", 3)),
+
+    // D15: the DEFAULT config of the same operator — nClusters
+    // auto-derived from the corpus count (Dedup.autoClusters), so the
+    // expected cluster size (and the per-cluster quadratic pair join)
+    // stays bounded at ANY corpus size; the oracle derives the identical
+    // k from COUNT(*) (integer ceil-division == CEIL(n/64.0) for n<2^52)
+    "d15_semdedup_auto" -> semDedupSql(kmeansCtes(
+      "(SELECT k FROM params)", 3,
+      "params AS (SELECT GREATEST(4, CAST(CEIL(COUNT(*) / 64.0) AS INT)) AS k FROM e)")),
 
     "v4_ann_ivf_refined" ->
-      s"""WITH ${kmeansCtes(16, 3)},
+      s"""WITH ${kmeansCtes("16", 3)},
          | assign AS (
          |  SELECT vec_id AS neighbor_id, v AS cv, cent_id FROM (
          |   SELECT e.vec_id, e.v, cent.cent_id,
