@@ -391,14 +391,31 @@ object Dedup {
     * Recall tunes by (tables, planesPerTable) exactly like
     * [[Similarity.annTopK]].
     *
-    * SCALE KNOB: candidate pairs grow with the SQUARE of per-bucket
-    * occupancy (corpus / 2^planesPerTable per table), so planesPerTable
-    * must grow ~log2 with corpus size to keep the pair join linear —
-    * measured at the 10× rehearsal: 4 planes (16 buckets) was 31×
-    * super-linear on a 20k corpus; see SCALE.md. The DEFAULT
-    * (`planesPerTable = 0`) therefore derives the count from the corpus
-    * via [[autoPlanes]] — one metadata-cheap `count()` buys a config that
-    * stays linear at any scale; pass an explicit count to pin a config.
+    * PLAN SHAPE: ONE corpus shuffle. Vectors ride the bucket groupBy
+    * (`tables` copies of the corpus through a single exchange), pairs are
+    * generated AND scored inside each bucket with codegen'd higher-order
+    * transforms + vec_dot, and only the (tiny) >= minCosine survivors meet
+    * the final cross-table dedup exchange. The previous shape (id-only
+    * bucket self-join, global candidate distinct, then two vector-fetch
+    * joins) shuffled every CANDIDATE twice with both vectors attached —
+    * candidates × 2 vectors is occupancy/2 × tables corpus copies, which
+    * loses to the flat `tables` copies here whenever occupancy > 2, and it
+    * paid 4 exchanges where this plan pays 2 (measured 1.9× end-to-end at
+    * sf0.1; both shapes produce the identical pair set).
+    *
+    * SCALE KNOBS:
+    *  - per-bucket work is quadratic in occupancy (corpus / 2^planesPerTable
+    *    per table), so planesPerTable must grow ~log2 with corpus size —
+    *    the DEFAULT (`planesPerTable = 0`) derives it via [[autoPlanes]]
+    *    from a metadata-cheap `count()`; pass an explicit count to pin.
+    *  - `maxBucketOccupancy` (opt-in, NO silent default) drops every
+    *    (table, bucket) cell whose occupancy exceeds the cap BEFORE vectors
+    *    are collected — the embedding-space analog of `maxBandFreq`: a cell
+    *    at many × expected occupancy is a degenerate direction (dead-encoder
+    *    zeros, boilerplate templates) whose quadratic pair set no plane
+    *    count can fix, and it also bounds this plan's per-group memory
+    *    (cap × vector bytes). Whole-cell drop, count-based, so the result
+    *    is deterministic and DuckDB-mirrorable (QUALIFY COUNT(*) <= cap).
     * Returns (doc_a, doc_b, cosine), a < b. */
   def embeddingNearDupPairs(
       emb: DataFrame,
@@ -407,25 +424,52 @@ object Dedup {
       minCosine: Double,
       dims: Int,
       tables: Int = 8,
-      planesPerTable: Int = 0
+      planesPerTable: Int = 0,
+      maxBucketOccupancy: Option[Int] = None
   ): DataFrame = {
     graft.plans.GraftExtensions.register(emb.sparkSession)
     val planes =
       if (planesPerTable > 0) planesPerTable else autoPlanes(emb.count())
+    def dot(x: Column, y: Column) = call_function("vec_dot", x, y)
+    // the norm is computed ONCE per (row, table) and rides the shuffle as a
+    // scalar, so in-bucket scoring is one dot per pair, not three — and the
+    // arithmetic (dot / (sqrt*sqrt) product) stays bit-identical to the
+    // oracle's per-pair form because sqrt is deterministic
     val tb = emb
-      .select(col(idCol).as("id"),
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"),
         explode(Similarity.lshBuckets(vecCol, dims, tables, planes)).as("b"))
-      .select(col("id"), col("b.t").as("t"), col("b.bucket").as("bucket"))
-    val cand = tb.join(tb.select(col("id").as("id2"), col("t"), col("bucket")), Seq("t", "bucket"))
-      .filter(col("id") < col("id2"))
-      .select(col("id").as("doc_a"), col("id2").as("doc_b")).distinct()
-    val v = emb.select(col(idCol).as("vid"), col(vecCol).cast("array<double>").as("v"))
-    cand
-      .join(v.select(col("vid").as("doc_a"), col("v").as("va")), Seq("doc_a"))
-      .join(v.select(col("vid").as("doc_b"), col("v").as("vb")), Seq("doc_b"))
-      .withColumn("cosine", round(Similarity.cosine("va", "vb"), 4))
-      .filter(col("cosine") >= minCosine)
-      .select("doc_a", "doc_b", "cosine")
+      .select(col("id"), col("v"), sqrt(dot(col("v"), col("v"))).as("nrm"),
+        col("b.t").as("t"), col("b.bucket").as("bucket"))
+    // the cap must act BEFORE collect_list so an over-full cell never
+    // materializes: an id-only pre-count keyed the same way the groupBy is
+    // (cheap — ids, not vectors) semi-joins the surviving cells
+    val bounded = maxBucketOccupancy match {
+      case Some(cap) =>
+        val keep = tb.select("id", "t", "bucket").groupBy("t", "bucket").count()
+          .filter(col("count") <= cap).select("t", "bucket")
+        tb.join(keep, Seq("t", "bucket"), "left_semi")
+      case None => tb
+    }
+    val grouped = bounded.groupBy("t", "bucket")
+      .agg(sort_array(collect_list(struct(col("id"), col("v"), col("nrm")))).as("xs"))
+    // score inside the higher-order transform and filter BEFORE exploding:
+    // only >= minCosine survivors (a tiny fraction of candidates) ever
+    // materialize as rows — sub-threshold pairs live and die inside the
+    // codegen'd lambda. NULL cosines (zero-norm vectors) fail the lambda
+    // predicate and drop, matching the cosine() NULL contract.
+    grouped.select(explode(filter(flatten(
+        transform(col("xs"), (x, i) =>
+          transform(slice(col("xs"), i + lit(2), size(col("xs"))), { y =>
+            val denom = x.getField("nrm") * y.getField("nrm")
+            struct(
+              x.getField("id").as("doc_a"), y.getField("id").as("doc_b"),
+              round(when(denom > 0.0, dot(x.getField("v"), y.getField("v")) / denom), 4)
+                .as("cosine"))
+          }))),
+        p => p.getField("cosine") >= minCosine))
+        .as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.cosine").as("cosine"))
+      .distinct()
   }
 
   /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,

@@ -240,6 +240,40 @@ object DocQueries {
   // ---- the battery --------------------------------------------------------
 
   def queries: Map[String, Q] = Map(
+    // D00: runs FIRST in the sorted doc battery (d00 < d10) and
+    // materializes the two shared corpus caches every doc query reads, so
+    // later per-query bench times are true query times instead of the
+    // first d-query silently absorbing the parquet scan + cache build
+    // (the a00_cube_warmup convention, extended to the doc tables).
+    // Verifiable in its own right: the corpus row counts.
+    "d00_corpus_warmup" -> ((s, dir) => {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val Seq(nd, ne) = Await.result(
+        Future.sequence(Seq(
+          Future(table(s, dir, "documents").count()),
+          Future(table(s, dir, "embeddings").count()))),
+        Duration.Inf)
+      // also compile the embedding-family plan shapes on a 64-row slice:
+      // whole-stage codegen + JIT for the bucket/score/dedup pipeline is
+      // one-time per JVM PER PLANE COUNT (the plane literals are baked
+      // into the generated source), and without this the first query of
+      // each config absorbs its compile (the same attribution hygiene as
+      // the canary's untimed warm-up run)
+      val planeConfigs =
+        Set(4, 7, Dedup.autoPlanes(ne)) // d7/d16, d8, and the d10 auto config
+      planeConfigs.foreach { p =>
+        Dedup.embeddingNearDupPairs(table(s, dir, "embeddings").limit(64),
+          "vec_id", "embedding", minCosine = 0.4, dims = 64, tables = 8,
+          planesPerTable = p).count()
+      }
+      val sess = s
+      import sess.implicits._
+      Seq(("documents", nd), ("embeddings", ne))
+        .toDF("tbl", "n_rows").orderBy("tbl")
+    }),
+
     // T1: per-document token/quality statistics (pure projection — scan speed)
     "t1_text_stats" -> ((s, dir) =>
       table(s, dir, "documents")
@@ -339,6 +373,17 @@ object DocQueries {
     "d10_embedding_neardup_auto" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(table(s, dir, "embeddings"), "vec_id", "embedding",
           minCosine = 0.4, dims = 64, tables = 8)
+        .orderBy("doc_a", "doc_b")),
+
+    // D16: the occupancy-capped config — (t, bucket) cells above the cap
+    // (degenerate directions: dead-encoder zeros, template boilerplate)
+    // drop whole before any pair forms, bounding both the quadratic pair
+    // work and this plan's per-group memory; cap chosen to actually bite
+    // on this corpus (4 planes -> mean occupancy ~ n/16 per table)
+    "d16_embedding_neardup_capped" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairs(table(s, dir, "embeddings"), "vec_id", "embedding",
+          minCosine = 0.4, dims = 64, tables = 8, planesPerTable = 4,
+          maxBucketOccupancy = Some(30))
         .orderBy("doc_a", "doc_b")),
 
     // D14: winnowing near-dup pairs (the MOSS report shape) — pairs meet
@@ -680,6 +725,12 @@ object DocQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "d00_corpus_warmup" ->
+      """SELECT 'documents' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows FROM documents
+        |UNION ALL
+        |SELECT 'embeddings', CAST(COUNT(*) AS BIGINT) FROM embeddings
+        |ORDER BY tbl""".stripMargin,
+
     "t1_text_stats" ->
       s"""$wCte,
          | stats AS (
@@ -874,6 +925,37 @@ object DocQueries {
          |                    d -> (((t * 4 + i) * 64 + d) * 2654435761) % 1000 / 1000.0 - 0.5)) >= 0.0
          |                THEN (1 << CAST(i AS INT)) ELSE 0 END)) AS INT) AS bucket
          |  FROM e CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS t) tt
+         | ),
+         | cand AS (
+         |  SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+         |  FROM tb a JOIN tb b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+         | ),
+         | scored AS (
+         |  SELECT doc_a, doc_b,
+         |         ROUND(list_dot_product(ae.v, be.v)
+         |               / (sqrt(list_dot_product(ae.v, ae.v)) * sqrt(list_dot_product(be.v, be.v))), 4) AS cosine
+         |  FROM cand JOIN e ae ON ae.vec_id = doc_a JOIN e be ON be.vec_id = doc_b
+         | )
+         |SELECT doc_a, doc_b, cosine FROM scored
+         |WHERE cosine >= 0.4 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // D16: the d7 mirror with the occupancy cap — over-full (t, bucket)
+    // cells (degenerate directions) drop WHOLE, before any pair forms;
+    // count-based, so deterministic on both engines
+    "d16_embedding_neardup_capped" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         | tb0 AS (
+         |  SELECT vec_id, t,
+         |         CAST(list_sum(list_transform(generate_series(0, 3), i ->
+         |           CASE WHEN list_dot_product(v,
+         |                  list_transform(generate_series(0, 63),
+         |                    d -> (((t * 4 + i) * 64 + d) * 2654435761) % 1000 / 1000.0 - 0.5)) >= 0.0
+         |                THEN (1 << CAST(i AS INT)) ELSE 0 END)) AS INT) AS bucket
+         |  FROM e CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS t) tt
+         | ),
+         | tb AS (
+         |  SELECT vec_id, t, bucket FROM tb0
+         |  QUALIFY COUNT(*) OVER (PARTITION BY t, bucket) <= 30
          | ),
          | cand AS (
          |  SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
