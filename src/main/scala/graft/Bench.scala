@@ -33,16 +33,27 @@ object Bench {
     // not contention; the min of three back-to-back runs is the
     // steady-state number (min-of-2 still flagged a quiet machine at 1.51×
     // once — the first probe's JIT tail).
-    def canary(): Double = {
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        spark.range(0L, 200000000L, 1L, cpus.toInt)
-          .selectExpr("sum((id * 2654435761) % 1000000007) as s").collect()
-        (System.nanoTime() - t0) / 1e9
-      }
-      Seq.fill(3)(once()).min
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 200000000L, 1L, cpus.toInt)
+        .selectExpr("sum((id * 2654435761) % 1000000007) as s").collect()
+      (System.nanoTime() - t0) / 1e9
     }
-    canary()
+    def canary(): Double = Seq.fill(3)(once()).min
+    // Warm up until STEADY, not for a fixed count: a single untimed
+    // min-of-3 still left enough JIT tail to flag a quiet machine at
+    // 1.4-1.6× (r7's false positive — first 0.186 vs last 0.076 with
+    // nothing else running). Two consecutive runs agreeing within 10%
+    // means compilation has converged and the first timed probe measures
+    // the machine, not the JVM; the iteration cap keeps a genuinely
+    // contended machine (which may never agree) from stalling the bench.
+    var warmPrev = once()
+    var warmCur = once()
+    var warmRuns = 2
+    while (math.abs(warmCur - warmPrev) / math.min(warmCur, warmPrev) > 0.10
+        && warmRuns < 12) {
+      warmPrev = warmCur; warmCur = once(); warmRuns += 1
+    }
     val canaryFirst = canary()
     // A failed query must be visible as a failure, not a fast timing:
     // -1 sec marks it and the error list is emitted alongside.
@@ -86,8 +97,15 @@ object Bench {
     val contended =
       math.max(canaryFirst, canaryLast) /
         math.max(1e-9, math.min(canaryFirst, canaryLast)) > 1.5
+    // ns_per_row: the probe's absolute per-row cost (best of both probes,
+    // total work is 2e8 rows regardless of core count). The ratio flag is
+    // blind to contention that inflates BOTH probes equally; this number
+    // is comparable across rounds on the same host, so a uniform 1.5-2×
+    // inflation shows up as ns_per_row drifting above its round history
+    // even when contended:false.
+    val nsPerRow = math.min(canaryFirst, canaryLast) / 2e8 * 1e9
     val canaryJson =
-      s"""{"first":$canaryFirst,"last":$canaryLast,"contended":$contended}"""
+      s"""{"first":$canaryFirst,"last":$canaryLast,"contended":$contended,"warmup_runs":$warmRuns,"ns_per_row":$nsPerRow}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"canary":$canaryJson,"sf":"$sfDir"}""")
     spark.stop()
   }
