@@ -39,7 +39,12 @@ object Keywords {
     val terms = docs
       .select(col(idCol).as("doc_id"), explode(TextFunctions.tokens(textCol)).as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = terms.select("doc_id", "term").distinct()
+    // document frequency = tf's row count per term: tf's grouping already
+    // dedupes (doc, term), so a separate corpus-wide distinct (which would
+    // build its own corpus exchange — different projection, no exchange
+    // reuse) is redundant; both consumers of tf share ONE exchange via
+    // ReuseExchange
+    val df = tf
       .groupBy("term").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
       .withColumn("idf", log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0)
@@ -85,8 +90,9 @@ object Keywords {
       explode(col("toks")).as("term"))
     val tf = base.groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"), first("dl").as("dl"))
-    val df = base.select("doc_id", "term").distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
+    // df = tf's row count per term (tf already dedupes (doc, term)) — one
+    // shared corpus exchange instead of a second distinct-keyed one
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("term").asc)
     tf.join(df, "term").crossJoin(broadcast(stats))
@@ -117,11 +123,19 @@ object Keywords {
     * order-free (the t19 lesson).
     *
     * Plan shape: one hash aggregation builds the unigram table (vocab-
-    * sized — Heaps' law keeps it sub-linear in the corpus, so it
-    * broadcasts), its (N, V) totals ride along as a broadcast 1-row cross
-    * join (no driver action), and the corpus is scanned once — the only
-    * corpus-sized shuffle is the final per-doc aggregation on the
-    * high-cardinality doc key. */
+    * sized — Heaps' law keeps it sub-linear in the corpus), its (N, V)
+    * totals ride along as a broadcast 1-row cross join (no driver action),
+    * and the corpus is scanned once — the only corpus-sized shuffle is the
+    * final per-doc aggregation on the high-cardinality doc key.
+    *
+    * The vocab join carries NO broadcast hint: Heaps' law bounds growth
+    * sub-linearly but a web-scale corpus still reaches hundreds of
+    * millions of types, and a forced hint would disable Spark's own
+    * size-based fallback exactly where it matters. AQE's runtime stats
+    * pick the broadcast side when the aggregated vocab actually fits
+    * (which it does for any corpus whose LM you'd self-score) and degrade
+    * to a shuffle join when it doesn't — both shapes are pinned in
+    * PlanShapeSpec. */
   def unigramLogProb(
       docs: DataFrame, idCol: String, textCol: String,
       alpha: Double = 1.0, lmDocs: Option[DataFrame] = None
@@ -134,7 +148,7 @@ object Keywords {
     val counts = lmTok.groupBy("t").agg(count(lit(1)).as("c"))
     val totals = counts.agg(sum("c").as("n"), count(lit(1)).as("v"))
     tok
-      .join(broadcast(counts), Seq("t"), "left")
+      .join(counts, Seq("t"), "left")
       .crossJoin(broadcast(totals))
       .withColumn("logp",
         log((coalesce(col("c"), lit(0L)) + alpha) / (col("n") + lit(alpha) * col("v"))))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleEx
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Sampling, Similarity}
+import graft.operators.{Dedup, Keywords, Sampling, Similarity}
 
 /** Physical-plan regression gate for the scale-bearing claims: the
   * per-row operator family must stay shuffle-free (scan speed on 100 TB),
@@ -112,6 +112,88 @@ class PlanShapeSpec extends SparkSpec {
     assert(shape(Dedup.semDedupPairs(
       emb, "vec_id", "embedding", 0.35, nClusters = 4, kmeansIters = 1),
       autoBroadcast = false) === ((2, 1)))
+  }
+
+  test("embedding near-dup: one corpus exchange, pairs die inside the bucket") {
+    // 2 shuffles: the (t, bucket) groupBy that carries each vector once
+    // per table, and the cross-table dedup of the >= minCosine survivors;
+    // 0 broadcasts, and critically NO join in the corpus path — pairs are
+    // generated and scored inside the bucket aggregate, so a refactor
+    // that reintroduces the candidate self-join + vector-fetch joins
+    // (4 exchanges, candidates x 2 vectors of shuffle) fails here.
+    assert(shape(Dedup.embeddingNearDupPairs(
+      emb, "vec_id", "embedding", 0.4, dims = 64, tables = 4,
+      planesPerTable = 4)) === ((2, 0)))
+  }
+
+  test("embedding near-dup cap: one extra id-only pre-count, no corpus join") {
+    // the occupancy cap adds the (t, bucket) pre-count aggregation
+    // (+1 shuffle; id-only — vectors never ride it) and its semi-join
+    // against the bucket stream (fixture-small -> 1 broadcast; at scale
+    // it degrades to a join still keyed by (t, bucket))
+    assert(shape(Dedup.embeddingNearDupPairs(
+      emb, "vec_id", "embedding", 0.4, dims = 64, tables = 4,
+      planesPerTable = 4, maxBucketOccupancy = Some(30))) === ((3, 1)))
+  }
+
+  test("unigram LM: vocab join is size-chosen, not hint-forced") {
+    // the vocab (unigram counts) side carries NO broadcast hint — at
+    // fixture size the planner's own estimate broadcasts it (1 hinted
+    // broadcast for the 1-row totals + 1 size-based for the vocab), and
+    // with the size-based path disabled the SAME plan degrades to a
+    // shuffle join instead of failing or forcing an unbounded broadcast:
+    // the 100 TB vocabulary contract.
+    val broadcastShape = shape(Keywords.unigramLogProb(docs, "doc_id", "text"))
+    val shuffleShape = shape(Keywords.unigramLogProb(docs, "doc_id", "text"),
+      autoBroadcast = false)
+    assert(broadcastShape._2 >= 2, s"vocab should broadcast at fixture size: $broadcastShape")
+    assert(shuffleShape._2 === 1, s"only the hinted 1-row totals may broadcast: $shuffleShape")
+    assert(shuffleShape._1 > broadcastShape._1, "vocab join must degrade to shuffle")
+  }
+
+  test("BM25 top-k: tf/df corpus aggs, vocab join, per-doc window") {
+    // 6 shuffles: the (doc, term) tf aggregation; the df branch's (doc,
+    // term) dedup (df derives from tf in the source, but column pruning
+    // strips tf's aggregates from that branch into a plain distinct, so
+    // the exchange cannot unify with tf's via ReuseExchange — a known
+    // Catalyst limitation, both are distinct-pairs-sized, not
+    // token-stream-sized); the term-keyed df aggregation (vocab-sized);
+    // the tf side of the term join; the single-partition 1-row stats agg;
+    // and the doc_id ranking window. 1 broadcast: the hinted 1-row stats
+    // frame — the df side is deliberately unhinted (the Heaps'-law vocab
+    // contract), so it must NOT appear as a broadcast here.
+    val s = shape(Keywords.bm25TopTerms(docs, "doc_id", "text", 5),
+      autoBroadcast = false)
+    assert(s._2 === 1, s"only the 1-row stats frame may broadcast: $s")
+    assert(s._1 === 6, s"BM25 exchange structure changed: $s")
+  }
+
+  test("budget selection never builds a global-order window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    val sel = Sampling.selectByBudget(
+      docs.select(col("doc_id"), lit(1.0).as("q"), lit(10L).as("c")),
+      "doc_id", "q", "c", budget = 200L)
+    val p = sel.queryExecution.executedPlan
+    // the distributed prefix sum replaces SUM OVER (ORDER BY ...): the
+    // result plan must contain neither a window nor a single-partition
+    // exchange (the two fingerprints of the driver-sized-sort trap)
+    assert(p.collect { case w: WindowExec => w }.isEmpty, "global window reintroduced")
+    val singleParts = p.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
+    }
+    assert(singleParts.isEmpty, "single-partition exchange reintroduced")
+  }
+
+  test("eval carve pre-prunes before the stratum shuffle") {
+    // 2 shuffles, one per rank window: the pre-rank keyed by (stratum,
+    // input-partition) — high cardinality, prunes to n rows per partition
+    // — and the final stratum-keyed rank over survivors only. A refactor
+    // that drops the pre-prune (final window over the raw corpus) still
+    // shows 2 exchanges but moves the full stratum through the second;
+    // the companion semantics test in CurationOpsSpec catches that, this
+    // pin catches added corpus exchanges.
+    assert(shape(Sampling.takePerStratum(docs, "lang", "doc_id", 3)) === ((2, 0)))
   }
 
   test("brute-force top-k: queries broadcast, two-phase rank") {
