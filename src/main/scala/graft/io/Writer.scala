@@ -12,6 +12,19 @@ import java.nio.file.{Files, Paths}
   * from config and used inside `foreachPartition` on executors. Expensive
   * clients (S3) are held in per-JVM lazy singletons, mirroring the
   * reference's per-worker cached boto client.
+  *
+  * WRITE CONTRACT (WriterFaultSpec): `write` either materializes the
+  * COMPLETE object at `path` or throws — a reader listing the destination
+  * must never observe a truncated object under its final name. A thrown
+  * error must propagate (GroupSink runs writers inside foreachPartition,
+  * so a throw fails the Spark task, surfaces in the job result, and on a
+  * cluster triggers task retry — writes are full-object overwrites, hence
+  * idempotent, so at-least-once retry converges to the same bytes).
+  * How the contract is met is per-backend: [[FileWriter]] publishes via
+  * temp file + atomic rename; S3 object PUTs are visible only when
+  * complete (the s3a committer semantics); plain hdfs:// or file:// URIs
+  * through [[HadoopFsWriter]] expose a mid-write stream, so use
+  * [[FileWriter]] for local trees that need the guarantee.
   */
 trait Writer extends Serializable {
   def write(body: Array[Byte], path: String): Unit
@@ -25,12 +38,29 @@ object NullWriter extends Writer {
 }
 
 /** Local-filesystem writer (S7; reference: flows/common.py:274-287):
-  * `{bucketDir}/{path}`, creating parent directories. */
+  * `{bucketDir}/{path}`, creating parent directories.
+  *
+  * Publishes atomically: the body lands in a task-unique `.inprogress`
+  * sibling first and is MOVEd onto the final name, so a crash or thrown
+  * error mid-write leaves at worst a temp file (ignorable by name), never
+  * a truncated object under the final path — and concurrent task-retry
+  * attempts of the same object cannot interleave bytes. */
 final case class FileWriter(bucketDir: String) extends Writer {
   override def write(body: Array[Byte], path: String): Unit = {
     val p = Paths.get(bucketDir, path)
     Files.createDirectories(p.getParent)
-    Files.write(p, body)
+    val tmp = p.resolveSibling(
+      p.getFileName.toString + ".inprogress-" + java.util.UUID.randomUUID())
+    try {
+      Files.write(tmp, body)
+      try
+        Files.move(tmp, p, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.AtomicMoveNotSupportedException =>
+          Files.move(tmp, p, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    } finally Files.deleteIfExists(tmp)
   }
 }
 
