@@ -157,8 +157,8 @@ object Dedup {
     val sel = winnowSelected(docs, idCol, textCol, n, window).distinct()
     val capped = maxHashFreq.map { k =>
       val w = Window.partitionBy("wmin")
-      sel.withColumn("_df", count(lit(1)).over(w))
-        .filter(col("_df") <= k).drop("_df")
+      sel.withColumn("__graft_df", count(lit(1)).over(w))
+        .filter(col("__graft_df") <= k).drop("__graft_df")
     }.getOrElse(sel)
     val sz = capped.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
     val shared = capped
@@ -217,7 +217,8 @@ object Dedup {
     val sh = maxDocFreq match {
       case Some(cap) =>
         val w = Window.partitionBy("s")
-        sh0.withColumn("_df", count(lit(1)).over(w)).filter(col("_df") <= cap).drop("_df")
+        sh0.withColumn("__graft_df", count(lit(1)).over(w))
+          .filter(col("__graft_df") <= cap).drop("__graft_df")
       case None => sh0
     }
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
@@ -488,8 +489,16 @@ object Dedup {
     * SCALE KNOB: the DEFAULT (`nClusters = 0`) derives k from the corpus
     * via [[autoClusters]] — one metadata-cheap `count()` keeps the
     * expected cluster size (and the per-cluster quadratic join) constant
-    * at any corpus size, the paper's regime. Pass an explicit k only to
+    * at any corpus size, the paper's regime.  Pass an explicit k only to
     * pin a config (e.g. for a deterministic oracle).
+    *
+    * REGIME BOUND: assignment broadcasts the centroid table, and under
+    * autoClusters that table grows linearly with the corpus (k = n/64 —
+    * e.g. ~8 GB of float64 centroids at 500M 2048-dim vectors), so the
+    * broadcast-assign plan holds to roughly that scale; beyond it,
+    * assignment itself must go approximate (probe a coarse quantization of
+    * the centroids, the FAISS IVF-of-centroids pattern) — a documented
+    * limit, not a silent one.
     *
     * Returns (cent_id, doc_a, doc_b, cosine) with doc_a < doc_b and
     * round(cosine, 4) >= minCosine (thresholding the ROUNDED value keeps

@@ -85,17 +85,20 @@ object Sampling {
     // thresholding the rounded value keeps the row decision
     // engine-independent (the same convention as the rounded-cosine
     // near-dup filters)
+    // collision-proof internal names + the caller frame's own Column
+    // references below: a caller column named "rate"/"_stratum" must not
+    // turn the join or the final projection ambiguous
     val rates = counts.crossJoin(broadcast(totals))
-      .withColumn("rate", round(least(lit(1.0),
+      .withColumn("__graft_rate", round(least(lit(1.0),
         lit(targetFraction) * col("n_total") * col("w")
           / (col("w_total") * col("n_s"))), 6))
-      .select(col(strataCol).as("_stratum"), col("rate"))
+      .select(col(strataCol).as("__graft_stratum"), col("__graft_rate"))
     // null-safe stratum match: a NULL stratum (failed language ID) is a
     // stratum like any other — groupBy already counts it, and an equi-join
     // would silently drop its rows while still deflating everyone's rate
-    df.join(broadcast(rates), col(strataCol) <=> col("_stratum"))
-      .filter(hashUnit(col(idCol), salt) < col("rate"))
-      .select(df.columns.map(col).toIndexedSeq: _*)
+    df.join(broadcast(rates), df(strataCol) <=> rates("__graft_stratum"))
+      .filter(hashUnit(df(idCol), salt) < rates("__graft_rate"))
+      .select(df.columns.map(df(_)).toIndexedSeq: _*)
   }
 
   /** Exactly-n-per-stratum deterministic sample — the eval-set carve:
@@ -123,10 +126,15 @@ object Sampling {
     val pre = Window.partitionBy(col(strataCol), spark_partition_id())
       .orderBy(ord: _*)
     val fin = Window.partitionBy(col(strataCol)).orderBy(ord: _*)
+    // collision-proof helper names: withColumn REPLACES an existing column
+    // of the same name, so a caller frame already carrying "_rn0" would
+    // silently lose it — the __graft_ prefix keeps the namespace private
     df
-      .withColumn("_rn0", row_number().over(pre)).filter(col("_rn0") <= n)
-      .withColumn("_rn", row_number().over(fin)).filter(col("_rn") <= n)
-      .select(df.columns.map(col).toIndexedSeq: _*)
+      .withColumn("__graft_rn0", row_number().over(pre))
+      .filter(col("__graft_rn0") <= n)
+      .withColumn("__graft_rn", row_number().over(fin))
+      .filter(col("__graft_rn") <= n)
+      .select(df.columns.map(df(_)).toIndexedSeq: _*)
   }
 
   /** Exact per-group quantiles of `valueCol` at the given probabilities

@@ -112,7 +112,18 @@ object Similarity {
     *
     * Queries quantize with the corpus scale (a query component larger than
     * the corpus max simply maps above 127 — the contract bounds CORPUS
-    * storage, not query registers). Ties rank by neighbor id. Returns
+    * storage, not query registers). Ties rank by neighbor id.
+    *
+    * ZERO-NORM VECTORS drop on BOTH sides before quantization (a zero
+    * vector cannot unit-normalize; int8 zero would claim qscore 0 against
+    * everything, i.e. a fake mid-rank neighbor). Corpus-side this matches
+    * [[bruteForceTopK]]'s NULL-cosine rank-last contract in effect; but a
+    * zero-norm QUERY id is absent from this output entirely, whereas
+    * bruteForceTopK still emits its k rows with NULL cosine — a deliberate
+    * asymmetry: quantized scores have no NULL to rank last with, and a
+    * dead query vector has no meaningful neighbors to return. Callers
+    * needing per-query accounting should anti-join their query set against
+    * the distinct query_ids returned. Returns
     * (query_id, rank, neighbor_id, qscore), qscore the integer dot. */
   def quantizedTopK(
       corpus: DataFrame,

@@ -148,6 +148,26 @@ class CurationOpsSpec extends SparkSpec {
       s"rarest '$rarest' kept $rarestFrac <= biggest '$biggest' kept $biggestFrac")
   }
 
+  test("helper columns are collision-proof: caller frames may own 'rate'/'_rn0'") {
+    // a caller frame already carrying the operators' old working-column
+    // names must neither hit an ambiguous-reference AnalysisException nor
+    // have its own column silently replaced/filtered on
+    val in = df("doc_id LONG, lang STRING, rate DOUBLE, _stratum STRING, _rn0 LONG", Seq(
+      Row(1L, "en", 9.9, "x", 7L), Row(2L, "en", 9.9, "x", 7L),
+      Row(3L, "zh", 9.9, "x", 7L), Row(4L, "zh", 9.9, "x", 7L)))
+    val mixed = Sampling.temperatureMix(in, "lang", "doc_id",
+      temperature = 2.0, targetFraction = 1.0)
+    assert(mixed.count() === 4)
+    assert(mixed.columns.toSeq === in.columns.toSeq)
+    assert(mixed.select("rate").collect().forall(_.getDouble(0) === 9.9),
+      "caller's own 'rate' column must survive untouched")
+    val taken = Sampling.takePerStratum(in, "lang", "doc_id", n = 1)
+    assert(taken.count() === 2)
+    assert(taken.columns.toSeq === in.columns.toSeq)
+    assert(taken.select("_rn0").collect().forall(_.getLong(0) === 7L),
+      "caller's own '_rn0' column must survive untouched")
+  }
+
   test("takePerStratum is count-exact, repartition-invariant and growth-stable") {
     val base = df("doc_id LONG, lang STRING",
       (1L to 9L).map(i => Row(i, if (i <= 6) "en" else "zh")))
