@@ -864,6 +864,79 @@ object Dedup {
           round(lit(1.0) - col("n_distinct") / col("n_grams"), 4)))
   }
 
+  /** Incremental near-duplicate scan: candidate (batch, reference) pairs
+    * from MinHash-LSH band collisions — the incremental-ingestion dedup
+    * workflow. A standing corpus is deduplicated once; each ARRIVING batch
+    * then only needs checking against the reference (and itself, via
+    * [[minHashCandidates]] on the batch alone): candidates here form
+    * exclusively ACROSS the two frames, never reference², so the recurring
+    * cost is `batch × collision rate`, not another full-corpus pass.
+    *
+    * Scale posture: both sides reduce to (id, band, band_hash) streams and
+    * meet on the band key — the reference side shuffles once at its full
+    * size but is never self-joined; in production the reference band table
+    * is the thing to persist (clustered by band_hash — [[graft.io.Layout]])
+    * so a batch probe prunes to the colliding buckets and the per-batch
+    * cost stops depending on reference size entirely. The batch side
+    * broadcasts when small (AQE size-based — no hint, same contract as the
+    * Keywords vocab joins).
+    *
+    * Returns (doc_id, ref_id, shared_bands): one row per batch-reference
+    * band collision, `doc_id` from `batch`. Id spaces may overlap (the
+    * frames are distinct corpora); no self-pair filtering is applied. */
+  def incrementalNearDup(
+      reference: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16
+  ): DataFrame = {
+    val rows = numHashes / bands
+    def withBands(docs: DataFrame, out: String) =
+      minHashSignatures(docs, idCol, textCol, n, numHashes)
+        .select(col("doc_id").as(out), explode(lshBands("sig", bands, rows)).as("bb"))
+        .select(col(out), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
+    withBands(batch, "doc_id")
+      .join(withBands(reference, "ref_id"), Seq("band", "band_hash"))
+      .groupBy("doc_id", "ref_id")
+      .agg(count(lit(1)).as("shared_bands"))
+  }
+
+  /** Chunk-level exact dedup — repeated-passage removal (the CCNet move:
+    * boilerplate paragraphs — headers, navigation, license blocks — repeat
+    * across documents even when no two documents are near-duplicates, and
+    * removing the repeated CHUNKS recovers the unique text). Documents
+    * split into fixed non-overlapping token chunks ([[TextFunctions.chunks]]
+    * with overlap 0 — overlapping chunks would make every within-doc
+    * neighbor a false "duplicate"); chunk identity is the md5 of the
+    * chunk's tokens; the FIRST occurrence in (doc_id, chunk_id) order is
+    * canonical and every other occurrence is flagged.
+    *
+    * Plan shape: one corpus pass + one window on the chunk hash — a
+    * high-cardinality key, so the shuffle spreads evenly and per-partition
+    * window state is tiny (the [[exactDedup]] posture, at chunk grain).
+    *
+    * Returns one row per chunk occurrence:
+    * (doc_id, chunk_id, chunk_hash, occurrences, is_duplicate). Callers
+    * reassemble kept text by filtering `!is_duplicate` and re-joining
+    * chunks in chunk_id order; a per-doc duplicate-chunk fraction is one
+    * groupBy away. */
+  def chunkDedup(
+      docs: DataFrame, idCol: String, textCol: String, size: Int = 32
+  ): DataFrame = {
+    require(size > 0, "chunk size must be positive")
+    val ch = docs.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.chunks(textCol, size, 0)).as("c"))
+      .select(col("doc_id"), col("c.chunk_id").as("chunk_id"),
+        md5(array_join(col("c.toks"), " ")).as("chunk_hash"))
+    val wh = Window.partitionBy("chunk_hash")
+    val ord = Window.partitionBy("chunk_hash").orderBy(col("doc_id"), col("chunk_id"))
+    ch.withColumn("occurrences", count(lit(1)).over(wh))
+      .withColumn("is_duplicate", row_number().over(ord) > 1)
+  }
+
   /** Candidate near-duplicate pairs from MinHash-LSH: unordered doc pairs
     * sharing >= 1 band bucket, with the count of shared bands. Join is on
     * (band, band_hash) — never all-pairs. */

@@ -184,6 +184,34 @@ object DocQueries {
        |WHERE cosine >= 0.35
        |ORDER BY cent_id, doc_a, doc_b""".stripMargin
 
+  /** Shared d3/d17 CTE chain: MinHash signatures (base hash = first 8 md5
+    * hex digits masked to 31 bits, 64 affine permutations mod 2^31-1) and
+    * the 16 × 4-row LSH band table `bands(doc_id, b, bh)`. Assumes `w`
+    * (the tokenized corpus CTE) is already in scope. */
+  private lazy val minhashBandCtes =
+    s""" sh AS (SELECT doc_id, $shListSql AS shingles FROM w WHERE nt >= 3),
+       | hs AS (
+       |  SELECT doc_id,
+       |         list_transform(shingles, s ->
+       |           CAST(list_sum(list_transform(generate_series(1, 8), k ->
+       |             (strpos('0123456789abcdef', substr(md5(s), CAST(k AS INT), 1)) - 1)
+       |               * (16.0 ** (8 - k)))) AS BIGINT) & 2147483647) AS hs
+       |  FROM sh
+       | ),
+       | sig AS (
+       |  SELECT doc_id,
+       |         list_transform(generate_series(0, 63),
+       |           i -> list_min(list_transform(hs,
+       |                  h -> ((2 * i + 1) * h + i * 40503 + 12345) % 2147483647))) AS sig
+       |  FROM hs
+       | ),
+       | bandrows AS (SELECT doc_id, sig, unnest(generate_series(0, 15)) AS b FROM sig),
+       | bands AS (
+       |  SELECT doc_id, b,
+       |         md5(array_to_string(sig[CAST(b*4+1 AS INT):CAST(b*4+4 AS INT)], '_')) AS bh
+       |  FROM bandrows
+       | )""".stripMargin
+
   /** Shared t11/t17 oracle: the exact contamination computation — the
     * Bloom-prefiltered variant must reproduce it bit for bit. */
   private lazy val contaminationSql =
@@ -320,6 +348,25 @@ object DocQueries {
         Dedup.connectedComponentsStar(jaccardEdges(s, dir))).orderBy("doc_id")),
 
     // D3: MinHash-LSH candidate pairs (64 hashes, 16 bands x 4)
+    // D17: incremental-ingestion near-dup — a "batch" (doc_id >= 250)
+    // probes the standing "reference" corpus (doc_id < 250) through the
+    // same MinHash band machinery as d3; candidates form only ACROSS the
+    // split, never reference², which is what makes re-ingestion cost
+    // batch-proportional
+    "d17_incremental_neardup" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      Dedup.incrementalNearDup(
+          docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250),
+          "doc_id", "text", n = 3, numHashes = 64, bands = 16)
+        .orderBy("doc_id", "ref_id")
+    }),
+
+    // D18: chunk-grain exact dedup (repeated-passage removal) — 32-token
+    // non-overlapping chunks, first occurrence canonical
+    "d18_chunk_dedup" -> ((s, dir) =>
+      Dedup.chunkDedup(table(s, dir, "documents"), "doc_id", "text", size = 32)
+        .orderBy("doc_id", "chunk_id")),
+
     "d3_minhash_lsh" -> ((s, dir) =>
       Dedup.minHashCandidates(table(s, dir, "documents"), "doc_id", "text",
           n = 3, numHashes = 64, bands = 16)
@@ -838,32 +885,42 @@ object DocQueries {
     // masked to 31 bits, then 64 affine permutations mod 2^31-1.
     "d3_minhash_lsh" ->
       s"""$wCte,
-         | sh AS (SELECT doc_id, $shListSql AS shingles FROM w WHERE nt >= 3),
-         | hs AS (
-         |  SELECT doc_id,
-         |         list_transform(shingles, s ->
-         |           CAST(list_sum(list_transform(generate_series(1, 8), k ->
-         |             (strpos('0123456789abcdef', substr(md5(s), CAST(k AS INT), 1)) - 1)
-         |               * (16.0 ** (8 - k)))) AS BIGINT) & 2147483647) AS hs
-         |  FROM sh
-         | ),
-         | sig AS (
-         |  SELECT doc_id,
-         |         list_transform(generate_series(0, 63),
-         |           i -> list_min(list_transform(hs,
-         |                  h -> ((2 * i + 1) * h + i * 40503 + 12345) % 2147483647))) AS sig
-         |  FROM hs
-         | ),
-         | bandrows AS (SELECT doc_id, sig, unnest(generate_series(0, 15)) AS b FROM sig),
-         | bands AS (
-         |  SELECT doc_id, b,
-         |         md5(array_to_string(sig[CAST(b*4+1 AS INT):CAST(b*4+4 AS INT)], '_')) AS bh
-         |  FROM bandrows
-         | )
+         |$minhashBandCtes
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_bands
          |FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
          |GROUP BY 1, 2
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // D17: the same band chain, asymmetric join across the 250 split —
+    // batch (>= 250) vs reference (< 250) only, mirroring
+    // Dedup.incrementalNearDup over the in-table corpus split
+    "d17_incremental_neardup" ->
+      s"""$wCte,
+         |$minhashBandCtes
+         |SELECT a.doc_id AS doc_id, b.doc_id AS ref_id, COUNT(*) AS shared_bands
+         |FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh
+         |WHERE a.doc_id >= 250 AND b.doc_id < 250
+         |GROUP BY 1, 2
+         |ORDER BY doc_id, ref_id""".stripMargin,
+
+    // D18: 32-token non-overlapping chunk hashes; first occurrence in
+    // (doc_id, chunk_id) order is canonical, the rest are duplicates
+    "d18_chunk_dedup" ->
+      s"""$wCte,
+         | ch AS (
+         |  SELECT doc_id, ws,
+         |         unnest(generate_series(0, CAST(nt - 1 AS BIGINT), 32)) AS s
+         |  FROM w
+         | ),
+         | h AS (
+         |  SELECT doc_id, CAST(s // 32 AS INT) AS chunk_id,
+         |         md5(array_to_string(list_slice(ws, CAST(s + 1 AS INT), CAST(s + 32 AS INT)), ' ')) AS chunk_hash
+         |  FROM ch
+         | )
+         |SELECT doc_id, chunk_id, chunk_hash,
+         |       CAST(COUNT(*) OVER (PARTITION BY chunk_hash) AS BIGINT) AS occurrences,
+         |       ROW_NUMBER() OVER (PARTITION BY chunk_hash ORDER BY doc_id, chunk_id) > 1 AS is_duplicate
+         |FROM h ORDER BY doc_id, chunk_id""".stripMargin,
 
     "v1_cosine_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
