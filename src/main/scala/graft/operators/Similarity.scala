@@ -270,24 +270,46 @@ object Similarity {
       else
         corpus.orderBy(col(idCol)).limit(nCentroids)
           .select(col(idCol).as("cent_id"), col(vecCol).cast("array<double>").as("centv"))
+    val assign = ivfAssign(corpus, idCol, vecCol, cent)
+    val probes = ivfProbes(queries, idCol, vecCol, cent, nProbe)
+    ivfScore(assign, probes, k)
+  }
+
+  /** Max-cosine cell assignment against a (small) centroid table: ties to
+    * the smallest centroid id via max of a (cosine, -cent_id) struct —
+    * algebraic, partial-aggregated map-side, one corpus pass.
+    * Returns (neighbor_id, cent_id, cv). */
+  private def ivfAssign(
+      corpus: DataFrame, idCol: String, vecCol: String, cent: DataFrame
+  ): DataFrame = {
     val cv = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("cv"))
-    // max-cosine assignment, ties to the smallest centroid id: max of
-    // (cosine, -cent_id) struct — algebraic, partial-aggregated map-side
-    val assign = cv.join(broadcast(cent))
+    cv.join(broadcast(cent))
       .withColumn("cos_c", cosine("cv", "centv"))
       .groupBy("neighbor_id")
       .agg(max(struct(col("cos_c"), (-col("cent_id")).as("neg_cent"))).as("m"),
         first("cv").as("cv"))
       .select(col("neighbor_id"), (-col("m.neg_cent")).as("cent_id"), col("cv"))
+  }
+
+  /** Each query's `nProbe` max-cosine centroids (ties to the smaller id).
+    * Returns (query_id, cent_id, qv). */
+  private def ivfProbes(
+      queries: DataFrame, idCol: String, vecCol: String,
+      cent: DataFrame, nProbe: Int
+  ): DataFrame = {
     val qv = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
     val probeWin = Window.partitionBy("query_id")
       .orderBy(col("cos_c").desc, col("cent_id").asc)
-    val probes = qv.join(broadcast(cent))
+    qv.join(broadcast(cent))
       .withColumn("cos_c", cosine("qv", "centv"))
       .withColumn("_pr", row_number().over(probeWin)).filter(col("_pr") <= nProbe)
       .select("query_id", "cent_id", "qv")
+  }
+
+  /** Exact scoring of probed cells + final per-query rank. */
+  private def ivfScore(assign: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val scored = assign.join(broadcast(probes), Seq("cent_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", round(cosine("qv", "cv"), 4))
@@ -296,6 +318,62 @@ object Similarity {
     scored
       .withColumn("rank", row_number().over(fin)).filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** Persist an IVF index: `dir/centroids` (the small centroid table) and
+    * `dir/assignments` hive-partitioned by `cent_id` — each cell becomes
+    * its own directory of parquet files, so a probe of that cell is a
+    * PARTITION-PRUNED scan (directory-level, before any file is opened).
+    * This is the serving-side counterpart of [[ivfTopK]]: build once over
+    * the 100 TB corpus, then every query batch reads nProbe cells per
+    * query instead of the corpus. Same deterministic centroid seed /
+    * Lloyd refinement as [[ivfTopK]], so [[ivfIndexTopK]] over the layout
+    * returns exactly what [[ivfTopK]] computes in-flight
+    * (IvfIndexSpec pins both the equality and the pruning). */
+  def ivfIndexWrite(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String,
+      nCentroids: Int = 16,
+      refineIters: Int = 0
+  ): Unit = {
+    graft.plans.GraftExtensions.register(corpus.sparkSession)
+    val cent =
+      if (refineIters > 0)
+        kmeansCentroids(corpus, idCol, vecCol, nCentroids, refineIters)
+      else
+        corpus.orderBy(col(idCol)).limit(nCentroids)
+          .select(col(idCol).as("cent_id"), col(vecCol).cast("array<double>").as("centv"))
+    cent.write.mode("overwrite").parquet(s"$dir/centroids")
+    ivfAssign(corpus, idCol, vecCol, cent)
+      .withColumn("cent_id", col("cent_id").cast("long"))
+      .write.mode("overwrite").partitionBy("cent_id").parquet(s"$dir/assignments")
+  }
+
+  /** Top-k over a persisted IVF index ([[ivfIndexWrite]]): probes resolve
+    * against the small centroid table, the probed cell ids (query-batch
+    * metadata — nQueries × nProbe ints, NOT row data) become a literal
+    * partition predicate, and the assignment scan reads ONLY those cell
+    * directories. Returns (query_id, rank, neighbor_id, cosine), identical
+    * to [[ivfTopK]] at the same (nCentroids, nProbe, refineIters). */
+  def ivfIndexTopK(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int = 4
+  ): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    val cent = spark.read.parquet(s"$dir/centroids")
+    val probes = ivfProbes(queries, idCol, vecCol, cent, nProbe)
+    val probedCells = probes.select(col("cent_id").cast("long"))
+      .distinct().collect().map(_.getLong(0))
+    val assign = spark.read.parquet(s"$dir/assignments")
+      .filter(col("cent_id").isin(probedCells.toIndexedSeq: _*))
+    ivfScore(assign, probes, k)
   }
 
   /** Multi-table LSH-bucketed ANN top-k: candidates are corpus vectors
