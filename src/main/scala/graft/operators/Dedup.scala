@@ -781,6 +781,29 @@ object Dedup {
           .as("contamination"))
   }
 
+  /** The decision end of benchmark decontamination: drop every document
+    * whose contaminated-shingle fraction ([[contaminationScan]]) exceeds
+    * `maxFrac`, keep the rest — the n-gram-overlap removal rule used for
+    * pretraining-set hygiene (a doc sharing more than a sliver of its
+    * n-grams with an evaluation set is leaking that benchmark). `maxFrac
+    * = 0.0` drops on ANY overlap; docs too short to shingle (null
+    * contamination) are never dropped.
+    *
+    * Scale shape: the scan side is the [[contaminationScan]] posture
+    * (benchmark shingles broadcast, corpus never shuffles); the drop set
+    * is filtered to just the contaminated ids BEFORE the anti-join, so at
+    * realistic contamination rates AQE broadcasts it and the kept corpus
+    * is a scan-speed filter — the [[keepCanonical]] shape. */
+  def decontaminate(
+      docs: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 3, maxFrac: Double = 0.0
+  ): DataFrame = {
+    val dropIds = contaminationScan(docs, benchmark, idCol, textCol, n)
+      .filter(col("contamination") > maxFrac)
+      .select(col("doc_id").as("__graft_drop_id"))
+    docs.join(dropIds, docs(idCol) === col("__graft_drop_id"), "left_anti")
+  }
+
   /** The user-facing end of near-dedup: given cluster labels from
     * [[connectedComponents]] / [[connectedComponentsStar]] (doc_id,
     * component), drop every cluster member except the minimum-id
@@ -935,6 +958,40 @@ object Dedup {
     val ord = Window.partitionBy("chunk_hash").orderBy(col("doc_id"), col("chunk_id"))
     ch.withColumn("occurrences", count(lit(1)).over(wh))
       .withColumn("is_duplicate", row_number().over(ord) > 1)
+  }
+
+  /** The reassembly end of [[chunkDedup]]: strip every repeated chunk
+    * (keeping its FIRST occurrence in (doc_id, chunk_id) order) and
+    * rebuild each document from its surviving chunks — repeated-passage
+    * removal applied, not just flagged. Returns one row per input doc
+    * that produced chunks: (doc_id, n_chunks, n_kept, kept_hash) where
+    * `kept_hash` is the md5 of the kept chunks re-joined in chunk order
+    * (a doc whose every chunk was seen before hashes the empty string).
+    *
+    * Plan shape: one corpus pass to chunk, ONE window on the
+    * high-cardinality chunk hash to pick first occurrences, one per-doc
+    * aggregation to reassemble — the [[chunkDedup]] posture plus a
+    * doc-keyed agg; chunk text rides the window shuffle once, there is
+    * no self-join and no pair blow-up at any corpus size. */
+  def stripDuplicateChunks(
+      docs: DataFrame, idCol: String, textCol: String, size: Int = 32
+  ): DataFrame = {
+    require(size > 0, "chunk size must be positive")
+    val ch = docs.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.chunks(textCol, size, 0)).as("__graft_c"))
+      .select(col("doc_id"), col("__graft_c.chunk_id").as("chunk_id"),
+        array_join(col("__graft_c.toks"), " ").as("__graft_cstr"))
+    val ord = Window.partitionBy(md5(col("__graft_cstr")))
+      .orderBy(col("doc_id"), col("chunk_id"))
+    ch.withColumn("__graft_keep", row_number().over(ord) === 1)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        count(when(col("__graft_keep"), lit(1))).as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("__graft_keep"),
+            struct(col("chunk_id"), col("__graft_cstr").as("s"))))),
+          c => c.getField("s")), " ")).as("kept_hash"))
   }
 
   /** Candidate near-duplicate pairs from MinHash-LSH: unordered doc pairs

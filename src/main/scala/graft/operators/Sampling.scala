@@ -137,6 +137,42 @@ object Sampling {
       .select(df.columns.map(df(_)).toIndexedSeq: _*)
   }
 
+  /** Materialize a data recipe with per-stratum epoch weights — the
+    * upsampling half of corpus mixing, where a high-value stratum is
+    * repeated a FRACTIONAL number of times (w = 2.3 means every row twice
+    * plus a 30% chance of a third copy). Each row is emitted
+    * `floor(w)` times, plus one more when its content-addressed
+    * [[hashUnit]] falls below the fractional part — so expected copies
+    * per row are exactly w, the decision is engine/partitioning/
+    * rerun-independent, and w < 1 degrades to [[stratifiedSample]]
+    * (0 copies or 1). The appended `epoch` column (0-based copy index)
+    * gives downstream shuffles a salt to spread the copies with.
+    *
+    * Scale: a pure projection + per-row explode of at most ceil(w)
+    * elements — no shuffle, no state; output volume is Σ_s w_s·n_s by
+    * construction, decided row-locally on the scan. */
+  def repeatByWeight(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      weights: Map[String, Double],
+      defaultWeight: Double = 1.0,
+      salt: String = "graft-epoch"
+  ): DataFrame = {
+    require(weights.values.forall(_ >= 0) && defaultWeight >= 0,
+      "epoch weights must be non-negative")
+    val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    val copies = (floor(w) +
+      when(hashUnit(col(idCol), salt) < w - floor(w), lit(1.0))
+        .otherwise(lit(0.0))).cast("long")
+    df.withColumn("__graft_copies", copies)
+      .filter(col("__graft_copies") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__graft_copies") - 1)))
+      .drop("__graft_copies")
+  }
+
   /** Exact per-group quantiles of `valueCol` at the given probabilities
     * (linear interpolation, the numpy/DuckDB `quantile_cont` definition).
     * One hash-agg shuffle on the group keys; `percentile` is a sort-based

@@ -436,4 +436,32 @@ object Similarity {
         round(col("sq") / 1e6 / col("n"), 4).as("mean"),
         round(sqrt(col("sqq") / 1e12 / col("n")
           - (col("sq") / 1e6 / col("n")) * (col("sq") / 1e6 / col("n"))), 4).as("std"))
+
+  /** Recall@k of an approximate top-k result against the exact one — the
+    * quality gauge every ANN deployment tunes against (the recall/cost
+    * trade of `annTopK`'s (tables, planesPerTable) or `ivfTopK`'s
+    * (nCentroids, nProbe) is meaningless without it). Both inputs are
+    * ranked result frames with (query_id, rank, neighbor_id) — any of
+    * [[bruteForceTopK]]/[[annTopK]]/[[ivfTopK]]/[[quantizedTopK]] fits.
+    *
+    * Per query: `n_truth` exact neighbors at rank <= k, `n_hits` of them
+    * also in the approximate top-k, `recall` = n_hits / n_truth (rounded
+    * 1e-4). Queries the approximate side missed entirely still appear
+    * (n_hits = 0) because the aggregation is driven from the exact side.
+    *
+    * Scale: both inputs are query-batch-sized (nQueries x k rows — result
+    * metadata, never corpus data), so the pair join and the per-query
+    * aggregation shuffle a few thousand rows regardless of corpus size;
+    * the expensive part is producing the inputs, not judging them. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    val truth = exact.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val cand = approx.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+      .withColumn("__graft_hit", lit(1))
+    truth.join(cand, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_truth"), count(col("__graft_hit")).as("n_hits"))
+      .withColumn("recall", round(col("n_hits") / col("n_truth"), 4))
+  }
 }

@@ -396,6 +396,21 @@ object DocQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // V7: ANN quality gauge — recall@3 of the LSH ANN (the v2 config)
+    // against the exact brute-force top-3 on the same query batch; both
+    // inputs are result metadata (nQueries x k rows), so the judging join
+    // costs nothing next to producing them
+    "v7_ann_recall" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 20)
+      Similarity.recallAtK(
+          Similarity.annTopK(emb, q, "vec_id", "embedding",
+            k = 3, dims = 64, tables = 8, planesPerTable = 4),
+          Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 3),
+          k = 3)
+        .orderBy("query_id")
+    }),
+
     // D7: embedding-cosine near-dup pairs — LSH-bucketed candidates scored
     // exactly (the synthetic embeddings have no true near-dups, so the
     // threshold sits in the distribution tail to exercise the pipeline)
@@ -602,6 +617,35 @@ object DocQueries {
       Sampling.takePerStratum(table(s, dir, "documents"), "lang", "doc_id", n = 10)
         .select("doc_id", "lang")
         .orderBy("doc_id")),
+
+    // T25: decontamination DECISION — the t11 scan applied: docs whose
+    // contaminated-shingle fraction against the docs-0-9 "eval set"
+    // exceeds 5% are dropped; the kept corpus is what a pretraining run
+    // would actually ingest (drops 62 of 500 at sf0.01)
+    "t25_decontaminate" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      Dedup.decontaminate(docs, docs.filter(col("doc_id") < 10),
+          "doc_id", "text", n = 3, maxFrac = 0.05)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // T26: repeated-passage REMOVAL — the d18 flags applied: duplicate
+    // 32-token chunks stripped (first occurrence canonical) and every doc
+    // reassembled from its surviving chunks, digested as kept_hash
+    "t26_chunk_strip" -> ((s, dir) =>
+      Dedup.stripDuplicateChunks(table(s, dir, "documents"), "doc_id", "text",
+          size = 32)
+        .orderBy("doc_id")),
+
+    // T27: recipe materialization — per-lang epoch weights (en 1.4,
+    // zh 2.25, rest 0.6): floor(w) copies per row plus a content-addressed
+    // bernoulli draw for the fractional part; `epoch` is the copy index
+    "t27_recipe_repeat" -> ((s, dir) =>
+      Sampling.repeatByWeight(table(s, dir, "documents"), "lang", "doc_id",
+          Map("en" -> 1.4, "zh" -> 2.25), defaultWeight = 0.6)
+        .select("doc_id", "lang", "epoch")
+        .orderBy("doc_id", "epoch")),
 
     // T14: TF-IDF keyword extraction — top-3 terms per document by
     // tf x smoothed-idf; the ranking window partitions on doc_id (high
@@ -1272,6 +1316,58 @@ object DocQueries {
          |FROM ranked WHERE "rank" <= 3
          |ORDER BY query_id, "rank"""".stripMargin,
 
+    // V7: the v1 (exact, k=3) and v2 (LSH ANN) chains composed — truth
+    // LEFT JOIN approx on the (query_id, neighbor_id) pair, recall per
+    // query; COUNT (never SUM) keeps every column BIGINT
+    "v7_ann_recall" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         | q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+         | bscored AS (
+         |  SELECT query_id, e.vec_id AS neighbor_id,
+         |         ROUND(list_dot_product(qv, v)
+         |               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 4) AS cosine
+         |  FROM q, e WHERE e.vec_id <> q.query_id
+         | ),
+         | branked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+         |  FROM bscored
+         | ),
+         | truth AS (SELECT query_id, neighbor_id FROM branked WHERE rnk <= 3),
+         | tb AS (
+         |  SELECT vec_id, t,
+         |         CAST(list_sum(list_transform(generate_series(0, 3), i ->
+         |           CASE WHEN list_dot_product(v,
+         |                  list_transform(generate_series(0, 63),
+         |                    d -> (((t * 4 + i) * 64 + d) * 2654435761) % 1000 / 1000.0 - 0.5)) >= 0.0
+         |                THEN (1 << CAST(i AS INT)) ELSE 0 END)) AS INT) AS bucket
+         |  FROM e CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS t) tt
+         | ),
+         | cand AS (
+         |  SELECT DISTINCT cq.vec_id AS query_id, cc.vec_id AS neighbor_id
+         |  FROM tb cq JOIN tb cc ON cq.t = cc.t AND cq.bucket = cc.bucket AND cc.vec_id <> cq.vec_id
+         |  WHERE cq.vec_id < 20
+         | ),
+         | ascored AS (
+         |  SELECT query_id, neighbor_id,
+         |         ROUND(list_dot_product(qe.v, ce.v)
+         |               / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))), 4) AS cosine
+         |  FROM cand
+         |  JOIN e qe ON qe.vec_id = cand.query_id
+         |  JOIN e ce ON ce.vec_id = cand.neighbor_id
+         | ),
+         | aranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+         |  FROM ascored
+         | ),
+         | approx AS (SELECT query_id, neighbor_id FROM aranked WHERE rnk <= 3)
+         |SELECT t.query_id AS query_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_truth,
+         |       CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+         |       ROUND(COUNT(a.neighbor_id) * 1.0 / COUNT(*), 4) AS recall
+         |FROM truth t
+         |LEFT JOIN approx a ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+         |GROUP BY t.query_id ORDER BY query_id""".stripMargin,
+
     "t4_pii_scrub" ->
       s"""WITH p AS (
          |  SELECT doc_id,
@@ -1339,6 +1435,67 @@ object DocQueries {
          | )
          |SELECT doc_id, lang FROM ranked WHERE rn <= 10
          |ORDER BY doc_id""".stripMargin,
+
+    // T25: the t11 contamination scan as a nested subquery, applied as a
+    // NOT IN drop rule (NULL contamination — too short to shingle — is
+    // never > the threshold, so short docs stay, matching the Spark
+    // filter's null semantics)
+    "t25_decontaminate" ->
+      s"""SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE doc_id NOT IN (
+         |  SELECT doc_id FROM ($contaminationSql) sc WHERE contamination > 0.05
+         |)
+         |ORDER BY doc_id""".stripMargin,
+
+    // T26: d18's chunk chain + reassembly — first occurrence of each
+    // chunk hash keeps, every doc digests its kept chunks in chunk order
+    // (string_agg skips the NULLed-out dropped chunks; a fully-stripped
+    // doc hashes the empty string via COALESCE)
+    "t26_chunk_strip" ->
+      s"""$wCte,
+         | ch AS (
+         |  SELECT doc_id, ws,
+         |         unnest(generate_series(0, CAST(nt - 1 AS BIGINT), 32)) AS s
+         |  FROM w
+         | ),
+         | h AS (
+         |  SELECT doc_id, CAST(s // 32 AS INT) AS chunk_id,
+         |         array_to_string(list_slice(ws, CAST(s + 1 AS INT), CAST(s + 32 AS INT)), ' ') AS cstr
+         |  FROM ch
+         | ),
+         | f AS (
+         |  SELECT doc_id, chunk_id, cstr,
+         |         ROW_NUMBER() OVER (PARTITION BY md5(cstr) ORDER BY doc_id, chunk_id) = 1 AS keep
+         |  FROM h
+         | )
+         |SELECT doc_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |       CAST(COUNT(CASE WHEN keep THEN 1 END) AS BIGINT) AS n_kept,
+         |       md5(COALESCE(string_agg(CASE WHEN keep THEN cstr END, ' ' ORDER BY chunk_id), '')) AS kept_hash
+         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // T27: exact mirror of Sampling.repeatByWeight — floor(w) copies plus
+    // one more when the 60-bit md5 draw lands under the fractional part;
+    // both engines do the identical double arithmetic, so the bernoulli
+    // decisions agree bit-for-bit
+    "t27_recipe_repeat" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, lang,
+         |         CASE lang WHEN 'en' THEN 1.4 WHEN 'zh' THEN 2.25 ELSE 0.6 END AS w,
+         |         CAST(${hash60Sql("'graft-epoch:' || CAST(doc_id AS VARCHAR)")} AS DOUBLE)
+         |           / 1152921504606846976.0 AS u
+         |  FROM documents
+         | ),
+         | c AS (
+         |  SELECT doc_id, lang,
+         |         CAST(FLOOR(w) + CASE WHEN u < w - FLOOR(w) THEN 1 ELSE 0 END AS BIGINT) AS n
+         |  FROM r
+         | )
+         |SELECT doc_id, lang, epoch FROM (
+         |  SELECT doc_id, lang, unnest(generate_series(0, n - 1)) AS epoch
+         |  FROM c WHERE n > 0
+         |)
+         |ORDER BY doc_id, epoch""".stripMargin,
 
     "t14_tfidf_topk" ->
       s"""$wCte,

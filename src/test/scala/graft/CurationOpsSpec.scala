@@ -285,4 +285,37 @@ class CurationOpsSpec extends SparkSpec {
     }
     assert(out.size === 2)
   }
+
+  test("repeatByWeight emits floor(w) copies plus a fractional-part draw") {
+    val in = df("id LONG, s STRING", Seq(
+      Row(1L, "a"), Row(2L, "a"),   // w = 2.0: exactly two copies each
+      Row(3L, "b"),                 // w = 0.0: dropped
+      Row(4L, "c")))                // default w = 1.0: exactly one copy
+    val out = Sampling.repeatByWeight(in, "s", "id",
+        Map("a" -> 2.0, "b" -> 0.0), defaultWeight = 1.0)
+      .select("id", "epoch").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(out === Seq((1L, 0L), (1L, 1L), (2L, 0L), (2L, 1L), (4L, 0L)).sorted)
+  }
+
+  test("repeatByWeight fractional copies are 2-or-3 at w=2.5, rerun-stable") {
+    val in = df("id LONG, s STRING", (0L until 200L).map(Row(_, "a")))
+    val run = Sampling.repeatByWeight(in, "s", "id", Map("a" -> 2.5))
+    val counts = run.groupBy("id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.size === 200)
+    assert(counts.values.forall(c => c == 2L || c == 3L))
+    // expected copies ~= 2.5 per row; the md5 draw keeps it near that
+    val total = counts.values.sum
+    assert(total > 200 * 2.2 && total < 200 * 2.8)
+    // epochs are contiguous 0..n-1 per id
+    val epochs = run.groupBy("id").agg(
+        min("epoch").as("mn"), max("epoch").as("mx"), count(lit(1)).as("n"))
+      .collect()
+    assert(epochs.forall(r => r.getLong(1) == 0L && r.getLong(2) == r.getLong(3) - 1))
+    // content-addressed: a re-partitioned rerun selects the identical multiset
+    val again = Sampling.repeatByWeight(in.repartition(7), "s", "id", Map("a" -> 2.5))
+      .groupBy("id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === counts)
+  }
 }

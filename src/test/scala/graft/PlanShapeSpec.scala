@@ -136,6 +136,32 @@ class PlanShapeSpec extends SparkSpec {
       planesPerTable = 4, maxBucketOccupancy = Some(30))) === ((3, 1)))
   }
 
+  test("recipe repeat never shuffles: copies are decided row-locally") {
+    // the fractional-epoch draw is the stratifiedSample hash on the scan;
+    // the explode multiplies rows in place — no exchange of any kind, so
+    // materializing a 2.5x recipe over 100 TB is still one scan
+    assert(shape(Sampling.repeatByWeight(
+      docs, "lang", "doc_id", Map("en" -> 2.5), 0.5)) === ((0, 0)))
+  }
+
+  test("chunk strip: one chunk-hash window + one per-doc reassembly agg") {
+    // 2 shuffles: the first-occurrence window keyed by the high-card
+    // chunk hash, then the doc_id reassembly aggregation; no self-join —
+    // a refactor that pairs chunks instead of windowing them fails here
+    assert(shape(Dedup.stripDuplicateChunks(
+      docs, "doc_id", "text", size = 32)) === ((2, 0)))
+  }
+
+  test("decontaminate: the scan's shape plus one broadcast-able anti-join") {
+    // contaminationScan's (3, 3) plus the drop-set anti-join: the
+    // contaminated-id side is filtered before the join, so at fixture
+    // size (and at any realistic contamination rate) it broadcasts —
+    // the kept corpus never shuffles
+    assert(shape(Dedup.decontaminate(
+      docs, docs.filter(col("doc_id") < 10), "doc_id", "text",
+      maxFrac = 0.05)) === ((3, 4)))
+  }
+
   test("unigram LM: vocab join is size-chosen, not hint-forced") {
     // the vocab (unigram counts) side carries NO broadcast hint — at
     // fixture size the planner's own estimate broadcasts it (1 hinted
