@@ -71,6 +71,11 @@ object Bench {
       }
     // deterministic order: per-query timings comparable across rounds
     // (the first cube-touching query absorbs the cache materialization).
+    // Same caveat WITHIN the doc dedup family: alphabetical order means
+    // e.g. d12 materializes the shared edge/label cache that d2 then
+    // rides, so a per-query number there measures battery position, not
+    // operator cost — compare family totals across rounds, or fresh-
+    // session single queries (graft.Profile), never one cached entry.
     // The datacube family runs first, then its caches are dropped so the
     // doc battery starts from a clean store (r3's d3/d4 regression was the
     // doc battery inheriting ~2 GB of stale uncompressed cube cache).

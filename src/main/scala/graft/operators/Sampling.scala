@@ -173,6 +173,64 @@ object Sampling {
       .drop("__graft_copies")
   }
 
+  /** Group-level (domain-level) quality gate: drop every GROUP whose mean
+    * score falls below `minMean`, keep all rows of the surviving groups —
+    * the domain-blocklist move of web-corpus curation (a boilerplate farm
+    * is recognized by its aggregate, not by any single page, and once
+    * recognized the whole domain goes). The mean is rounded to 1e-4
+    * before the comparison so the decision is summation-order-free and
+    * engine-independent. A NULL group is a group like any other.
+    *
+    * Scale: one avg aggregation keyed by the group (domain cardinality —
+    * partial aggs do the work map-side), then the small failing-group set
+    * drives a broadcast-able anti-join: the corpus itself never
+    * shuffles. */
+  def filterByGroupMean(
+      df: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      minMean: Double
+  ): DataFrame = {
+    val bad = df.groupBy(col(groupCol))
+      .agg(round(avg(col(scoreCol)), 4).as("__graft_gmean"))
+      .filter(col("__graft_gmean") < minMean)
+      .select(col(groupCol).as("__graft_bad_group"))
+    df.join(bad, df(groupCol) <=> col("__graft_bad_group"), "left_anti")
+  }
+
+  /** Deterministic train/validation/test split assignment: each row's
+    * content-addressed [[hashUnit]] draw lands in one of the cumulative
+    * `splits` intervals ((name, fraction), fractions summing to 1), and
+    * the appended `split` column names it. Content-addressed means the
+    * assignment survives re-partitioning, re-ordering, re-runs and
+    * incremental growth — a row never migrates between splits, the
+    * property that keeps eval sets honest as the corpus evolves. Prefer
+    * exactly-representable fractions (0.75/0.125/0.125): the interval
+    * bounds are then bit-identical on every engine.
+    *
+    * Scale: a pure projection — the draw and the interval lookup happen
+    * row-locally on the scan, no shuffle at any corpus size. */
+  def assignSplits(
+      df: DataFrame,
+      idCol: String,
+      splits: Seq[(String, Double)],
+      salt: String = "graft-split"
+  ): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      "every split needs a positive fraction")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    val uppers = splits.scanLeft(0.0)(_ + _._2).tail
+    val expr = splits.init.zip(uppers.init)
+      .foldRight(lit(splits.last._1): Column) {
+        case (((name, _), upper), acc) =>
+          when(col("__graft_u") < lit(upper), lit(name)).otherwise(acc)
+      }
+    df.withColumn("__graft_u", hashUnit(col(idCol), salt))
+      .withColumn("split", expr)
+      .drop("__graft_u")
+  }
+
   /** Exact per-group quantiles of `valueCol` at the given probabilities
     * (linear interpolation, the numpy/DuckDB `quantile_cont` definition).
     * One hash-agg shuffle on the group keys; `percentile` is a sort-based

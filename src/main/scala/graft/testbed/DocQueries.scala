@@ -647,6 +647,27 @@ object DocQueries {
         .select("doc_id", "lang", "epoch")
         .orderBy("doc_id", "epoch")),
 
+    // T28: domain-level quality gate — sources whose mean quality score
+    // (rounded 1e-4, order-free) falls under 0.37 are dropped wholesale
+    // (6 of 20 synthetic sources at sf0.01)
+    "t28_domain_filter" -> ((s, dir) => {
+      val scored = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextFunctions.textStats("text").getField("quality_score").as("q"))
+      Sampling.filterByGroupMean(scored, "source", "q", minMean = 0.37)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
+    // T29: deterministic split assignment — 75/12.5/12.5 train/val/test
+    // by the content-addressed draw; exactly-representable fractions so
+    // the interval bounds are bit-identical across engines
+    "t29_split_assign" -> ((s, dir) =>
+      Sampling.assignSplits(table(s, dir, "documents"), "doc_id",
+          Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+        .select("doc_id", "split")
+        .orderBy("doc_id")),
+
     // T14: TF-IDF keyword extraction — top-3 terms per document by
     // tf x smoothed-idf; the ranking window partitions on doc_id (high
     // cardinality), never on a low-cardinality key
@@ -1473,6 +1494,36 @@ object DocQueries {
          |       CAST(COUNT(CASE WHEN keep THEN 1 END) AS BIGINT) AS n_kept,
          |       md5(COALESCE(string_agg(CASE WHEN keep THEN cstr END, ' ' ORDER BY chunk_id), '')) AS kept_hash
          |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // T28: the t21 quality expression aggregated per source; HAVING on
+    // the ROUNDED mean (order-free), kept rows via NOT IN (the synthetic
+    // corpus has no NULL sources; the Spark side's null-safe semantics
+    // are spec-covered)
+    "t28_domain_filter" ->
+      s"""$wCte,
+         | st AS (
+         |  SELECT w.doc_id, d.source,
+         |         ROUND(LEAST(1.0, nt / 50.0) * (len(list_distinct(ws)) * 1.0 / nt)
+         |               * (1.0 - (length(norm) - length(regexp_replace(norm, '[^a-zA-Z0-9 ]', '', 'g'))) * 1.0 / length(norm)), 4) AS q
+         |  FROM w JOIN documents d ON w.doc_id = d.doc_id
+         | ),
+         | bad AS (SELECT source FROM st GROUP BY source HAVING ROUND(AVG(q), 4) < 0.37)
+         |SELECT doc_id, source FROM documents
+         |WHERE source NOT IN (SELECT source FROM bad)
+         |ORDER BY doc_id""".stripMargin,
+
+    // T29: exact mirror of Sampling.assignSplits — the 60-bit draw against
+    // cumulative bounds 0.75 / 0.875 (both exactly representable)
+    "t29_split_assign" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |         CAST(${hash60Sql("'graft-split:' || CAST(doc_id AS VARCHAR)")} AS DOUBLE)
+         |           / 1152921504606846976.0 AS u
+         |  FROM documents
+         | )
+         |SELECT doc_id,
+         |       CASE WHEN u < 0.75 THEN 'train' WHEN u < 0.875 THEN 'val' ELSE 'test' END AS split
+         |FROM h ORDER BY doc_id""".stripMargin,
 
     // T27: exact mirror of Sampling.repeatByWeight — floor(w) copies plus
     // one more when the 60-bit md5 draw lands under the fractional part;

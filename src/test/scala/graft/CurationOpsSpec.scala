@@ -318,4 +318,39 @@ class CurationOpsSpec extends SparkSpec {
       .groupBy("id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again === counts)
   }
+
+  test("filterByGroupMean drops whole low-mean groups, null group included") {
+    val in = df("id LONG, g STRING, q DOUBLE", Seq(
+      Row(1L, "good", 0.8), Row(2L, "good", 0.6),   // mean 0.7 -> kept
+      Row(3L, "bad", 0.2), Row(4L, "bad", 0.9),     // mean 0.55 -> dropped
+      Row(5L, null, 0.1)))                          // null group, mean 0.1 -> dropped
+    val kept = Sampling.filterByGroupMean(in, "g", "q", minMean = 0.6)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L))
+    // the decision compares the ROUNDED mean: 0.54995 rounds to 0.55 >= 0.55
+    val edge = df("id LONG, g STRING, q DOUBLE", Seq(
+      Row(1L, "e", 0.5499), Row(2L, "e", 0.5500)))
+    assert(Sampling.filterByGroupMean(edge, "g", "q", 0.55).count() === 2)
+  }
+
+  test("assignSplits covers every row, is rerun- and partitioning-stable") {
+    val in = df("id LONG, x STRING", (0L until 400L).map(Row(_, "v")))
+    val splits = Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125)
+    val out = Sampling.assignSplits(in, "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out.size === 400)
+    val byName = out.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byName.keySet === Set("train", "val", "test"))
+    // binomial bounds, generous: 400 draws at 0.75 / 0.125
+    assert(byName("train") > 250 && byName("train") < 350)
+    assert(byName("val") > 20 && byName("val") < 90)
+    assert(byName("test") > 20 && byName("test") < 90)
+    val again = Sampling.assignSplits(in.repartition(7), "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(again === out)
+    // fractions must sum to 1
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplits(in, "id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
 }

@@ -162,6 +162,20 @@ class PlanShapeSpec extends SparkSpec {
       maxFrac = 0.05)) === ((3, 4)))
   }
 
+  test("split assignment never shuffles: the draw decides on the scan") {
+    assert(shape(Sampling.assignSplits(docs, "doc_id",
+      Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))) === ((0, 0)))
+  }
+
+  test("domain filter: one group agg, failing groups broadcast into an anti-join") {
+    // 1 shuffle: the per-group mean aggregation (domain-cardinality,
+    // partials map-side); 1 broadcast: the failing-group set into the
+    // anti-join — the corpus rows themselves never shuffle
+    assert(shape(Sampling.filterByGroupMean(
+      docs.select(col("doc_id"), col("source"), col("n_chars").cast("double").as("q")),
+      "source", "q", minMean = 300.0)) === ((1, 1)))
+  }
+
   test("unigram LM: vocab join is size-chosen, not hint-forced") {
     // the vocab (unigram counts) side carries NO broadcast hint — at
     // fixture size the planner's own estimate broadcasts it (1 hinted
