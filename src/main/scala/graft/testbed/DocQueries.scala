@@ -518,6 +518,20 @@ object DocQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // V8: the IVF side of the ANN quality gauge — recall@3 of ivfTopK
+    // (the v3 config) vs the exact top-3; with v7 this puts both index
+    // families on the same recall/cost axis
+    "v8_ivf_recall" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 20)
+      Similarity.recallAtK(
+          Similarity.ivfTopK(emb, q, "vec_id", "embedding",
+            k = 3, nCentroids = 16, nProbe = 4),
+          Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 3),
+          k = 3)
+        .orderBy("query_id")
+    }),
+
     // T4: PII scrubbing — synthetic emails/URLs/phones injected per doc,
     // detected and redacted (docs 0-9 get a too-short phone that must NOT
     // match — the patterns are exercised both ways)
@@ -1228,6 +1242,61 @@ object DocQueries {
          |JOIN sz sa ON doc_a = sa.doc_id
          |JOIN sz sb ON doc_b = sb.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // V8: the v1 (exact, k=3) and v3 (IVF) chains composed, same recall
+    // aggregation as v7
+    "v8_ivf_recall" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         | qq AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+         | bscored AS (
+         |  SELECT query_id, e.vec_id AS neighbor_id,
+         |         ROUND(list_dot_product(qv, v)
+         |               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 4) AS cosine
+         |  FROM qq, e WHERE e.vec_id <> qq.query_id
+         | ),
+         | branked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+         |  FROM bscored
+         | ),
+         | truth AS (SELECT query_id, neighbor_id FROM branked WHERE rnk <= 3),
+         | cent AS (SELECT vec_id AS cent_id, v AS centv FROM e ORDER BY vec_id LIMIT 16),
+         | assign AS (
+         |  SELECT vec_id AS neighbor_id, v AS cv, cent_id FROM (
+         |   SELECT e.vec_id, e.v, cent.cent_id,
+         |          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |            list_dot_product(v, centv)
+         |              / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(centv, centv))) DESC,
+         |            cent_id) AS rn
+         |   FROM e, cent) WHERE rn = 1
+         | ),
+         | probes AS (
+         |  SELECT query_id, qv, cent_id FROM (
+         |   SELECT q.vec_id AS query_id, q.v AS qv, cent.cent_id,
+         |          ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |            list_dot_product(q.v, centv)
+         |              / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(centv, centv))) DESC,
+         |            cent_id) AS rn
+         |   FROM (SELECT * FROM e WHERE vec_id < 20) q, cent) WHERE rn <= 4
+         | ),
+         | ascored AS (
+         |  SELECT query_id, neighbor_id,
+         |         ROUND(list_dot_product(qv, cv)
+         |               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4) AS cosine
+         |  FROM probes JOIN assign USING (cent_id)
+         |  WHERE neighbor_id <> query_id
+         | ),
+         | aranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+         |  FROM ascored
+         | ),
+         | approx AS (SELECT query_id, neighbor_id FROM aranked WHERE rnk <= 3)
+         |SELECT t.query_id AS query_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_truth,
+         |       CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+         |       ROUND(COUNT(a.neighbor_id) * 1.0 / COUNT(*), 4) AS recall
+         |FROM truth t
+         |LEFT JOIN approx a ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+         |GROUP BY t.query_id ORDER BY query_id""".stripMargin,
 
     "d13_semdedup" -> semDedupSql(kmeansCtes("16", 3)),
 
