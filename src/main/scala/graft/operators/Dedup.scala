@@ -274,14 +274,38 @@ object Dedup {
   def shingleBaseHash(s: Column): Column =
     conv(substring(md5(s), 1, 8), 16, 10).cast("long").bitwiseAND(lit(MinHashP))
 
-  /** MinHash signatures as (id, sig array<bigint>) — the Spark-shaped plan:
-    * explode shingles, hash each ONCE (codegen'd), then ONE hash aggregation
-    * computing all `numHashes` affine-permutation minima
-    * (min((2i+1)*h + i*40503 + 12345 mod p)) as separate codegen'd `min`
-    * aggregates. Nested higher-order lambdas over the shingle array would
-    * run interpreted and get re-inlined by projection collapse — measured
-    * 70× slower at sf0.1. Single shuffle on the doc id. */
+  /** MinHash signatures as (id, sig array<bigint>), computed by the native
+    * codegen'd [[graft.functions.MinHash64]] expression: all `numHashes`
+    * affine-permutation minima (min((2i+1)*h + i*40503 + 12345 mod p),
+    * base hash = first 8 md5 hex digits of the shingle masked to 31 bits)
+    * in one generated per-row loop. A pure PROJECTION — signatures come
+    * off the scan with zero exchanges, so the signature stage of
+    * d3/d17-style near-dedup scales like a filter and only the band join
+    * that genuinely needs co-location shuffles. Documents with fewer than
+    * n tokens have no shingles and are dropped, exactly like the
+    * aggregate formulation's empty groups.
+    *
+    * [[minHashSignaturesAgg]] is the bit-identical explode + hash-agg
+    * witness (MinHashSpec pins the equivalence on both codegen paths). */
   def minHashSignatures(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 64
+  ): DataFrame = {
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    docs.select(col(idCol).as("doc_id"),
+        call_function("minhash64", expr(toksOf(textCol)), lit(n), lit(numHashes)).as("sig"))
+      .filter(col("sig").isNotNull)
+  }
+
+  /** The explode + hash-aggregate formulation [[minHashSignatures]]
+    * replaced, kept as the equivalence-test witness: explode shingles,
+    * hash each ONCE (codegen'd), then ONE hash aggregation computing all
+    * `numHashes` minima as separate codegen'd `min` aggregates. Nested
+    * higher-order lambdas over the shingle array would run interpreted
+    * and get re-inlined by projection collapse — measured 70× slower at
+    * sf0.1. Correct, but pays one exploded row per shingle plus a
+    * doc-keyed shuffle the native projection avoids. */
+  def minHashSignaturesAgg(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 64
   ): DataFrame = {

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{DeflateLen, SimHash60, VectorDot, ZOrder60}
+import graft.functions.{DeflateLen, MinHash64, SimHash60, VectorDot, ZOrder60}
 
 /** Session extensions registering the engine's native Catalyst functions.
   * Install with `spark.sql.extensions=graft.plans.GraftExtensions`, or call
@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.simHash60)
     ext.injectFunction(GraftExtensions.zOrder60)
     ext.injectFunction(GraftExtensions.deflateLen)
+    ext.injectFunction(GraftExtensions.minHash64)
   }
 }
 
@@ -57,7 +58,20 @@ object GraftExtensions {
     }
   )
 
-  private val all = Seq(vecDot, simHash60, zOrder60, deflateLen)
+  private val minHash64 = (
+    new FunctionIdentifier("minhash64"),
+    new ExpressionInfo(classOf[MinHash64].getName, "minhash64"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.length == 3,
+        "minhash64 takes exactly 3 arguments (tokens, n, num_hashes)")
+      // shingle width / signature length are plan-time constants
+      val n = children(1).eval().asInstanceOf[Number].intValue()
+      val k = children(2).eval().asInstanceOf[Number].intValue()
+      MinHash64(children.head, n, k)
+    }
+  )
+
+  private val all = Seq(vecDot, simHash60, zOrder60, deflateLen, minHash64)
 
   /** Idempotently register the functions on a live session. */
   def register(spark: SparkSession): Unit = {

@@ -162,6 +162,13 @@ class PlanShapeSpec extends SparkSpec {
       maxFrac = 0.05)) === ((3, 4)))
   }
 
+  test("minhash signatures are a shuffle-free projection off the scan") {
+    // the native MinHash64 expression replaced the explode + doc-keyed
+    // hash-agg shape (1 shuffle); only the downstream band join may
+    // shuffle — a refactor that reintroduces the aggregate here fails
+    assert(shape(Dedup.minHashSignatures(docs, "doc_id", "text")) === ((0, 0)))
+  }
+
   test("split assignment never shuffles: the draw decides on the scan") {
     assert(shape(Sampling.assignSplits(docs, "doc_id",
       Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))) === ((0, 0)))
