@@ -97,6 +97,28 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, window: Int = 4
   ): DataFrame = {
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    docs.select(col(idCol).as("doc_id"),
+        call_function("winnow60",
+          expr(toksOf(textCol)), lit(n), lit(window)).as("__graft_fps"))
+      .select(col("doc_id"),
+        coalesce(size(col("__graft_fps")), lit(0)).as("n_fingerprints"),
+        md5(array_join(
+          expr("transform(__graft_fps, x -> cast(x AS string))"), " ")).as("fp_hash"))
+  }
+
+  /** The posexplode + bounded-frame-window formulation
+    * [[winnowFingerprints]] replaced, kept as the equivalence-test
+    * witness (WinnowSpec pins bit-parity, including the short-doc
+    * (doc_id, 0, null) rows the left join restores here and the NULL
+    * fingerprint array encodes natively). Correct, but pays one exploded
+    * row per positional shingle plus a doc-keyed shuffle and per-doc
+    * sort for a `window`-wide rolling minimum that never crosses
+    * document boundaries. */
+  private[graft] def winnowFingerprintsAgg(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, window: Int = 4
+  ): DataFrame = {
     val fps = winnowSelected(docs, idCol, textCol, n, window)
       .groupBy("doc_id")
       .agg(sort_array(collect_set(col("wmin"))).as("fps"))
@@ -154,7 +176,12 @@ object Dedup {
       n: Int = 3, window: Int = 4,
       minShared: Int = 2, maxHashFreq: Option[Int] = None
   ): DataFrame = {
-    val sel = winnowSelected(docs, idCol, textCol, n, window).distinct()
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    // the native fingerprint set is already distinct per document, so the
+    // old selected-stream .distinct() shuffle disappears with the window
+    val sel = docs.select(col(idCol).as("doc_id"),
+        explode(call_function("winnow60",
+          expr(toksOf(textCol)), lit(n), lit(window))).as("wmin"))
     val capped = maxHashFreq.map { k =>
       val w = Window.partitionBy("wmin")
       sel.withColumn("__graft_df", count(lit(1)).over(w))

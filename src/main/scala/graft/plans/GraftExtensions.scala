@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{DeflateLen, MinHash64, SimHash60, VectorDot, ZOrder60}
+import graft.functions.{DeflateLen, MinHash64, SimHash60, VectorDot, Winnow60, ZOrder60}
 
 /** Session extensions registering the engine's native Catalyst functions.
   * Install with `spark.sql.extensions=graft.plans.GraftExtensions`, or call
@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.zOrder60)
     ext.injectFunction(GraftExtensions.deflateLen)
     ext.injectFunction(GraftExtensions.minHash64)
+    ext.injectFunction(GraftExtensions.winnow60)
   }
 }
 
@@ -71,7 +72,20 @@ object GraftExtensions {
     }
   )
 
-  private val all = Seq(vecDot, simHash60, zOrder60, deflateLen, minHash64)
+  private val winnow60 = (
+    new FunctionIdentifier("winnow60"),
+    new ExpressionInfo(classOf[Winnow60].getName, "winnow60"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.length == 3,
+        "winnow60 takes exactly 3 arguments (tokens, n, window)")
+      // shingle width / window size are plan-time constants
+      val n = children(1).eval().asInstanceOf[Number].intValue()
+      val w = children(2).eval().asInstanceOf[Number].intValue()
+      Winnow60(children.head, n, w)
+    }
+  )
+
+  private val all = Seq(vecDot, simHash60, zOrder60, deflateLen, minHash64, winnow60)
 
   /** Idempotently register the functions on a live session. */
   def register(spark: SparkSession): Unit = {

@@ -91,14 +91,25 @@ class PlanShapeSpec extends SparkSpec {
       emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 3)) === ((3, 2)))
   }
 
+  test("winnowing fingerprints are a shuffle-free projection off the scan") {
+    // the native Winnow60 expression replaced the posexplode + doc-keyed
+    // window shape (1 shuffle + per-doc sort) — a refactor that
+    // reintroduces the window here fails
+    assert(shape(Dedup.winnowFingerprints(docs, "doc_id", "text")) === ((0, 0)))
+  }
+
   test("winnowing pairs meet only through the fingerprint-keyed join") {
-    // 1 shuffle: the per-doc winnowing window (its doc_id partitioning is
-    // reused by the distinct and size aggregations — subset clustering);
-    // 2 broadcasts: the fixture-small pair-join build and size side (at
-    // corpus scale these degrade to joins keyed by wmin/doc pair — the
-    // structural claim is that candidates only ever meet through wmin).
+    // 2 shuffles, both with map-side partials over the ~2/(window+1)-
+    // thinned DISTINCT fingerprint stream: the per-doc size aggregation
+    // and the pair aggregation (the old window's forced doc_id
+    // partitioning let these reuse one exchange, but it shuffled and
+    // SORTED every positional shingle row to get it — strictly more
+    // data); 2 broadcasts: the fixture-small pair-join build and size
+    // side (at corpus scale these degrade to joins keyed by wmin/doc
+    // pair — the structural claim is that candidates only ever meet
+    // through wmin).
     assert(shape(Dedup.winnowPairs(
-      docs, "doc_id", "text", minShared = 2)) === ((1, 2)))
+      docs, "doc_id", "text", minShared = 2)) === ((2, 2)))
   }
 
   test("semDedup pair join is keyed by the cluster id, centroids broadcast") {
