@@ -219,17 +219,20 @@ object Dedup {
 
   /** (doc_id, s): each document's shingles as 60-bit hashes — the shared
     * front of every shingle-join operator, so a hashing/normalization
-    * change lands in ONE place (and its oracle mirrors). `shingles` is
-    * already distinct per document; `dedup` additionally collapses 60-bit
+    * change lands in ONE place (and its oracle mirrors). Shingle strings
+    * are distinct per document; `dedup` additionally collapses 60-bit
     * hash collisions within a doc (mirrors `SELECT DISTINCT doc_id, hash`
     * in the d2/d5/d11 oracles — the contamination oracles skip it). */
   private def docShingleHashes(
       docs: DataFrame, idCol: String, textCol: String, n: Int,
       dedup: Boolean): DataFrame = {
-    val sh = docs
-      .select(col(idCol).as("doc_id"), explode(shingles(textCol, n)).as("sstr"))
-      .select(col("doc_id"), shingleHash60(col("sstr")).as("s"))
-    if (dedup) sh.distinct() else sh
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    // native ShingleHash60: distinct shingle strings hashed in-row; with
+    // dedup the 60-bit values dedup in-row too, which fully replaces the
+    // old (doc_id, s) DataFrame .distinct() SHUFFLE (one row per doc in)
+    docs.select(col(idCol).as("doc_id"),
+      explode(call_function("shingle_hash60",
+        expr(toksOf(textCol)), lit(n), lit(dedup))).as("s"))
   }
 
   def jaccardPairs(
@@ -814,9 +817,11 @@ object Dedup {
       idCol: String, textCol: String, n: Int = 3
   ): DataFrame = {
     val docSh = docShingleHashes(docs, idCol, textCol, n, dedup = false)
+    // in-row hash dedup + cross-doc distinct = the same benchmark set,
+    // with the native expression doing the per-doc work
     val benchSh = benchmark
-      .select(explode(shingles(textCol, n)).as("s0"))
-      .select(shingleHash60(col("s0")).as("s")).distinct()
+      .select(explode(call_function("shingle_hash60",
+        expr(toksOf(textCol)), lit(n), lit(true))).as("s")).distinct()
     val total = docSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val hits = docSh.join(broadcast(benchSh), Seq("s"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
@@ -894,13 +899,14 @@ object Dedup {
       fpp: Double = 0.01
   ): DataFrame = {
     val spark = docs.sparkSession
+    graft.plans.GraftExtensions.register(spark)
     // eager localCheckpoint, not cache+unpersist: the frame is consumed by
     // THREE separate executions (count, Bloom build, confirm join) and the
     // last one runs whenever the caller acts on the result — a premature
     // unpersist would recompute the whole benchmark shingle pipeline there
     val benchSh = benchmark
-      .select(explode(shingles(textCol, n)).as("s0"))
-      .select(shingleHash60(col("s0")).as("s")).distinct()
+      .select(explode(call_function("shingle_hash60",
+        expr(toksOf(textCol)), lit(n), lit(true))).as("s")).distinct()
       .localCheckpoint()
     val expected = math.max(benchSh.count(), 1L)
     val bf = benchSh.stat.bloomFilter("s", expected, fpp)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{DeflateLen, MinHash64, SimHash60, VectorDot, Winnow60, ZOrder60}
+import graft.functions.{DeflateLen, MinHash64, ShingleHash60, SimHash60, VectorDot, Winnow60, ZOrder60}
 
 /** Session extensions registering the engine's native Catalyst functions.
   * Install with `spark.sql.extensions=graft.plans.GraftExtensions`, or call
@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.deflateLen)
     ext.injectFunction(GraftExtensions.minHash64)
     ext.injectFunction(GraftExtensions.winnow60)
+    ext.injectFunction(GraftExtensions.shingleHash60)
   }
 }
 
@@ -85,7 +86,21 @@ object GraftExtensions {
     }
   )
 
-  private val all = Seq(vecDot, simHash60, zOrder60, deflateLen, minHash64, winnow60)
+  private val shingleHash60 = (
+    new FunctionIdentifier("shingle_hash60"),
+    new ExpressionInfo(classOf[ShingleHash60].getName, "shingle_hash60"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.length == 3,
+        "shingle_hash60 takes exactly 3 arguments (tokens, n, dedup_hashes)")
+      // shingle width / dedup mode are plan-time constants
+      val n = children(1).eval().asInstanceOf[Number].intValue()
+      val d = children(2).eval().asInstanceOf[Boolean]
+      ShingleHash60(children.head, n, d)
+    }
+  )
+
+  private val all =
+    Seq(vecDot, simHash60, zOrder60, deflateLen, minHash64, winnow60, shingleHash60)
 
   /** Idempotently register the functions on a live session. */
   def register(spark: SparkSession): Unit = {

@@ -64,10 +64,12 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("dupShingleFraction: two aggregations + one broadcast-able join") {
-    // 3 shuffles: per-doc distinct, the shingle df count, the final
-    // per-doc aggregation; the df join broadcasts at fixture size (and
-    // correctly degrades to a shuffle join when the vocab outgrows it)
-    assert(shape(Dedup.dupShingleFraction(docs, "doc_id", "text")) === ((3, 1)))
+    // 2 shuffles: the shingle df count and the final per-doc aggregation
+    // — the old per-doc (doc_id, hash) distinct shuffle is gone, the
+    // native ShingleHash60 dedups hashes in-row; the df join broadcasts
+    // at fixture size (and correctly degrades to a shuffle join when the
+    // vocab outgrows it)
+    assert(shape(Dedup.dupShingleFraction(docs, "doc_id", "text")) === ((2, 1)))
   }
 
   test("temperature mix: corpus rows never shuffle; rates broadcast onto the scan") {
