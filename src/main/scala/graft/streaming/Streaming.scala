@@ -88,6 +88,33 @@ object Streaming {
         unix_millis(col("session_window.end")).as("session_end"),
         col("n_events"))
 
+  /** Streaming near-duplicate scan against a standing reference corpus —
+    * the streaming face of [[graft.operators.Dedup.incrementalNearDup]]
+    * (continuous re-ingestion dedup: every arriving document is checked
+    * against the deduplicated corpus before admission). The plan is the
+    * SAME MinHash band machinery, and it is streaming-legal end to end:
+    * signatures/bands are native per-row projections, the band-key join
+    * is a STATELESS stream-static join (the static side is re-scannable
+    * per micro-batch — at 100 TB, persist the reference bands clustered
+    * by band hash so each micro-batch's join prunes to the touched
+    * partitions), and the (doc_id, ref_id) shared-band count is the only
+    * stateful operator. Run it in update/complete output mode; state is
+    * keyed by colliding pairs, which the LSH banding keeps sparse.
+    *
+    * StreamingSpec pins batch↔streaming parity: the final streamed
+    * result equals the batch operator on the same data. */
+  def nearDupAgainstReference(
+      stream: DataFrame,
+      reference: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16
+  ): DataFrame =
+    graft.operators.Dedup.incrementalNearDup(
+      reference, stream, idCol, textCol, n, numHashes, bands)
+
   final case class KeyStats(key: String, count: Long, total: Double)
 
   /** Running per-key count/sum with custom state; emits updated stats on

@@ -276,4 +276,35 @@ class StreamingSpec extends SparkSpec {
       assert(batch(2L) === true && batch(1L) === false && batch(3L) === false)
     } finally q.stop()
   }
+
+  test("streaming near-dup against a reference equals the batch operator") {
+    // parity harness #4: the d17 plan run as a stream — stateless
+    // stream-static band join + pair-count aggregation in complete mode;
+    // micro-batch boundaries must not change the result
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val reference = docs.filter(col("doc_id") < 250)
+    val arriving = docs.filter(col("doc_id") >= 250)
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val batch = graft.operators.Dedup.incrementalNearDup(
+        reference, arriving.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.nearDupAgainstReference(
+        input.toDF().toDF("doc_id", "text"), reference, "doc_id", "text")
+      .writeStream.format("memory").queryName("ndup").outputMode("complete").start()
+    try {
+      // three uneven micro-batches
+      arriving.grouped(math.max(1, arriving.size / 3)).foreach { g =>
+        input.addData(g: _*); q.processAllAvailable()
+      }
+      val stream = spark.table("ndup")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(stream === batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
 }
