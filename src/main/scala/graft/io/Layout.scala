@@ -30,4 +30,26 @@ object Layout {
     df.repartitionByRange(numFiles, key)
       .sortWithinPartitions(key)
       .write.mode("overwrite").parquet(path)
+
+  /** Bucketed co-located layout: hash-bucket the table on a join key at
+    * WRITE time (`bucketBy` + in-bucket sort, catalog-registered), so the
+    * bucketing IS a persisted HashPartitioning. Two tables bucketed on
+    * the same key with the same bucket count join with ZERO shuffles —
+    * the scan itself satisfies the join's distribution requirement
+    * (LayoutSpec proves it on the executed plan). This is the standing
+    * answer to a repeated big join: at 100 TB, shuffling either side per
+    * query dwarfs every other cost, and pre-bucketing moves that shuffle
+    * to ingest where it is paid ONCE. Pick a bucket count that holds
+    * per-bucket data at a comfortable task size at the target scale —
+    * bucket count, unlike shuffle partitions, cannot adapt at read
+    * time. */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCol: String,
+      nBuckets: Int
+  ): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+      .saveAsTable(table)
 }

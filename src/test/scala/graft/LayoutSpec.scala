@@ -50,4 +50,32 @@ class LayoutSpec extends SparkSpec {
       assert(touched <= 2, s"parent ($px,$py) touches $touched files")
     }
   }
+
+  test("same-key bucketed tables join with zero shuffles") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def shuffles(d: org.apache.spark.sql.DataFrame): Int =
+      d.queryExecution.executedPlan.collect { case _: ShuffleExchangeExec => 1 }.size
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    Layout.writeBucketed(docs.select("doc_id", "lang"), "graft_bkt_a", "doc_id", 8)
+    Layout.writeBucketed(docs.select("doc_id", "n_chars"), "graft_bkt_b", "doc_id", 8)
+    val keys = Seq("spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = keys.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      keys.foreach { case (k, v) => spark.conf.set(k, v) }
+      // the persisted bucketing satisfies the join's distribution: no
+      // exchange anywhere in the plan, and the result is still the join
+      val j = spark.table("graft_bkt_a").join(spark.table("graft_bkt_b"), "doc_id")
+      assert(shuffles(j) === 0, "bucketed join must not shuffle")
+      assert(j.count() === docs.count())
+      // contrast: the identical join on plain frames pays exchanges
+      val plain = docs.select("doc_id", "lang")
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+      assert(shuffles(plain) > 0)
+    } finally {
+      prev.foreach { case (k, v) => spark.conf.set(k, v) }
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
+    }
+  }
 }
