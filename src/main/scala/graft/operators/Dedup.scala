@@ -507,11 +507,34 @@ object Dedup {
     }
     val grouped = bounded.groupBy("t", "bucket")
       .agg(sort_array(collect_list(struct(col("id"), col("v"), col("nrm")))).as("xs"))
-    // score inside the higher-order transform and filter BEFORE exploding:
-    // only >= minCosine survivors (a tiny fraction of candidates) ever
-    // materialize as rows — sub-threshold pairs live and die inside the
-    // codegen'd lambda. NULL cosines (zero-norm vectors) fail the lambda
-    // predicate and drop, matching the cosine() NULL contract.
+    // score inside the native BucketPairs expression and filter BEFORE
+    // exploding: only >= minCosine survivors (a tiny fraction of
+    // candidates) ever materialize as rows — sub-threshold pairs live and
+    // die inside a generated primitive loop. NULL cosines (zero-norm
+    // vectors) drop, matching the cosine() NULL contract.
+    bucketPairsNative(grouped, minCosine).distinct()
+  }
+
+  /** The generated-code half of [[embeddingNearDupPairs]]'s scoring stage
+    * — all >= minCosine pairs of each bucket via the native
+    * [[graft.functions.BucketPairs]] expression. */
+  private[graft] def bucketPairsNative(
+      grouped: DataFrame, minCosine: Double): DataFrame = {
+    graft.plans.GraftExtensions.register(grouped.sparkSession)
+    grouped
+      .select(explode(call_function("bucket_pairs", col("xs"), lit(minCosine))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.cosine").as("cosine"))
+  }
+
+  /** The nested higher-order-lambda formulation [[bucketPairsNative]]
+    * replaced, kept as the equivalence-test witness (BucketPairsSpec pins
+    * bit-parity — ids, cosines, zero-norm drops — on both codegen
+    * paths). Correct, but pays per-pair closure dispatch and a
+    * materialized struct per CANDIDATE pair on the interpreted
+    * higher-order path. */
+  private[graft] def bucketPairsLambda(
+      grouped: DataFrame, minCosine: Double): DataFrame = {
+    def dot(x: Column, y: Column) = call_function("vec_dot", x, y)
     grouped.select(explode(filter(flatten(
         transform(col("xs"), (x, i) =>
           transform(slice(col("xs"), i + lit(2), size(col("xs"))), { y =>
@@ -524,7 +547,6 @@ object Dedup {
         p => p.getField("cosine") >= minCosine))
         .as("p"))
       .select(col("p.doc_a"), col("p.doc_b"), col("p.cosine").as("cosine"))
-      .distinct()
   }
 
   /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,

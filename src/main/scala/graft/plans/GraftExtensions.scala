@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{DeflateLen, MinHash64, ShingleHash60, SimHash60, VectorDot, Winnow60, ZOrder60}
+import graft.functions.{BucketPairs, DeflateLen, MinHash64, ShingleHash60, SimHash60, VectorDot, Winnow60, ZOrder60}
 
 /** Session extensions registering the engine's native Catalyst functions.
   * Install with `spark.sql.extensions=graft.plans.GraftExtensions`, or call
@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.minHash64)
     ext.injectFunction(GraftExtensions.winnow60)
     ext.injectFunction(GraftExtensions.shingleHash60)
+    ext.injectFunction(GraftExtensions.bucketPairs)
   }
 }
 
@@ -99,8 +100,21 @@ object GraftExtensions {
     }
   )
 
+  private val bucketPairs = (
+    new FunctionIdentifier("bucket_pairs"),
+    new ExpressionInfo(classOf[BucketPairs].getName, "bucket_pairs"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.length == 2,
+        "bucket_pairs takes exactly 2 arguments (bucket, min_cosine)")
+      // the threshold is a plan-time constant
+      val m = children(1).eval().asInstanceOf[Number].doubleValue()
+      BucketPairs(children.head, m)
+    }
+  )
+
   private val all =
-    Seq(vecDot, simHash60, zOrder60, deflateLen, minHash64, winnow60, shingleHash60)
+    Seq(vecDot, simHash60, zOrder60, deflateLen, minHash64, winnow60, shingleHash60,
+      bucketPairs)
 
   /** Idempotently register the functions on a live session. */
   def register(spark: SparkSession): Unit = {
