@@ -53,6 +53,19 @@ class MinHashSpec extends SparkSpec {
     parityOn(wholeStage = false)
   }
 
+  test("randomized corpus parity: 300 seeded docs over a tiny alphabet") {
+    // a 12-token alphabet forces heavy shingle repetition (the dedup and
+    // min-collision paths); lengths 0..29 cover every short-doc edge
+    val rnd = new scala.util.Random(20260813L)
+    val alphabet = Vector("a", "bb", "ccc", "δ", "中", "x1", "y", "zz",
+      "tok", "v2", "w", "qq")
+    val docs = (0 until 300).map { i =>
+      Row(i.toLong, Seq.fill(rnd.nextInt(30))(alphabet(rnd.nextInt(alphabet.size)))
+        .mkString(" "))
+    }
+    check(df("doc_id LONG, text STRING", docs))
+  }
+
   test("documents shorter than the shingle width produce no signature") {
     val in = df("doc_id LONG, text STRING",
       Seq(Row(1L, "one two"), Row(2L, "one two three")))

@@ -57,6 +57,18 @@ class ShingleHashSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("randomized corpus parity: 300 seeded docs over a tiny alphabet") {
+    val rnd = new scala.util.Random(20260813L)
+    val alphabet = Vector("a", "bb", "ccc", "δ", "中", "x1", "y", "zz",
+      "tok", "v2", "w", "qq")
+    val docs = (0 until 300).map { i =>
+      Row(i.toLong, Seq.fill(rnd.nextInt(30))(alphabet(rnd.nextInt(alphabet.size)))
+        .mkString(" "))
+    }
+    val in = df("doc_id LONG, text STRING", docs)
+    for (dedup <- Seq(false, true)) assert(native(in, dedup) === witness(in, dedup))
+  }
+
   test("native shingle_hash60 == SQL witness (whole-stage codegen)") {
     parityOn(wholeStage = true)
   }

@@ -54,6 +54,18 @@ class WinnowSpec extends SparkSpec {
     parityOn(wholeStage = false)
   }
 
+  test("randomized corpus parity: 300 seeded docs over a tiny alphabet") {
+    // heavy hash repetition exercises the window-min tie and dedup paths
+    val rnd = new scala.util.Random(20260813L)
+    val alphabet = Vector("a", "bb", "ccc", "δ", "中", "x1", "y", "zz",
+      "tok", "v2", "w", "qq")
+    val docs = (0 until 300).map { i =>
+      Row(i.toLong, Seq.fill(rnd.nextInt(30))(alphabet(rnd.nextInt(alphabet.size)))
+        .mkString(" "))
+    }
+    check(df("doc_id LONG, text STRING", docs), expectShortDocs = true)
+  }
+
   test("the guarantee: any shared window+n-1 token run shares a fingerprint") {
     val shared = "alpha beta gamma delta epsilon zeta"   // 6 = window + n - 1
     val in = df("doc_id LONG, text STRING", Seq(
