@@ -490,7 +490,7 @@ object Dedup {
     // scalar, so in-bucket scoring is one dot per pair, not three — and the
     // arithmetic (dot / (sqrt*sqrt) product) stays bit-identical to the
     // oracle's per-pair form because sqrt is deterministic
-    val tb = emb
+    val tb = Similarity.spreadToCores(emb)
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"),
         explode(Similarity.lshBuckets(vecCol, dims, tables, planes)).as("b"))
       .select(col("id"), col("v"), sqrt(dot(col("v"), col("v"))).as("nrm"),
@@ -591,23 +591,29 @@ object Dedup {
     val k = if (nClusters > 0) nClusters else autoClusters(emb.count())
     val cent =
       Similarity.kmeansCentroids(emb, idCol, vecCol, k, kmeansIters)
-    val v = emb.select(col(idCol).as("vid"),
-      col(vecCol).cast("array<double>").as("v"))
-    // max-cosine assignment, ties to the smallest centroid id — the same
-    // broadcast join + algebraic max(struct) pass as Similarity.ivfTopK
-    val assign = v.join(broadcast(cent))
-      .withColumn("cos_c", Similarity.cosine("v", "centv"))
-      .groupBy("vid")
-      .agg(max(struct(col("cos_c"), (-col("cent_id")).as("neg_cent"))).as("m"),
-        first("v").as("v"))
-      .select(col("vid"), (-col("m.neg_cent")).cast("int").as("cent_id"), col("v"))
-    val a = assign.select(col("cent_id"), col("vid").as("doc_a"), col("v").as("va"))
-    val b = assign.select(col("cent_id"), col("vid").as("doc_b"), col("v").as("vb"))
-    a.join(b, Seq("cent_id"))
-      .filter(col("doc_a") < col("doc_b"))
-      .withColumn("cosine", round(Similarity.cosine("va", "vb"), 4))
-      .filter(col("cosine") >= minCosine)
-      .select("cent_id", "doc_a", "doc_b", "cosine")
+    val v = Similarity.spreadToCores(emb.select(col(idCol).as("vid"),
+      col(vecCol).cast("array<double>").as("v")))
+    // max-cosine assignment via the native argmax over the collected
+    // centroid literal (ties to the smallest centroid id, the old
+    // max(struct) semantics) — a projection, no vector × k row blow-up;
+    // then the within-cluster pairs come from the SAME generated
+    // in-bucket scorer as embeddingNearDupPairs: one shuffle on cent_id,
+    // sub-threshold pairs never materialize as rows
+    val centsLit = typedLit(cent.orderBy("cent_id").collect()
+      .map(_.getSeq[Double](1).toSeq).toSeq)
+    val assign = v.select(col("vid"),
+      call_function("best_centroid", col("v"), centsLit, lit(true)).as("cent_id"),
+      col("v"))
+    val grouped = assign
+      .withColumn("nrm", sqrt(call_function("vec_dot", col("v"), col("v"))))
+      .groupBy("cent_id")
+      .agg(sort_array(collect_list(
+        struct(col("vid").as("id"), col("v"), col("nrm")))).as("xs"))
+    grouped
+      .select(col("cent_id"),
+        explode(call_function("bucket_pairs", col("xs"), lit(minCosine))).as("p"))
+      .select(col("cent_id"), col("p.doc_a"), col("p.doc_b"),
+        col("p.cosine").as("cosine"))
   }
 
   /** The SemDeDup keep-set: drops every vector that has a SMALLER-id

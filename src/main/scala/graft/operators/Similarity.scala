@@ -28,6 +28,18 @@ object Similarity {
     * higher-order-function path. Left-to-right summation. */
   def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
+  /** Spread an under-partitioned frame across the cores before per-row
+    * flop-heavy projections (native argmax / bucket scoring). The native
+    * expressions removed the shuffles that USED to redistribute this
+    * work, so a small-file local scan would otherwise run k·dims flops
+    * per row on one core. A genuine cluster scan of a large corpus has
+    * more splits than this guard's threshold and passes through
+    * untouched — the repartition exists for the under-split case only. */
+  private[operators] def spreadToCores(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Cosine similarity of two array<double> columns (by name). NULL when
     * either vector has zero norm: the raw ratio is 0/0 there — ANSI Spark
     * throws DIVIDE_BY_ZERO and non-ANSI yields NaN, which compares GREATER
@@ -196,26 +208,33 @@ object Similarity {
   ): DataFrame = {
     graft.plans.GraftExtensions.register(corpus.sparkSession)
     val spark = corpus.sparkSession
-    val unit = corpus.select(col(idCol).as("vid"),
-        col(vecCol).cast("array<double>").as("raw"))
+    val unit = spreadToCores(corpus.select(col(idCol).as("vid"),
+        col(vecCol).cast("array<double>").as("raw")))
       .withColumn("nrm", sqrt(dot(col("raw"), col("raw"))))
       .filter(col("nrm") > 0.0)
-      .select(col("vid"), transform(col("raw"), x => x / col("nrm")).as("uv"))
+      // nullif guard: the nrm > 0 filter already covers every SURVIVING
+      // row (values are identical), but plan collapse can evaluate the
+      // projection speculatively on pre-filter rows, where a plain ANSI
+      // divide throws on a zero-norm vector; x / NULL is NULL, no error,
+      // and unlike try_divide it adds no per-element TryEval wrapper
+      // inside the interpreted transform
+      .select(col("vid"),
+        transform(col("raw"), x => x / nullif(col("nrm"), lit(0.0))).as("uv"))
     val seed = unit.orderBy(col("vid")).limit(nCentroids)
       .withColumn("cent_id", row_number().over(Window.orderBy(col("vid"))) - 1)
       .select(col("cent_id"), col("uv").as("centv"))
     var cent = seed.collect().map(r =>
       (r.getInt(0), r.getSeq[Double](1).toArray))
     for (_ <- 0 until iters) {
-      val centDf = spark.createDataFrame(cent.toIndexedSeq.map { case (cid, v) =>
-        (cid, v.toSeq)
-      }).toDF("cent_id", "centv")
-      val assigned = unit.join(broadcast(centDf))
-        .withColumn("cos_c", dot(col("uv"), col("centv")))
-        .groupBy("vid")
-        .agg(max(struct(col("cos_c"), (-col("cent_id")).as("neg_cent"))).as("m"),
-          first("uv").as("uv"))
-        .select((-col("m.neg_cent")).cast("int").as("cent_id"), col("uv"))
+      // native argmax over the (always-collected) centroid literal: the
+      // Lloyd assignment is a PROJECTION — no vector × k row blow-up, no
+      // re-grouping shuffle; dots compared raw (unit vectors: dot == cos),
+      // ties to the lowest cent_id, exactly the old max(struct) semantics
+      val centsLit = typedLit(cent.sortBy(_._1).map(_._2.toSeq).toSeq)
+      val assigned = unit.select(
+        call_function("best_centroid", col("uv"), centsLit, lit(false))
+          .as("cent_id"),
+        col("uv"))
       val means = assigned
         .select(col("cent_id"), posexplode(col("uv")).as(Seq("pos", "x")))
         .groupBy("cent_id", "pos").agg(avg(col("x")).as("mx"))

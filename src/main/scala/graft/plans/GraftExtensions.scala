@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{BucketPairs, DeflateLen, MinHash64, ShingleHash60, SimHash60, VectorDot, Winnow60, ZOrder60}
+import graft.functions.{BestCentroid, BucketPairs, DeflateLen, MinHash64, ShingleHash60, SimHash60, VectorDot, Winnow60, ZOrder60}
 
 /** Session extensions registering the engine's native Catalyst functions.
   * Install with `spark.sql.extensions=graft.plans.GraftExtensions`, or call
@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.winnow60)
     ext.injectFunction(GraftExtensions.shingleHash60)
     ext.injectFunction(GraftExtensions.bucketPairs)
+    ext.injectFunction(GraftExtensions.bestCentroid)
   }
 }
 
@@ -112,9 +113,21 @@ object GraftExtensions {
     }
   )
 
+  private val bestCentroid = (
+    new FunctionIdentifier("best_centroid"),
+    new ExpressionInfo(classOf[BestCentroid].getName, "best_centroid"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.length == 3,
+        "best_centroid takes exactly 3 arguments (vec, centroids, normalize)")
+      // the comparison mode is a plan-time constant
+      val nm = children(2).eval().asInstanceOf[Boolean]
+      BestCentroid(children.head, children(1), nm)
+    }
+  )
+
   private val all =
     Seq(vecDot, simHash60, zOrder60, deflateLen, minHash64, winnow60, shingleHash60,
-      bucketPairs)
+      bucketPairs, bestCentroid)
 
   /** Idempotently register the functions on a live session. */
   def register(spark: SparkSession): Unit = {

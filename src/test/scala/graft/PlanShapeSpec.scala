@@ -20,6 +20,11 @@ class PlanShapeSpec extends SparkSpec {
   private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
   private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
 
+  /** Embedding fixture pre-spread past the operators' under-split guard
+    * (Similarity.spreadToCores) and checkpointed so the pin measures the
+    * OPERATOR's exchanges, not the small-fixture repartition. */
+  private lazy val embSpread = emb.repartition(8).localCheckpoint()
+
   /** (shuffle exchanges, broadcast exchanges) of the final physical plan,
     * with AQE off so EnsureRequirements' output is inspected directly.
     * `autoBroadcast = false` additionally zeroes the size-based broadcast
@@ -114,17 +119,16 @@ class PlanShapeSpec extends SparkSpec {
       docs, "doc_id", "text", minShared = 2)) === ((2, 2)))
   }
 
-  test("semDedup pair join is keyed by the cluster id, centroids broadcast") {
-    // measured with the size-based broadcast path off (the assignment
-    // frame sits near the threshold, and ambient fixture caching must not
-    // flip the pin): 1 broadcast — the explicit centroid-table hint; 2
-    // shuffles — the per-vector assignment aggregation and the cluster-id-
-    // KEYED pair join (the second side reuses the first's exchange). The
-    // structural claim: candidates only ever meet through cent_id, never
-    // an all-pairs corpus join.
+  test("semDedup pairs die inside the cluster; assignment is a projection") {
+    // 1 shuffle, 0 broadcasts: the native best_centroid argmax assigns
+    // on the scan (no vector × k blow-up, no join, no broadcast), the
+    // cent_id groupBy is the ONLY exchange, and pairs are generated and
+    // scored inside the bucket aggregate by the generated BucketPairs
+    // loop. The structural claim: candidates only ever meet through
+    // cent_id, never an all-pairs corpus join.
     assert(shape(Dedup.semDedupPairs(
-      emb, "vec_id", "embedding", 0.35, nClusters = 4, kmeansIters = 1),
-      autoBroadcast = false) === ((2, 1)))
+      embSpread, "vec_id", "embedding", 0.35, nClusters = 4, kmeansIters = 1),
+      autoBroadcast = false) === ((1, 0)))
   }
 
   test("embedding near-dup: one corpus exchange, pairs die inside the bucket") {
@@ -135,7 +139,7 @@ class PlanShapeSpec extends SparkSpec {
     // that reintroduces the candidate self-join + vector-fetch joins
     // (4 exchanges, candidates x 2 vectors of shuffle) fails here.
     assert(shape(Dedup.embeddingNearDupPairs(
-      emb, "vec_id", "embedding", 0.4, dims = 64, tables = 4,
+      embSpread, "vec_id", "embedding", 0.4, dims = 64, tables = 4,
       planesPerTable = 4)) === ((2, 0)))
   }
 
@@ -145,7 +149,7 @@ class PlanShapeSpec extends SparkSpec {
     // against the bucket stream (fixture-small -> 1 broadcast; at scale
     // it degrades to a join still keyed by (t, bucket))
     assert(shape(Dedup.embeddingNearDupPairs(
-      emb, "vec_id", "embedding", 0.4, dims = 64, tables = 4,
+      embSpread, "vec_id", "embedding", 0.4, dims = 64, tables = 4,
       planesPerTable = 4, maxBucketOccupancy = Some(30))) === ((3, 1)))
   }
 
