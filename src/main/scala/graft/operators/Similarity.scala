@@ -294,21 +294,30 @@ object Similarity {
     ivfScore(assign, probes, k)
   }
 
-  /** Max-cosine cell assignment against a (small) centroid table: ties to
-    * the smallest centroid id via max of a (cosine, -cent_id) struct —
-    * algebraic, partial-aggregated map-side, one corpus pass.
-    * Returns (neighbor_id, cent_id, cv). */
+  /** Max-cosine cell assignment against a (small) centroid table via the
+    * native `best_centroid` argmax — a PROJECTION off the corpus scan
+    * (ties to the smallest centroid id, the same contract as the
+    * `max(struct(cosine, -cent_id))` join formulation this replaces,
+    * without the corpus × k row blow-up or the re-grouping shuffle).
+    * Centroid ids need not be contiguous (the unrefined IVF path uses
+    * corpus ids), so the argmax INDEX maps back through an id-lookup
+    * literal ordered by cent_id. Returns (neighbor_id, cent_id, cv). */
   private def ivfAssign(
       corpus: DataFrame, idCol: String, vecCol: String, cent: DataFrame
   ): DataFrame = {
-    val cv = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).cast("array<double>").as("cv"))
-    cv.join(broadcast(cent))
-      .withColumn("cos_c", cosine("cv", "centv"))
-      .groupBy("neighbor_id")
-      .agg(max(struct(col("cos_c"), (-col("cent_id")).as("neg_cent"))).as("m"),
-        first("cv").as("cv"))
-      .select(col("neighbor_id"), (-col("m.neg_cent")).as("cent_id"), col("cv"))
+    graft.plans.GraftExtensions.register(corpus.sparkSession)
+    val rows = cent
+      .select(col("cent_id").cast("long"), col("centv").cast("array<double>"))
+      .orderBy("cent_id").collect()
+    val idsLit = typedLit(rows.map(_.getLong(0)).toSeq)
+    val centsLit = typedLit(rows.map(_.getSeq[Double](1).toSeq).toSeq)
+    spreadToCores(corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("cv")))
+      .select(col("neighbor_id"),
+        element_at(idsLit,
+          call_function("best_centroid", col("cv"), centsLit, lit(true)) + 1)
+          .as("cent_id"),
+        col("cv"))
   }
 
   /** Each query's `nProbe` max-cosine centroids (ties to the smaller id).

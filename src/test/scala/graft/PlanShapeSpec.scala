@@ -131,6 +131,18 @@ class PlanShapeSpec extends SparkSpec {
       autoBroadcast = false) === ((1, 0)))
   }
 
+  test("IVF top-k: assignment rides the scan; only query-sized exchanges remain") {
+    // 2 shuffles, BOTH query-batch-sized (the nProbe window over query ×
+    // centroid probes, the final per-query rank window); 2 broadcasts
+    // (centroids into the probe join, probes onto the assignment stream).
+    // The corpus path itself never exchanges: the native best_centroid
+    // argmax assigns cells on the scan — a refactor that reintroduces the
+    // corpus × k join + re-grouping aggregate fails here.
+    assert(shape(Similarity.ivfTopK(
+      embSpread, embSpread.limit(20), "vec_id", "embedding", k = 5,
+      nCentroids = 8, nProbe = 2)) === ((2, 2)))
+  }
+
   test("embedding near-dup: one corpus exchange, pairs die inside the bucket") {
     // 2 shuffles: the (t, bucket) groupBy that carries each vector once
     // per table, and the cross-table dedup of the >= minCosine survivors;
