@@ -80,7 +80,16 @@ object Bench {
     // doc battery starts from a clean store (r3's d3/d4 regression was the
     // doc battery inheriting ~2 GB of stale uncompressed cube cache).
     val docKeys = graft.testbed.DocQueries.queries.keySet
-    val (docQs, cubeQs) = SparkEntry.queries.toSeq.sortBy(_._1)
+    // SPARK_GRAFT_ONLY=a,b,c: fresh-session timing of a named subset
+    // (battery-order cache effects excluded); absent -> full battery,
+    // exactly what the round driver runs.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.toSeq.filter(q => names(q._1))
+      case None => SparkEntry.queries.toSeq
+    }
+    val (docQs, cubeQs) = selected.sortBy(_._1)
       .partition(q => docKeys.contains(q._1))
     val cubeResults = run(cubeQs)
     graft.testbed.DatacubeQueries.clearCaches(spark)

@@ -180,9 +180,10 @@ object Similarity {
     * deterministic seed [[ivfTopK]] uses directly), then runs `iters`
     * assignment + re-center steps:
     *
-    *  - ASSIGN: each (unit-normalized) corpus vector joins the broadcast
-    *    centroid table and keeps its max-cosine centroid — a map-side
-    *    `max(struct)` hash agg, one corpus pass, no window;
+    *  - ASSIGN: each (unit-normalized) corpus vector gets its max-dot
+    *    centroid from the native `best_centroid` argmax over the
+    *    collected centroid literal — a PROJECTION (no join, no agg, no
+    *    exchange), one corpus pass;
     *  - RE-CENTER: the new centroid is the element-wise mean of its cell's
     *    normalized vectors rescaled to unit length (the exact maximizer of
     *    the cell's summed cosine), via `posexplode` → (cent_id, pos)
@@ -220,6 +221,11 @@ object Similarity {
       // inside the interpreted transform
       .select(col("vid"),
         transform(col("raw"), x => x / nullif(col("nrm"), lit(0.0))).as("uv"))
+      // every Lloyd pass (and the seed scan) reads this frame — persist
+      // once instead of re-normalizing the corpus per iteration; DISK
+      // spill keeps it safe when the unit corpus outgrows executor
+      // memory, and the release below bounds the footprint to the loop
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val seed = unit.orderBy(col("vid")).limit(nCentroids)
       .withColumn("cent_id", row_number().over(Window.orderBy(col("vid"))) - 1)
       .select(col("cent_id"), col("uv").as("centv"))
@@ -251,6 +257,7 @@ object Similarity {
         (cid, if (n > 0.0) m.map(_ / n) else prev)
       }
     }
+    unit.unpersist(blocking = false)
     spark.createDataFrame(cent.toIndexedSeq.map { case (cid, v) => (cid, v.toSeq) })
       .toDF("cent_id", "centv")
   }
