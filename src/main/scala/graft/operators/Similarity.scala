@@ -412,11 +412,12 @@ object Similarity {
   }
 
   /** Multi-table LSH-bucketed ANN top-k: candidates are corpus vectors
-    * sharing ANY (table, bucket) with the query, deduplicated, then scored
-    * exactly. Trades some recall for a corpus-partitionable plan: at 100 TB
-    * the (table, bucket) pair is a shuffle key, not a broadcast — each
-    * bucket's candidates co-locate, and recall/cost is tuned by
-    * (tables, planesPerTable). */
+    * sharing ANY (table, bucket) with the query, scored exactly AT the
+    * bucket join, then deduplicated across tables. Trades some recall for
+    * a corpus-partitionable plan: at 100 TB the (table, bucket) pair is a
+    * shuffle key, not a broadcast — each bucket's candidates co-locate,
+    * the corpus is touched exactly once (no candidate-keyed re-fetch
+    * join), and recall/cost is tuned by (tables, planesPerTable). */
   def annTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -428,23 +429,46 @@ object Similarity {
       planesPerTable: Int = 4
   ): DataFrame = {
     graft.plans.GraftExtensions.register(corpus.sparkSession)
-    def bucketed(df: DataFrame, outId: String) = df
-      .select(col(idCol).as(outId),
+    // corpus vectors RIDE the bucket stream and are scored at the bucket
+    // join against the broadcast query vectors — a pair that collides in
+    // several tables pays a few extra codegen'd dots, but the corpus is
+    // never re-fetched: the old shape's candidate `distinct` plus a
+    // corpus-keyed vector-fetch join (a full corpus shuffle at any
+    // scale) are gone. Cross-table dedup and ranking share ONE window
+    // spec (and therefore one exchange + sort): a duplicated pair has an
+    // IDENTICAL deterministic cosine, so its copies are adjacent under
+    // (cosine desc, neighbor asc) and lag(neighbor) spots them; the
+    // row_number then ranks the surviving distinct pairs on the same
+    // already-partitioned, already-sorted stream.
+    // norms computed ONCE per bucketed row, not per pair: the in-pair
+    // arithmetic sqrt(dot(q,q)) * sqrt(dot(c,c)) is reproduced exactly
+    // as qnrm * cnrm, so the cosine (and its NULL-on-zero-denominator
+    // contract) is bit-identical to Similarity.cosine
+    val cb = corpus
+      .select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("cv"),
         explode(lshBuckets(vecCol, dims, tables, planesPerTable)).as("tb"))
-      .select(col(outId), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
-    val candPairs = bucketed(corpus, "neighbor_id")
-      .join(broadcast(bucketed(queries, "query_id")), Seq("t", "bucket"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .select("query_id", "neighbor_id").distinct()
-    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
-    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
-    val scored = candPairs
-      .join(cv, Seq("neighbor_id"))
-      .join(broadcast(qv), Seq("query_id"))
-      .withColumn("cosine", round(cosine("qv", "cv"), 4))
+      .select(col("neighbor_id"), col("cv"),
+        sqrt(dot(col("cv"), col("cv"))).as("cnrm"),
+        col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    val qb = queries
+      .select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"),
+        explode(lshBuckets(vecCol, dims, tables, planesPerTable)).as("tb"))
+      .select(col("query_id"), col("qv"),
+        sqrt(dot(col("qv"), col("qv"))).as("qnrm"),
+        col("tb.t").as("t"), col("tb.bucket").as("bucket"))
     val fin = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored
+    cb.join(broadcast(qb), Seq("t", "bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        when(col("qnrm") * col("cnrm") > 0.0,
+          round(dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")), 4)))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+      .withColumn("_dup",
+        lag(col("neighbor_id"), 1).over(fin) === col("neighbor_id"))
+      .filter(!coalesce(col("_dup"), lit(false)))
       .withColumn("rank", row_number().over(fin)).filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }

@@ -25,6 +25,10 @@ class PlanShapeSpec extends SparkSpec {
     * OPERATOR's exchanges, not the small-fixture repartition. */
   private lazy val embSpread = emb.repartition(8).localCheckpoint()
 
+  /** Query-batch fixture, checkpointed so the pin doesn't count the
+    * fixture limit's own single-partition exchange. */
+  private lazy val embQueries = emb.limit(20).localCheckpoint()
+
   /** (shuffle exchanges, broadcast exchanges) of the final physical plan,
     * with AQE off so EnsureRequirements' output is inspected directly.
     * `autoBroadcast = false` additionally zeroes the size-based broadcast
@@ -141,6 +145,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(shape(Similarity.ivfTopK(
       embSpread, embSpread.limit(20), "vec_id", "embedding", k = 5,
       nCentroids = 8, nProbe = 2)) === ((2, 2)))
+  }
+
+  test("LSH ANN: the corpus is touched once; dedup and rank share one exchange") {
+    // 1 shuffle (the query_id ranking window — cross-table dedup rides
+    // the SAME exchange+sort via lag), 1 broadcast (the query bucket
+    // table onto the corpus bucket stream). A refactor that re-fetches
+    // candidate vectors through a corpus-keyed join, or dedups with a
+    // separate (query, neighbor) aggregation, fails here.
+    assert(shape(Similarity.annTopK(
+      embSpread, embQueries, "vec_id", "embedding", k = 5,
+      dims = 64, tables = 4, planesPerTable = 4)) === ((1, 1)))
   }
 
   test("embedding near-dup: one corpus exchange, pairs die inside the bucket") {
