@@ -466,6 +466,15 @@ object Similarity {
         when(col("qnrm") * col("cnrm") > 0.0,
           round(dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")), 4)))
       .select(col("query_id"), col("neighbor_id"), col("cosine"))
+      // pre-rank to k*tables ROWS (duplicates included) on the SAME
+      // window spec: Catalyst's InferWindowGroupLimit turns this into a
+      // map-side Partial group-limit BELOW the exchange, so each task
+      // ships at most k*tables rows per query instead of every bucket
+      // collision. Exact: a pair among the k best distinct pairs has at
+      // most (k-1)*tables copies of strictly better pairs ahead of its
+      // first copy, so that copy ranks <= k*tables and survives.
+      .withColumn("_pre", row_number().over(fin))
+      .filter(col("_pre") <= k * tables)
       .withColumn("_dup",
         lag(col("neighbor_id"), 1).over(fin) === col("neighbor_id"))
       .filter(!coalesce(col("_dup"), lit(false)))
