@@ -532,4 +532,247 @@ object Similarity {
       .agg(count(lit(1)).as("n_truth"), count(col("__graft_hit")).as("n_hits"))
       .withColumn("recall", round(col("n_hits") / col("n_truth"), 4))
   }
+
+  // ---------------------------------------------------------------------
+  // Product quantization (Jégou, Douze, Schmid, "Product Quantization for
+  // Nearest Neighbor Search", TPAMI 2011) — the memory-scale ANN path:
+  // a unit vector is split into `m` contiguous subvectors, each quantized
+  // to one of `codes` per-subspace centroids, so the corpus stores m
+  // small codes per vector (m bytes at codes <= 256) instead of dims
+  // floats — at 100 TB the difference between an index that fits on the
+  // cluster and one that doesn't. Scoring is ADC (asymmetric distance
+  // computation): the query stays exact, each subspace contributes a
+  // table lookup, and the approximate cosine is the sum of m lookups
+  // instead of a dims-wide dot.
+  // ---------------------------------------------------------------------
+
+  /** Per-subspace codebooks via plain (Euclidean) Lloyd over the
+    * unit-normalized corpus, all `m` subspaces trained in the SAME
+    * corpus passes. Assignment uses the native `best_centroid` dot-argmax
+    * through the augmentation trick: argmin ||x - c||^2 = argmax
+    * (dot(x, c) - ||c||^2 / 2) = dot-argmax of [x, 1] against
+    * [c, -||c||^2 / 2] — so the per-iteration assignment of ALL
+    * subspaces is one projection off the scan (no corpus × codes join),
+    * and the re-center is one (sub, code, pos)-keyed mean whose key
+    * cardinality is m × codes × (dims/m), corpus-size-free. Seeds are
+    * the subvectors of the first `codes` unit vectors by id
+    * (deterministic); an emptied code keeps its previous centroid; ties
+    * go to the lowest code, all mirrored by the DuckDB oracle.
+    * Returns [sub][code][dims/m]. */
+  def pqCodebooks(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Int,
+      m: Int,
+      codes: Int,
+      iters: Int = 2
+  ): Array[Array[Array[Double]]] = {
+    require(dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
+    graft.plans.GraftExtensions.register(corpus.sparkSession)
+    val d = dims / m
+    val unit = spreadToCores(corpus.select(col(idCol).as("vid"),
+        col(vecCol).cast("array<double>").as("raw")))
+      .withColumn("nrm", sqrt(dot(col("raw"), col("raw"))))
+      .filter(col("nrm") > 0.0)
+      .select(col("vid"),
+        transform(col("raw"), x => x / nullif(col("nrm"), lit(0.0))).as("uv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seeds = unit.orderBy("vid").limit(codes)
+      .collect().map(_.getSeq[Double](1).toArray)
+    var books: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(s => seeds.map(_.slice(s * d, s * d + d)))
+    def augLit(book: Array[Array[Double]]) =
+      typedLit(book.map(c =>
+        (c :+ (-0.5 * c.map(x => x * x).sum)).toSeq).toSeq)
+    for (_ <- 0 until iters) {
+      val assigned = unit.select(col("vid") +: (0 until m).flatMap { s =>
+        val sv = slice(col("uv"), s * d + 1, d)
+        Seq(sv.as(s"sv$s"),
+          call_function("best_centroid",
+            concat(sv, array(lit(1.0))), augLit(books(s)), lit(false))
+            .as(s"c$s"))
+      }: _*)
+      val means = assigned
+        .select(explode(array((0 until m).map(s =>
+          struct(lit(s).as("sub"), col(s"c$s").as("code"),
+            col(s"sv$s").as("sv"))): _*)).as("e"))
+        .select(col("e.sub"), col("e.code"), posexplode(col("e.sv")).as(Seq("pos", "x")))
+        .groupBy("sub", "code", "pos").agg(avg("x").as("mx"))
+        .groupBy("sub", "code")
+        .agg(array_sort(collect_list(struct(col("pos"), col("mx")))).as("ps"))
+        .select(col("sub"), col("code"), transform(col("ps"), p => p("mx")).as("cv"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray).toMap
+      books = Array.tabulate(m)(s => Array.tabulate(codes)(c =>
+        means.getOrElse((s, c), books(s)(c))))
+    }
+    unit.unpersist(blocking = false)
+    books
+  }
+
+  /** PQ-encode the corpus: one projection computing the m per-subspace
+    * code assignments of each unit-normalized vector — at scale this is
+    * the index build, and it never exchanges. Zero-norm vectors are
+    * dropped (they have no meaningful cosine to anything; same corpus
+    * contract as [[quantizedTopK]]). Returns (id, pq_codes array<int>). */
+  def pqEncode(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      books: Array[Array[Array[Double]]]
+  ): DataFrame = {
+    graft.plans.GraftExtensions.register(corpus.sparkSession)
+    val m = books.length
+    val d = books(0)(0).length
+    def augLit(book: Array[Array[Double]]) =
+      typedLit(book.map(c =>
+        (c :+ (-0.5 * c.map(x => x * x).sum)).toSeq).toSeq)
+    spreadToCores(corpus.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("raw")))
+      .withColumn("nrm", sqrt(dot(col("raw"), col("raw"))))
+      .filter(col("nrm") > 0.0)
+      .withColumn("uv", transform(col("raw"), x => x / nullif(col("nrm"), lit(0.0))))
+      .select(col("id"), array((0 until m).map { s =>
+        call_function("best_centroid",
+          concat(slice(col("uv"), s * d + 1, d), array(lit(1.0))),
+          augLit(books(s)), lit(false))
+      }: _*).as("pq_codes"))
+  }
+
+  /** IVF + PQ — the two scale levers composed, the shape of a FAISS
+    * IVFx,PQy index re-expressed as a Spark plan: the coarse quantizer
+    * (first `nCentroids` unit vectors by id, dot-assigned — identical
+    * cells to [[ivfTopK]]'s cosine assignment on the nonzero corpus)
+    * prunes WHICH vectors a query scores, and the PQ codes decide what
+    * the stored corpus IS (m small ints per vector). One corpus
+    * projection emits (cell, pq_codes); a query batch probes `nProbe`
+    * cells, its ADC tables broadcast joined on the CELL id, and scoring
+    * is m lookups per candidate — at 100 TB the cell id is the partition
+    * key, a probe touches nProbe/nCentroids of the encoded corpus, and
+    * nothing vector-sized ever shuffles. Encodes the unit vector itself
+    * (IVF-Flat-PQ), not the cell residual — the residual refinement of
+    * Jégou et al. §IV would put a per-cell codebook between the oracle
+    * and a SQL mirror; the accuracy trade is measured by PqSpec's recall
+    * gauge instead. Zero-norm vectors drop on both sides (the PQ
+    * contract). Returns (query_id, rank, neighbor_id, score). */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dims: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      m: Int = 4,
+      codes: Int = 16,
+      iters: Int = 2
+  ): DataFrame = {
+    val d = dims / m
+    val spark = corpus.sparkSession
+    graft.plans.GraftExtensions.register(spark)
+    def unitize(df: DataFrame, outId: String) = df
+      .select(col(idCol).as(outId), col(vecCol).cast("array<double>").as("raw"))
+      .withColumn("nrm", sqrt(dot(col("raw"), col("raw"))))
+      .filter(col("nrm") > 0.0)
+      .select(col(outId),
+        transform(col("raw"), x => x / nullif(col("nrm"), lit(0.0))).as("uv"))
+    val books = pqCodebooks(corpus, idCol, vecCol, dims, m, codes, iters)
+    def augLit(book: Array[Array[Double]]) =
+      typedLit(book.map(c =>
+        (c :+ (-0.5 * c.map(x => x * x).sum)).toSeq).toSeq)
+    val cunit = spreadToCores(unitize(corpus, "neighbor_id"))
+    val coarse = cunit.orderBy("neighbor_id").limit(nCentroids)
+      .collect().map(_.getSeq[Double](1).toArray)
+    val coarseLit = typedLit(coarse.map(_.toSeq).toSeq)
+    // ONE corpus projection: coarse cell + the m PQ codes
+    val enc = cunit.select(col("neighbor_id"),
+      call_function("best_centroid", col("uv"), coarseLit, lit(false))
+        .as("cent_id"),
+      array((0 until m).map { s =>
+        call_function("best_centroid",
+          concat(slice(col("uv"), s * d + 1, d), array(lit(1.0))),
+          augLit(books(s)), lit(false))
+      }: _*).as("pq_codes"))
+    val qunit = unitize(queries, "query_id")
+    val centDf = spark.createDataFrame(
+      coarse.toIndexedSeq.zipWithIndex.map { case (v, i) => (i, v.toSeq) })
+      .toDF("cent_id", "centv")
+    val probeWin = Window.partitionBy("query_id")
+      .orderBy(col("dot_c").desc, col("cent_id").asc)
+    val probes = qunit.join(broadcast(centDf))
+      .withColumn("dot_c", dot(col("uv"), col("centv")))
+      .withColumn("_pr", row_number().over(probeWin)).filter(col("_pr") <= nProbe)
+      .select("query_id", "cent_id", "uv")
+    val probeAdc = probes.select(col("query_id"), col("cent_id"), array((for {
+      s <- 0 until m
+      c <- 0 until codes
+    } yield dot(slice(col("uv"), s * d + 1, d),
+      typedLit(books(s)(c).toSeq))): _*).as("adc"))
+    val fin = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    enc.join(broadcast(probeAdc), Seq("cent_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", round((0 until m).map(s =>
+        element_at(col("adc"),
+          col("pq_codes").getItem(s) + lit(s * codes) + 1)).reduce(_ + _), 4))
+      .select(col("query_id"), col("neighbor_id"), col("score"))
+      .withColumn("rank", row_number().over(fin)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+  }
+
+  /** Approximate top-k by ADC over PQ codes: trains the codebooks
+    * ([[pqCodebooks]]), encodes the corpus ([[pqEncode]] — a
+    * projection), computes each query's m × codes lookup table of
+    * subspace dots in one query-side projection, and scores every
+    * (query, vector) pair as m table lookups (pure codegen
+    * `element_at`s, summed left-to-right so the oracle reproduces the
+    * float sum exactly) — never touching the corpus vectors again. The
+    * per-query ranking window carries a rank <= k filter, so Catalyst's
+    * partial group-limit prunes map-side before the only shuffle.
+    *
+    * Scale posture: the corpus after encode is m ints per vector, the
+    * query table is broadcast metadata (nQueries × m × codes doubles),
+    * and scoring is corpus-scan-speed — the plan a 100 TB serving layer
+    * needs. Zero-norm queries are dropped with the corpus-side contract
+    * (documented asymmetry vs [[bruteForceTopK]], as with
+    * [[quantizedTopK]]). Returns (query_id, rank, neighbor_id, score)
+    * with score = the ADC approximation of the cosine, rounded 1e-4. */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dims: Int,
+      m: Int = 4,
+      codes: Int = 16,
+      iters: Int = 2
+  ): DataFrame = {
+    val d = dims / m
+    val books = pqCodebooks(corpus, idCol, vecCol, dims, m, codes, iters)
+    val enc = pqEncode(corpus, idCol, vecCol, books)
+      .select(col("id").as("neighbor_id"), col("pq_codes"))
+    val qadc = queries
+      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("raw"))
+      .withColumn("nrm", sqrt(dot(col("raw"), col("raw"))))
+      .filter(col("nrm") > 0.0)
+      .withColumn("uv", transform(col("raw"), x => x / nullif(col("nrm"), lit(0.0))))
+      .select(col("query_id"), array((for {
+        s <- 0 until m
+        c <- 0 until codes
+      } yield dot(slice(col("uv"), s * d + 1, d),
+        typedLit(books(s)(c).toSeq))): _*).as("adc"))
+    val fin = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    enc.join(broadcast(qadc))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", round((0 until m).map(s =>
+        element_at(col("adc"),
+          col("pq_codes").getItem(s) + lit(s * codes) + 1)).reduce(_ + _), 4))
+      .select(col("query_id"), col("neighbor_id"), col("score"))
+      .withColumn("rank", row_number().over(fin)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+  }
 }

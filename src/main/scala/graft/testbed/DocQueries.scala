@@ -159,6 +159,99 @@ object DocQueries {
     (head +: steps :+ cent).mkString(",\n")
   }
 
+  /** Product-quantization oracle chain (v9/v10): per-subspace Euclidean
+    * Lloyd in SQL — assignment ranks on `dot(x, c) - 0.5 * dot(c, c)`,
+    * the exact score the Spark side computes through the augmented
+    * `best_centroid` dot (the -0.5 factor is a power-of-two scale, so
+    * the doubles are bit-identical), ties to the lowest code, an emptied
+    * code keeps its previous centroid, seeds are the subvector slices of
+    * the first `codes` unit vectors by id. Produces CTEs: `e`, `unit`,
+    * `seed`, per sub `s{s}_c0..c{iters}` (codebooks) and `s{s}_enc`, and
+    * the joined `enc(vec_id, c0..c{m-1})`. */
+  private def pqCtes(m: Int, codes: Int, iters: Int, dims: Int): String = {
+    val d = dims / m
+    def lo(s: Int) = s * d + 1
+    def hi(s: Int) = s * d + d
+    val head =
+      s""" e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         | unit AS (
+         |  SELECT vec_id, list_transform(v, x -> x / nrm) AS uv
+         |  FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+         |  WHERE nrm > 0
+         | ),
+         | seed AS (
+         |  SELECT * FROM (
+         |   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, uv
+         |   FROM unit) WHERE code < $codes
+         | )""".stripMargin
+    val subs = (0 until m).map { s =>
+      val c0 =
+        s""" s${s}_c0 AS (SELECT code, uv[${lo(s)}:${hi(s)}] AS cv FROM seed)"""
+      val steps = (1 to iters).map { i =>
+        val p = i - 1
+        s""" s${s}_a$i AS (
+           |  SELECT code, sv FROM (
+           |   SELECT u.sv, c.code,
+           |          ROW_NUMBER() OVER (PARTITION BY u.vec_id ORDER BY
+           |            (list_dot_product(u.sv, c.cv)
+           |             - 0.5 * list_dot_product(c.cv, c.cv)) DESC,
+           |            c.code) AS rn
+           |   FROM (SELECT vec_id, uv[${lo(s)}:${hi(s)}] AS sv FROM unit) u
+           |   CROSS JOIN s${s}_c$p c) WHERE rn = 1
+           | ),
+           | s${s}_m$i AS (
+           |  SELECT code, list(mx ORDER BY pos) AS mv
+           |  FROM (SELECT code, pos, avg(x) AS mx
+           |        FROM (SELECT code, unnest(sv) AS x,
+           |                     generate_subscripts(sv, 1) AS pos FROM s${s}_a$i)
+           |        GROUP BY code, pos)
+           |  GROUP BY code
+           | ),
+           | s${s}_c$i AS (
+           |  SELECT p.code, CASE WHEN m.mv IS NULL THEN p.cv ELSE m.mv END AS cv
+           |  FROM s${s}_c$p p LEFT JOIN s${s}_m$i m USING (code)
+           | )""".stripMargin
+      }
+      val encS =
+        s""" s${s}_enc AS (
+           |  SELECT vec_id, code AS c$s FROM (
+           |   SELECT u.vec_id, c.code,
+           |          ROW_NUMBER() OVER (PARTITION BY u.vec_id ORDER BY
+           |            (list_dot_product(u.uv[${lo(s)}:${hi(s)}], c.cv)
+           |             - 0.5 * list_dot_product(c.cv, c.cv)) DESC,
+           |            c.code) AS rn
+           |   FROM unit u CROSS JOIN s${s}_c$iters c) WHERE rn = 1
+           | )""".stripMargin
+      (c0 +: steps :+ encS).mkString(",\n")
+    }
+    val encFrom = (1 until m).foldLeft("s0_enc")((acc, s) =>
+      s"$acc JOIN s${s}_enc USING (vec_id)")
+    val enc =
+      s""" enc AS (
+         |  SELECT vec_id, ${(0 until m).map(s => s"c$s").mkString(", ")}
+         |  FROM $encFrom
+         | )""".stripMargin
+    (head +: subs :+ enc).mkString(",\n")
+  }
+
+  /** The v9 ADC scoring tail over [[pqCtes]]'s `unit`/`enc`/codebooks. */
+  private def pqScoredCte(m: Int, iters: Int, dims: Int): String = {
+    val d = dims / m
+    val dots = (0 until m).map(s =>
+      s"list_dot_product(q.uv[${s * d + 1}:${s * d + d}], b$s.cv)")
+      .mkString("\n         |             + ")
+    val joins = (0 until m).map(s =>
+      s"JOIN s${s}_c$iters b$s ON b$s.code = v.c$s").mkString("\n         |  ")
+    s""" scored AS (
+       |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+       |         ROUND($dots, 4) AS score
+       |  FROM (SELECT * FROM unit WHERE vec_id < 20) q
+       |  CROSS JOIN enc v
+       |  $joins
+       |  WHERE v.vec_id <> q.vec_id
+       | )""".stripMargin
+  }
+
   /** Shared d13/d15 oracle body: max-cosine cluster assignment over the
     * supplied k-means CTE chain, then the within-cluster pair join —
     * identical for the pinned-k and auto-k (Dedup.autoClusters) configs. */
@@ -406,6 +499,31 @@ object DocQueries {
       Similarity.recallAtK(
           Similarity.annTopK(emb, q, "vec_id", "embedding",
             k = 3, dims = 64, tables = 8, planesPerTable = 4),
+          Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 3),
+          k = 3)
+        .orderBy("query_id")
+    }),
+
+    // V9: product-quantization ADC top-3 — the memory-scale ANN path:
+    // 4 subspaces x 16 codes over the 64-dim unit vectors (16 dims/sub),
+    // 2 Euclidean Lloyd passes per subspace, scores = sum of 4 table
+    // lookups. The oracle unrolls the per-subspace Lloyd + encode + ADC
+    // sum in SQL with the identical seed/tie/empty-cluster contract.
+    "v9_pq_topk" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+          k = 3, dims = 64, m = 4, codes = 16, iters = 2)
+        .orderBy("query_id", "rank")
+    }),
+
+    // V10: recall@3 of the PQ ADC top-k against the exact brute-force —
+    // the compression/recall trade made measurable (same gauge as v7/v8)
+    "v10_pq_recall" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 20)
+      Similarity.recallAtK(
+          Similarity.pqTopK(emb, q, "vec_id", "embedding",
+            k = 3, dims = 64, m = 4, codes = 16, iters = 2),
           Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 3),
           k = 3)
         .orderBy("query_id")
@@ -1450,6 +1568,48 @@ object DocQueries {
          |  FROM ascored
          | ),
          | approx AS (SELECT query_id, neighbor_id FROM aranked WHERE rnk <= 3)
+         |SELECT t.query_id AS query_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_truth,
+         |       CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+         |       ROUND(COUNT(a.neighbor_id) * 1.0 / COUNT(*), 4) AS recall
+         |FROM truth t
+         |LEFT JOIN approx a ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+         |GROUP BY t.query_id ORDER BY query_id""".stripMargin,
+
+    // V9: the full PQ chain unrolled — per-subspace Lloyd, encode, ADC
+    // sum (left-associated + matches the Spark side's left fold)
+    "v9_pq_topk" ->
+      s"""WITH ${pqCtes(4, 16, 2, 64)},
+         |${pqScoredCte(4, 2, 64)},
+         | ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS "rank"
+         |  FROM scored
+         | )
+         |SELECT query_id, "rank", neighbor_id, score
+         |FROM ranked WHERE "rank" <= 3
+         |ORDER BY query_id, "rank"""".stripMargin,
+
+    // V10: recall@3 of the v9 chain against the exact brute-force top-3
+    "v10_pq_recall" ->
+      s"""WITH ${pqCtes(4, 16, 2, 64)},
+         |${pqScoredCte(4, 2, 64)},
+         | aranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+         |  FROM scored
+         | ),
+         | approx AS (SELECT query_id, neighbor_id FROM aranked WHERE rnk <= 3),
+         | bscored AS (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |         ROUND(list_dot_product(q.v, e.v)
+         |               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))), 4) AS cosine
+         |  FROM (SELECT * FROM e WHERE vec_id < 20) q, e
+         |  WHERE e.vec_id <> q.vec_id
+         | ),
+         | branked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+         |  FROM bscored
+         | ),
+         | truth AS (SELECT query_id, neighbor_id FROM branked WHERE rnk <= 3)
          |SELECT t.query_id AS query_id,
          |       CAST(COUNT(*) AS BIGINT) AS n_truth,
          |       CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,

@@ -158,6 +158,32 @@ class PlanShapeSpec extends SparkSpec {
       dims = 64, tables = 4, planesPerTable = 4)) === ((1, 1)))
   }
 
+  test("PQ: encode is a projection; ADC top-k shuffles only the pruned ranks") {
+    val books = Similarity.pqCodebooks(
+      embSpread, "vec_id", "embedding", dims = 64, m = 4, codes = 8, iters = 1)
+    // encode never exchanges — the index build rides the corpus scan
+    assert(shape(Similarity.pqEncode(
+      embSpread, "vec_id", "embedding", books)) === ((0, 0)))
+    // 1 shuffle (the rank window, partial-group-limit-pruned map-side),
+    // 1 broadcast (the per-query ADC tables onto the encoded stream) —
+    // a refactor that joins corpus vectors back in fails here
+    assert(shape(Similarity.pqTopK(
+      embSpread, embQueries, "vec_id", "embedding", k = 3,
+      dims = 64, m = 4, codes = 8, iters = 1)) === ((1, 1)))
+  }
+
+  test("IVF+PQ: one encoded-corpus projection, cell-keyed broadcast, one window") {
+    // 1 shuffle (the final rank window — the nProbe window rides the
+    // single-partition query fixture; at scale it adds one QUERY-BATCH-
+    // sized exchange, never corpus-sized); 2 broadcasts (coarse
+    // centroids into the probe join, the per-(query, cell) ADC tables
+    // onto the encoded stream). The corpus path is a single projection
+    // emitting (cell, pq_codes) — nothing vector-sized exchanges.
+    assert(shape(Similarity.ivfPqTopK(
+      embSpread, embQueries, "vec_id", "embedding", k = 3,
+      dims = 64, nCentroids = 8, nProbe = 2, m = 4, codes = 8, iters = 1)) === ((1, 2)))
+  }
+
   test("embedding near-dup: one corpus exchange, pairs die inside the bucket") {
     // 2 shuffles: the (t, bucket) groupBy that carries each vector once
     // per table, and the cross-table dedup of the >= minCosine survivors;
