@@ -252,6 +252,51 @@ object DocQueries {
        | )""".stripMargin
   }
 
+  /** The v11 IVF+PQ scoring tail over [[pqCtes]]: coarse cells are the
+    * first `nCentroids` unit vectors by id (cent_id = array position,
+    * the Spark side's `coarseLit` order), assignment and probing rank on
+    * the plain unit-vector dot (ties to the lowest cell — the
+    * `best_centroid(normalize = false)` contract), and ADC scoring is
+    * restricted to the probed cells via the cell-key join. */
+  private def ivfPqScoredCte(
+      m: Int, iters: Int, dims: Int, nCentroids: Int, nProbe: Int): String = {
+    val d = dims / m
+    val dots = (0 until m).map(s =>
+      s"list_dot_product(p.uv[${s * d + 1}:${s * d + d}], b$s.cv)")
+      .mkString("\n         |             + ")
+    val joins = (0 until m).map(s =>
+      s"JOIN s${s}_c$iters b$s ON b$s.code = v.c$s").mkString("\n         |  ")
+    s""" coarse AS (
+       |  SELECT * FROM (
+       |   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cent_id, uv AS centv
+       |   FROM unit) WHERE cent_id < $nCentroids
+       | ),
+       | cassign AS (
+       |  SELECT vec_id, cent_id FROM (
+       |   SELECT u.vec_id, c.cent_id,
+       |          ROW_NUMBER() OVER (PARTITION BY u.vec_id ORDER BY
+       |            list_dot_product(u.uv, c.centv) DESC, c.cent_id) AS rn
+       |   FROM unit u CROSS JOIN coarse c) WHERE rn = 1
+       | ),
+       | probes AS (
+       |  SELECT query_id, uv, cent_id FROM (
+       |   SELECT q.vec_id AS query_id, q.uv, c.cent_id,
+       |          ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |            list_dot_product(q.uv, c.centv) DESC, c.cent_id) AS rn
+       |   FROM (SELECT * FROM unit WHERE vec_id < 20) q CROSS JOIN coarse c)
+       |  WHERE rn <= $nProbe
+       | ),
+       | scored AS (
+       |  SELECT p.query_id, v.vec_id AS neighbor_id,
+       |         ROUND($dots, 4) AS score
+       |  FROM probes p
+       |  JOIN cassign a ON a.cent_id = p.cent_id
+       |  JOIN enc v ON v.vec_id = a.vec_id
+       |  $joins
+       |  WHERE v.vec_id <> p.query_id
+       | )""".stripMargin
+  }
+
   /** Shared d13/d15 oracle body: max-cosine cluster assignment over the
     * supplied k-means CTE chain, then the within-cluster pair join —
     * identical for the pinned-k and auto-k (Dedup.autoClusters) configs. */
@@ -527,6 +572,17 @@ object DocQueries {
           Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 3),
           k = 3)
         .orderBy("query_id")
+    }),
+
+    // V11: IVF + PQ composed — the coarse quantizer prunes WHICH vectors
+    // a query scores (4 of 16 cells probed), the PQ codes decide what the
+    // stored corpus IS; the oracle restricts the v9 ADC chain to the
+    // probed cells with the identical coarse assign/probe tie contract
+    "v11_ivfpq_topk" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+          k = 3, dims = 64, nCentroids = 16, nProbe = 4, m = 4, codes = 16, iters = 2)
+        .orderBy("query_id", "rank")
     }),
 
     // D7: embedding-cosine near-dup pairs — LSH-bucketed candidates scored
@@ -1617,6 +1673,19 @@ object DocQueries {
          |FROM truth t
          |LEFT JOIN approx a ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
          |GROUP BY t.query_id ORDER BY query_id""".stripMargin,
+
+    // V11: the IVF+PQ chain — pqCtes' Lloyd/encode plus the coarse
+    // probe restriction (cells = first 16 unit vectors, plain-dot argmax)
+    "v11_ivfpq_topk" ->
+      s"""WITH ${pqCtes(4, 16, 2, 64)},
+         |${ivfPqScoredCte(4, 2, 64, 16, 4)},
+         | ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS "rank"
+         |  FROM scored
+         | )
+         |SELECT query_id, "rank", neighbor_id, score
+         |FROM ranked WHERE "rank" <= 3
+         |ORDER BY query_id, "rank"""".stripMargin,
 
     "t4_pii_scrub" ->
       s"""WITH p AS (
