@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Keywords, Multimodal, Packing, Salted, Sampling, Similarity}
+import graft.operators.{Classifier, Dedup, Keywords, Multimodal, Packing, Salted, Sampling, Similarity}
 
 /** LLM-training-data pipeline battery over the `documents` / `embeddings`
   * tables: text analysis, language ID, fingerprinting, exact + near dedup,
@@ -295,6 +295,107 @@ object DocQueries {
        |  $joins
        |  WHERE v.vec_id <> p.query_id
        | )""".stripMargin
+  }
+
+  /** The t30/t31 logistic-GD oracle chain (over [[wCte]]'s `w`): features
+    * are the ROUNDED t1 stats surface, the label the UNROUNDED t15 gate,
+    * and every corpus sum — the standardization pass's means/second
+    * moments and each unrolled iteration's gradient contributions — is
+    * exact 1e-8 fixed-point int64, the same contract as
+    * Classifier.trainLogistic, so both engines derive bit-identical
+    * mu/sd and walk bit-identical weights. Produces CTEs `feat` (raw),
+    * `sf` (standardized), `wt0..wt{iters}`, `scored(doc_id, z, y)`. */
+  private def logitCtes(iters: Int, lr: String): String = {
+    val stop = inList("t", TextFunctions.Stopwords)
+    val nf = 6
+    val punct =
+      "(length(norm) - length(regexp_replace(norm, '[^a-zA-Z0-9 ]', '', 'g'))) * 1.0 / length(norm)"
+    val feat =
+      s""" feat AS (
+         |  SELECT doc_id,
+         |         1.0 AS x0,
+         |         LEAST(nt, 100) / 100.0 AS x1,
+         |         ROUND(len(list_distinct(ws)) * 1.0 / nt, 4) AS x2,
+         |         ROUND((length(norm) - (nt - 1)) * 1.0 / nt, 4) / 10.0 AS x3,
+         |         ROUND($punct, 4) AS x4,
+         |         ROUND(len(list_filter(ws, t -> $stop)) * 1.0 / nt, 4) AS x5,
+         |         CASE WHEN (nt BETWEEN 20 AND 80)
+         |               AND len(list_distinct(ws)) * 1.0 / nt >= 0.4
+         |               AND len(list_filter(ws, t -> $stop)) * 1.0 / nt >= 0.05
+         |               AND $punct <= 0.1
+         |               AND ((length(norm) - (nt - 1)) * 1.0 / nt BETWEEN 3.0 AND 6.0)
+         |              THEN 1.0 ELSE 0.0 END AS y
+         |  FROM w
+         | )""".stripMargin
+    // Standardization pass, mirroring Classifier.trainLogistic: exact
+    // fixed-point sums of x_j and x_j^2, then mu = (m/1e8)/n, v = q - mu^2,
+    // sd = sqrt(v) when v > the 1e-12 variance floor else the 0.0
+    // constant-feature sentinel (standardized value pinned to 0).
+    val stSums = (1 until nf).flatMap(j => Seq(
+      s"CAST(SUM(CAST(ROUND(x$j * 100000000.0) AS BIGINT)) AS BIGINT) AS m$j",
+      s"CAST(SUM(CAST(ROUND(x$j * x$j * 100000000.0) AS BIGINT)) AS BIGINT) AS q$j"))
+      .mkString(",\n         |         ")
+    val mvExprs = (1 until nf).flatMap(j => Seq(
+      s"(m$j / 100000000.0) / n AS mu$j",
+      s"((q$j / 100000000.0) / n) - ((m$j / 100000000.0) / n) * ((m$j / 100000000.0) / n) AS v$j"))
+      .mkString(",\n         |         ")
+    val sdExprs = (1 until nf).map(j =>
+      s"mu$j, CASE WHEN v$j > 0.000000000001 THEN sqrt(v$j) ELSE 0.0 END AS sd$j")
+      .mkString(",\n         |         ")
+    val sfExprs = (1 until nf).map(j =>
+      s"CASE WHEN sd$j = 0.0 THEN 0.0 ELSE (x$j - mu$j) / sd$j END AS x$j")
+      .mkString(",\n         |         ")
+    val standardize =
+      s""" st AS (
+         |  SELECT $stSums,
+         |         COUNT(*) AS n
+         |  FROM feat
+         | ),
+         | mv AS (
+         |  SELECT $mvExprs
+         |  FROM st
+         | ),
+         | mu AS (
+         |  SELECT $sdExprs
+         |  FROM mv
+         | ),
+         | sf AS (
+         |  SELECT doc_id, 1.0 AS x0,
+         |         $sfExprs,
+         |         y
+         |  FROM feat CROSS JOIN mu
+         | )""".stripMargin
+    val wt0 =
+      " wt0 AS (SELECT " + (0 until nf).map(j => s"0.0 AS b$j").mkString(", ") + ")"
+    val zExpr = (0 until nf).map(j => s"b$j * x$j").mkString(" + ")
+    val steps = (1 to iters).map { i =>
+      val p = i - 1
+      val sums = (0 until nf).map(j =>
+        s"CAST(SUM(CAST(ROUND(r * x$j * 100000000.0) AS BIGINT)) AS BIGINT) AS s$j")
+        .mkString(",\n         |         ")
+      val upd = (0 until nf).map(j =>
+        s"b$j - $lr * ((s$j / 100000000.0) / n) AS b$j")
+        .mkString(",\n         |         ")
+      s""" p$i AS (
+         |  SELECT f.*, 1.0 / (1.0 + exp(-($zExpr))) - y AS r
+         |  FROM sf f CROSS JOIN wt$p
+         | ),
+         | g$i AS (
+         |  SELECT $sums,
+         |         COUNT(*) AS n
+         |  FROM p$i
+         | ),
+         | wt$i AS (
+         |  SELECT $upd
+         |  FROM wt$p CROSS JOIN g$i
+         | )""".stripMargin
+    }
+    val scored =
+      s""" scored AS (
+         |  SELECT doc_id, $zExpr AS z, y
+         |  FROM sf CROSS JOIN wt$iters
+         | )""".stripMargin
+    (feat +: standardize +: wt0 +: steps :+ scored).mkString(",\n")
   }
 
   /** Shared d13/d15 oracle body: max-cosine cluster assignment over the
@@ -805,6 +906,27 @@ object DocQueries {
       Sampling.takePerStratum(table(s, dir, "documents"), "lang", "doc_id", n = 10)
         .select("doc_id", "lang")
         .orderBy("doc_id")),
+
+    // T30: in-engine quality-classifier training — standardization pass +
+    // full-batch logistic GD distilling the t15 gate into a continuous
+    // scorer (the fastText-style stage of published curation pipelines);
+    // every corpus pass is ONE map-combinable agg with exact fixed-point
+    // sums, so the DuckDB mirror derives bit-identical mu/sd and walks
+    // bit-identical weights through its unrolled iteration CTEs
+    "t30_quality_classifier" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val w = Classifier.trainLogistic(docs, "text", iters = 20, lr = 4.0)
+      Classifier.scoreLogistic(docs, "doc_id", "text", w).orderBy("doc_id")
+    }),
+
+    // T31: the trained model's 2×2 confusion vs its weak label — exact
+    // BIGINT counts; the margin-sign decision (z >= 0) is bit-identical
+    // across engines so the counts are robust, not ulp-lucky
+    "t31_classifier_confusion" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val w = Classifier.trainLogistic(docs, "text", iters = 20, lr = 4.0)
+      Classifier.confusion(Classifier.scoreLogistic(docs, "doc_id", "text", w))
+    }),
 
     // T25: decontamination DECISION — the t11 scan applied: docs whose
     // contaminated-shingle fraction against the docs-0-9 "eval set"
@@ -1754,6 +1876,24 @@ object DocQueries {
          | )
          |SELECT doc_id, lang FROM ranked WHERE rn <= 10
          |ORDER BY doc_id""".stripMargin,
+
+    // T30: the standardize-then-GD chain unrolled — bit-identical mu/sd
+    // and weights via exact fixed-point sums (see logitCtes); the
+    // decision is the raw margin sign, the prob display-rounded
+    "t30_quality_classifier" ->
+      s"""$wCte,
+         |${logitCtes(20, "4.0")}
+         |SELECT doc_id, ROUND(1.0 / (1.0 + exp(-z)), 4) AS prob,
+         |       z >= 0.0 AS predicted, y >= 0.5 AS label
+         |FROM scored ORDER BY doc_id""".stripMargin,
+
+    // T31: 2×2 confusion of the same chain — exact BIGINT counts
+    "t31_classifier_confusion" ->
+      s"""$wCte,
+         |${logitCtes(20, "4.0")}
+         |SELECT z >= 0.0 AS predicted, y >= 0.5 AS label,
+         |       CAST(COUNT(*) AS BIGINT) AS n
+         |FROM scored GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // T25: the t11 contamination scan as a nested subquery, applied as a
     // NOT IN drop rule (NULL contamination — too short to shingle — is
