@@ -122,5 +122,8 @@ object Bench {
       s"""{"first":$canaryFirst,"last":$canaryLast,"contended":$contended,"warmup_runs":$warmRuns,"ns_per_row":$nsPerRow}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"canary":$canaryJson,"sf":"$sfDir"}""")
     spark.stop()
+    // A bench with failed queries is a failed bench: rc=0 with an errors map
+    // let three broken queries ride through two whole rounds unnoticed.
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -23,17 +23,31 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftExtensions.register(spark)
     new java.io.File(outDir).mkdirs()
+    // A query that errors must be a red row, not a silently vanished one:
+    // every failure is recorded in _errors.json alongside the dumps (in r8/r9
+    // three analysis-time failures shrank the battery 92→89 with no visible
+    // signal — the driver's compare only sees dirs that exist).
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def dump(qs: Seq[(String, SparkEntry.Q)]): Unit = qs.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(500)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+    }
+    // SPARK_GRAFT_ONLY=a,b,c: dump a named subset (local iteration on a
+    // single query without paying for the full battery); absent -> all.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.toSeq.filter(q => names(q._1))
+      case None => SparkEntry.queries.toSeq
     }
     // datacube family first, then drop its caches before the doc battery
     // (same family barrier as Bench — keeps peak cache memory bounded)
     val docKeys = graft.testbed.DocQueries.queries.keySet
-    val (docQs, cubeQs) = SparkEntry.queries.toSeq.sortBy(_._1)
+    val (docQs, cubeQs) = selected.sortBy(_._1)
       .partition(q => docKeys.contains(q._1))
     dump(cubeQs)
     graft.testbed.DatacubeQueries.clearCaches(spark)
@@ -54,6 +68,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

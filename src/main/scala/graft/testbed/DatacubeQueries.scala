@@ -3,7 +3,7 @@ package graft.testbed
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, TimestampType}
 
 import graft.model.Schema
 import graft.operators.{Qualifiers, Regions, Spatial, Temporal, TileMath, Validate}
@@ -19,6 +19,17 @@ object DatacubeQueries {
 
   private def round4(df: DataFrame, cols: Seq[String]): DataFrame =
     cols.foldLeft(df)((d, c) => d.withColumn(c, round(col(c), 4)))
+
+  /** events.ts → epoch milliseconds, adaptive to the parquet physical type.
+    * The testdata has shipped `ts` both as TIMESTAMP(NANOS) — which Spark 4
+    * reads as long nanos under spark.sql.legacy.parquet.nanosAsLong — and as
+    * timestamp[us], which reads as TIMESTAMP_NTZ. The NTZ→timestamp cast is
+    * UTC (session timeZone pinned in every entry point), matching the DuckDB
+    * oracles' epoch_ms(ts) on naive timestamps. */
+  private def tsMs(ev: DataFrame): Column = ev.schema("ts").dataType match {
+    case LongType => expr("ts div 1000000")
+    case _        => unix_millis(col("ts").cast(TimestampType))
+  }
 
   /** Per-session caches: the base datacube frame and each temporal cube are
     * materialized once and reused by every query in the battery — mirroring
@@ -326,15 +337,13 @@ object DatacubeQueries {
     }),
 
     // P1-P9: validation pass over a deliberately dirty frame.
-    // events.ts is parquet TIMESTAMP(NANOS), read as long nanos under
-    // spark.sql.legacy.parquet.nanosAsLong=true → integer-divide to ms.
     "p9_validate_fix" -> ((s, dir) => {
       val ev = Datacube.table(s, dir, "events")
       val dirty = ev.select(
         col("event_id"),
         when(col("event_id") % 19 === 0, lit(null).cast(LongType))
           .when(col("event_id") % 23 === 0, lit(Schema.MaxTimestampMs + 5))
-          .otherwise(expr("ts div 1000000")).as("timestamp"),
+          .otherwise(tsMs(ev)).as("timestamp"),
         when(col("event_id") % 7 === 0, lit(null).cast(StringType))
           .when(col("event_id") % 11 === 0, concat(col("event_type"), lit("//x")))
           .otherwise(col("event_type")).as("country"),
@@ -453,9 +462,10 @@ object DatacubeQueries {
     // form; oracle is DuckDB's native ASOF LEFT JOIN — an independent
     // implementation of the same semantics.
     "o2_asof_join" -> ((s, dir) => {
-      val ev = Datacube.table(s, dir, "events").select(
+      val ev0 = Datacube.table(s, dir, "events")
+      val ev = ev0.select(
         col("event_id"), col("user_id"), col("event_type"),
-        expr("ts div 1000000").as("ts_ms"), col("value"))
+        tsMs(ev0).as("ts_ms"), col("value"))
       val clicks = ev.filter(col("event_type") === "click")
         .select("event_id", "user_id", "ts_ms", "value")
       // right side unique per (user_id, ts_ms): same-instant purchases
@@ -473,8 +483,9 @@ object DatacubeQueries {
     // 12 h timeout sits above the ~7 h median inter-event gap, so the
     // fixture produces real multi-event sessions AND real splits.
     "o3_sessionize" -> ((s, dir) => {
-      val ev = Datacube.table(s, dir, "events").select(
-        col("event_id"), col("user_id"), expr("ts div 1000000").as("ts_ms"))
+      val ev0 = Datacube.table(s, dir, "events")
+      val ev = ev0.select(
+        col("event_id"), col("user_id"), tsMs(ev0).as("ts_ms"))
       graft.operators.Sessionize.sessionStats(ev, Seq("user_id"), "ts_ms",
           gapMs = 12L * 3600 * 1000, tieCols = Seq("event_id"))
         .orderBy("user_id", "session_seq")

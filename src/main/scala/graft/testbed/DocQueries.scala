@@ -28,9 +28,11 @@ object DocQueries {
     * results) need [[Dedup.release]] — plain unpersist() is a no-op on
     * them, and without the release every battery run would leak one
     * persisted label frame per CC invocation for the JVM lifetime. */
-  def clearCaches(spark: SparkSession): Unit =
+  def clearCaches(spark: SparkSession): Unit = {
     cache.filterInPlace { case ((s, _, _), df) =>
       if (s eq spark) { df.unpersist(); Dedup.release(df); false } else true }
+    modelCache.filterInPlace { case ((s, _), _) => !(s eq spark) }
+  }
 
   /** Exact-Jaccard >= 0.8 pair graph, cached across the battery (d2 emits
     * it, d4 clusters it — the shingle co-occurrence join runs once). */
@@ -38,6 +40,24 @@ object DocQueries {
     cache.getOrElseUpdate((s, dir, "_jaccard_edges"),
       Dedup.jaccardPairs(table(s, dir, "documents"), "doc_id", "text",
         n = 3, minJaccard = 0.8).cache())
+
+  /** GD iterations for the t30/t31 classifier battery entries AND their
+    * unrolled DuckDB mirror. 8 is past convergence on the sf corpora
+    * (the margin signs — all either engine compares — are stable from
+    * ~iter 5) and keeps the oracle's per-iteration CTE chain inside the
+    * driver's fd budget; 20 iterations blew it in r8/r9. */
+  private val ClassifierIters = 8
+
+  /** The t30/t31 trained model, cached per (session, sfdir): training is
+    * 1 + iters full-corpus aggregations, so the two battery entries must
+    * share one model (the d12/d13 shared-materialization pattern) — the
+    * model itself is 18 doubles of driver-side metadata. */
+  private val modelCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Classifier.LogisticModel]
+  private def classifierModel(s: SparkSession, dir: String): Classifier.LogisticModel =
+    modelCache.getOrElseUpdate((s, dir),
+      Classifier.trainLogistic(table(s, dir, "documents"), "text",
+        iters = ClassifierIters, lr = 4.0))
 
   // ---- shared DuckDB fragments --------------------------------------------
 
@@ -915,8 +935,8 @@ object DocQueries {
     // bit-identical weights through its unrolled iteration CTEs
     "t30_quality_classifier" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
-      val w = Classifier.trainLogistic(docs, "text", iters = 20, lr = 4.0)
-      Classifier.scoreLogistic(docs, "doc_id", "text", w).orderBy("doc_id")
+      Classifier.scoreLogistic(docs, "doc_id", "text", classifierModel(s, dir))
+        .orderBy("doc_id")
     }),
 
     // T31: the trained model's 2×2 confusion vs its weak label — exact
@@ -924,8 +944,8 @@ object DocQueries {
     // across engines so the counts are robust, not ulp-lucky
     "t31_classifier_confusion" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
-      val w = Classifier.trainLogistic(docs, "text", iters = 20, lr = 4.0)
-      Classifier.confusion(Classifier.scoreLogistic(docs, "doc_id", "text", w))
+      Classifier.confusion(
+        Classifier.scoreLogistic(docs, "doc_id", "text", classifierModel(s, dir)))
     }),
 
     // T25: decontamination DECISION — the t11 scan applied: docs whose
@@ -1882,7 +1902,7 @@ object DocQueries {
     // decision is the raw margin sign, the prob display-rounded
     "t30_quality_classifier" ->
       s"""$wCte,
-         |${logitCtes(20, "4.0")}
+         |${logitCtes(ClassifierIters, "4.0")}
          |SELECT doc_id, ROUND(1.0 / (1.0 + exp(-z)), 4) AS prob,
          |       z >= 0.0 AS predicted, y >= 0.5 AS label
          |FROM scored ORDER BY doc_id""".stripMargin,
@@ -1890,7 +1910,7 @@ object DocQueries {
     // T31: 2×2 confusion of the same chain — exact BIGINT counts
     "t31_classifier_confusion" ->
       s"""$wCte,
-         |${logitCtes(20, "4.0")}
+         |${logitCtes(ClassifierIters, "4.0")}
          |SELECT z >= 0.0 AS predicted, y >= 0.5 AS label,
          |       CAST(COUNT(*) AS BIGINT) AS n
          |FROM scored GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
