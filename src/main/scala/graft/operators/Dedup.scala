@@ -496,13 +496,18 @@ object Dedup {
       .select(col("id"), col("v"), sqrt(dot(col("v"), col("v"))).as("nrm"),
         col("b.t").as("t"), col("b.bucket").as("bucket"))
     // the cap must act BEFORE collect_list so an over-full cell never
-    // materializes: an id-only pre-count keyed the same way the groupBy is
-    // (cheap — ids, not vectors) semi-joins the surviving cells
+    // materializes in an agg buffer: a COUNT window over the same
+    // (t, bucket) key the groupBy uses. This reuses the groupBy's own
+    // exchange (WindowExec's hashpartitioning satisfies the downstream
+    // aggregation's distribution — zero extra shuffles), streams over-full
+    // cells through the window's spill-backed buffer instead of an agg
+    // buffer, and replaces the previous id-only pre-count + semi-join,
+    // which paid a second full LSH-hash pass over the corpus plus its own
+    // exchange (the r9 audit's d16 cost driver).
     val bounded = maxBucketOccupancy match {
       case Some(cap) =>
-        val keep = tb.select("id", "t", "bucket").groupBy("t", "bucket").count()
-          .filter(col("count") <= cap).select("t", "bucket")
-        tb.join(keep, Seq("t", "bucket"), "left_semi")
+        tb.withColumn("_occ", count(lit(1)).over(Window.partitionBy("t", "bucket")))
+          .filter(col("_occ") <= cap).drop("_occ")
       case None => tb
     }
     val grouped = bounded.groupBy("t", "bucket")

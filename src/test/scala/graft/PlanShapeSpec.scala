@@ -196,14 +196,16 @@ class PlanShapeSpec extends SparkSpec {
       planesPerTable = 4)) === ((2, 0)))
   }
 
-  test("embedding near-dup cap: one extra id-only pre-count, no corpus join") {
-    // the occupancy cap adds the (t, bucket) pre-count aggregation
-    // (+1 shuffle; id-only — vectors never ride it) and its semi-join
-    // against the bucket stream (fixture-small -> 1 broadcast; at scale
-    // it degrades to a join still keyed by (t, bucket))
+  test("embedding near-dup cap: zero extra exchanges, no corpus join") {
+    // the occupancy cap is a COUNT window on the same (t, bucket) key the
+    // bucket groupBy shuffles on, so its exchange IS the groupBy's
+    // exchange: the capped plan has the identical (2, 0) shape as the
+    // uncapped one. A refactor that reintroduces a pre-count aggregation
+    // + semi-join (a second LSH pass over the corpus, +1 shuffle,
+    // +1 broadcast — the r9 d16 cost driver) fails here.
     assert(shape(Dedup.embeddingNearDupPairs(
       embSpread, "vec_id", "embedding", 0.4, dims = 64, tables = 4,
-      planesPerTable = 4, maxBucketOccupancy = Some(30))) === ((3, 1)))
+      planesPerTable = 4, maxBucketOccupancy = Some(30))) === ((2, 0)))
   }
 
   test("recipe repeat never shuffles: copies are decided row-locally") {
