@@ -274,11 +274,13 @@ object Dedup {
     * Returns (doc_id, n_shingles, n_dup, dup_fraction) for documents with
     * at least one shingle (nt >= n).
     *
-    * Scale shape: per-doc distinct on the 60-bit shingle hash (one shuffle,
-    * map-side combine), a count-docs-per-shingle aggregation (second
-    * shuffle, partial aggs), and a shuffle join back on the hash — the
-    * post-aggregation sides are co-partitioned on `s`, so no all-pairs
-    * blow-up exists anywhere regardless of skew. */
+    * Scale shape: the per-doc-distinct shingle stream is hashed ONCE and
+    * the docs-per-shingle count is a COUNT window on `s` (one shuffle —
+    * shingle groups are doc-frequency-sized and stream through the
+    * window's spill-backed buffer), then one per-doc aggregation (second
+    * shuffle). The previous count-aggregate + join-back form paid a third
+    * exchange and re-ran the md5 shingle hashing for the join side — no
+    * all-pairs blow-up exists in either form regardless of skew. */
   def dupShingleFraction(
       docs: DataFrame,
       idCol: String,
@@ -286,8 +288,7 @@ object Dedup {
       n: Int = 3
   ): DataFrame = {
     val sh = docShingleHashes(docs, idCol, textCol, n, dedup = true)
-    val docFreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
-    sh.join(docFreq, "s")
+    sh.withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_shingles"),

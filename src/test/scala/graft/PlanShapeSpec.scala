@@ -72,13 +72,13 @@ class PlanShapeSpec extends SparkSpec {
       docs, docs.filter(col("doc_id") < 10), "doc_id", "text")) === ((3, 3)))
   }
 
-  test("dupShingleFraction: two aggregations + one broadcast-able join") {
-    // 2 shuffles: the shingle df count and the final per-doc aggregation
-    // — the old per-doc (doc_id, hash) distinct shuffle is gone, the
-    // native ShingleHash60 dedups hashes in-row; the df join broadcasts
-    // at fixture size (and correctly degrades to a shuffle join when the
-    // vocab outgrows it)
-    assert(shape(Dedup.dupShingleFraction(docs, "doc_id", "text")) === ((2, 1)))
+  test("dupShingleFraction: one window + one aggregation, no join") {
+    // 2 shuffles: the COUNT window on the shingle hash (doc-frequency
+    // per shingle, computed on the hashed stream in place) and the final
+    // per-doc aggregation; 0 broadcasts/joins — a refactor back to the
+    // count-aggregate + join-back form (a third exchange plus a second
+    // md5 pass over every shingle for the join side) fails here.
+    assert(shape(Dedup.dupShingleFraction(docs, "doc_id", "text")) === ((2, 0)))
   }
 
   test("temperature mix: corpus rows never shuffle; rates broadcast onto the scan") {
