@@ -58,7 +58,11 @@ object ScaleUp {
       df.withColumn("o_orderkey", col("o_orderkey") + lit(i * Off))
     }
     scaled("events") { (df, i) =>
+      // user_id offsets too: the as-of/sessionize windows partition on
+      // user_id, so copies must add USERS (new groups), not grow every
+      // user's event stream K× (bigger per-key windows — group size)
       df.withColumn("event_id", col("event_id") + lit(i * Off))
+        .withColumn("user_id", col("user_id") + lit(i * Off))
     }
     scaled("documents") { (df, i) =>
       val d = df.withColumn("doc_id", col("doc_id") + lit(i * Off))
