@@ -570,13 +570,29 @@ object Similarity {
   ): Array[Array[Array[Double]]] = {
     require(dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
     graft.plans.GraftExtensions.register(corpus.sparkSession)
-    val d = dims / m
     val unit = spreadToCores(corpus.select(col(idCol).as("vid"),
         col(vecCol).cast("array<double>").as("raw")))
       .withColumn("nrm", sqrt(dot(col("raw"), col("raw"))))
       .filter(col("nrm") > 0.0)
       .select(col("vid"),
         transform(col("raw"), x => x / nullif(col("nrm"), lit(0.0))).as("uv"))
+    pqTrainBooks(unit, m, codes, iters, dims / m)
+  }
+
+  /** The shared Lloyd loop of [[pqCodebooks]] and the residual variant:
+    * trains m per-subspace codebooks over ANY (vid, uv) vector frame
+    * (unit vectors for PQ-on-the-vector, cell residuals for IVFADC) —
+    * the input need not be normalized. Seeds are the subvector slices of
+    * the first `codes` rows by vid; every per-iteration quantity is the
+    * same as [[pqCodebooks]] documents. */
+  private[graft] def pqTrainBooks(
+      vecs: DataFrame,
+      m: Int,
+      codes: Int,
+      iters: Int,
+      d: Int
+  ): Array[Array[Array[Double]]] = {
+    val unit = vecs
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val seeds = unit.orderBy("vid").limit(codes)
       .collect().map(_.getSeq[Double](1).toArray)
@@ -651,11 +667,11 @@ object Similarity {
     * is m lookups per candidate — at 100 TB the cell id is the partition
     * key, a probe touches nProbe/nCentroids of the encoded corpus, and
     * nothing vector-sized ever shuffles. Encodes the unit vector itself
-    * (IVF-Flat-PQ), not the cell residual — the residual refinement of
-    * Jégou et al. §IV would put a per-cell codebook between the oracle
-    * and a SQL mirror; the accuracy trade is measured by PqSpec's recall
-    * gauge instead. Zero-norm vectors drop on both sides (the PQ
-    * contract). Returns (query_id, rank, neighbor_id, score). */
+    * (IVF-Flat-PQ), not the cell residual — [[ivfPqResidualTopK]] is the
+    * Jégou §IV residual refinement, and the v13 vs v10/v8 recall gauges
+    * quantify the trade between the two forms. Zero-norm vectors drop on
+    * both sides (the PQ contract). Returns (query_id, rank, neighbor_id,
+    * score). */
   def ivfPqTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -717,6 +733,142 @@ object Similarity {
       .withColumn("score", round((0 until m).map(s =>
         element_at(col("adc"),
           col("pq_codes").getItem(s) + lit(s * codes) + 1)).reduce(_ + _), 4))
+      .select(col("query_id"), col("neighbor_id"), col("score"))
+      .withColumn("rank", row_number().over(fin)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+  }
+
+  /** IVF + PQ with RESIDUAL encoding — the Jégou et al. §IV refinement
+    * (IVFADC proper) that [[ivfPqTopK]] deliberately skips: the PQ
+    * codebooks are trained on, and encode, each vector's residual to its
+    * coarse centroid `r = uv − c(cell)` instead of the vector itself.
+    * Residuals concentrate near the origin regardless of which cell a
+    * vector landed in, so the same m × codes budget spends its
+    * quantization resolution on the (much smaller) within-cell spread —
+    * the recall gain at fixed index bytes is what the v13 gauge
+    * measures against v11's vector-encoding form.
+    *
+    * Score decomposition (what keeps ADC per-query cheap even though
+    * the encoding is cell-relative): cos(q, x) ≈ q·(c + r̂) =
+    * q·c + q·r̂, where q·c is the probe dot the query already computed
+    * to RANK the cells, and q·r̂ = Σ_s dot(q_s, book_s[code_s]) is the
+    * same m-lookup ADC sum as [[pqTopK]] — against codebooks that are
+    * shared across cells, so the lookup table stays per-QUERY-sized.
+    *
+    * Two shifts matter, and they are DIFFERENT vectors (measured: recall
+    * fell to 0.1 subtracting raw first-by-id corpus vectors, 0.2
+    * subtracting the re-normalized spherical centroid):
+    *  - cell ASSIGNMENT and PROBING rank on the Lloyd-refined UNIT
+    *    centroids ([[kmeansCentroids]], `refineIters` steps) — the
+    *    cosine contract every IVF face in this file shares;
+    *  - the residual SHIFT is the cell's UN-normalized mean μ (the
+    *    Jégou form): q·x = q·μ + q·r holds for any shift, and the mean
+    *    is the one that minimizes ‖r‖, so the codebooks spend their
+    *    budget on the true within-cell spread. The probe therefore
+    *    carries two dots — q·centv to rank cells, q·μ to open the
+    *    score — both query-side scalars.
+    *
+    * Plan shape is identical to [[ivfPqTopK]] (one corpus projection
+    * emitting (cell, residual codes), broadcast ADC tables keyed by
+    * cell, one rank-window exchange); the extra training cost is the
+    * residual projection riding the same scan. Same determinism
+    * contract: left-associated score sum starting at the probe dot,
+    * 1e-4 rounding, ties to the lowest neighbor id, zero-norm vectors
+    * drop on both sides. Returns (query_id, rank, neighbor_id, score). */
+  def ivfPqResidualTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dims: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      m: Int = 4,
+      codes: Int = 16,
+      iters: Int = 2,
+      refineIters: Int = 2
+  ): DataFrame = {
+    require(dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
+    val d = dims / m
+    val spark = corpus.sparkSession
+    graft.plans.GraftExtensions.register(spark)
+    def unitize(df: DataFrame, outId: String) = df
+      .select(col(idCol).as(outId), col(vecCol).cast("array<double>").as("raw"))
+      .withColumn("nrm", sqrt(dot(col("raw"), col("raw"))))
+      .filter(col("nrm") > 0.0)
+      .select(col(outId),
+        transform(col("raw"), x => x / nullif(col("nrm"), lit(0.0))).as("uv"))
+    val cunit = spreadToCores(unitize(corpus, "neighbor_id"))
+    val coarse = kmeansCentroids(corpus, idCol, vecCol, nCentroids, refineIters)
+      .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+    val coarseLit = typedLit(coarse.map(_.toSeq).toSeq)
+    // the un-normalized cell means μ — one tiny-keyed aggregation over
+    // the assigned corpus, collected as metadata (nCentroids × dims
+    // doubles); an empty cell's μ is all-zero, which scoring never reads
+    // (no vectors encode into it)
+    val muMap = cunit
+      .select(call_function("best_centroid", col("uv"), coarseLit, lit(false))
+          .as("cent_id"),
+        posexplode(col("uv")).as(Seq("pos", "x")))
+      .groupBy("cent_id", "pos").agg(avg(col("x")).as("mx"))
+      .groupBy("cent_id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("mx")))).as("ps"))
+      .select(col("cent_id"), transform(col("ps"), p => p("mx")).as("muv"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    val mu = Array.tabulate(nCentroids)(i =>
+      muMap.getOrElse(i, Array.fill(dims)(0.0)))
+    val muLit = typedLit(mu.map(_.toSeq).toSeq)
+    // cell + residual in ONE projection off the scan: the coarse argmax
+    // and the element-wise subtract are both codegen'd, nothing exchanges
+    def residualize(df: DataFrame, outId: String) = df
+      .select(col(outId),
+        call_function("best_centroid", col("uv"), coarseLit, lit(false))
+          .as("cent_id"),
+        col("uv"))
+      .withColumn("rv", zip_with(col("uv"),
+        element_at(muLit, col("cent_id") + 1), (x, c) => x - c))
+    val resid = residualize(cunit, "neighbor_id")
+    val books = pqTrainBooks(
+      resid.select(col("neighbor_id").as("vid"), col("rv").as("uv")),
+      m, codes, iters, d)
+    def augLit(book: Array[Array[Double]]) =
+      typedLit(book.map(c =>
+        (c :+ (-0.5 * c.map(x => x * x).sum)).toSeq).toSeq)
+    // ONE corpus projection: coarse cell + the m residual PQ codes
+    val enc = resid.select(col("neighbor_id"), col("cent_id"),
+      array((0 until m).map { s =>
+        call_function("best_centroid",
+          concat(slice(col("rv"), s * d + 1, d), array(lit(1.0))),
+          augLit(books(s)), lit(false))
+      }: _*).as("pq_codes"))
+    val qunit = unitize(queries, "query_id")
+    val centDf = spark.createDataFrame(
+      coarse.toIndexedSeq.zipWithIndex.map { case (v, i) => (i, v.toSeq) })
+      .toDF("cent_id", "centv")
+    val probeWin = Window.partitionBy("query_id")
+      .orderBy(col("dot_c").desc, col("cent_id").asc)
+    val probes = qunit.join(broadcast(centDf))
+      .withColumn("dot_c", dot(col("uv"), col("centv")))
+      .withColumn("_pr", row_number().over(probeWin)).filter(col("_pr") <= nProbe)
+      .select("query_id", "cent_id", "uv")
+    // per-(query, cell) ADC row: dot_mu (q·μ — opens the score sum) and
+    // the per-query lookup table (codebooks are shared across cells)
+    val probeAdc = probes.select(col("query_id"), col("cent_id"),
+      dot(col("uv"), element_at(muLit, col("cent_id") + 1)).as("dot_mu"),
+      array((for {
+        s <- 0 until m
+        c <- 0 until codes
+      } yield dot(slice(col("uv"), s * d + 1, d),
+        typedLit(books(s)(c).toSeq))): _*).as("adc"))
+    val fin = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    enc.join(broadcast(probeAdc), Seq("cent_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", round(
+        (col("dot_mu") +: (0 until m).map(s =>
+          element_at(col("adc"),
+            col("pq_codes").getItem(s) + lit(s * codes) + 1))).reduce(_ + _), 4))
       .select(col("query_id"), col("neighbor_id"), col("score"))
       .withColumn("rank", row_number().over(fin)).filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))

@@ -142,8 +142,17 @@ object DocQueries {
          |  WHERE nrm > 0
          | ),""".stripMargin +
         (if (extraCte.isEmpty) "" else s"\n $extraCte,") +
-      s"""
-         | c0 AS (
+      "\n" + kmeansStepsCte(nCentSql, iters)
+    head
+  }
+
+  /** The headless Lloyd chain of [[kmeansCtes]] — seed `c0` through
+    * `cent(cent_id, centv)` over an existing `unit` CTE, so it can
+    * compose with other chains that bring their own head (the v12/v13
+    * residual-PQ mirror). */
+  private def kmeansStepsCte(nCentSql: String, iters: Int): String = {
+    val head =
+      s""" c0 AS (
          |  SELECT cent_id, centv FROM (
          |   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cent_id, uv AS centv
          |   FROM unit) WHERE cent_id < $nCentSql
@@ -187,8 +196,14 @@ object DocQueries {
     * code keeps its previous centroid, seeds are the subvector slices of
     * the first `codes` unit vectors by id. Produces CTEs: `e`, `unit`,
     * `seed`, per sub `s{s}_c0..c{iters}` (codebooks) and `s{s}_enc`, and
-    * the joined `enc(vec_id, c0..c{m-1})`. */
-  private def pqCtes(m: Int, codes: Int, iters: Int, dims: Int): String = {
+    * the joined `enc(vec_id, c0..c{m-1})`.
+    *
+    * `src` is the (vec_id, uv) CTE the codebooks train on and encode —
+    * `unit` for PQ-on-the-vector (v9/v10/v11), the residual CTE spliced
+    * in through `extraCte` for the IVFADC mirror (v12/v13); `extraCte`
+    * lands between `unit` and `seed` so it can reference both. */
+  private def pqCtes(m: Int, codes: Int, iters: Int, dims: Int,
+                     extraCte: String = "", src: String = "unit"): String = {
     val d = dims / m
     def lo(s: Int) = s * d + 1
     def hi(s: Int) = s * d + d
@@ -198,11 +213,13 @@ object DocQueries {
          |  SELECT vec_id, list_transform(v, x -> x / nrm) AS uv
          |  FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
          |  WHERE nrm > 0
-         | ),
+         | ),""".stripMargin +
+        (if (extraCte.isEmpty) "" else s"\n$extraCte,") +
+      s"""
          | seed AS (
          |  SELECT * FROM (
          |   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, uv
-         |   FROM unit) WHERE code < $codes
+         |   FROM $src) WHERE code < $codes
          | )""".stripMargin
     val subs = (0 until m).map { s =>
       val c0 =
@@ -216,7 +233,7 @@ object DocQueries {
            |            (list_dot_product(u.sv, c.cv)
            |             - 0.5 * list_dot_product(c.cv, c.cv)) DESC,
            |            c.code) AS rn
-           |   FROM (SELECT vec_id, uv[${lo(s)}:${hi(s)}] AS sv FROM unit) u
+           |   FROM (SELECT vec_id, uv[${lo(s)}:${hi(s)}] AS sv FROM $src) u
            |   CROSS JOIN s${s}_c$p c) WHERE rn = 1
            | ),
            | s${s}_m$i AS (
@@ -240,7 +257,7 @@ object DocQueries {
            |            (list_dot_product(u.uv[${lo(s)}:${hi(s)}], c.cv)
            |             - 0.5 * list_dot_product(c.cv, c.cv)) DESC,
            |            c.code) AS rn
-           |   FROM unit u CROSS JOIN s${s}_c$iters c) WHERE rn = 1
+           |   FROM $src u CROSS JOIN s${s}_c$iters c) WHERE rn = 1
            | )""".stripMargin
       (c0 +: steps :+ encS).mkString(",\n")
     }
@@ -310,6 +327,73 @@ object DocQueries {
        |  SELECT p.query_id, v.vec_id AS neighbor_id,
        |         ROUND($dots, 4) AS score
        |  FROM probes p
+       |  JOIN cassign a ON a.cent_id = p.cent_id
+       |  JOIN enc v ON v.vec_id = a.vec_id
+       |  $joins
+       |  WHERE v.vec_id <> p.query_id
+       | )""".stripMargin
+  }
+
+  /** The residual-encoding preamble for the v12/v13 IVFADC mirror,
+    * spliced into [[pqCtes]] as `extraCte` with `src = "rv"`: the
+    * Lloyd-refined coarse cells of [[kmeansStepsCte]] rank assignment
+    * and probing (unit centroids, plain-dot argmax, ties low — the
+    * shared cosine contract), `mu` is each cell's UN-normalized mean
+    * (the Jégou shift that minimizes residual norm — see the Spark-side
+    * scaladoc for the measured recall ladder), and
+    * `rv(vec_id, cent_id, uv)` = each vector's element-wise residual to
+    * its cell mean — the frame the PQ chain trains on and encodes. */
+  private def ivfResidualCte(nCentroids: Int, kmIters: Int): String =
+    s"""${kmeansStepsCte(nCentroids.toString, kmIters)},
+       | cassign AS (
+       |  SELECT vec_id, cent_id FROM (
+       |   SELECT u.vec_id, c.cent_id,
+       |          ROW_NUMBER() OVER (PARTITION BY u.vec_id ORDER BY
+       |            list_dot_product(u.uv, c.centv) DESC, c.cent_id) AS rn
+       |   FROM unit u CROSS JOIN cent c) WHERE rn = 1
+       | ),
+       | mu AS (
+       |  SELECT cent_id, list(mx ORDER BY pos) AS muv
+       |  FROM (SELECT cent_id, pos, avg(x) AS mx
+       |        FROM (SELECT a.cent_id, unnest(u.uv) AS x,
+       |                     generate_subscripts(u.uv, 1) AS pos
+       |              FROM unit u JOIN cassign a USING (vec_id))
+       |        GROUP BY cent_id, pos)
+       |  GROUP BY cent_id
+       | ),
+       | rv AS (
+       |  SELECT u.vec_id, a.cent_id,
+       |         list_transform(list_zip(u.uv, m.muv), x -> x[1] - x[2]) AS uv
+       |  FROM unit u JOIN cassign a USING (vec_id) JOIN mu m USING (cent_id)
+       | )""".stripMargin
+
+  /** The v12 scoring tail over the residual chain: probes rank cells on
+    * the unit-centroid dot, and the score opens with `q·μ` (the probed
+    * cell's un-normalized mean) followed by the m residual-codebook
+    * lookups — left-associated exactly like the Spark side's reduce,
+    * then 1e-4-rounded. */
+  private def ivfPqResidualScoredCte(
+      m: Int, iters: Int, dims: Int, nProbe: Int): String = {
+    val d = dims / m
+    val dots = (0 until m).map(s =>
+      s"list_dot_product(p.uv[${s * d + 1}:${s * d + d}], b$s.cv)")
+      .mkString("\n         |             + ")
+    val joins = (0 until m).map(s =>
+      s"JOIN s${s}_c$iters b$s ON b$s.code = v.c$s").mkString("\n         |  ")
+    s""" probes AS (
+       |  SELECT query_id, uv, cent_id FROM (
+       |   SELECT q.vec_id AS query_id, q.uv, c.cent_id,
+       |          ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |            list_dot_product(q.uv, c.centv) DESC, c.cent_id) AS rn
+       |   FROM (SELECT * FROM unit WHERE vec_id < 20) q CROSS JOIN cent c)
+       |  WHERE rn <= $nProbe
+       | ),
+       | scored AS (
+       |  SELECT p.query_id, v.vec_id AS neighbor_id,
+       |         ROUND(list_dot_product(p.uv, cm.muv)
+       |             + $dots, 4) AS score
+       |  FROM probes p
+       |  JOIN mu cm ON cm.cent_id = p.cent_id
        |  JOIN cassign a ON a.cent_id = p.cent_id
        |  JOIN enc v ON v.vec_id = a.vec_id
        |  $joins
@@ -704,6 +788,33 @@ object DocQueries {
       Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
           k = 3, dims = 64, nCentroids = 16, nProbe = 4, m = 4, codes = 16, iters = 2)
         .orderBy("query_id", "rank")
+    }),
+
+    // V12: IVFADC proper — the Jégou §IV residual refinement of v11: the
+    // PQ codebooks train on and encode each vector's residual to its
+    // coarse centroid, and the score recomposes as q·centroid + the m
+    // residual lookups; same index bytes, resolution spent on the
+    // within-cell spread
+    "v12_ivfpq_residual_topk" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Similarity.ivfPqResidualTopK(emb, emb.filter(col("vec_id") < 20),
+          "vec_id", "embedding",
+          k = 3, dims = 64, nCentroids = 16, nProbe = 4, m = 4, codes = 16, iters = 2)
+        .orderBy("query_id", "rank")
+    }),
+
+    // V13: recall@3 of the residual form against exact brute-force — read
+    // next to v10 (vector-encoding PQ) and v8 (IVF-Flat), this quantifies
+    // what the residual refinement buys at identical m x codes budget
+    "v13_ivfpq_residual_recall" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 20)
+      Similarity.recallAtK(
+          Similarity.ivfPqResidualTopK(emb, q, "vec_id", "embedding",
+            k = 3, dims = 64, nCentroids = 16, nProbe = 4, m = 4, codes = 16, iters = 2),
+          Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 3),
+          k = 3)
+        .orderBy("query_id")
     }),
 
     // D7: embedding-cosine near-dup pairs — LSH-bucketed candidates scored
@@ -1828,6 +1939,49 @@ object DocQueries {
          |SELECT query_id, "rank", neighbor_id, score
          |FROM ranked WHERE "rank" <= 3
          |ORDER BY query_id, "rank"""".stripMargin,
+
+    // V12: the residual (IVFADC) chain — pqCtes trained on the rv
+    // residual frame, scored as probe dot + residual lookups
+    "v12_ivfpq_residual_topk" ->
+      s"""WITH ${pqCtes(4, 16, 2, 64, ivfResidualCte(16, 2), "rv")},
+         |${ivfPqResidualScoredCte(4, 2, 64, 4)},
+         | ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS "rank"
+         |  FROM scored
+         | )
+         |SELECT query_id, "rank", neighbor_id, score
+         |FROM ranked WHERE "rank" <= 3
+         |ORDER BY query_id, "rank"""".stripMargin,
+
+    // V13: the residual chain's recall@3 vs exact brute force (the v10
+    // gauge pointed at v12)
+    "v13_ivfpq_residual_recall" ->
+      s"""WITH ${pqCtes(4, 16, 2, 64, ivfResidualCte(16, 2), "rv")},
+         |${ivfPqResidualScoredCte(4, 2, 64, 4)},
+         | aranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+         |  FROM scored
+         | ),
+         | approx AS (SELECT query_id, neighbor_id FROM aranked WHERE rnk <= 3),
+         | bscored AS (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |         ROUND(list_dot_product(q.v, e.v)
+         |               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))), 4) AS cosine
+         |  FROM (SELECT * FROM e WHERE vec_id < 20) q, e
+         |  WHERE e.vec_id <> q.vec_id
+         | ),
+         | branked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+         |  FROM bscored
+         | ),
+         | truth AS (SELECT query_id, neighbor_id FROM branked WHERE rnk <= 3)
+         |SELECT t.query_id AS query_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_truth,
+         |       CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+         |       ROUND(COUNT(a.neighbor_id) * 1.0 / COUNT(*), 4) AS recall
+         |FROM truth t
+         |LEFT JOIN approx a ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+         |GROUP BY t.query_id ORDER BY query_id""".stripMargin,
 
     "t4_pii_scrub" ->
       s"""WITH p AS (

@@ -182,6 +182,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(shape(Similarity.ivfPqTopK(
       embSpread, embQueries, "vec_id", "embedding", k = 3,
       dims = 64, nCentroids = 8, nProbe = 2, m = 4, codes = 8, iters = 1)) === ((1, 2)))
+    // the residual (IVFADC) form keeps the identical serving shape: the
+    // mean subtraction and code assignment ride the corpus projection,
+    // the extra q·μ dot rides the broadcast ADC row — a refactor that
+    // joins μ or the residuals in as a corpus-side table fails here
+    assert(shape(Similarity.ivfPqResidualTopK(
+      embSpread, embQueries, "vec_id", "embedding", k = 3,
+      dims = 64, nCentroids = 8, nProbe = 2, m = 4, codes = 8, iters = 1)) === ((1, 2)))
   }
 
   test("embedding near-dup: one corpus exchange, pairs die inside the bucket") {

@@ -79,6 +79,46 @@ class PqSpec extends SparkSpec {
     assert(pruned.forall(t => plainScores.get((t._1, t._3)).forall(_ == t._4)))
   }
 
+  test("residual IVFADC separates orthogonal families and is deterministic") {
+    // same two-family fixture as the plain-ADC test: with 2 Lloyd-refined
+    // cells the families land in separate cells, residuals to the cell
+    // MEAN are the small intra-family jitters, and retrieval must stay
+    // family-pure; two runs must agree bit-for-bit (deterministic seeds,
+    // exact aggregation contract)
+    val rows = (0 until 20).map { i =>
+      val fam = i % 2
+      val base = Array.tabulate(16)(j =>
+        if (j < 8) (if (fam == 0) 1.0 else 0.0) else (if (fam == 0) 0.0 else 1.0))
+      base(i % 16) += 0.05 * (1 + i / 4)
+      Row(i.toLong, base.toSeq)
+    }
+    val d = df("vec_id LONG, embedding ARRAY<DOUBLE>", rows)
+    val q = d.filter(col("vec_id") < 4)
+    def run() = Similarity.ivfPqResidualTopK(d, q, "vec_id", "embedding",
+        k = 3, dims = 16, nCentroids = 2, nProbe = 1, m = 2, codes = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val a = run()
+    assert(a === run())
+    assert(a.length === 12)
+    assert(a.forall { case (query, _, neighbor, _) => query % 2 == neighbor % 2 })
+  }
+
+  test("residual scores approach the true cosine when codes cover the cell") {
+    // with enough codes that Lloyd can give every residual its own
+    // codeword, ADC reconstruction q·μ + q·r̂ must land within the
+    // quantization-free bound of the exact cosine
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    val approx = Similarity.ivfPqResidualTopK(emb, q, "vec_id", "embedding",
+        k = 3, dims = 64, nCentroids = 4, nProbe = 4, m = 4, codes = 32, iters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val errs = approx.flatMap { case (k2, s) => exact.get(k2).map(e => math.abs(s - e)) }
+    assert(errs.nonEmpty)
+    assert(errs.max < 0.2, s"max ADC error ${errs.max}")
+  }
+
   test("pqTopK is deterministic and ranks by the ADC score") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.filter(col("vec_id") < 5)
