@@ -138,9 +138,13 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val canaryLast = canary()
-    val contended =
-      math.max(canaryFirst, canaryLast) /
-        math.max(1e-9, math.min(canaryFirst, canaryLast)) > 1.5
+    // Directional: contention can only make the post-battery probe SLOWER
+    // than the pre-battery one. A faster last probe is residual JIT/GC
+    // settling that the warm-until-steady loop missed (observed 0.31 →
+    // 0.18 on a quiet machine after 12 agreeing warm runs — the battery
+    // itself deep-warms Spark code paths the probe shares), and the old
+    // symmetric max/min ratio flagged that improvement as contention.
+    val contended = canaryLast / math.max(1e-9, canaryFirst) > 1.5
     // ns_per_row: the probe's absolute per-row cost (best of both probes,
     // total work is 2e8 rows regardless of core count). The ratio flag is
     // blind to contention that inflates BOTH probes equally; this number
