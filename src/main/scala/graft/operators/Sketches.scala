@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable sketches for corpus-scale statistics.
+  *
+  * At 100 TB an exact `COUNT(DISTINCT x)` per group means shuffling every
+  * distinct value; the skew-safe salted form ([[Salted.saltedCountDistinct]])
+  * bounds reducer memory but still moves the full distinct set once. A
+  * HyperLogLog register frame is the sublinear alternative: each group
+  * collapses to at most `2^p` (bucket, rho) rows — built map-side by the
+  * partial `max` aggregation, so the shuffle carries registers, not values —
+  * and register frames from different corpus slices merge by `max` again,
+  * which is what makes the sketch usable incrementally (sketch each daily
+  * batch, merge, estimate — no re-scan of the standing corpus).
+  *
+  * Design constraints shared with the dedup family (see
+  * `Dedup.shingleHash60`): the hash is the engine-wide 60-bit md5 prefix, so
+  * the DuckDB oracle replays the IDENTICAL sketch bit-for-bit — bucket, rho,
+  * and the scaled harmonic sum are all integer-exact in both engines
+  * (`length(bin(x))` is the MSB position; the sum is kept scaled by
+  * `2^(w+1)` so every addend is an integer). Only the final
+  * estimate touches floating point, under the repo's ROUND(x,4) convention.
+  *
+  * Estimator: Flajolet–Fuchs–Gandouet–Meunier 2007 (the standard
+  * HyperLogLog): `E = alpha_m * m^2 / sum_j 2^-M_j`, with the
+  * linear-counting fallback `m * ln(m/V)` when `E <= 2.5m` and some
+  * register is still zero. No large-range correction is needed: the hash
+  * space is 2^60 per group.
+  */
+object Sketches {
+
+  /** Engine-wide 60-bit hash (15 md5 hex digits) — the same hash the
+    * shingle/contamination family joins on; its DuckDB mirror is the
+    * shared `hash60Sql` fragment in the oracle battery. */
+  private def hash60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  private def checkP(p: Int): Unit =
+    require(p >= 7 && p <= 16,
+      s"precision p must be in [7,16] (m=2^p registers, alpha formula assumes m>=128), got $p")
+
+  /** The non-zero HLL registers of `valueCol` per `keys` group:
+    * `(keys..., hll_bucket, hll_rho)` with one row per OCCUPIED bucket —
+    * absent buckets are register 0, carried implicitly (a 100 TB corpus
+    * never materializes `m` rows for a group that holds two values).
+    *
+    * Bucket = top `p` bits of the 60-bit hash; rho = leading-zero count of
+    * the remaining `w = 60-p` bits + 1 (so rho ∈ [1, w+1]). Register
+    * frames are mergeable: union two frames and re-aggregate
+    * `max(hll_rho)` per (keys, bucket) — [[hllMerge]].
+    *
+    * One shuffle, on (keys, bucket): the map-side partial `max` compacts
+    * each input partition to ≤ m rows per group before the exchange. */
+  def hllRegisters(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      p: Int = 12
+  ): DataFrame = {
+    checkP(p)
+    val w = 60 - p
+    val mask = (1L << w) - 1
+    val h = hash60(col(valueCol))
+    df.where(col(valueCol).isNotNull)
+      .select(keys.map(col) :+ shiftright(h, w).as("hll_bucket")
+        :+ h.bitwiseAND(lit(mask)).as("_rem"): _*)
+      // length(bin(x)) = floor(log2(x)) + 1 exactly (string length of the
+      // minimal binary repr — integer-exact, unlike float log2, and the
+      // same builtin exists in DuckDB for the oracle replay)
+      .withColumn("hll_rho",
+        when(col("_rem") === 0, lit(w + 1))
+          .otherwise(lit(w + 1) - length(bin(col("_rem")))))
+      .groupBy((keys :+ "hll_bucket").map(col): _*)
+      .agg(max("hll_rho").cast("int").as("hll_rho"))
+  }
+
+  /** Merge two register frames over the same keys (e.g. yesterday's corpus
+    * sketch + today's batch sketch): max per (keys, bucket). */
+  def hllMerge(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy((keys :+ "hll_bucket").map(col): _*)
+      .agg(max("hll_rho").cast("int").as("hll_rho"))
+
+  /** Cardinality estimate from a register frame:
+    * `(keys..., hll_distinct)` with the estimate ROUND(,4).
+    *
+    * The harmonic sum is computed scaled by `2^(w+1)` so every addend —
+    * `2^(w+1-rho)` for occupied buckets, `2^(w+1)` for each of the
+    * `m - present` implicit zero registers — is an integer; the sum fits a
+    * long (≤ m * 2^(w+1) = 2^61) and both engines reach the IDENTICAL
+    * value before the single division that leaves integer space. */
+  def hllEstimate(registers: DataFrame, keys: Seq[String], p: Int = 12): DataFrame = {
+    checkP(p)
+    val w = 60 - p
+    val m = 1 << p
+    // alpha_m * m^2 * 2^(w+1): one driver-side double, embedded as the same
+    // literal in the Spark plan and the generated oracle SQL (Double
+    // toString round-trips exactly, so both engines parse the same bits)
+    val cFactor = hllCFactor(p)
+    val grouped = registers
+      .groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("_present"),
+        sum(expr(s"shiftleft(cast(1 as bigint), ${w + 1} - hll_rho)")).as("_ssum"))
+    val sint = col("_ssum") +
+      (lit(m.toLong) - col("_present")) * lit(1L << (w + 1))
+    val rawE = lit(cFactor) / sint.cast("double")
+    val v = lit(m.toLong) - col("_present")
+    val est = when(rawE <= lit(2.5 * m) && v > lit(0L),
+      lit(m.toDouble) * log(lit(m.toDouble) / v.cast("double"))).otherwise(rawE)
+    grouped.select(keys.map(col) :+ round(est, 4).as("hll_distinct"): _*)
+  }
+
+  /** `alpha_m * m^2 * 2^(w+1)` — the constant factor of the scaled
+    * estimator, exposed so the oracle SQL generator embeds the identical
+    * double literal. */
+  def hllCFactor(p: Int): Double = {
+    checkP(p)
+    val w = 60 - p
+    val m = 1 << p
+    0.7213 / (1 + 1.079 / m) * m.toDouble * m.toDouble * math.pow(2.0, w + 1)
+  }
+
+  /** One-call form: distinct-count estimate of `valueCol` per `keys`.
+    * Plan: one (keys, bucket) exchange with map-side register compaction,
+    * then a tiny per-key aggregation of ≤ m register rows. */
+  def hllDistinct(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      p: Int = 12
+  ): DataFrame =
+    hllEstimate(hllRegisters(df, keys, valueCol, p), keys, p)
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Classifier, Dedup, Keywords, Multimodal, Packing, Salted, Sampling, Similarity}
+import graft.operators.{Classifier, Dedup, Keywords, Multimodal, Packing, Salted, Sampling, Similarity, Sketches}
 
 /** LLM-training-data pipeline battery over the `documents` / `embeddings`
   * tables: text analysis, language ID, fingerprinting, exact + near dedup,
@@ -1109,6 +1109,24 @@ object DocQueries {
         .select("doc_id", "split")
         .orderBy("doc_id")),
 
+    // T32: HyperLogLog distinct-token sketch per language, next to the
+    // exact salted count — the sublinear path for per-group cardinality
+    // at corpus scale (registers shuffle, values don't). The sketch is
+    // replayed bit-identically by the DuckDB oracle (same 60-bit hash,
+    // integer-exact registers and scaled harmonic sum), so hll_distinct
+    // is a hash-exact row, not a tolerance check; rel_err vs the exact
+    // count is carried to SHOW the sketch accuracy (m=4096 -> ~1.6% se)
+    "t32_hll_distinct" -> ((s, dir) => {
+      val toks = table(s, dir, "documents")
+        .select(col("lang"), explode(TextFunctions.tokens("text")).as("t"))
+      Sketches.hllDistinct(toks, Seq("lang"), "t", p = 12)
+        .join(Salted.saltedCountDistinct(toks, Seq("lang"), "t", buckets = 16), "lang")
+        .select(col("lang"), col("hll_distinct"), col("n_distinct"),
+          round(abs(col("hll_distinct") - col("n_distinct")) / col("n_distinct"), 4)
+            .as("rel_err"))
+        .orderBy("lang")
+    }),
+
     // T14: TF-IDF keyword extraction — top-3 terms per document by
     // tf x smoothed-idf; the ranking window partitions on doc_id (high
     // cardinality), never on a low-cardinality key
@@ -2123,6 +2141,39 @@ object DocQueries {
          |SELECT doc_id, source FROM documents
          |WHERE source NOT IN (SELECT source FROM bad)
          |ORDER BY doc_id""".stripMargin,
+
+    // T32: bit-identical replay of the HLL sketch (Sketches.hllDistinct,
+    // p=12): same 60-bit hash, bucket = top 12 bits, rho via the
+    // integer-exact length(bin(x)) MSB position, max per bucket, harmonic
+    // sum scaled by 2^49 so it stays in integer space; the constant
+    // factor is the SAME double literal the Spark plan embeds
+    // (Sketches.hllCFactor round-trips through toString), and ln() only
+    // enters the linear-counting branch under the ROUND(,4) convention
+    "t32_hll_distinct" -> {
+      val c = Sketches.hllCFactor(12)
+      s"""WITH tok AS (SELECT lang, unnest($ws) AS t FROM documents),
+         | hh AS (SELECT lang, ${hash60Sql("t")} AS h FROM tok WHERE t IS NOT NULL),
+         | reg AS (SELECT lang, h >> 48 AS bucket,
+         |                MAX(CASE WHEN (h & 281474976710655) = 0 THEN 49
+         |                         ELSE 49 - length(bin(h & 281474976710655)) END) AS rho
+         |         FROM hh GROUP BY 1, 2),
+         | agg AS (SELECT lang, COUNT(*) AS present,
+         |                SUM(1::BIGINT << (49 - rho)) AS ssum
+         |         FROM reg GROUP BY 1),
+         | est AS (SELECT lang, 4096 - present AS v,
+         |                $c / CAST(ssum + (4096 - present) * (1::BIGINT << 49) AS DOUBLE) AS rawe
+         |         FROM agg),
+         | fin AS (SELECT lang,
+         |                ROUND(CASE WHEN rawe <= 10240.0 AND v > 0
+         |                           THEN 4096.0 * ln(4096.0 / CAST(v AS DOUBLE))
+         |                           ELSE rawe END, 4) AS hll_distinct
+         |         FROM est),
+         | ex AS (SELECT lang, COUNT(DISTINCT t) AS n_distinct FROM tok GROUP BY 1)
+         |SELECT fin.lang AS lang, hll_distinct, n_distinct,
+         |       ROUND(ABS(hll_distinct - n_distinct) / n_distinct, 4) AS rel_err
+         |FROM fin JOIN ex ON fin.lang = ex.lang
+         |ORDER BY fin.lang""".stripMargin
+    },
 
     // T29: exact mirror of Sampling.assignSplits — the 60-bit draw against
     // cumulative bounds 0.75 / 0.875 (both exactly representable)

@@ -248,6 +248,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(shape(Dedup.minHashSignatures(docs, "doc_id", "text")) === ((0, 0)))
   }
 
+  test("HLL distinct: one register exchange + one per-key estimate agg") {
+    // registers compact map-side to <= 2^p rows per (key, bucket) before
+    // the exchange; the estimate aggregates the register frame only — a
+    // refactor that shuffles raw values (the exact-distinct shape) fails
+    assert(shape(graft.operators.Sketches.hllDistinct(
+      docs.select(col("lang"), explode(TextFunctions.tokens("text")).as("t")),
+      Seq("lang"), "t")) === ((2, 0)))
+  }
+
   test("split assignment never shuffles: the draw decides on the scan") {
     assert(shape(Sampling.assignSplits(docs, "doc_id",
       Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))) === ((0, 0)))
