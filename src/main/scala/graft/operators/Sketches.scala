@@ -133,4 +133,87 @@ object Sketches {
       p: Int = 12
   ): DataFrame =
     hllEstimate(hllRegisters(df, keys, valueCol, p), keys, p)
+
+  // ---- count-min sketch ---------------------------------------------------
+
+  /** Count-min sketch counters of `valueCol` occurrences: `(cms_row,
+    * cms_bucket, cms_count)` — `d` hash rows × `w` buckets (Cormode &
+    * Muthukrishnan 2005). The frequency table of a 100 TB token stream
+    * collapses to `d*w` integers: the map-side partial sum compacts each
+    * input partition to ≤ d*w rows before the one exchange, and counter
+    * frames from corpus slices merge by ADDING counts ([[cmsMerge]]).
+    * Estimates only ever over-count (collisions add, never subtract), by
+    * at most `2*N/w` with probability `1 - 2^-d` — choose `w` against the
+    * stream size, `d` against the failure odds.
+    *
+    * Row hashes are the engine-wide 60-bit hash of `"cms<row>:<value>"`,
+    * so the oracle replays the identical counters. */
+  def cmsCounters(
+      df: DataFrame,
+      valueCol: String,
+      d: Int = 4,
+      w: Int = 512
+  ): DataFrame = {
+    require(d >= 1 && d <= 8 && w >= 2, s"need 1<=d<=8, w>=2, got d=$d w=$w")
+    df.where(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("string").as("_v"),
+        explode(sequence(lit(0), lit(d - 1))).as("cms_row"))
+      .select(col("cms_row"), cmsBucket(col("_v"), col("cms_row"), w))
+      .groupBy("cms_row", "cms_bucket")
+      .agg(count(lit(1)).as("cms_count"))
+  }
+
+  private def cmsBucket(v: Column, row: Column, w: Int): Column =
+    pmod(hash60(concat(lit("cms"), row.cast("string"), lit(":"), v)), lit(w.toLong))
+      .as("cms_bucket")
+
+  /** Merge counter frames from two corpus slices: counts ADD per cell. */
+  def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy("cms_row", "cms_bucket")
+      .agg(sum("cms_count").as("cms_count"))
+
+  /** Point-estimate the frequency of each candidate value against a
+    * counter frame: `(candidates..., cms_count)` — min over the `d` row
+    * counters, the classic CMS query. The counter frame is `d*w` rows, so
+    * the lookup join broadcasts; per candidate this costs `d` exploded
+    * rows + one tiny-side join, no corpus re-scan. */
+  def cmsEstimate(
+      counters: DataFrame,
+      candidates: DataFrame,
+      valueCol: String,
+      d: Int = 4,
+      w: Int = 512
+  ): DataFrame = {
+    require(d >= 1 && d <= 8 && w >= 2, s"need 1<=d<=8, w>=2, got d=$d w=$w")
+    val keyed = candidates
+      .withColumn("cms_row", explode(sequence(lit(0), lit(d - 1))))
+      .withColumn("cms_bucket", cmsBucket(col(valueCol).cast("string"), col("cms_row"), w))
+    val outCols = candidates.columns.toSeq
+    keyed
+      .join(broadcast(counters), Seq("cms_row", "cms_bucket"))
+      .groupBy(outCols.map(col): _*)
+      .agg(min("cms_count").as("cms_count"))
+  }
+
+  /** Heavy hitters: the top `k` values of `valueCol` by CMS-estimated
+    * frequency (ties broken by value — a strict total order, so both
+    * engines cut the identical prefix). At scale the exact per-value
+    * count never happens: the stream aggregates once into `d*w` counters,
+    * candidates are the distinct values (already needed for the answer),
+    * and ranking runs on the estimate. */
+  def cmsTopK(
+      df: DataFrame,
+      valueCol: String,
+      k: Int,
+      d: Int = 4,
+      w: Int = 512
+  ): DataFrame = {
+    val counters = cmsCounters(df, valueCol, d, w)
+    val cand = df.where(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("string").as(valueCol)).distinct()
+    cmsEstimate(counters, cand, valueCol, d, w)
+      .orderBy(col("cms_count").desc, col(valueCol))
+      .limit(k)
+  }
 }

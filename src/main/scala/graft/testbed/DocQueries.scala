@@ -1127,6 +1127,22 @@ object DocQueries {
         .orderBy("lang")
     }),
 
+    // T33: count-min heavy hitters — the token stream collapses to 4x512
+    // counters (map-side partial sums, counters broadcast back for the
+    // candidate lookup); ranking runs on the ESTIMATE, ties broken by
+    // token so both engines cut the same prefix. true_count/overcount
+    // carried to show the CMS overestimate-only guarantee — all-integer
+    // columns, a hash-exact row
+    "t33_cms_heavy_hitters" -> ((s, dir) => {
+      val toks = table(s, dir, "documents")
+        .select(explode(TextFunctions.tokens("text")).as("t"))
+      Sketches.cmsTopK(toks, "t", k = 20, d = 4, w = 512)
+        .join(toks.groupBy("t").agg(count(lit(1)).as("true_count")), "t")
+        .select(col("t").as("token"), col("cms_count"), col("true_count"),
+          (col("cms_count") - col("true_count")).as("overcount"))
+        .orderBy(col("cms_count").desc, col("token"))
+    }),
+
     // T14: TF-IDF keyword extraction — top-3 terms per document by
     // tf x smoothed-idf; the ranking window partitions on doc_id (high
     // cardinality), never on a low-cardinality key
@@ -2173,6 +2189,29 @@ object DocQueries {
          |       ROUND(ABS(hll_distinct - n_distinct) / n_distinct, 4) AS rel_err
          |FROM fin JOIN ex ON fin.lang = ex.lang
          |ORDER BY fin.lang""".stripMargin
+    },
+
+    // T33: exact mirror of Sketches.cmsTopK (d=4, w=512) — identical row
+    // hashes ('cms<j>:<token>' through the 60-bit hash, mod 512),
+    // identical counters, min-over-rows estimate, same (est DESC, token)
+    // cut; every column is an exact integer
+    "t33_cms_heavy_hitters" -> {
+      val rowHash = hash60Sql("'cms' || CAST(j AS VARCHAR) || ':' || t")
+      s"""WITH tok AS (SELECT unnest($ws) AS t FROM documents),
+         | js AS (SELECT unnest(generate_series(0, 3)) AS j),
+         | cnt AS (SELECT j, ($rowHash) % 512 AS bucket, COUNT(*) AS c
+         |         FROM tok CROSS JOIN js WHERE t IS NOT NULL GROUP BY 1, 2),
+         | cand AS (SELECT t, COUNT(*) AS true_count FROM tok
+         |          WHERE t IS NOT NULL GROUP BY 1),
+         | cj AS (SELECT t, true_count, j, ($rowHash) % 512 AS bucket
+         |        FROM cand CROSS JOIN js),
+         | est AS (SELECT t, MIN(true_count) AS true_count, MIN(c) AS cms_count
+         |         FROM cj JOIN cnt ON cj.j = cnt.j AND cj.bucket = cnt.bucket
+         |         GROUP BY t),
+         | top AS (SELECT * FROM est ORDER BY cms_count DESC, t LIMIT 20)
+         |SELECT t AS token, cms_count, true_count,
+         |       cms_count - true_count AS overcount
+         |FROM top ORDER BY cms_count DESC, token""".stripMargin
     },
 
     // T29: exact mirror of Sampling.assignSplits — the 60-bit draw against

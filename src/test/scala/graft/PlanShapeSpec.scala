@@ -257,6 +257,15 @@ class PlanShapeSpec extends SparkSpec {
       Seq("lang"), "t")) === ((2, 0)))
   }
 
+  test("CMS top-k: counter + candidate aggs, counters broadcast for lookup") {
+    // the token stream aggregates once into d*w counters and once into
+    // candidates; the lookup join must BROADCAST the tiny counter frame —
+    // a refactor that shuffles the corpus against the counters fails
+    val (shuffles, broadcasts) = shape(graft.operators.Sketches.cmsTopK(
+      docs.select(explode(TextFunctions.tokens("text")).as("t")), "t", k = 20))
+    assert(broadcasts === 1 && shuffles <= 3, s"($shuffles, $broadcasts)")
+  }
+
   test("split assignment never shuffles: the draw decides on the scan") {
     assert(shape(Sampling.assignSplits(docs, "doc_id",
       Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))) === ((0, 0)))

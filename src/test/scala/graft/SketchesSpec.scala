@@ -79,4 +79,41 @@ class SketchesSpec extends SparkSpec {
     assert(rowSet(Sketches.hllDistinct(d, Seq("k"), "v")) ===
       rowSet(Sketches.hllDistinct(d, Seq("k"), "v")))
   }
+
+  // ---- count-min sketch ---------------------------------------------------
+
+  /** Zipf-ish stream: token i appears ~1000/i times. */
+  private def zipfStream = df("t STRING",
+    (1 to 60).flatMap(i => Seq.fill(1000 / i)(Row(s"tok-$i"))))
+
+  test("CMS estimates never under-count, and are exact sans collisions") {
+    val exact = zipfStream.groupBy("t").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // w=2048 >> 60 distinct values: collisions essentially impossible in
+    // all 4 rows at once -> min over rows recovers the exact count
+    val wide = Sketches.cmsTopK(zipfStream, "t", k = 60, d = 4, w = 2048)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wide === exact)
+    // w=8 forces collisions: estimates only ever OVER-count
+    val tight = Sketches.cmsTopK(zipfStream, "t", k = 60, d = 4, w = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tight.forall { case (t, est) => est >= exact(t) })
+  }
+
+  test("CMS counter frames are d*w-bounded and merge by addition") {
+    val a = zipfStream.filter(col("t") =!= "tok-1")
+    val b = zipfStream.filter(col("t") === "tok-1")
+    val whole = Sketches.cmsCounters(zipfStream, "t", d = 4, w = 64)
+    assert(whole.count() <= 4 * 64)
+    val merged = Sketches.cmsMerge(
+      Sketches.cmsCounters(a, "t", d = 4, w = 64),
+      Sketches.cmsCounters(b, "t", d = 4, w = 64))
+    assert(rowSet(whole) === rowSet(merged))
+  }
+
+  test("CMS top-k ranks heavy hitters first on a skewed stream") {
+    val top5 = Sketches.cmsTopK(zipfStream, "t", k = 5, d = 4, w = 1024)
+      .collect().map(_.getString(0)).toSet
+    assert(top5 === Set("tok-1", "tok-2", "tok-3", "tok-4", "tok-5"))
+  }
 }
