@@ -478,6 +478,28 @@ object DatacubeQueries {
         .orderBy("event_id")
     }),
 
+    // O4: range join — the attribution query: clicks landing inside each
+    // purchase's 24 h window, keyed by user. A raw lo<=p<hi predicate
+    // would plan as a nested loop; the operator's bin-bucketed rewrite
+    // runs it as an equi-join on (user_id, bin) with a residual filter
+    // (binWidth = the window length, so each interval replicates to <= 2
+    // bins). Aggregated to per-purchase integer counts — hash-exact.
+    "o4_range_join" -> ((s, dir) => {
+      val ev0 = Datacube.table(s, dir, "events")
+      val ev = ev0.select(col("event_id"), col("user_id"),
+        tsMs(ev0).as("ts_ms"), col("event_type"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_ms"))
+      val windows = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts_ms").as("lo"), (col("ts_ms") + lit(86400000L)).as("hi"))
+      graft.operators.RangeJoin.joinPointInRange(clicks, windows, Seq("user_id"),
+          "ts_ms", "lo", "hi", binWidth = 86400000L)
+        .groupBy("purchase_id")
+        .agg(count(lit(1)).as("n_clicks"), max("ts_ms").as("last_click_ms"))
+        .orderBy("purchase_id")
+    }),
+
     // O3: gap-based sessionization — one window per user (lag marks
     // session starts, running sum numbers them), then per-session stats.
     // 12 h timeout sits above the ~7 h median inter-event gap, so the
@@ -889,6 +911,25 @@ object DatacubeQueries {
         |FROM clicks c ASOF LEFT JOIN purchases p
         |  ON c.user_id = p.user_id AND p.ts_ms <= c.ts_ms
         |ORDER BY event_id""".stripMargin,
+
+    // O4: the range join stated directly as the theta predicate DuckDB
+    // optimizes natively (its IEJoin) — equality of results IS the gate
+    // that the bin-bucketed rewrite loses no pairs at the bin seams
+    "o4_range_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type FROM events
+        | ),
+        | clicks AS (SELECT user_id, ts_ms FROM ev WHERE event_type = 'click'),
+        | w AS (
+        |  SELECT event_id AS purchase_id, user_id, ts_ms AS lo,
+        |         ts_ms + 86400000 AS hi
+        |  FROM ev WHERE event_type = 'purchase'
+        | )
+        |SELECT purchase_id, COUNT(*) AS n_clicks,
+        |       MAX(c.ts_ms) AS last_click_ms
+        |FROM w JOIN clicks c ON w.user_id = c.user_id
+        |  AND c.ts_ms >= w.lo AND c.ts_ms < w.hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "o3_sessionize" ->
       """WITH ev AS (
