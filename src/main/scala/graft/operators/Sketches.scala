@@ -58,6 +58,19 @@ object Sketches {
       keys: Seq[String],
       valueCol: String,
       p: Int = 12
+  ): DataFrame =
+    hllProject(df, keys, valueCol, p)
+      .groupBy((keys :+ "hll_bucket").map(col): _*)
+      .agg(max("hll_rho").cast("int").as("hll_rho"))
+
+  /** The pre-aggregation projection: one `(keys..., hll_bucket, hll_rho)`
+    * row per input value — shared by the batch register aggregation and
+    * the streaming state operator, so both faces hash/bucket identically. */
+  def hllProject(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      p: Int = 12
   ): DataFrame = {
     checkP(p)
     val w = 60 - p
@@ -72,8 +85,7 @@ object Sketches {
       .withColumn("hll_rho",
         when(col("_rem") === 0, lit(w + 1))
           .otherwise(lit(w + 1) - length(bin(col("_rem")))))
-      .groupBy((keys :+ "hll_bucket").map(col): _*)
-      .agg(max("hll_rho").cast("int").as("hll_rho"))
+      .drop("_rem")
   }
 
   /** Merge two register frames over the same keys (e.g. yesterday's corpus
@@ -111,6 +123,29 @@ object Sketches {
     val est = when(rawE <= lit(2.5 * m) && v > lit(0L),
       lit(m.toDouble) * log(lit(m.toDouble) / v.cast("double"))).otherwise(rawE)
     grouped.select(keys.map(col) :+ round(est, 4).as("hll_distinct"): _*)
+  }
+
+  /** Driver/executor-side estimate from an occupied-register map
+    * (bucket → rho) — the SAME arithmetic as [[hllEstimate]], operation
+    * for operation (integer scaled sum, one double division, HALF_UP
+    * rounding via BigDecimal exactly as Spark's `round`), so the
+    * streaming state operator's emitted estimates are bit-identical to
+    * the batch column plan's. SketchesSpec pins the parity. */
+  def estimateRegisters(rhoByBucket: scala.collection.Map[Int, Int], p: Int = 12): Double = {
+    checkP(p)
+    val w = 60 - p
+    val m = 1 << p
+    val present = rhoByBucket.size
+    var ssum = 0L
+    rhoByBucket.valuesIterator.foreach(r => ssum += 1L << (w + 1 - r))
+    val sint = ssum + (m - present).toLong * (1L << (w + 1))
+    val rawE = hllCFactor(p) / sint.toDouble
+    val v = m - present
+    val est =
+      if (rawE <= 2.5 * m && v > 0) m.toDouble * math.log(m.toDouble / v)
+      else rawE
+    java.math.BigDecimal.valueOf(est)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
   }
 
   /** `alpha_m * m^2 * 2^(w+1)` — the constant factor of the scaled

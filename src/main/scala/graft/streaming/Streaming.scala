@@ -117,6 +117,55 @@ object Streaming {
 
   final case class KeyStats(key: String, count: Long, total: Double)
 
+  final case class HllRegs(regs: Map[Int, Int], n_values: Long)
+  final case class KeyDistinct(
+      key: String, est_distinct: Double, n_buckets: Int, n_values: Long)
+
+  /** Running per-key DISTINCT-count estimate over a stream — the
+    * HyperLogLog register frame as `flatMapGroupsWithState` state.
+    *
+    * The state for a key is its occupied-register map: ≤ 2^p entries
+    * REGARDLESS of stream length — unlike exact streaming dedup, no
+    * watermark eviction is needed to bound state, which is what makes a
+    * running distinct count viable on an unbounded stream. Each batch
+    * merges its rows' (bucket, rho) by max and emits the updated
+    * estimate; hashing/bucketing ride [[graft.operators.Sketches
+    * .hllProject]] and the estimate is [[graft.operators.Sketches
+    * .estimateRegisters]], so the emitted numbers are bit-identical to
+    * the batch `hllDistinct` over the same prefix (StreamingSpec pins
+    * the parity). */
+  def hllDistinctStream(
+      events: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      p: Int = 12
+  ): Dataset[KeyDistinct] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    graft.operators.Sketches
+      .hllProject(events.select(col(keyCol).cast("string").as("k"), col(valueCol)),
+        Seq("k"), valueCol, p)
+      .select(col("k"), col("hll_bucket").cast("int"), col("hll_rho").cast("int"))
+      .as[(String, Int, Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[HllRegs, KeyDistinct](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Int, Int)], state: GroupState[HllRegs]) =>
+          val prev = state.getOption.getOrElse(HllRegs(Map.empty, 0L))
+          val regs = scala.collection.mutable.Map.empty[Int, Int] ++ prev.regs
+          var n = prev.n_values
+          rows.foreach { case (_, bucket, rho) =>
+            n += 1
+            if (rho > regs.getOrElse(bucket, 0)) regs(bucket) = rho
+          }
+          state.update(HllRegs(regs.toMap, n))
+          // n_values grows strictly every batch the key appears in — the
+          // consumer's "which emission is latest" ordering column
+          Iterator.single(KeyDistinct(key,
+            graft.operators.Sketches.estimateRegisters(regs, p), regs.size, n))
+      }
+  }
+
   /** Running per-key count/sum with custom state; emits updated stats on
     * every batch a key appears in. */
   def runningStats(

@@ -80,6 +80,16 @@ class SketchesSpec extends SparkSpec {
       rowSet(Sketches.hllDistinct(d, Seq("k"), "v")))
   }
 
+  test("estimateRegisters is bit-identical to the column-plan estimate") {
+    for (n <- Seq(5, 1000, 50000)) {
+      val d = idCorpus("a", n)
+      val batch = Sketches.hllDistinct(d, Seq("k"), "v").collect().head.getDouble(1)
+      val regs = Sketches.hllRegisters(d, Seq("k"), "v").collect()
+        .map(r => r.getLong(1).toInt -> r.getInt(2)).toMap
+      assert(Sketches.estimateRegisters(regs) === batch, s"n=$n")
+    }
+  }
+
   // ---- count-min sketch ---------------------------------------------------
 
   /** Zipf-ish stream: token i appears ~1000/i times. */

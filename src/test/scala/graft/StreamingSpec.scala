@@ -307,4 +307,44 @@ class StreamingSpec extends SparkSpec {
       assert(batch.nonEmpty)
     } finally q.stop()
   }
+
+  test("streaming HLL distinct equals batch hllDistinct after every prefix") {
+    // parity harness #5: the register frame as flatMapGroupsWithState
+    // state — per-key state is <= 2^p registers regardless of stream
+    // length (no watermark eviction needed), and each batch's emitted
+    // estimate must be BIT-identical to batch hllDistinct over the
+    // prefix consumed so far
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val all = Seq.tabulate(6000)(i =>
+      (s"lang${i % 3}", s"tok-${rnd.nextInt(2000)}"))
+    val input = MemoryStream[(String, String)]
+    val q = Streaming.hllDistinctStream(
+        input.toDF().toDF("lang", "t"), "lang", "t")
+      .writeStream.format("memory").queryName("hll").outputMode("append").start()
+    try {
+      // latest emission per key = the one with the highest n_values
+      // (strictly increasing every batch a key appears in)
+      def latest(): Map[String, Double] = spark.table("hll")
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(3)))
+        .groupBy(_._1).map { case (k, rows) => k -> rows.maxBy(_._3)._2 }
+      val batches = all.grouped(2500).toSeq
+      var prefix = Seq.empty[(String, String)]
+      for (g <- batches) {
+        prefix = prefix ++ g
+        input.addData(g: _*); q.processAllAvailable()
+        val batchEst = graft.operators.Sketches
+          .hllDistinct(prefix.toDF("lang", "t"), Seq("lang"), "t")
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        assert(latest() === batchEst)
+      }
+      // sanity: the estimates track the true per-key distinct within 3 se
+      val exact = prefix.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size)
+      val fin = latest()
+      exact.foreach { case (k, n) =>
+        assert(math.abs(fin(k) - n) / n < 3 * 0.0163, s"$k: ${fin(k)} vs $n")
+      }
+    } finally q.stop()
+  }
 }
