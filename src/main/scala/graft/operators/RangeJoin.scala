@@ -69,4 +69,48 @@ object RangeJoin {
       .where(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("_bin")
   }
+
+  /** Inner-join interval rows of `left` to the OVERLAPPING interval rows
+    * of `right` on matching `keys`: overlap is `aLo < bHi AND bLo < aHi`
+    * (half-open intervals; touching endpoints do not overlap). One output
+    * row per overlapping pair.
+    *
+    * Both sides replicate to their covered bins, the join runs on
+    * (keys, bin) — but an overlapping pair shares EVERY bin their spans
+    * both cover, so the naive bin join duplicates it. Rather than a
+    * distinct pass (a second full shuffle keyed by pair), the join keeps
+    * only the FIRST shared bin: `bin == max(floorDiv(aLo), floorDiv(bLo))`
+    * — the first bin where both intervals are live, a per-row predicate
+    * that is codegen'd into the join's residual filter. Every overlapping
+    * pair has exactly one such bin, so the result is exact with zero
+    * extra exchanges. */
+  def joinIntervalOverlap(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftLo: String,
+      leftHi: String,
+      rightLo: String,
+      rightHi: String,
+      binWidth: Long
+  ): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(Seq(leftLo, leftHi).intersect(Seq(rightLo, rightHi)).isEmpty,
+      "left and right bound columns must have distinct names")
+    val dupes = (right.columns.toSet - rightLo - rightHi -- keys)
+      .intersect(left.columns.toSet -- keys)
+    require(dupes.isEmpty,
+      s"ambiguous payload columns present on both sides: ${dupes.mkString(", ")}")
+    def binned(df: DataFrame, lo: String, hi: String) = df
+      .where(col(lo) < col(hi))
+      .withColumn("_bin",
+        explode(sequence(floorDiv(col(lo), binWidth),
+          floorDiv(col(hi) - 1, binWidth))))
+    binned(left, leftLo, leftHi)
+      .join(binned(right, rightLo, rightHi), keys :+ "_bin")
+      .where(col(leftLo) < col(rightHi) && col(rightLo) < col(leftHi) &&
+        col("_bin") === greatest(floorDiv(col(leftLo), binWidth),
+          floorDiv(col(rightLo), binWidth)))
+      .drop("_bin")
+  }
 }

@@ -500,6 +500,30 @@ object DatacubeQueries {
         .orderBy("purchase_id")
     }),
 
+    // O5: interval-overlap join — view windows × error windows per user
+    // (did an error fall inside the 2 h attention span of a view?). The
+    // first-shared-bin residual keeps each overlapping pair exactly once
+    // with ZERO extra exchanges — the bin-seam behavior the DuckDB theta
+    // mirror gates. Integer counts — hash-exact.
+    "o5_interval_overlap" -> ((s, dir) => {
+      val ev0 = Datacube.table(s, dir, "events")
+      val ev = ev0.select(col("event_id"), col("user_id"),
+        tsMs(ev0).as("ts_ms"), col("event_type"))
+      val twoH = 7200000L
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ts_ms").as("vlo"), (col("ts_ms") + lit(twoH)).as("vhi"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("err_id"),
+          col("ts_ms").as("elo"), (col("ts_ms") + lit(twoH)).as("ehi"))
+      graft.operators.RangeJoin.joinIntervalOverlap(views, errors,
+          Seq("user_id"), "vlo", "vhi", "elo", "ehi", binWidth = twoH)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_overlaps"),
+          countDistinct(col("view_id")).as("n_views_hit"))
+        .orderBy("user_id")
+    }),
+
     // O3: gap-based sessionization — one window per user (lag marks
     // session starts, running sum numbers them), then per-session stats.
     // 12 h timeout sits above the ~7 h median inter-event gap, so the
@@ -929,6 +953,28 @@ object DatacubeQueries {
         |       MAX(c.ts_ms) AS last_click_ms
         |FROM w JOIN clicks c ON w.user_id = c.user_id
         |  AND c.ts_ms >= w.lo AND c.ts_ms < w.hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // O5: the overlap stated as the raw theta predicate (half-open
+    // intervals; every window here is non-empty by construction)
+    "o5_interval_overlap" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type FROM events
+        | ),
+        | v AS (
+        |  SELECT user_id, event_id AS view_id, ts_ms AS vlo,
+        |         ts_ms + 7200000 AS vhi
+        |  FROM ev WHERE event_type = 'view'
+        | ),
+        | er AS (
+        |  SELECT user_id, event_id AS err_id, ts_ms AS elo,
+        |         ts_ms + 7200000 AS ehi
+        |  FROM ev WHERE event_type = 'error'
+        | )
+        |SELECT v.user_id AS user_id, COUNT(*) AS n_overlaps,
+        |       COUNT(DISTINCT view_id) AS n_views_hit
+        |FROM v JOIN er ON v.user_id = er.user_id
+        |  AND vlo < ehi AND elo < vhi
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "o3_sessionize" ->

@@ -69,6 +69,49 @@ class RangeJoinSpec extends SparkSpec {
     assert(got === Set(Seq(0, 0)))
   }
 
+  private def intervalFixture(seed: Int) = {
+    val rnd = new scala.util.Random(seed)
+    def side(idName: String, n: Int) = {
+      val rows = Seq.tabulate(n) { i =>
+        val lo = rnd.nextLong() % 1000L
+        Row(s"k${rnd.nextInt(4)}", lo, lo + rnd.nextInt(150) - 10, i)
+      }
+      (rows, idName)
+    }
+    val (a, _) = side("aid", 150)
+    val (b, _) = side("bid", 150)
+    (df("k STRING, alo BIGINT, ahi BIGINT, aid INT", a),
+     df("k STRING, blo BIGINT, bhi BIGINT, bid INT", b))
+  }
+
+  test("interval overlap equivalent to the theta join, each pair once") {
+    for (seed <- Seq(5, 6); width <- Seq(1L, 17L, 128L, 100000L)) {
+      val (a, b) = intervalFixture(seed)
+      // the raw theta predicate alone would also "match" empty intervals
+      // ([5,5) against [0,10) satisfies alo<bhi AND blo<ahi) — the
+      // operator's half-open semantics exclude them, so the reference must
+      val expected = rowSet(a.join(b, Seq("k"))
+        .where(col("alo") < col("ahi") && col("blo") < col("bhi") &&
+          col("alo") < col("bhi") && col("blo") < col("ahi"))
+        .select("aid", "bid"))
+      val joined = RangeJoin.joinIntervalOverlap(
+        a, b, Seq("k"), "alo", "ahi", "blo", "bhi", width)
+      // exact pair set AND exactly one row per pair (the first-shared-bin
+      // filter must kill every duplicate without dropping a pair)
+      assert(rowSet(joined.select("aid", "bid")) === expected, s"$seed/$width")
+      assert(joined.count() === expected.size, s"$seed/$width dup rows")
+    }
+  }
+
+  test("touching intervals do not overlap (half-open semantics)") {
+    val a = df("k STRING, alo BIGINT, ahi BIGINT, aid INT", Seq(Row("a", 0L, 10L, 0)))
+    val b = df("k STRING, blo BIGINT, bhi BIGINT, bid INT",
+      Seq(Row("a", 10L, 20L, 0), Row("a", 9L, 10L, 1), Row("a", 5L, 5L, 2)))
+    val got = rowSet(RangeJoin.joinIntervalOverlap(
+      a, b, Seq("k"), "alo", "ahi", "blo", "bhi", 4L).select("aid", "bid"))
+    assert(got === Set(Seq(0, 1))) // only [9,10) overlaps [0,10)
+  }
+
   test("the plan is an equi-join — no nested loop, no cartesian product") {
     val (points, ranges) = randomFixture(3)
     def nestedLoops(p: SparkPlan): Int = p.collect {
