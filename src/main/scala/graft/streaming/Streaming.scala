@@ -115,6 +115,41 @@ object Streaming {
     graft.operators.Dedup.incrementalNearDup(
       reference, stream, idCol, textCol, n, numHashes, bands)
 
+  /** Stream-stream interval join — the streaming face of
+    * [[graft.operators.RangeJoin.joinPointInRange]]: point rows of `left`
+    * matched to rows of `right` whose `[rightTs, rightTs + windowMs)`
+    * interval contains them, on equal `keys`.
+    *
+    * Both sides are watermarked so Spark can BOUND the join state: a
+    * buffered right row is droppable once the left watermark passes
+    * `rightTs + windowMs`, a left row once the right watermark passes it
+    * — without the time-range condition the state would grow forever.
+    * Batch parity: the same call on batch frames returns exactly
+    * [[graft.operators.RangeJoin]]'s rows (StreamingSpec pins it), so
+    * backfills and live attribution share one definition. */
+  def intervalJoinStreams(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTsCol: String,
+      rightTsCol: String,
+      windowMs: Long,
+      watermarkDelay: String = "10 minutes"
+  ): DataFrame = {
+    val l = left
+      .withColumn("_lt", timestamp_millis(col(leftTsCol)))
+      .withWatermark("_lt", watermarkDelay)
+    val r = right
+      .withColumn("_rt", timestamp_millis(col(rightTsCol)))
+      .withWatermark("_rt", watermarkDelay)
+    val cond = keys.map(k => l(k) === r(k)).reduce(_ && _) &&
+      l("_lt") >= r("_rt") &&
+      l("_lt") < r("_rt") + expr(s"INTERVAL $windowMs MILLISECONDS")
+    // drop the duplicated key columns from the right side, keep payloads
+    keys.foldLeft(l.join(r, cond))((d, k) => d.drop(r(k)))
+      .drop("_lt").drop("_rt")
+  }
+
   final case class KeyStats(key: String, count: Long, total: Double)
 
   final case class HllRegs(regs: Map[Int, Int], n_values: Long)

@@ -308,6 +308,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals the batch range join") {
+    // parity harness #6: watermarked stream-stream join with a time-range
+    // condition == RangeJoin.joinPointInRange on the same data — live
+    // attribution and batch backfill share one definition
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val clicks = Seq.tabulate(300)(i =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(500) * H / 10, i))      // (user, ts, cid)
+    val purchases = Seq.tabulate(80)(j =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(500) * H / 10, j + 1000)) // (user, ts, pid)
+    val batch = graft.operators.RangeJoin.joinPointInRange(
+        clicks.toDF("user_id", "ts", "cid"),
+        purchases.toDF("user_id", "pts", "pid")
+          .withColumn("lo", col("pts")).withColumn("hi", col("pts") + lit(24 * H)),
+        Seq("user_id"), "ts", "lo", "hi", binWidth = 24 * H)
+      .select("cid", "pid")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+
+    val lIn = MemoryStream[(Long, Long, Int)]
+    val rIn = MemoryStream[(Long, Long, Int)]
+    // delay wider than the fixture's 50 h span: timestamps arrive in
+    // random order here, so a tight watermark would drop "late" rows the
+    // batch join keeps — the delay is the state-size/completeness knob,
+    // and parity is only promised for data inside it
+    val joined = Streaming.intervalJoinStreams(
+      lIn.toDF().toDF("user_id", "ts", "cid"),
+      rIn.toDF().toDF("user_id", "pts", "pid"),
+      Seq("user_id"), "ts", "pts", windowMs = 24 * H,
+      watermarkDelay = "100 hours")
+    val q = joined.select("cid", "pid")
+      .writeStream.format("memory").queryName("ivj").outputMode("append").start()
+    try {
+      // uneven micro-batches on both sides, interleaved
+      val lB = clicks.grouped(120).toSeq
+      val rB = purchases.grouped(30).toSeq
+      for (i <- 0 until math.max(lB.size, rB.size)) {
+        lB.lift(i).foreach(g => lIn.addData(g: _*))
+        rB.lift(i).foreach(g => rIn.addData(g: _*))
+        q.processAllAvailable()
+      }
+      val stream = spark.table("ivj")
+        .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+      assert(stream === batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming HLL distinct equals batch hllDistinct after every prefix") {
     // parity harness #5: the register frame as flatMapGroupsWithState
     // state — per-key state is <= 2^p registers regardless of stream
