@@ -894,6 +894,34 @@ object Dedup {
     docs.join(dropIds, docs(idCol) === col("__graft_drop_id"), "left_anti")
   }
 
+  /** Diff two corpus snapshots by id + normalized content: one row per
+    * document present in either, `status` ∈ added / removed / changed /
+    * unchanged. The comparison key is the same whitespace-insensitive
+    * content hash the exact-dedup family uses, so a re-serialized or
+    * re-wrapped document reads as `unchanged` — the property an
+    * incremental pipeline needs to SKIP re-processing (re-shingling,
+    * re-embedding, re-classifying) documents whose bytes moved but whose
+    * content didn't.
+    *
+    * Scale shape: each side collapses to (id, 16-byte hash) at scan
+    * speed, then one full-outer join on the id — co-partitionable, and
+    * zero-shuffle when both snapshots are stored id-bucketed
+    * (`Layout.writeBucketed`). */
+  def corpusDiff(
+      prev: DataFrame, cur: DataFrame, idCol: String, textCol: String
+  ): DataFrame = {
+    val p = prev.select(col(idCol).as("_id"),
+      md5(expr(normalizedSql(textCol))).as("_prev_hash"))
+    val c = cur.select(col(idCol).as("_id"),
+      md5(expr(normalizedSql(textCol))).as("_cur_hash"))
+    p.join(c, Seq("_id"), "full_outer")
+      .select(col("_id").as(idCol),
+        when(col("_prev_hash").isNull, lit("added"))
+          .when(col("_cur_hash").isNull, lit("removed"))
+          .when(col("_prev_hash") === col("_cur_hash"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   /** The user-facing end of near-dedup: given cluster labels from
     * [[connectedComponents]] / [[connectedComponentsStar]] (doc_id,
     * component), drop every cluster member except the minimum-id

@@ -1143,6 +1143,24 @@ object DocQueries {
         .orderBy(col("cms_count").desc, col("token"))
     }),
 
+    // T34: corpus snapshot diff — the incremental-pipeline gate deciding
+    // what to (re)process: a synthetic "next snapshot" drops doc_id%97,
+    // edits doc_id%89, and appends 50 fresh docs; the diff classifies
+    // every id by the whitespace-insensitive content hash. Per-doc status
+    // rows — hash-exact
+    "t34_corpus_diff" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val kept = docs.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 89 === 0, concat(col("text"), lit(" EDIT")))
+            .otherwise(col("text")).as("text"))
+      val added = docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+          concat(lit("new doc "), col("doc_id").cast("string")).as("text"))
+      Dedup.corpusDiff(docs, kept.unionByName(added), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // T14: TF-IDF keyword extraction — top-3 terms per document by
     // tf x smoothed-idf; the ranking window partitions on doc_id (high
     // cardinality), never on a low-cardinality key
@@ -2213,6 +2231,31 @@ object DocQueries {
          |       cms_count - true_count AS overcount
          |FROM top ORDER BY cms_count DESC, token""".stripMargin
     },
+
+    // T34: the same synthetic next-snapshot constructed in SQL, diffed by
+    // the same md5(lower(norm)) content hash through a FULL OUTER join;
+    // presence is judged by hash nullness (matching the operator) so a
+    // NULL text row classifies identically in both engines
+    "t34_corpus_diff" ->
+      s"""WITH cur AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 89 = 0 THEN text || ' EDIT' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 97 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 10000000 AS doc_id,
+         |         'new doc ' || CAST(doc_id AS VARCHAR) AS text
+         |  FROM documents WHERE doc_id < 50
+         | ),
+         | p AS (SELECT doc_id, md5(lower($norm)) AS ph FROM documents),
+         | c AS (SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS ch
+         |       FROM cur)
+         |SELECT COALESCE(p.doc_id, c.doc_id) AS doc_id,
+         |       CASE WHEN ph IS NULL THEN 'added'
+         |            WHEN ch IS NULL THEN 'removed'
+         |            WHEN ph = ch THEN 'unchanged'
+         |            ELSE 'changed' END AS status
+         |FROM p FULL OUTER JOIN c ON p.doc_id = c.doc_id
+         |ORDER BY doc_id""".stripMargin,
 
     // T29: exact mirror of Sampling.assignSplits — the 60-bit draw against
     // cumulative bounds 0.75 / 0.875 (both exactly representable)
