@@ -169,6 +169,25 @@ object Sketches {
   ): DataFrame =
     hllEstimate(hllRegisters(df, keys, valueCol, p), keys, p)
 
+  /** Set algebra over two register frames on the same keys: per key,
+    * `(hll_a, hll_b, hll_union, hll_intersection)` — union by register
+    * max (exact at sketch level), intersection by inclusion–exclusion
+    * `max(0, A + B − A∪B)` (an ESTIMATE of an estimate: its error is the
+    * sum of three sketch errors, so it is only meaningful when the true
+    * overlap is not far below the sketch resolution — audience-overlap
+    * arithmetic, not an exact operator; SketchesSpec bounds it). */
+  def hllIntersectEstimate(
+      a: DataFrame, b: DataFrame, keys: Seq[String], p: Int = 12
+  ): DataFrame = {
+    def ren(df: DataFrame, s: String) = hllEstimate(df, keys, p)
+      .withColumnRenamed("hll_distinct", s)
+    ren(a, "hll_a")
+      .join(ren(b, "hll_b"), keys.toSeq)
+      .join(ren(hllMerge(a, b, keys), "hll_union"), keys.toSeq)
+      .withColumn("hll_intersection",
+        greatest(lit(0.0), round(col("hll_a") + col("hll_b") - col("hll_union"), 4)))
+  }
+
   // ---- count-min sketch ---------------------------------------------------
 
   /** Count-min sketch counters of `valueCol` occurrences: `(cms_row,

@@ -80,6 +80,19 @@ class SketchesSpec extends SparkSpec {
       rowSet(Sketches.hllDistinct(d, Seq("k"), "v")))
   }
 
+  test("intersection estimate tracks the true overlap by inclusion-exclusion") {
+    val a = Sketches.hllRegisters(idCorpus("g", 30000), Seq("k"), "v")
+    val b = Sketches.hllRegisters(idCorpus("g", 30000, offset = 20000), Seq("k"), "v")
+    val row = Sketches.hllIntersectEstimate(a, b, Seq("k")).collect().head
+    val (ea, eb, eu, ei) = (row.getDouble(1), row.getDouble(2),
+      row.getDouble(3), row.getDouble(4))
+    // a = ids [0, 30000), b = [20000, 50000): union 50000, overlap 10000
+    assert(math.abs(eu - 50000) / 50000.0 < 3 * 0.0163) // union exact at sketch level
+    // intersection (true 10000) compounds three sketch errors — bound loosely
+    assert(math.abs(ei - 10000) / 10000.0 < 0.2, s"ei=$ei")
+    assert(math.abs(ea + eb - eu - ei) < 1e-4) // inclusion-exclusion identity
+  }
+
   test("estimateRegisters is bit-identical to the column-plan estimate") {
     for (n <- Seq(5, 1000, 50000)) {
       val d = idCorpus("a", n)
