@@ -265,6 +265,46 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_shared"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Asymmetric near-dup: CONTAINMENT pairs — `|A∩B| / min(|A|,|B|)` over
+    * distinct n-gram shingles. Jaccard resemblance misses the case a
+    * curation pipeline most wants gone: a short document (or quote)
+    * wholly embedded in a much longer one, where the union denominator
+    * drowns the overlap (1k-shingle doc inside a 100k-shingle doc:
+    * jaccard ≈ 0.01, containment = 1.0). Same shingle-join scale shape as
+    * [[jaccardPairs]] (shared [[docShingleHashes]] front, same optional
+    * hot-shingle cap); `contained` marks which side is the smaller. */
+  def containmentPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      minContainment: Double = 0.8,
+      maxDocFreq: Option[Int] = None
+  ): DataFrame = {
+    val sh0 = docShingleHashes(docs, idCol, textCol, n, dedup = true)
+    val sh = maxDocFreq match {
+      case Some(cap) =>
+        val w = Window.partitionBy("s")
+        sh0.withColumn("__graft_df", count(lit(1)).over(w))
+          .filter(col("__graft_df") <= cap).drop("__graft_df")
+      case None => sh0
+    }
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
+      .withColumn("containment",
+        col("n_shared").cast("double") / least(col("na"), col("nb")))
+      .filter(col("containment") >= minContainment)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        when(col("na") <= col("nb"), col("doc_a")).otherwise(col("doc_b"))
+          .as("contained"),
+        round(col("containment"), 4).as("containment"))
+  }
+
   /** Per-document duplicate n-gram fraction: the share of a document's
     * distinct n-gram shingles that occur in at least one OTHER document —
     * the RefinedWeb/Dolma "duplicated text" curation signal, reported per

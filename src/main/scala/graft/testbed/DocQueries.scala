@@ -677,6 +677,14 @@ object DocQueries {
     "d2_jaccard_neardup" -> ((s, dir) =>
       jaccardEdges(s, dir).orderBy("doc_a", "doc_b")),
 
+    // D19: asymmetric CONTAINMENT pairs — |A∩B| / min(|A|,|B|): catches a
+    // short document embedded in a long one, which the Jaccard union
+    // denominator drowns; `contained` names the smaller side
+    "d19_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(table(s, dir, "documents"), "doc_id", "text",
+          n = 3, minContainment = 0.8)
+        .orderBy("doc_a", "doc_b")),
+
     // D4: duplicate clusters over the exact-Jaccard pair graph. The CC
     // result is checkpoint-backed, so it goes through the battery cache:
     // repeated calls reuse it and clearCaches releases its persisted RDD.
@@ -1416,6 +1424,19 @@ object DocQueries {
          |JOIN sz sa ON doc_a = sa.doc_id
          |JOIN sz sb ON doc_b = sb.doc_id
          |WHERE n_shared * 1.0 / (sa.n + sb.n - n_shared) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // D19: same shingle CTEs, min-size denominator, smaller side named
+    "d19_containment" ->
+      s"""$wCte,
+         |${jaccardCtes()}
+         |SELECT doc_a, doc_b, n_shared,
+         |       CASE WHEN sa.n <= sb.n THEN doc_a ELSE doc_b END AS contained,
+         |       ROUND(n_shared * 1.0 / LEAST(sa.n, sb.n), 4) AS containment
+         |FROM inter
+         |JOIN sz sa ON doc_a = sa.doc_id
+         |JOIN sz sb ON doc_b = sb.doc_id
+         |WHERE n_shared * 1.0 / LEAST(sa.n, sb.n) >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     // D4: duplicate clusters — connected components of the >= 0.8-Jaccard
