@@ -137,6 +137,38 @@ object Sampling {
       .select(df.columns.map(df(_)).toIndexedSeq: _*)
   }
 
+  /** Cluster-balanced (diversity) sample: exactly `nPerCluster` vectors
+    * from each spherical-k-means cluster of the embedding corpus —
+    * cluster-then-sample, the standard move against a corpus dominated
+    * by one dense region (random sampling reproduces the dominance;
+    * per-cluster quotas force coverage of the tails). Returns
+    * `(idCol, cluster)` for the selected rows.
+    *
+    * Composition of two existing scale shapes: centroids train on the
+    * iteration-bound k-means loop, assignment is a native-argmax
+    * PROJECTION off the scan, and the carve is [[takePerStratum]]'s
+    * content-addressed two-phase rank — deterministic end to end, so the
+    * sample is re-derivable bit-for-bit from the corpus. */
+  def clusterBalancedSample(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nPerCluster: Int,
+      nClusters: Int = 16,
+      kmeansIters: Int = 3
+  ): DataFrame = {
+    graft.plans.GraftExtensions.register(emb.sparkSession)
+    val cent = Similarity.kmeansCentroids(emb, idCol, vecCol, nClusters, kmeansIters)
+    val centsLit = typedLit(cent.orderBy("cent_id").collect()
+      .map(_.getSeq[Double](1).toSeq).toSeq)
+    val assigned = Similarity.spreadToCores(
+        emb.select(col(idCol), col(vecCol).cast("array<double>").as("_v")))
+      .select(col(idCol),
+        call_function("best_centroid", col("_v"), centsLit, lit(true))
+          .as("cluster"))
+    takePerStratum(assigned, "cluster", idCol, nPerCluster)
+  }
+
   /** Materialize a data recipe with per-stratum epoch weights — the
     * upsampling half of corpus mixing, where a high-value stratum is
     * repeated a FRACTIONAL number of times (w = 2.3 means every row twice

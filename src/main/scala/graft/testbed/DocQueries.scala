@@ -1117,6 +1117,15 @@ object DocQueries {
         .select("doc_id", "split")
         .orderBy("doc_id")),
 
+    // T35: cluster-balanced (diversity) sample — exactly 5 vectors per
+    // spherical-k-means cluster: cluster-then-sample against dense-region
+    // dominance; k-means + native-argmax assignment + the t24 carve
+    // composed, deterministic end to end
+    "t35_cluster_sample" -> ((s, dir) =>
+      Sampling.clusterBalancedSample(table(s, dir, "embeddings"), "vec_id",
+          "embedding", nPerCluster = 5, nClusters = 16, kmeansIters = 3)
+        .orderBy("vec_id")),
+
     // T32: HyperLogLog distinct-token sketch per language, next to the
     // exact salted count — the sublinear path for per-group cardinality
     // at corpus scale (registers shuffle, values don't). The sketch is
@@ -2196,6 +2205,34 @@ object DocQueries {
          |SELECT doc_id, source FROM documents
          |WHERE source NOT IN (SELECT source FROM bad)
          |ORDER BY doc_id""".stripMargin,
+
+    // T35: the same k-means chain as d13/v4, rn=1 max-cosine assignment
+    // (ties to the smallest cent_id — the native argmax contract), then
+    // the t24 content-addressed carve ranked by the 'graft-take' hash
+    "t35_cluster_sample" -> {
+      s"""WITH ${kmeansCtes("16", 3)},
+         | assign AS (
+         |  SELECT vec_id, cent_id AS cluster FROM (
+         |   SELECT e.vec_id, cent.cent_id,
+         |          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |            list_dot_product(v, centv)
+         |              / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(centv, centv))) DESC,
+         |            cent_id) AS rn
+         |   FROM e, cent) WHERE rn = 1
+         | ),
+         | h AS (
+         |  SELECT vec_id, cluster,
+         |         ${hash60Sql("'graft-take:' || CAST(vec_id AS VARCHAR)")} AS hv
+         |  FROM assign
+         | ),
+         | ranked AS (
+         |  SELECT vec_id, cluster,
+         |         ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY hv, vec_id) AS rn
+         |  FROM h
+         | )
+         |SELECT vec_id, cluster FROM ranked WHERE rn <= 5
+         |ORDER BY vec_id""".stripMargin
+    },
 
     // T32: bit-identical replay of the HLL sketch (Sketches.hllDistinct,
     // p=12): same 60-bit hash, bucket = top 12 bits, rho via the

@@ -168,6 +168,21 @@ class CurationOpsSpec extends SparkSpec {
       "caller's own '_rn0' column must survive untouched")
   }
 
+  test("clusterBalancedSample takes exact per-cluster quotas, deterministically") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val sample = Sampling.clusterBalancedSample(emb, "vec_id", "embedding",
+      nPerCluster = 3, nClusters = 8, kmeansIters = 2)
+    val perCluster = sample.groupBy("cluster").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(perCluster.values.forall(_ <= 3))
+    assert(sample.count() === perCluster.values.sum)
+    assert(perCluster.values.sum >= 3 * 4, "most of the 8 clusters populated")
+    // content-addressed: a second run reproduces the sample bit-for-bit
+    val again = Sampling.clusterBalancedSample(emb, "vec_id", "embedding",
+      nPerCluster = 3, nClusters = 8, kmeansIters = 2)
+    assert(rowSet(sample) === rowSet(again))
+  }
+
   test("takePerStratum is count-exact, repartition-invariant and growth-stable") {
     val base = df("doc_id LONG, lang STRING",
       (1L to 9L).map(i => Row(i, if (i <= 6) "en" else "zh")))
