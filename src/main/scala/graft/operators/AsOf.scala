@@ -7,7 +7,9 @@ import org.apache.spark.sql.functions._
 /** As-of (point-in-time) join: for each left row, the single right row with
   * the same key and the LATEST right timestamp `<=` the left timestamp —
   * the standard primitive for "state as of event time" enrichment
-  * (feature lookups, latest-price joins, session attribution).
+  * (feature lookups, latest-price joins, session attribution). `forward`
+  * (earliest right `>=`) and `nearest` (closer of the two, ties backward —
+  * the pandas merge_asof contract) complete the direction surface.
   *
   * Spark-first plan — the UNION trick, not a range join: tag both sides,
   * union them, and run ONE window per key ordered by (ts, side) taking the
@@ -39,14 +41,20 @@ object AsOf {
       right: DataFrame,
       keyCols: Seq[String],
       tsCol: String,
-      payload: Seq[String]
+      payload: Seq[String],
+      direction: String = "backward"
   ): DataFrame = {
     require(payload.nonEmpty, "as-of join needs at least one payload column")
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward | forward | nearest, got '$direction'")
     val keyAndTs = keyCols :+ tsCol
     val leftCols = left.columns.toSeq
     require(payload.intersect(leftCols).isEmpty,
       s"payload columns ${payload.intersect(leftCols).mkString(",")} collide with left side")
 
+    // the matched right timestamp rides inside the payload struct — the
+    // `nearest` pick needs both candidates' distances
+    val pay = struct((col(tsCol).as("_rts") +: payload.map(col)): _*)
     // side = 1 for right rows so that, at an equal timestamp, the right row
     // sorts BEFORE the left row it should match (ties are `<=` semantics).
     // Null right timestamps are dropped: ascending order sorts nulls FIRST,
@@ -55,19 +63,53 @@ object AsOf {
     // `r.ts <= l.ts` is never true for a null r.ts
     val rTagged = right.filter(col(tsCol).isNotNull).select(
       keyAndTs.map(col) ++
-        Seq(lit(1).as("_side"), struct(payload.map(col): _*).as("_payload")) ++
+        Seq(lit(1).as("_side"), pay.as("_payload")) ++
         leftCols.filterNot(keyAndTs.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val lTagged = left.select(
       keyAndTs.map(col) ++
         Seq(lit(0).as("_side"), lit(null).cast(rTagged.schema("_payload").dataType).as("_payload")) ++
         leftCols.filterNot(keyAndTs.contains).map(col): _*)
 
-    val w = Window.partitionBy(keyCols.map(col): _*)
+    // ONE shuffle+sort serves every direction: `last` over the preceding
+    // frame is the backward match, `first` over the following frame the
+    // forward match — same partitioning and ordering, so the second
+    // window evaluates on the already-sorted stream. At an equal
+    // timestamp the right row sorts first (side desc), which both frames
+    // read as a match — `<=` backward, `>=` forward.
+    val ord = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol).asc, col("_side").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wBwd = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // forward-only flips the TIE ordering (left before the equal-ts right)
+    // so the following frame still sees a same-instant right row — `>=`
+    // semantics. `nearest` keeps the backward tie ordering: the equal-ts
+    // match reaches it through the backward candidate at distance 0,
+    // which wins every comparison.
+    val wFwdTies = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).asc, col("_side").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
 
-    lTagged.unionByName(rTagged)
-      .withColumn("_match", last("_payload", ignoreNulls = true).over(w))
+    val matched = direction match {
+      case "backward" =>
+        lTagged.unionByName(rTagged)
+          .withColumn("_match", last("_payload", ignoreNulls = true).over(wBwd))
+      case "forward" =>
+        lTagged.unionByName(rTagged)
+          .withColumn("_match", first("_payload", ignoreNulls = true).over(wFwdTies))
+      case "nearest" =>
+        // closer of the two candidates; ties go BACKWARD (the pandas
+        // merge_asof contract)
+        lTagged.unionByName(rTagged)
+          .withColumn("_bwd", last("_payload", ignoreNulls = true).over(wBwd))
+          .withColumn("_fwd", first("_payload", ignoreNulls = true).over(wFwd))
+          .withColumn("_match",
+            when(col("_bwd").isNull, col("_fwd"))
+              .when(col("_fwd").isNull, col("_bwd"))
+              .when(col(tsCol) - col("_bwd._rts") <= col("_fwd._rts") - col(tsCol),
+                col("_bwd"))
+              .otherwise(col("_fwd")))
+    }
+    matched
       .filter(col("_side") === 0)
       .select(leftCols.map(col) ++ payload.map(p => col(s"_match.$p").as(p)): _*)
   }

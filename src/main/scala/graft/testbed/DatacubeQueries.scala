@@ -147,6 +147,22 @@ object DatacubeQueries {
 
   // ---- the inventory ------------------------------------------------------
 
+  /** Shared o2/o6/o7 fixture: clicks (probe side) and per-(user, instant)
+    * unique purchases (same-instant purchases collapse to their max value
+    * — deterministic regardless of input order). */
+  private def asofSides(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val ev0 = Datacube.table(s, dir, "events")
+    val ev = ev0.select(
+      col("event_id"), col("user_id"), col("event_type"),
+      tsMs(ev0).as("ts_ms"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts_ms", "value")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts_ms").agg(max("value").as("purchase_value"))
+      .withColumn("purchase_ts", col("ts_ms"))
+    (clicks, purchases)
+  }
+
   def queries: Map[String, Q] = Map(
     // A00: runs FIRST in the sorted battery and materializes ALL the shared
     // cube caches the battery reads (base, month, all, year-weighted), so
@@ -462,19 +478,27 @@ object DatacubeQueries {
     // form; oracle is DuckDB's native ASOF LEFT JOIN — an independent
     // implementation of the same semantics.
     "o2_asof_join" -> ((s, dir) => {
-      val ev0 = Datacube.table(s, dir, "events")
-      val ev = ev0.select(
-        col("event_id"), col("user_id"), col("event_type"),
-        tsMs(ev0).as("ts_ms"), col("value"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .select("event_id", "user_id", "ts_ms", "value")
-      // right side unique per (user_id, ts_ms): same-instant purchases
-      // collapse to their max value (deterministic regardless of input)
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .groupBy("user_id", "ts_ms").agg(max("value").as("purchase_value"))
-        .withColumn("purchase_ts", col("ts_ms"))
+      val (clicks, purchases) = asofSides(s, dir)
       graft.operators.AsOf.joinAsOf(clicks, purchases, Seq("user_id"), "ts_ms",
           Seq("purchase_ts", "purchase_value"))
+        .orderBy("event_id")
+    }),
+
+    // O6/O7: the o2 fixture through the remaining as-of directions —
+    // forward (earliest purchase at-or-after each click; DuckDB's ASOF
+    // with a flipped inequality is the independent mirror) and nearest
+    // (closer of backward/forward, ties backward — mirrored by composing
+    // two ASOF joins)
+    "o6_asof_forward" -> ((s, dir) => {
+      val (clicks, purchases) = asofSides(s, dir)
+      graft.operators.AsOf.joinAsOf(clicks, purchases, Seq("user_id"), "ts_ms",
+          Seq("purchase_ts", "purchase_value"), direction = "forward")
+        .orderBy("event_id")
+    }),
+    "o7_asof_nearest" -> ((s, dir) => {
+      val (clicks, purchases) = asofSides(s, dir)
+      graft.operators.AsOf.joinAsOf(clicks, purchases, Seq("user_id"), "ts_ms",
+          Seq("purchase_ts", "purchase_value"), direction = "nearest")
         .orderBy("event_id")
     }),
 
@@ -954,6 +978,63 @@ object DatacubeQueries {
         |FROM w JOIN clicks c ON w.user_id = c.user_id
         |  AND c.ts_ms >= w.lo AND c.ts_ms < w.hi
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // O6: DuckDB ASOF with the flipped inequality = earliest at-or-after
+    "o6_asof_forward" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms, "value"
+        |  FROM events
+        | ),
+        | clicks AS (
+        |  SELECT event_id, user_id, ts_ms, "value" FROM ev WHERE event_type = 'click'
+        | ),
+        | purchases AS (
+        |  SELECT user_id, ts_ms, MAX("value") AS purchase_value
+        |  FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2
+        | )
+        |SELECT c.event_id, c.user_id, c.ts_ms, c."value",
+        |       p.ts_ms AS purchase_ts, p.purchase_value
+        |FROM clicks c ASOF LEFT JOIN purchases p
+        |  ON c.user_id = p.user_id AND p.ts_ms >= c.ts_ms
+        |ORDER BY event_id""".stripMargin,
+
+    // O7: nearest = closer of the backward and forward ASOF candidates,
+    // ties backward (the pandas merge_asof contract)
+    "o7_asof_nearest" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms, "value"
+        |  FROM events
+        | ),
+        | clicks AS (
+        |  SELECT event_id, user_id, ts_ms, "value" FROM ev WHERE event_type = 'click'
+        | ),
+        | purchases AS (
+        |  SELECT user_id, ts_ms, MAX("value") AS purchase_value
+        |  FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2
+        | ),
+        | bwd AS (
+        |  SELECT c.event_id, p.ts_ms AS bts, p.purchase_value AS bval
+        |  FROM clicks c ASOF LEFT JOIN purchases p
+        |    ON c.user_id = p.user_id AND p.ts_ms <= c.ts_ms
+        | ),
+        | fwd AS (
+        |  SELECT c.event_id, p.ts_ms AS fts, p.purchase_value AS fval
+        |  FROM clicks c ASOF LEFT JOIN purchases p
+        |    ON c.user_id = p.user_id AND p.ts_ms >= c.ts_ms
+        | )
+        |SELECT c.event_id, c.user_id, c.ts_ms, c."value",
+        |       CASE WHEN bts IS NULL THEN fts
+        |            WHEN fts IS NULL THEN bts
+        |            WHEN c.ts_ms - bts <= fts - c.ts_ms THEN bts
+        |            ELSE fts END AS purchase_ts,
+        |       CASE WHEN bts IS NULL THEN fval
+        |            WHEN fts IS NULL THEN bval
+        |            WHEN c.ts_ms - bts <= fts - c.ts_ms THEN bval
+        |            ELSE fval END AS purchase_value
+        |FROM clicks c
+        |JOIN bwd ON c.event_id = bwd.event_id
+        |JOIN fwd ON c.event_id = fwd.event_id
+        |ORDER BY c.event_id""".stripMargin,
 
     // O5: the overlap stated as the raw theta predicate (half-open
     // intervals; every window here is non-empty by construction)

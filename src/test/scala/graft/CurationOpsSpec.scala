@@ -27,6 +27,27 @@ class CurationOpsSpec extends SparkSpec {
       5L -> Some(45.0), 6L -> None))
   }
 
+  test("as-of forward and nearest directions") {
+    val left = df("id LONG, k STRING, ts LONG", Seq(
+      Row(1L, "u1", 10L),   // fwd -> 20; bwd none -> nearest 20
+      Row(2L, "u1", 20L),   // exactly at 20: fwd AND nearest match it
+      Row(3L, "u1", 34L),   // nearest: 30 (dist 4) vs 40 (dist 6) -> 30
+      Row(4L, "u1", 35L),   // equidistant 30/40 -> tie goes BACKWARD -> 30
+      Row(5L, "u1", 36L),   // nearest: 40 (dist 4) beats 30 (dist 6)
+      Row(6L, "u1", 99L)))  // fwd -> null; nearest falls back to bwd 40
+    val right = df("k STRING, ts LONG, price DOUBLE", Seq(
+      Row("u1", 20L, 2.0), Row("u1", 30L, 3.0), Row("u1", 40L, 4.0)))
+    def run(dir: String) = AsOf.joinAsOf(left, right, Seq("k"), "ts",
+        Seq("price"), direction = dir)
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    assert(run("forward") === Map(
+      1L -> Some(2.0), 2L -> Some(2.0), 3L -> Some(4.0), 4L -> Some(4.0),
+      5L -> Some(4.0), 6L -> None))
+    assert(run("nearest") === Map(
+      1L -> Some(2.0), 2L -> Some(2.0), 3L -> Some(3.0), 4L -> Some(3.0),
+      5L -> Some(4.0), 6L -> Some(4.0)))
+  }
+
   test("as-of join ignores right rows with a null timestamp") {
     // ascending sort puts nulls first: an unfiltered null-ts right row
     // would become the match for left rows preceding every real right row
