@@ -11,12 +11,18 @@ import org.apache.spark.sql.types._
   * Container-header decode (PNG IHDR / JPEG SOF / GIF screen descriptor —
   * [[parseImageHeader]]) is REAL: format sniffing, dimensions, and
   * corrupt-payload rejection need no codec library and gate the pipeline
-  * at scan speed. Only the pixel decode is stubbed (no image/audio codecs
-  * in this environment): [[fakeDecodeFeatures]] derives a deterministic
-  * feature vector from the raw bytes so the Spark-side plumbing — schema,
-  * batch shape, partition-wise execution, downstream joins — is real and
-  * tested, and a production decoder (JNI codec, ONNX runtime, ...) can be
-  * swapped into [[decodePartition]] without touching the plan.
+  * at scan speed.
+  *
+  * Pixel and audio-sample decode are REAL too, JDK-only: [[decodePixels]]
+  * runs the payload through `javax.imageio` (PNG/JPEG/GIF/BMP readers ship
+  * with the JVM — no external codec), and [[decodePcm]] parses 8/16-bit PCM
+  * samples out of a WAV `data` chunk by hand. Both are lossless for their
+  * battery formats (PNG, PCM), so integer pixel/sample statistics are exact
+  * and oracle-checkable. Only compressed-video frame decode remains out of
+  * scope (H.264 et al. genuinely need a codec library);
+  * [[fakeDecodeFeatures]] survives as the deterministic stand-in for an
+  * embedding-model stage, and a production runtime (JNI codec, ONNX, ...)
+  * slots into [[decodePartition]] without touching the plan.
   *
   * Scale design: payloads never pass through a shuffle wider than their
   * grouping key; feature extraction is `mapPartitions` (one decoder
@@ -279,6 +285,244 @@ object Multimodal {
       .putShort((channels * bits / 8).toShort).putShort(bits.toShort)
     b.put("data".getBytes).putInt(dataLen)
     b.array()
+  }
+
+  // ---------------------------------------------------------------- pixels
+
+  /** A decoded raster: dimensions plus row-major ARGB pixels (the JDK's
+    * packed-int convention — bits 24-31 alpha, 16-23 red, 8-15 green,
+    * 0-7 blue). */
+  final case class PixelImage(width: Int, height: Int, argb: Array[Int])
+
+  /** Encode a raster to PNG bytes with the JDK's built-in encoder. `rgb`
+    * maps (x, y) → packed 0xRRGGBB. PNG is lossless, so
+    * [[decodePixels]] of the result returns bit-identical pixel values —
+    * the property the m3 oracle gate rests on. */
+  def encodePng(width: Int, height: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb(x, y)); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** REAL pixel decode via `javax.imageio` (PNG/JPEG/GIF/BMP readers are
+    * part of the JDK). Returns None for undecodable payloads — the same
+    * reject-don't-crash contract as the header parsers. */
+  def decodePixels(bytes: Array[Byte]): Option[PixelImage] = {
+    if (bytes == null || bytes.length == 0) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        // one bulk getRGB: converts any source raster (palette GIF, gray
+        // PNG, ...) to packed sRGB ints — per-pixel getRGB calls would
+        // re-resolve the color model every time
+        Some(PixelImage(w, h, img.getRGB(0, 0, w, h, null, 0, w)))
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** Exact integer channel statistics of a decoded raster: per-channel
+    * sums plus min/max of the ITU-R 601 integer luma
+    * `(299 r + 587 g + 114 b) / 1000`. All exact in Long, so both engines
+    * can agree bit-for-bit. */
+  final case class PixelStats(
+      nPixels: Long, rSum: Long, gSum: Long, bSum: Long,
+      lumaMin: Int, lumaMax: Int)
+
+  def pixelStats(img: PixelImage): PixelStats = {
+    var rs = 0L; var gs = 0L; var bs = 0L
+    var lmin = Int.MaxValue; var lmax = Int.MinValue
+    var i = 0
+    val px = img.argb
+    while (i < px.length) {
+      val p = px(i)
+      val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+      rs += r; gs += g; bs += b
+      val luma = (299 * r + 587 * g + 114 * b) / 1000
+      if (luma < lmin) lmin = luma
+      if (luma > lmax) lmax = luma
+      i += 1
+    }
+    PixelStats(px.length.toLong, rs, gs, bs,
+      if (px.length == 0) 0 else lmin, if (px.length == 0) 0 else lmax)
+  }
+
+  /** Integer box-filter downsample to (tw, th): target cell (tx, ty)
+    * averages the source box [floor(tx·w/tw), floor((tx+1)·w/tw)) ×
+    * [floor(ty·h/th), floor((ty+1)·h/th)), per channel, floor division.
+    * Fully deterministic integer arithmetic — unlike Graphics2D's
+    * platform-tunable interpolation — so thumbnails are reproducible
+    * across JVMs and mirrorable in SQL. */
+  def resizeBox(img: PixelImage, tw: Int, th: Int): PixelImage = {
+    require(tw > 0 && th > 0 && tw <= img.width && th <= img.height,
+      s"resizeBox: target ${tw}x$th must be within source ${img.width}x${img.height}")
+    val out = new Array[Int](tw * th)
+    var ty = 0
+    while (ty < th) {
+      val y0 = ty * img.height / th; val y1 = (ty + 1) * img.height / th
+      var tx = 0
+      while (tx < tw) {
+        val x0 = tx * img.width / tw; val x1 = (tx + 1) * img.width / tw
+        var rs = 0L; var gs = 0L; var bs = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val p = img.argb(y * img.width + x)
+            rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = (y1 - y0).toLong * (x1 - x0)
+        out(ty * tw + tx) = 0xff000000 |
+          (((rs / n).toInt & 0xff) << 16) | (((gs / n).toInt & 0xff) << 8) |
+          ((bs / n).toInt & 0xff)
+        tx += 1
+      }
+      ty += 1
+    }
+    PixelImage(tw, th, out)
+  }
+
+  /** Partition-wise REAL pixel decode + exact stats: (id, width, height,
+    * n_pixels, r_sum, g_sum, b_sum, luma_min, luma_max), NULLs for
+    * undecodable payloads. Same batch shape as [[decodePartition]] — one
+    * ImageIO pipeline per partition, payloads never shuffled. */
+  def decodeImagePixelStats(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        System.setProperty("java.awt.headless", "true")
+        rows.map { case (id, payload) =>
+          decodePixels(payload) match {
+            case Some(img) =>
+              val s = pixelStats(img)
+              (id, Option(img.width), Option(img.height), Option(s.nPixels),
+                Option(s.rSum), Option(s.gSum), Option(s.bSum),
+                Option(s.lumaMin), Option(s.lumaMax))
+            case None =>
+              (id, None: Option[Int], None: Option[Int], None: Option[Long],
+                None: Option[Long], None: Option[Long], None: Option[Long],
+                None: Option[Int], None: Option[Int])
+          }
+        }
+      }
+      .toDF("id", "width", "height", "n_pixels",
+        "r_sum", "g_sum", "b_sum", "luma_min", "luma_max")
+  }
+
+  // ------------------------------------------------------------------ PCM
+
+  /** A minimal PCM WAV with REAL sample data (16-bit little-endian),
+    * interleaved if `channels` > 1 — the payload side of the lossless
+    * encode→decode property [[decodePcm]] closes. */
+  def syntheticWavPcm(rate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val byteRate = rate * channels * 2
+    b.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+    b.put("fmt ".getBytes).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(rate).putInt(byteRate)
+      .putShort((channels * 2).toShort).putShort(16.toShort)
+    b.put("data".getBytes).putInt(dataLen)
+    var i = 0
+    while (i < samples.length) { b.putShort(samples(i)); i += 1 }
+    b.array()
+  }
+
+  /** Decoded PCM audio: header fields plus every sample as a signed Int
+    * (16-bit: as stored; 8-bit WAV is unsigned-biased on disk and is
+    * rebased to signed −128..127 here). */
+  final case class PcmAudio(
+      sampleRate: Int, channels: Int, bitsPerSample: Int, samples: Array[Int])
+
+  /** REAL audio-sample decode for PCM WAV (format tag 1, 8 or 16 bits).
+    * Hand-parsed — PCM needs no codec — and lossless, so integer sample
+    * statistics are exact. None for non-PCM or malformed payloads. */
+  def decodePcm(bytes: Array[Byte]): Option[PcmAudio] = {
+    if (bytes == null || bytes.length < 44) return None
+    if (tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE") return None
+    var o = 12
+    var fmtTag = -1; var rate = 0L; var channels = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0L
+    while (o + 8 <= bytes.length) {
+      val id = tag(bytes, o); val len = le32(bytes, o + 4)
+      if (id == "fmt " && o + 8 + 16 <= bytes.length) {
+        fmtTag = le16(bytes, o + 8)
+        channels = le16(bytes, o + 10)
+        rate = le32(bytes, o + 12)
+        bits = le16(bytes, o + 22)
+      } else if (id == "data") {
+        dataOff = o + 8; dataLen = len
+      }
+      val next = o.toLong + 8L + len + (len & 1L)
+      if (next > Int.MaxValue) return None
+      o = next.toInt
+    }
+    if (fmtTag != 1 || rate <= 0 || rate > Int.MaxValue || channels <= 0 ||
+      (bits != 8 && bits != 16) || dataOff < 0) return None
+    // clamp to the bytes actually present: a truncated object-store read
+    // yields the prefix samples, not a crash
+    val avail = math.min(dataLen, (bytes.length - dataOff).toLong)
+    val n = (avail / (bits / 8)).toInt
+    val out = new Array[Int](n)
+    var i = 0
+    if (bits == 16) {
+      while (i < n) { out(i) = le16(bytes, dataOff + 2 * i).toShort.toInt; i += 1 }
+    } else {
+      while (i < n) { out(i) = (bytes(dataOff + i) & 0xff) - 128; i += 1 }
+    }
+    Some(PcmAudio(rate.toInt, channels, bits, out))
+  }
+
+  /** Partition-wise REAL PCM decode + exact integer sample stats:
+    * (id, sample_rate, channels, n_samples, pcm_sum, pcm_abs_sum,
+    * pcm_min, pcm_max), NULLs for undecodable/non-PCM payloads. */
+  def decodeAudioStats(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          decodePcm(payload) match {
+            case Some(a) =>
+              var s = 0L; var as = 0L
+              var mn = Int.MaxValue; var mx = Int.MinValue
+              var i = 0
+              while (i < a.samples.length) {
+                val v = a.samples(i)
+                s += v; as += math.abs(v)
+                if (v < mn) mn = v
+                if (v > mx) mx = v
+                i += 1
+              }
+              val n = a.samples.length
+              (id, Option(a.sampleRate), Option(a.channels), Option(n.toLong),
+                Option(s), Option(as),
+                Option(if (n == 0) 0 else mn), Option(if (n == 0) 0 else mx))
+            case None =>
+              (id, None: Option[Int], None: Option[Int], None: Option[Long],
+                None: Option[Long], None: Option[Long],
+                None: Option[Int], None: Option[Int])
+          }
+        }
+      }
+      .toDF("id", "sample_rate", "channels", "n_samples",
+        "pcm_sum", "pcm_abs_sum", "pcm_min", "pcm_max")
   }
 
   /** Partition-wise audio/video header decode: (id, format, duration_ms,

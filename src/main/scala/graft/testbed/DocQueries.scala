@@ -1343,6 +1343,61 @@ object DocQueries {
       Multimodal.decodeAvMeta(payloads, "doc_id")
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
+    }),
+
+    // M3: REAL pixel decode end-to-end — synthesize a per-doc gradient
+    // raster (channel values from doc_id arithmetic), encode it through
+    // the JDK's PNG encoder, decode it back through javax.imageio, and
+    // emit exact integer channel stats. PNG is lossless, so the oracle
+    // recomputes the expected stats from the SAME generative formula
+    // without ever touching an image — any encoder/decoder/channel-order
+    // bug breaks the hash compare. The per-row unit (one small image per
+    // doc) is the shape a 100 TB thumbnail/feature pass has: payloads are
+    // decoded where they sit, nothing but fixed-width stats is shuffled.
+    "m3_image_pixel_decode" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = table(s, dir, "documents").select(col("doc_id"))
+        .as[Long]
+        .mapPartitions { it =>
+          System.setProperty("java.awt.headless", "true")
+          it.map { id =>
+            val w = 8 + (id % 5).toInt; val h = 6 + (id % 4).toInt
+            val a = 1 + (id % 3).toInt; val b = 2 + (id % 2).toInt
+            val c = (id % 251).toInt
+            val png = Multimodal.encodePng(w, h, (x, y) => {
+              val base = a * x + b * y + c
+              val r = base % 256; val g = (base + 85) % 256; val bl = (base + 170) % 256
+              (r << 16) | (g << 8) | bl
+            })
+            (id, png)
+          }
+        }
+        .toDF("doc_id", "payload")
+      Multimodal.decodeImagePixelStats(payloads, "doc_id")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // M4: REAL audio-sample decode end-to-end — synthesize 16-bit PCM WAV
+    // payloads (samples from doc_id arithmetic), hand-decode the samples
+    // back, emit exact integer sample stats; oracle mirrors the formula.
+    "m4_audio_pcm_decode" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = table(s, dir, "documents").select(col("doc_id"))
+        .as[Long]
+        .mapPartitions(_.map { id =>
+          val rate = 8000 + (id % 8).toInt * 1000
+          val channels = 1 + (id % 2).toInt
+          val n = 200 + (id % 101).toInt
+          val samples = Array.tabulate(n) { i =>
+            (((id * 7919L + i * 104729L) % 65536L).toInt - 32768).toShort
+          }
+          (id, Multimodal.syntheticWavPcm(rate, channels, samples))
+        })
+        .toDF("doc_id", "payload")
+      Multimodal.decodeAudioStats(payloads, "doc_id")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
     })
   )
 
@@ -2681,6 +2736,63 @@ object DocQueries {
         |       CAST((data_len * 1000) // (rate * channels * 2) AS BIGINT) AS duration_ms,
         |       CAST(rate AS INT) AS sample_rate,
         |       CAST(channels AS INT) AS channels
-        |FROM p ORDER BY doc_id""".stripMargin
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    // M3: expected pixel stats recomputed from the generative gradient —
+    // one row per (doc, x, y) via generate_series, all-integer arithmetic
+    // (// is integer division), never touching an actual image. The Spark
+    // side must round-trip the JDK PNG encoder+decoder to match.
+    "m3_image_pixel_decode" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         8 + (doc_id % 5) AS w, 6 + (doc_id % 4) AS h,
+        |         1 + (doc_id % 3) AS a, 2 + (doc_id % 2) AS b,
+        |         doc_id % 251 AS c
+        |  FROM documents
+        | ),
+        | px AS (
+        |  SELECT doc_id, w, h,
+        |         (a * x.x + b * y.y + c) % 256 AS r,
+        |         (a * x.x + b * y.y + c + 85) % 256 AS g,
+        |         (a * x.x + b * y.y + c + 170) % 256 AS bl
+        |  FROM p
+        |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) x
+        |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) y
+        | )
+        |SELECT doc_id,
+        |       CAST(MIN(w) AS INT) AS width, CAST(MIN(h) AS INT) AS height,
+        |       CAST(COUNT(*) AS BIGINT) AS n_pixels,
+        |       CAST(SUM(r) AS BIGINT) AS r_sum,
+        |       CAST(SUM(g) AS BIGINT) AS g_sum,
+        |       CAST(SUM(bl) AS BIGINT) AS b_sum,
+        |       CAST(MIN((299 * r + 587 * g + 114 * bl) // 1000) AS INT) AS luma_min,
+        |       CAST(MAX((299 * r + 587 * g + 114 * bl) // 1000) AS INT) AS luma_max
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // M4: expected PCM stats from the same sample formula the Spark side
+    // synthesizes into real WAV bytes and hand-decodes back
+    "m4_audio_pcm_decode" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         8000 + (doc_id % 8) * 1000 AS rate,
+        |         1 + (doc_id % 2) AS channels,
+        |         200 + (doc_id % 101) AS n
+        |  FROM documents
+        | ),
+        | s AS (
+        |  SELECT doc_id, rate, channels,
+        |         (doc_id * 7919 + i.i * 104729) % 65536 - 32768 AS v
+        |  FROM p
+        |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) i
+        | )
+        |SELECT doc_id,
+        |       CAST(MIN(rate) AS INT) AS sample_rate,
+        |       CAST(MIN(channels) AS INT) AS channels,
+        |       CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |       CAST(SUM(v) AS BIGINT) AS pcm_sum,
+        |       CAST(SUM(ABS(v)) AS BIGINT) AS pcm_abs_sum,
+        |       CAST(MIN(v) AS INT) AS pcm_min,
+        |       CAST(MAX(v) AS INT) AS pcm_max
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

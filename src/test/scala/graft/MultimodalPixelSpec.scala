@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+import graft.operators.Multimodal.{PixelImage, PcmAudio}
+
+/** The REAL (JDK-only) pixel and PCM decode paths: lossless encode→decode
+  * round-trips, hand-computed stat fixtures, deterministic integer resize,
+  * and the reject-don't-crash contract for corrupt payloads. */
+class MultimodalPixelSpec extends SparkSpec {
+
+  private def rgb(r: Int, g: Int, b: Int): Int = (r << 16) | (g << 8) | b
+
+  test("PNG encode→decodePixels round-trips every pixel bit-exactly") {
+    // 4x3 with all-distinct channel values, including 0 and 255 extremes
+    val pat = Array(
+      rgb(0, 0, 0),       rgb(255, 255, 255), rgb(1, 2, 3),     rgb(250, 100, 7),
+      rgb(13, 200, 90),   rgb(80, 0, 255),    rgb(255, 0, 0),   rgb(0, 255, 0),
+      rgb(0, 0, 255),     rgb(128, 64, 32),   rgb(17, 18, 19),  rgb(200, 201, 202))
+    val bytes = Multimodal.encodePng(4, 3, (x, y) => pat(y * 4 + x))
+    val img = Multimodal.decodePixels(bytes).get
+    assert(img.width === 4 && img.height === 3)
+    assert(img.argb.map(_ & 0xffffff).toSeq === pat.toSeq)
+  }
+
+  test("pixelStats matches a hand-computed 2x2 fixture") {
+    val img = PixelImage(2, 2, Array(
+      0xff000000 | rgb(10, 20, 30), 0xff000000 | rgb(255, 0, 0),
+      0xff000000 | rgb(0, 255, 0), 0xff000000 | rgb(0, 0, 255)))
+    val s = Multimodal.pixelStats(img)
+    assert(s.nPixels === 4L)
+    assert(s.rSum === 10L + 255)
+    assert(s.gSum === 20L + 255)
+    assert(s.bSum === 30L + 255)
+    // lumas: (2990+11740+3420)/1000=18; 299*255/1000=76; 587*255/1000=149;
+    // 114*255/1000=29
+    assert(s.lumaMin === 18)
+    assert(s.lumaMax === 149)
+  }
+
+  test("resizeBox is the exact integer box average, divisible and not") {
+    // 4x2 -> 2x1: each target pixel averages a 2x2 box
+    val img = PixelImage(4, 2, Array(
+      rgb(10, 0, 0), rgb(20, 0, 0), rgb(100, 4, 0), rgb(101, 5, 0),
+      rgb(30, 0, 0), rgb(40, 0, 0), rgb(102, 6, 0), rgb(103, 7, 0)))
+    val t = Multimodal.resizeBox(img, 2, 1)
+    assert(((t.argb(0) >> 16) & 0xff) === (10 + 20 + 30 + 40) / 4)
+    assert(((t.argb(1) >> 16) & 0xff) === (100 + 101 + 102 + 103) / 4)
+    assert(((t.argb(1) >> 8) & 0xff) === (4 + 5 + 6 + 7) / 4)
+    // 3x3 -> 2x2: uneven boxes — x boxes [0,1) and [1,3), floor division
+    val g = PixelImage(3, 3, Array.tabulate(9)(i => rgb(i * 10, 0, 0)))
+    val u = Multimodal.resizeBox(g, 2, 2)
+    // target (0,0): x in [0,1), y in [0,1) -> pixel 0 = 0
+    assert(((u.argb(0) >> 16) & 0xff) === 0)
+    // target (1,1): x in [1,3), y in [1,3) -> pixels 40,50,70,80 -> 60
+    assert(((u.argb(3) >> 16) & 0xff) === 60)
+  }
+
+  test("GIF and BMP payloads decode through the same path") {
+    // both JDK writers are lossless for <=256-color content
+    val img = new java.awt.image.BufferedImage(
+      5, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 5) img.setRGB(x, y, rgb(x * 40, y * 60, 128))
+    val expected =
+      (0 until 4).flatMap(y => (0 until 5).map(x => rgb(x * 40, y * 60, 128)))
+    val bmpOut = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bmpOut)
+    val bmp = Multimodal.decodePixels(bmpOut.toByteArray).get
+    assert(bmp.width === 5 && bmp.height === 4)
+    assert(bmp.argb.map(_ & 0xffffff).toSeq === expected)
+    // GIF must be written NON-interlaced: the JDK's own reader mangles
+    // interlaced GIFs shorter than 8 rows (first interlace pass covers
+    // row 0 only, later passes land off-by-one — rows drop/duplicate)
+    val gifOut = new java.io.ByteArrayOutputStream()
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(gifOut)
+    w.setOutput(ios)
+    val p = w.getDefaultWriteParam
+    p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+    w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    ios.close(); w.dispose()
+    val gif = Multimodal.decodePixels(gifOut.toByteArray).get
+    assert(gif.width === 5 && gif.height === 4)
+    assert(gif.argb.map(_ & 0xffffff).toSeq === expected)
+  }
+
+  test("JPEG decodes with exact dimensions and approximate pixels") {
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, rgb(120, 130, 140))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    val dec = Multimodal.decodePixels(out.toByteArray).get
+    assert(dec.width === 16 && dec.height === 16)
+    val s = Multimodal.pixelStats(dec)
+    // lossy: the flat color must survive within a small band
+    assert(math.abs(s.rSum / 256.0 - 120) < 8)
+    assert(math.abs(s.gSum / 256.0 - 130) < 8)
+  }
+
+  test("decodePixels rejects corrupt and non-image payloads") {
+    assert(Multimodal.decodePixels(null) === None)
+    assert(Multimodal.decodePixels(Array.emptyByteArray) === None)
+    assert(Multimodal.decodePixels("not an image at all".getBytes) === None)
+    val good = Multimodal.encodePng(4, 4, (_, _) => 0x808080)
+    assert(Multimodal.decodePixels(good.take(20)) === None) // truncated
+  }
+
+  test("WAV PCM 16-bit encode→decodePcm round-trips every sample") {
+    val samples = Array[Short](0, 1, -1, 32767, -32768, 12345, -12345, 7)
+    val bytes = Multimodal.syntheticWavPcm(16000, 2, samples)
+    val a = Multimodal.decodePcm(bytes).get
+    assert(a.sampleRate === 16000 && a.channels === 2 && a.bitsPerSample === 16)
+    assert(a.samples.toSeq === samples.map(_.toInt).toSeq)
+  }
+
+  test("8-bit WAV samples rebase from unsigned storage to signed") {
+    // hand-build: 8-bit PCM stores 0..255 with 128 = silence
+    val data = Array[Int](0, 128, 255, 200).map(_.toByte)
+    val b = java.nio.ByteBuffer.allocate(44 + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(36 + 4).put("WAVE".getBytes)
+    b.put("fmt ".getBytes).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(8000)
+      .putShort(1).putShort(8)
+    b.put("data".getBytes).putInt(4).put(data)
+    val a = Multimodal.decodePcm(b.array()).get
+    assert(a.bitsPerSample === 8)
+    assert(a.samples.toSeq === Seq(-128, 0, 127, 72))
+  }
+
+  test("decodePcm rejects non-PCM and malformed; truncation yields prefix") {
+    val good = Multimodal.syntheticWavPcm(8000, 1, Array[Short](5, 6, 7, 8))
+    // flip the fmt tag to 3 (IEEE float) -> not PCM
+    val nonPcm = good.clone(); nonPcm(20) = 3
+    assert(Multimodal.decodePcm(nonPcm) === None)
+    assert(Multimodal.decodePcm("RIFFxxxxJUNK".getBytes) === None)
+    // truncated mid-data: the available prefix decodes, no crash
+    val trunc = Multimodal.decodePcm(good.dropRight(4)).get
+    assert(trunc.samples.toSeq === Seq(5, 6))
+  }
+
+  test("decodeImagePixelStats emits stats for good payloads, NULLs for bad") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Multimodal.encodePng(3, 2, (x, y) => rgb(x + y, 2 * x, 10))),
+      (2L, "garbage".getBytes))
+    val in = rows.toDF("doc_id", "payload")
+    val out = Multimodal.decodeImagePixelStats(in, "doc_id")
+      .orderBy("id").collect()
+    val r1 = out(0)
+    assert(r1.getInt(1) === 3 && r1.getInt(2) === 2 && r1.getLong(3) === 6L)
+    // r channel: x+y over 3x2 = 0+1+2+1+2+3 = 9; g: 2x = 0+2+4 twice = 12
+    assert(r1.getLong(4) === 9L && r1.getLong(5) === 12L && r1.getLong(6) === 60L)
+    assert(out(1).isNullAt(1) && out(1).isNullAt(3))
+  }
+
+  test("decodeAudioStats matches hand stats and NULLs undecodables") {
+    import spark.implicits._
+    val in = Seq(
+      (1L, Multimodal.syntheticWavPcm(8000, 1, Array[Short](10, -20, 30))),
+      (2L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    val out = Multimodal.decodeAudioStats(in, "doc_id").orderBy("id").collect()
+    val r = out(0)
+    assert(r.getInt(1) === 8000 && r.getInt(2) === 1 && r.getLong(3) === 3L)
+    assert(r.getLong(4) === 20L && r.getLong(5) === 60L)
+    assert(r.getInt(6) === -20 && r.getInt(7) === 30)
+    assert(out(1).isNullAt(3))
+  }
+}
