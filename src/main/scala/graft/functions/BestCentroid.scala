@@ -85,7 +85,7 @@ case class BestCentroid(left: Expression, right: Expression, normalize: Boolean)
 }
 
 object BestCentroid {
-  private[functions] def dot(a: Array[Double], b: Array[Double], n: Int): Double = {
+  private[graft] def dot(a: Array[Double], b: Array[Double], n: Int): Double = {
     var s = 0.0
     var i = 0
     while (i < n) { s += a(i) * b(i); i += 1 }

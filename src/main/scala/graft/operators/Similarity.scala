@@ -200,6 +200,59 @@ object Similarity {
     * loop never stacks `iters` joins into one plan.
     *
     * Returns (cent_id, centv) with the seed's centroid ids. */
+  /** Cap on the driver-collected TRAINING sample for k-means / PQ
+    * codebooks. Training quality needs a bounded sample, not the corpus
+    * (the FAISS contract: `train()` on ≤ ~100k vectors, `add()` the
+    * whole index) — so collecting it is a metadata-sized operation whose
+    * cost is CONSTANT in corpus size, and the Lloyd iterations run as
+    * driver-local loops instead of one distributed aggregation per pass.
+    * At battery scale every corpus is under the cap, so the sample IS
+    * the corpus and results are identical to the full-corpus iteration
+    * the DuckDB oracles unroll. At 100 TB the sample is the first
+    * `TrainSampleCap` vectors by id (deterministic, one narrow
+    * TakeOrdered job) and only encode/assign/score touch the full data.
+    *
+    * Why this replaced distributed Lloyd passes: each pass was one job +
+    * one giant codegen'd plan; at 16 centroids × 64 dims the per-pass
+    * JOB overhead (analysis + Janino + scheduling) dominated the
+    * arithmetic by 100× at any corpus size small enough to iterate on,
+    * and at corpus sizes where the arithmetic would dominate, sample
+    * training is what you'd run anyway. */
+  val TrainSampleCap: Int = 1 << 16
+
+  /** The first `cap` (vid, vector) rows by id — the deterministic
+    * bounded training sample. One narrow TakeOrdered job. */
+  private def collectTrainSample(
+      vecs: DataFrame, idCol: String, vecCol: String, cap: Int
+  ): Array[(Long, Array[Double])] =
+    vecs.select(col(idCol).cast("long").as("vid"),
+        col(vecCol).cast("array<double>").as("v"))
+      .filter(col("v").isNotNull)
+      .orderBy("vid").limit(cap)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+
+  /** Unit-normalize in the exact arithmetic of the distributed path
+    * (left-fold dot, sqrt, per-element divide); zero-norm → None. */
+  private def unitizeLocal(v: Array[Double]): Option[Array[Double]] = {
+    val n = math.sqrt(graft.functions.BestCentroid.dot(v, v, v.length))
+    if (n > 0.0) Some(v.map(_ / n)) else None
+  }
+
+  /** Argmax centroid with [[graft.functions.BestCentroid]]'s exact
+    * contract: left-fold dots, strict >, ties to the lowest index. */
+  private def bestCentroidLocal(x: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = Double.NegativeInfinity
+    var bid = 0; var found = false
+    var cid = 0
+    while (cid < cents.length) {
+      val d = graft.functions.BestCentroid.dot(x, cents(cid),
+        math.min(x.length, cents(cid).length))
+      if (!d.isNaN && (!found || d > best)) { best = d; bid = cid; found = true }
+      cid += 1
+    }
+    bid
+  }
+
   def kmeansCentroids(
       corpus: DataFrame,
       idCol: String,
@@ -209,55 +262,41 @@ object Similarity {
   ): DataFrame = {
     graft.plans.GraftExtensions.register(corpus.sparkSession)
     val spark = corpus.sparkSession
-    val unit = spreadToCores(corpus.select(col(idCol).as("vid"),
-        col(vecCol).cast("array<double>").as("raw")))
-      .withColumn("nrm", sqrt(dot(col("raw"), col("raw"))))
-      .filter(col("nrm") > 0.0)
-      // nullif guard: the nrm > 0 filter already covers every SURVIVING
-      // row (values are identical), but plan collapse can evaluate the
-      // projection speculatively on pre-filter rows, where a plain ANSI
-      // divide throws on a zero-norm vector; x / NULL is NULL, no error,
-      // and unlike try_divide it adds no per-element TryEval wrapper
-      // inside the interpreted transform
-      .select(col("vid"),
-        transform(col("raw"), x => x / nullif(col("nrm"), lit(0.0))).as("uv"))
-      // every Lloyd pass (and the seed scan) reads this frame — persist
-      // once instead of re-normalizing the corpus per iteration; DISK
-      // spill keeps it safe when the unit corpus outgrows executor
-      // memory, and the release below bounds the footprint to the loop
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val seed = unit.orderBy(col("vid")).limit(nCentroids)
-      .withColumn("cent_id", row_number().over(Window.orderBy(col("vid"))) - 1)
-      .select(col("cent_id"), col("uv").as("centv"))
-    var cent = seed.collect().map(r =>
-      (r.getInt(0), r.getSeq[Double](1).toArray))
+    // bounded sample (== the corpus at any size under the cap), unit-
+    // normalized with the scan path's arithmetic; ascending vid so seeds
+    // and mean-summation order are deterministic
+    val unit = collectTrainSample(corpus, idCol, vecCol, TrainSampleCap)
+      .flatMap { case (vid, v) => unitizeLocal(v).map((vid, _)) }
+    var cent: Array[(Int, Array[Double])] =
+      unit.take(nCentroids).zipWithIndex.map { case ((_, uv), i) => (i, uv) }
     for (_ <- 0 until iters) {
-      // native argmax over the (always-collected) centroid literal: the
-      // Lloyd assignment is a PROJECTION — no vector × k row blow-up, no
-      // re-grouping shuffle; dots compared raw (unit vectors: dot == cos),
-      // ties to the lowest cent_id, exactly the old max(struct) semantics
-      val centsLit = typedLit(cent.sortBy(_._1).map(_._2.toSeq).toSeq)
-      val assigned = unit.select(
-        call_function("best_centroid", col("uv"), centsLit, lit(false))
-          .as("cent_id"),
-        col("uv"))
-      val means = assigned
-        .select(col("cent_id"), posexplode(col("uv")).as(Seq("pos", "x")))
-        .groupBy("cent_id", "pos").agg(avg(col("x")).as("mx"))
-        .groupBy("cent_id")
-        .agg(array_sort(collect_list(struct(col("pos"), col("mx")))).as("ps"))
-        .select(col("cent_id"), transform(col("ps"), p => p("mx")).as("centv"))
-        .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toMap
-      // re-normalize to unit length (spherical k-means: the unit-scaled
-      // mean is the exact maximizer of the cell's summed cosine; it also
-      // keeps dot == cosine in the assignment step above)
+      // driver-local spherical Lloyd pass: argmax assignment (ties to the
+      // lowest cent_id — BestCentroid's contract), per-cell mean summed
+      // in ascending vid order, unit re-normalization; an empty cell
+      // keeps its previous centroid
+      val cents = cent.map(_._2)
+      val dims = if (unit.nonEmpty) unit(0)._2.length else 0
+      val sums = Array.fill(cents.length)(new Array[Double](dims))
+      val counts = new Array[Long](cents.length)
+      unit.foreach { case (_, uv) =>
+        val cid = bestCentroidLocal(uv, cents)
+        val s = sums(cid)
+        var i = 0
+        while (i < dims) { s(i) += uv(i); i += 1 }
+        counts(cid) += 1
+      }
       cent = cent.map { case (cid, prev) =>
-        val m = means.getOrElse(cid, prev)
-        val n = math.sqrt(m.map(x => x * x).sum)
-        (cid, if (n > 0.0) m.map(_ / n) else prev)
+        if (counts(cid) == 0) (cid, prev)
+        else {
+          val m = sums(cid).map(_ / counts(cid))
+          // re-normalize to unit length (spherical k-means: the unit-
+          // scaled mean maximizes the cell's summed cosine, and keeps
+          // dot == cosine in the assignment step)
+          val n = math.sqrt(m.map(x => x * x).sum)
+          (cid, if (n > 0.0) m.map(_ / n) else prev)
+        }
       }
     }
-    unit.unpersist(blocking = false)
     spark.createDataFrame(cent.toIndexedSeq.map { case (cid, v) => (cid, v.toSeq) })
       .toDF("cent_id", "centv")
   }
@@ -592,38 +631,41 @@ object Similarity {
       iters: Int,
       d: Int
   ): Array[Array[Array[Double]]] = {
-    val unit = vecs
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val seeds = unit.orderBy("vid").limit(codes)
-      .collect().map(_.getSeq[Double](1).toArray)
+    // bounded driver-side sample (see TrainSampleCap — identical to the
+    // full-corpus iteration whenever the corpus fits under the cap, which
+    // every oracle-checked battery corpus does), ascending vid
+    val sample = collectTrainSample(vecs, "vid", "uv", TrainSampleCap)
+    val seeds = sample.take(codes).map(_._2)
     var books: Array[Array[Array[Double]]] =
       Array.tabulate(m)(s => seeds.map(_.slice(s * d, s * d + d)))
-    def augLit(book: Array[Array[Double]]) =
-      typedLit(book.map(c =>
-        (c :+ (-0.5 * c.map(x => x * x).sum)).toSeq).toSeq)
+    // subvector slices per sample row, sliced once outside the loop
+    val subs: Array[Array[Array[Double]]] =
+      sample.map { case (_, v) => Array.tabulate(m)(s => v.slice(s * d, s * d + d)) }
     for (_ <- 0 until iters) {
-      val assigned = unit.select(col("vid") +: (0 until m).flatMap { s =>
-        val sv = slice(col("uv"), s * d + 1, d)
-        Seq(sv.as(s"sv$s"),
-          call_function("best_centroid",
-            concat(sv, array(lit(1.0))), augLit(books(s)), lit(false))
-            .as(s"c$s"))
-      }: _*)
-      val means = assigned
-        .select(explode(array((0 until m).map(s =>
-          struct(lit(s).as("sub"), col(s"c$s").as("code"),
-            col(s"sv$s").as("sv"))): _*)).as("e"))
-        .select(col("e.sub"), col("e.code"), posexplode(col("e.sv")).as(Seq("pos", "x")))
-        .groupBy("sub", "code", "pos").agg(avg("x").as("mx"))
-        .groupBy("sub", "code")
-        .agg(array_sort(collect_list(struct(col("pos"), col("mx")))).as("ps"))
-        .select(col("sub"), col("code"), transform(col("ps"), p => p("mx")).as("cv"))
-        .collect()
-        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray).toMap
+      // the distributed form scored best_centroid(concat(sv, [1.0]),
+      // book augmented with −0.5‖c‖²) — i.e. a left-fold dot over d+1
+      // elements; reproduce that float-op order exactly so the unrolled
+      // SQL oracle still matches bit-for-bit
+      val aug: Array[Array[Array[Double]]] = books.map(_.map(c =>
+        c :+ (-0.5 * c.map(x => x * x).sum)))
+      val sums = Array.fill(m, codes)(new Array[Double](d))
+      val counts = Array.fill(m, codes)(0L)
+      subs.foreach { rowSubs =>
+        var s = 0
+        while (s < m) {
+          val svAug = rowSubs(s) :+ 1.0
+          val code = bestCentroidLocal(svAug, aug(s))
+          val acc = sums(s)(code)
+          var i = 0
+          while (i < d) { acc(i) += rowSubs(s)(i); i += 1 }
+          counts(s)(code) += 1
+          s += 1
+        }
+      }
       books = Array.tabulate(m)(s => Array.tabulate(codes)(c =>
-        means.getOrElse((s, c), books(s)(c))))
+        if (counts(s)(c) == 0) books(s)(c)
+        else sums(s)(c).map(_ / counts(s)(c))))
     }
-    unit.unpersist(blocking = false)
     books
   }
 
