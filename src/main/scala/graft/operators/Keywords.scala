@@ -157,4 +157,52 @@ object Keywords {
       .agg(count(lit(1)).as("n_tokens"),
         round(sum(col("q8")) / 1e8 / count(lit(1)), 4).as("nll"))
   }
+
+  /** Per-document cross-entropy under an add-one-smoothed corpus BIGRAM
+    * LM — the CCNet-style perplexity filter one order up from
+    * [[unigramLogProb]]: repetitive boilerplate scores an unusually LOW
+    * bigram nll (its transitions are all high-probability), token soup
+    * scores high, so the two-sided band is the quality gate. Self-scored
+    * (the LM is the corpus itself).
+    *
+    * p(b|a) = (c(a,b) + 1) / (c(a,·) + V), V = corpus unigram type
+    * count, c(a,·) = occurrences of `a` as a bigram left (= its token
+    * count minus document-final occurrences). nll = mean −ln p over a
+    * document's size−1 interior bigrams; documents with fewer than two
+    * tokens have no bigrams and drop (the same absent-on-both-sides
+    * contract as t20's zero-token docs). Per-bigram −ln p is rounded to
+    * 8 decimals and summed as a scaled integer — order-free on both
+    * engines (the t19 lesson).
+    *
+    * Plan shape: one tokenize pass feeds the bigram explode; the bigram-
+    * count and left-count tables are Heaps'-law-bounded hash aggregations
+    * joined back WITHOUT broadcast hints (AQE picks broadcast when they
+    * fit — same reasoning as the unigram vocab join); V rides along as a
+    * broadcast 1-row cross join; the only corpus-sized shuffle is the
+    * final per-doc aggregation. */
+  def bigramLogProb(
+      docs: DataFrame, idCol: String, textCol: String
+  ): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(textCol).as("ws"))
+    val bg = base.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("ws")) - 1),
+          i => struct(element_at(col("ws"), i).as("a"),
+            element_at(col("ws"), i + 1).as("b")))).as("p"))
+      .select(col("doc_id"), col("p.a"), col("p.b"))
+    val bc = bg.groupBy("a", "b").agg(count(lit(1)).as("cab"))
+    val lc = bg.groupBy("a").agg(count(lit(1)).as("ca"))
+    val vocab = base.select(explode(col("ws")).as("t"))
+      .agg(count_distinct(col("t")).as("v"))
+    bg
+      .join(bc, Seq("a", "b"))
+      .join(lc, Seq("a"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("logp", log((col("cab") + 1.0) / (col("ca") + col("v"))))
+      .withColumn("q8", round(-col("logp") * 1e8).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("q8")) / 1e8 / count(lit(1)), 4).as("nll"))
+  }
 }

@@ -1257,6 +1257,13 @@ object DocQueries {
       Keywords.unigramLogProb(table(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // T36: the CCNet-style filter one order up — cross-entropy under the
+    // corpus's add-one bigram LM (boilerplate scores low, token soup
+    // high; the two-sided band is the gate)
+    "t36_bigram_nll" -> ((s, dir) =>
+      Keywords.bigramLogProb(table(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // T21: greedy max-quality selection under a global token budget via
     // the distributed prefix sum (no single-partition window anywhere);
     // the oracle computes the same selection with a plain SQL running sum
@@ -2576,6 +2583,30 @@ object DocQueries {
          |SELECT doc_id, COUNT(*) AS n_tokens,
          |       ROUND(SUM(q8) / 100000000.0 / COUNT(*), 4) AS nll
          |FROM tq GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // T36: add-one-smoothed bigram cross-entropy — same scaled-integer
+    // summation contract as t20; docs with < 2 tokens have no bigrams
+    // and are absent on both sides
+    "t36_bigram_nll" ->
+      s"""$wCte,
+         | bg AS (
+         |  SELECT doc_id, ws[i.i] AS a, ws[i.i + 1] AS b
+         |  FROM w
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, nt - 1)) AS i) i
+         |  WHERE nt >= 2
+         | ),
+         | bc AS (SELECT a, b, COUNT(*) AS cab FROM bg GROUP BY 1, 2),
+         | lc AS (SELECT a, COUNT(*) AS ca FROM bg GROUP BY 1),
+         | vt AS (SELECT COUNT(DISTINCT t) AS v
+         |        FROM (SELECT unnest(ws) AS t FROM w)),
+         | bq AS (
+         |  SELECT doc_id,
+         |         CAST(ROUND(-ln((cab + 1.0) / (ca + v)) * 100000000) AS BIGINT) AS q8
+         |  FROM bg JOIN bc USING (a, b) JOIN lc USING (a) CROSS JOIN vt
+         | )
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |       ROUND(SUM(q8) / 100000000.0 / COUNT(*), 4) AS nll
+         |FROM bq GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // T12: positional (non-distinct) 3-grams — mirror of the Spark
     // orderedShingles expression
