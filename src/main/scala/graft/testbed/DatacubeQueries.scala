@@ -502,6 +502,20 @@ object DatacubeQueries {
         .orderBy("event_id")
     }),
 
+    // O8: conversion funnel — how deep each user gets through
+    // view → click → purchase within 7 days of their first view, as ONE
+    // per-user fold (no self-joins); the oracle is the k-step unrolled
+    // min-selection join chain, an independent formulation of the same
+    // greedy anchored-chain contract
+    "o8_funnel" -> ((s, dir) => {
+      val ev0 = Datacube.table(s, dir, "events")
+      graft.operators.Funnel.windowFunnel(
+          ev0.select(col("user_id"), tsMs(ev0).as("ts_ms"), col("event_type")),
+          "user_id", col("ts_ms"), "event_type",
+          Seq("view", "click", "purchase"), windowMs = 7L * 24 * 3600 * 1000)
+        .orderBy("user_id")
+    }),
+
     // O4: range join — the attribution query: clicks landing inside each
     // purchase's 24 h window, keyed by user. A raw lo<=p<hi predicate
     // would plan as a nested loop; the operator's bin-bucketed rewrite
@@ -1035,6 +1049,31 @@ object DatacubeQueries {
         |JOIN bwd ON c.event_id = bwd.event_id
         |JOIN fwd ON c.event_id = fwd.event_id
         |ORDER BY c.event_id""".stripMargin,
+
+    // O8: the funnel's independent formulation — k-step unrolled
+    // min-selection joins (t1 = earliest view; t_i = earliest s_i after
+    // t_{i-1} and within the window of t1) vs the Spark side's single
+    // per-user fold
+    "o8_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) AS ms, event_type AS et FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')
+        | ),
+        | f1 AS (SELECT user_id, MIN(ms) AS t1 FROM e WHERE et = 'view' GROUP BY 1),
+        | f2 AS (SELECT e.user_id, MIN(ms) AS t2 FROM e JOIN f1 USING (user_id)
+        |        WHERE et = 'click' AND ms > t1 AND ms <= t1 + 604800000 GROUP BY 1),
+        | f3 AS (SELECT e.user_id, MIN(ms) AS t3
+        |        FROM e JOIN f2 USING (user_id) JOIN f1 USING (user_id)
+        |        WHERE et = 'purchase' AND ms > t2 AND ms <= t1 + 604800000 GROUP BY 1),
+        | u AS (SELECT DISTINCT user_id FROM e)
+        |SELECT u.user_id,
+        |       CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+        |            WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS level,
+        |       t1 AS anchor_ms,
+        |       COALESCE(t3, t2, t1) AS depth_ms
+        |FROM u LEFT JOIN f1 USING (user_id) LEFT JOIN f2 USING (user_id)
+        |       LEFT JOIN f3 USING (user_id)
+        |ORDER BY u.user_id""".stripMargin,
 
     // O5: the overlap stated as the raw theta predicate (half-open
     // intervals; every window here is non-empty by construction)
