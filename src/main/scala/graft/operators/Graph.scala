@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics. PageRank is the web-curation quality signal the
+  * large corpus pipelines derive from a crawl's link graph (harmonic/
+  * PageRank centrality feeds quality weighting); here it runs over any
+  * (src, dst) edge frame.
+  *
+  * Determinism contract (what makes an iterative float computation
+  * hash-comparable across engines): every per-iteration contribution
+  * r(u)/outdeg(u) is rounded to a 1e-12-scaled integer BEFORE the
+  * per-destination sum, so the sum is order-free (integer addition
+  * commutes; the t19/t20 scaled-sum lesson applied to iteration), and
+  * the new rank (1-d)/N + d·(sum/1e12) is the same double on every
+  * engine by induction. No other float op depends on aggregation order.
+  *
+  * Scale posture: each iteration is ONE join (ranks ⨝ edges on src) +
+  * ONE aggregation (sum per dst) — the canonical distributed PageRank;
+  * the edge frame is persisted once and co-partitioning edges by src
+  * (bucketed layout) makes the per-iteration join exchange-free on the
+  * edge side. Ranks are node-sized. Iterations are a fixed small count
+  * (the unrolled-SQL-oracle regime), not convergence-tested. */
+object Graph {
+
+  /** PageRank over a directed edge list. Dangling nodes (no out-edges)
+    * are not redistributed — pass a symmetrized edge set (every node
+    * with an in-edge also has an out-edge) for the classic ergodic
+    * setup; the battery's order graph is symmetric by construction.
+    * Returns (node, outdeg, rank) with rank rounded to 6 decimals. */
+  def pageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int = 5,
+      damping: Double = 0.85
+  ): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val withDeg = e.join(deg, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // node count is one scalar of metadata; the teleport term needs it
+    // inside every iteration's projection
+    val n = e.select(explode(array(col("src"), col("dst"))).as("v"))
+      .agg(count_distinct(col("v"))).head().getLong(0)
+    val teleport = lit(0.15) / n.toDouble
+    var ranks = deg.select(col("src").as("node"),
+      (lit(1.0) / n.toDouble).as("rank"))
+    for (_ <- 0 until iters) {
+      ranks = withDeg
+        .join(ranks, withDeg("src") === ranks("node"))
+        .select(col("dst"),
+          round(col("rank") / col("outdeg") * 1e12).cast("long").as("q12"))
+        .groupBy("dst")
+        .agg(sum("q12").as("s12"))
+        .select(col("dst").as("node"),
+          (teleport + lit(damping) * (col("s12") / 1e12)).as("rank"))
+    }
+    ranks.join(deg, ranks("node") === deg("src"))
+      .select(col("node"), col("outdeg"), round(col("rank"), 6).as("rank"))
+  }
+}

@@ -516,6 +516,23 @@ object DatacubeQueries {
         .orderBy("user_id")
     }),
 
+    // G1: PageRank over the symmetrized customer↔supplier order graph —
+    // the link-graph importance signal of web-curation pipelines, run on
+    // the real TPC-H relationship structure. Per-iteration contributions
+    // are 1e-12-scaled-integer summed so five float iterations stay
+    // bit-identical across engines (the t19/t20 lesson, iterated).
+    "g1_pagerank" -> ((s, dir) => {
+      val o = Datacube.table(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = Datacube.table(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("sp"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("sp").as("dst"))
+        .unionAll(pairs.select(col("sp").as("src"), col("c").as("dst")))
+      graft.operators.Graph.pageRank(edges, "src", "dst", iters = 5)
+        .orderBy("node")
+    }),
+
     // O4: range join — the attribution query: clicks landing inside each
     // purchase's 24 h window, keyed by user. A raw lo<=p<hi predicate
     // would plan as a nested loop; the operator's bin-bucketed rewrite
@@ -1049,6 +1066,34 @@ object DatacubeQueries {
         |JOIN bwd ON c.event_id = bwd.event_id
         |JOIN fwd ON c.event_id = fwd.event_id
         |ORDER BY c.event_id""".stripMargin,
+
+    // G1: five PageRank iterations unrolled; every iteration's
+    // contribution sum is scaled-integer (order-free), all float
+    // literals e-notation so DuckDB parses doubles, not decimals
+    "g1_pagerank" -> {
+      val steps = (1 to 5).map { i =>
+        s""" r$i AS (
+           |  SELECT dst AS node,
+           |         0.15e0 / n + 0.85e0 *
+           |           (SUM(CAST(ROUND(rank / outdeg * 1e12) AS BIGINT)) / 1e12) AS rank
+           |  FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node
+           |  JOIN deg USING (src) CROSS JOIN nt
+           |  GROUP BY dst, n
+           | )""".stripMargin
+      }.mkString(",\n")
+      s"""WITH p AS (
+         |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS sp
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         | ),
+         | e AS (SELECT c AS src, sp AS dst FROM p UNION SELECT sp, c FROM p),
+         | deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+         | nt AS (SELECT COUNT(DISTINCT v) AS n
+         |        FROM (SELECT src AS v FROM e UNION SELECT dst FROM e)),
+         | r0 AS (SELECT src AS node, 1.0e0 / n AS rank FROM deg CROSS JOIN nt),
+         |$steps
+         |SELECT node, outdeg, ROUND(rank, 6) AS rank
+         |FROM r5 JOIN deg ON node = deg.src ORDER BY node""".stripMargin
+    },
 
     // O8: the funnel's independent formulation — k-step unrolled
     // min-selection joins (t1 = earliest view; t_i = earliest s_i after

@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.Graph
+
+/** Hand-computed PageRank fixtures: cycle fixed point, star dynamics,
+  * probability conservation, duplicate-edge dedup. */
+class GraphSpec extends SparkSpec {
+
+  private def ranks(edges: Seq[(Long, Long)], iters: Int): Map[Long, (Long, Double)] = {
+    import spark.implicits._
+    Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", iters)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+  }
+
+  test("a directed cycle is the uniform fixed point") {
+    // 0.15/3 + 0.85·(1/3) = 1/3 every iteration
+    val out = ranks(Seq((0L, 1L), (1L, 2L), (2L, 0L)), iters = 5)
+    out.values.foreach { case (deg, r) =>
+      assert(deg === 1L)
+      assert(math.abs(r - 1.0 / 3) < 1e-6)
+    }
+  }
+
+  test("symmetric star matches two hand-computed iterations") {
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 0L), (2L, 0L), (3L, 0L))
+    val it1 = ranks(star, iters = 1)
+    // center: 0.15/4 + 0.85·(3·0.25/1); leaf: 0.15/4 + 0.85·(0.25/3)
+    assert(math.abs(it1(0L)._2 - 0.675) < 1e-6)
+    assert(math.abs(it1(1L)._2 - 0.108333) < 1e-6)
+    val it2 = ranks(star, iters = 2)
+    assert(math.abs(it2(0L)._2 - 0.31375) < 1e-6)
+    assert(math.abs(it2(2L)._2 - 0.22875) < 1e-6)
+    assert(it2(0L)._1 === 3L) // center outdeg
+  }
+
+  test("rank mass is conserved on symmetric graphs") {
+    val edges = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+    val out = ranks(edges, iters = 4)
+    assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-5)
+  }
+
+  test("duplicate input edges collapse before degree counting") {
+    val dup = Seq((0L, 1L), (0L, 1L), (1L, 0L))
+    val out = ranks(dup, iters = 3)
+    assert(out(0L)._1 === 1L)
+    // two-node symmetric pair: uniform 1/2 fixed point
+    assert(math.abs(out(0L)._2 - 0.5) < 1e-6)
+    assert(math.abs(out(1L)._2 - 0.5) < 1e-6)
+  }
+}
