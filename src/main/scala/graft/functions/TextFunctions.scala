@@ -22,7 +22,7 @@ object TextFunctions {
   private def normSql(c: String) = s"regexp_replace(trim(`$c`), '\\\\s+', ' ')"
 
   /** SQL fragment: whitespace tokens of the normalized text. */
-  private def toksSql(c: String) = s"split(${normSql(c)}, ' ')"
+  private[graft] def toksSql(c: String) = s"split(${normSql(c)}, ' ')"
 
   /** Whitespace-collapsed, trimmed text (normalization shared by every op). */
   def normText(c: String): Column = expr(normSql(c))

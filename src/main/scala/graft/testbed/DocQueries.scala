@@ -1264,6 +1264,14 @@ object DocQueries {
       Keywords.bigramLogProb(table(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // T37: BPE merge induction — three tokenizer-vocabulary merge rounds
+    // learned from the corpus (pair counting + greedy-left application on
+    // the Heaps'-bounded word-frequency table; the corpus is scanned
+    // once); the oracle unrolls the identical rounds in SQL
+    "t37_bpe_merges" -> ((s, dir) =>
+      graft.operators.Bpe.learnMerges(table(s, dir, "documents"), "text", rounds = 3)
+        .orderBy("round")),
+
     // T21: greedy max-quality selection under a global token budget via
     // the distributed prefix sum (no single-partition window anywhere);
     // the oracle computes the same selection with a plain SQL running sum
@@ -2607,6 +2615,40 @@ object DocQueries {
          |SELECT doc_id, COUNT(*) AS n_bigrams,
          |       ROUND(SUM(q8) / 100000000.0 / COUNT(*), 4) AS nll
          |FROM bq GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // T37: the three BPE merge rounds unrolled — per round: positional
+    // pair counts over the double-space symbol encoding, argmax with
+    // (cnt DESC, a, b) ties, greedy-left replace application. DuckDB
+    // regexp_replace needs the 'g' flag and \\1 backreferences where
+    // Spark defaults to replace-all with $1
+    "t37_bpe_merges" -> {
+      val rounds = (1 to 3).map { r =>
+        s""" p$r AS (
+           |  SELECT l[i.i] AS a, l[i.i + 1] AS b, freq
+           |  FROM (SELECT str_split(s, '  ') AS l, freq FROM s${r - 1}) t
+           |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS i) i
+           | ),
+           | c$r AS (SELECT a, b, SUM(freq) AS cnt FROM p$r GROUP BY 1, 2),
+           | b$r AS (SELECT a, b, cnt FROM c$r ORDER BY cnt DESC, a, b LIMIT 1),
+           | s$r AS (
+           |  SELECT trim(replace(' ' || s || ' ',
+           |           ' ' || (SELECT a FROM b$r) || '  ' || (SELECT b FROM b$r) || ' ',
+           |           ' ' || (SELECT a || b FROM b$r) || ' ')) AS s, freq
+           |  FROM s${r - 1}
+           | )""".stripMargin
+      }.mkString(",\n")
+      s"""$wCte,
+         | wf AS (SELECT word, COUNT(*) AS freq
+         |        FROM (SELECT unnest(ws) AS word FROM w) GROUP BY 1),
+         | s0 AS (SELECT trim(regexp_replace(word, '(.)', '\\1  ', 'g')) AS s, freq
+         |        FROM wf),
+         |$rounds
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS INT) AS round, a, b, cnt AS pair_count FROM b1
+         |  UNION ALL SELECT CAST(2 AS INT), a, b, cnt FROM b2
+         |  UNION ALL SELECT CAST(3 AS INT), a, b, cnt FROM b3
+         | ) ORDER BY round""".stripMargin
+    },
 
     // T12: positional (non-distinct) 3-grams — mirror of the Spark
     // orderedShingles expression
