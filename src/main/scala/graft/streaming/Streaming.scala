@@ -201,6 +201,78 @@ object Streaming {
       }
   }
 
+  final case class FunnelChain(slots: Seq[Long])
+  final case class UserFunnel(
+      user: Long, level: Int, anchor_ms: Option[Long], depth_ms: Option[Long])
+
+  /** The conversion funnel live — [[graft.operators.Funnel.windowFunnel]]
+    * as per-user `flatMapGroupsWithState` state. State per user is the
+    * k-slot chain (k = steps), CONSTANT regardless of stream length;
+    * each batch sorts its own rows by (ms, type) and folds them through
+    * the same greedy anchored-chain rules as the batch operator, then
+    * emits the user's updated (level, anchor, depth).
+    *
+    * Parity contract (StreamingSpec): equal to the batch fold whenever
+    * micro-batches arrive in nondecreasing event-time order per user —
+    * the watermark-sorted-ingestion regime. Equal-timestamp events may
+    * split across batches freely (the strict-after rule makes their
+    * relative order immaterial). A genuinely late event (older than an
+    * already-consumed one) is ignored by the greedy chain — the
+    * documented streaming trade, same as any in-order fold. */
+  def funnelStream(
+      events: DataFrame,
+      userCol: String,
+      tsMsCol: String,
+      typeCol: String,
+      steps: Seq[String],
+      windowMs: Long
+  ): Dataset[UserFunnel] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val k = steps.length
+    val stepIdx = steps.zipWithIndex
+    events
+      .filter(col(typeCol).isin(steps: _*))
+      .select(col(userCol).cast("long"), col(tsMsCol).cast("long"),
+        col(typeCol).cast("string"))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelChain, UserFunnel](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, String)],
+         state: GroupState[FunnelChain]) =>
+          val chain = state.getOption
+            .map(_.slots.toArray).getOrElse(Array.fill(k)(-1L))
+          // within-batch sort by (ms, type): the batch operator's
+          // sort_array order restricted to this batch's rows
+          rows.toSeq.map { case (_, ms, et) => (ms, et) }.sorted
+            .foreach { case (ms, et) =>
+              // first unfilled slot whose step type matches and whose
+              // predecessor chain + anchor window admit this event —
+              // identical rules to the batch fold's transform lambda
+              var i = 0
+              var done = false
+              while (i < k && !done) {
+                if (chain(i) == -1L) {
+                  val typeOk = stepIdx(i)._1 == et
+                  val ok =
+                    if (i == 0) typeOk
+                    else typeOk && chain(i - 1) != -1L && ms > chain(i - 1) &&
+                      ms <= chain(0) + windowMs
+                  if (ok) chain(i) = ms
+                  done = true // only the first unfilled slot is eligible
+                }
+                i += 1
+              }
+            }
+          state.update(FunnelChain(chain.toSeq))
+          val level = chain.takeWhile(_ != -1L).length
+          Iterator.single(UserFunnel(user, level,
+            if (level > 0) Some(chain(0)) else None,
+            if (level > 0) Some(chain(level - 1)) else None))
+      }
+  }
+
   /** Running per-key count/sum with custom state; emits updated stats on
     * every batch a key appears in. */
   def runningStats(

@@ -356,6 +356,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel equals batch windowFunnel after every in-order prefix") {
+    // parity harness #6: the k-slot chain as flatMapGroupsWithState
+    // state (constant per user); micro-batches delivered in event-time
+    // order, split at arbitrary points, with equal-ts events straddling
+    // a batch boundary on purpose
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val steps = Seq("view", "click", "purchase")
+    val rnd = new scala.util.Random(7)
+    val all = Seq.tabulate(400) { i =>
+      (rnd.nextInt(12).toLong, (i / 2).toLong * 10, // paired equal timestamps
+        steps(rnd.nextInt(3)))
+    }.sortBy(t => (t._2, t._3))
+    val input = MemoryStream[(Long, Long, String)]
+    val q = Streaming.funnelStream(
+        input.toDF().toDF("user_id", "ts_ms", "event_type"),
+        "user_id", "ts_ms", "event_type", steps, windowMs = 500L)
+      .writeStream.format("memory").queryName("funnel").outputMode("append").start()
+    try {
+      def latest(): Map[Long, (Int, Any, Any)] = spark.table("funnel")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.get(2), r.get(3)))
+        .groupBy(_._1)
+        // level is nondecreasing; the latest emission has the max level
+        // (ties identical because state only grows)
+        .map { case (u, rows) => u -> { val m = rows.maxBy(_._2); (m._2, m._3, m._4) } }
+      val batches = all.grouped(123).toSeq
+      var prefix = Seq.empty[(Long, Long, String)]
+      for (g <- batches) {
+        prefix = prefix ++ g
+        input.addData(g: _*); q.processAllAvailable()
+        val batch = graft.operators.Funnel.windowFunnel(
+            prefix.toDF("user_id", "ts_ms", "event_type"),
+            "user_id", col("ts_ms"), "event_type", steps, 500L)
+          .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.get(2), r.get(3))))
+          .toMap
+        assert(latest() === batch)
+      }
+    } finally q.stop()
+  }
+
   test("streaming HLL distinct equals batch hllDistinct after every prefix") {
     // parity harness #5: the register frame as flatMapGroupsWithState
     // state — per-key state is <= 2^p registers regardless of stream
