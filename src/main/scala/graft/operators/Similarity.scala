@@ -253,27 +253,17 @@ object Similarity {
     bid
   }
 
-  def kmeansCentroids(
-      corpus: DataFrame,
-      idCol: String,
-      vecCol: String,
-      nCentroids: Int = 16,
-      iters: Int = 3
-  ): DataFrame = {
-    graft.plans.GraftExtensions.register(corpus.sparkSession)
-    val spark = corpus.sparkSession
-    // bounded sample (== the corpus at any size under the cap), unit-
-    // normalized with the scan path's arithmetic; ascending vid so seeds
-    // and mean-summation order are deterministic
-    val unit = collectTrainSample(corpus, idCol, vecCol, TrainSampleCap)
-      .flatMap { case (vid, v) => unitizeLocal(v).map((vid, _)) }
+  /** Driver-local spherical Lloyd over an ascending-vid unit sample:
+    * argmax assignment (ties to the lowest cent_id — BestCentroid's
+    * contract), per-cell mean summed in sample order, unit
+    * re-normalization; an empty cell keeps its previous centroid. Seeds
+    * are the first `nCentroids` sample vectors. */
+  private def localLloyd(
+      unit: Array[(Long, Array[Double])], nCentroids: Int, iters: Int
+  ): Array[(Int, Array[Double])] = {
     var cent: Array[(Int, Array[Double])] =
       unit.take(nCentroids).zipWithIndex.map { case ((_, uv), i) => (i, uv) }
     for (_ <- 0 until iters) {
-      // driver-local spherical Lloyd pass: argmax assignment (ties to the
-      // lowest cent_id — BestCentroid's contract), per-cell mean summed
-      // in ascending vid order, unit re-normalization; an empty cell
-      // keeps its previous centroid
       val cents = cent.map(_._2)
       val dims = if (unit.nonEmpty) unit(0)._2.length else 0
       val sums = Array.fill(cents.length)(new Array[Double](dims))
@@ -297,6 +287,24 @@ object Similarity {
         }
       }
     }
+    cent
+  }
+
+  def kmeansCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCentroids: Int = 16,
+      iters: Int = 3
+  ): DataFrame = {
+    graft.plans.GraftExtensions.register(corpus.sparkSession)
+    val spark = corpus.sparkSession
+    // bounded sample (== the corpus at any size under the cap), unit-
+    // normalized with the scan path's arithmetic; ascending vid so seeds
+    // and mean-summation order are deterministic
+    val unit = collectTrainSample(corpus, idCol, vecCol, TrainSampleCap)
+      .flatMap { case (vid, v) => unitizeLocal(v).map((vid, _)) }
+    val cent = localLloyd(unit, nCentroids, iters)
     spark.createDataFrame(cent.toIndexedSeq.map { case (cid, v) => (cid, v.toSeq) })
       .toDF("cent_id", "centv")
   }
@@ -609,13 +617,12 @@ object Similarity {
   ): Array[Array[Array[Double]]] = {
     require(dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
     graft.plans.GraftExtensions.register(corpus.sparkSession)
-    val unit = spreadToCores(corpus.select(col(idCol).as("vid"),
-        col(vecCol).cast("array<double>").as("raw")))
-      .withColumn("nrm", sqrt(dot(col("raw"), col("raw"))))
-      .filter(col("nrm") > 0.0)
-      .select(col("vid"),
-        transform(col("raw"), x => x / nullif(col("nrm"), lit(0.0))).as("uv"))
-    pqTrainBooks(unit, m, codes, iters, dims / m)
+    // sample + local unit-normalize (the scan path's arithmetic), then
+    // the driver-local Lloyd core — one narrow job total
+    pqTrainBooksOnSample(
+      collectTrainSample(corpus, idCol, vecCol, TrainSampleCap)
+        .flatMap { case (vid, v) => unitizeLocal(v).map((vid, _)) },
+      m, codes, iters, dims / m)
   }
 
   /** The shared Lloyd loop of [[pqCodebooks]] and the residual variant:
@@ -630,11 +637,22 @@ object Similarity {
       codes: Int,
       iters: Int,
       d: Int
-  ): Array[Array[Array[Double]]] = {
+  ): Array[Array[Array[Double]]] =
     // bounded driver-side sample (see TrainSampleCap — identical to the
     // full-corpus iteration whenever the corpus fits under the cap, which
     // every oracle-checked battery corpus does), ascending vid
-    val sample = collectTrainSample(vecs, "vid", "uv", TrainSampleCap)
+    pqTrainBooksOnSample(
+      collectTrainSample(vecs, "vid", "uv", TrainSampleCap), m, codes, iters, d)
+
+  /** The driver-local core of [[pqTrainBooks]], over an already-collected
+    * ascending-vid sample. */
+  private def pqTrainBooksOnSample(
+      sample: Array[(Long, Array[Double])],
+      m: Int,
+      codes: Int,
+      iters: Int,
+      d: Int
+  ): Array[Array[Array[Double]]] = {
     val seeds = sample.take(codes).map(_._2)
     var books: Array[Array[Array[Double]]] =
       Array.tabulate(m)(s => seeds.map(_.slice(s * d, s * d + d)))
@@ -736,13 +754,17 @@ object Similarity {
       .filter(col("nrm") > 0.0)
       .select(col(outId),
         transform(col("raw"), x => x / nullif(col("nrm"), lit(0.0))).as("uv"))
-    val books = pqCodebooks(corpus, idCol, vecCol, dims, m, codes, iters)
+    // ONE collected sample trains both artifacts: the PQ codebooks and
+    // the coarse quantizer (= the first nCentroids nonzero unit vectors
+    // by id, exactly the old TakeOrdered-collect)
+    val sample = collectTrainSample(corpus, idCol, vecCol, TrainSampleCap)
+      .flatMap { case (vid, v) => unitizeLocal(v).map((vid, _)) }
+    val books = pqTrainBooksOnSample(sample, m, codes, iters, d)
     def augLit(book: Array[Array[Double]]) =
       typedLit(book.map(c =>
         (c :+ (-0.5 * c.map(x => x * x).sum)).toSeq).toSeq)
     val cunit = spreadToCores(unitize(corpus, "neighbor_id"))
-    val coarse = cunit.orderBy("neighbor_id").limit(nCentroids)
-      .collect().map(_.getSeq[Double](1).toArray)
+    val coarse = sample.take(nCentroids).map(_._2)
     val coarseLit = typedLit(coarse.map(_.toSeq).toSeq)
     // ONE corpus projection: coarse cell + the m PQ codes
     val enc = cunit.select(col("neighbor_id"),
@@ -842,8 +864,14 @@ object Similarity {
       .select(col(outId),
         transform(col("raw"), x => x / nullif(col("nrm"), lit(0.0))).as("uv"))
     val cunit = spreadToCores(unitize(corpus, "neighbor_id"))
-    val coarse = kmeansCentroids(corpus, idCol, vecCol, nCentroids, refineIters)
-      .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+    // ONE collected sample serves every training artifact of this index:
+    // the Lloyd-refined coarse centroids, the residual sample, and the
+    // PQ codebooks — so the whole train() phase costs a single narrow
+    // TakeOrdered job plus the (necessarily full-corpus) cell-mean agg
+    val sample = collectTrainSample(corpus, idCol, vecCol, TrainSampleCap)
+      .flatMap { case (vid, v) => unitizeLocal(v).map((vid, _)) }
+    val coarse = localLloyd(sample, nCentroids, refineIters)
+      .sortBy(_._1).map(_._2)
     val coarseLit = typedLit(coarse.map(_.toSeq).toSeq)
     // the un-normalized cell means μ — one tiny-keyed aggregation over
     // the assigned corpus, collected as metadata (nCentroids × dims
@@ -871,9 +899,13 @@ object Similarity {
       .withColumn("rv", zip_with(col("uv"),
         element_at(muLit, col("cent_id") + 1), (x, c) => x - c))
     val resid = residualize(cunit, "neighbor_id")
-    val books = pqTrainBooks(
-      resid.select(col("neighbor_id").as("vid"), col("rv").as("uv")),
-      m, codes, iters, d)
+    // residuals of the SAME sample, computed locally with the scan
+    // path's exact arithmetic (argmax cell, per-element subtract)
+    val residSample = sample.map { case (vid, uv) =>
+      val muV = mu(bestCentroidLocal(uv, coarse))
+      (vid, Array.tabulate(uv.length)(i => uv(i) - muV(i)))
+    }
+    val books = pqTrainBooksOnSample(residSample, m, codes, iters, d)
     def augLit(book: Array[Array[Double]]) =
       typedLit(book.map(c =>
         (c :+ (-0.5 * c.map(x => x * x).sum)).toSeq).toSeq)
