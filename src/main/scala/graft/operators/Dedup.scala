@@ -978,6 +978,34 @@ object Dedup {
     docs.join(dropIds, docs(idCol) === col("_drop_id"), "left_anti")
   }
 
+  /** [[keepCanonical]]'s production variant: keep each cluster's
+    * highest-QUALITY member (ties to the lowest id), not its lowest-id
+    * one — near-dup clusters usually hold one clean original and N
+    * mangled copies, and the id ordering has no reason to pick the clean
+    * one. `quality` is any per-doc column expression; round it to a
+    * fixed precision if it is float-valued so the tie contract is
+    * engine-exact.
+    *
+    * Scale shape: quality is evaluated only for CLUSTERED docs (labels ⨝
+    * corpus — cluster-sized, a sliver at real dup rates), the winner
+    * window runs per component on that sliver, and the drop set feeds
+    * the same AQE-broadcast-able anti-join as keepCanonical. The corpus
+    * itself never shuffles. */
+  def keepBestQuality(
+      docs: DataFrame, idCol: String, labels: DataFrame,
+      quality: org.apache.spark.sql.Column
+  ): DataFrame = {
+    val scored = labels.join(
+      docs.select(col(idCol).as("doc_id"), quality.as("_q")), Seq("doc_id"))
+    val w = Window.partitionBy("component")
+      .orderBy(col("_q").desc, col("doc_id").asc)
+    val dropIds = scored
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") > 1)
+      .select(col("doc_id").as("_drop_id"))
+    docs.join(dropIds, docs(idCol) === col("_drop_id"), "left_anti")
+  }
+
   /** [[contaminationScan]] with a Bloom-filter prefilter — the scale path
     * for benchmark sets too large to broadcast as raw 8-byte hashes.
     *

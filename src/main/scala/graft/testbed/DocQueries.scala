@@ -1228,6 +1228,19 @@ object DocQueries {
         .orderBy("doc_id")
     }),
 
+    // D20: keepCanonical's production variant — each >=0.8-Jaccard
+    // cluster keeps its highest-QUALITY member (ties to lowest id)
+    // instead of its lowest-id one; rides the same cached labels
+    "d20_dedup_keep_best" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val labels = cache.getOrElseUpdate((s, dir, "_cc_labels"),
+        Dedup.connectedComponents(jaccardEdges(s, dir)))
+      Dedup.keepBestQuality(docs, "doc_id", labels,
+          TextFunctions.textStats("text").getField("quality_score"))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
     // T19: the curation dashboard — per (lang, source): volume, token
     // mass, mean quality, exact-dup count, quality-gate keep count; one
     // grouped aggregation over the composed per-row signals
@@ -2502,6 +2515,26 @@ object DocQueries {
          |SELECT d.doc_id AS doc_id, d.lang AS lang, d.source AS source
          |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
          |WHERE c.doc_id IS NULL OR c.component = c.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // D20: keep = corpus minus the non-winners of each cluster, winner =
+    // (quality4 DESC, doc_id) — quality formula mirrored from t1
+    "d20_dedup_keep_best" ->
+      s"""$ccCtes,
+         | q AS (
+         |  SELECT doc_id,
+         |         ROUND(LEAST(1.0, nt / 50.0) * (len(list_distinct(ws)) * 1.0 / nt)
+         |               * (1.0 - (length(norm) - length(regexp_replace(norm, '[^a-zA-Z0-9 ]', '', 'g'))) * 1.0 / length(norm)), 4) AS q
+         |  FROM w
+         | ),
+         | drops AS (
+         |  SELECT c.doc_id
+         |  FROM comp c JOIN q USING (doc_id)
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY component ORDER BY q.q DESC, c.doc_id) > 1
+         | )
+         |SELECT d.doc_id, d.lang, d.source
+         |FROM documents d LEFT JOIN drops dr ON d.doc_id = dr.doc_id
+         |WHERE dr.doc_id IS NULL
          |ORDER BY d.doc_id""".stripMargin,
 
     // T19: per-(lang, source) curation report — per-doc signals mirrored

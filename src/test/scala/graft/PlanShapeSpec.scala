@@ -347,4 +347,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(shape(Similarity.bruteForceTopK(
       emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 3)) === ((2, 1)))
   }
+
+  test("windowFunnel: ONE corpus shuffle (the per-user aggregation)") {
+    // the k-step chain is an aggregate fold — a refactor to the k-join
+    // formulation (the oracle's shape) would show k extra exchanges
+    import graft.operators.Funnel
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("user_id"), (col("event_id") % 1000000).as("ts_ms"),
+        col("event_type"))
+    assert(shape(Funnel.windowFunnel(ev, "user_id", col("ts_ms"), "event_type",
+      Seq("view", "click", "purchase"), 604800000L)) === ((1, 0)))
+  }
+
+  test("bigram LM: three count aggregations + hint-free joins, V broadcast") {
+    // shuffles: bigram-count agg, left-count agg, the V count-distinct
+    // pair, the two join-back exchanges of the bigram stream, and the
+    // final per-doc rollup; exactly 1 broadcast: the 1-row V total.
+    // With auto-broadcast off, the count tables join as shuffles — the
+    // documented AQE-decides posture (no forced hints to pin).
+    val (sh, bc) = shape(Keywords.bigramLogProb(docs, "doc_id", "text"),
+      autoBroadcast = false)
+    assert(bc === 1, s"V total must be the only forced broadcast, got $bc")
+    assert(sh <= 8, s"bigram plan grew to $sh exchanges")
+  }
+
+  test("PageRank: per-iteration = one join + one aggregation, edges never broadcast-scan") {
+    import graft.operators.Graph
+    val edges = spark.range(0, 200).selectExpr("id as src", "(id * 7) % 200 as dst")
+      .unionAll(spark.range(0, 200).selectExpr("(id * 7) % 200 as src", "id as dst"))
+      .localCheckpoint()
+    // 2 iterations, auto-broadcast off: the edge-side exchanges are paid
+    // once into the persisted frame; each iteration adds its ranks-side
+    // join exchange + the per-dst aggregation exchange. The pin bounds
+    // total exchanges to linear-in-iterations with a small constant.
+    val (sh2, _) = shape(Graph.pageRank(edges, "src", "dst", iters = 2),
+      autoBroadcast = false)
+    val (sh4, _) = shape(Graph.pageRank(edges, "src", "dst", iters = 4),
+      autoBroadcast = false)
+    assert(sh4 - sh2 <= 2 * 3, s"per-iteration exchange cost grew: $sh2 -> $sh4")
+  }
 }
