@@ -59,6 +59,16 @@ object DocQueries {
       Classifier.trainLogistic(table(s, dir, "documents"), "text",
         iters = ClassifierIters, lr = 4.0))
 
+  /** The t37/t38 learned BPE merge table, shared like the classifier
+    * model (metadata: 3 string pairs). */
+  private val bpeCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[(String, String)]]
+  private def bpeMerges(s: SparkSession, dir: String): Seq[(String, String)] =
+    bpeCache.getOrElseUpdate((s, dir),
+      graft.operators.Bpe.learnMerges(table(s, dir, "documents"), "text", rounds = 3)
+        .orderBy("round").collect().toSeq
+        .map(r => (r.getString(1), r.getString(2))))
+
   // ---- shared DuckDB fragments --------------------------------------------
 
   /** Whitespace-collapsed trimmed text (DuckDB regexp_replace needs the 'g'
@@ -987,6 +997,24 @@ object DocQueries {
         .orderBy("lang")
     }),
 
+    // T39: quality-CDF decile assignment — the quality-calibration pass
+    // of mixture reweighting (DoReMi-style bucketed mixing): 9 exact
+    // global thresholds (one agg, rounded 4dp so the bin comparisons are
+    // engine-exact against the 4dp quality values), broadcast, then the
+    // decile is a pure projection — the corpus never shuffles for its bin
+    "t39_quality_deciles" -> ((s, dir) => {
+      val st = table(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.textStats("text").getField("quality_score").as("q"))
+      val thr = st.agg(expr(
+          "percentile(q, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("t0"))
+        .select(transform(col("t0"), t => round(t, 4)).as("thr"))
+      st.crossJoin(broadcast(thr))
+        .select(col("doc_id"), col("q"),
+          (size(filter(col("thr"), t => col("q") > t)) + 1).as("decile"))
+        .orderBy("doc_id")
+    }),
+
     // T18: sketch-based quantiles — the one-pass bounded-state scale path
     // for t8's thresholds. Sketch results are engine-dependent (genuine
     // data points, no interpolation) -> rows-only driver check; the
@@ -1284,6 +1312,17 @@ object DocQueries {
     "t37_bpe_merges" -> ((s, dir) =>
       graft.operators.Bpe.learnMerges(table(s, dir, "documents"), "text", rounds = 3)
         .orderBy("round")),
+
+    // T38: the learned merges APPLIED corpus-wide — per-doc BPE token
+    // count after the 3 merges (the tokenize-with-trained-vocab pass);
+    // the oracle re-learns the same merges and applies them through a
+    // word → final-symbols mapping join instead of a per-doc rewrite —
+    // an independent formulation of the same application
+    "t38_bpe_apply" -> ((s, dir) =>
+      graft.operators.Bpe.applyMerges(table(s, dir, "documents"), "text",
+          bpeMerges(s, dir))
+        .select(col("doc_id"), size(col("bpe_tokens")).as("n_bpe_tokens"))
+        .orderBy("doc_id")),
 
     // T21: greedy max-quality selection under a global token budget via
     // the distributed prefix sum (no single-partition window anywhere);
@@ -2683,6 +2722,38 @@ object DocQueries {
          | ) ORDER BY round""".stripMargin
     },
 
+    // T38: per-doc token count under the t37-learned merges; the word →
+    // final-symbols mapping join replaces the Spark side's per-doc
+    // rewrite chain
+    "t38_bpe_apply" -> {
+      val rounds = (1 to 3).map { r =>
+        s""" p$r AS (
+           |  SELECT l[i.i] AS a, l[i.i + 1] AS b, freq
+           |  FROM (SELECT str_split(s, '  ') AS l, freq FROM s${r - 1}) t
+           |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS i) i
+           | ),
+           | c$r AS (SELECT a, b, SUM(freq) AS cnt FROM p$r GROUP BY 1, 2),
+           | b$r AS (SELECT a, b, cnt FROM c$r ORDER BY cnt DESC, a, b LIMIT 1),
+           | s$r AS (
+           |  SELECT word, trim(replace(' ' || s || ' ',
+           |           ' ' || (SELECT a FROM b$r) || '  ' || (SELECT b FROM b$r) || ' ',
+           |           ' ' || (SELECT a || b FROM b$r) || ' ')) AS s, freq
+           |  FROM s${r - 1}
+           | )""".stripMargin
+      }.mkString(",\n")
+      s"""$wCte,
+         | wf AS (SELECT word, COUNT(*) AS freq
+         |        FROM (SELECT unnest(ws) AS word FROM w) GROUP BY 1),
+         | s0 AS (SELECT word, trim(regexp_replace(word, '(.)', '\\1  ', 'g')) AS s, freq
+         |        FROM wf),
+         |$rounds,
+         | map AS (SELECT word, len(str_split(s, '  ')) AS n FROM s3),
+         | tok AS (SELECT doc_id, unnest(ws) AS word FROM w)
+         |SELECT doc_id, CAST(SUM(n) AS INT) AS n_bpe_tokens
+         |FROM tok JOIN map USING (word)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
     // T12: positional (non-distinct) 3-grams — mirror of the Spark
     // orderedShingles expression
     "t12_repetition" ->
@@ -2719,6 +2790,24 @@ object DocQueries {
          |       ROUND(quantile_cont(q, 0.75), 4) AS q75,
          |       ROUND(quantile_cont(q, 0.90), 4) AS q90
          |FROM stats GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // T39: same 4dp-rounded interpolated thresholds, same strict-greater
+    // bin count
+    "t39_quality_deciles" ->
+      s"""$wCte,
+         | stats AS (
+         |  SELECT doc_id,
+         |         ROUND(LEAST(1.0, nt / 50.0) * (len(list_distinct(ws)) * 1.0 / nt)
+         |               * (1.0 - (length(norm) - length(regexp_replace(norm, '[^a-zA-Z0-9 ]', '', 'g'))) * 1.0 / length(norm)), 4) AS q
+         |  FROM w
+         | ),
+         | thr AS (
+         |  SELECT [${(1 to 9).map(i => s"ROUND(quantile_cont(q, 0.$i), 4)").mkString(", ")}] AS t
+         |  FROM stats
+         | )
+         |SELECT doc_id, q,
+         |       CAST(1 + len(list_filter(t, x -> q > x)) AS INT) AS decile
+         |FROM stats CROSS JOIN thr ORDER BY doc_id""".stripMargin,
 
     // T9: exact mirror of Sampling.hashUnit — 60-bit md5 prefix of
     // 'graft-sample:<id>' scaled to [0,1), compared against the per-lang
