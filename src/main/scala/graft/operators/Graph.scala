@@ -44,9 +44,10 @@ object Graph {
     val withDeg = e.join(deg, "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // node count is one scalar of metadata; the teleport term needs it
-    // inside every iteration's projection
-    val n = e.select(explode(array(col("src"), col("dst"))).as("v"))
-      .agg(count_distinct(col("v"))).head().getLong(0)
+    // inside every iteration's projection. Under the documented
+    // symmetrized-input contract every node has an out-edge, so N is
+    // deg's row count — no explode-distinct pass over the edges
+    val n = deg.count()
     val teleport = lit(0.15) / n.toDouble
     var ranks = deg.select(col("src").as("node"),
       (lit(1.0) / n.toDouble).as("rank"))
@@ -59,6 +60,11 @@ object Graph {
         .agg(sum("q12").as("s12"))
         .select(col("dst").as("node"),
           (teleport + lit(damping) * (col("s12") / 1e12)).as("rank"))
+        // truncate the lineage each pass (the CC operators' pattern):
+        // without this the driver re-analyzes a plan that grows by a
+        // join+agg per iteration, and planning cost — not data — comes
+        // to dominate; ranks is node-sized, safe to materialize
+        .localCheckpoint()
     }
     ranks.join(deg, ranks("node") === deg("src"))
       .select(col("node"), col("outdeg"), round(col("rank"), 6).as("rank"))

@@ -525,6 +525,106 @@ object Multimodal {
         "pcm_sum", "pcm_abs_sum", "pcm_min", "pcm_max")
   }
 
+  // ------------------------------------------------------------- video
+
+  /** A minimal AVI (RIFF) container holding the given encoded frames as
+    * `00dc` chunks inside the `movi` LIST — the MPNG-codec shape (PNG
+    * bytes per frame), which [[aviFrames]] + [[decodePixels]] can
+    * round-trip LOSSLESSLY with no codec library. No hdrl LIST is
+    * written (the frame walk doesn't need one). */
+  def syntheticAviPng(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val framesLen = frames.map(f => 8 + f.length + (f.length & 1)).sum
+    val moviLen = 4 + framesLen // 'movi' + chunks
+    val riffLen = 4 + 8 + moviLen // 'AVI ' + LIST header + movi
+    val b = java.nio.ByteBuffer.allocate(8 + riffLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(riffLen).put("AVI ".getBytes)
+    b.put("LIST".getBytes).putInt(moviLen).put("movi".getBytes)
+    frames.foreach { f =>
+      b.put("00dc".getBytes).putInt(f.length).put(f)
+      if ((f.length & 1) == 1) b.put(0.toByte) // RIFF word alignment
+    }
+    b.array()
+  }
+
+  /** REAL video-container frame walk: the encoded payload of every
+    * `##db`/`##dc` chunk inside an AVI's `movi` LIST, in stream order.
+    * Codec-agnostic — the bytes are whatever the stream's codec wrote
+    * (PNG for MPNG, JPEG for MJPG — both of which [[decodePixels]] can
+    * then decode with the JDK alone). None for non-AVI/malformed
+    * payloads; a truncated tail yields the complete prefix frames. */
+  def aviFrames(bytes: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    if (bytes == null || bytes.length < 12) return None
+    if (tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "AVI ") return None
+    val out = Seq.newBuilder[Array[Byte]]
+    var o = 12
+    var found = false
+    while (o + 8 <= bytes.length) {
+      val id = tag(bytes, o); val len = le32(bytes, o + 4)
+      if (id == "LIST" && o + 12 <= bytes.length && tag(bytes, o + 8) == "movi") {
+        found = true
+        var fo = o + 12
+        val end = math.min(o + 8 + len, bytes.length.toLong).toInt
+        var ok = true
+        while (ok && fo + 8 <= end) {
+          val fid = tag(bytes, fo); val flen = le32(bytes, fo + 4)
+          val fend = fo.toLong + 8 + flen
+          if (fend > end) ok = false // truncated frame: keep the prefix
+          else {
+            if (fid.length == 4 && fid(0).isDigit && fid(1).isDigit &&
+              (fid.substring(2) == "db" || fid.substring(2) == "dc"))
+              out += java.util.Arrays.copyOfRange(bytes, fo + 8, (fo + 8 + flen.toInt))
+            val next = fend + (flen & 1L)
+            if (next > Int.MaxValue) ok = false else fo = next.toInt
+          }
+        }
+      }
+      val next = o.toLong + 8L + len + (len & 1L)
+      if (next > Int.MaxValue) return if (found) Some(out.result()) else None
+      o = next.toInt
+    }
+    if (found) Some(out.result()) else None
+  }
+
+  /** Partition-wise frame-sample + decode: every `step`-th frame of each
+    * AVI payload decoded through [[decodePixels]], with exact integer
+    * channel sums aggregated across the SAMPLED frames. The per-row unit
+    * a 100 TB video-feature pass has: containers decoded where they sit,
+    * one decoder pipeline per partition, only fixed-width stats emitted.
+    * Returns (id, n_frames, n_sampled, r_sum, g_sum, b_sum); NULLs for
+    * non-AVI payloads, and frames that fail pixel decode are skipped
+    * from the sums (n_sampled counts decoded frames only). */
+  def sampleVideoFrames(df: DataFrame, idCol: String, step: Int): DataFrame = {
+    require(step >= 1, "step must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        System.setProperty("java.awt.headless", "true")
+        rows.map { case (id, payload) =>
+          aviFrames(payload) match {
+            case Some(frames) =>
+              var rs = 0L; var gs = 0L; var bs = 0L; var sampled = 0L
+              var i = 0
+              while (i < frames.length) {
+                decodePixels(frames(i)).foreach { img =>
+                  val s = pixelStats(img)
+                  rs += s.rSum; gs += s.gSum; bs += s.bSum; sampled += 1
+                }
+                i += step
+              }
+              (id, Option(frames.length.toLong), Option(sampled),
+                Option(rs), Option(gs), Option(bs))
+            case None =>
+              (id, None: Option[Long], None: Option[Long],
+                None: Option[Long], None: Option[Long], None: Option[Long])
+          }
+        }
+      }
+      .toDF("id", "n_frames", "n_sampled", "r_sum", "g_sum", "b_sum")
+  }
+
   /** Partition-wise audio/video header decode: (id, format, duration_ms,
     * sample_rate, channels), NULLs for undecodable payloads. */
   def decodeAvMeta(df: DataFrame, idCol: String): DataFrame = {

@@ -524,9 +524,11 @@ object DatacubeQueries {
     "g1_pagerank" -> ((s, dir) => {
       val o = Datacube.table(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
       val l = Datacube.table(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      // no .distinct() here: pageRank dedups its edge input itself, and
+      // the two directional copies are disjoint by construction (even →
+      // odd vs odd → even ids) — one dedup pass total, not two
       val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
         .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("sp"))
-        .distinct()
       val edges = pairs.select(col("c").as("src"), col("sp").as("dst"))
         .unionAll(pairs.select(col("sp").as("src"), col("c").as("dst")))
       graft.operators.Graph.pageRank(edges, "src", "dst", iters = 5)
@@ -1070,9 +1072,12 @@ object DatacubeQueries {
     // G1: five PageRank iterations unrolled; every iteration's
     // contribution sum is scaled-integer (order-free), all float
     // literals e-notation so DuckDB parses doubles, not decimals
+    // Every CTE is AS MATERIALIZED: DuckDB otherwise INLINES the chain,
+    // re-deriving the edge join inside every unrolled iteration
+    // (observed >300 s at sf0.1 vs 3.4 s materialized)
     "g1_pagerank" -> {
       val steps = (1 to 5).map { i =>
-        s""" r$i AS (
+        s""" r$i AS MATERIALIZED (
            |  SELECT dst AS node,
            |         0.15e0 / n + 0.85e0 *
            |           (SUM(CAST(ROUND(rank / outdeg * 1e12) AS BIGINT)) / 1e12) AS rank
@@ -1081,15 +1086,15 @@ object DatacubeQueries {
            |  GROUP BY dst, n
            | )""".stripMargin
       }.mkString(",\n")
-      s"""WITH p AS (
+      s"""WITH p AS MATERIALIZED (
          |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS sp
          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          | ),
-         | e AS (SELECT c AS src, sp AS dst FROM p UNION SELECT sp, c FROM p),
-         | deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
-         | nt AS (SELECT COUNT(DISTINCT v) AS n
+         | e AS MATERIALIZED (SELECT c AS src, sp AS dst FROM p UNION SELECT sp, c FROM p),
+         | deg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+         | nt AS MATERIALIZED (SELECT COUNT(DISTINCT v) AS n
          |        FROM (SELECT src AS v FROM e UNION SELECT dst FROM e)),
-         | r0 AS (SELECT src AS node, 1.0e0 / n AS rank FROM deg CROSS JOIN nt),
+         | r0 AS MATERIALIZED (SELECT src AS node, 1.0e0 / n AS rank FROM deg CROSS JOIN nt),
          |$steps
          |SELECT node, outdeg, ROUND(rank, 6) AS rank
          |FROM r5 JOIN deg ON node = deg.src ORDER BY node""".stripMargin

@@ -1465,6 +1465,34 @@ object DocQueries {
       Multimodal.decodeAudioStats(payloads, "doc_id")
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
+    }),
+
+    // M5: REAL video frame sampling end-to-end — per-doc AVI containers
+    // with PNG (MPNG-codec) frames synthesized from doc_id arithmetic,
+    // every 2nd frame extracted by the RIFF movi walk and pixel-decoded
+    // through the JDK; PNG losslessness keeps the sampled-frame channel
+    // sums exact, so the oracle recomputes them from the formula
+    "m5_video_frame_sample" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = table(s, dir, "documents").select(col("doc_id"))
+        .as[Long]
+        .mapPartitions { it =>
+          System.setProperty("java.awt.headless", "true")
+          it.map { id =>
+            val n = 3 + (id % 3).toInt
+            val frames = (0 until n).map { f =>
+              val base = (id * 13 + f * 31) % 256
+              val r = base.toInt; val g = ((base + 85) % 256).toInt
+              val b = ((base + 170) % 256).toInt
+              Multimodal.encodePng(4, 3, (_, _) => (r << 16) | (g << 8) | b)
+            }
+            (id, Multimodal.syntheticAviPng(frames))
+          }
+        }
+        .toDF("doc_id", "payload")
+      Multimodal.sampleVideoFrames(payloads, "doc_id", step = 2)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
     })
   )
 
@@ -2988,6 +3016,27 @@ object DocQueries {
         |       CAST(SUM(ABS(v)) AS BIGINT) AS pcm_abs_sum,
         |       CAST(MIN(v) AS INT) AS pcm_min,
         |       CAST(MAX(v) AS INT) AS pcm_max
-        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // M5: expected sampled-frame sums from the generative solid-color
+    // formula — 4x3 = 12 pixels per frame, frames 0, 2, 4, ... sampled
+    "m5_video_frame_sample" ->
+      """WITH p AS (
+        |  SELECT doc_id, 3 + (doc_id % 3) AS n FROM documents
+        | ),
+        | f AS (
+        |  SELECT doc_id, n, i.i AS f,
+        |         (doc_id * 13 + i.i * 31) % 256 AS base
+        |  FROM p
+        |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) i
+        |  WHERE i.i % 2 = 0
+        | )
+        |SELECT doc_id,
+        |       CAST(MIN(n) AS BIGINT) AS n_frames,
+        |       CAST(COUNT(*) AS BIGINT) AS n_sampled,
+        |       CAST(SUM(12 * base) AS BIGINT) AS r_sum,
+        |       CAST(SUM(12 * ((base + 85) % 256)) AS BIGINT) AS g_sum,
+        |       CAST(SUM(12 * ((base + 170) % 256)) AS BIGINT) AS b_sum
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }
