@@ -142,6 +142,41 @@ class MultimodalPixelSpec extends SparkSpec {
     assert(trunc.samples.toSeq === Seq(5, 6))
   }
 
+  test("AVI frame walk round-trips PNG frames and tolerates truncation") {
+    val frames = Seq(
+      Multimodal.encodePng(2, 2, (_, _) => rgb(10, 20, 30)),
+      Multimodal.encodePng(2, 2, (_, _) => rgb(40, 50, 60)),
+      Multimodal.encodePng(2, 2, (_, _) => rgb(70, 80, 90)))
+    val avi = Multimodal.syntheticAviPng(frames)
+    val back = Multimodal.aviFrames(avi).get
+    assert(back.length === 3)
+    back.zip(frames).foreach { case (b, f) => assert(b.toSeq === f.toSeq) }
+    // each extracted frame decodes losslessly through the pixel path
+    val img = Multimodal.decodePixels(back(1)).get
+    assert((img.argb(0) & 0xffffff) === rgb(40, 50, 60))
+    // truncated mid-frame: the complete prefix survives, no crash
+    val trunc = Multimodal.aviFrames(avi.dropRight(10)).get
+    assert(trunc.length === 2)
+    // non-AVI payloads reject
+    assert(Multimodal.aviFrames("RIFFxxxxWAVE".getBytes) === None)
+    assert(Multimodal.aviFrames(frames(0)) === None)
+  }
+
+  test("sampleVideoFrames takes every k-th frame with exact sums") {
+    import spark.implicits._
+    val frames = (0 until 5).map(f =>
+      Multimodal.encodePng(2, 2, (_, _) => rgb(f * 10, 0, 0)))
+    val in = Seq((1L, Multimodal.syntheticAviPng(frames)),
+      (2L, "not a video".getBytes)).toDF("doc_id", "payload")
+    val out = Multimodal.sampleVideoFrames(in, "doc_id", step = 2)
+      .orderBy("id").collect()
+    val r = out(0)
+    assert(r.getLong(1) === 5L && r.getLong(2) === 3L)
+    // frames 0, 2, 4 sampled: r channel sums 4 px each of 0, 20, 40
+    assert(r.getLong(3) === 4L * (0 + 20 + 40))
+    assert(out(1).isNullAt(1))
+  }
+
   test("decodeImagePixelStats emits stats for good payloads, NULLs for bad") {
     import spark.implicits._
     val rows = Seq(
