@@ -69,6 +69,16 @@ object DocQueries {
         .orderBy("round").collect().toSeq
         .map(r => (r.getString(1), r.getString(2))))
 
+  /** Rewrite every CTE of a DuckDB query to `AS MATERIALIZED`: DuckDB
+    * INLINES chained CTEs by default, and for the deep unrolled
+    * Lloyd/PQ mirrors that re-derives the whole upstream chain inside
+    * every iteration — v12/v13 ran 55/70 s at sf0.1 inlined vs ~4 s
+    * materialized (the g1 lesson). Purely an evaluation-strategy hint;
+    * results are identical. */
+  private def materializeCtes(sql: String): String = sql
+    .replaceAll("(?m)^(\\s*\\S+ AS) \\(", "$1 MATERIALIZED (")
+    .replaceAll("(?m)^WITH (\\S+ AS) \\(", "WITH $1 MATERIALIZED (")
+
   // ---- shared DuckDB fragments --------------------------------------------
 
   /** Whitespace-collapsed trimmed text (DuckDB regexp_replace needs the 'g'
@@ -2174,7 +2184,7 @@ object DocQueries {
 
     // V12: the residual (IVFADC) chain — pqCtes trained on the rv
     // residual frame, scored as probe dot + residual lookups
-    "v12_ivfpq_residual_topk" ->
+    "v12_ivfpq_residual_topk" -> materializeCtes(
       s"""WITH ${pqCtes(4, 16, 2, 64, ivfResidualCte(16, 2), "rv")},
          |${ivfPqResidualScoredCte(4, 2, 64, 4)},
          | ranked AS (
@@ -2183,11 +2193,11 @@ object DocQueries {
          | )
          |SELECT query_id, "rank", neighbor_id, score
          |FROM ranked WHERE "rank" <= 3
-         |ORDER BY query_id, "rank"""".stripMargin,
+         |ORDER BY query_id, "rank"""".stripMargin),
 
     // V13: the residual chain's recall@3 vs exact brute force (the v10
     // gauge pointed at v12)
-    "v13_ivfpq_residual_recall" ->
+    "v13_ivfpq_residual_recall" -> materializeCtes(
       s"""WITH ${pqCtes(4, 16, 2, 64, ivfResidualCte(16, 2), "rv")},
          |${ivfPqResidualScoredCte(4, 2, 64, 4)},
          | aranked AS (
@@ -2213,7 +2223,7 @@ object DocQueries {
          |       ROUND(COUNT(a.neighbor_id) * 1.0 / COUNT(*), 4) AS recall
          |FROM truth t
          |LEFT JOIN approx a ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
-         |GROUP BY t.query_id ORDER BY query_id""".stripMargin,
+         |GROUP BY t.query_id ORDER BY query_id""".stripMargin),
 
     "t4_pii_scrub" ->
       s"""WITH p AS (
