@@ -1117,6 +1117,18 @@ object DocQueries {
         .orderBy("doc_id")
     }),
 
+    // T40: the whole curation RECIPE through one entry point — exact
+    // dedup → quality gate → decontamination (vs docs 0-9) → 10k-token
+    // budget — emitting the per-stage funnel (stage, n_in, n_out); the
+    // oracle recomputes every stage's keep-set independently in SQL
+    "t40_doc_pipeline" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      graft.pipeline.DocPipeline.run(docs, "doc_id", "text",
+          Some(docs.filter(col("doc_id") < 10)),
+          graft.pipeline.DocPipelineConfig(tokenBudget = Some(5000L)))
+        .summary.orderBy("stage")
+    }),
+
     // T26: repeated-passage REMOVAL — the d18 flags applied: duplicate
     // 32-token chunks stripped (first occurrence canonical) and every doc
     // reassembled from its surviving chunks, digested as kept_hash
@@ -2321,6 +2333,51 @@ object DocQueries {
          |  SELECT doc_id FROM ($contaminationSql) sc WHERE contamination > 0.05
          |)
          |ORDER BY doc_id""".stripMargin,
+
+    // T40: each stage's keep-set recomputed independently (the stage
+    // decisions are all doc-local or globally-ordered, so set algebra
+    // over w reproduces the sequential pipeline exactly)
+    "t40_doc_pipeline" ->
+      s"""$wCte,
+         | k1 AS (
+         |  SELECT w.doc_id FROM w JOIN (
+         |   SELECT doc_id, doc_id = MIN(doc_id) OVER (PARTITION BY md5(lower($norm))) AS keep
+         |   FROM documents) h ON w.doc_id = h.doc_id
+         |  WHERE h.keep
+         | ),
+         | k2 AS (
+         |  SELECT w.doc_id FROM w JOIN k1 USING (doc_id)
+         |  WHERE (nt BETWEEN 20 AND 80)
+         |    AND len(list_distinct(ws)) * 1.0 / nt >= 0.4
+         |    AND len(list_filter(ws, t -> ${inList("t", TextFunctions.Stopwords)})) * 1.0 / nt >= 0.05
+         |    AND (length(norm) - length(regexp_replace(norm, '[^a-zA-Z0-9 ]', '', 'g'))) * 1.0 / length(norm) <= 0.1
+         |    AND ((length(norm) - (nt - 1)) * 1.0 / nt BETWEEN 3.0 AND 6.0)
+         | ),
+         | contam AS (SELECT doc_id FROM ($contaminationSql) sc WHERE contamination > 0.05),
+         | k3 AS (SELECT doc_id FROM k2 WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+         | bst AS (
+         |  SELECT w.doc_id, nt,
+         |         ROUND(LEAST(1.0, nt / 50.0) * (len(list_distinct(ws)) * 1.0 / nt)
+         |               * (1.0 - (length(norm) - length(regexp_replace(norm, '[^a-zA-Z0-9 ]', '', 'g'))) * 1.0 / length(norm)), 4) AS q
+         |  FROM w JOIN k3 USING (doc_id)
+         | ),
+         | bsel AS (
+         |  SELECT doc_id, CAST(SUM(nt) OVER (ORDER BY q DESC, doc_id) AS BIGINT) AS cum
+         |  FROM bst
+         | ),
+         | k4 AS (SELECT doc_id FROM bsel WHERE cum <= 5000),
+         | n0 AS (SELECT COUNT(*) AS c FROM w),
+         | n1 AS (SELECT COUNT(*) AS c FROM k1),
+         | n2 AS (SELECT COUNT(*) AS c FROM k2),
+         | n3 AS (SELECT COUNT(*) AS c FROM k3),
+         | n4 AS (SELECT COUNT(*) AS c FROM k4)
+         |SELECT * FROM (
+         |  SELECT '00_input' AS stage, CAST(n0.c AS BIGINT) AS n_in, CAST(n0.c AS BIGINT) AS n_out FROM n0
+         |  UNION ALL SELECT '10_exact_dedup', CAST(n0.c AS BIGINT), CAST(n1.c AS BIGINT) FROM n0, n1
+         |  UNION ALL SELECT '20_quality_gate', CAST(n1.c AS BIGINT), CAST(n2.c AS BIGINT) FROM n1, n2
+         |  UNION ALL SELECT '30_decontaminate', CAST(n2.c AS BIGINT), CAST(n3.c AS BIGINT) FROM n2, n3
+         |  UNION ALL SELECT '40_token_budget', CAST(n3.c AS BIGINT), CAST(n4.c AS BIGINT) FROM n3, n4
+         | ) ORDER BY stage""".stripMargin,
 
     // T26: d18's chunk chain + reassembly — first occurrence of each
     // chunk hash keeps, every doc digests its kept chunks in chunk order

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{DocPipeline, DocPipelineConfig}
+
+/** The curation-recipe orchestrator: stage composition, skip matrix,
+  * summary/kept consistency, and budget semantics. */
+class DocPipelineSpec extends SparkSpec {
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  private lazy val evalSet = docs.filter(col("doc_id") < 10)
+
+  test("full recipe: counts are a monotone funnel and kept matches the summary") {
+    val r = DocPipeline.run(docs, "doc_id", "text", Some(evalSet),
+      DocPipelineConfig(tokenBudget = Some(3000L)))
+    val rows = r.summary.orderBy("stage").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    assert(rows.map(_._1).toSeq === Seq("00_input", "10_exact_dedup",
+      "20_quality_gate", "30_decontaminate", "40_token_budget"))
+    // chained: each stage's n_in is the previous stage's n_out
+    rows.sliding(2).foreach { case Array(a, b) => assert(b._2 === a._3) }
+    // monotone non-increasing
+    rows.foreach { case (_, in, out) => assert(out <= in) }
+    // the kept frame IS the final count
+    assert(r.kept.count() === rows.last._3)
+    // the kept frame preserves the input schema
+    assert(r.kept.columns.toSeq === docs.columns.toSeq)
+  }
+
+  test("skip matrix: disabled stages are absent and identity-preserving") {
+    val r = DocPipeline.run(docs, "doc_id", "text", None,
+      DocPipelineConfig(dedupExact = false, qualityGate = false,
+        decontaminate = false, tokenBudget = None))
+    assert(r.summary.count() === 1) // input row only
+    assert(r.kept.count() === docs.count())
+    val r2 = DocPipeline.run(docs, "doc_id", "text", Some(evalSet),
+      DocPipelineConfig(qualityGate = false, tokenBudget = None))
+    assert(r2.summary.orderBy("stage").collect().map(_.getString(0)).toSeq ===
+      Seq("00_input", "10_exact_dedup", "30_decontaminate"))
+  }
+
+  test("each stage equals its standalone operator's decision") {
+    val r = DocPipeline.run(docs, "doc_id", "text", None,
+      DocPipelineConfig(qualityGate = false, decontaminate = false))
+    val standalone = graft.operators.Dedup.exactDedup(docs, "doc_id", "text")
+      .filter(!col("is_duplicate")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(r.kept.select("doc_id").collect().map(_.getLong(0)).toSet === standalone)
+  }
+
+  test("token budget keeps the greedy max-quality prefix") {
+    val r = DocPipeline.run(docs, "doc_id", "text", None,
+      DocPipelineConfig(dedupExact = false, qualityGate = false,
+        decontaminate = false, tokenBudget = Some(2000L)))
+    val kept = r.kept.select(col("doc_id"),
+      graft.functions.TextFunctions.textStats("text").getField("n_tokens").as("nt"))
+      .collect().map(x => (x.getLong(0), x.getInt(1)))
+    assert(kept.map(_._2.toLong).sum <= 2000L)
+    assert(kept.nonEmpty)
+  }
+}
