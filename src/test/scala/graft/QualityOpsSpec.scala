@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Keywords}
+
+/** Hand-computed fixtures for the round-10 quality operators: bigram-LM
+  * cross-entropy, keep-best-quality dedup resolution. */
+class QualityOpsSpec extends SparkSpec {
+
+  private def docs(texts: String*) = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+  }
+
+  test("bigramLogProb matches hand arithmetic on a two-doc corpus") {
+    // doc0: "a b a b" -> bigrams (a,b),(b,a),(a,b); doc1: "a b"
+    // c(a,b)=3, c(b,a)=1; c(a,.)=3, c(b,.)=1; V=2
+    val out = Keywords.bigramLogProb(docs("a b a b", "a b"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val pAB = -math.log((3 + 1.0) / (3 + 2)) // -ln 4/5
+    val pBA = -math.log((1 + 1.0) / (1 + 2)) // -ln 2/3
+    def q8(x: Double) = math.round(x * 1e8)
+    val exp0 = math.rint((q8(pAB) * 2 + q8(pBA)) / 1e8 / 3 * 1e4) / 1e4
+    val exp1 = math.rint(q8(pAB) / 1e8 * 1e4) / 1e4
+    assert(out(0L)._1 === 3L)
+    assert(math.abs(out(0L)._2 - exp0) < 1e-9)
+    assert(out(1L) === ((1L, exp1)))
+  }
+
+  test("bigramLogProb ranks boilerplate below one-off transitions") {
+    // repetitive doc reuses the corpus's dominant transitions -> lower nll
+    val corpus = docs("x y x y x y x y", "p q r s t u v w")
+    val out = Keywords.bigramLogProb(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(0L) < out(1L))
+  }
+
+  test("docs with fewer than two tokens are absent from bigram scoring") {
+    val out = Keywords.bigramLogProb(docs("solo", "two tokens"), "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(out === Set(1L))
+  }
+
+  test("keepBestQuality keeps the max-quality member, ties to lowest id") {
+    import spark.implicits._
+    val d = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("doc_id", "text")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("doc_id", "component")
+    val quality = Map(1L -> 0.2, 2L -> 0.9, 3L -> 0.9)
+    val qCol = typedLit(quality).apply(col("doc_id"))
+    val kept = Dedup.keepBestQuality(d, "doc_id", labels, qCol)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 2 and 3 tie at 0.9 -> lowest id 2 wins; 4 is unclustered and stays
+    assert(kept === Set(2L, 4L))
+  }
+}
