@@ -39,6 +39,38 @@ object Temporal {
     *
     * @param weightColumn name of the weight column, or "" for unweighted.
     */
+  /** Mergeable partial form of the temporal aggregation — the
+    * incremental-maintenance face: (keys, t_sum, t_count) instead of the
+    * finalized mean, so a DELTA batch's partial merges into a standing
+    * cube by pure addition ([[mergePartials]]) and the mean re-derives
+    * exactly ([[finalizePartial]]). Measures are integer-valued, so the
+    * partial sums are exact in doubles and
+    * finalize(merge(partial(old), partial(delta))) == aggregate(full)
+    * BIT-FOR-BIT — the contract the a20 oracle checks by recomputing
+    * the full cube from scratch. At 100 TB this is the difference
+    * between touching a day's delta and re-aggregating the corpus. */
+  def aggregatePartial(df: DataFrame, timeRes: String): DataFrame = {
+    val keyCols = df.columns.filterNot(_ == "value")
+    df.withColumn("timestamp", normalizeTime(col("timestamp"), timeRes))
+      .groupBy(keyCols.map(col).toSeq: _*)
+      .agg(sum("value").as("t_sum"), count("value").as("t_count"))
+  }
+
+  /** Additive merge of [[aggregatePartial]] frames (any number of
+    * deltas): one hash aggregation over the unioned partials, keyed on
+    * every non-measure column. */
+  def mergePartials(cubes: Seq[DataFrame]): DataFrame = {
+    require(cubes.nonEmpty, "mergePartials needs at least one partial")
+    val unioned = cubes.reduce(_.unionByName(_))
+    val keyCols = unioned.columns.filterNot(c => c == "t_sum" || c == "t_count")
+    unioned.groupBy(keyCols.map(col).toSeq: _*)
+      .agg(sum("t_sum").as("t_sum"), sum("t_count").as("t_count"))
+  }
+
+  /** Derive the finalized mean from merged partials. */
+  def finalizePartial(df: DataFrame): DataFrame =
+    df.withColumn("t_mean", col("t_sum") / col("t_count"))
+
   def aggregate(df: DataFrame, timeRes: String, weightColumn: String = ""): DataFrame = {
     val weighted = weightColumn.nonEmpty && df.columns.contains(weightColumn)
     val keyCols = df.columns.filterNot(c => c == "value" || (weighted && c == weightColumn))

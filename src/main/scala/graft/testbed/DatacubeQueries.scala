@@ -516,6 +516,26 @@ object DatacubeQueries {
         .orderBy("user_id")
     }),
 
+    // A20: INCREMENTAL cube maintenance — the corpus split into two
+    // arbitrary deltas (raw-timestamp parity), each reduced to its
+    // mergeable partial (sum, count), merged by addition, and finalized;
+    // the oracle recomputes the full monthly cube from scratch, so
+    // equality IS the incremental-maintenance proof (exact: the
+    // measures are integer-valued, so partial sums commute bit-for-bit)
+    "a20_incremental_cube" -> ((s, dir) => {
+      val base = baseCube(s, dir).select("timestamp", "country", "admin1",
+        "admin2", "admin3", "lat", "lng", "feature", "qual1", "value")
+      val even = base.filter(col("timestamp") % 2 === 0)
+      val odd = base.filter(col("timestamp") % 2 =!= 0)
+      graft.operators.Temporal.finalizePartial(
+          graft.operators.Temporal.mergePartials(Seq(
+            graft.operators.Temporal.aggregatePartial(even, "month"),
+            graft.operators.Temporal.aggregatePartial(odd, "month"))))
+        .withColumn("t_mean", round(col("t_mean"), 4))
+        .orderBy("feature", "timestamp", "country", "admin1", "admin2",
+          "lat", "lng", "qual1")
+    }),
+
     // G1: PageRank over the symmetrized customer↔supplier order graph —
     // the link-graph importance signal of web-curation pipelines, run on
     // the real TPC-H relationship structure. Per-iteration contributions
@@ -1072,6 +1092,25 @@ object DatacubeQueries {
     // G1: five PageRank iterations unrolled; every iteration's
     // contribution sum is scaled-integer (order-free), all float
     // literals e-notation so DuckDB parses doubles, not decimals
+    // A20: the full monthly cube recomputed from scratch — equality with
+    // the Spark side's partial-merge is the incremental contract
+    "a20_incremental_cube" -> {
+      val bucket = Datacube.sqlBucket("\"timestamp\"", "month")
+      val keys = "country, admin1, admin2, admin3, lat, lng, feature, qual1"
+      s"""${Datacube.sqlCte},
+         | t AS (
+         |  SELECT $bucket AS "timestamp", $keys,
+         |         SUM("value") AS t_sum,
+         |         CAST(COUNT("value") AS BIGINT) AS t_count,
+         |         AVG("value") AS t_mean
+         |  FROM cube GROUP BY ALL
+         | )
+         |SELECT "timestamp", country, admin1, admin2, admin3, lat, lng, feature, qual1,
+         |       t_sum, t_count, ROUND(t_mean, 4) AS t_mean
+         |FROM t
+         |ORDER BY feature, "timestamp", country, admin1, admin2, lat, lng, qual1""".stripMargin
+    },
+
     // Every CTE is AS MATERIALIZED: DuckDB otherwise INLINES the chain,
     // re-deriving the edge join inside every unrolled iteration
     // (observed >300 s at sf0.1 vs 3.4 s materialized)

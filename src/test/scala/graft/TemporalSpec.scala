@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 
 import graft.operators.Temporal
 
@@ -80,5 +81,31 @@ class TemporalSpec extends SparkSpec {
     val out = Temporal.aggregate(in, "all", "w")
       .select("feature", "t_sum", "t_mean", "t_wavg", "w")
     assert(rowSet(out) === Set(Seq("F", 30.0, 15.0, (10.0 * 1 + 20.0 * 3) / 4.0, 2.0)))
+  }
+
+  test("incremental partials: merge of arbitrary deltas equals full aggregate") {
+    val in = df(
+      "timestamp LONG, feature STRING, value DOUBLE", Seq(
+        Row(ts("2020-01-05"), "F", 1.0),
+        Row(ts("2020-01-20"), "F", 3.0),
+        Row(ts("2020-02-01"), "F", 5.0),
+        Row(ts("2020-01-07"), "G", 7.0)))
+    val full = Temporal.aggregate(in, "month")
+      .select("timestamp", "feature", "t_sum", "t_mean")
+    // split on row parity of value — any partition of the rows must merge
+    // back to the full result; a three-way merge exercises the reduce
+    val parts = Seq(
+      in.filter(col("value") <= 1.0),
+      in.filter(col("value") > 1.0 && col("value") < 7.0),
+      in.filter(col("value") >= 7.0)).map(Temporal.aggregatePartial(_, "month"))
+    val merged = Temporal.finalizePartial(Temporal.mergePartials(parts))
+      .select("timestamp", "feature", "t_sum", "t_mean")
+    assert(rowSet(merged) === rowSet(full))
+    // the partial's count column is the group cardinality
+    val counts = Temporal.mergePartials(parts)
+      .select("timestamp", "feature", "t_count")
+    assert(rowSet(counts) === Set(
+      Seq(ts("2020-01-01"), "F", 2L), Seq(ts("2020-02-01"), "F", 1L),
+      Seq(ts("2020-01-01"), "G", 1L)))
   }
 }
