@@ -1117,6 +1117,14 @@ object DocQueries {
         .orderBy("doc_id")
     }),
 
+    // T41: the dataset card — per-column row/null/distinct/min/max in
+    // ONE corpus pass (multiple exact distincts planned as one Expand +
+    // two-stage agg; the unpivot touches one row)
+    "t41_dataset_profile" -> ((s, dir) =>
+      graft.operators.Profile.columnProfile(table(s, dir, "documents"),
+          Seq("doc_id", "lang", "source", "n_chars"))
+        .orderBy("column")),
+
     // T40: the whole curation RECIPE through one entry point — exact
     // dedup → quality gate → decontamination (vs docs 0-9) → 10k-token
     // budget — emitting the per-stage funnel (stage, n_in, n_out); the
@@ -2333,6 +2341,23 @@ object DocQueries {
          |  SELECT doc_id FROM ($contaminationSql) sc WHERE contamination > 0.05
          |)
          |ORDER BY doc_id""".stripMargin,
+
+    // T41: per-column stats, numeric min/max taken before the VARCHAR
+    // cast (matching the Spark side's cast-after-min ordering)
+    "t41_dataset_profile" -> {
+      val cols = Seq("doc_id", "lang", "source", "n_chars")
+      val rows = cols.map { c =>
+        s"""SELECT '$c' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |       CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_nulls,
+           |       CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |       CAST(MIN($c) AS VARCHAR) AS min_v,
+           |       CAST(MAX($c) AS VARCHAR) AS max_v
+           |FROM documents""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""SELECT * FROM (
+         |$rows
+         |) ORDER BY "column"""".stripMargin
+    },
 
     // T40: each stage's keep-set recomputed independently (the stage
     // decisions are all doc-local or globally-ordered, so set algebra

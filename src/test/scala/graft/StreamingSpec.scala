@@ -356,6 +356,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming cube maintenance: the SAME aggregatePartial runs as a stream") {
+    // parity harness #7: Temporal.aggregatePartial is a pure
+    // projection + keyed aggregation, so the identical operator code
+    // runs under Structured Streaming in Complete mode — after every
+    // micro-batch the emitted cube equals the batch partial over the
+    // prefix consumed so far (bit-exact: integer-valued measures)
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val all = Seq.tabulate(300)(i =>
+      (ts("2020-01-01") + rnd.nextInt(90) * 86400000L,
+        s"F${rnd.nextInt(3)}", (rnd.nextInt(20) + 1).toDouble))
+    val input = MemoryStream[(Long, String, Double)]
+    val q = graft.operators.Temporal.aggregatePartial(
+        input.toDF().toDF("timestamp", "feature", "value"), "month")
+      .writeStream.format("memory").queryName("cube").outputMode("complete").start()
+    try {
+      var prefix = Seq.empty[(Long, String, Double)]
+      for (g <- all.grouped(110)) {
+        prefix = prefix ++ g
+        input.addData(g: _*); q.processAllAvailable()
+        val streamed = rowSet(spark.table("cube"))
+        val batch = rowSet(graft.operators.Temporal.aggregatePartial(
+          prefix.toDF("timestamp", "feature", "value"), "month"))
+        assert(streamed === batch)
+      }
+    } finally q.stop()
+  }
+
   test("streaming funnel equals batch windowFunnel after every in-order prefix") {
     // parity harness #6: the k-slot chain as flatMapGroupsWithState
     // state (constant per user); micro-batches delivered in event-time
