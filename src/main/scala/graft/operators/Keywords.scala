@@ -107,6 +107,84 @@ object Keywords {
       .select("doc_id", "rank", "term", "tf", "score")
   }
 
+  /** BM25 RETRIEVAL — the search face of the t23 scoring: rank documents
+    * against a query (the RAG-prep / corpus-search primitive). Query
+    * terms are a driver-side literal, so the corpus pass filters to the
+    * query vocabulary AT THE SCAN (an isin over the exploded tokens —
+    * only matching (doc, term) pairs survive into any aggregation), df
+    * and the per-doc score aggregate over that sliver, and the global
+    * top-k runs as the o1 two-phase rank (partition-local prefilter, so
+    * the final window never sees the full match set). Per-term BM25
+    * scores are rounded to 8 decimals and summed as scaled integers —
+    * the order-free summation contract (t19) applied to score
+    * accumulation — then rounded to 4 for the result.
+    *
+    * Scoring contract matches [[bm25TopTerms]]: idf = ln((N−df+0.5)/
+    * (df+0.5)+1), tf saturation k1, length normalization b; ties break
+    * (score DESC, doc_id ASC). Returns (rank, doc_id, n_matched,
+    * score). */
+  def bm25Search(
+      docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75
+  ): DataFrame = {
+    require(queryTerms.nonEmpty, "empty query")
+    require(k > 0, "k must be positive")
+    val terms = queryTerms.distinct
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(textCol).as("toks"))
+    val stats = toks.agg(count(lit(1)).as("n_docs"),
+      avg(size(col("toks"))).as("avgdl"))
+    val base = toks.select(col("doc_id"),
+        size(col("toks")).as("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(terms: _*))
+    val tf = base.groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), first("dl").as("dl"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val perTerm = tf.join(dft, "term").crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("q8", round(
+        col("idf") * (col("tf") * (lit(k1) + 1.0))
+          / (col("tf") + lit(k1)
+             * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))) * 1e8)
+        .cast("long"))
+    val scored = perTerm.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matched"),
+        round(sum(col("q8")) / 1e8, 4).as("score"))
+    val pre = Window.partitionBy(spark_partition_id())
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val fin = Window.orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("_rn0", row_number().over(pre))
+      .filter(col("_rn0") <= k).drop("_rn0")
+      .withColumn("rank", row_number().over(fin))
+      .filter(col("rank") <= k)
+      .select("rank", "doc_id", "n_matched", "score")
+  }
+
+  /** Exact phrase search: documents whose token sequence contains the
+    * phrase as a CONTIGUOUS run, with the occurrence count — one
+    * codegen'd projection per document (slice equality over the token
+    * array; no explode, no join, nothing shuffles but the result).
+    * Returns (doc_id, n_occurrences) for matching documents. */
+  def phraseSearch(
+      docs: DataFrame, idCol: String, textCol: String, phrase: Seq[String]
+  ): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val p = typedLit(phrase)
+    val n = phrase.length
+    val ws = TextFunctions.tokens(textCol)
+    docs
+      .select(col(idCol).as("doc_id"), ws.as("ws"))
+      // guard BEFORE building the sequence: sequence(1, 0) descends
+      .filter(size(col("ws")) >= n)
+      .withColumn("n_occurrences",
+        size(filter(sequence(lit(1), size(col("ws")) - n + 1),
+          i => slice(col("ws"), i, lit(n)) === p)))
+      .filter(col("n_occurrences") > 0)
+      .select("doc_id", "n_occurrences")
+  }
+
   /** Per-document cross-entropy under an add-alpha-smoothed corpus unigram
     * LM — the perplexity-style quality signal: documents whose token
     * distribution diverges from the corpus (rare-token soup, noise, wrong

@@ -1117,6 +1117,21 @@ object DocQueries {
         .orderBy("doc_id")
     }),
 
+    // IR1: BM25 retrieval — rank documents against a query (the search /
+    // RAG-prep face of the t23 scoring); per-term scores accumulate as
+    // scaled integers so the doc score is order-free on both engines
+    "ir1_bm25_search" -> ((s, dir) =>
+      Keywords.bm25Search(table(s, dir, "documents"), "doc_id", "text",
+          Seq("hash", "join", "merge"), k = 20)
+        .orderBy("rank")),
+
+    // IR2: exact contiguous phrase search with occurrence counts — one
+    // codegen'd slice-equality projection, no explode/join
+    "ir2_phrase_search" -> ((s, dir) =>
+      Keywords.phraseSearch(table(s, dir, "documents"), "doc_id", "text",
+          Seq("table", "table"))
+        .orderBy("doc_id")),
+
     // T41: the dataset card — per-column row/null/distinct/min/max in
     // ONE corpus pass (multiple exact distincts planned as one Expand +
     // two-stage agg; the unpivot touches one row)
@@ -2341,6 +2356,41 @@ object DocQueries {
          |  SELECT doc_id FROM ($contaminationSql) sc WHERE contamination > 0.05
          |)
          |ORDER BY doc_id""".stripMargin,
+
+    // IR1: df computed over the query-term sliver (same as the Spark
+    // side), per-term q8 scores summed as integers
+    "ir1_bm25_search" ->
+      s"""$wCte,
+         | terms AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM w),
+         | qt AS (SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl FROM terms
+         |        WHERE term IN ('hash', 'join', 'merge') GROUP BY 1, 2),
+         | dfq AS (SELECT term, COUNT(*) AS df FROM qt GROUP BY 1),
+         | st AS (SELECT COUNT(*) AS n_docs, AVG(len($ws)) AS avgdl FROM documents),
+         | scored AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched,
+         |         ROUND(SUM(CAST(ROUND(
+         |           ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+         |             * (qt.tf * (1.2 + 1.0))
+         |             / (qt.tf + 1.2 * (1.0 - 0.75 + 0.75 * qt.dl / st.avgdl))
+         |           * 100000000) AS BIGINT)) / 100000000.0, 4) AS score
+         |  FROM qt JOIN dfq USING (term) CROSS JOIN st GROUP BY doc_id
+         | ),
+         | ranked AS (SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS "rank"
+         |            FROM scored)
+         |SELECT "rank", doc_id, n_matched, score FROM ranked
+         |WHERE "rank" <= 20 ORDER BY "rank"""".stripMargin,
+
+    // IR2: inclusive 1-based list slice equality over every window start
+    "ir2_phrase_search" ->
+      s"""$wCte,
+         | occ AS (
+         |  SELECT doc_id,
+         |         CAST(len(list_filter(generate_series(1, len(ws) - 1),
+         |              i -> ws[i:i+1] = ['table', 'table'])) AS INT) AS n_occurrences
+         |  FROM w
+         | )
+         |SELECT doc_id, n_occurrences FROM occ
+         |WHERE n_occurrences > 0 ORDER BY doc_id""".stripMargin,
 
     // T41: per-column stats, numeric min/max taken before the VARCHAR
     // cast (matching the Spark side's cast-after-min ordering)

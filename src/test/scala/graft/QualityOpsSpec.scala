@@ -42,6 +42,30 @@ class QualityOpsSpec extends SparkSpec {
     assert(out === Set(1L))
   }
 
+  test("bm25Search ranks the doc matching more query terms first") {
+    val corpus = docs("hash join hash", "merge sort", "nothing relevant here")
+    val out = Keywords.bm25Search(corpus, "doc_id", "text",
+        Seq("hash", "join", "merge"), k = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // doc0 matches two query terms, doc1 one, doc2 none (absent)
+    assert(out.map(_._2).toSeq === Seq(0L, 1L))
+    assert(out(0)._3 === 2L && out(1)._3 === 1L)
+  }
+
+  test("phraseSearch counts contiguous (and overlapping) occurrences") {
+    val corpus = docs("a a a b", "a b a b", "b b", "a")
+    val out = Keywords.phraseSearch(corpus, "doc_id", "text", Seq("a", "a"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out === Map(0L -> 2)) // overlapping windows both count
+    val two = Keywords.phraseSearch(corpus, "doc_id", "text", Seq("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(two === Map(0L -> 1, 1L -> 2))
+    // phrase longer than the doc: no crash, no match
+    val long = Keywords.phraseSearch(corpus, "doc_id", "text",
+      Seq("a", "a", "a", "a", "a"))
+    assert(long.count() === 0)
+  }
+
   test("keepBestQuality keeps the max-quality member, ties to lowest id") {
     import spark.implicits._
     val d = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
