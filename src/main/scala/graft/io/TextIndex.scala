@@ -1,0 +1,100 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Persisted inverted text index — the search-serving layout (the text
+  * analog of the persisted IVF index): postings partitioned by a hash
+  * BUCKET of the term, so a query reads only its terms' bucket
+  * directories instead of scanning the corpus.
+  *
+  * Layout under `dir`:
+  *  - `postings/` — (term, doc_id, tf, dl), `partitionBy(term_bucket)`
+  *    where term_bucket = hash60(term) mod `buckets`; a term's postings
+  *    live in exactly one directory;
+  *  - `stats/` — one row (n_docs, avgdl), the BM25 normalizers.
+  *
+  * [[bm25SearchIndex]] reproduces [[graft.operators.Keywords.bm25Search]]
+  * EXACTLY (same tokenizer, same scoring, same q8 accumulation, same tie
+  * order) — the IvfIndexSpec-style contract: index-served results equal
+  * the corpus-scan operator, while the executed plan proves the scan
+  * touched only the probed buckets. Document frequency is derived from
+  * the probed postings themselves (df = posting count per term), so a
+  * search reads NOTHING outside its buckets.
+  *
+  * At 100 TB: the postings build is one tokenize + one (doc, term)
+  * aggregation; bucket count sizes directories against the term
+  * distribution (Heaps-bounded); queries cost |terms| directory reads
+  * regardless of corpus size. */
+object TextIndex {
+
+  val DefaultBuckets = 64
+
+  // the engine-wide 60-bit hash (15 md5 hex digits), column form
+  private def bucketOf(term: org.apache.spark.sql.Column, buckets: Int) =
+    pmod(conv(substring(md5(term), 1, 15), 16, 10).cast("long"), lit(buckets.toLong))
+
+  def writeIndex(
+      docs: DataFrame, idCol: String, textCol: String, dir: String,
+      buckets: Int = DefaultBuckets
+  ): Unit = {
+    require(buckets >= 1, "need at least one bucket")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(textCol).as("toks"))
+    toks.agg(count(lit(1)).as("n_docs"), avg(size(col("toks"))).as("avgdl"))
+      .write.mode("overwrite").parquet(s"$dir/stats")
+    toks.select(col("doc_id"), size(col("toks")).as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), first("dl").as("dl"))
+      .withColumn("term_bucket", bucketOf(col("term"), buckets))
+      .write.mode("overwrite").partitionBy("term_bucket")
+      .parquet(s"$dir/postings")
+  }
+
+  /** BM25 top-k against a persisted index: the query terms' buckets
+    * become a literal partition predicate (query metadata, not row
+    * data), postings filter to the exact terms inside those directories,
+    * and scoring matches `Keywords.bm25Search` bit-for-bit. */
+  def bm25SearchIndex(
+      spark: SparkSession, dir: String, queryTerms: Seq[String], k: Int,
+      buckets: Int = DefaultBuckets,
+      k1: Double = 1.2, b: Double = 0.75
+  ): DataFrame = {
+    require(queryTerms.nonEmpty, "empty query")
+    require(k > 0, "k must be positive")
+    val terms = queryTerms.distinct
+    // bucket ids are computable driver-side: same hash, tiny input
+    val probed = terms.map { t =>
+      math.floorMod(graft.functions.Winnow60.hash60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t)), buckets.toLong)
+    }.distinct
+    val stats = broadcast(spark.read.parquet(s"$dir/stats"))
+    val tf = spark.read.parquet(s"$dir/postings")
+      .filter(col("term_bucket").isin(probed: _*))
+      .filter(col("term").isin(terms: _*))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val perTerm = tf.join(dft, "term").crossJoin(stats)
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("q8", round(
+        col("idf") * (col("tf") * (lit(k1) + 1.0))
+          / (col("tf") + lit(k1)
+             * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))) * 1e8)
+        .cast("long"))
+    val scored = perTerm.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matched"),
+        round(sum(col("q8")) / 1e8, 4).as("score"))
+    val pre = Window.partitionBy(spark_partition_id())
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val fin = Window.orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("_rn0", row_number().over(pre))
+      .filter(col("_rn0") <= k).drop("_rn0")
+      .withColumn("rank", row_number().over(fin))
+      .filter(col("rank") <= k)
+      .select("rank", "doc_id", "n_matched", "score")
+  }
+}

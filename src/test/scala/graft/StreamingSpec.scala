@@ -385,6 +385,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CMS counters: the SAME cmsCounters aggregation runs as a stream") {
+    // parity harness #8: the count-min counter frame is a keyed
+    // aggregation over a projection, so the identical operator streams
+    // in Complete mode — d*w counters of state no matter how long the
+    // stream runs, and every prefix's counters equal the batch sketch
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val all = Seq.tabulate(4000)(_ => s"tok-${rnd.nextInt(300)}")
+    val input = MemoryStream[String]
+    val q = graft.operators.Sketches.cmsCounters(
+        input.toDF().toDF("t"), "t", d = 4, w = 64)
+      .writeStream.format("memory").queryName("cms").outputMode("complete").start()
+    try {
+      var prefix = Seq.empty[String]
+      for (g <- all.grouped(1500)) {
+        prefix = prefix ++ g
+        input.addData(g: _*); q.processAllAvailable()
+        val streamed = rowSet(spark.table("cms"))
+        val batch = rowSet(graft.operators.Sketches.cmsCounters(
+          prefix.toDF("t"), "t", d = 4, w = 64))
+        assert(streamed === batch)
+      }
+    } finally q.stop()
+  }
+
   test("streaming funnel equals batch windowFunnel after every in-order prefix") {
     // parity harness #6: the k-slot chain as flatMapGroupsWithState
     // state (constant per user); micro-batches delivered in event-time
