@@ -44,15 +44,49 @@ object TextIndex {
     require(buckets >= 1, "need at least one bucket")
     val toks = docs.select(col(idCol).as("doc_id"),
       TextFunctions.tokens(textCol).as("toks"))
-    toks.agg(count(lit(1)).as("n_docs"), avg(size(col("toks"))).as("avgdl"))
+    // sum_dl is stored alongside so stats MERGE exactly on append
+    // (dl is integer-valued — the double sum is exact at any order)
+    toks.agg(count(lit(1)).as("n_docs"),
+        sum(size(col("toks"))).cast("long").as("sum_dl"))
+      .withColumn("avgdl", col("sum_dl") / col("n_docs"))
       .write.mode("overwrite").parquet(s"$dir/stats")
+    postings(toks, buckets).write.mode("overwrite")
+      .partitionBy("term_bucket").parquet(s"$dir/postings")
+  }
+
+  private def postings(toks: DataFrame, buckets: Int): DataFrame =
     toks.select(col("doc_id"), size(col("toks")).as("dl"),
         explode(col("toks")).as("term"))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"), first("dl").as("dl"))
       .withColumn("term_bucket", bucketOf(col("term"), buckets))
-      .write.mode("overwrite").partitionBy("term_bucket")
-      .parquet(s"$dir/postings")
+
+  /** Incremental maintenance: add a DELTA corpus (document ids disjoint
+    * from the indexed ones) to an existing index. Delta postings append
+    * into the same bucket directories (each term still lives in exactly
+    * one directory), and the stats sidecar merges by addition —
+    * integer-valued totals, so a search over the appended index is
+    * bit-identical to re-indexing the full corpus (TextIndexSpec pins
+    * it). A delta batch costs one tokenize + one aggregation over the
+    * BATCH; the standing index is never rewritten. */
+  def appendToIndex(
+      delta: DataFrame, idCol: String, textCol: String, dir: String,
+      buckets: Int = DefaultBuckets
+  ): Unit = {
+    val spark = delta.sparkSession
+    val toks = delta.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(textCol).as("toks"))
+    val Array(dn, dsum) = toks
+      .agg(count(lit(1)).cast("long"), sum(size(col("toks"))).cast("long"))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val old = spark.read.parquet(s"$dir/stats")
+      .select(col("n_docs").cast("long"), col("sum_dl").cast("long")).head()
+    val (n, sd) = (old.getLong(0) + dn, old.getLong(1) + dsum)
+    postings(toks, buckets).write.mode("append")
+      .partitionBy("term_bucket").parquet(s"$dir/postings")
+    import spark.implicits._
+    Seq((n, sd, sd.toDouble / n)).toDF("n_docs", "sum_dl", "avgdl")
+      .write.mode("overwrite").parquet(s"$dir/stats")
   }
 
   /** BM25 top-k against a persisted index: the query terms' buckets

@@ -1117,6 +1117,24 @@ object DocQueries {
         .orderBy("doc_id")
     }),
 
+    // V14: retrieval-augmentation join — each query document's exact
+    // top-3 embedding neighbors ENRICHED with the neighbor document's
+    // metadata (the RAG-prep shape: ANN result ⨝ corpus; the rank frame
+    // is query-batch-sized, so the enrich join broadcasts it against the
+    // doc table — the corpus side never shuffles)
+    "v14_doc_neighbors" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val docs = table(s, dir, "documents")
+      val nn = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 3)
+      broadcast(nn)
+        .join(docs, nn("neighbor_id") === docs("doc_id"))
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("cosine"), col("lang").as("neighbor_lang"),
+          col("source").as("neighbor_source"))
+        .orderBy("query_id", "rank")
+    }),
+
     // IR1: BM25 retrieval — rank documents against a query (the search /
     // RAG-prep face of the t23 scoring); per-term scores accumulate as
     // scaled integers so the doc score is order-free on both engines
@@ -2356,6 +2374,27 @@ object DocQueries {
          |  SELECT doc_id FROM ($contaminationSql) sc WHERE contamination > 0.05
          |)
          |ORDER BY doc_id""".stripMargin,
+
+    // V14: the v1 chain joined to the document table for neighbor
+    // metadata
+    "v14_doc_neighbors" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         | q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+         | scored AS (
+         |  SELECT query_id, e.vec_id AS neighbor_id,
+         |         ROUND(list_dot_product(qv, v)
+         |               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 4) AS cosine
+         |  FROM q, e WHERE e.vec_id <> q.query_id
+         | ),
+         | ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS "rank"
+         |  FROM scored
+         | )
+         |SELECT query_id, "rank", neighbor_id, cosine,
+         |       d.lang AS neighbor_lang, d.source AS neighbor_source
+         |FROM ranked JOIN documents d ON ranked.neighbor_id = d.doc_id
+         |WHERE "rank" <= 3
+         |ORDER BY query_id, "rank"""".stripMargin,
 
     // IR1: df computed over the query-term sliver (same as the Spark
     // side), per-term q8 scores summed as integers

@@ -52,6 +52,21 @@ class TextIndexSpec extends SparkSpec {
     }
   }
 
+  test("appendToIndex: incremental add equals re-indexing the full corpus") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-textindex4").toString
+    TextIndex.writeIndex(docs.filter(col("doc_id") < 250), "doc_id", "text",
+      dir, buckets = 16)
+    TextIndex.appendToIndex(docs.filter(col("doc_id") >= 250), "doc_id", "text",
+      dir, buckets = 16)
+    val terms = Seq("hash", "join", "merge")
+    val incremental = TextIndex.bm25SearchIndex(spark, dir, terms, k = 15, buckets = 16)
+      .collect().map(_.toSeq).toSeq
+    val full = Keywords.bm25Search(docs, "doc_id", "text", terms, k = 15)
+      .collect().map(_.toSeq).toSeq
+    assert(incremental === full)
+  }
+
   test("a disjoint query over the same index finds its own postings") {
     val dir = java.nio.file.Files.createTempDirectory("graft-textindex3").toString
     TextIndex.writeIndex(docs, "doc_id", "text", dir, buckets = 8)
