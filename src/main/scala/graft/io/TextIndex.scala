@@ -54,11 +54,15 @@ object TextIndex {
       .partitionBy("term_bucket").parquet(s"$dir/postings")
   }
 
+  /** Positional postings: (term, doc_id, tf, dl, positions) — positions
+    * are the term's sorted 1-based token offsets, what phrase queries
+    * intersect. */
   private def postings(toks: DataFrame, buckets: Int): DataFrame =
     toks.select(col("doc_id"), size(col("toks")).as("dl"),
-        explode(col("toks")).as("term"))
+        posexplode(col("toks")).as(Seq("pos0", "term")))
       .groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"), first("dl").as("dl"))
+      .agg(count(lit(1)).as("tf"), first("dl").as("dl"),
+        array_sort(collect_list(col("pos0") + 1)).as("positions"))
       .withColumn("term_bucket", bucketOf(col("term"), buckets))
 
   /** Incremental maintenance: add a DELTA corpus (document ids disjoint
@@ -130,5 +134,51 @@ object TextIndex {
       .withColumn("rank", row_number().over(fin))
       .filter(col("rank") <= k)
       .select("rank", "doc_id", "n_matched", "score")
+  }
+
+  /** Exact phrase search SERVED FROM THE INDEX — no corpus scan: the
+    * phrase terms' postings (bucket-pruned like [[bm25SearchIndex]])
+    * join per document, and a phrase start is a position p with term_j
+    * at p + j for every j — computed by folding array_intersect over the
+    * per-term position lists shifted left by their offset. Results equal
+    * [[graft.operators.Keywords.phraseSearch]] (same 1-based positions,
+    * same overlap counting). Returns (doc_id, n_occurrences) for
+    * matching documents.
+    *
+    * Repeated terms in the phrase read ONE posting (the join dedups by
+    * term), and a document lacking any phrase term drops at the inner
+    * join — so the work is |phrase| posting lookups, corpus-size-free. */
+  def phraseSearchIndex(
+      spark: SparkSession, dir: String, phrase: Seq[String],
+      buckets: Int = DefaultBuckets
+  ): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val terms = phrase.distinct
+    val probed = terms.map { t =>
+      math.floorMod(graft.functions.Winnow60.hash60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t)), buckets.toLong)
+    }.distinct
+    val posts = spark.read.parquet(s"$dir/postings")
+      .filter(col("term_bucket").isin(probed: _*))
+      .filter(col("term").isin(terms: _*))
+      .select("doc_id", "term", "positions")
+    // one frame per distinct term, joined per doc; each phrase slot j
+    // contributes its term's positions shifted by -j, and the fold
+    // intersects them into the set of valid phrase starts
+    val byTerm = terms.map(t =>
+      t -> posts.filter(col("term") === t)
+        .select(col("doc_id"), col("positions").as(s"_p_$t"))).toMap
+    val joined = phrase.indices.foldLeft(Option.empty[DataFrame]) { (acc, j) =>
+      val t = phrase(j)
+      val shifted = byTerm(t).select(col("doc_id"),
+        transform(col(s"_p_$t"), x => x - j).as(s"_s_$j"))
+      Some(acc.fold(shifted)(_.join(shifted, "doc_id")))
+    }.get
+    val starts = phrase.indices.map(j => col(s"_s_$j"): org.apache.spark.sql.Column)
+      .reduceLeft((a, b) => array_intersect(a, b))
+    joined
+      .withColumn("n_occurrences", size(starts))
+      .filter(col("n_occurrences") > 0)
+      .select("doc_id", "n_occurrences")
   }
 }

@@ -1,6 +1,7 @@
 package graft.testbed
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -1117,6 +1118,31 @@ object DocQueries {
         .orderBy("doc_id")
     }),
 
+    // V15: reciprocal-rank fusion of two ANN systems (the hybrid-search
+    // ensemble): the PQ ADC ranking and the LSH ranking full-outer-join
+    // per (query, neighbor), rrf = Σ 1/(60 + rank_sys) over the systems
+    // that surfaced the pair — integer ranks, so both engines compute
+    // identical doubles; re-rank on (rrf DESC, neighbor)
+    "v15_rrf_fusion" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 20)
+      val a = Similarity.pqTopK(emb, q, "vec_id", "embedding",
+          k = 3, dims = 64, m = 4, codes = 16, iters = 2)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("rank_a"))
+      val b = Similarity.annTopK(emb, q, "vec_id", "embedding",
+          k = 3, dims = 64, tables = 8, planesPerTable = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("rank_b"))
+      val u = a.join(b, Seq("query_id", "neighbor_id"), "full_outer")
+        .withColumn("rrf", round(
+          coalesce(lit(1.0) / (lit(60) + col("rank_a")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(60) + col("rank_b")), lit(0.0)), 6))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("rrf").desc, col("neighbor_id").asc)
+      u.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        .select("query_id", "rank", "neighbor_id", "rrf")
+        .orderBy("query_id", "rank")
+    }),
+
     // V14: retrieval-augmentation join — each query document's exact
     // top-3 embedding neighbors ENRICHED with the neighbor document's
     // metadata (the RAG-prep shape: ANN result ⨝ corpus; the rank frame
@@ -1558,6 +1584,50 @@ object DocQueries {
         .orderBy("doc_id")
     })
   )
+
+  /** v9/v2 oracle chains, shared verbatim by the v15 RRF fusion. */
+  private lazy val v9Sql: String =
+    s"""WITH ${pqCtes(4, 16, 2, 64)},
+       |${pqScoredCte(4, 2, 64)},
+       | ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS "rank"
+       |  FROM scored
+       | )
+       |SELECT query_id, "rank", neighbor_id, score
+       |FROM ranked WHERE "rank" <= 3
+       |ORDER BY query_id, "rank"""".stripMargin
+
+  private lazy val v2Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         | tb AS (
+         |  SELECT vec_id, t,
+         |         CAST(list_sum(list_transform(generate_series(0, 3), i ->
+         |           CASE WHEN list_dot_product(v,
+         |                  list_transform(generate_series(0, 63),
+         |                    d -> (((t * 4 + i) * 64 + d) * 2654435761) % 1000 / 1000.0 - 0.5)) >= 0.0
+         |                THEN (1 << CAST(i AS INT)) ELSE 0 END)) AS INT) AS bucket
+         |  FROM e CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS t) tt
+         | ),
+         | cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM tb q JOIN tb c ON q.t = c.t AND q.bucket = c.bucket AND c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 20
+         | ),
+         | scored AS (
+         |  SELECT query_id, neighbor_id,
+         |         ROUND(list_dot_product(qe.v, ce.v)
+         |               / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))), 4) AS cosine
+         |  FROM cand
+         |  JOIN e qe ON qe.vec_id = cand.query_id
+         |  JOIN e ce ON ce.vec_id = cand.neighbor_id
+         | ),
+         | ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS "rank"
+         |  FROM scored
+         | )
+         |SELECT query_id, "rank", neighbor_id, cosine
+         |FROM ranked WHERE "rank" <= 3
+         |ORDER BY query_id, "rank"""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "d00_corpus_warmup" ->
@@ -2096,37 +2166,7 @@ object DocQueries {
          |FROM ranked WHERE "rank" <= 3
          |ORDER BY query_id, "rank"""".stripMargin,
 
-    "v2_ann_lsh" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         | tb AS (
-         |  SELECT vec_id, t,
-         |         CAST(list_sum(list_transform(generate_series(0, 3), i ->
-         |           CASE WHEN list_dot_product(v,
-         |                  list_transform(generate_series(0, 63),
-         |                    d -> (((t * 4 + i) * 64 + d) * 2654435761) % 1000 / 1000.0 - 0.5)) >= 0.0
-         |                THEN (1 << CAST(i AS INT)) ELSE 0 END)) AS INT) AS bucket
-         |  FROM e CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS t) tt
-         | ),
-         | cand AS (
-         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
-         |  FROM tb q JOIN tb c ON q.t = c.t AND q.bucket = c.bucket AND c.vec_id <> q.vec_id
-         |  WHERE q.vec_id < 20
-         | ),
-         | scored AS (
-         |  SELECT query_id, neighbor_id,
-         |         ROUND(list_dot_product(qe.v, ce.v)
-         |               / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))), 4) AS cosine
-         |  FROM cand
-         |  JOIN e qe ON qe.vec_id = cand.query_id
-         |  JOIN e ce ON ce.vec_id = cand.neighbor_id
-         | ),
-         | ranked AS (
-         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS "rank"
-         |  FROM scored
-         | )
-         |SELECT query_id, "rank", neighbor_id, cosine
-         |FROM ranked WHERE "rank" <= 3
-         |ORDER BY query_id, "rank"""".stripMargin,
+    "v2_ann_lsh" -> v2Sql,
 
     // V7: the v1 (exact, k=3) and v2 (LSH ANN) chains composed — truth
     // LEFT JOIN approx on the (query_id, neighbor_id) pair, recall per
@@ -2182,16 +2222,7 @@ object DocQueries {
 
     // V9: the full PQ chain unrolled — per-subspace Lloyd, encode, ADC
     // sum (left-associated + matches the Spark side's left fold)
-    "v9_pq_topk" ->
-      s"""WITH ${pqCtes(4, 16, 2, 64)},
-         |${pqScoredCte(4, 2, 64)},
-         | ranked AS (
-         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS "rank"
-         |  FROM scored
-         | )
-         |SELECT query_id, "rank", neighbor_id, score
-         |FROM ranked WHERE "rank" <= 3
-         |ORDER BY query_id, "rank"""".stripMargin,
+    "v9_pq_topk" -> v9Sql,
 
     // V10: recall@3 of the v9 chain against the exact brute-force top-3
     "v10_pq_recall" ->
@@ -2374,6 +2405,28 @@ object DocQueries {
          |  SELECT doc_id FROM ($contaminationSql) sc WHERE contamination > 0.05
          |)
          |ORDER BY doc_id""".stripMargin,
+
+    // V15: the two system chains as NESTED-WITH subqueries (no CTE name
+    // collisions), full-outer-joined per (query, neighbor); float
+    // literals e-notation so rrf is double arithmetic on both engines
+    "v15_rrf_fusion" ->
+      s"""WITH a AS ($v9Sql),
+         | b AS ($v2Sql),
+         | u AS (
+         |  SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+         |         COALESCE(a.neighbor_id, b.neighbor_id) AS neighbor_id,
+         |         ROUND(COALESCE(1.0e0 / (60 + a."rank"), 0.0e0)
+         |               + COALESCE(1.0e0 / (60 + b."rank"), 0.0e0), 6) AS rrf
+         |  FROM a FULL JOIN b
+         |    ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+         | ),
+         | r AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |                               ORDER BY rrf DESC, neighbor_id) AS "rank"
+         |  FROM u
+         | )
+         |SELECT query_id, "rank", neighbor_id, rrf FROM r
+         |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
 
     // V14: the v1 chain joined to the document table for neighbor
     // metadata

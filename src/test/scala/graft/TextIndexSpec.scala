@@ -67,6 +67,19 @@ class TextIndexSpec extends SparkSpec {
     assert(incremental === full)
   }
 
+  test("phraseSearchIndex equals the corpus-scan phraseSearch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-textindex5").toString
+    TextIndex.writeIndex(docs, "doc_id", "text", dir, buckets = 16)
+    for (phrase <- Seq(Seq("table", "table"), Seq("fast", "key"),
+        Seq("value", "table", "part"), Seq("no-such-term", "table"))) {
+      val fromIndex = TextIndex.phraseSearchIndex(spark, dir, phrase, buckets = 16)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val fromScan = Keywords.phraseSearch(docs, "doc_id", "text", phrase)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(fromIndex === fromScan, s"phrase $phrase")
+    }
+  }
+
   test("a disjoint query over the same index finds its own postings") {
     val dir = java.nio.file.Files.createTempDirectory("graft-textindex3").toString
     TextIndex.writeIndex(docs, "doc_id", "text", dir, buckets = 8)
