@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{BestCentroid, BucketPairs, DeflateLen, MinHash64, ShingleHash60, SimHash60, VectorDot, Winnow60, ZOrder60}
+import graft.functions.{BestCentroid, BucketPairs, DeflateLen, MinHash64, NfcNormalize, ShingleHash60, SimHash60, VectorDot, Winnow60, ZOrder60}
 
 /** Session extensions registering the engine's native Catalyst functions.
   * Install with `spark.sql.extensions=graft.plans.GraftExtensions`, or call
@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.shingleHash60)
     ext.injectFunction(GraftExtensions.bucketPairs)
     ext.injectFunction(GraftExtensions.bestCentroid)
+    ext.injectFunction(GraftExtensions.nfcNormalize)
   }
 }
 
@@ -32,6 +33,15 @@ object GraftExtensions {
     (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
       require(children.length == 2, "vec_dot takes exactly 2 arguments")
       VectorDot(children.head, children(1))
+    }
+  )
+
+  private val nfcNormalize = (
+    new FunctionIdentifier("nfc_normalize"),
+    new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.length == 1, "nfc_normalize takes exactly 1 argument")
+      NfcNormalize(children.head)
     }
   )
 
@@ -127,7 +137,7 @@ object GraftExtensions {
 
   private val all =
     Seq(vecDot, simHash60, zOrder60, deflateLen, minHash64, winnow60, shingleHash60,
-      bucketPairs, bestCentroid)
+      bucketPairs, bestCentroid, nfcNormalize)
 
   /** Idempotently register the functions on a live session. */
   def register(spark: SparkSession): Unit = {

@@ -1176,6 +1176,26 @@ object DocQueries {
           Seq("table", "table"))
         .orderBy("doc_id")),
 
+    // T42: Unicode NFC normalization (native nfc_normalize expression,
+    // JDK Normalizer) — per-doc payloads get decomposed sequences
+    // appended (combining acute/ring, doc_id-conditional precomposed é),
+    // and the normalized text's md5 + char counts must match DuckDB's
+    // independent utf8proc-based nfc_normalize
+    "t42_unicode_nfc" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          // explicit escapes: "cafe" + COMBINING ACUTE and "A" + COMBINING
+          // RING are DECOMPOSED on purpose; evens append precomposed
+          // U+00E9, odds the decomposed pair - NFC must converge both
+          concat(col("text"), lit(" cafe\u0301 A\u030A"),
+            when(col("doc_id") % 2 === 0, lit("\u00e9"))
+              .otherwise(lit("e\u0301"))).as("t2"))
+        .select(col("doc_id"),
+          md5(expr("nfc_normalize(t2)")).as("nfc_md5"),
+          length(col("t2")).as("len_before"),
+          length(expr("nfc_normalize(t2)")).as("len_after"))
+        .orderBy("doc_id")),
+
     // T41: the dataset card — per-column row/null/distinct/min/max in
     // ONE corpus pass (multiple exact distincts planned as one Expand +
     // two-stage agg; the unpivot touches one row)
@@ -2483,6 +2503,24 @@ object DocQueries {
          | )
          |SELECT doc_id, n_occurrences FROM occ
          |WHERE n_occurrences > 0 ORDER BY doc_id""".stripMargin,
+
+    // T42: DuckDB's utf8proc-based nfc_normalize as the independent
+    // mirror of the JDK-Normalizer expression; chr() builds the same
+    // decomposed payloads (769 = U+0301 combining acute, 778 = U+030A
+    // combining ring, 233 = U+00E9)
+    "t42_unicode_nfc" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         text || ' cafe' || chr(769) || ' A' || chr(778) ||
+        |         CASE WHEN doc_id % 2 = 0 THEN chr(233)
+        |              ELSE 'e' || chr(769) END AS t2
+        |  FROM documents
+        | )
+        |SELECT doc_id,
+        |       md5(nfc_normalize(t2)) AS nfc_md5,
+        |       CAST(length(t2) AS INT) AS len_before,
+        |       CAST(length(nfc_normalize(t2)) AS INT) AS len_after
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     // T41: per-column stats, numeric min/max taken before the VARCHAR
     // cast (matching the Spark side's cast-after-min ordering)

@@ -56,6 +56,7 @@ class PlanShapeSpec extends SparkSpec {
     assert(shape(docs.select(TextFunctions.simHash("text"))) === ((0, 0)))
     assert(shape(docs.select(TextFunctions.langId("text"))) === ((0, 0)))
     assert(shape(docs.select(TextFunctions.bpeTokenCount("text"))) === ((0, 0)))
+    assert(shape(docs.selectExpr("nfc_normalize(text)")) === ((0, 0)))
   }
 
   test("stratified sampling never shuffles (the determinism claim's twin)") {

@@ -66,6 +66,27 @@ class QualityOpsSpec extends SparkSpec {
     assert(long.count() === 0)
   }
 
+  test("nfc_normalize composes decomposed sequences and is idempotent") {
+    import spark.implicits._
+    val in = Seq(
+      (1L, "cafe\u0301"),        // e + combining acute -> precomposed
+      (2L, "caf\u00e9"),         // already NFC
+      (3L, "A\u030A b"),         // A + combining ring -> Angstrom A
+      (4L, "plain ascii")).toDF("id", "t")
+    val out = in.selectExpr("id", "nfc_normalize(t) AS n", "length(t) AS lb",
+        "length(nfc_normalize(t)) AS la")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(out(1L)._1 === "caf\u00e9" && out(1L)._2 === 5 && out(1L)._3 === 4)
+    assert(out(2L)._1 === "caf\u00e9")
+    assert(out(1L)._1 === out(2L)._1)
+    assert(out(3L)._1 === "\u00c5 b")
+    assert(out(4L)._1 === "plain ascii") // fast path: already normalized
+    // idempotent
+    val twice = in.selectExpr("nfc_normalize(nfc_normalize(t)) AS n2",
+      "nfc_normalize(t) AS n1").collect()
+    twice.foreach(r => assert(r.getString(0) === r.getString(1)))
+  }
+
   test("keepBestQuality keeps the max-quality member, ties to lowest id") {
     import spark.implicits._
     val d = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
