@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{BestCentroid, BucketPairs, DeflateLen, MinHash64, NfcNormalize, ShingleHash60, SimHash60, VectorDot, Winnow60, ZOrder60}
+import graft.functions.{BestCentroid, BucketPairs, DeflateLen, MinHash64, NfcNormalize, PhraseCount, ShingleHash60, SimHash60, VectorDot, Winnow60, ZOrder60}
 
 /** Session extensions registering the engine's native Catalyst functions.
   * Install with `spark.sql.extensions=graft.plans.GraftExtensions`, or call
@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.bucketPairs)
     ext.injectFunction(GraftExtensions.bestCentroid)
     ext.injectFunction(GraftExtensions.nfcNormalize)
+    ext.injectFunction(GraftExtensions.phraseCount)
   }
 }
 
@@ -33,6 +34,15 @@ object GraftExtensions {
     (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
       require(children.length == 2, "vec_dot takes exactly 2 arguments")
       VectorDot(children.head, children(1))
+    }
+  )
+
+  private val phraseCount = (
+    new FunctionIdentifier("phrase_count"),
+    new ExpressionInfo(classOf[PhraseCount].getName, "phrase_count"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.length == 2, "phrase_count takes exactly 2 arguments")
+      PhraseCount(children.head, children(1))
     }
   )
 
@@ -137,7 +147,7 @@ object GraftExtensions {
 
   private val all =
     Seq(vecDot, simHash60, zOrder60, deflateLen, minHash64, winnow60, shingleHash60,
-      bucketPairs, bestCentroid, nfcNormalize)
+      bucketPairs, bestCentroid, nfcNormalize, phraseCount)
 
   /** Idempotently register the functions on a live session. */
   def register(spark: SparkSession): Unit = {
