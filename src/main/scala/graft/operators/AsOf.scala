@@ -42,7 +42,8 @@ object AsOf {
       keyCols: Seq[String],
       tsCol: String,
       payload: Seq[String],
-      direction: String = "backward"
+      direction: String = "backward",
+      tolerance: Option[Long] = None
   ): DataFrame = {
     require(payload.nonEmpty, "as-of join needs at least one payload column")
     require(Seq("backward", "forward", "nearest").contains(direction),
@@ -109,7 +110,14 @@ object AsOf {
                 col("_bwd"))
               .otherwise(col("_fwd")))
     }
-    matched
+    // pandas merge_asof tolerance: a candidate farther than `tolerance`
+    // from the left timestamp is no match at all (nulls out, exactly as
+    // if no right row qualified) — applied AFTER direction resolution so
+    // `nearest` first picks its side, then the pick must be in range
+    val bounded = tolerance.fold(matched)(t =>
+      matched.withColumn("_match",
+        when(abs(col(tsCol) - col("_match._rts")) <= t, col("_match"))))
+    bounded
       .filter(col("_side") === 0)
       .select(leftCols.map(col) ++ payload.map(p => col(s"_match.$p").as(p)): _*)
   }

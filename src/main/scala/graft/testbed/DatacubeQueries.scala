@@ -502,6 +502,17 @@ object DatacubeQueries {
         .orderBy("event_id")
     }),
 
+    // O9: the pandas merge_asof TOLERANCE contract — the backward match
+    // is kept only when it lies within 6 hours of the click; a stale
+    // match nulls out exactly as if no purchase preceded it
+    "o9_asof_tolerance" -> ((s, dir) => {
+      val (clicks, purchases) = asofSides(s, dir)
+      graft.operators.AsOf.joinAsOf(clicks, purchases, Seq("user_id"), "ts_ms",
+          Seq("purchase_ts", "purchase_value"), direction = "backward",
+          tolerance = Some(6L * 3600 * 1000))
+        .orderBy("event_id")
+    }),
+
     // O8: conversion funnel — how deep each user gets through
     // view → click → purchase within 7 days of their first view, as ONE
     // per-user fold (no self-joins); the oracle is the k-step unrolled
@@ -1009,6 +1020,28 @@ object DatacubeQueries {
         | )
         |SELECT c.event_id, c.user_id, c.ts_ms, c."value",
         |       p.ts_ms AS purchase_ts, p.purchase_value
+        |FROM clicks c ASOF LEFT JOIN purchases p
+        |  ON c.user_id = p.user_id AND p.ts_ms <= c.ts_ms
+        |ORDER BY event_id""".stripMargin,
+
+    // O9: DuckDB's native ASOF with the tolerance applied as a
+    // post-filter CASE — matches farther than 6 h null out on both
+    // payload columns
+    "o9_asof_tolerance" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms, "value"
+        |  FROM events
+        | ),
+        | clicks AS (
+        |  SELECT event_id, user_id, ts_ms, "value" FROM ev WHERE event_type = 'click'
+        | ),
+        | purchases AS (
+        |  SELECT user_id, ts_ms, MAX("value") AS purchase_value
+        |  FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2
+        | )
+        |SELECT c.event_id, c.user_id, c.ts_ms, c."value",
+        |       CASE WHEN c.ts_ms - p.ts_ms <= 21600000 THEN p.ts_ms END AS purchase_ts,
+        |       CASE WHEN c.ts_ms - p.ts_ms <= 21600000 THEN p.purchase_value END AS purchase_value
         |FROM clicks c ASOF LEFT JOIN purchases p
         |  ON c.user_id = p.user_id AND p.ts_ms <= c.ts_ms
         |ORDER BY event_id""".stripMargin,
