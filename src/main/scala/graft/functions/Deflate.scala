@@ -1,11 +1,11 @@
 package graft.functions
 
-import java.util.zip.Deflater
+import java.util.zip.{Deflater, Inflater}
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst DEFLATE-compressed length of a string's UTF-8 bytes
@@ -63,5 +63,72 @@ object DeflateLen {
     var total = 0
     while (!d.finished()) total += d.deflate(b)
     total
+  }
+}
+
+/** Native `inflate(deflate(x)) == x` witness — the oracle-adjudicable face of
+  * [[DeflateLen]]. DuckDB has no raw-DEFLATE builtin, so raw compressed
+  * lengths can't be cross-checked; this boolean CAN be (the oracle asserts
+  * TRUE per row), turning the compression-ratio battery entry from a
+  * rows-only check into a full hash-compared one. Per-row, no shuffle,
+  * thread-local codec state like [[DeflateLen]].
+  */
+case class DeflateRoundtrip(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"deflate_roundtrip expects a string argument, got ${other.simpleString}")
+    }
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "deflate_roundtrip"
+
+  override protected def nullSafeEval(s: Any): Any =
+    DeflateRoundtrip.roundtripOk(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.DeflateRoundtrip.roundtripOk($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): DeflateRoundtrip =
+    copy(child = newChild)
+}
+
+object DeflateRoundtrip {
+
+  private val deflater = ThreadLocal.withInitial[Deflater](() =>
+    new Deflater(Deflater.DEFAULT_COMPRESSION, /* nowrap = */ true))
+  private val inflater = ThreadLocal.withInitial[Inflater](() =>
+    new Inflater(/* nowrap = */ true))
+  private val buf = ThreadLocal.withInitial[Array[Byte]](() =>
+    new Array[Byte](16 * 1024))
+
+  /** True iff inflating the raw-DEFLATE stream of `s` reproduces `s`. */
+  def roundtripOk(s: UTF8String): Boolean = {
+    val orig = s.getBytes
+    val d = deflater.get()
+    d.reset()
+    d.setInput(orig)
+    d.finish()
+    val b = buf.get()
+    val out = new java.io.ByteArrayOutputStream(math.max(64, orig.length / 2))
+    while (!d.finished()) {
+      val n = d.deflate(b)
+      out.write(b, 0, n)
+    }
+    val inf = inflater.get()
+    inf.reset()
+    inf.setInput(out.toByteArray)
+    val back = new Array[Byte](orig.length)
+    var got = 0
+    while (got < orig.length && !inf.finished()) {
+      got += inf.inflate(back, got, orig.length - got)
+    }
+    // a longer-than-original inflation or leftover input is a failed roundtrip
+    val extra = new Array[Byte](1)
+    val trailing = if (inf.finished()) 0 else inf.inflate(extra, 0, 1)
+    got == orig.length && trailing == 0 && java.util.Arrays.equals(back, orig)
   }
 }

@@ -118,10 +118,24 @@ object TextFunctions {
     * ACTIVE session (a Column function has no handle on the frame's own);
     * multi-session JVMs must call `GraftExtensions.register` on the
     * session that analyzes the plan. */
-  def deflateLen(c: String): Column = {
+  def deflateLen(c: String): Column = deflateLen(col(c))
+
+  /** Column overload of [[deflateLen]] for derived inputs (e.g. the
+    * doubled-text LZ77 witness in the t16 battery entry). */
+  def deflateLen(c: Column): Column = {
     graft.plans.GraftExtensions.register(
       org.apache.spark.sql.SparkSession.active)
-    call_function("deflate_len", col(c))
+    call_function("deflate_len", c)
+  }
+
+  /** `inflate(deflate(text)) == text` witness (native [[DeflateRoundtrip]]).
+    * The oracle-adjudicable form of the compression signal: DuckDB can't
+    * mirror raw-DEFLATE lengths but CAN assert this boolean is universally
+    * true. */
+  def deflateRoundtrip(c: Column): Column = {
+    graft.plans.GraftExtensions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("deflate_roundtrip", c)
   }
 
   /** Compression-ratio quality signal: `deflate_len / byte_len`, rounded

@@ -45,10 +45,14 @@ object TextIndex {
     val toks = docs.select(col(idCol).as("doc_id"),
       TextFunctions.tokens(textCol).as("toks"))
     // sum_dl is stored alongside so stats MERGE exactly on append
-    // (dl is integer-valued — the double sum is exact at any order)
+    // (dl is integer-valued — the double sum is exact at any order);
+    // the bucket count is persisted too, so append/search verify against
+    // the layout the postings were actually written with instead of
+    // trusting the caller's parameter
     toks.agg(count(lit(1)).as("n_docs"),
         sum(size(col("toks"))).cast("long").as("sum_dl"))
       .withColumn("avgdl", col("sum_dl") / col("n_docs"))
+      .withColumn("buckets", lit(buckets))
       .write.mode("overwrite").parquet(s"$dir/stats")
     postings(toks, buckets).write.mode("overwrite")
       .partitionBy("term_bucket").parquet(s"$dir/postings")
@@ -65,6 +69,18 @@ object TextIndex {
         array_sort(collect_list(col("pos0") + 1)).as("positions"))
       .withColumn("term_bucket", bucketOf(col("term"), buckets))
 
+  /** The bucket count the index at `dir` was written with, from the stats
+    * sidecar; `fallback` covers indexes written before the count was
+    * persisted. A mismatched caller value would silently split a term's
+    * postings across two directories (append) or probe the wrong
+    * directory (search) — so every entry point resolves through here. */
+  private def storedBuckets(spark: SparkSession, dir: String, fallback: Int): Int = {
+    val stats = spark.read.parquet(s"$dir/stats")
+    if (stats.columns.contains("buckets"))
+      stats.select(col("buckets").cast("int")).head().getInt(0)
+    else fallback
+  }
+
   /** Incremental maintenance: add a DELTA corpus (document ids disjoint
     * from the indexed ones) to an existing index. Delta postings append
     * into the same bucket directories (each term still lives in exactly
@@ -78,6 +94,7 @@ object TextIndex {
       buckets: Int = DefaultBuckets
   ): Unit = {
     val spark = delta.sparkSession
+    val nBuckets = storedBuckets(spark, dir, buckets)
     val toks = delta.select(col(idCol).as("doc_id"),
       TextFunctions.tokens(textCol).as("toks"))
     val Array(dn, dsum) = toks
@@ -86,10 +103,10 @@ object TextIndex {
     val old = spark.read.parquet(s"$dir/stats")
       .select(col("n_docs").cast("long"), col("sum_dl").cast("long")).head()
     val (n, sd) = (old.getLong(0) + dn, old.getLong(1) + dsum)
-    postings(toks, buckets).write.mode("append")
+    postings(toks, nBuckets).write.mode("append")
       .partitionBy("term_bucket").parquet(s"$dir/postings")
     import spark.implicits._
-    Seq((n, sd, sd.toDouble / n)).toDF("n_docs", "sum_dl", "avgdl")
+    Seq((n, sd, sd.toDouble / n, nBuckets)).toDF("n_docs", "sum_dl", "avgdl", "buckets")
       .write.mode("overwrite").parquet(s"$dir/stats")
   }
 
@@ -105,12 +122,16 @@ object TextIndex {
     require(queryTerms.nonEmpty, "empty query")
     require(k > 0, "k must be positive")
     val terms = queryTerms.distinct
+    // NOTE: named nBuckets, not b — `b` is the BM25 length-normalization
+    // parameter in scope here
+    val nBuckets = storedBuckets(spark, dir, buckets)
     // bucket ids are computable driver-side: same hash, tiny input
     val probed = terms.map { t =>
       math.floorMod(graft.functions.Winnow60.hash60(
-        org.apache.spark.unsafe.types.UTF8String.fromString(t)), buckets.toLong)
+        org.apache.spark.unsafe.types.UTF8String.fromString(t)), nBuckets.toLong)
     }.distinct
-    val stats = broadcast(spark.read.parquet(s"$dir/stats"))
+    val stats = broadcast(spark.read.parquet(s"$dir/stats")
+      .select("n_docs", "sum_dl", "avgdl"))
     val tf = spark.read.parquet(s"$dir/postings")
       .filter(col("term_bucket").isin(probed: _*))
       .filter(col("term").isin(terms: _*))
@@ -154,9 +175,10 @@ object TextIndex {
   ): DataFrame = {
     require(phrase.nonEmpty, "empty phrase")
     val terms = phrase.distinct
+    val nBuckets = storedBuckets(spark, dir, buckets)
     val probed = terms.map { t =>
       math.floorMod(graft.functions.Winnow60.hash60(
-        org.apache.spark.unsafe.types.UTF8String.fromString(t)), buckets.toLong)
+        org.apache.spark.unsafe.types.UTF8String.fromString(t)), nBuckets.toLong)
     }.distinct
     val posts = spark.read.parquet(s"$dir/postings")
       .filter(col("term_bucket").isin(probed: _*))

@@ -113,10 +113,22 @@ object AsOf {
     // pandas merge_asof tolerance: a candidate farther than `tolerance`
     // from the left timestamp is no match at all (nulls out, exactly as
     // if no right row qualified) — applied AFTER direction resolution so
-    // `nearest` first picks its side, then the pick must be in range
+    // `nearest` first picks its side, then the pick must be in range.
+    // Timestamp-typed columns subtract to an INTERVAL, which doesn't
+    // compare against the bigint tolerance — normalize both operands to
+    // long first (unix_micros for timestamps, i.e. tolerance is in
+    // MICROSECONDS for timestamp columns and in the column's own unit for
+    // numeric ones).
+    def asLong(c: Column): Column = left.schema(tsCol).dataType match {
+      case _: org.apache.spark.sql.types.TimestampType => unix_micros(c)
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(c.cast("timestamp"))
+      case _ => c // numeric columns compare in their own unit, no cast
+    }
     val bounded = tolerance.fold(matched)(t =>
       matched.withColumn("_match",
-        when(abs(col(tsCol) - col("_match._rts")) <= t, col("_match"))))
+        when(abs(asLong(col(tsCol)) - asLong(col("_match._rts"))) <= t,
+          col("_match"))))
     bounded
       .filter(col("_side") === 0)
       .select(leftCols.map(col) ++ payload.map(p => col(s"_match.$p").as(p)): _*)

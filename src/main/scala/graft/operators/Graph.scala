@@ -48,10 +48,10 @@ object Graph {
     // symmetrized-input contract every node has an out-edge, so N is
     // deg's row count — no explode-distinct pass over the edges
     val n = deg.count()
-    val teleport = lit(0.15) / n.toDouble
+    val teleport = lit(1.0 - damping) / n.toDouble
     var ranks = deg.select(col("src").as("node"),
       (lit(1.0) / n.toDouble).as("rank"))
-    for (_ <- 0 until iters) {
+    for (i <- 0 until iters) {
       ranks = withDeg
         .join(ranks, withDeg("src") === ranks("node"))
         .select(col("dst"),
@@ -60,13 +60,22 @@ object Graph {
         .agg(sum("q12").as("s12"))
         .select(col("dst").as("node"),
           (teleport + lit(damping) * (col("s12") / 1e12)).as("rank"))
-        // truncate the lineage each pass (the CC operators' pattern):
-        // without this the driver re-analyzes a plan that grows by a
-        // join+agg per iteration, and planning cost — not data — comes
-        // to dominate; ranks is node-sized, safe to materialize
-        .localCheckpoint()
+      // truncate the lineage every SECOND pass (the CC operators' pattern,
+      // batched): without checkpoints the driver re-analyzes a plan that
+      // grows by a join+agg per iteration and planning cost comes to
+      // dominate; checkpointing every other pass keeps the plan bounded
+      // while halving the job count (each Spark job runs two iterations'
+      // join+agg). The q12 integer rounding makes every iteration's result
+      // the same doubles regardless of where the materialization barrier
+      // falls. Ranks are node-sized, safe to materialize.
+      if (i % 2 == 1 || i == iters - 1) ranks = ranks.localCheckpoint()
     }
-    ranks.join(deg, ranks("node") === deg("src"))
+    val out = ranks.join(deg, ranks("node") === deg("src"))
       .select(col("node"), col("outdeg"), round(col("rank"), 6).as("rank"))
+      // materialize before dropping the caches the lineage leans on
+      .localCheckpoint()
+    withDeg.unpersist()
+    e.unpersist()
+    out
   }
 }

@@ -21,16 +21,21 @@ object Profile {
 
   def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "columnProfile needs at least one column")
+    // backtick-quote every spliced identifier (and escape embedded
+    // backticks) so columns named with spaces/quotes/dots profile
+    // correctly instead of breaking the stack() parse
+    def bt(name: String): String = "`" + name.replace("`", "``") + "`"
     val aggs = cols.flatMap { c =>
       Seq(
-        count(col(c)).as(s"${c}__nonnull"),
-        count_distinct(col(c)).as(s"${c}__distinct"),
-        min(col(c)).cast("string").as(s"${c}__min"),
-        max(col(c)).cast("string").as(s"${c}__max"))
+        count(col(bt(c))).as(s"${c}__nonnull"),
+        count_distinct(col(bt(c))).as(s"${c}__distinct"),
+        min(col(bt(c))).cast("string").as(s"${c}__min"),
+        max(col(bt(c))).cast("string").as(s"${c}__max"))
     }
     val one = df.agg(count(lit(1)).as("__rows"), aggs: _*)
     val stackExpr = cols.map { c =>
-      s"'$c', ${c}__nonnull, ${c}__distinct, ${c}__min, ${c}__max"
+      val lbl = c.replace("\\", "\\\\").replace("'", "\\'")
+      s"'$lbl', ${bt(s"${c}__nonnull")}, ${bt(s"${c}__distinct")}, ${bt(s"${c}__min")}, ${bt(s"${c}__max")}"
     }.mkString(", ")
     one.selectExpr("__rows",
         s"stack(${cols.length}, $stackExpr) AS (column, n_nonnull, n_distinct, min_v, max_v)")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{BestCentroid, BucketPairs, DeflateLen, MinHash64, NfcNormalize, PhraseCount, ShingleHash60, SimHash60, VectorDot, Winnow60, ZOrder60}
+import graft.functions.{BestCentroid, BucketPairs, DeflateLen, DeflateRoundtrip, MinHash64, NfcNormalize, PhraseCount, ShingleHash60, SimHash60, VectorDot, Winnow60, ZOrder60}
 
 /** Session extensions registering the engine's native Catalyst functions.
   * Install with `spark.sql.extensions=graft.plans.GraftExtensions`, or call
@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.simHash60)
     ext.injectFunction(GraftExtensions.zOrder60)
     ext.injectFunction(GraftExtensions.deflateLen)
+    ext.injectFunction(GraftExtensions.deflateRoundtrip)
     ext.injectFunction(GraftExtensions.minHash64)
     ext.injectFunction(GraftExtensions.winnow60)
     ext.injectFunction(GraftExtensions.shingleHash60)
@@ -79,6 +80,15 @@ object GraftExtensions {
     (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
       require(children.length == 1, "deflate_len takes exactly 1 argument")
       DeflateLen(children.head)
+    }
+  )
+
+  private val deflateRoundtrip = (
+    new FunctionIdentifier("deflate_roundtrip"),
+    new ExpressionInfo(classOf[DeflateRoundtrip].getName, "deflate_roundtrip"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.length == 1, "deflate_roundtrip takes exactly 1 argument")
+      DeflateRoundtrip(children.head)
     }
   )
 
@@ -146,8 +156,8 @@ object GraftExtensions {
   )
 
   private val all =
-    Seq(vecDot, simHash60, zOrder60, deflateLen, minHash64, winnow60, shingleHash60,
-      bucketPairs, bestCentroid, nfcNormalize, phraseCount)
+    Seq(vecDot, simHash60, zOrder60, deflateLen, deflateRoundtrip, minHash64,
+      winnow60, shingleHash60, bucketPairs, bestCentroid, nfcNormalize, phraseCount)
 
   /** Idempotently register the functions on a live session. */
   def register(spark: SparkSession): Unit = {

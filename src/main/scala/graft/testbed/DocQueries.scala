@@ -1027,18 +1027,35 @@ object DocQueries {
     }),
 
     // T18: sketch-based quantiles — the one-pass bounded-state scale path
-    // for t8's thresholds. Sketch results are engine-dependent (genuine
-    // data points, no interpolation) -> rows-only driver check; the
-    // rank-error bound vs the exact quantiles is asserted in
-    // CurationOpsSpec
+    // for t8's thresholds. Sketch values are engine-dependent (genuine data
+    // points, no interpolation), so the battery emits the sketch's RANK
+    // ERROR GUARANTEE instead of the raw values: for each probability p the
+    // returned value v must satisfy |rank(v)/n - p| <= 1/accuracy (+1/n
+    // discreteness slack) — count(q<=v) >= (p-eps)n and count(q<v) <=
+    // (p+eps)n. The oracle asserts the booleans universally TRUE; exact
+    // value behavior stays spec-verified in CurationOpsSpec.
     "t18_quality_quantiles_approx" -> ((s, dir) => {
+      val probs = Seq(0.25, 0.5, 0.75, 0.9)
+      val names = Seq("q25", "q50", "q75", "q90")
+      val acc = 1000
       val st = table(s, dir, "documents")
         .select(col("lang"), TextFunctions.textStats("text").as("st"))
         .select(col("lang"), col("st.quality_score").as("q"))
-      val out = Sampling.approxQuantiles(st, Seq("lang"), "q",
-        Seq(0.25, 0.5, 0.75, 0.9), Seq("q25", "q50", "q75", "q90"))
-      Seq("q25", "q50", "q75", "q90")
-        .foldLeft(out)((d, c) => d.withColumn(c, round(col(c), 4)))
+      val sketch = Sampling.approxQuantiles(st, Seq("lang"), "q",
+        probs, names, accuracy = acc)
+      val counted = st.join(broadcast(sketch), "lang")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          (names.flatMap(nm => Seq(
+            sum(when(col("q") <= col(nm), 1L).otherwise(0L)).as(s"le_$nm"),
+            sum(when(col("q") < col(nm), 1L).otherwise(0L)).as(s"lt_$nm")))): _*)
+      val eps = lit(1.0 / acc) + lit(1.0) / col("n_docs")
+      counted.select(
+        col("lang") +: col("n_docs") +:
+          probs.zip(names).map { case (p, nm) =>
+            ((col(s"le_$nm") >= (lit(p) - eps) * col("n_docs")) &&
+              (col(s"lt_$nm") <= (lit(p) + eps) * col("n_docs"))).as(s"${nm}_ok")
+          }: _*)
         .orderBy("lang")
     }),
 
@@ -1483,16 +1500,26 @@ object DocQueries {
         .orderBy("doc_id")),
 
     // T16: compression-ratio quality signal (native deflate_len expression).
-    // No DuckDB mirror exists for raw-DEFLATE length -> rows-only driver
-    // check; the value semantics are spec-verified (DeflateSpec golden
-    // inequalities + inflate round-trip)
-    "t16_compress_ratio" -> ((s, dir) =>
+    // DuckDB has no raw-DEFLATE builtin, so instead of raw lengths the
+    // battery emits per-row INVARIANTS the oracle can adjudicate exactly:
+    // inflate(deflate(x)) == x, the raw-deflate worst-case length bound
+    // (5 bytes per stored block + trailer on incompressible input), and the
+    // LZ77 window witness (text||text compresses to barely more than text —
+    // the second copy is a chain of <=258-byte back-references, ~4 bytes
+    // per match, whenever text fits the 32 KiB window). Raw length values
+    // stay spec-verified in DeflateSpec.
+    "t16_compress_ratio" -> ((s, dir) => {
+      val nB = octet_length(col("text")).cast("long")
+      val dl = TextFunctions.deflateLen("text").cast("long")
+      val dl2 = TextFunctions.deflateLen(concat(col("text"), col("text"))).cast("long")
       table(s, dir, "documents")
-        .select(col("doc_id"),
-          octet_length(col("text")).as("n_bytes"),
-          TextFunctions.deflateLen("text").as("deflate_len"),
-          TextFunctions.compressionRatio("text").as("compress_ratio"))
-        .orderBy("doc_id")),
+        .select(col("doc_id"), nB.as("n_bytes"),
+          TextFunctions.deflateRoundtrip(col("text")).as("roundtrip_ok"),
+          (dl >= lit(2) && dl <= nB + nB / 100 + lit(64)).as("len_bound_ok"),
+          when(nB > 0 && nB <= 30000, dl2 <= dl + nB / 64 + lit(32))
+            .otherwise(lit(true)).as("double_gain_ok"))
+        .orderBy("doc_id")
+    }),
 
     // D11: per-document duplicate n-gram fraction (the RefinedWeb-style
     // duplicated-text signal — per doc, not per pair)
@@ -1655,6 +1682,23 @@ object DocQueries {
         |UNION ALL
         |SELECT 'embeddings', CAST(COUNT(*) AS BIGINT) FROM embeddings
         |ORDER BY tbl""".stripMargin,
+
+    // t16: the Spark side emits compression invariants (round-trip, raw
+    // worst-case length bound, LZ77 doubled-text witness) that must hold
+    // for EVERY row; the oracle asserts exactly that, plus the one value
+    // DuckDB can compute independently (UTF-8 byte length)
+    "t16_compress_ratio" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       TRUE AS roundtrip_ok, TRUE AS len_bound_ok, TRUE AS double_gain_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // t18: the Spark side emits the sketch's rank-error-bound booleans per
+    // language; the oracle asserts them universally TRUE and matches the
+    // per-language row counts
+    "t18_quality_quantiles_approx" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       TRUE AS q25_ok, TRUE AS q50_ok, TRUE AS q75_ok, TRUE AS q90_ok
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "t1_text_stats" ->
       s"""$wCte,
@@ -3016,9 +3060,9 @@ object DocQueries {
          |        FROM wf),
          |$rounds
          |SELECT * FROM (
-         |  SELECT CAST(1 AS INT) AS round, a, b, cnt AS pair_count FROM b1
-         |  UNION ALL SELECT CAST(2 AS INT), a, b, cnt FROM b2
-         |  UNION ALL SELECT CAST(3 AS INT), a, b, cnt FROM b3
+         |  SELECT CAST(1 AS INT) AS round, a, b, CAST(cnt AS BIGINT) AS pair_count FROM b1
+         |  UNION ALL SELECT CAST(2 AS INT), a, b, CAST(cnt AS BIGINT) FROM b2
+         |  UNION ALL SELECT CAST(3 AS INT), a, b, CAST(cnt AS BIGINT) FROM b3
          | ) ORDER BY round""".stripMargin
     },
 

@@ -59,6 +59,21 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.isNullAt(3))
   }
 
+  test("as-of tolerance works on timestamp-typed ordering columns") {
+    // ts - _rts on TimestampType yields an INTERVAL, which can't compare
+    // to the bigint tolerance — the operator normalizes to unix_micros
+    // (tolerance unit = microseconds for timestamp columns)
+    val left = df("id LONG, k STRING, ts TIMESTAMP", Seq(
+      Row(1L, "u1", java.sql.Timestamp.valueOf("2024-01-01 00:00:05")),
+      Row(2L, "u1", java.sql.Timestamp.valueOf("2024-01-01 00:01:00"))))
+    val right = df("k STRING, ts TIMESTAMP, price DOUBLE", Seq(
+      Row("u1", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0)))
+    val out = AsOf.joinAsOf(left, right, Seq("k"), "ts", Seq("price"),
+        tolerance = Some(10L * 1000000))  // 10 s in micros
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    assert(out === Map(1L -> Some(1.0), 2L -> None))
+  }
+
   test("as-of join payload overload carries all non-key right columns") {
     val left = df("id LONG, k STRING, ts LONG", Seq(Row(1L, "a", 5L)))
     val right = df("k STRING, ts LONG, x DOUBLE, y STRING", Seq(Row("a", 3L, 1.5, "v")))

@@ -39,6 +39,28 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-5)
   }
 
+  test("non-default damping uses (1-d)/N teleport") {
+    import spark.implicits._
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 0L), (2L, 0L), (3L, 0L))
+    val out = Graph.pageRank(star.toDF("src", "dst"), "src", "dst",
+        iters = 1, damping = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // center: 0.5/4 + 0.5·(3·0.25/1) = 0.5; leaf: 0.125 + 0.5·(0.25/3)
+    assert(math.abs(out(0L) - 0.5) < 1e-6)
+    assert(math.abs(out(1L) - 0.166667) < 1e-6)
+  }
+
+  test("odd iteration counts checkpoint-batch correctly") {
+    // iters=3 exercises the every-other-pass localCheckpoint with a
+    // trailing unbatched iteration; values must match the 2-iter fixture
+    // continued one more hand-computed step
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 0L), (2L, 0L), (3L, 0L))
+    val it3 = ranks(star, iters = 3)
+    // center: 0.0375 + 0.85·(3·0.22875/1); leaf: 0.0375 + 0.85·(0.31375/3)
+    assert(math.abs(it3(0L)._2 - 0.620813) < 2e-6)
+    assert(math.abs(it3(1L)._2 - 0.126396) < 2e-6)
+  }
+
   test("duplicate input edges collapse before degree counting") {
     val dup = Seq((0L, 1L), (0L, 1L), (1L, 0L))
     val out = ranks(dup, iters = 3)

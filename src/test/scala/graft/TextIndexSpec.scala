@@ -80,6 +80,32 @@ class TextIndexSpec extends SparkSpec {
     }
   }
 
+  test("append/search use the PERSISTED bucket count, not the caller's") {
+    // a mismatched caller value used to split a term's postings across two
+    // directories (append) or probe the wrong directory (search); the
+    // stats sidecar now records the layout and every entry point resolves
+    // through it
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-textindex6").toString
+    TextIndex.writeIndex(docs.filter(col("doc_id") < 250), "doc_id", "text",
+      dir, buckets = 16)
+    // deliberately wrong bucket counts everywhere downstream
+    TextIndex.appendToIndex(docs.filter(col("doc_id") >= 250), "doc_id", "text",
+      dir, buckets = 64)
+    val terms = Seq("hash", "join", "merge")
+    val viaWrong = TextIndex.bm25SearchIndex(spark, dir, terms, k = 15, buckets = 8)
+      .collect().map(_.toSeq).toSeq
+    val full = Keywords.bm25Search(docs, "doc_id", "text", terms, k = 15)
+      .collect().map(_.toSeq).toSeq
+    assert(viaWrong === full)
+    val phraseWrong = TextIndex.phraseSearchIndex(spark, dir, Seq("fast", "key"),
+        buckets = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val phraseScan = Keywords.phraseSearch(docs, "doc_id", "text", Seq("fast", "key"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(phraseWrong === phraseScan)
+  }
+
   test("a disjoint query over the same index finds its own postings") {
     val dir = java.nio.file.Files.createTempDirectory("graft-textindex3").toString
     TextIndex.writeIndex(docs, "doc_id", "text", dir, buckets = 8)
