@@ -96,9 +96,17 @@ final case class HadoopFsWriter(baseUri: String, confKV: Map[String, String] = M
 }
 
 /** Writer dispatch by destination type (S9; reference:
-  * flows/data_pipeline.py:49-60 WRITE_TYPES). */
+  * flows/data_pipeline.py:49-60 WRITE_TYPES).
+  *
+  * `s3Conf` carries the `fs.s3a.*` Hadoop settings the s3 destination
+  * assumes (endpoint, path-style access, credentials provider — see
+  * doc/S3_WRITER.md for the contract); it reaches [[HadoopFsWriter]] as
+  * plain data so executor-side FileSystem resolution sees the overrides
+  * even when the cluster's cached FileSystem was opened with different
+  * config. */
 object Writer {
-  def forDest(destType: String, bucket: String): Writer = destType match {
+  def forDest(destType: String, bucket: String,
+              s3Conf: Map[String, String] = Map.empty): Writer = destType match {
     case "file" => FileWriter(bucket)
     case "none" => NullWriter
     case "s3" =>
@@ -109,7 +117,7 @@ object Writer {
           s"s3 destination must be a URI with a scheme (e.g. s3a://bucket), got: '$bucket'"))
       val normalized =
         if (scheme == "s3") "s3a://" + bucket.stripPrefix("s3://") else bucket
-      HadoopFsWriter(normalized)
+      HadoopFsWriter(normalized, s3Conf)
     case other  => throw new IllegalArgumentException(s"unknown dest type: $other")
   }
 }

@@ -37,7 +37,110 @@ object Bpe {
   private def charSyms(wordCol: String) =
     trim(regexp_replace(col(wordCol), "(.)", "$1  "))
 
+  /** Positional adjacent pairs of every multi-symbol word, frequency-
+    * weighted: (a, b, cnt). Single-symbol words carry no pairs (and
+    * Spark's sequence(1, 0) DESCENDS rather than being empty — it must
+    * not be reached). */
+  private def pairsOf(syms: DataFrame): DataFrame =
+    syms
+      .select(col("freq"), split(col("s"), "  ").as("l"))
+      .filter(size(col("l")) >= 2)
+      .select(col("freq"), explode(
+        transform(sequence(lit(1), size(col("l")) - 1),
+          i => struct(element_at(col("l"), i).as("a"),
+            element_at(col("l"), i + 1).as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("freq").as("cnt"))
+
+  /** Incremental merge learning — the shape that survives a real
+    * tokenizer's 30k rounds: the standing state is the word table AND its
+    * pair-count table, and each round updates both from only the words
+    * CONTAINING the merged pair (the classic incremental-BPE observation:
+    * a merge changes no other word's pairs). Per round:
+    *
+    *  1. argmax over the standing pair counts (vocabulary-sized, never
+    *     re-derived from the words);
+    *  2. affected = words whose padded encoding contains ` a  b `;
+    *  3. delta = pairs(affected, negated) ∪ pairs(affected rewritten) —
+    *     unchanged pairs cancel exactly (integer counts);
+    *  4. fold the delta into the pair table; rewrite only the affected
+    *     words.
+    *
+    * Both standing tables are eagerly localCheckpoint'd each round (the
+    * PageRank lineage lesson — they are vocabulary-sized, and the argmax
+    * materializes the pair table anyway) and the previous round's
+    * checkpoint RDDs released, so a 30k-round run holds two tables and a
+    * bounded plan, not 30k chained rewrites. Counts are integers, so the
+    * incremental table equals the full recompute bit-for-bit every round
+    * (BpeSpec pins it against [[learnMergesRecompute]]). */
   def learnMerges(
+      docs: DataFrame,
+      textCol: String,
+      rounds: Int
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var syms = docs
+      .select(explode(TextFunctions.tokens(textCol)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("s", charSyms("word"))
+      .select("s", "freq")
+      .localCheckpoint()
+    val symsParts = math.max(1, syms.rdd.getNumPartitions)
+    var pairs = pairsOf(syms)
+      .groupBy("a", "b").agg(sum("cnt").as("cnt"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val best = pairs
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r, a, b, cnt))
+        val needle = s"$a  $b"                  // inner double-space form
+        val pat = lit(s" $a  $b ")              // boundary-padded literal
+        val rep = lit(s" ${a + b} ")
+        def padded(c: org.apache.spark.sql.Column) =
+          concat(lit(" "), c, lit(" "))
+        val hasPair = padded(col("s")).contains(s" $needle ")
+        val affected = syms.filter(hasPair)
+        val rewritten = affected
+          .withColumn("s", trim(replace(padded(col("s")), pat, rep)))
+        val delta = pairsOf(affected).select(col("a"), col("b"), (-col("cnt")).as("cnt"))
+          .unionByName(pairsOf(rewritten))
+        val newPairs = pairs.unionByName(delta)
+          .groupBy("a", "b").agg(sum("cnt").as("cnt"))
+          .filter(col("cnt") > 0)
+          .localCheckpoint()
+        // coalesce BEFORE the checkpoint: the filter ∪ rewrite union has
+        // 2× its parent's partitions and localCheckpoint preserves
+        // partitioning, so without this the partition count DOUBLES per
+        // round — 2^r tasks per stage by round r (observed: a 262k-task
+        // stage by round ~15 at sf0.1). The pair table is immune (its
+        // groupBy reshuffles to spark.sql.shuffle.partitions).
+        val newSyms = syms.filter(!hasPair).unionByName(rewritten)
+          .coalesce(symsParts)
+          .localCheckpoint()
+        Dedup.release(pairs); Dedup.release(syms)
+        pairs = newPairs
+        syms = newSyms
+      }
+      r += 1
+    }
+    Dedup.release(pairs); Dedup.release(syms)
+    merges.result().toDF("round", "a", "b", "pair_count")
+  }
+
+  /** The one-shot recompute form — each round re-aggregates every pair of
+    * the full word table. O(rounds × corpus-vocabulary) total work and an
+    * unbounded rewrite lineage: fine as the spec WITNESS for
+    * [[learnMerges]] (both must emit identical merge tables — integer
+    * counts, same tie order), wrong as the production path at real merge
+    * counts. */
+  private[graft] def learnMergesRecompute(
       docs: DataFrame,
       textCol: String,
       rounds: Int
@@ -53,16 +156,8 @@ object Bpe {
     var syms = wf
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (r <- 1 to rounds) {
-      val best = syms
-        .select(col("freq"), split(col("s"), "  ").as("l"))
-        // single-symbol words carry no pairs (and Spark's sequence(1, 0)
-        // DESCENDS rather than being empty — it must not be reached)
-        .filter(size(col("l")) >= 2)
-        .select(col("freq"), explode(
-          transform(sequence(lit(1), size(col("l")) - 1),
-            i => struct(element_at(col("l"), i).as("a"),
-              element_at(col("l"), i + 1).as("b")))).as("p"))
-        .groupBy(col("p.a"), col("p.b")).agg(sum("freq").as("cnt"))
+      val best = pairsOf(syms)
+        .groupBy("a", "b").agg(sum("cnt").as("cnt"))
         .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
         .limit(1).collect()
       if (best.nonEmpty) {

@@ -312,6 +312,28 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Encode a raster to baseline JPEG bytes with the JDK's built-in
+    * encoder — the MJPG frame payload (legacy MJPEG-in-AVI is JPEG bytes
+    * per `00dc` chunk, so [[aviFrames]] + [[decodePixels]] cover it with
+    * no codec library). JPEG is LOSSY: decode(encode(x)) approximates x,
+    * so oracles over JPEG payloads assert BOUNDED decode error, never
+    * exact sums (the m6 pattern — solid-color frames reconstruct within a
+    * few counts per channel: DC-only blocks, quantization error ≤ q/16
+    * per pixel plus YCbCr round-trip rounding). */
+  def encodeJpeg(width: Int, height: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb(x, y)); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
   /** REAL pixel decode via `javax.imageio` (PNG/JPEG/GIF/BMP readers are
     * part of the JDK). Returns None for undecodable payloads — the same
     * reject-don't-crash contract as the header parsers. */

@@ -29,7 +29,11 @@ final case class PipelineConfig(
     selectedOutputTasks: Seq[String] = Seq.empty, // empty => run everything
     destType: String = "file",
     modelBucket: String = "models",
-    indicatorBucket: String = "indicators"
+    indicatorBucket: String = "indicators",
+    // fs.s3a.* Hadoop overrides for destType = "s3" (endpoint, path-style
+    // access, credentials provider — doc/S3_WRITER.md documents the
+    // contract); carried as data into the executor-side writer
+    s3Conf: Map[String, String] = Map.empty
 )
 
 object OutputTask {
@@ -94,7 +98,7 @@ object Pipeline {
     val numRows = df.count()
 
     val decisions = configurePipeline(df.columns.toSeq, cfg)
-    val writer = Writer.forDest(cfg.destType, decisions.bucket)
+    val writer = Writer.forDest(cfg.destType, decisions.bucket, cfg.s3Conf)
     var objects = 0L
 
     val qualifierCols = Validate.qualifierColumns(df, vr.weightColumn)

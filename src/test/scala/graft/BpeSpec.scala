@@ -42,6 +42,32 @@ class BpeSpec extends SparkSpec {
     assert(applied === Seq("a", "b", "a", "x"))
   }
 
+  test("incremental learnMerges equals the full recompute witness") {
+    // 8 rounds over a mixed corpus with repeated structure — enough rounds
+    // that composite symbols (ab+neighbor) feed later merges, so any
+    // incremental-delta error (missed affected word, uncancelled pair)
+    // diverges from the per-round full recompute
+    val docs = corpus(
+      "banana bandana cabana", "the theatre heathen then",
+      "mississippi missive permission", "banana banana the the",
+      "ababab abba bab")
+    val inc = Bpe.learnMerges(docs, "text", rounds = 8)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val full = Bpe.learnMergesRecompute(docs, "text", rounds = 8)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(inc === full)
+    assert(inc.length === 8)
+  }
+
+  test("incremental learning runs past the point where pairs exhaust") {
+    // tiny corpus exhausts its pairs before the requested rounds; the
+    // incremental loop must stop cleanly, not emit ghost merges
+    val docs = corpus("ab ab")
+    val m = Bpe.learnMerges(docs, "text", rounds = 10).collect()
+    assert(m.length === 1)
+    assert((m(0).getString(1), m(0).getString(2)) === (("a", "b")))
+  }
+
   test("back-to-back pair occurrences all merge in one round's rewrite") {
     // 'aaaa': r1 learns (a,a) count 3 (positional/overlapping statistic);
     // greedy-left application yields aa aa
