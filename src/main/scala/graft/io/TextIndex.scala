@@ -54,7 +54,16 @@ object TextIndex {
       .withColumn("avgdl", col("sum_dl") / col("n_docs"))
       .withColumn("buckets", lit(buckets))
       .write.mode("overwrite").parquet(s"$dir/stats")
-    postings(toks, buckets).write.mode("overwrite")
+    // repartition on the bucket key first: without it every shuffle
+    // partition writes a sliver into every bucket directory (partitions ×
+    // buckets small files — 2048 at bench config, and the file-commit
+    // storm was the dominant, high-variance cost of the index build);
+    // with it each bucket directory gets whole files from the tasks that
+    // own its key. At larger corpora raise spark.sql.shuffle.partitions —
+    // the hash-partitioning spreads buckets across however many tasks
+    // exist.
+    postings(toks, buckets).repartition(col("term_bucket"))
+      .write.mode("overwrite")
       .partitionBy("term_bucket").parquet(s"$dir/postings")
   }
 
@@ -103,7 +112,8 @@ object TextIndex {
     val old = spark.read.parquet(s"$dir/stats")
       .select(col("n_docs").cast("long"), col("sum_dl").cast("long")).head()
     val (n, sd) = (old.getLong(0) + dn, old.getLong(1) + dsum)
-    postings(toks, nBuckets).write.mode("append")
+    postings(toks, nBuckets).repartition(col("term_bucket"))
+      .write.mode("append")
       .partitionBy("term_bucket").parquet(s"$dir/postings")
     import spark.implicits._
     Seq((n, sd, sd.toDouble / n, nBuckets)).toDF("n_docs", "sum_dl", "avgdl", "buckets")

@@ -29,6 +29,13 @@ object Graph {
     * with an in-edge also has an out-edge) for the classic ergodic
     * setup; the battery's order graph is symmetric by construction.
     * Returns (node, outdeg, rank) with rank rounded to 6 decimals. */
+  /** Above this node count the per-iteration rank join stops
+    * broadcasting and switches to the pre-partitioned-edges plan. ~5M
+    * nodes ≈ 80 MB of (long, double) rows — comfortably under executor
+    * broadcast budgets; beyond it a rank broadcast would OOM the driver
+    * long before the edges are the problem. */
+  val BroadcastNodeLimit: Long = 5000000L
+
   def pageRank(
       edges: DataFrame,
       srcCol: String,
@@ -36,26 +43,58 @@ object Graph {
       iters: Int = 5,
       damping: Double = 0.85
   ): DataFrame = {
-    val e = edges.select(col(srcCol).cast("long").as("src"),
+    // Exactly ONE edge-sized structure is ever materialized: the deduped
+    // edge list. Degrees are node-sized metadata (eagerly checkpointed),
+    // and each iteration joins the edges against a node-sized
+    // CONTRIBUTION table (rank/outdeg, quantized) built from two tiny
+    // frames — no edge+degree join cache, half the memory of the naive
+    // two-cache shape and one less edge-sized materialization.
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val withDeg = e.join(deg, "src")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // node count is one scalar of metadata; the teleport term needs it
     // inside every iteration's projection. Under the documented
     // symmetrized-input contract every node has an out-edge, so N is
     // deg's row count — no explode-distinct pass over the edges
+    val ePre = e0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = ePre.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
     val n = deg.count()
+    // The contribution table is NODE-sized while the edge table is
+    // EDGE-sized, so the per-iteration join must never shuffle the big
+    // side per pass:
+    //  - small graphs: broadcast the contributions (checkpointed frames
+    //    carry no size stats, so without the hint Catalyst would
+    //    sort-merge-join and re-shuffle the EDGES every iteration — the
+    //    dominant cost of the unhinted plan);
+    //  - big graphs: hash-partition the edge cache by src ONCE; each
+    //    iteration then shuffles only the node-sized contributions to
+    //    meet it (the cached partitioning is reused across all iters).
+    val small = n <= BroadcastNodeLimit
+    val e =
+      if (small) ePre
+      else {
+        val r = e0.repartition(col("src"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        r.count() // materialize through the partitioner before dropping ePre
+        ePre.unpersist()
+        r
+      }
     val teleport = lit(1.0 - damping) / n.toDouble
     var ranks = deg.select(col("src").as("node"),
       (lit(1.0) / n.toDouble).as("rank"))
+    var lastCk: Option[DataFrame] = None
     for (i <- 0 until iters) {
-      ranks = withDeg
-        .join(ranks, withDeg("src") === ranks("node"))
-        .select(col("dst"),
-          round(col("rank") / col("outdeg") * 1e12).cast("long").as("q12"))
+      // explicit aliases: ranks' lineage CONTAINS deg (initial ranks is a
+      // projection of it), so unqualified refs trip the ambiguous-self-
+      // join detector on the first iteration
+      val contrib = ranks.alias("rk")
+        .join(broadcast(deg.alias("dg")), col("rk.node") === col("dg.src"))
+        .select(col("dg.src").as("cnode"),
+          round(col("rk.rank") / col("dg.outdeg") * 1e12).cast("long").as("q12"))
+      ranks = e.alias("ed")
+        .join(if (small) broadcast(contrib) else contrib,
+          col("ed.src") === col("cnode"))
         .groupBy("dst")
         .agg(sum("q12").as("s12"))
         .select(col("dst").as("node"),
@@ -68,13 +107,21 @@ object Graph {
       // join+agg). The q12 integer rounding makes every iteration's result
       // the same doubles regardless of where the materialization barrier
       // falls. Ranks are node-sized, safe to materialize.
-      if (i % 2 == 1 || i == iters - 1) ranks = ranks.localCheckpoint()
+      if (i % 2 == 1 || i == iters - 1) {
+        val prev = lastCk
+        ranks = ranks.localCheckpoint()
+        lastCk = Some(ranks)
+        prev.foreach(Dedup.release) // free the superseded checkpoint RDD
+      }
     }
-    val out = ranks.join(deg, ranks("node") === deg("src"))
-      .select(col("node"), col("outdeg"), round(col("rank"), 6).as("rank"))
+    val out = ranks.alias("rk")
+      .join(deg.alias("dg"), col("rk.node") === col("dg.src"))
+      .select(col("rk.node").as("node"), col("dg.outdeg").as("outdeg"),
+        round(col("rk.rank"), 6).as("rank"))
       // materialize before dropping the caches the lineage leans on
       .localCheckpoint()
-    withDeg.unpersist()
+    lastCk.foreach(Dedup.release)
+    Dedup.release(deg)
     e.unpersist()
     out
   }
