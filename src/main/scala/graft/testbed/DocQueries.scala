@@ -1193,6 +1193,20 @@ object DocQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // IR0: the index BUILD as its own battery entry — one tokenize + one
+    // positional-postings aggregation + a bucket-partitioned write, the
+    // ingest-time cost every index-served query amortizes. Runs first in
+    // the ir family (alphabetical), so ir1/ir2 measure SERVING. The
+    // emitted stats (doc count, total/avg doc length) are recomputed
+    // independently by the oracle with the same tokenizer.
+    "ir0_index_build" -> ((s, dir) => {
+      val ix = textIndexDir(s, dir)
+      s.read.parquet(s"$ix/stats")
+        .select(col("n_docs").cast("long").as("n_docs"),
+          col("sum_dl").cast("long").as("sum_dl"),
+          round(col("avgdl"), 4).as("avgdl"))
+    }),
+
     // IR1: BM25 retrieval — rank documents against a query (the search /
     // RAG-prep face of the t23 scoring); SERVED FROM THE PERSISTED
     // INVERTED INDEX (built once per sf-dir, shared with ir2): the query
@@ -1740,6 +1754,15 @@ object DocQueries {
         |UNION ALL
         |SELECT 'embeddings', CAST(COUNT(*) AS BIGINT) FROM embeddings
         |ORDER BY tbl""".stripMargin,
+
+    // ir0: the index's stats sidecar recomputed independently — same
+    // whitespace tokenizer as every other oracle (the `w` CTE)
+    "ir0_index_build" ->
+      s"""$wCte
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(nt) AS BIGINT) AS sum_dl,
+         |       ROUND(SUM(nt) * 1.0 / COUNT(*), 4) AS avgdl
+         |FROM w""".stripMargin,
 
     // t16: the Spark side emits compression invariants (round-trip, raw
     // worst-case length bound, LZ77 doubled-text witness) that must hold
