@@ -283,4 +283,45 @@ object TextFunctions {
          |      (ones, j) -> IF(2 * ones > size(ts), shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))),
          |    CAST(0 AS BIGINT), (s, v) -> s + v)), 1)""".stripMargin)
   }
+
+  /** Query parameters stripped by [[canonicalUrl]]: the click-tracking
+    * keys (plus the `utm_*` prefix family) that make one page surface as
+    * millions of distinct crawl URLs. */
+  val TrackingParams: Seq[String] = Seq("fbclid", "gclid", "msclkid", "ref")
+
+  /** URL canonicalization — the crawl-curation normalizer run before any
+    * URL-keyed dedup or host-level rollup: lowercase scheme and host
+    * (trailing host dot stripped), default ports dropped (http:80 /
+    * https:443 — explicit non-defaults kept), empty path normalized to
+    * `/`, the fragment dropped, and the query rewritten with tracking
+    * parameters removed and the survivors byte-sorted (parameter order is
+    * not page identity). Null/unparseable inputs yield null.
+    *
+    * Entirely codegen'd column ops (parse_url + array lambdas) — per-row
+    * work, no shuffle; pair with [[Dedup.exactDedup]] on the canonical
+    * form for crawl URL-dedup. */
+  def canonicalUrl(u: Column): Column = {
+    def part(p: String): Column = call_function("parse_url", u, lit(p))
+    val scheme = lower(part("PROTOCOL"))
+    val host = regexp_replace(lower(part("HOST")), "\\.$", "")
+    val port = regexp_extract(part("AUTHORITY"), ":([0-9]+)$", 1)
+    val defPort = when(scheme === "http", lit("80"))
+      .when(scheme === "https", lit("443")).otherwise(lit(""))
+    val portPart = when(port === "" || port === defPort, lit(""))
+      .otherwise(concat(lit(":"), port))
+    val path0 = coalesce(part("PATH"), lit(""))
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val params = filter(split(coalesce(part("QUERY"), lit("")), "&"),
+      p => p =!= "" && !p.startsWith("utm_") &&
+        TrackingParams.map(t => !p.startsWith(t + "=")).reduce(_ && _))
+    val q = array_join(array_sort(params), "&")
+    val qPart = when(q === "", lit("")).otherwise(concat(lit("?"), q))
+    when(scheme.isNull || host.isNull, lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), host, portPart, path, qPart))
+  }
+
+  /** The canonical URL's host — the key of crawl-curation host-level
+    * rollups (per-host doc counts, quality means, robots policies). */
+  def urlHost(u: Column): Column =
+    regexp_replace(lower(call_function("parse_url", u, lit("HOST"))), "\\.$", "")
 }

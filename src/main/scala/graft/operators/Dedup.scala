@@ -337,6 +337,65 @@ object Dedup {
         round(col("n_dup").cast("double") / col("n_shingles"), 4))
   }
 
+  /** Exact duplicated-SPAN extraction — the substring-level dedup signal
+    * of "train-data dedup at the span, not document, grain" (the
+    * reference corpus pipelines drop repeated boilerplate spans while
+    * keeping the documents around them). A position `p` in a document is
+    * *duplicated* when the `n`-token gram starting at `p` occurs at least
+    * `minOccurrences` times anywhere in the corpus (another document, or
+    * another position of the same one); maximal runs of consecutive
+    * duplicated positions are the spans.
+    *
+    * Returns one row per input document: (doc_id, n_spans,
+    * span_tokens = Σ per-span token length (run + n - 1; adjacent spans
+    * closer than n overlap in token space and are counted per span),
+    * max_span = longest span's token length) — all integers, hash-exact.
+    *
+    * Scale shape: the positional gram stream is (id, pos, xxhash64) —
+    * fixed-width rows, ~`n_tokens` per document; the corpus-frequency of
+    * each gram is a COUNT window over the 8-byte hash (one shuffle; the
+    * raw gram strings never shuffle — the [[dupShingleFraction]] lesson),
+    * the run-merge is one per-document sort window, and the rollup rides
+    * the same per-document partitioning. No pair join exists at any
+    * scale; hot boilerplate grams cost one spill-backed count group, not
+    * a blow-up. 64-bit hashing stands in for gram identity (expected
+    * collisions ≈ (tokens²)/2⁶⁵ — negligible below ~10¹⁵ tokens). */
+  def dupSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      minOccurrences: Int = 2
+  ): DataFrame = {
+    val toks = expr(toksOf(textCol))
+    val grams = docs
+      .select(col(idCol).as("doc_id"), toks.as("tk"))
+      .select(col("doc_id"), posexplode(
+        when(size(col("tk")) >= n,
+          expr(s"transform(sequence(0, size(tk) - $n), i -> " +
+            s"xxhash64(concat_ws(' ', slice(tk, i + 1, $n))))"))
+          .otherwise(array().cast("array<bigint>"))).as(Seq("pos", "h")))
+    val dupPos = grams
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("occ") >= minOccurrences)
+      .select(col("doc_id"), col("pos"))
+    val spans = dupPos
+      .withColumn("grp", col("pos") -
+        row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
+      .groupBy("doc_id", "grp")
+      .agg((count(lit(1)) + lit(n - 1)).as("span_len"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_spans"),
+        sum("span_len").as("span_tokens"),
+        max("span_len").as("max_span"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0)).as("n_spans"),
+        coalesce(col("span_tokens"), lit(0L)).as("span_tokens"),
+        coalesce(col("max_span"), lit(0L)).as("max_span"))
+  }
+
   /** MinHash prime modulus (2^31 - 1). */
   val MinHashP = 2147483647L
 

@@ -36,6 +36,55 @@ object Graph {
     * long before the edges are the problem. */
   val BroadcastNodeLimit: Long = 5000000L
 
+  /** Per-node degree/reciprocity profile of a directed edge list — the
+    * link-graph shape audit run before any centrality pass (degree
+    * distributions and reciprocal-link share are the standard crawl-graph
+    * health signals; a spam farm shows up as high-reciprocity cliques
+    * long before PageRank converges on it).
+    *
+    * Returns one row per node appearing on either edge end:
+    * (node, out_deg, in_deg, recip_deg = #neighbors linked in BOTH
+    * directions, is_source = no in-edges, is_sink = no out-edges) — all
+    * integers/booleans, hash-exact.
+    *
+    * Scale shape: edges dedup once (one shuffle), then two edge-sized
+    * hash aggregations for the degree tables and ONE self-equi-join on
+    * the full (src,dst)=(dst,src) pair for reciprocity — an equi-join on
+    * both key columns, never a per-node neighborhood expansion; the
+    * node-sized aggregates meet in a full-outer join that AQE broadcasts
+    * when node count permits. */
+  def degreeProfile(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String
+  ): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
+      .select(col("src").as("node"), col("out_deg"))
+    val in = e.groupBy("dst").agg(count(lit(1)).as("in_deg"))
+      .select(col("dst").as("node"), col("in_deg"))
+    val recip = e.alias("a")
+      .join(e.alias("b"),
+        col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
+      .groupBy(col("a.src").as("node"))
+      .agg(count(lit(1)).as("recip_deg"))
+    val prof = out.join(in, Seq("node"), "full_outer")
+      .join(recip, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        coalesce(col("recip_deg"), lit(0L)).as("recip_deg"),
+        (coalesce(col("in_deg"), lit(0L)) === 0).as("is_source"),
+        (coalesce(col("out_deg"), lit(0L)) === 0).as("is_sink"))
+      .localCheckpoint()
+    e.unpersist()
+    prof
+  }
+
   def pageRank(
       edges: DataFrame,
       srcCol: String,

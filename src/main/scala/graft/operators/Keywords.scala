@@ -238,6 +238,63 @@ object Keywords {
         round(sum(col("q8")) / 1e8 / count(lit(1)), 4).as("nll"))
   }
 
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling" — arXiv:2302.03169):
+    * score every raw-corpus document by the log-likelihood ratio of its
+    * tokens under an add-one unigram LM of a TARGET corpus vs one of the
+    * raw corpus itself, Σ ln(p_target(t)/p_raw(t)). High scores read like
+    * the target domain; selecting the top slice is the importance-
+    * resampling data-selection step.
+    *
+    * Returns (doc_id, n_tokens, dsir_q8, selected): dsir_q8 is the
+    * weight summed as 1e-8-scaled integers (per-token ratio rounded
+    * BEFORE the sum, so the total is order-free on any engine — the t19
+    * lesson), selected marks the global top-`topK` by (weight desc,
+    * doc_id) — deterministic tie-break. Zero-token documents drop (the
+    * t20 contract).
+    *
+    * Plan shape: one tokenize pass over the raw corpus; the two unigram
+    * tables are Heaps'-bounded hash aggregations joined back WITHOUT
+    * broadcast hints (AQE picks the broadcast side when a vocab fits —
+    * the [[unigramLogProb]] reasoning); each LM's (N, V) totals ride as
+    * broadcast 1-row cross joins; the only corpus-sized shuffle is the
+    * per-doc aggregation. The top-K selection is a TakeOrderedAndProject
+    * (per-partition heaps, K rows to the driver-side merge — never a
+    * single-partition global sort) whose K-row result broadcasts back
+    * onto the weight frame. */
+  def dsirWeights(
+      docs: DataFrame, idCol: String, textCol: String,
+      targetDocs: DataFrame,
+      alpha: Double = 1.0, topK: Int = 100
+  ): DataFrame = {
+    require(alpha > 0, "alpha must be positive (unsmoothed zeros break ln)")
+    val tok = docs
+      .select(col(idCol).as("doc_id"), explode(TextFunctions.tokens(textCol)).as("t"))
+    val tgtTok = targetDocs
+      .select(explode(TextFunctions.tokens(textCol)).as("t"))
+    val rawCounts = tok.groupBy("t").agg(count(lit(1)).as("cr"))
+    val tgtCounts = tgtTok.groupBy("t").agg(count(lit(1)).as("ct"))
+    val rawTotals = rawCounts.agg(sum("cr").as("nr"), count(lit(1)).as("vr"))
+    val tgtTotals = tgtCounts.agg(sum("ct").as("nt"), count(lit(1)).as("vt"))
+    val weights = tok
+      .join(rawCounts, Seq("t"), "left")
+      .join(tgtCounts, Seq("t"), "left")
+      .crossJoin(broadcast(rawTotals))
+      .crossJoin(broadcast(tgtTotals))
+      .withColumn("lr",
+        log((coalesce(col("ct"), lit(0L)) + alpha) / (col("nt") + lit(alpha) * col("vt"))) -
+        log((coalesce(col("cr"), lit(0L)) + alpha) / (col("nr") + lit(alpha) * col("vr"))))
+      .withColumn("q8", round(col("lr") * 1e8).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("q8").as("dsir_q8"))
+    val w = weights.localCheckpoint() // one weight pass feeds both sides
+    val top = w.orderBy(col("dsir_q8").desc, col("doc_id")).limit(topK)
+      .select(col("doc_id"), lit(true).as("selected"))
+    w.join(broadcast(top), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("dsir_q8"),
+        coalesce(col("selected"), lit(false)).as("selected"))
+  }
+
   /** Per-document cross-entropy under an add-one-smoothed corpus BIGRAM
     * LM — the CCNet-style perplexity filter one order up from
     * [[unigramLogProb]]: repetitive boilerplate scores an unusually LOW

@@ -647,6 +647,75 @@ object Multimodal {
       .toDF("id", "n_frames", "n_sampled", "r_sum", "g_sum", "b_sum")
   }
 
+  /** Partition-wise scene-cut detection: every frame of each AVI payload
+    * pixel-decoded in sequence, consecutive frames compared by mean
+    * absolute per-pixel channel difference (summed over R+G+B), and a
+    * CUT flagged where that mean clears `threshold` — the keyframe/
+    * shot-boundary pass a video-training pipeline runs to pick one
+    * representative frame per shot. The threshold lives far above codec
+    * noise (MJPEG DC quantization wobbles a solid block a few counts;
+    * real cuts move whole channels), which is what makes the count
+    * adjudicable over lossy frames.
+    *
+    * Returns (id, n_frames, n_compared, n_cuts, first_cut) — first_cut
+    * is the 1-based index of the first frame that OPENS a new shot, -1
+    * when no cut; NULLs for non-AVI payloads. Frames that fail pixel
+    * decode or differ in dimensions from their predecessor are skipped
+    * from comparisons (n_compared counts the pairs actually diffed).
+    *
+    * Same scale unit as [[sampleVideoFrames]]: one decoder walk per
+    * payload where it sits, two frames of pixels live at a time, only
+    * fixed-width counters emitted — no shuffle, no pixel egress. */
+  def videoCutDetect(df: DataFrame, idCol: String, threshold: Double): DataFrame = {
+    require(threshold > 0, "threshold must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        System.setProperty("java.awt.headless", "true")
+        rows.map { case (id, payload) =>
+          aviFrames(payload) match {
+            case Some(frames) =>
+              var prev: Option[PixelImage] = None
+              var compared = 0L; var cuts = 0L; var firstCut = -1L
+              var i = 0
+              while (i < frames.length) {
+                decodePixels(frames(i)).foreach { img =>
+                  prev match {
+                    case Some(p) if p.width == img.width && p.height == img.height =>
+                      compared += 1
+                      var diff = 0L
+                      var j = 0
+                      val a = p.argb; val b = img.argb
+                      while (j < a.length) {
+                        val x = a(j); val y = b(j)
+                        diff += math.abs(((x >> 16) & 0xff) - ((y >> 16) & 0xff)) +
+                          math.abs(((x >> 8) & 0xff) - ((y >> 8) & 0xff)) +
+                          math.abs((x & 0xff) - (y & 0xff))
+                        j += 1
+                      }
+                      if (diff.toDouble / a.length > threshold) {
+                        cuts += 1
+                        if (firstCut < 0) firstCut = i + 1L // 1-based opener
+                      }
+                    case _ => ()
+                  }
+                  prev = Some(img)
+                }
+                i += 1
+              }
+              (id, Option(frames.length.toLong), Option(compared),
+                Option(cuts), Option(firstCut))
+            case None =>
+              (id, None: Option[Long], None: Option[Long],
+                None: Option[Long], None: Option[Long])
+          }
+        }
+      }
+      .toDF("id", "n_frames", "n_compared", "n_cuts", "first_cut")
+  }
+
   /** Partition-wise audio/video header decode: (id, format, duration_ms,
     * sample_rate, channels), NULLs for undecodable payloads. */
   def decodeAvMeta(df: DataFrame, idCol: String): DataFrame = {

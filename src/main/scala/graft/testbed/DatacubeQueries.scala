@@ -566,6 +566,25 @@ object DatacubeQueries {
         .orderBy("node")
     }),
 
+    // G2: per-node degree/reciprocity profile — the crawl-graph health
+    // audit over a DIRECTED order graph (cust → supp for every order
+    // line; supp → cust return edges only for quantity > 45), so the
+    // source/sink flags and the reciprocal-degree counts are all
+    // non-trivial. Integer-exact by construction.
+    "g2_degree_profile" -> ((s, dir) => {
+      val o = Datacube.table(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = Datacube.table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"))
+      val j = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("sp"),
+          col("l_quantity"))
+      val fwd = j.select(col("c").as("src"), col("sp").as("dst"))
+      val rev = j.filter(col("l_quantity") > 45)
+        .select(col("sp").as("src"), col("c").as("dst"))
+      graft.operators.Graph.degreeProfile(fwd.unionAll(rev), "src", "dst")
+        .orderBy("node")
+    }),
+
     // O4: range join — the attribution query: clicks landing inside each
     // purchase's 24 h window, keyed by user. A raw lo<=p<hi predicate
     // would plan as a nested loop; the operator's bin-bucketed rewrite
@@ -1171,6 +1190,34 @@ object DatacubeQueries {
          |SELECT node, outdeg, ROUND(rank, 6) AS rank
          |FROM r5 JOIN deg ON node = deg.src ORDER BY node""".stripMargin
     },
+
+    // G2: degrees + reciprocity stated as plain SQL aggregations over the
+    // same directed edge set (dedup'd after the union, like the operator)
+    "g2_degree_profile" ->
+      """WITH p AS MATERIALIZED (
+        |  SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS sp, l_quantity AS q
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        | ),
+        | e AS MATERIALIZED (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT c AS src, sp AS dst FROM p
+        |    UNION ALL SELECT sp, c FROM p WHERE q > 45)
+        |  WHERE src <> dst
+        | ),
+        | od AS (SELECT src AS node, COUNT(*) AS out_deg FROM e GROUP BY 1),
+        | idg AS (SELECT dst AS node, COUNT(*) AS in_deg FROM e GROUP BY 1),
+        | r AS (SELECT a.src AS node, COUNT(*) AS recip_deg
+        |       FROM e a JOIN e b ON a.src = b.dst AND a.dst = b.src GROUP BY 1),
+        | n AS (SELECT node FROM od UNION SELECT node FROM idg)
+        |SELECT n.node,
+        |       CAST(COALESCE(out_deg, 0) AS BIGINT) AS out_deg,
+        |       CAST(COALESCE(in_deg, 0) AS BIGINT) AS in_deg,
+        |       CAST(COALESCE(recip_deg, 0) AS BIGINT) AS recip_deg,
+        |       (COALESCE(in_deg, 0) = 0) AS is_source,
+        |       (COALESCE(out_deg, 0) = 0) AS is_sink
+        |FROM n LEFT JOIN od USING (node) LEFT JOIN idg USING (node)
+        |       LEFT JOIN r USING (node)
+        |ORDER BY n.node""".stripMargin,
 
     // O8: the funnel's independent formulation — k-step unrolled
     // min-selection joins (t1 = earliest view; t_i = earliest s_i after

@@ -1701,6 +1701,92 @@ object DocQueries {
           (abs(col("g_sum") - g * px) <= tol).as("g_ok"),
           (abs(col("b_sum") - b * px) <= tol).as("b_ok"))
         .orderBy("doc_id")
+    }),
+
+    // M7: scene-cut detection over MJPEG-in-AVI — per-doc frame sequences
+    // that switch solid colors at a doc_id-derived position (or never, for
+    // id%5==0); the cut threshold (48/pixel summed over channels) sits far
+    // above JPEG DC-quantization noise (<~18) and far below a real cut
+    // (~384), so the cut COUNTS and positions are exact integers the
+    // oracle recomputes from the same arithmetic — the m6 bounded-error
+    // lesson, applied to make lossy-codec outputs fully adjudicable
+    "m7_video_scene_cuts" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = table(s, dir, "documents").select(col("doc_id"))
+        .as[Long]
+        .mapPartitions { it =>
+          System.setProperty("java.awt.headless", "true")
+          it.map { id =>
+            val n = 4 + (id % 4).toInt
+            val cut = 2 + (id % 2).toInt
+            val r = ((id * 37) % 256).toInt
+            val g = ((id * 59 + 85) % 256).toInt
+            val b = ((id * 83 + 170) % 256).toInt
+            val noCut = id % 5 == 0
+            val jpegA = Multimodal.encodeJpeg(8, 8, (_, _) => (r << 16) | (g << 8) | b)
+            val jpegB =
+              if (noCut) jpegA
+              else Multimodal.encodeJpeg(8, 8, (_, _) =>
+                (((r + 128) % 256) << 16) | (((g + 128) % 256) << 8) | ((b + 128) % 256))
+            val frames = (0 until n).map(i => if (i < cut) jpegA else jpegB)
+            (id, Multimodal.syntheticAviPng(frames))
+          }
+        }
+        .toDF("doc_id", "payload")
+      Multimodal.videoCutDetect(payloads, "doc_id", threshold = 48.0)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // D21: exact duplicated-SPAN extraction (substring-grain dedup — the
+    // Lee et al. 2021 signal): maximal runs of corpus-duplicated 5-gram
+    // positions per document, reported as integer span stats. The Spark
+    // side shuffles only 8-byte gram hashes (xxhash64 stands in for gram
+    // identity); the oracle groups the raw gram strings — identical
+    // outputs unless a 64-bit collision lands inside this corpus
+    "d21_dup_spans" -> ((s, dir) =>
+      Dedup.dupSpans(table(s, dir, "documents"), "doc_id", "text", n = 5)
+        .orderBy("doc_id")),
+
+    // T43: URL canonicalization — per-doc messy crawl URLs synthesized
+    // from doc_id arithmetic (uppercase scheme/host, trailing host dot,
+    // explicit default ports, tracking params in shuffled order,
+    // fragments), normalized by the engine; the oracle builds the
+    // CANONICAL form directly from the same arithmetic, so any
+    // normalizer bug (case, port, param sort/strip, fragment) breaks the
+    // hash compare — the m2 synthesize-and-mirror pattern for URLs
+    "t43_url_canonicalize" -> ((s, dir) => {
+      val id = col("doc_id")
+      val scheme = when(id % 2 === 0, "HTTP").otherwise("https")
+      val host = concat(lit("WWW.Site"), (id % 7).cast("string"), lit(".COM"),
+        when(id % 5 === 0, ".").otherwise(""))
+      val port = when(id % 3 === 0, when(id % 2 === 0, ":80").otherwise(":443"))
+        .when(id % 3 === 1, ":8080").otherwise("")
+      val path = when(id % 4 === 0, "").otherwise(
+        concat(lit("/a"), (id % 4).cast("string"), lit("/page")))
+      val query = when(id % 3 === 0, "?utm_source=news&b=2&a=1")
+        .when(id % 3 === 1, "?b=2&fbclid=XYZ&a=1").otherwise("")
+      val frag = when(id % 2 === 0, concat(lit("#sec"), (id % 3).cast("string")))
+        .otherwise("")
+      val url = concat(scheme, lit("://"), host, port, path, query, frag)
+      table(s, dir, "documents")
+        .select(id, url.as("raw_url"))
+        .select(col("doc_id"),
+          TextFunctions.canonicalUrl(col("raw_url")).as("canonical_url"),
+          TextFunctions.urlHost(col("raw_url")).as("host"))
+        .orderBy("doc_id")
+    }),
+
+    // T44: DSIR importance weighting (Xie et al. 2023) — every document
+    // scored by the unigram log-likelihood ratio of an English-target LM
+    // vs the whole-corpus LM, top-100 selected; per-token ratios are
+    // 1e-8-quantized before summing so five-digit weights hash-match
+    // across engines (the t19/t20 ladder, applied cross-corpus)
+    "t44_dsir_select" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      graft.operators.Keywords.dsirWeights(docs, "doc_id", "text",
+          docs.filter(col("lang") === "en"), topK = 100)
+        .orderBy("doc_id")
     })
   )
 
@@ -3444,6 +3530,90 @@ object DocQueries {
         |       CAST(2 + doc_id % 4 AS BIGINT) AS n_frames,
         |       CAST((2 + doc_id % 4 + 1) // 2 AS BIGINT) AS n_sampled,
         |       TRUE AS r_ok, TRUE AS g_ok, TRUE AS b_ok
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // M7: cut positions from the generative formula — the color switch at
+    // frame index 2 + doc_id % 2 opens the one cut (none for doc_id % 5 = 0,
+    // whose frames are all the same JPEG); frame counts are container-exact
+    "m7_video_scene_cuts" ->
+      """SELECT doc_id,
+        |       CAST(4 + doc_id % 4 AS BIGINT) AS n_frames,
+        |       CAST(3 + doc_id % 4 AS BIGINT) AS n_compared,
+        |       CAST(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END AS BIGINT) AS n_cuts,
+        |       CAST(CASE WHEN doc_id % 5 = 0 THEN -1
+        |                 ELSE 3 + doc_id % 2 END AS BIGINT) AS first_cut
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // D21: duplicated 5-gram POSITIONS merged to maximal spans — the
+    // gaps-and-islands mirror of Dedup.dupSpans over raw gram strings
+    // (the Spark side groups xxhash64 of the same grams)
+    "d21_dup_spans" ->
+      s"""$wCte,
+         | grams AS (
+         |  SELECT doc_id, i.i - 1 AS pos, array_to_string(ws[i.i:i.i+4], ' ') AS g
+         |  FROM w
+         |  CROSS JOIN LATERAL (
+         |    SELECT unnest(generate_series(1, greatest(nt - 4, 0))) AS i) i
+         | ),
+         | dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2),
+         | hits AS (
+         |  SELECT doc_id, pos,
+         |         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM grams WHERE g IN (SELECT g FROM dup)
+         | ),
+         | spans AS (
+         |  SELECT doc_id, COUNT(*) + 4 AS span_len
+         |  FROM hits GROUP BY doc_id, grp
+         | )
+         |SELECT d.doc_id,
+         |       CAST(COUNT(s.span_len) AS INT) AS n_spans,
+         |       CAST(COALESCE(SUM(s.span_len), 0) AS BIGINT) AS span_tokens,
+         |       CAST(COALESCE(MAX(s.span_len), 0) AS BIGINT) AS max_span
+         |FROM documents d LEFT JOIN spans s ON d.doc_id = s.doc_id
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    // T43: the CANONICAL url built directly from the doc_id arithmetic —
+    // scheme/host lowercased, trailing host dot stripped, default ports
+    // dropped, '' path -> '/', tracking params stripped + survivors
+    // sorted ('a=1' < 'b=2'), fragment dropped
+    "t43_url_canonicalize" ->
+      """SELECT doc_id,
+        |       (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
+        |       || '://www.site' || (doc_id % 7) || '.com'
+        |       || (CASE WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END)
+        |       || (CASE WHEN doc_id % 4 = 0 THEN '/'
+        |                ELSE '/a' || (doc_id % 4) || '/page' END)
+        |       || (CASE WHEN doc_id % 3 = 2 THEN '' ELSE '?a=1&b=2' END)
+        |         AS canonical_url,
+        |       'www.site' || (doc_id % 7) || '.com' AS host
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // T44: the DSIR log-likelihood-ratio mirror — target LM over the
+    // lang='en' slice, raw LM over the whole corpus, per-token ratios
+    // 1e-8-quantized before the per-doc sum, top-100 by (weight, doc_id)
+    "t44_dsir_select" ->
+      s"""$wCte,
+         | tok AS (SELECT doc_id, unnest(ws) AS t FROM w),
+         | cr AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY 1),
+         | ct AS (SELECT t, COUNT(*) AS c
+         |        FROM (SELECT unnest(ws) AS t FROM w WHERE lang = 'en') GROUP BY 1),
+         | rt AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM cr),
+         | tt AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM ct),
+         | tq AS (
+         |  SELECT doc_id, COUNT(*) AS n_tokens,
+         |         SUM(CAST(ROUND((ln((COALESCE(ct.c, 0) + 1.0) / (tt.n + tt.v))
+         |                        - ln((cr.c + 1.0) / (rt.n + rt.v))) * 100000000)
+         |             AS BIGINT)) AS dsir_q8
+         |  FROM tok
+         |  LEFT JOIN ct USING (t)
+         |  LEFT JOIN cr USING (t)
+         |  CROSS JOIN rt CROSS JOIN tt
+         |  GROUP BY doc_id
+         | ),
+         | sel AS (SELECT doc_id FROM tq ORDER BY dsir_q8 DESC, doc_id LIMIT 100)
+         |SELECT tq.doc_id, n_tokens, dsir_q8,
+         |       (sel.doc_id IS NOT NULL) AS selected
+         |FROM tq LEFT JOIN sel ON tq.doc_id = sel.doc_id
+         |ORDER BY tq.doc_id""".stripMargin
   )
 }

@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Keywords, Multimodal}
+
+/** Golden fixtures for the round-11 curation additions: duplicated-span
+  * extraction, URL canonicalization, DSIR importance weighting, and
+  * video scene-cut detection. */
+class CurationR11Spec extends SparkSpec {
+
+  // ---- dupSpans -----------------------------------------------------------
+
+  private def spans(texts: Seq[String], n: Int): Map[Long, (Int, Long, Long)] = {
+    import spark.implicits._
+    Dedup.dupSpans(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
+        "doc_id", "text", n = n)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3))))
+      .toMap
+  }
+
+  test("dupSpans: a shared 4-token run in 3-gram mode merges to one span") {
+    // docs 0 and 1 share "a b c d" → duplicated 3-gram positions {0,1}
+    // in each → ONE span of 2+3-1 = 4 tokens; doc 2 shares nothing
+    val out = spans(Seq("a b c d x", "y a b c d", "p q r s t"), n = 3)
+    assert(out(0L) === ((1, 4L, 4L)))
+    assert(out(1L) === ((1, 4L, 4L)))
+    assert(out(2L) === ((0, 0L, 0L)))
+  }
+
+  test("dupSpans: a within-document repeat is a duplicated span") {
+    // "a b c" occurs twice inside one doc → both positions duplicated;
+    // positions 0 and 4 are non-adjacent → two separate 3-token spans
+    val out = spans(Seq("a b c z a b c", "u v w x y z q"), n = 3)
+    assert(out(0L) === ((2, 6L, 3L)))
+    assert(out(1L) === ((0, 0L, 0L)))
+  }
+
+  test("dupSpans: documents shorter than n contribute and receive nothing") {
+    val out = spans(Seq("a b", "a b", "a b c", "a b c"), n = 3)
+    assert(out(0L) === ((0, 0L, 0L)))
+    assert(out(1L) === ((0, 0L, 0L)))
+    // the two 3-token docs duplicate each other exactly
+    assert(out(2L) === ((1, 3L, 3L)))
+    assert(out(3L) === ((1, 3L, 3L)))
+  }
+
+  test("dupSpans: two dup runs separated by a unique gram stay two spans") {
+    // docs share "a b c" (pos 0) and "d e f" (pos 3) around distinct
+    // middles → positions {0, 3}: two 3-token spans, 6 dup tokens
+    val out = spans(Seq("a b c p d e f", "a b c q d e f"), n = 3)
+    assert(out(0L) === ((2, 6L, 3L)))
+    assert(out(1L) === ((2, 6L, 3L)))
+  }
+
+  // ---- canonicalUrl -------------------------------------------------------
+
+  private def canon(url: String): String = {
+    import spark.implicits._
+    Seq(url).toDF("u")
+      .select(TextFunctions.canonicalUrl(col("u")).as("c"))
+      .collect().head.getString(0)
+  }
+
+  test("canonicalUrl: case, default port, fragment, tracking params, sort") {
+    assert(canon("HTTP://WWW.Example.COM:80/a/b?utm_source=x&b=2&a=1#frag")
+      === "http://www.example.com/a/b?a=1&b=2")
+    assert(canon("https://Host.io:443/p?fbclid=Z&z=9&gclid=Q")
+      === "https://host.io/p?z=9")
+  }
+
+  test("canonicalUrl: non-default port and empty path survive normalized") {
+    assert(canon("https://h.co:8080") === "https://h.co:8080/")
+    assert(canon("http://h.co?b=2&a=1") === "http://h.co/?a=1&b=2")
+  }
+
+  test("canonicalUrl: trailing host dot strips; ref param is tracking") {
+    assert(canon("http://example.org./x?ref=hp&id=3")
+      === "http://example.org/x?id=3")
+  }
+
+  test("canonicalUrl: all params tracking leaves no query") {
+    assert(canon("http://a.b/c?utm_a=1&utm_b=2&ref=x") === "http://a.b/c")
+  }
+
+  // ---- dsirWeights --------------------------------------------------------
+
+  test("dsirWeights: target-like documents outrank off-target ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "ml models train fast", "tgt"),
+      (1L, "ml models train fast", "tgt"),
+      (2L, "ml models train well", "raw"),
+      (3L, "cats sleep all day", "raw"),
+      (4L, "dogs bark all night", "raw")
+    ).toDF("doc_id", "text", "kind")
+    val out = Keywords.dsirWeights(docs, "doc_id", "text",
+        docs.filter(col("kind") === "tgt"), topK = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out.size === 5)
+    // the target-verbatim docs score highest and fill the top-2
+    assert(out(0L)._3 && out(1L)._3)
+    assert(!out(2L)._3 && !out(3L)._3 && !out(4L)._3)
+    // near-target beats off-target
+    assert(out(2L)._2 > out(3L)._2)
+    assert(out(0L)._1 === 4L) // n_tokens
+  }
+
+  test("dsirWeights: identical target and raw corpora give zero weights") {
+    import spark.implicits._
+    val docs = Seq((0L, "x y z"), (1L, "x y q")).toDF("doc_id", "text")
+    val out = Keywords.dsirWeights(docs, "doc_id", "text", docs, topK = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out.values.forall(_ === 0L))
+  }
+
+  // ---- videoCutDetect -----------------------------------------------------
+
+  test("videoCutDetect: one color switch is one cut at the right frame") {
+    import spark.implicits._
+    System.setProperty("java.awt.headless", "true")
+    val a = Multimodal.encodePng(8, 8, (_, _) => 0x101010)
+    val b = Multimodal.encodePng(8, 8, (_, _) => 0xF0F0F0)
+    val avi = Multimodal.syntheticAviPng(Seq(a, a, a, b, b))
+    val out = Multimodal.videoCutDetect(
+        Seq((7L, avi)).toDF("doc_id", "payload"), "doc_id", threshold = 48.0)
+      .collect().head
+    assert(out.getLong(1) === 5L)  // n_frames
+    assert(out.getLong(2) === 4L)  // n_compared
+    assert(out.getLong(3) === 1L)  // n_cuts
+    assert(out.getLong(4) === 4L)  // first_cut: frame 4 (1-based) opens shot B
+  }
+
+  test("videoCutDetect: constant clip has zero cuts; non-AVI gives NULLs") {
+    import spark.implicits._
+    System.setProperty("java.awt.headless", "true")
+    val a = Multimodal.encodePng(4, 4, (_, _) => 0x808080)
+    val avi = Multimodal.syntheticAviPng(Seq(a, a, a))
+    val rows = Multimodal.videoCutDetect(
+        Seq((1L, avi), (2L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload"),
+        "doc_id", threshold = 48.0)
+      .orderBy("id").collect()
+    assert(rows(0).getLong(3) === 0L && rows(0).getLong(4) === -1L)
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(3))
+  }
+
+  test("videoCutDetect: dimension changes are skipped, not compared") {
+    import spark.implicits._
+    System.setProperty("java.awt.headless", "true")
+    val small = Multimodal.encodePng(4, 4, (_, _) => 0x000000)
+    val big = Multimodal.encodePng(8, 8, (_, _) => 0xFFFFFF)
+    val avi = Multimodal.syntheticAviPng(Seq(small, big, big))
+    val out = Multimodal.videoCutDetect(
+        Seq((1L, avi)).toDF("doc_id", "payload"), "doc_id", threshold = 48.0)
+      .collect().head
+    assert(out.getLong(2) === 1L) // only big↔big compared
+    assert(out.getLong(3) === 0L)
+  }
+}

@@ -69,4 +69,21 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(out(0L)._2 - 0.5) < 1e-6)
     assert(math.abs(out(1L)._2 - 0.5) < 1e-6)
   }
+
+  test("degreeProfile: hand-computed degrees, reciprocity, source/sink flags") {
+    import spark.implicits._
+    // 1→2 (reciprocated), 1→3 (one-way), 4→1 (4 is a pure source),
+    // 3 is a sink-free node with only in+out asymmetry; self-loop 2→2
+    // and a duplicate 1→2 must both vanish
+    val edges = Seq((1L, 2L), (1L, 2L), (2L, 1L), (1L, 3L), (4L, 1L), (2L, 2L))
+    val out = Graph.degreeProfile(edges.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5))))
+      .toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L))
+    assert(out(1L) === ((2L, 2L, 1L, false, false))) // out: 2,3; in: 2,4; recip: 2
+    assert(out(2L) === ((1L, 1L, 1L, false, false))) // self-loop dropped
+    assert(out(3L) === ((0L, 1L, 0L, false, true)))  // sink
+    assert(out(4L) === ((1L, 0L, 0L, true, false)))  // source
+  }
 }

@@ -57,6 +57,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(shape(docs.select(TextFunctions.langId("text"))) === ((0, 0)))
     assert(shape(docs.select(TextFunctions.bpeTokenCount("text"))) === ((0, 0)))
     assert(shape(docs.selectExpr("nfc_normalize(text)")) === ((0, 0)))
+    assert(shape(docs.select(TextFunctions.canonicalUrl(
+      concat(lit("http://h"), col("doc_id"), lit(".co/p"))))) === ((0, 0)))
+  }
+
+  test("dupSpans: hash window + island window + the zero-fill join, no pair join") {
+    // 3 shuffles: the COUNT window on the 8-byte gram hash (corpus
+    // frequency in place — gram STRINGS never shuffle), the per-doc
+    // island window (the span groupBys reuse its doc_id partitioning),
+    // and the docs side of the zero-fill join (the spans side rides the
+    // island partitioning). A refactor that joins a dup-gram table back
+    // (4th exchange + second hashing pass) or forms doc pairs fails here.
+    assert(shape(Dedup.dupSpans(docs, "doc_id", "text"),
+      autoBroadcast = false) === ((3, 0)))
+  }
+
+  test("dsirWeights serves from the weight checkpoint: TakeOrdered + one broadcast") {
+    // The weight computation materializes once (eager checkpoint — both
+    // the top-K heap pass and the flag join read it, not the corpus);
+    // past the barrier the plan is Scan ExistingRDD → TakeOrdered for
+    // the K selected ids, broadcast back. A refactor toward a global
+    // rank window (single-partition sort of every doc) fails the pin.
+    val d = Keywords.dsirWeights(docs, "doc_id", "text",
+      docs.filter(col("lang") === "en"), topK = 5)
+    assert(shape(d) === ((0, 1)))
+    assert(d.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
   }
 
   test("stratified sampling never shuffles (the determinism claim's twin)") {
