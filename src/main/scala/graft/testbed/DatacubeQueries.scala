@@ -527,6 +527,18 @@ object DatacubeQueries {
         .orderBy("user_id")
     }),
 
+    // O10: daily cohort retention — users bucketed by first-activity
+    // day (epoch-anchored fixed windows, pure integer arithmetic), the
+    // classic (cohort, offset, n_users) matrix. Event-sized data dies at
+    // the first (user, day) dedup; all-integer hash-exact output.
+    "o10_cohort_retention" -> ((s, dir) => {
+      val ev0 = Datacube.table(s, dir, "events")
+      graft.operators.Retention.cohortRetention(
+          ev0.select(col("user_id"), tsMs(ev0).as("ts_ms")),
+          "user_id", col("ts_ms"), periodMs = 86400000L)
+        .orderBy("cohort_period", "period_offset")
+    }),
+
     // A20: INCREMENTAL cube maintenance — the corpus split into two
     // arbitrary deltas (raw-timestamp parity), each reduced to its
     // mergeable partial (sum, count), merged by addition, and finalized;
@@ -1162,6 +1174,19 @@ object DatacubeQueries {
          |FROM t
          |ORDER BY feature, "timestamp", country, admin1, admin2, lat, lng, qual1""".stripMargin
     },
+
+    // O10: the retention matrix as plain SQL — distinct (user, day)
+    // activity, min-day cohort, integer-division day buckets
+    "o10_cohort_retention" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS wk FROM events
+        | ),
+        | f AS (SELECT user_id, MIN(wk) AS cw FROM a GROUP BY 1)
+        |SELECT cw AS cohort_period, wk - cw AS period_offset,
+        |       CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
 
     // Every CTE is AS MATERIALIZED: DuckDB otherwise INLINES the chain,
     // re-deriving the edge join inside every unrolled iteration

@@ -72,6 +72,17 @@ class PlanShapeSpec extends SparkSpec {
       autoBroadcast = false) === ((3, 0)))
   }
 
+  test("cohortRetention: event-sized data dies at the first dedup, no join") {
+    // 3 shuffles: the (user, period) dedup, the user-keyed cohort window
+    // (the dedup's (user, period) hash partitioning does NOT cluster by
+    // user alone), and the (cohort, offset) matrix aggregation — all on
+    // user-period-sized rows after the first; 0 joins/broadcasts. A
+    // refactor toward a first-activity join fails here.
+    assert(shape(graft.operators.Retention.cohortRetention(
+      docs.select(col("doc_id").as("u"), (col("doc_id") * 37 % 1000).as("ms")),
+      "u", col("ms"), periodMs = 100L), autoBroadcast = false) === ((3, 0)))
+  }
+
   test("dsirWeights serves from the weight checkpoint: TakeOrdered + one broadcast") {
     // The weight computation materializes once (eager checkpoint — both
     // the top-K heap pass and the flag join read it, not the corpus);
