@@ -33,6 +33,8 @@ object DocQueries {
     cache.filterInPlace { case ((s, _, _), df) =>
       if (s eq spark) { df.unpersist(); Dedup.release(df); false } else true }
     modelCache.filterInPlace { case ((s, _), _) => !(s eq spark) }
+    chainCache.filterInPlace { case ((s, _, _), df) =>
+      if (s eq spark) { Dedup.release(df); false } else true }
   }
 
   /** Exact-Jaccard >= 0.8 pair graph, cached across the battery (d2 emits
@@ -59,6 +61,51 @@ object DocQueries {
     modelCache.getOrElseUpdate((s, dir),
       Classifier.trainLogistic(table(s, dir, "documents"), "text",
         iters = ClassifierIters, lr = 4.0))
+
+  /** Shared ANN result chains, cached per (session, sfdir, key): the v
+    * battery's recall/fusion entries judge the SAME approximate and exact
+    * top-k frames the base entries produce, so each chain (driver Lloyd +
+    * encode + score jobs) derives ONCE and its query-batch-sized result
+    * (nQueries × k rows — metadata, not corpus) checkpoints for every
+    * consumer. The d2/d4 + t30/t31 shared-materialization pattern; the
+    * reference pipeline likewise persists one aggregated frame and fans
+    * its outputs off it (SURVEY §2.3). First caller in battery order pays
+    * the build — family totals, not single entries, are the honest
+    * cross-round comparison (see the battery-order note above). */
+  private val chainCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
+  private def chain(s: SparkSession, dir: String, key: String)(
+      mk: => DataFrame): DataFrame =
+    chainCache.getOrElseUpdate((s, dir, key), mk.localCheckpoint())
+
+  private def q20(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "embeddings").filter(col("vec_id") < 20)
+
+  /** Exact top-3 for the standard query batch — the truth set every
+    * recall gauge judges against. */
+  private def brute3(s: SparkSession, dir: String): DataFrame =
+    chain(s, dir, "brute3")(Similarity.bruteForceTopK(
+      table(s, dir, "embeddings"), q20(s, dir), "vec_id", "embedding", k = 3))
+
+  private def ann3(s: SparkSession, dir: String): DataFrame =
+    chain(s, dir, "ann3")(Similarity.annTopK(
+      table(s, dir, "embeddings"), q20(s, dir), "vec_id", "embedding",
+      k = 3, dims = 64, tables = 8, planesPerTable = 4))
+
+  private def ivf3(s: SparkSession, dir: String): DataFrame =
+    chain(s, dir, "ivf3")(Similarity.ivfTopK(
+      table(s, dir, "embeddings"), q20(s, dir), "vec_id", "embedding",
+      k = 3, nCentroids = 16, nProbe = 4))
+
+  private def pq3(s: SparkSession, dir: String): DataFrame =
+    chain(s, dir, "pq3")(Similarity.pqTopK(
+      table(s, dir, "embeddings"), q20(s, dir), "vec_id", "embedding",
+      k = 3, dims = 64, m = 4, codes = 16, iters = 2))
+
+  private def resid3(s: SparkSession, dir: String): DataFrame =
+    chain(s, dir, "resid3")(Similarity.ivfPqResidualTopK(
+      table(s, dir, "embeddings"), q20(s, dir), "vec_id", "embedding",
+      k = 3, dims = 64, nCentroids = 16, nProbe = 4, m = 4, codes = 16, iters = 2))
 
   /** The persisted inverted text index serving ir1/ir2, built once per
     * (session, sf-dir) into a temp directory — the index BUILD is the
@@ -776,52 +823,30 @@ object DocQueries {
 
     // V2: multi-table hyperplane-LSH ANN top-3 (the 100 TB-partitionable
     // plan: candidates only meet inside a shared (table, bucket))
-    "v2_ann_lsh" -> ((s, dir) => {
-      val emb = table(s, dir, "embeddings")
-      Similarity.annTopK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
-          k = 3, dims = 64, tables = 8, planesPerTable = 4)
-        .orderBy("query_id", "rank")
-    }),
+    "v2_ann_lsh" -> ((s, dir) =>
+      ann3(s, dir).orderBy("query_id", "rank")),
 
     // V7: ANN quality gauge — recall@3 of the LSH ANN (the v2 config)
     // against the exact brute-force top-3 on the same query batch; both
     // inputs are result metadata (nQueries x k rows), so the judging join
     // costs nothing next to producing them
-    "v7_ann_recall" -> ((s, dir) => {
-      val emb = table(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") < 20)
-      Similarity.recallAtK(
-          Similarity.annTopK(emb, q, "vec_id", "embedding",
-            k = 3, dims = 64, tables = 8, planesPerTable = 4),
-          Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 3),
-          k = 3)
-        .orderBy("query_id")
-    }),
+    "v7_ann_recall" -> ((s, dir) =>
+      Similarity.recallAtK(ann3(s, dir), brute3(s, dir), k = 3)
+        .orderBy("query_id")),
 
     // V9: product-quantization ADC top-3 — the memory-scale ANN path:
     // 4 subspaces x 16 codes over the 64-dim unit vectors (16 dims/sub),
     // 2 Euclidean Lloyd passes per subspace, scores = sum of 4 table
     // lookups. The oracle unrolls the per-subspace Lloyd + encode + ADC
     // sum in SQL with the identical seed/tie/empty-cluster contract.
-    "v9_pq_topk" -> ((s, dir) => {
-      val emb = table(s, dir, "embeddings")
-      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
-          k = 3, dims = 64, m = 4, codes = 16, iters = 2)
-        .orderBy("query_id", "rank")
-    }),
+    "v9_pq_topk" -> ((s, dir) =>
+      pq3(s, dir).orderBy("query_id", "rank")),
 
     // V10: recall@3 of the PQ ADC top-k against the exact brute-force —
     // the compression/recall trade made measurable (same gauge as v7/v8)
-    "v10_pq_recall" -> ((s, dir) => {
-      val emb = table(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") < 20)
-      Similarity.recallAtK(
-          Similarity.pqTopK(emb, q, "vec_id", "embedding",
-            k = 3, dims = 64, m = 4, codes = 16, iters = 2),
-          Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 3),
-          k = 3)
-        .orderBy("query_id")
-    }),
+    "v10_pq_recall" -> ((s, dir) =>
+      Similarity.recallAtK(pq3(s, dir), brute3(s, dir), k = 3)
+        .orderBy("query_id")),
 
     // V11: IVF + PQ composed — the coarse quantizer prunes WHICH vectors
     // a query scores (4 of 16 cells probed), the PQ codes decide what the
@@ -839,27 +864,15 @@ object DocQueries {
     // coarse centroid, and the score recomposes as q·centroid + the m
     // residual lookups; same index bytes, resolution spent on the
     // within-cell spread
-    "v12_ivfpq_residual_topk" -> ((s, dir) => {
-      val emb = table(s, dir, "embeddings")
-      Similarity.ivfPqResidualTopK(emb, emb.filter(col("vec_id") < 20),
-          "vec_id", "embedding",
-          k = 3, dims = 64, nCentroids = 16, nProbe = 4, m = 4, codes = 16, iters = 2)
-        .orderBy("query_id", "rank")
-    }),
+    "v12_ivfpq_residual_topk" -> ((s, dir) =>
+      resid3(s, dir).orderBy("query_id", "rank")),
 
     // V13: recall@3 of the residual form against exact brute-force — read
     // next to v10 (vector-encoding PQ) and v8 (IVF-Flat), this quantifies
     // what the residual refinement buys at identical m x codes budget
-    "v13_ivfpq_residual_recall" -> ((s, dir) => {
-      val emb = table(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") < 20)
-      Similarity.recallAtK(
-          Similarity.ivfPqResidualTopK(emb, q, "vec_id", "embedding",
-            k = 3, dims = 64, nCentroids = 16, nProbe = 4, m = 4, codes = 16, iters = 2),
-          Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 3),
-          k = 3)
-        .orderBy("query_id")
-    }),
+    "v13_ivfpq_residual_recall" -> ((s, dir) =>
+      Similarity.recallAtK(resid3(s, dir), brute3(s, dir), k = 3)
+        .orderBy("query_id")),
 
     // D7: embedding-cosine near-dup pairs — LSH-bucketed candidates scored
     // exactly (the synthetic embeddings have no true near-dups, so the
@@ -961,26 +974,15 @@ object DocQueries {
 
     // V3: IVF ANN top-3 (16 first-vector centroids, 4 probes) — the
     // cell-partitioned scale path; assignment + probe both oracle-mirrored
-    "v3_ivf_topk" -> ((s, dir) => {
-      val emb = table(s, dir, "embeddings")
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
-          k = 3, nCentroids = 16, nProbe = 4)
-        .orderBy("query_id", "rank")
-    }),
+    "v3_ivf_topk" -> ((s, dir) =>
+      ivf3(s, dir).orderBy("query_id", "rank")),
 
     // V8: the IVF side of the ANN quality gauge — recall@3 of ivfTopK
     // (the v3 config) vs the exact top-3; with v7 this puts both index
     // families on the same recall/cost axis
-    "v8_ivf_recall" -> ((s, dir) => {
-      val emb = table(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") < 20)
-      Similarity.recallAtK(
-          Similarity.ivfTopK(emb, q, "vec_id", "embedding",
-            k = 3, nCentroids = 16, nProbe = 4),
-          Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 3),
-          k = 3)
-        .orderBy("query_id")
-    }),
+    "v8_ivf_recall" -> ((s, dir) =>
+      Similarity.recallAtK(ivf3(s, dir), brute3(s, dir), k = 3)
+        .orderBy("query_id")),
 
     // T4: PII scrubbing — synthetic emails/URLs/phones injected per doc,
     // detected and redacted (docs 0-9 get a too-short phone that must NOT
@@ -1156,13 +1158,9 @@ object DocQueries {
     // that surfaced the pair — integer ranks, so both engines compute
     // identical doubles; re-rank on (rrf DESC, neighbor)
     "v15_rrf_fusion" -> ((s, dir) => {
-      val emb = table(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") < 20)
-      val a = Similarity.pqTopK(emb, q, "vec_id", "embedding",
-          k = 3, dims = 64, m = 4, codes = 16, iters = 2)
+      val a = pq3(s, dir)
         .select(col("query_id"), col("neighbor_id"), col("rank").as("rank_a"))
-      val b = Similarity.annTopK(emb, q, "vec_id", "embedding",
-          k = 3, dims = 64, tables = 8, planesPerTable = 4)
+      val b = ann3(s, dir)
         .select(col("query_id"), col("neighbor_id"), col("rank").as("rank_b"))
       val u = a.join(b, Seq("query_id", "neighbor_id"), "full_outer")
         .withColumn("rrf", round(
