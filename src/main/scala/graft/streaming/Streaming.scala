@@ -273,6 +273,44 @@ object Streaming {
       }
   }
 
+  final case class UserPeriods(periods: Seq[Long])
+  final case class UserRetention(user: Long, cohort_period: Long, offsets: Seq[Long])
+
+  /** Streaming face of [[graft.operators.Retention.cohortRetention]]: per
+    * user, the distinct-activity-period set as `flatMapGroupsWithState`
+    * state (bounded by |active periods| — days or weeks, not events), the
+    * cohort re-derived as its minimum on every emission so LATE data that
+    * predates the known cohort re-anchors the user correctly (the batch
+    * operator's global-min semantics, maintained incrementally). Each
+    * batch a user appears in emits the user's full current retention row;
+    * exploding the LATEST row per user into (cohort, offset) pairs and
+    * counting users reproduces the batch matrix at every prefix — the
+    * StreamingSpec parity contract. */
+  def retentionStream(
+      events: DataFrame,
+      userCol: String,
+      tsMsCol: String,
+      periodMs: Long
+  ): Dataset[UserRetention] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col(userCol).cast("long"),
+        floor(col(tsMsCol).cast("long") / periodMs).cast("long"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserPeriods, UserRetention](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[UserPeriods]) =>
+          val seen = scala.collection.mutable.SortedSet.empty[Long]
+          state.getOption.foreach(s => seen ++= s.periods)
+          rows.foreach { case (_, p) => seen += p }
+          state.update(UserPeriods(seen.toSeq))
+          val cohort = seen.head
+          Iterator.single(UserRetention(user, cohort, seen.toSeq.map(_ - cohort)))
+      }
+  }
+
   /** Running per-key count/sum with custom state; emits updated stats on
     * every batch a key appears in. */
   def runningStats(

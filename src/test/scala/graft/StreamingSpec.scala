@@ -452,6 +452,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming retention equals batch cohortRetention after every prefix") {
+    // parity harness #9: per-user distinct-period state; batches split at
+    // arbitrary points INCLUDING late data that predates a user's known
+    // cohort (user 3's period-0 event arrives after its period-2 one), so
+    // the re-anchoring path is exercised, not just the in-order path
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val all = Seq(
+      (1L, 5L), (2L, 15L), (1L, 15L),          // batch 1
+      (3L, 25L), (1L, 35L), (2L, 15L),         // batch 2 (dup activity)
+      (3L, 5L), (4L, 35L), (1L, 7L)            // batch 3 (user 3 late cohort)
+    )
+    val input = MemoryStream[(Long, Long)]
+    val q = Streaming.retentionStream(
+        input.toDF().toDF("user_id", "ts_ms"), "user_id", "ts_ms", periodMs = 10L)
+      .writeStream.format("memory").queryName("retention").outputMode("append").start()
+    try {
+      def latestMatrix(): Map[(Long, Long), Long] = {
+        val rows = spark.table("retention").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+        rows.groupBy(_._1)
+          // the latest emission has the largest period set; sets only grow
+          .map { case (_, v) => v.maxBy(_._3.length) }
+          .toSeq.flatMap { case (_, c, offs) => offs.map(o => (c, o)) }
+          .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      }
+      var prefix = Seq.empty[(Long, Long)]
+      for (g <- all.grouped(3)) {
+        prefix = prefix ++ g
+        input.addData(g: _*); q.processAllAvailable()
+        val batch = graft.operators.Retention.cohortRetention(
+            prefix.toDF("user_id", "ts_ms"), "user_id", col("ts_ms"), periodMs = 10L)
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+        assert(latestMatrix() === batch)
+      }
+    } finally q.stop()
+  }
+
   test("streaming HLL distinct equals batch hllDistinct after every prefix") {
     // parity harness #5: the register frame as flatMapGroupsWithState
     // state — per-key state is <= 2^p registers regardless of stream
