@@ -85,6 +85,76 @@ object Graph {
     prof
   }
 
+  /** Per-node triangle counts over an UNDIRECTED graph (edges are
+    * canonicalized, direction and duplicates ignored) — the clustering /
+    * community-density signal next to [[degreeProfile]]'s reciprocity.
+    *
+    * Returns (node, n_triangles) for every node on any edge, zeros
+    * included — all integers, hash-exact.
+    *
+    * Scale shape: the textbook wedge join made 100 TB-safe by DEGREE
+    * ORIENTATION — every edge orients from its (degree, id)-smaller
+    * endpoint to the larger, so each node's oriented out-degree is
+    * O(√m) and the wedge join (oriented ⨝ oriented on the common
+    * source) generates O(m^1.5) candidates TOTAL instead of Σdeg² —
+    * the hub that would explode an unoriented join contributes no
+    * wedges at all. The closing check is one more equi-join against the
+    * oriented edge set, and per-node attribution is an explode + count.
+    * Three edge-keyed shuffle joins, no broadcast assumption, no
+    * per-node adjacency list ever materializes. */
+  def triangleCounts(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String
+  ): DataFrame = {
+    val raw = edges.select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    // canonical undirected form, deduped once
+    val und = raw.select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = und.select(col("u").as("n")).unionAll(und.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    // orient each edge toward the (degree, id)-larger endpoint, carrying
+    // the head's degree so wedge endpoints can be ordered in ORIENTATION
+    // order — which makes the closing edge's direction known and the
+    // close a pure equi-join (an OR-of-directions would nested-loop)
+    val uLt = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val ornt = und
+      .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+      .select(
+        when(uLt, col("u")).otherwise(col("v")).as("s"),
+        when(uLt, col("v")).otherwise(col("u")).as("t"),
+        when(uLt, col("dv")).otherwise(col("du")).as("dt"))
+      .localCheckpoint()
+    // wedges from a common oriented source, endpoints in orientation
+    // order: the triangle's closing edge can then ONLY be w1 -> w2
+    val wedges = ornt.alias("e1")
+      .join(ornt.alias("e2"),
+        col("e1.s") === col("e2.s") && (col("e1.dt") < col("e2.dt") ||
+          (col("e1.dt") === col("e2.dt") && col("e1.t") < col("e2.t"))))
+      .select(col("e1.s").as("w0"), col("e1.t").as("w1"), col("e2.t").as("w2"))
+    val tris = wedges.alias("w")
+      .join(ornt.alias("e3"),
+        col("w.w1") === col("e3.s") && col("w.w2") === col("e3.t"))
+      .select(col("w0"), col("w1"), col("w2"))
+    val perNode = tris
+      .select(explode(array(col("w0"), col("w1"), col("w2"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    val out = deg.select(col("n").as("node"))
+      .join(perNode, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .localCheckpoint()
+    Dedup.release(ornt)
+    und.unpersist()
+    out
+  }
+
   def pageRank(
       edges: DataFrame,
       srcCol: String,

@@ -527,6 +527,43 @@ object DatacubeQueries {
         .orderBy("user_id")
     }),
 
+    // G3: per-node triangle counts over the supplier co-occurrence graph
+    // (suppliers sharing an order, both lines quantity > 45 so the graph
+    // stays sparse) — degree-oriented wedge join, O(m^1.5) candidates.
+    // The oracle counts the SAME triangles with a completely different
+    // algorithm (canonical three-way self-join, no orientation), so the
+    // compare verifies the graph invariant, not the implementation.
+    "g3_triangle_counts" -> ((s, dir) => {
+      val l = Datacube.table(s, dir, "lineitem")
+        .filter(col("l_quantity") > 45)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      val pairs = l.alias("x")
+        .join(l.alias("y"),
+          col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
+        .select(col("x.sk").as("src"), col("y.sk").as("dst"))
+      graft.operators.Graph.triangleCounts(pairs, "src", "dst")
+        .orderBy("node")
+    }),
+
+    // O11: semi-structured property extraction — the events table's JSON
+    // `props` column parsed with an explicit schema (from_json compiles
+    // to ONE codegen'd struct parse per row; a per-field get_json_object
+    // chain re-parses the document for every field) and aggregated to
+    // integer-exact per-type stats
+    "o11_json_extract" -> ((s, dir) => {
+      val ev = Datacube.table(s, dir, "events")
+      val k = from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).getField("k")
+      ev.select(col("event_type"), k.as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum("k").as("k_sum"),
+          min("k").as("k_min"),
+          max("k").as("k_max"),
+          sum(col("k") * col("k")).as("k_sumsq"))
+        .orderBy("event_type")
+    }),
+
     // O10: daily cohort retention — users bucketed by first-activity
     // day (epoch-anchored fixed windows, pure integer arithmetic), the
     // classic (cohort, offset, n_users) matrix. Event-sized data dies at
@@ -1174,6 +1211,48 @@ object DatacubeQueries {
          |FROM t
          |ORDER BY feature, "timestamp", country, admin1, admin2, lat, lng, qual1""".stripMargin
     },
+
+    // G3: triangles by the INDEPENDENT canonical three-way self-join
+    // (x < y < z over u<v edges) — no degree orientation anywhere, so
+    // agreement proves the counted invariant, not a shared algorithm
+    "g3_triangle_counts" ->
+      """WITH l AS (
+        |  SELECT l_orderkey AS ok, l_suppkey AS sk FROM lineitem
+        |  WHERE l_quantity > 45
+        | ),
+        | e AS MATERIALIZED (
+        |  SELECT DISTINCT x.sk AS u, y.sk AS v
+        |  FROM l x JOIN l y ON x.ok = y.ok AND x.sk < y.sk
+        | ),
+        | tri AS MATERIALIZED (
+        |  SELECT a.u AS x, a.v AS y, b.v AS z
+        |  FROM e a JOIN e b ON a.v = b.u
+        |  JOIN e c ON c.u = a.u AND c.v = b.v
+        | ),
+        | nodes AS (SELECT u AS n FROM e UNION SELECT v FROM e),
+        | pn AS (
+        |  SELECT n, COUNT(*) AS c FROM (
+        |    SELECT x AS n FROM tri
+        |    UNION ALL SELECT y FROM tri
+        |    UNION ALL SELECT z FROM tri)
+        |  GROUP BY 1
+        | )
+        |SELECT nodes.n AS node, CAST(COALESCE(c, 0) AS BIGINT) AS n_triangles
+        |FROM nodes LEFT JOIN pn ON nodes.n = pn.n
+        |ORDER BY node""".stripMargin,
+
+    // O11: the same per-type stats over json-path-extracted k
+    "o11_json_extract" ->
+      """SELECT event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(k) AS BIGINT) AS k_sum,
+        |       CAST(MIN(k) AS BIGINT) AS k_min,
+        |       CAST(MAX(k) AS BIGINT) AS k_max,
+        |       CAST(SUM(k * k) AS BIGINT) AS k_sumsq
+        |FROM (SELECT event_type,
+        |             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // O10: the retention matrix as plain SQL — distinct (user, day)
     // activity, min-day cohort, integer-division day buckets

@@ -70,6 +70,28 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(out(1L)._2 - 0.5) < 1e-6)
   }
 
+  test("triangleCounts: K4 minus an edge, with dup/reversed/self edges collapsed") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} minus (3,4): triangles {1,2,3} and {1,2,4} ->
+    // nodes 1,2 in two each, 3,4 in one each; node 5 hangs off 1 (zero);
+    // reversed duplicates (2,1), a repeat (1,3) and a self-loop (2,2)
+    // must not change anything
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 3L), (1L, 4L),
+      (2L, 3L), (2L, 4L), (5L, 1L), (2L, 2L))
+    val out = Graph.triangleCounts(edges.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L, 5L -> 0L))
+  }
+
+  test("triangleCounts: a triangle-free bipartite graph is all zeros") {
+    import spark.implicits._
+    val edges = for (a <- 0L to 2L; b <- 10L to 12L) yield (a, b)
+    val out = Graph.triangleCounts(edges.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size === 6)
+    assert(out.values.forall(_ === 0L))
+  }
+
   test("degreeProfile: hand-computed degrees, reciprocity, source/sink flags") {
     import spark.implicits._
     // 1→2 (reciprocated), 1→3 (one-way), 4→1 (4 is a pure source),
