@@ -396,6 +396,47 @@ object Dedup {
         coalesce(col("max_span"), lit(0L)).as("max_span"))
   }
 
+  /** Blocked fuzzy record matching — the entity-resolution join (author /
+    * organization / title dedup across noisy sources): records pair only
+    * inside a BLOCK (normalized-name prefix + a length band, so a raw
+    * all-pairs Levenshtein never exists at any corpus size), and in-block
+    * candidates keep when their edit distance clears `maxEdit`.
+    *
+    * Returns unordered (id_a < id_b) pairs with the normalized names and
+    * the integer edit distance — hash-exact (Levenshtein is the classic
+    * unit-cost DP, identical on any engine).
+    *
+    * Scale shape: one shuffle on the block key; per-block work is
+    * quadratic IN THE BLOCK only — the standard blocking trade. The
+    * length band (`|len/lenBand|` must match) prunes in the join's
+    * residual before the DP runs, and a prefix typo landing records in
+    * different blocks is the documented recall loss every blocking
+    * scheme accepts (add a second pass on a different key to recover).
+    * The Levenshtein itself is Spark's codegen'd binary expression. */
+  def fuzzyMatchPairs(
+      recs: DataFrame,
+      idCol: String,
+      nameCol: String,
+      maxEdit: Int = 2,
+      blockPrefix: Int = 3,
+      lenBand: Int = 4
+  ): DataFrame = {
+    require(maxEdit >= 0 && blockPrefix >= 1 && lenBand >= 1)
+    val n = recs.select(col(idCol).as("id"),
+        expr(normalizedSql(nameCol)).as("nm"))
+      .withColumn("blk",
+        concat(substring(col("nm"), 1, blockPrefix),
+          lit("#"), floor(length(col("nm")) / lenBand).cast("string")))
+    n.alias("a")
+      .join(n.alias("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .withColumn("edit_distance", levenshtein(col("a.nm"), col("b.nm")))
+      .filter(col("edit_distance") <= maxEdit)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.nm").as("name_a"), col("b.nm").as("name_b"),
+        col("edit_distance"))
+  }
+
   /** MinHash prime modulus (2^31 - 1). */
   val MinHashP = 2147483647L
 

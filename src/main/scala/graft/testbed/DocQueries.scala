@@ -1775,6 +1775,24 @@ object DocQueries {
         .orderBy("doc_id")
     }),
 
+    // T45: blocked fuzzy record matching — entity names synthesized from
+    // doc_id arithmetic with case noise and suffix variants (Corp /
+    // Corp. / Co), paired only inside (prefix, length-band) blocks and
+    // kept under edit distance 2. The single-digit groups' short "Co"
+    // variant lands in a DIFFERENT length band — the blocking recall
+    // loss is part of the fixture, so the oracle verifies the BLOCKING
+    // semantics, not just the Levenshtein
+    "t45_fuzzy_match" -> ((s, dir) => {
+      val id = col("doc_id")
+      val nm = concat(lit("Entity "), (id % 120).cast("string"),
+        when(id % 3 === 0, " Corp").when(id % 3 === 1, " Corp.")
+          .otherwise(" Co"))
+      Dedup.fuzzyMatchPairs(
+          table(s, dir, "documents").select(id, nm.as("name")),
+          "doc_id", "name")
+        .orderBy("id_a", "id_b")
+    }),
+
     // T44: DSIR importance weighting (Xie et al. 2023) — every document
     // scored by the unigram log-likelihood ratio of an English-target LM
     // vs the whole-corpus LM, top-100 selected; per-token ratios are
@@ -3585,6 +3603,28 @@ object DocQueries {
         |         AS canonical_url,
         |       'www.site' || (doc_id % 7) || '.com' AS host
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // T45: the same blocked join in SQL (DuckDB's levenshtein is the
+    // identical classic unit-cost DP)
+    "t45_fuzzy_match" ->
+      """WITH n AS (
+        |  SELECT doc_id AS id,
+        |         lower('Entity ' || (doc_id % 120) ||
+        |           CASE WHEN doc_id % 3 = 0 THEN ' Corp'
+        |                WHEN doc_id % 3 = 1 THEN ' Corp.'
+        |                ELSE ' Co' END) AS nm
+        |  FROM documents
+        | ),
+        | b AS (
+        |  SELECT id, nm,
+        |         substring(nm, 1, 3) || '#' || CAST(len(nm) // 4 AS VARCHAR) AS blk
+        |  FROM n
+        | )
+        |SELECT a.id AS id_a, bb.id AS id_b, a.nm AS name_a, bb.nm AS name_b,
+        |       CAST(levenshtein(a.nm, bb.nm) AS INT) AS edit_distance
+        |FROM b a JOIN b bb ON a.blk = bb.blk AND a.id < bb.id
+        |WHERE levenshtein(a.nm, bb.nm) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // T44: the DSIR log-likelihood-ratio mirror — target LM over the
     // lang='en' slice, raw LM over the whole corpus, per-token ratios

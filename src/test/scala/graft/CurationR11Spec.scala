@@ -55,6 +55,29 @@ class CurationR11Spec extends SparkSpec {
     assert(out(1L) === ((2, 6L, 3L)))
   }
 
+  // ---- fuzzyMatchPairs ----------------------------------------------------
+
+  test("fuzzyMatchPairs: in-block typos pair, cross-block and far names don't") {
+    import spark.implicits._
+    val recs = Seq(
+      (1L, "Acme Corp"),     // "acme corp": dist 1 to both variants below
+      (2L, "Acme Corp."),
+      (3L, "ACME  CORPS"),   // whitespace collapses, case lowers
+      (4L, "Acme Incorporated"), // same prefix, different length band
+      (5L, "Zen Corp")       // different block prefix
+    ).toDF("id", "name")
+    val out = Dedup.fuzzyMatchPairs(recs, "id", "name", maxEdit = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(4)).toMap
+    assert(out === Map((1L, 2L) -> 1, (1L, 3L) -> 1, (2L, 3L) -> 1))
+  }
+
+  test("fuzzyMatchPairs: maxEdit gates the pair set") {
+    import spark.implicits._
+    val recs = Seq((1L, "abcdef"), (2L, "abcxxx")).toDF("id", "name")
+    assert(Dedup.fuzzyMatchPairs(recs, "id", "name", maxEdit = 2).count() === 0L)
+    assert(Dedup.fuzzyMatchPairs(recs, "id", "name", maxEdit = 3).count() === 1L)
+  }
+
   // ---- canonicalUrl -------------------------------------------------------
 
   private def canon(url: String): String = {
