@@ -1775,21 +1775,29 @@ object DocQueries {
         .orderBy("doc_id")
     }),
 
-    // T45: blocked fuzzy record matching — entity names synthesized from
-    // doc_id arithmetic with case noise and suffix variants (Corp /
-    // Corp. / Co), paired only inside (prefix, length-band) blocks and
-    // kept under edit distance 2. The single-digit groups' short "Co"
-    // variant lands in a DIFFERENT length band — the blocking recall
-    // loss is part of the fixture, so the oracle verifies the BLOCKING
-    // semantics, not just the Levenshtein
+    // T45: blocked fuzzy record matching — entity names synthesized
+    // from doc_id arithmetic: 12 base words x 120 numbered groups, case
+    // noise, and suffix variants (Corp / Corp. / Co). blockPrefix = 6
+    // reaches past the word into the group digits, so block count grows
+    // with name diversity and no single block degenerates (the first
+    // fixture's shared 3-char prefix collapsed 5k names into 2 blocks —
+    // one skewed task doing the whole quadratic). The short "Co"
+    // variant of short-worded groups still lands in a different length
+    // band — the blocking recall loss stays part of what the oracle
+    // verifies
     "t45_fuzzy_match" -> ((s, dir) => {
       val id = col("doc_id")
-      val nm = concat(lit("Entity "), (id % 120).cast("string"),
+      val g = id % 120
+      val words = array(Seq("Acme", "Borel", "Cyan", "Delta", "Ember",
+        "Flux", "Gamma", "Helix", "Ionic", "Joule", "Kappa", "Lumen")
+        .map(lit): _*)
+      val nm = concat(element_at(words, (g % 12 + 1).cast("int")),
+        g.cast("string"),
         when(id % 3 === 0, " Corp").when(id % 3 === 1, " Corp.")
           .otherwise(" Co"))
       Dedup.fuzzyMatchPairs(
           table(s, dir, "documents").select(id, nm.as("name")),
-          "doc_id", "name")
+          "doc_id", "name", blockPrefix = 6)
         .orderBy("id_a", "id_b")
     }),
 
@@ -3609,7 +3617,10 @@ object DocQueries {
     "t45_fuzzy_match" ->
       """WITH n AS (
         |  SELECT doc_id AS id,
-        |         lower('Entity ' || (doc_id % 120) ||
+        |         lower(['Acme', 'Borel', 'Cyan', 'Delta', 'Ember', 'Flux',
+        |                'Gamma', 'Helix', 'Ionic', 'Joule', 'Kappa', 'Lumen']
+        |               [CAST((doc_id % 120) % 12 + 1 AS INT)] ||
+        |           (doc_id % 120) ||
         |           CASE WHEN doc_id % 3 = 0 THEN ' Corp'
         |                WHEN doc_id % 3 = 1 THEN ' Corp.'
         |                ELSE ' Co' END) AS nm
@@ -3617,7 +3628,7 @@ object DocQueries {
         | ),
         | b AS (
         |  SELECT id, nm,
-        |         substring(nm, 1, 3) || '#' || CAST(len(nm) // 4 AS VARCHAR) AS blk
+        |         substring(nm, 1, 6) || '#' || CAST(len(nm) // 4 AS VARCHAR) AS blk
         |  FROM n
         | )
         |SELECT a.id AS id_a, bb.id AS id_b, a.nm AS name_a, bb.nm AS name_b,
