@@ -265,6 +265,69 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_shared"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** [[jaccardPairs]] with PPJoin/AllPairs PREFIX FILTERING (Bayardo et
+    * al. 2007; Xiao et al. 2008) — identical output, candidate set cut
+    * to pairs sharing one of each document's RAREST few shingles.
+    *
+    * In a global (df, hash) shingle order, any pair with J >= t shares
+    * its order-smallest common shingle within BOTH docs' first
+    * `|S| - ceil(t*|S|) + 1` shingles (position of that shingle in S is
+    * at most 1 + |S| - |S∩T|, and J >= t forces |S∩T| >= ceil(t*|S|)) —
+    * so joining PREFIXES loses nothing, and ordering by ascending
+    * document frequency makes those prefixes the rarest shingles:
+    * boilerplate n-grams shared by half the corpus sort LAST and never
+    * generate candidates. At t = 0.8 the prefix is ~20% of each doc, so
+    * the co-occurrence join shrinks ~25x in each input — the difference
+    * between a near-dup pass that survives a boilerplate-heavy 100 TB
+    * crawl and one that doesn't. Candidates then verify EXACTLY (full
+    * intersection count restricted to candidate pairs), so the result
+    * is bit-identical to [[jaccardPairs]] — which is how the oracle
+    * adjudicates it: the d22 battery entry reuses d2's plain-join SQL.
+    *
+    * Plan shape: the df + size + rank windows ride two exchanges of the
+    * hashed shingle stream (strings never shuffle — [[shingleHash60]]),
+    * the prefix join's inputs are ~t-fraction-pruned copies, and the
+    * verify join touches only candidate-pair shingle lists. */
+  def jaccardPairsPrefix(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      minJaccard: Double = 0.8
+  ): DataFrame = {
+    require(minJaccard > 0 && minJaccard <= 1, "minJaccard must be in (0, 1]")
+    val sh = docShingleHashes(docs, idCol, textCol, n, dedup = true)
+      .localCheckpoint() // shared by the prefix AND verify sides
+    val ranked = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
+      .withColumn("na", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
+    val prefix = ranked
+      .filter(col("rn") <= col("na") - ceil(lit(minJaccard) * col("na")) + 1)
+      .select(col("doc_id"), col("s"), col("na"))
+    val cand = prefix.alias("a")
+      .join(prefix.alias("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.na").as("na"), col("b.na").as("nb"))
+      .distinct()
+    val out = cand
+      .join(sh.alias("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.alias("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
+      .groupBy("doc_a", "doc_b", "na", "nb")
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("jaccard", col("n_shared").cast("double") /
+        (col("na") + col("nb") - col("n_shared")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        round(col("jaccard"), 4).as("jaccard"))
+      .localCheckpoint()
+    release(sh)
+    out
+  }
+
   /** Asymmetric near-dup: CONTAINMENT pairs — `|A∩B| / min(|A|,|B|)` over
     * distinct n-gram shingles. Jaccard resemblance misses the case a
     * curation pipeline most wants gone: a short document (or quote)

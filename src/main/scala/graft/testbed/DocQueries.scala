@@ -1775,6 +1775,16 @@ object DocQueries {
         .orderBy("doc_id")
     }),
 
+    // D22: the PPJoin/AllPairs prefix-filtered exact Jaccard join — the
+    // candidate join reads only each doc's rarest ~20% of shingles
+    // (ascending-df global order), then candidates verify exactly; the
+    // oracle is d2's UNFILTERED plain-join SQL, so the compare proves
+    // the prefix filter loses nothing
+    "d22_jaccard_prefix" -> ((s, dir) =>
+      Dedup.jaccardPairsPrefix(table(s, dir, "documents"), "doc_id", "text",
+          n = 3, minJaccard = 0.8)
+        .orderBy("doc_a", "doc_b")),
+
     // T45: blocked fuzzy record matching — entity names synthesized
     // from doc_id arithmetic: 12 base words x 120 numbered groups, case
     // noise, and suffix variants (Corp / Corp. / Co). blockPrefix = 6
@@ -1963,6 +1973,21 @@ object DocQueries {
     // digits = hi7 << 32 + lo8, both halves exact in doubles) — mirror of
     // Dedup.shingleHash60
     "d2_jaccard_neardup" ->
+      s"""$wCte,
+         |${jaccardCtes()}
+         |SELECT doc_a, doc_b, n_shared,
+         |       ROUND(n_shared * 1.0 / (sa.n + sb.n - n_shared), 4) AS jaccard
+         |FROM inter
+         |JOIN sz sa ON doc_a = sa.doc_id
+         |JOIN sz sb ON doc_b = sb.doc_id
+         |WHERE n_shared * 1.0 / (sa.n + sb.n - n_shared) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // D22: the SAME plain-join SQL as d2 — prefix filtering is an
+    // exact-candidate-pruning optimization, so output equality against
+    // the unfiltered co-occurrence join IS the adjudication (the g3
+    // independent-algorithm pattern)
+    "d22_jaccard_prefix" ->
       s"""$wCte,
          |${jaccardCtes()}
          |SELECT doc_a, doc_b, n_shared,

@@ -55,6 +55,44 @@ class CurationR11Spec extends SparkSpec {
     assert(out(1L) === ((2, 6L, 3L)))
   }
 
+  // ---- jaccardPairsPrefix -------------------------------------------------
+
+  test("prefix-filtered jaccard equals the plain co-occurrence join (corpus)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plain = rowSet(Dedup.jaccardPairs(docs, "doc_id", "text",
+      n = 3, minJaccard = 0.8))
+    val pref = rowSet(Dedup.jaccardPairsPrefix(docs, "doc_id", "text",
+      n = 3, minJaccard = 0.8))
+    assert(pref === plain)
+    assert(plain.nonEmpty) // the corpus fixture has real near-dup pairs
+  }
+
+  test("prefix-filtered jaccard equals plain at a low threshold too") {
+    // t = 0.5 doubles the prefix length — exercises the ceil arithmetic
+    // away from the battery's 0.8 point
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(100)
+    val plain = rowSet(Dedup.jaccardPairs(docs, "doc_id", "text",
+      n = 3, minJaccard = 0.5))
+    val pref = rowSet(Dedup.jaccardPairsPrefix(docs, "doc_id", "text",
+      n = 3, minJaccard = 0.5))
+    assert(pref === plain)
+  }
+
+  test("boilerplate shared by every doc generates no prefix candidates") {
+    import spark.implicits._
+    // every doc ends with the same boilerplate sentence; contents differ
+    // entirely. Plain join pairs every doc through the boilerplate
+    // shingles and discards them at the threshold; the prefix join must
+    // reach the same (empty) answer — boilerplate sorts LAST by df
+    val boiler = "all rights reserved contact us today"
+    val docs = (0L until 30L)
+      .map(i => (i, s"unique$i body$i text$i payload$i row$i $boiler"))
+      .toDF("doc_id", "text")
+    assert(Dedup.jaccardPairsPrefix(docs, "doc_id", "text",
+      n = 3, minJaccard = 0.8).count() === 0L)
+  }
+
   // ---- fuzzyMatchPairs ----------------------------------------------------
 
   test("fuzzyMatchPairs: in-block typos pair, cross-block and far names don't") {
