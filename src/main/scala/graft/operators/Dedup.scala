@@ -1110,6 +1110,29 @@ object Dedup {
     * speed, then one full-outer join on the id — co-partitionable, and
     * zero-shuffle when both snapshots are stored id-bucketed
     * (`Layout.writeBucketed`). */
+  /** Key-wise UPSERT (merge-into): `updates` rows replace same-key
+    * `base` rows, new-key updates append, untouched base rows survive —
+    * the incremental-corpus maintenance write that pairs with
+    * [[corpusDiff]] (diff decides WHAT changed, upsert applies it).
+    * Both inputs must share a schema ([[corpusDiff]]'s contract).
+    *
+    * Scale shape: one left-anti join of base against the (usually much
+    * smaller) update batch — AQE broadcasts the update keys, so the
+    * base corpus never shuffles — then a union. No full-outer join, no
+    * per-column coalesce: the update row wins WHOLE, which is also the
+    * only sane semantics when a column was set to null on purpose. */
+  def mergeUpsert(
+      base: DataFrame,
+      updates: DataFrame,
+      keyCols: Seq[String]
+  ): DataFrame = {
+    require(keyCols.nonEmpty, "mergeUpsert needs at least one key column")
+    require(base.columns.sameElements(updates.columns),
+      "mergeUpsert requires identical schemas (corpusDiff's contract)")
+    base.join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .unionByName(updates)
+  }
+
   def corpusDiff(
       prev: DataFrame, cur: DataFrame, idCol: String, textCol: String
   ): DataFrame = {

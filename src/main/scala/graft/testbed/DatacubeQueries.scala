@@ -564,6 +564,29 @@ object DatacubeQueries {
         .orderBy("event_type")
     }),
 
+    // O12: robust (median/MAD) outlier detection per event type — the
+    // anomaly gate a metrics pipeline runs before aggregation; med/MAD
+    // from the exact sort-based quantile (the t8 machinery), ROUNDED to
+    // 4 decimals BEFORE the outlier comparison on both engines so the
+    // decision never sits on an interpolation ulp
+    "o12_robust_outliers" -> ((s, dir) => {
+      val ev = Datacube.table(s, dir, "events").select(col("event_type"), col("value"))
+      val med = graft.operators.Sampling.exactQuantiles(
+          ev, Seq("event_type"), "value", Seq(0.5), Seq("med"))
+        .withColumn("med", round(col("med"), 4))
+      val dev = ev.join(med, Seq("event_type"))
+        .withColumn("dev", abs(col("value") - col("med")))
+      val mad = graft.operators.Sampling.exactQuantiles(
+          dev, Seq("event_type"), "dev", Seq(0.5), Seq("mad"))
+        .withColumn("mad", round(col("mad"), 4))
+      dev.join(mad, Seq("event_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("dev") > col("mad") * 3, 1L).otherwise(0L)).as("n_outliers"),
+          min("med").as("med"), min("mad").as("mad"))
+        .orderBy("event_type")
+    }),
+
     // O10: daily cohort retention — users bucketed by first-activity
     // day (epoch-anchored fixed windows, pure integer arithmetic), the
     // classic (cohort, offset, n_users) matrix. Event-sized data dies at
@@ -1252,6 +1275,29 @@ object DatacubeQueries {
         |FROM (SELECT event_type,
         |             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |      FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // O12: same two-stage median/MAD with quantile_cont, 4dp-rounded
+    // before the comparison (the shared t8 exact-quantile convention)
+    "o12_robust_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, ROUND(quantile_cont("value", 0.5), 4) AS med
+        |  FROM events GROUP BY 1
+        | ),
+        | dev AS (
+        |  SELECT e.event_type, ABS("value" - med) AS dev, med
+        |  FROM events e JOIN med USING (event_type)
+        | ),
+        | mad AS (
+        |  SELECT event_type, ROUND(quantile_cont(dev, 0.5), 4) AS mad
+        |  FROM dev GROUP BY 1
+        | )
+        |SELECT d.event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CASE WHEN dev > mad * 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_outliers,
+        |       MIN(med) AS med, MIN(mad) AS mad
+        |FROM dev d JOIN mad USING (event_type)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // O10: the retention matrix as plain SQL — distinct (user, day)

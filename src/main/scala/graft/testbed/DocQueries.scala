@@ -1775,6 +1775,22 @@ object DocQueries {
         .orderBy("doc_id")
     }),
 
+    // T46: key-wise UPSERT (merge-into) — the corpusDiff-family write:
+    // patched rows replace, fresh rows append, untouched rows survive;
+    // the update row wins whole (no per-column coalesce)
+    "t46_upsert" -> ((s, dir) => {
+      val base = table(s, dir, "documents")
+      val mods = base.filter(col("doc_id") % 10 === 0)
+        .withColumn("source", lit("patched"))
+        .withColumn("n_chars", col("n_chars") + 1)
+      val news = base.filter(col("doc_id") < 25)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .withColumn("source", lit("fresh"))
+      Dedup.mergeUpsert(base, mods.unionByName(news), Seq("doc_id"))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // D22: the PPJoin/AllPairs prefix-filtered exact Jaccard join — the
     // candidate join reads only each doc's rarest ~20% of shingles
     // (ascending-df global order), then candidates verify exactly; the
@@ -3636,6 +3652,22 @@ object DocQueries {
         |         AS canonical_url,
         |       'www.site' || (doc_id % 7) || '.com' AS host
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // T46: updates (replacements + appends) unioned with the anti-joined
+    // untouched base — the upsert contract stated directly
+    "t46_upsert" ->
+      """WITH u AS (
+        |  SELECT doc_id, lang, 'patched' AS source, n_chars + 1 AS n_chars
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, lang, 'fresh', n_chars
+        |  FROM documents WHERE doc_id < 25
+        | )
+        |SELECT doc_id, lang, source, n_chars FROM u
+        |UNION ALL
+        |SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM u)
+        |ORDER BY doc_id""".stripMargin,
 
     // T45: the same blocked join in SQL (DuckDB's levenshtein is the
     // identical classic unit-cost DP)

@@ -55,6 +55,30 @@ class CurationR11Spec extends SparkSpec {
     assert(out(1L) === ((2, 6L, 3L)))
   }
 
+  // ---- mergeUpsert --------------------------------------------------------
+
+  test("mergeUpsert: replace, append, survive — update rows win whole") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("id", "v", "n")
+    val ups = Seq((2L, "B2", 99), (4L, "d", 40)).toDF("id", "v", "n")
+    val out = Dedup.mergeUpsert(base, ups, Seq("id"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(out === Map(1L -> (("a", 10)), 2L -> (("B2", 99)),
+      3L -> (("c", 30)), 4L -> (("d", 40))))
+  }
+
+  test("mergeUpsert: composite keys and schema mismatch rejection") {
+    import spark.implicits._
+    val base = Seq((1L, "x", 1), (1L, "y", 2)).toDF("id", "k2", "n")
+    val ups = Seq((1L, "y", 9)).toDF("id", "k2", "n")
+    val out = Dedup.mergeUpsert(base, ups, Seq("id", "k2"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getInt(2)).toMap
+    assert(out === Map((1L, "x") -> 1, (1L, "y") -> 9))
+    intercept[IllegalArgumentException] {
+      Dedup.mergeUpsert(base, ups.drop("n"), Seq("id"))
+    }
+  }
+
   // ---- jaccardPairsPrefix -------------------------------------------------
 
   test("prefix-filtered jaccard equals the plain co-occurrence join (corpus)") {
