@@ -1813,12 +1813,22 @@ object DocQueries {
     // verifies
     "t45_fuzzy_match" -> ((s, dir) => {
       val id = col("doc_id")
-      val g = id % 120
+      // entity count grows WITH the corpus (a real corpus's name
+      // vocabulary scales with its record count) — a fixed modulus made
+      // block sizes linear in corpus size and the in-block quadratic
+      // exploded 44x on the 10x sf1 rehearsal
+      val g = expr("doc_id div 4")
       val words = array(Seq("Acme", "Borel", "Cyan", "Delta", "Ember",
         "Flux", "Gamma", "Helix", "Ionic", "Joule", "Kappa", "Lumen")
         .map(lit): _*)
+      // the group id enters the name as a 6-char md5 code, not digits:
+      // hash chars are uniform under ANY id layout (raw digits let sf1's
+      // 100M-stride copy offsets stamp one shared prefix on a whole
+      // copy's groups and collapse the blocks), and DISTINCT entities
+      // differ in ~all 6 chars, so cross-entity pairs clear maxEdit and
+      // only true variants match — the realistic name-entropy shape
       val nm = concat(element_at(words, (g % 12 + 1).cast("int")),
-        g.cast("string"),
+        substring(md5(g.cast("string")), 1, 6),
         when(id % 3 === 0, " Corp").when(id % 3 === 1, " Corp.")
           .otherwise(" Co"))
       Dedup.fuzzyMatchPairs(
@@ -3676,8 +3686,8 @@ object DocQueries {
         |  SELECT doc_id AS id,
         |         lower(['Acme', 'Borel', 'Cyan', 'Delta', 'Ember', 'Flux',
         |                'Gamma', 'Helix', 'Ionic', 'Joule', 'Kappa', 'Lumen']
-        |               [CAST((doc_id % 120) % 12 + 1 AS INT)] ||
-        |           (doc_id % 120) ||
+        |               [CAST((doc_id // 4) % 12 + 1 AS INT)] ||
+        |           substring(md5(CAST(doc_id // 4 AS VARCHAR)), 1, 6) ||
         |           CASE WHEN doc_id % 3 = 0 THEN ' Corp'
         |                WHEN doc_id % 3 = 1 THEN ' Corp.'
         |                ELSE ' Co' END) AS nm
