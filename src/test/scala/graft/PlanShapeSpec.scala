@@ -59,6 +59,8 @@ class PlanShapeSpec extends SparkSpec {
     assert(shape(docs.selectExpr("nfc_normalize(text)")) === ((0, 0)))
     assert(shape(docs.select(TextFunctions.canonicalUrl(
       concat(lit("http://h"), col("doc_id"), lit(".co/p"))))) === ((0, 0)))
+    assert(shape(docs.select(TextFunctions.jaroWinkler(
+      col("lang"), col("source")))) === ((0, 0)))
   }
 
   test("dupSpans: hash window + island window + the zero-fill join, no pair join") {
