@@ -304,7 +304,12 @@ object TextFunctions {
     def part(p: String): Column = call_function("parse_url", u, lit(p))
     val scheme = lower(part("PROTOCOL"))
     val host = regexp_replace(lower(part("HOST")), "\\.$", "")
-    val port = regexp_extract(part("AUTHORITY"), ":([0-9]+)$", 1)
+    // an IPv6 literal's own trailing ':1' must not read as a port: when
+    // the host is bracketed, a real port can only follow the ']'
+    val auth = part("AUTHORITY")
+    val port = when(host.startsWith("["),
+        regexp_extract(auth, "\\]:([0-9]+)$", 1))
+      .otherwise(regexp_extract(auth, ":([0-9]+)$", 1))
     val defPort = when(scheme === "http", lit("80"))
       .when(scheme === "https", lit("443")).otherwise(lit(""))
     val portPart = when(port === "" || port === defPort, lit(""))

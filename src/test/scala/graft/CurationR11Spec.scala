@@ -212,6 +212,13 @@ class CurationR11Spec extends SparkSpec {
     assert(canon("http://a.b/c?utm_a=1&utm_b=2&ref=x") === "http://a.b/c")
   }
 
+  test("canonicalUrl: IPv6 literals keep their brackets and real ports only") {
+    // the host's own trailing ':1' must NOT read as a port
+    assert(canon("http://[::1]/x") === "http://[::1]/x")
+    assert(canon("HTTP://[2001:DB8::1]:80/x") === "http://[2001:db8::1]/x")
+    assert(canon("http://[::1]:8080/x") === "http://[::1]:8080/x")
+  }
+
   // ---- dsirWeights --------------------------------------------------------
 
   test("dsirWeights: target-like documents outrank off-target ones") {
