@@ -267,6 +267,20 @@ object Keywords {
       targetDocs: DataFrame,
       alpha: Double = 1.0, topK: Int = 100
   ): DataFrame = {
+    val w = dsirWeightFrame(docs, idCol, textCol, targetDocs, alpha)
+      .localCheckpoint() // one weight pass feeds both serving sides
+    val out = dsirServe(w, topK)
+      .localCheckpoint() // materialize so the weight checkpoint can free
+    Dedup.release(w)
+    out
+  }
+
+  /** The per-doc weight frame (doc_id, n_tokens, dsir_q8) — the shared
+    * upstream of both serving sides. */
+  private def dsirWeightFrame(
+      docs: DataFrame, idCol: String, textCol: String,
+      targetDocs: DataFrame, alpha: Double
+  ): DataFrame = {
     require(alpha > 0, "alpha must be positive (unsmoothed zeros break ln)")
     val tok = docs
       .select(col(idCol).as("doc_id"), explode(TextFunctions.tokens(textCol)).as("t"))
@@ -276,7 +290,7 @@ object Keywords {
     val tgtCounts = tgtTok.groupBy("t").agg(count(lit(1)).as("ct"))
     val rawTotals = rawCounts.agg(sum("cr").as("nr"), count(lit(1)).as("vr"))
     val tgtTotals = tgtCounts.agg(sum("ct").as("nt"), count(lit(1)).as("vt"))
-    val weights = tok
+    tok
       .join(rawCounts, Seq("t"), "left")
       .join(tgtCounts, Seq("t"), "left")
       .crossJoin(broadcast(rawTotals))
@@ -287,13 +301,25 @@ object Keywords {
       .withColumn("q8", round(col("lr") * 1e8).cast("long"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum("q8").as("dsir_q8"))
-    val w = weights.localCheckpoint() // one weight pass feeds both sides
+  }
+
+  /** The serving stage: TakeOrdered top-K flag broadcast onto the weight
+    * frame — never a global rank window. */
+  private def dsirServe(w: DataFrame, topK: Int): DataFrame = {
     val top = w.orderBy(col("dsir_q8").desc, col("doc_id")).limit(topK)
       .select(col("doc_id"), lit(true).as("selected"))
     w.join(broadcast(top), Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"), col("dsir_q8"),
         coalesce(col("selected"), lit(false)).as("selected"))
   }
+
+  /** The whole DSIR plan LAZY (no checkpoints) — the PlanShapeSpec
+    * inspection surface; [[dsirWeights]] is the executing form. */
+  private[graft] def dsirWeightsLazy(
+      docs: DataFrame, idCol: String, textCol: String,
+      targetDocs: DataFrame, alpha: Double = 1.0, topK: Int = 100
+  ): DataFrame =
+    dsirServe(dsirWeightFrame(docs, idCol, textCol, targetDocs, alpha), topK)
 
   /** Per-document cross-entropy under an add-one-smoothed corpus BIGRAM
     * LM — the CCNet-style perplexity filter one order up from

@@ -11,7 +11,10 @@ import org.apache.spark.sql.functions._
   *
   * Periods are epoch-anchored fixed windows (`periodMs`), so the
   * assignment is pure integer arithmetic — no calendar, no timezone,
-  * deterministic on any engine.
+  * deterministic on any engine. Pre-epoch timestamps floor toward
+  * negative infinity (Spark `floor`); engines whose integer division
+  * truncates toward zero (DuckDB `//`: -5 // 2 = -2) disagree there —
+  * mirror with a floor-division idiom if the stream predates 1970.
   *
   * Scale shape: THREE exchanges, no join — (user, period) activity
   * dedups in one hash aggregation, the cohort period attaches as a MIN

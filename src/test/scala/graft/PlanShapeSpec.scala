@@ -85,16 +85,17 @@ class PlanShapeSpec extends SparkSpec {
       "u", col("ms"), periodMs = 100L), autoBroadcast = false) === ((3, 0)))
   }
 
-  test("dsirWeights serves from the weight checkpoint: TakeOrdered + one broadcast") {
-    // The weight computation materializes once (eager checkpoint — both
-    // the top-K heap pass and the flag join read it, not the corpus);
-    // past the barrier the plan is Scan ExistingRDD → TakeOrdered for
-    // the K selected ids, broadcast back. A refactor toward a global
-    // rank window (single-partition sort of every doc) fails the pin.
-    val d = Keywords.dsirWeights(docs, "doc_id", "text",
-      docs.filter(col("lang") === "en"), topK = 5)
-    assert(shape(d) === ((0, 1)))
-    assert(d.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+  test("dsirWeights top-K is a TakeOrdered, never a global rank window") {
+    // Inspected on the LAZY form (the executing form checkpoints the
+    // weight frame once and releases it after serving — its executed
+    // plan is an opaque ExistingRDD). A refactor toward a global rank
+    // window (single-partition sort of every document) fails both
+    // assertions.
+    val plan = Keywords.dsirWeightsLazy(docs, "doc_id", "text",
+        docs.filter(col("lang") === "en"), topK = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(!plan.contains("Window"))
   }
 
   test("stratified sampling never shuffles (the determinism claim's twin)") {
