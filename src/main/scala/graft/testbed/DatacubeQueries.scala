@@ -564,6 +564,26 @@ object DatacubeQueries {
         .orderBy("event_type")
     }),
 
+    // O13: CUSUM drift detection per event type — the changepoint
+    // monitor, run through its closed prefix form (S = P - min(0, minP))
+    // so the recursive statistic is two windows over one per-type sort;
+    // cent-quantized deviations keep every S_i integer-exact. Reported
+    // as a per-type summary (counts + extremes + final state)
+    "o13_cusum_drift" -> ((s, dir) => {
+      val ev0 = Datacube.table(s, dir, "events")
+      val ev = ev0.select(col("event_type"), col("event_id"),
+        tsMs(ev0).as("ts_ms"), col("value"))
+      graft.operators.Drift.cusum(ev, "event_type",
+          col("ts_ms"), col("event_id"), col("value"),
+          target = 50.0, slack = 5.0, threshold = 500.0)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("alarm"), 1L).otherwise(0L)).as("n_alarm_rows"),
+          max("cusum").as("max_cusum"),
+          min(when(col("alarm"), col("ts_ms"))).as("first_alarm_ms"))
+        .orderBy("event_type")
+    }),
+
     // O12: robust (median/MAD) outlier detection per event type — the
     // anomaly gate a metrics pipeline runs before aggregation; med/MAD
     // from the exact sort-based quantile (the t8 machinery), ROUNDED to
@@ -1276,6 +1296,36 @@ object DatacubeQueries {
         |             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |      FROM events)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // O13: the identical closed-form prefix statement — running sum +
+    // running min windows over cent-quantized deviations
+    "o13_cusum_drift" ->
+      """WITH ev AS (
+        |  SELECT event_type, event_id, epoch_ms(ts) AS ts_ms,
+        |         CAST(ROUND("value" * 100) AS BIGINT) - 5500 AS dev
+        |  FROM events
+        | ),
+        | pfx AS (
+        |  SELECT event_type, event_id, ts_ms, SUM(dev) OVER w AS p
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts_ms, event_id
+        |               ROWS UNBOUNDED PRECEDING)
+        | ),
+        | st AS (
+        |  SELECT event_type, ts_ms,
+        |         p - LEAST(CAST(0 AS BIGINT), MIN(p) OVER w2) AS cusum,
+        |         (p - LEAST(CAST(0 AS BIGINT), MIN(p) OVER w2)) > 50000 AS alarm
+        |  FROM pfx
+        |  WINDOW w2 AS (PARTITION BY event_type ORDER BY ts_ms, event_id
+        |                ROWS UNBOUNDED PRECEDING)
+        | )
+        |SELECT event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CASE WHEN alarm THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_alarm_rows,
+        |       MAX(cusum) AS max_cusum,
+        |       MIN(CASE WHEN alarm THEN ts_ms END) AS first_alarm_ms
+        |FROM st GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // O12: same two-stage median/MAD with quantile_cont, 4dp-rounded
     // before the comparison (the shared t8 exact-quantile convention)
