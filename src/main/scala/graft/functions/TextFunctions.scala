@@ -316,9 +316,12 @@ object TextFunctions {
       .otherwise(concat(lit(":"), port))
     val path0 = coalesce(part("PATH"), lit(""))
     val path = when(path0 === "", lit("/")).otherwise(path0)
+    // a tracking key matches bare ('?fbclid') or valued ('?fbclid=x'),
+    // mirroring the utm_ prefix rule — requiring '=' would let the bare
+    // form survive and split otherwise-identical URLs
     val params = filter(split(coalesce(part("QUERY"), lit("")), "&"),
       p => p =!= "" && !p.startsWith("utm_") &&
-        TrackingParams.map(t => !p.startsWith(t + "=")).reduce(_ && _))
+        TrackingParams.map(t => p =!= t && !p.startsWith(t + "=")).reduce(_ && _))
     val q = array_join(array_sort(params), "&")
     val qPart = when(q === "", lit("")).otherwise(concat(lit("?"), q))
     when(scheme.isNull || host.isNull, lit(null).cast("string"))
@@ -339,4 +342,55 @@ object TextFunctions {
       org.apache.spark.sql.SparkSession.active)
     call_function("jaro_winkler", a, b)
   }
+
+  // ---- HTML extraction (crawl corpora arrive as markup, not text) --------
+
+  /** Markup removal only — comments, then whole script/style elements
+    * (content and all), then every remaining tag, each replaced by one
+    * space so adjacent text never fuses. Patterns avoid backreferences
+    * deliberately: RE2 engines (the oracle's) reject them, Java's accepts
+    * them — per-element alternatives keep the chain portable AND
+    * single-pass per element kind. Pure regexp_replace chain: codegen'd,
+    * no UDF, scan-speed. */
+  def htmlStripTags(html: Column): Column = {
+    val noComment = regexp_replace(html, "(?s)<!--.*?-->", " ")
+    val noScript =
+      regexp_replace(noComment, "(?is)<script[^>]*>.*?</script\\s*>", " ")
+    val noStyle =
+      regexp_replace(noScript, "(?is)<style[^>]*>.*?</style\\s*>", " ")
+    regexp_replace(noStyle, "(?s)<[^>]+>", " ")
+  }
+
+  /** The five named entities every extractor must fold plus the numeric
+    * apostrophe; `&amp;` is decoded LAST (the standard order — decoding
+    * it first would double-decode `&amp;lt;`). */
+  def htmlDecodeEntities(text: Column): Column = {
+    val steps = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    steps.foldLeft(text) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+  }
+
+  /** Visible text of an HTML document: strip markup, decode entities,
+    * collapse whitespace. The t48 battery entry pins this chain against
+    * an independent RE2 re-implementation over synthesized HTML. */
+  def htmlText(html: Column): Column =
+    trim(regexp_replace(htmlDecodeEntities(htmlStripTags(html)), "\\s+", " "))
+
+  /** Anchor-text link density — the classic boilerplate signal
+    * (navigation/chrome is link-dense, body prose is not): chars of
+    * visible text inside `<a>` elements over total visible chars.
+    * Documents that clear ~0.5 are overwhelmingly boilerplate. */
+  def htmlLinkDensity(html: Column): Column = {
+    val linkInner = array_join(
+      regexp_extract_all(html, lit("(?is)<a[^>]*>(.*?)</a\\s*>"), lit(1)), " ")
+    val linkChars = length(htmlText(linkInner))
+    val totalChars = length(htmlText(html))
+    round(linkChars.cast("double") / greatest(totalChars, lit(1)), 4)
+  }
+
+  /** Text-to-markup ratio — the other boilerplate axis: how much of the
+    * raw document is actual prose. Low ratios mean tag soup / chrome. */
+  def htmlTextRatio(html: Column): Column =
+    round(length(htmlText(html)).cast("double") /
+      greatest(length(html), lit(1)), 4)
 }

