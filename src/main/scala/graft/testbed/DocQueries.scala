@@ -1340,8 +1340,18 @@ object DocQueries {
     "t33_cms_heavy_hitters" -> ((s, dir) => {
       val toks = table(s, dir, "documents")
         .select(explode(TextFunctions.tokens("text")).as("t"))
-      Sketches.cmsTopK(toks, "t", k = 20, d = 4, w = 512)
-        .join(toks.groupBy("t").agg(count(lit(1)).as("true_count")), "t")
+      // k-sized materialization, then the true counts come from a
+      // broadcast SEMI-join before the aggregation: counting only the 20
+      // candidates map-side-filters the token stream instead of
+      // shuffling the full vocabulary's counts (which the old
+      // groupBy-then-join shape did — a whole-vocab exchange at 100 TB
+      // just to read 20 of its rows)
+      val top = Sketches.cmsTopK(toks, "t", k = 20, d = 4, w = 512)
+        .localCheckpoint()
+      val trueCounts = toks
+        .join(broadcast(top.select(col("t"))), Seq("t"), "left_semi")
+        .groupBy("t").agg(count(lit(1)).as("true_count"))
+      top.join(broadcast(trueCounts), "t")
         .select(col("t").as("token"), col("cms_count"), col("true_count"),
           (col("cms_count") - col("true_count")).as("overcount"))
         .orderBy(col("cms_count").desc, col("token"))
