@@ -494,7 +494,15 @@ object Dedup {
     * extend, i.e. a mass of near-identical keys — are dropped outright,
     * the standard entity-resolution stop-block rule. Splitting rounds
     * are no-ops whenever every block already fits, so the cap is inert
-    * on small corpora and the uncapped SQL mirror stays hash-exact. */
+    * on small corpora and the uncapped SQL mirror stays hash-exact.
+    *
+    * The stop-block drop is a RECALL LOSS with no in-band signal (a
+    * dropped record simply appears in no pair): callers that must
+    * account for it run [[fuzzyMatchDropped]] with the same parameters —
+    * it returns exactly the records this method excluded, with their
+    * final block key and block size, for logging/metrics at whatever
+    * cadence the pipeline can afford (it is a separate job; a free
+    * in-band count would force an action inside this method). */
   def fuzzyMatchPairs(
       recs: DataFrame,
       idCol: String,
@@ -506,7 +514,37 @@ object Dedup {
       splitStep: Int = 2,
       maxSplitRounds: Int = 3
   ): DataFrame = {
-    require(maxEdit >= 0 && blockPrefix >= 1 && lenBand >= 1 &&
+    require(maxEdit >= 0)
+    val n = fuzzyBlocks(recs, idCol, nameCol, blockPrefix, lenBand,
+        maxBlockSize, splitStep, maxSplitRounds)
+      .filter(!col("dropped"))
+      .select("id", "nm", "blk")
+    n.alias("a")
+      .join(n.alias("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .withColumn("edit_distance", levenshtein(col("a.nm"), col("b.nm")))
+      .filter(col("edit_distance") <= maxEdit)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.nm").as("name_a"), col("b.nm").as("name_b"),
+        col("edit_distance"))
+  }
+
+  /** The blocking stage of [[fuzzyMatchPairs]]: every input record with
+    * its normalized name, FINAL block key (after all split rounds), the
+    * final block's size, and whether the stop-block rule drops it.
+    * Shared by the pair join and the audit view so the two can never
+    * disagree about which records were blocked where. */
+  private def fuzzyBlocks(
+      recs: DataFrame,
+      idCol: String,
+      nameCol: String,
+      blockPrefix: Int,
+      lenBand: Int,
+      maxBlockSize: Int,
+      splitStep: Int,
+      maxSplitRounds: Int
+  ): DataFrame = {
+    require(blockPrefix >= 1 && lenBand >= 1 &&
       maxBlockSize >= 2 && splitStep >= 1 && maxSplitRounds >= 0)
     def blkOf(pfx: Column): Column =
       concat(col("nm").substr(lit(1), pfx), lit("#"),
@@ -524,18 +562,32 @@ object Dedup {
         .withColumn("blk", blkOf(col("pfx")))
         .drop("c")
     }
-    n = n.withColumn("c", count(lit(1)).over(w))
-      .filter(col("c") <= maxBlockSize)
-      .select("id", "nm", "blk")
-    n.alias("a")
-      .join(n.alias("b"),
-        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
-      .withColumn("edit_distance", levenshtein(col("a.nm"), col("b.nm")))
-      .filter(col("edit_distance") <= maxEdit)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.nm").as("name_a"), col("b.nm").as("name_b"),
-        col("edit_distance"))
+    n.withColumn("block_size", count(lit(1)).over(w).cast("long"))
+      .select(col("id"), col("nm"), col("blk"), col("block_size"),
+        (col("block_size") > maxBlockSize).as("dropped"))
   }
+
+  /** Audit companion of [[fuzzyMatchPairs]]: the records its stop-block
+    * rule excluded from matching entirely, under the SAME blocking
+    * parameters — (id, nm, blk, block_size), empty whenever the cap was
+    * inert. Run it (or `.count()` it into a metric) next to any
+    * fuzzy-match invocation whose recall accounting matters; it is the
+    * blocking stage re-run without the pair join, so it costs one
+    * block-keyed shuffle and nothing quadratic. */
+  def fuzzyMatchDropped(
+      recs: DataFrame,
+      idCol: String,
+      nameCol: String,
+      blockPrefix: Int = 3,
+      lenBand: Int = 4,
+      maxBlockSize: Int = 64,
+      splitStep: Int = 2,
+      maxSplitRounds: Int = 3
+  ): DataFrame =
+    fuzzyBlocks(recs, idCol, nameCol, blockPrefix, lenBand,
+      maxBlockSize, splitStep, maxSplitRounds)
+      .filter(col("dropped"))
+      .select("id", "nm", "blk", "block_size")
 
   /** MinHash prime modulus (2^31 - 1). */
   val MinHashP = 2147483647L

@@ -29,12 +29,24 @@ object Graph {
     * with an in-edge also has an out-edge) for the classic ergodic
     * setup; the battery's order graph is symmetric by construction.
     * Returns (node, outdeg, rank) with rank rounded to 6 decimals. */
-  /** Above this node count the per-iteration rank join stops
-    * broadcasting and switches to the pre-partitioned-edges plan. ~5M
-    * nodes ≈ 80 MB of (long, double) rows — comfortably under executor
-    * broadcast budgets; beyond it a rank broadcast would OOM the driver
-    * long before the edges are the problem. */
+  /** Above this node count a node-sized frame stops being broadcast-safe:
+    * ~5M nodes ≈ 80 MB of (long, long) rows — comfortably under executor
+    * broadcast budgets; beyond it the partitioned path's per-iteration
+    * contribution build stops hinting `broadcast(deg)` and lets the two
+    * node-sized frames meet in an ordinary shuffle join. */
   val BroadcastNodeLimit: Long = 5000000L
+
+  /** Below this node count the ranks are held ON the driver between
+    * iterations ([[pageRankDriverHeld]]); above it the edge cache is
+    * hash-partitioned once and only node-sized contributions move per
+    * iteration ([[pageRankPartitioned]]). Deliberately LOWER than
+    * [[BroadcastNodeLimit]]: the driver-held path pays a collect() plus
+    * two node-sized arrays per iteration, so the upper part of the
+    * broadcastable range (2M–5M nodes) is better served by the
+    * partitioned plan, which still gets its contribution broadcast from
+    * AQE when sizes permit. The two paths are bit-identical by the q12
+    * integer-quantization contract (GraphSpec pins the parity). */
+  val DriverHeldNodeLimit: Long = 2000000L
 
   /** Per-node degree/reciprocity profile of a directed edge list — the
     * link-graph shape audit run before any centrality pass (degree
@@ -161,6 +173,22 @@ object Graph {
       dstCol: String,
       iters: Int = 5,
       damping: Double = 0.85
+  ): DataFrame =
+    pageRankWithLimit(edges, srcCol, dstCol, iters, damping,
+      DriverHeldNodeLimit)
+
+  /** [[pageRank]] with the driver-held/partitioned node-count switch
+    * injectable — the test seam that lets GraphSpec force the partitioned
+    * path onto a small graph and pin bit-parity between the two
+    * implementations (production callers always go through [[pageRank]]
+    * and its [[DriverHeldNodeLimit]] default). */
+  private[graft] def pageRankWithLimit(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int,
+      damping: Double,
+      driverHeldLimit: Long
   ): DataFrame = {
     // Exactly ONE edge-sized structure is ever materialized: the deduped
     // edge list. Degrees are node-sized metadata (eagerly checkpointed),
@@ -189,7 +217,7 @@ object Graph {
     //  - big graphs: hash-partition the edge cache by src ONCE; each
     //    iteration then shuffles only the node-sized contributions to
     //    meet it (the cached partitioning is reused across all iters).
-    val small = n <= BroadcastNodeLimit
+    val small = n <= driverHeldLimit
     if (small) pageRankDriverHeld(ePre, deg, n, iters, damping)
     else pageRankPartitioned(e0, ePre, deg, n, iters, damping)
   }
@@ -220,6 +248,7 @@ object Graph {
   ): DataFrame = {
     val sp = e.sparkSession
     import sp.implicits._
+    import scala.collection.immutable.ArraySeq
     val degMap: Map[Long, Long] =
       deg.as[(Long, Long)].collect().toMap
     val teleport = (1.0 - damping) / n.toDouble
@@ -227,14 +256,21 @@ object Graph {
       degMap.keysIterator.map(k => k -> 1.0 / n.toDouble).toArray
     for (_ <- 0 until iters) {
       // sink nodes (rank but no out-edge — off-contract input) drop from
-      // the contributions, mirroring the old inner join against deg
-      val contrib = ranks.iterator.flatMap { case (node, r) =>
+      // the contributions, mirroring the old inner join against deg.
+      // Arrays end to end: Array.flatMap lands in a fresh array and
+      // ArraySeq.unsafeWrapArray hands it to createDataset without a
+      // copy, so the per-iteration driver footprint really is the two
+      // node-sized arrays the path is sized for — no multi-million-
+      // element immutable Seq materializes between them
+      val contribArr: Array[(Long, Long)] = ranks.flatMap { case (node, r) =>
         degMap.get(node).map { outdeg =>
           val q = BigDecimal.decimal(r / outdeg * 1e12)
             .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
           (node, q)
         }
-      }.toSeq.toDF("cnode", "q12")
+      }
+      val contrib = sp.createDataset(ArraySeq.unsafeWrapArray(contribArr))
+        .toDF("cnode", "q12")
       ranks = e.alias("ed")
         .join(broadcast(contrib), col("ed.src") === col("cnode"))
         .groupBy("dst")
@@ -243,13 +279,15 @@ object Graph {
           (lit(teleport) + lit(damping) * (col("s12") / 1e12)).as("rank"))
         .as[(Long, Double)].collect()
     }
-    val out = ranks.iterator.flatMap { case (node, r) =>
+    val outArr: Array[(Long, Long, Double)] = ranks.flatMap { case (node, r) =>
       degMap.get(node).map { outdeg =>
         (node, outdeg,
           BigDecimal.decimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP)
             .toDouble)
       }
-    }.toSeq.toDF("node", "outdeg", "rank")
+    }
+    val out = sp.createDataset(ArraySeq.unsafeWrapArray(outArr))
+      .toDF("node", "outdeg", "rank")
     Dedup.release(deg)
     e.unpersist()
     out
@@ -274,12 +312,19 @@ object Graph {
     var ranks = deg.select(col("src").as("node"),
       (lit(1.0) / n.toDouble).as("rank"))
     var lastCk: Option[DataFrame] = None
+    // deg is node-sized: broadcast it into the per-iteration contribution
+    // build only while that is broadcast-safe; past BroadcastNodeLimit
+    // the two node-sized frames meet in an ordinary shuffle join instead
+    // (both shuffles are node-sized — the edge cache never moves either way)
+    def degSide: DataFrame =
+      if (n <= BroadcastNodeLimit) broadcast(deg.alias("dg"))
+      else deg.alias("dg")
     for (i <- 0 until iters) {
       // explicit aliases: ranks' lineage CONTAINS deg (initial ranks is a
       // projection of it), so unqualified refs trip the ambiguous-self-
       // join detector on the first iteration
       val contrib = ranks.alias("rk")
-        .join(broadcast(deg.alias("dg")), col("rk.node") === col("dg.src"))
+        .join(degSide, col("rk.node") === col("dg.src"))
         .select(col("dg.src").as("cnode"),
           round(col("rk.rank") / col("dg.outdeg") * 1e12).cast("long").as("q12"))
       ranks = e.alias("ed")

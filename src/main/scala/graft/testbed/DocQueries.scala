@@ -3836,11 +3836,14 @@ object DocQueries {
 
     // T45: the same blocked join in SQL (DuckDB's levenshtein is the
     // identical classic unit-cost DP). The maxBlockSize=64 guard is
-    // mirrored as one split round (over-full blocks re-key on 2 more
-    // name chars) + the final stop-block drop; rounds 2..3 of the
-    // operator only fire when a block is still over-full AFTER a split,
-    // which needs block sizes ≳64² — far beyond any oracle SF, so this
-    // one-level form is the exact mirror at the gate's scale
+    // mirrored STRUCTURALLY: all three split rounds (each round extends
+    // a row's prefix by 2 when its CURRENT block is over-full and the
+    // name has chars left) plus the final stop-block drop — the per-row
+    // pfx column carries the round state exactly as the operator does,
+    // so exactness holds under ANY name distribution, not just the
+    // near-uniform md5 extension chars of this fixture (rounds 2-3 are
+    // no-ops at every oracle SF, but a skewed corpus keeping a block
+    // over-full after round 1 would diverge from a one-level mirror)
     "t45_fuzzy_match" ->
       """WITH n AS (
         |  SELECT doc_id AS id,
@@ -3853,21 +3856,37 @@ object DocQueries {
         |                ELSE ' Co' END) AS nm
         |  FROM documents
         | ),
-        | b0 AS (
-        |  SELECT id, nm,
-        |         substring(nm, 1, 6) || '#' || CAST(len(nm) // 4 AS VARCHAR) AS blk
-        |  FROM n
-        | ),
+        | b0 AS (SELECT id, nm, 6 AS pfx FROM n),
         | b1 AS (
         |  SELECT id, nm,
-        |         CASE WHEN COUNT(*) OVER (PARTITION BY blk) > 64 AND len(nm) > 6
-        |              THEN substring(nm, 1, 8) || '#' || CAST(len(nm) // 4 AS VARCHAR)
-        |              ELSE blk END AS blk
+        |         CASE WHEN COUNT(*) OVER (PARTITION BY
+        |                     substring(nm, 1, pfx) || '#' || CAST(len(nm) // 4 AS VARCHAR)) > 64
+        |                   AND len(nm) > pfx
+        |              THEN pfx + 2 ELSE pfx END AS pfx
         |  FROM b0
         | ),
+        | b2 AS (
+        |  SELECT id, nm,
+        |         CASE WHEN COUNT(*) OVER (PARTITION BY
+        |                     substring(nm, 1, pfx) || '#' || CAST(len(nm) // 4 AS VARCHAR)) > 64
+        |                   AND len(nm) > pfx
+        |              THEN pfx + 2 ELSE pfx END AS pfx
+        |  FROM b1
+        | ),
+        | b3 AS (
+        |  SELECT id, nm,
+        |         CASE WHEN COUNT(*) OVER (PARTITION BY
+        |                     substring(nm, 1, pfx) || '#' || CAST(len(nm) // 4 AS VARCHAR)) > 64
+        |                   AND len(nm) > pfx
+        |              THEN pfx + 2 ELSE pfx END AS pfx
+        |  FROM b2
+        | ),
         | b AS (
-        |  SELECT id, nm, blk FROM b1
-        |  QUALIFY COUNT(*) OVER (PARTITION BY blk) <= 64
+        |  SELECT id, nm,
+        |         substring(nm, 1, pfx) || '#' || CAST(len(nm) // 4 AS VARCHAR) AS blk
+        |  FROM b3
+        |  QUALIFY COUNT(*) OVER (PARTITION BY
+        |            substring(nm, 1, pfx) || '#' || CAST(len(nm) // 4 AS VARCHAR)) <= 64
         | )
         |SELECT a.id AS id_a, bb.id AS id_b, a.nm AS name_a, bb.nm AS name_b,
         |       CAST(levenshtein(a.nm, bb.nm) AS INT) AS edit_distance

@@ -182,6 +182,82 @@ class CurationR11Spec extends SparkSpec {
     assert(Dedup.fuzzyMatchPairs(recs, "id", "name", maxEdit = 3).count() === 1L)
   }
 
+  // the hot-block guard, pinned directly with maxBlockSize lowered to 4:
+  // sub-splits on extended prefixes, the round-2 re-split, the stop-block
+  // drop (with the audit view), and inertness on under-cap corpora
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("fuzzyMatchPairs: over-full blocks sub-split on extended prefixes") {
+    import spark.implicits._
+    // six records share block ("aaa", len band 2) — over a cap of 4 —
+    // but differ at name chars 4-5, so ONE splitStep=2 extension lands
+    // them in three under-cap sub-blocks of two
+    val recs = Seq(
+      (1L, "aaabb0001"), (2L, "aaabb0002"),
+      (3L, "aaacc0001"), (4L, "aaacc0002"),
+      (5L, "aaadd0001"), (6L, "aaadd0002")).toDF("id", "name")
+    val capped = Dedup.fuzzyMatchPairs(recs, "id", "name", maxBlockSize = 4)
+    // within-sub-block dist-1 pairs survive; the six cross-sub-block
+    // dist-2 pairs are the documented prefix-blocking recall loss
+    assert(pairSet(capped) === Set((1L, 2L), (3L, 4L), (5L, 6L)))
+    val uncapped = Dedup.fuzzyMatchPairs(recs, "id", "name",
+      maxBlockSize = 1000000)
+    assert(pairSet(uncapped) === Set((1L, 2L), (3L, 4L), (5L, 6L),
+      (1L, 3L), (2L, 4L), (1L, 5L), (2L, 6L), (3L, 5L), (4L, 6L)))
+    // nothing was stop-block dropped — the split alone resolved the block
+    assert(Dedup.fuzzyMatchDropped(recs, "id", "name",
+      maxBlockSize = 4).count() === 0L)
+  }
+
+  test("fuzzyMatchPairs: a still-over-full block re-splits in round two") {
+    import spark.implicits._
+    // all six share name chars 1-5, so the round-1 extension to prefix 5
+    // leaves ONE over-full block; round 2 (prefix 7) resolves it. The
+    // three dist-1 pairs appearing proves round 2 blocks PAIR, not drop
+    val recs = Seq(
+      (1L, "aaabbcc0001"), (2L, "aaabbcc0002"),
+      (3L, "aaabbdd0001"), (4L, "aaabbdd0002"),
+      (5L, "aaabbee0001"), (6L, "aaabbee0002")).toDF("id", "name")
+    val out = Dedup.fuzzyMatchPairs(recs, "id", "name", maxBlockSize = 4)
+    assert(pairSet(out) === Set((1L, 2L), (3L, 4L), (5L, 6L)))
+    assert(Dedup.fuzzyMatchDropped(recs, "id", "name",
+      maxBlockSize = 4).count() === 0L)
+  }
+
+  test("fuzzyMatchPairs: unsplittable over-full blocks drop, audited, others unaffected") {
+    import spark.implicits._
+    // "xyz" is exactly blockPrefix long — no chars to extend on — so its
+    // six-record block survives every split round over-full and the
+    // stop-block rule drops all six. The under-cap "aaabb000x" block in
+    // the same corpus must keep its pair
+    val recs = Seq(
+      (1L, "xyz"), (2L, "xyz"), (3L, "xyz"),
+      (4L, "xyz"), (5L, "xyz"), (6L, "xyz"),
+      (7L, "aaabb0001"), (8L, "aaabb0002")).toDF("id", "name")
+    val pairs = Dedup.fuzzyMatchPairs(recs, "id", "name", maxBlockSize = 4)
+    assert(pairSet(pairs) === Set((7L, 8L)))
+    val dropped = Dedup.fuzzyMatchDropped(recs, "id", "name", maxBlockSize = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    assert(dropped.toSet === (1L to 6L).map(i => (i, "xyz", 6L)).toSet)
+  }
+
+  test("fuzzyMatchPairs: the cap is inert on an under-cap corpus") {
+    import spark.implicits._
+    // every block holds at most 4 records, so split rounds are no-ops
+    // and the guarded result is identical to the effectively-uncapped one
+    val recs = Seq(
+      (1L, "aaabb0001"), (2L, "aaabb0002"), (3L, "aaabb0003"),
+      (4L, "aaacc0001"), (5L, "zzz tail"), (6L, "zzz tail.")
+    ).toDF("id", "name")
+    def rows(cap: Int) =
+      Dedup.fuzzyMatchPairs(recs, "id", "name", maxBlockSize = cap)
+        .collect().map(_.toSeq).toSet
+    assert(rows(4) === rows(1000000))
+    assert(rows(4).nonEmpty)
+  }
+
   // ---- canonicalUrl -------------------------------------------------------
 
   private def canon(url: String): String = {
