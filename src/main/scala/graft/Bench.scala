@@ -132,10 +132,13 @@ object Bench {
     // SPARK_GRAFT_ONLY run). Their in-battery numbers measure position —
     // a18 absorbs a17's 534k-row eviction/GC wake (17.1 s in-battery vs
     // 1.1 s isolated in the r9 audit), d11/d12 absorb or ride the shared
-    // CC/edge materializations — so the honest per-operator cost is
+    // CC/edge materializations, t40 (multi-checkpoint pipeline) eats
+    // whatever GC debt the t family accrued before it (12.0 s in the r12
+    // official run vs 2.8 s quiet — the variance class that cost r12 a
+    // phantom regression) — so the honest per-operator cost is
     // published alongside, not instead of, the battery numbers.
     val retimeNames = sys.env.getOrElse("SPARK_GRAFT_RETIME",
-        "a18_qualifier_prune,d11_dupgram_fraction,d12_dedup_keep")
+        "a18_qualifier_prune,d11_dupgram_fraction,d12_dedup_keep,t40_doc_pipeline")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val isolated: Seq[(String, Double)] =
       if (only.nonEmpty) Seq.empty  // subset runs are already isolated

@@ -465,6 +465,80 @@ object Dedup {
         coalesce(col("max_span"), lit(0L)).as("max_span"))
   }
 
+  /** Exact-substring dedup REMOVAL — the Lee et al. 2021 "Deduplicating
+    * Training Data Makes Language Models Better" operator at the n-token
+    * gram grain: a position whose gram occurred EARLIER in the corpus
+    * (strictly smaller (doc_id, pos) — the global first-occurrence
+    * order) is duplicated, and every token its gram covers is cut from
+    * the document; the first occurrence of any repeated passage survives
+    * in its lowest-(doc_id, pos) home, every later copy — in another
+    * document or later in the same one — is removed. This is the
+    * REMOVAL end of [[dupSpans]] (which only measures): same positional
+    * gram machinery, plus the cut and the rebuild.
+    *
+    * Returns one row per input document: (doc_id, n_tokens, n_removed,
+    * kept_text), where kept_text is the surviving tokens rejoined with
+    * single spaces (the output is whitespace-normalized — the same
+    * convention every rebuild operator here uses, cf.
+    * [[stripDuplicateChunks]]).
+    *
+    * Scale shape: the positional gram stream is (id, pos, xxhash64) —
+    * fixed-width rows, ~n_tokens per document; first-occurrence
+    * detection is ONE row_number window over the 8-byte hash (the gram
+    * strings never shuffle), coverage is ONE per-document sort window
+    * over the merged token+marker stream (a running max of the farthest
+    * covered position — no interval self-join, no per-token candidate
+    * explosion), and the rebuild rides the per-document aggregation.
+    * No pair join at any scale; 64-bit hashing stands in for gram
+    * identity (collisions ≈ tokens²/2⁶⁵ — negligible below ~10¹⁵
+    * tokens). */
+  def exactSubstringDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 50
+  ): DataFrame = {
+    require(n >= 1, "gram width must be at least 1")
+    val tk = docs.select(col(idCol).as("doc_id"), expr(toksOf(textCol)).as("tk"))
+    val tokens = tk.select(col("doc_id"),
+      posexplode(col("tk")).as(Seq("p", "tok")))
+    val grams = tk.select(col("doc_id"), posexplode(
+        when(size(col("tk")) >= n,
+          expr(s"transform(sequence(0, size(tk) - $n), i -> " +
+            s"xxhash64(concat_ws(' ', slice(tk, i + 1, $n))))"))
+          .otherwise(array().cast("array<bigint>"))).as(Seq("pos", "h")))
+    // duplicated = not the globally-first occurrence of this gram
+    val dupPos = grams
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("h").orderBy("doc_id", "pos")))
+      .filter(col("rn") > 1)
+      .select(col("doc_id"), col("pos").as("p"),
+        (col("pos") + lit(n - 1)).cast("long").as("cov_end"))
+    // one ordered stream per document: tokens + coverage markers, the
+    // marker sorting BEFORE the token at its own position (it covers it);
+    // a token is removed iff the farthest coverage end so far reaches it
+    val merged = tokens
+      .select(col("doc_id"), col("p"), col("tok"),
+        lit(0).as("is_dup"), lit(-1L).as("cov_end"))
+      .unionByName(dupPos.select(col("doc_id"), col("p"),
+        lit(null).cast("string").as("tok"), lit(1).as("is_dup"),
+        col("cov_end")))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("p"), col("is_dup").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val marked = merged
+      .withColumn("run_end", max("cov_end").over(w))
+      .filter(col("is_dup") === 0)
+      .withColumn("removed", col("run_end") >= col("p"))
+    marked.groupBy("doc_id").agg(
+      count(lit(1)).as("n_tokens"),
+      sum(when(col("removed"), 1L).otherwise(0L)).as("n_removed"),
+      array_join(expr(
+        "transform(array_sort(collect_list(" +
+          "CASE WHEN NOT removed THEN struct(p, tok) END)), x -> x.tok)"),
+        " ").as("kept_text"))
+  }
+
   /** Blocked fuzzy record matching — the entity-resolution join (author /
     * organization / title dedup across noisy sources): records pair only
     * inside a BLOCK (normalized-name prefix + a length band, so a raw
@@ -1301,10 +1375,10 @@ object Dedup {
     * false negatives, so the result is IDENTICAL to [[contaminationScan]]
     * — the oracle gate checks that end to end.
     *
-    * The sketch probe is a deliberate UDF: a broadcast mutable sketch has
-    * no Catalyst expression form, the filter is not correctness-bearing
-    * (the exact join behind it is), and it prunes ~(1-fpp) of the join
-    * input in exchange for leaving whole-stage codegen on one filter. */
+    * The sketch probe is the native codegen'd
+    * [[graft.functions.BloomProbe]] expression — the driver-built filter
+    * rides the plan as a binary literal and deserializes once per task,
+    * so the shingle stream never leaves whole-stage codegen. */
   def contaminationScanBloom(
       docs: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int = 3,
@@ -1322,12 +1396,15 @@ object Dedup {
       .localCheckpoint()
     val expected = math.max(benchSh.count(), 1L)
     val bf = benchSh.stat.bloomFilter("s", expected, fpp)
-    val bfB = spark.sparkContext.broadcast(bf)
-    val mightContain = udf((s: Long) => bfB.value.mightContain(s))
+    val bfBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
     val docSh = docShingleHashes(docs, idCol, textCol, n, dedup = false)
     val total = docSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val hits = docSh
-      .filter(mightContain(col("s")))
+      .filter(call_function("bloom_probe", col("s"), lit(bfBytes)))
       .join(broadcast(benchSh), Seq("s"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
     docs.select(col(idCol).as("doc_id"))

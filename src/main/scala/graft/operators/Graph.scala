@@ -48,6 +48,18 @@ object Graph {
     * integer-quantization contract (GraphSpec pins the parity). */
   val DriverHeldNodeLimit: Long = 2000000L
 
+  /** Below this DEDUPED edge count the whole edge list is collected and
+    * every iteration runs as flat array arithmetic on the driver
+    * ([[pageRankCollected]]) — 8M edges ≈ 128 MB of index arrays, the
+    * same envelope a broadcast-sized structure gets. Iterating a graph
+    * this small through distributed job waves is pure scheduling
+    * overhead: each pass is a full job (broadcast build + cached-scan +
+    * agg + collect, ~0.5 s at local[32]) to do ~milliseconds of
+    * arithmetic. Above the cap the distributed paths take over — the
+    * gate is on the measured edge count, so no unbounded collect can
+    * ever happen. */
+  val EdgeCollectLimit: Long = 8000000L
+
   /** Per-node degree/reciprocity profile of a directed edge list — the
     * link-graph shape audit run before any centrality pass (degree
     * distributions and reciprocal-link share are the standard crawl-graph
@@ -188,7 +200,8 @@ object Graph {
       dstCol: String,
       iters: Int,
       damping: Double,
-      driverHeldLimit: Long
+      driverHeldLimit: Long,
+      edgeCollectLimit: Long = EdgeCollectLimit
   ): DataFrame = {
     // Exactly ONE edge-sized structure is ever materialized: the deduped
     // edge list. Degrees are node-sized metadata (eagerly checkpointed),
@@ -199,11 +212,15 @@ object Graph {
     val e0 = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .distinct()
+    val ePre = e0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the edge count (one job, materializes the cache) gates the tiny-
+    // graph path BEFORE any degree machinery is built
+    val m = ePre.count()
+    if (m <= edgeCollectLimit) return pageRankCollected(ePre, iters, damping)
     // node count is one scalar of metadata; the teleport term needs it
     // inside every iteration's projection. Under the documented
     // symmetrized-input contract every node has an out-edge, so N is
     // deg's row count — no explode-distinct pass over the edges
-    val ePre = e0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = ePre.groupBy("src").agg(count(lit(1)).as("outdeg"))
       .localCheckpoint()
     val n = deg.count()
@@ -220,6 +237,102 @@ object Graph {
     val small = n <= driverHeldLimit
     if (small) pageRankDriverHeld(ePre, deg, n, iters, damping)
     else pageRankPartitioned(e0, ePre, deg, n, iters, damping)
+  }
+
+  /** Tiny-graph PageRank: the whole DEDUPED edge list (already bounded by
+    * [[EdgeCollectLimit]] at the call site) is collected once and every
+    * iteration runs as flat int-indexed array arithmetic on the driver —
+    * no per-iteration jobs at all. Bit-parity with the distributed paths
+    * is inherited from the q12 contract: contributions are quantized with
+    * the SAME BigDecimal HALF_UP rounding Spark's `round` performs, their
+    * per-destination sum is an integer (order-independent), and the rank
+    * update is the same double expression — so all three implementations
+    * produce identical doubles (GraphSpec pins the three-way parity).
+    *
+    * Semantics mirrored exactly from the distributed shape:
+    *  - N counts SOURCE nodes (the symmetrized-input contract);
+    *  - only nodes holding a rank AND an out-edge contribute;
+    *  - a node appears in the next iteration's rank set iff at least one
+    *    in-neighbor contributed (the inner join + groupBy);
+    *  - the output keeps (rank-holding ∩ source) nodes, rank rounded to
+    *    6 decimals. */
+  private def pageRankCollected(
+      e: DataFrame, iters: Int, damping: Double
+  ): DataFrame = {
+    val sp = e.sparkSession
+    import sp.implicits._
+    import scala.collection.immutable.ArraySeq
+    val raw = e.as[(Long, Long)].collect()
+    e.unpersist()
+    val idxOf = new java.util.HashMap[java.lang.Long, Integer](raw.length * 2)
+    var nAll = 0
+    def idx(v: Long): Int = {
+      val k: java.lang.Long = v
+      val got = idxOf.get(k)
+      if (got != null) got.intValue
+      else { idxOf.put(k, nAll); nAll += 1; nAll - 1 }
+    }
+    val esrc = new Array[Int](raw.length)
+    val edst = new Array[Int](raw.length)
+    var i = 0
+    while (i < raw.length) {
+      esrc(i) = idx(raw(i)._1); edst(i) = idx(raw(i)._2); i += 1
+    }
+    val outdeg = new Array[Long](nAll)
+    i = 0
+    while (i < raw.length) { outdeg(esrc(i)) += 1L; i += 1 }
+    val nodeOf = new Array[Long](nAll)
+    idxOf.forEach((k, v) => nodeOf(v.intValue) = k.longValue)
+    var n = 0L
+    i = 0
+    while (i < nAll) { if (outdeg(i) > 0L) n += 1L; i += 1 }
+    val teleport = (1.0 - damping) / n.toDouble
+    val rank = new Array[Double](nAll)
+    val present = new Array[Boolean](nAll)
+    i = 0
+    while (i < nAll) {
+      if (outdeg(i) > 0L) { rank(i) = 1.0 / n.toDouble; present(i) = true }
+      i += 1
+    }
+    val q12 = new Array[Long](nAll)
+    val hasQ = new Array[Boolean](nAll)
+    val s12 = new Array[Long](nAll)
+    val hit = new Array[Boolean](nAll)
+    for (_ <- 0 until iters) {
+      java.util.Arrays.fill(s12, 0L)
+      java.util.Arrays.fill(hit, false)
+      var k = 0
+      while (k < nAll) {
+        hasQ(k) = present(k) && outdeg(k) > 0L
+        if (hasQ(k))
+          q12(k) = BigDecimal.decimal(rank(k) / outdeg(k) * 1e12)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        k += 1
+      }
+      var x = 0
+      while (x < esrc.length) {
+        val s = esrc(x)
+        if (hasQ(s)) { val d = edst(x); s12(d) += q12(s); hit(d) = true }
+        x += 1
+      }
+      k = 0
+      while (k < nAll) {
+        present(k) = hit(k)
+        if (hit(k)) rank(k) = teleport + damping * (s12(k) / 1e12)
+        k += 1
+      }
+    }
+    val buf = Array.newBuilder[(Long, Long, Double)]
+    i = 0
+    while (i < nAll) {
+      if (present(i) && outdeg(i) > 0L)
+        buf += ((nodeOf(i), outdeg(i),
+          BigDecimal.decimal(rank(i)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble))
+      i += 1
+    }
+    sp.createDataset(ArraySeq.unsafeWrapArray(buf.result()))
+      .toDF("node", "outdeg", "rank")
   }
 
   /** Small-graph PageRank: ranks held ON THE DRIVER between iterations.

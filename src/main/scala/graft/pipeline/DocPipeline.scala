@@ -1,6 +1,7 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -25,15 +26,25 @@ final case class DocPipelineResult(kept: DataFrame, summary: DataFrame)
   * composed entirely from the oracle-gated operators, and returns both
   * the kept corpus and a per-stage funnel summary (stage, n_in, n_out).
   *
-  * Execution contract: each enabled stage's output is eagerly
-  * `localCheckpoint`ed before the next stage reads it — the stages are
-  * individually shuffle-bounded (a window, an anti-join, a range
-  * exchange), so the checkpoint bounds lineage the way an orchestrated
-  * multi-job pipeline would persist between stages, and the per-stage
-  * counts the summary reports are read off the materialized frames
-  * rather than recomputing prefixes. At 100 TB each stage is the same
-  * plan it is standalone; the orchestrator adds no extra corpus passes
-  * beyond the one count per stage.
+  * Execution contract — the stages refine an ID SET, never the corpus:
+  * every per-document signal a stage decides on (content hash, quality
+  * keep flag, quality score, token count) is computed in ONE projection
+  * over the corpus text, and only that metadata frame (~50 bytes/doc) is
+  * ever `localCheckpoint`ed; the contamination fraction — the one signal
+  * needing its own aggregation shape (shingle explode + benchmark
+  * semi-join) — is doc-local, so it too is computed once up front and
+  * joined into the metadata regardless of what earlier stages drop.
+  * The gate stages are then SEQUENTIAL SURVIVAL FLAGS on that one
+  * metadata frame (each stage's flag = previous flag AND its own rule),
+  * so the whole funnel's n_in/n_out column is ONE aggregation job, not a
+  * checkpoint-and-count per stage; only the token-budget stage — whose
+  * greedy selection needs a sort + prefix sum — runs as its own job over
+  * the survivors. The kept corpus is a single final semi-join of the
+  * input against the surviving ids. At 100 TB the corpus text is READ
+  * exactly twice (signal projection; contamination scan — both
+  * column-pruned parquet scans) and WRITTEN/checkpointed zero times,
+  * where the previous design checkpointed the full text frame after
+  * every stage and computed the stats struct twice.
   *
   * Stage semantics (all identical to their standalone operators):
   *  - exact dedup: keep the min-id document per normalized content hash
@@ -41,8 +52,10 @@ final case class DocPipelineResult(kept: DataFrame, summary: DataFrame)
   *  - quality gate: [[TextFunctions.qualityFilter]]'s composite keep;
   *  - decontamination: drop documents whose contaminated-shingle
   *    fraction against `evalDocs` exceeds `contaminationMaxFrac`
-  *    ([[Dedup.decontaminate]] — doc-local fractions, so the decision
-  *    is independent of what earlier stages dropped);
+  *    ([[Dedup.contaminationScan]] — doc-local fractions, so the
+  *    decision is independent of what earlier stages dropped; docs too
+  *    short to shingle have a null fraction and are kept, matching
+  *    [[Dedup.decontaminate]]);
   *  - token budget: greedy max-quality selection under a global token
   *    budget ([[Sampling.selectByBudget]] on (quality_score, n_tokens)).
   */
@@ -56,42 +69,95 @@ object DocPipeline {
       cfg: DocPipelineConfig = DocPipelineConfig()
   ): DocPipelineResult = {
     val spark = docs.sparkSession
+    val doDedup = cfg.dedupExact
+    val doQuality = cfg.qualityGate
+    val doDecon = cfg.decontaminate && evalDocs.nonEmpty
+    val doBudget = cfg.tokenBudget.nonEmpty
     val stages = Seq.newBuilder[(String, Long, Long)]
-    var cur = docs
-    var n = cur.count()
-    stages += (("00_input", n, n))
-    def stage(name: String, enabled: Boolean)(f: DataFrame => DataFrame): Unit =
+
+    if (!doDedup && !doQuality && !doDecon && !doBudget) {
+      // nothing to decide: the input passes through untouched (same frame,
+      // not a self-semi-join — duplicate ids survive as they arrived)
+      val n = docs.count()
+      stages += (("00_input", n, n))
+      return DocPipelineResult(docs,
+        spark.createDataFrame(stages.result()).toDF("stage", "n_in", "n_out"))
+    }
+
+    // the single signal projection: only the signals enabled stages will
+    // read are computed (md5-normalization is not free when dedup is off).
+    // textStats/qualityFilter share rawStats subexpressions; within one
+    // projection Spark's subexpression elimination evaluates them once.
+    val sigCols: Seq[Column] =
+      Seq(col(idCol).as("_id")) ++
+        (if (doDedup)
+          Seq(md5(expr(Dedup.normalizedSql(textCol))).as("_hash"))
+        else Nil) ++
+        (if (doQuality)
+          Seq(TextFunctions.qualityFilter(textCol).getField("keep").as("_keep"))
+        else Nil) ++
+        (if (doBudget)
+          Seq(TextFunctions.textStats(textCol).getField("quality_score").as("_q"),
+            TextFunctions.textStats(textCol).getField("n_tokens")
+              .cast("long").as("_nt"))
+        else Nil)
+    var meta = docs.select(sigCols: _*)
+    if (doDecon) {
+      val frac = Dedup.contaminationScan(docs, evalDocs.get, idCol, textCol,
+          cfg.contaminationN)
+        .select(col("doc_id").as("_id"), col("contamination").as("_contam"))
+      meta = meta.join(frac, Seq("_id"), "left")
+    }
+
+    // sequential survival flags: each enabled gate ANDs its rule onto the
+    // previous stage's flag. The dedup rule needs the per-hash min id —
+    // one window exchange inside the same plan.
+    if (doDedup)
+      meta = meta.withColumn("_canon",
+        min(col("_id")).over(Window.partitionBy("_hash")))
+    var survive = lit(true)
+    val gateFlags = Seq.newBuilder[String]   // flag col per enabled gate
+    val gateNames = Seq.newBuilder[String]
+    def gate(name: String, flag: String, enabled: Boolean)(rule: Column): Unit =
       if (enabled) {
-        val before = n
-        cur = f(cur).localCheckpoint()
-        n = cur.count()
-        stages += ((name, before, n))
+        survive = survive && rule
+        meta = meta.withColumn(flag, survive)
+        gateFlags += flag; gateNames += name
       }
-    stage("10_exact_dedup", cfg.dedupExact) { d =>
-      Dedup.exactDedup(d, idCol, textCol)
-        .filter(!col("is_duplicate"))
-        .drop("content_hash", "cluster_size", "canonical_id", "is_duplicate")
+    gate("10_exact_dedup", "_s_dedup", doDedup)(col("_id") === col("_canon"))
+    gate("20_quality_gate", "_s_qual", doQuality)(col("_keep"))
+    gate("30_decontaminate", "_s_decon", doDecon)(
+      // null fraction (too short to shingle) keeps, like the standalone op
+      col("_contam").isNull || col("_contam") <= cfg.contaminationMaxFrac)
+
+    val flags = gateFlags.result()
+    val m = meta.localCheckpoint()
+    // the whole gate funnel counted in ONE aggregation job
+    val countCols = count(lit(1)).as("_n0") +:
+      flags.map(f => sum(when(col(f), 1L).otherwise(0L)).as(s"_n$f"))
+    val countsRow = m.agg(countCols.head, countCols.tail: _*).collect()(0)
+    val funnel: Seq[Long] = (0 to flags.size).map(i => countsRow.getLong(i))
+    stages += (("00_input", funnel.head, funnel.head))
+    gateNames.result().zipWithIndex.foreach { case (name, i) =>
+      stages += ((name, funnel(i), funnel(i + 1)))
     }
-    stage("20_quality_gate", cfg.qualityGate) { d =>
-      d.filter(TextFunctions.qualityFilter(textCol).getField("keep"))
-    }
-    stage("30_decontaminate", cfg.decontaminate && evalDocs.nonEmpty) { d =>
-      Dedup.decontaminate(d, evalDocs.get, idCol, textCol,
-        cfg.contaminationN, cfg.contaminationMaxFrac)
-    }
+
+    val lastFlag = flags.lastOption.map(col).getOrElse(lit(true))
+    var finalIds = m.filter(lastFlag).select(col("_id"))
     cfg.tokenBudget.foreach { budget =>
-      stage("40_token_budget", enabled = true) { d =>
-        val st = d.select(col(idCol),
-          TextFunctions.textStats(textCol).as("_st"))
-          .select(col(idCol), col("_st.quality_score").as("_q"),
-            col("_st.n_tokens").as("_nt"))
-        val picked = Sampling.selectByBudget(st, idCol, "_q", "_nt", budget)
-          .select(col(idCol).as("_keep_id"))
-        d.join(picked, d(idCol) === col("_keep_id"), "left_semi")
-      }
+      val picked = Sampling
+        .selectByBudget(m.filter(lastFlag)
+            .select(col("_id"), col("_q"), col("_nt")),
+          "_id", "_q", "_nt", budget)
+        .select(col("_id"))
+      val nPicked = picked.count()
+      stages += (("40_token_budget", funnel.last, nPicked))
+      finalIds = picked
     }
+    val kept = docs.join(finalIds.select(col("_id").as("_keep_id")),
+      docs(idCol) === col("_keep_id"), "left_semi")
     val summary = spark.createDataFrame(stages.result())
       .toDF("stage", "n_in", "n_out")
-    DocPipelineResult(cur, summary)
+    DocPipelineResult(kept, summary)
   }
 }

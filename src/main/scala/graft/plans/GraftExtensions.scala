@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{BestCentroid, BucketPairs, DeflateLen, DeflateRoundtrip, JaroWinklerSim, MinHash64, NfcNormalize, PhraseCount, ShingleHash60, SimHash60, VectorDot, Winnow60, ZOrder60}
+import graft.functions.{BestCentroid, BloomProbe, BucketPairs, DeflateLen, DeflateRoundtrip, JaroWinklerSim, MinHash64, NfcNormalize, PhraseCount, ShingleHash60, SimHash60, VectorDot, Winnow60, ZOrder60}
 
 /** Session extensions registering the engine's native Catalyst functions.
   * Install with `spark.sql.extensions=graft.plans.GraftExtensions`, or call
@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.nfcNormalize)
     ext.injectFunction(GraftExtensions.phraseCount)
     ext.injectFunction(GraftExtensions.jaroWinkler)
+    ext.injectFunction(GraftExtensions.bloomProbe)
   }
 }
 
@@ -54,6 +55,16 @@ object GraftExtensions {
     (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
       require(children.length == 2, "jaro_winkler takes exactly 2 arguments")
       JaroWinklerSim(children.head, children(1))
+    }
+  )
+
+  private val bloomProbe = (
+    new FunctionIdentifier("bloom_probe"),
+    new ExpressionInfo(classOf[BloomProbe].getName, "bloom_probe"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.length == 2,
+        "bloom_probe takes exactly 2 arguments (key, serialized_filter)")
+      BloomProbe(children.head, children(1))
     }
   )
 
@@ -168,7 +179,7 @@ object GraftExtensions {
   private val all =
     Seq(vecDot, simHash60, zOrder60, deflateLen, deflateRoundtrip, minHash64,
       winnow60, shingleHash60, bucketPairs, bestCentroid, nfcNormalize,
-      phraseCount, jaroWinkler)
+      phraseCount, jaroWinkler, bloomProbe)
 
   /** Idempotently register the functions on a live session. */
   def register(spark: SparkSession): Unit = {

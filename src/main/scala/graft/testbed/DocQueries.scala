@@ -1756,6 +1756,17 @@ object DocQueries {
       Dedup.dupSpans(table(s, dir, "documents"), "doc_id", "text", n = 5)
         .orderBy("doc_id")),
 
+    // D23: exact-substring dedup REMOVAL (Lee et al. 2021) — every token
+    // covered by a 5-gram whose first corpus occurrence is strictly
+    // earlier (by (doc_id, pos)) is cut; docs digested as kept_hash so
+    // the hash compare pins the rebuilt text byte-for-byte
+    "d23_exact_substring" -> ((s, dir) =>
+      Dedup.exactSubstringDedup(table(s, dir, "documents"), "doc_id", "text",
+          n = 5)
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+          md5(col("kept_text")).as("kept_hash"))
+        .orderBy("doc_id")),
+
     // T43: URL canonicalization — per-doc messy crawl URLs synthesized
     // from doc_id arithmetic (uppercase scheme/host, trailing host dot,
     // explicit default ports, tracking params in shuffled order,
@@ -3716,6 +3727,51 @@ object DocQueries {
          |       CAST(COALESCE(MAX(s.span_len), 0) AS BIGINT) AS max_span
          |FROM documents d LEFT JOIN spans s ON d.doc_id = s.doc_id
          |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    // D23: the same first-occurrence cut stated over raw gram strings
+    // (the Spark side decides on xxhash64 of the identical grams): a
+    // position is duplicated iff its gram's ROW_NUMBER over the global
+    // (doc_id, pos) order exceeds 1; coverage is the identical running
+    // MAX window over the merged token+marker stream; the rebuilt text
+    // is string_agg of the surviving tokens in position order
+    "d23_exact_substring" ->
+      s"""$wCte,
+         | grams AS (
+         |  SELECT doc_id, i.i - 1 AS pos, array_to_string(ws[i.i:i.i+4], ' ') AS g
+         |  FROM w
+         |  CROSS JOIN LATERAL (
+         |    SELECT unnest(generate_series(1, greatest(nt - 4, 0))) AS i) i
+         | ),
+         | hits AS (
+         |  SELECT doc_id, pos FROM (
+         |    SELECT doc_id, pos,
+         |           ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+         |    FROM grams)
+         |  WHERE rn > 1
+         | ),
+         | ev AS (
+         |  SELECT doc_id, i.i - 1 AS p, ws[i.i] AS tok, 0 AS is_dup, -1 AS cov_end
+         |  FROM w
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, nt)) AS i) i
+         |  UNION ALL
+         |  SELECT doc_id, pos AS p, NULL AS tok, 1 AS is_dup, pos + 4 AS cov_end
+         |  FROM hits
+         | ),
+         | mk AS (
+         |  SELECT doc_id, p, tok, is_dup,
+         |         MAX(cov_end) OVER (PARTITION BY doc_id ORDER BY p, is_dup DESC
+         |             ROWS UNBOUNDED PRECEDING) AS run_end
+         |  FROM ev
+         | ),
+         | t2 AS (
+         |  SELECT doc_id, p, tok, (run_end >= p) AS removed FROM mk WHERE is_dup = 0
+         | )
+         |SELECT doc_id,
+         |       COUNT(*) AS n_tokens,
+         |       COUNT(*) FILTER (WHERE removed) AS n_removed,
+         |       md5(COALESCE(string_agg(CASE WHEN NOT removed THEN tok END,
+         |           ' ' ORDER BY p), '')) AS kept_hash
+         |FROM t2 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // T43: the CANONICAL url built directly from the doc_id arithmetic —
     // scheme/host lowercased, trailing host dot stripped, default ports

@@ -55,6 +55,50 @@ class CurationR11Spec extends SparkSpec {
     assert(out(1L) === ((2, 6L, 3L)))
   }
 
+  // ---- exactSubstringDedup ------------------------------------------------
+
+  private def cut(docs: Seq[(Long, String)], n: Int): Map[Long, (Long, Long, String)] = {
+    import spark.implicits._
+    Dedup.exactSubstringDedup(docs.toDF("doc_id", "text"), "doc_id", "text", n = n)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+  }
+
+  test("exactSubstringDedup: a later cross-doc copy is cut, the first survives") {
+    // doc 2 embeds doc 1's "a b c d": its 3-gram positions 2 ("a b c")
+    // and 3 ("b c d") have earlier (doc 1) occurrences → coverage
+    // {2..4} ∪ {3..5} cuts tokens a b c d, keeping "x y z"; doc 1, the
+    // first occurrence, is untouched
+    val out = cut(Seq(
+      (1L, "a b c d e f"),
+      (2L, "x y  a b c d z")), n = 3)   // doubled space normalizes away
+    assert(out(1L) === ((6L, 0L, "a b c d e f")))
+    assert(out(2L) === ((7L, 4L, "x y z")))
+  }
+
+  test("exactSubstringDedup: a within-doc repeat keeps its first copy") {
+    // "p q r s p q r s": positions 4 ("p q r") and 5 ("q r s") repeat
+    // positions 0/1 → tokens 4..7 cut, the first "p q r s" survives
+    val out = cut(Seq((1L, "p q r s p q r s")), n = 3)
+    assert(out(1L) === ((8L, 4L, "p q r s")))
+  }
+
+  test("exactSubstringDedup: sub-gram docs and unique docs pass through") {
+    val out = cut(Seq(
+      (1L, "u v"),
+      (2L, "m n o p q")), n = 3)
+    assert(out(1L) === ((2L, 0L, "u v")))
+    assert(out(2L) === ((5L, 0L, "m n o p q")))
+  }
+
+  test("exactSubstringDedup: an entirely-duplicate doc empties") {
+    val out = cut(Seq(
+      (1L, "a b c d"),
+      (2L, "a b c d")), n = 3)
+    assert(out(1L) === ((4L, 0L, "a b c d")))
+    assert(out(2L) === ((4L, 4L, "")))
+  }
+
   // ---- jaroWinkler --------------------------------------------------------
 
   test("jaro_winkler matches the classic convention's pinned values") {

@@ -70,27 +70,28 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(out(1L)._2 - 0.5) < 1e-6)
   }
 
-  test("driver-held and partitioned PageRank paths are bit-identical") {
+  test("collected, driver-held, and partitioned PageRank paths are bit-identical") {
     import spark.implicits._
     // an asymmetric-degree graph (star + chain + cycle tail) run for
     // enough iterations to cross the partitioned path's every-third-pass
     // checkpoint cadence, including its skipped final pass. The q12
-    // integer-quantization contract says BOTH implementations produce the
-    // exact same doubles — assert row-set equality, not approximate
+    // integer-quantization contract says all THREE implementations produce
+    // the exact same doubles — assert row-set equality, not approximate
     val edges = Seq(
       (0L, 1L), (0L, 2L), (0L, 3L), (1L, 0L), (2L, 0L), (3L, 0L),
       (3L, 4L), (4L, 3L), (4L, 5L), (5L, 4L), (5L, 6L), (6L, 5L),
       (6L, 0L), (0L, 6L)).toDF("src", "dst")
     for (iters <- Seq(3, 5, 7)) {
-      val driverHeld = Graph
-        .pageRankWithLimit(edges, "src", "dst", iters, 0.85, Long.MaxValue)
+      def run(driverHeldLimit: Long, edgeCollectLimit: Long) = Graph
+        .pageRankWithLimit(edges, "src", "dst", iters, 0.85,
+          driverHeldLimit, edgeCollectLimit)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
         .toSet
-      val partitioned = Graph
-        .pageRankWithLimit(edges, "src", "dst", iters, 0.85, 0L)
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-        .toSet
-      assert(partitioned === driverHeld, s"paths diverged at iters=$iters")
+      val collected = run(Long.MaxValue, Long.MaxValue)
+      val driverHeld = run(Long.MaxValue, 0L)
+      val partitioned = run(0L, 0L)
+      assert(driverHeld === collected, s"driver-held diverged at iters=$iters")
+      assert(partitioned === collected, s"partitioned diverged at iters=$iters")
     }
   }
 

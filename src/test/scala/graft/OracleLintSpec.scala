@@ -31,6 +31,20 @@ class OracleLintSpec extends AnyFunSuite {
       Process(Seq("python3", "-c", "import duckdb")).!(ProcessLogger(_ => ())) == 0
     } catch { case _: Exception => false }
 
+  test("every battery query has an oracle — the lint's coverage IS the battery") {
+    // The dtype lint below only sees entries present in oracleSql. If a
+    // future query were added without one, the driver would silently fall
+    // back to a weaker rows-only check AND the dtype lint would silently
+    // skip it — two downgrades with no failing signal. Pin the key sets
+    // equal so that state can only be entered deliberately (by also
+    // updating this assertion with a justification).
+    assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet,
+      "queries without oracles: " +
+        (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet).toSeq.sorted.mkString(",") +
+        "; oracles without queries: " +
+        (SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).toSeq.sorted.mkString(","))
+  }
+
   test("no oracle SQL emits HUGEINT/DECIMAL columns") {
     assume(haveDuckDb && Files.isDirectory(Paths.get(sfDir)),
       "host python3+duckdb and testdata required")
