@@ -23,6 +23,12 @@ object Bench {
       // inflation). A tight interval plus the explicit family-barrier
       // System.gc() below moves reclamation to the barriers.
       .config("spark.cleaner.periodicGC.interval", "2min")
+      // A/B seam for the adaptive machinery: at bench SFs every exchange
+      // is tiny, so AQE's per-stage re-planning is pure driver overhead
+      // on ~90 sub-second entries; at production scale AQE is load-
+      // bearing (skew joins, runtime broadcast) and stays on.
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -21,7 +21,13 @@ import org.apache.spark.sql.functions._
   *    maxDocFreq-capped d5 stayed linear);
   *  - dimension tables are copied as-is (they stay broadcast-sized).
   *
-  * Usage: runMain graft.testbed.ScaleUp [srcDir] [dstDir] [K]
+  * Usage: runMain graft.testbed.ScaleUp [srcDir] [dstDir] [K] [keyOffset] [tables]
+  *
+  * `keyOffset` (default 1e8) must exceed the SOURCE's key range: stacking
+  * ScaleUp on an already-scaled directory (sf1 → sf10) needs a 10× larger
+  * offset or copy i of source-copy j collides with copy i' of j' whenever
+  * i+j = i'+j'. `tables` (comma list) restricts output to a subset — the
+  * sf10 rehearsal only needs documents+embeddings, not a 60M-row lineitem.
   */
 object ScaleUp {
 
@@ -29,6 +35,11 @@ object ScaleUp {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("/tmp/sf1")
     val k = args.lift(2).map(_.toInt).getOrElse(10)
+    val off = args.lift(3).map(_.toLong).getOrElse(100000000L)
+    val wanted: String => Boolean = args.lift(4) match {
+      case Some(list) => list.split(",").map(_.trim).toSet
+      case None => _ => true
+    }
     val spark = SparkSession.builder()
       .appName("graft-scaleup").master("local[*]")
       .config("spark.sql.shuffle.partitions", Runtime.getRuntime.availableProcessors())
@@ -40,12 +51,13 @@ object ScaleUp {
 
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
     def write(df: DataFrame, t: String): Unit =
-      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
-    def scaled(t: String)(jitter: (DataFrame, Int) => DataFrame): Unit = {
-      val base = read(t)
-      write((0 until k).map(i => jitter(base, i)).reduce(_.unionByName(_)), t)
-    }
-    val Off = 100000000L // key offset per copy, beyond any real key range
+      if (wanted(t)) df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    def scaled(t: String)(jitter: (DataFrame, Int) => DataFrame): Unit =
+      if (wanted(t)) {
+        val base = read(t)
+        write((0 until k).map(i => jitter(base, i)).reduce(_.unionByName(_)), t)
+      }
+    val Off = off // key offset per copy, beyond the SOURCE's key range
 
     for (t <- Seq("region", "nation", "supplier", "customer", "part"))
       write(read(t), t)
@@ -67,7 +79,12 @@ object ScaleUp {
     scaled("documents") { (df, i) =>
       val d = df.withColumn("doc_id", col("doc_id") + lit(i * Off))
       if (i == 0) d
-      else d.withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1w$i"))
+      // the tag carries the pass (offset scale) too: stacked passes must
+      // mint suffixes from disjoint families, or pass-2 copy i of pass-1
+      // copy 0 collides with pass-2 copy 0 of pass-1 copy i (both "w<i>")
+      // and those two copies' shingle sets stop being disjoint
+      else d.withColumn("text", regexp_replace(col("text"), "(\\S+)",
+        s"$$1w${off / 100000000L}x$i"))
     }
     scaled("embeddings") { (df, i) =>
       val d0 = df.withColumn("vec_id", col("vec_id") + lit(i * Off))
@@ -78,8 +95,14 @@ object ScaleUp {
         // to the original, while cross-copy cosines decorrelate to ~0 —
         // verbatim copies would make every vector a 10-clique of cosine-1.0
         // duplicates and the true pair set quadratic in K
+        // seeded by the key offset too: stacking passes (sf1 -> sf10) must
+        // draw a DIFFERENT sign family, or pass-2 copy i applied to
+        // pass-1 copy i cancels (s_i ∘ s_i = identity) and those vectors
+        // become verbatim cosine-1.0 duplicates of copy 0 — the exact
+        // quadratic trap the flips exist to avoid
         val signs = (0 until 64).map { d =>
-          if ((((i.toLong * 64 + d) * 2654435761L) >>> 13) % 2 == 0) 1.0f else -1.0f
+          if ((((off + i.toLong) * 64 + d) * 2654435761L >>> 13) % 2 == 0) 1.0f
+          else -1.0f
         }
         val signArr = array(signs.map(lit): _*)
         d0.withColumn("embedding",
