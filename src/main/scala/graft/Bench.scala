@@ -29,6 +29,14 @@ object Bench {
       // bearing (skew joins, runtime broadcast) and stays on.
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // A/B seam for the AQE initial partition count: with coalescing on,
+      // a high initial count lets heavy exchanges (the d22 candidate
+      // aggregation at sf10 OOM'd 32 shared-heap partitions) split across
+      // more, smaller partitions while small queries coalesce back — the
+      // production posture where shuffle.partitions is a floor, not the
+      // working count.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", cpus))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -988,6 +988,86 @@ object Dedup {
         col("p.cosine").as("cosine"))
   }
 
+  /** Hierarchical SemDeDup pairs — [[semDedupPairs]] with the flat n·k
+    * assignment replaced by the FAISS IVF-of-centroids pattern: the
+    * centroid table is itself clustered into ~√k coarse cells, each
+    * vector picks its `nProbe` best coarse cells and argmaxes only over
+    * the fine centroids in them (the native codegen'd
+    * [[graft.functions.BestCentroidProbe]]). Assignment cost drops from
+    * n·k to ~n·√k·nProbe — under the auto-k regime (k ∝ n) that is the
+    * difference between a quadratic and an n^1.5 total, the super-linear
+    * term the round-13 sf10 rehearsal measured (d15 at 14× on 10× rows).
+    *
+    * APPROXIMATION, stated: a vector whose true best fine centroid lives
+    * outside its probed coarse cells is assigned to a nearby cluster
+    * instead — near-dup pairs split across the two clusters go unseen,
+    * the same boundary-recall trade the paper's clustering itself makes.
+    * Raise `nProbe` to buy recall back linearly. The assignment is
+    * DETERMINISTIC (cosine ranks, lowest-id ties at both levels), so the
+    * d24 oracle mirrors the whole two-level decision structurally.
+    *
+    * Defaults derive everything from the corpus: k from [[autoClusters]],
+    * coarse count = ceil(√k) (≥2), the paper-regime shapes. Returns the
+    * same (cent_id, doc_a, doc_b, cosine) surface as [[semDedupPairs]].
+    * Vectors whose probed cells hold no fine centroid drop from
+    * assignment (cannot happen when every coarse cell is some centroid's
+    * best, i.e. whenever coarse centroids are drawn from the fine table —
+    * the construction here — but the filter keeps the contract total). */
+  def semDedupPairsHier(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCosine: Double,
+      nClusters: Int = 0,
+      kmeansIters: Int = 3,
+      nCoarse: Int = 0,
+      nProbe: Int = 2,
+      coarseIters: Int = 2
+  ): DataFrame = {
+    graft.plans.GraftExtensions.register(emb.sparkSession)
+    val k = if (nClusters > 0) nClusters else autoClusters(emb.count())
+    val cent =
+      Similarity.kmeansCentroids(emb, idCol, vecCol, k, kmeansIters)
+    val kc =
+      if (nCoarse > 0) nCoarse
+      else math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val coarse =
+      Similarity.kmeansCentroids(cent, "cent_id", "centv", kc, coarseIters)
+    // fine→coarse membership on the driver (k × kc dots on unit vectors —
+    // raw dot IS cosine; strict >, lowest-coarse-id ties, the
+    // BestCentroid contract the oracle mirrors with a row_number)
+    val centRows = cent.orderBy("cent_id").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    val coarseRows = coarse.orderBy("cent_id").collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    val memberLists =
+      Array.fill(coarseRows.length)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    centRows.foreach { case (cid, cv) =>
+      memberLists(Similarity.bestCentroidLocal(cv, coarseRows)) += cid
+    }
+    val packed = typedLit((
+      centRows.map(_._2.toSeq).toSeq,
+      coarseRows.map(_.toSeq).toSeq,
+      memberLists.map(_.toSeq).toSeq))
+    val v = Similarity.spreadToCores(emb.select(col(idCol).as("vid"),
+      col(vecCol).cast("array<double>").as("v")))
+    val assign = v.select(col("vid"),
+      call_function("best_centroid_probe", col("v"), packed,
+        lit(nProbe), lit(true)).as("cent_id"),
+      col("v"))
+      .filter(col("cent_id") >= 0)
+    val grouped = assign
+      .withColumn("nrm", sqrt(call_function("vec_dot", col("v"), col("v"))))
+      .groupBy("cent_id")
+      .agg(sort_array(collect_list(
+        struct(col("vid").as("id"), col("v"), col("nrm")))).as("xs"))
+    grouped
+      .select(col("cent_id"),
+        explode(call_function("bucket_pairs", col("xs"), lit(minCosine))).as("p"))
+      .select(col("cent_id"), col("p.doc_a"), col("p.doc_b"),
+        col("p.cosine").as("cosine"))
+  }
+
   /** The SemDeDup keep-set: drops every vector that has a SMALLER-id
     * semantic near-duplicate in its own cluster (the deterministic,
     * order-free version of the paper's keep-one-per-near-set rule — the

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{BestCentroid, BloomProbe, BucketPairs, DeflateLen, DeflateRoundtrip, JaroWinklerSim, MinHash64, NfcNormalize, PhraseCount, ShingleHash60, SimHash60, VectorDot, Winnow60, ZOrder60}
+import graft.functions.{BestCentroid, BestCentroidProbe, BloomProbe, BucketPairs, DeflateLen, DeflateRoundtrip, JaroWinklerSim, MinHash64, NfcNormalize, PhraseCount, ShingleHash60, SimHash60, VectorDot, Winnow60, ZOrder60}
 
 /** Session extensions registering the engine's native Catalyst functions.
   * Install with `spark.sql.extensions=graft.plans.GraftExtensions`, or call
@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.phraseCount)
     ext.injectFunction(GraftExtensions.jaroWinkler)
     ext.injectFunction(GraftExtensions.bloomProbe)
+    ext.injectFunction(GraftExtensions.bestCentroidProbe)
   }
 }
 
@@ -55,6 +56,19 @@ object GraftExtensions {
     (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
       require(children.length == 2, "jaro_winkler takes exactly 2 arguments")
       JaroWinklerSim(children.head, children(1))
+    }
+  )
+
+  private val bestCentroidProbe = (
+    new FunctionIdentifier("best_centroid_probe"),
+    new ExpressionInfo(classOf[BestCentroidProbe].getName, "best_centroid_probe"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.length == 4,
+        "best_centroid_probe takes exactly 4 arguments (vec, packed, n_probe, normalize)")
+      // probe count / comparison mode are plan-time constants
+      val np = children(2).eval().asInstanceOf[Number].intValue()
+      val nm = children(3).eval().asInstanceOf[Boolean]
+      BestCentroidProbe(children.head, children(1), np, nm)
     }
   )
 
@@ -179,7 +193,7 @@ object GraftExtensions {
   private val all =
     Seq(vecDot, simHash60, zOrder60, deflateLen, deflateRoundtrip, minHash64,
       winnow60, shingleHash60, bucketPairs, bestCentroid, nfcNormalize,
-      phraseCount, jaroWinkler, bloomProbe)
+      phraseCount, jaroWinkler, bloomProbe, bestCentroidProbe)
 
   /** Idempotently register the functions on a live session. */
   def register(spark: SparkSession): Unit = {

@@ -232,42 +232,47 @@ object DocQueries {
   /** The headless Lloyd chain of [[kmeansCtes]] — seed `c0` through
     * `cent(cent_id, centv)` over an existing `unit` CTE, so it can
     * compose with other chains that bring their own head (the v12/v13
-    * residual-PQ mirror). */
-  private def kmeansStepsCte(nCentSql: String, iters: Int): String = {
+    * residual-PQ mirror). `pfx` renames every CTE (`<pfx>c0` …
+    * `<pfx>cent`) and `unitCte` points the chain at a different source,
+    * so TWO Lloyd chains can coexist in one statement — the d24 mirror
+    * runs the fine chain over the corpus and a coarse chain over the
+    * fine chain's own centroid table. */
+  private def kmeansStepsCte(nCentSql: String, iters: Int,
+      pfx: String = "", unitCte: String = "unit"): String = {
     val head =
-      s""" c0 AS (
+      s""" ${pfx}c0 AS (
          |  SELECT cent_id, centv FROM (
          |   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cent_id, uv AS centv
-         |   FROM unit) WHERE cent_id < $nCentSql
+         |   FROM $unitCte) WHERE cent_id < $nCentSql
          | )""".stripMargin
     val steps = (1 to iters).map { i =>
       val p = i - 1
-      s""" a$i AS (
+      s""" ${pfx}a$i AS (
          |  SELECT cent_id, uv FROM (
          |   SELECT u.uv, c.cent_id,
          |          ROW_NUMBER() OVER (PARTITION BY u.vec_id
          |            ORDER BY list_dot_product(u.uv, c.centv) DESC, c.cent_id) AS rn
-         |   FROM unit u CROSS JOIN c$p c) WHERE rn = 1
+         |   FROM $unitCte u CROSS JOIN ${pfx}c$p c) WHERE rn = 1
          | ),
-         | m$i AS (
+         | ${pfx}m$i AS (
          |  SELECT cent_id, list(mx ORDER BY pos) AS mv
          |  FROM (SELECT cent_id, pos, avg(x) AS mx
          |        FROM (SELECT cent_id, unnest(uv) AS x,
-         |                     generate_subscripts(uv, 1) AS pos FROM a$i)
+         |                     generate_subscripts(uv, 1) AS pos FROM ${pfx}a$i)
          |        GROUP BY cent_id, pos)
          |  GROUP BY cent_id
          | ),
-         | c$i AS (
+         | ${pfx}c$i AS (
          |  SELECT p.cent_id,
          |         CASE WHEN m.mv IS NULL THEN p.centv
          |              WHEN m.mn = 0 THEN p.centv
          |              ELSE list_transform(m.mv, x -> x / m.mn) END AS centv
-         |  FROM c$p p LEFT JOIN (SELECT cent_id, mv,
+         |  FROM ${pfx}c$p p LEFT JOIN (SELECT cent_id, mv,
          |                               sqrt(list_dot_product(mv, mv)) AS mn
-         |                        FROM m$i) m USING (cent_id)
+         |                        FROM ${pfx}m$i) m USING (cent_id)
          | )""".stripMargin
     }
-    val cent = s" cent AS (SELECT cent_id, centv FROM c$iters)"
+    val cent = s" ${pfx}cent AS (SELECT cent_id, centv FROM ${pfx}c$iters)"
     (head +: steps :+ cent).mkString(",\n")
   }
 
@@ -934,6 +939,18 @@ object DocQueries {
     "d15_semdedup_auto" -> ((s, dir) =>
       Dedup.semDedupPairs(table(s, dir, "embeddings"), "vec_id", "embedding",
           minCosine = 0.35, kmeansIters = 3)
+        .orderBy("cent_id", "doc_a", "doc_b")),
+
+    // D24: hierarchical SemDeDup — the d15 surface with assignment through
+    // the IVF-of-centroids two-level argmax (coarse k-means over the fine
+    // centroid table, 2 probes) — the n·√k scale path for the auto-k
+    // regime where flat assignment is n·k ~ quadratic; the oracle mirrors
+    // BOTH Lloyd chains and the probe/argmax decision structurally, so
+    // the hash compare pins every tie-break of the two-level assignment
+    "d24_semdedup_hier" -> ((s, dir) =>
+      Dedup.semDedupPairsHier(table(s, dir, "embeddings"), "vec_id",
+          "embedding", minCosine = 0.35, kmeansIters = 3,
+          nProbe = 2, coarseIters = 2)
         .orderBy("cent_id", "doc_a", "doc_b")),
 
     // V4: IVF top-3 with Lloyd-refined (spherical k-means) centroids —
@@ -2487,6 +2504,61 @@ object DocQueries {
     "d15_semdedup_auto" -> semDedupSql(kmeansCtes(
       "(SELECT k FROM params)", 3,
       "params AS (SELECT GREATEST(4, CAST(CEIL(COUNT(*) / 64.0) AS INT)) AS k FROM e)")),
+
+    // D24: both Lloyd chains (fine over the corpus, coarse over the fine
+    // centroids — the prefixed "g" chain), then the two-level decision:
+    // members = each fine centroid's best coarse cell (raw dot on unit
+    // vectors, lowest-coarse-id ties), probes = each vector's top-2
+    // coarse cells by cosine (lowest-id ties), assignment = argmax cosine
+    // over the probed cells' members (lowest-cent-id ties) — every
+    // ROW_NUMBER mirrors a documented BestCentroidProbe tie-break
+    "d24_semdedup_hier" ->
+      s"""WITH ${kmeansCtes("(SELECT k FROM params)", 3,
+             "params AS (SELECT GREATEST(4, CAST(CEIL(COUNT(*) / 64.0) AS INT)) AS k FROM e)")},
+         | params2 AS (SELECT GREATEST(2, CAST(CEIL(SQRT(k)) AS INT)) AS kc FROM params),
+         | cunit AS (
+         |  SELECT vec_id, list_transform(v, x -> x / nrm) AS uv
+         |  FROM (SELECT cent_id AS vec_id, centv AS v,
+         |               sqrt(list_dot_product(centv, centv)) AS nrm FROM cent)
+         |  WHERE nrm > 0
+         | ),
+         |${kmeansStepsCte("(SELECT kc FROM params2)", 2, "g", "cunit")},
+         | members AS (
+         |  SELECT cent_id, coarse_id FROM (
+         |   SELECT f.cent_id, g.cent_id AS coarse_id,
+         |          ROW_NUMBER() OVER (PARTITION BY f.cent_id
+         |            ORDER BY list_dot_product(f.centv, g.centv) DESC, g.cent_id) AS rn
+         |   FROM cent f, gcent g) WHERE rn = 1
+         | ),
+         | probes AS (
+         |  SELECT vec_id, v, coarse_id FROM (
+         |   SELECT e.vec_id, e.v, g.cent_id AS coarse_id,
+         |          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |            list_dot_product(v, g.centv)
+         |              / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(g.centv, g.centv))) DESC,
+         |            g.cent_id) AS rn
+         |   FROM e, gcent g) WHERE rn <= 2
+         | ),
+         | assign AS (
+         |  SELECT vec_id, v, cent_id FROM (
+         |   SELECT p.vec_id, p.v, m.cent_id,
+         |          ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+         |            list_dot_product(p.v, c.centv)
+         |              / (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.centv, c.centv))) DESC,
+         |            m.cent_id) AS rn
+         |   FROM probes p JOIN members m ON m.coarse_id = p.coarse_id
+         |        JOIN cent c ON c.cent_id = m.cent_id) WHERE rn = 1
+         | ),
+         | p AS (
+         |  SELECT a.cent_id, a.vec_id AS doc_a, b.vec_id AS doc_b,
+         |         ROUND(list_dot_product(a.v, b.v)
+         |               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
+         |  FROM assign a JOIN assign b USING (cent_id)
+         |  WHERE a.vec_id < b.vec_id
+         | )
+         |SELECT cent_id, doc_a, doc_b, cosine FROM p
+         |WHERE cosine >= 0.35
+         |ORDER BY cent_id, doc_a, doc_b""".stripMargin,
 
     "v4_ann_ivf_refined" ->
       s"""WITH ${kmeansCtes("16", 3)},
