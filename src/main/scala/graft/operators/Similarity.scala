@@ -54,9 +54,11 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplane component for (plane i, dim d):
     * an exact-in-double rational in [-0.5, 0.5) derived from a Knuth
-    * multiplicative hash — identical across engines, no RNG state. */
+    * multiplicative hash — identical across engines, no RNG state. The
+    * definition lives on [[graft.functions.LshBuckets]] (the native
+    * bucketing expression precomputes its plane tables from it). */
   def planeComponent(i: Int, d: Int, dims: Int): Double =
-    (((i.toLong * dims + d) * 2654435761L) % 1000L).toDouble / 1000.0 - 0.5
+    graft.functions.LshBuckets.planeComponent(i, d, dims)
 
   /** LSH bucket id from the sign bits of dot products with `numPlanes`
     * hyperplanes starting at global plane index `planeOffset`. Plane
@@ -75,8 +77,31 @@ object Similarity {
     * `(t, bucket)` for `tables` independent hash tables of `planesPerTable`
     * hyperplanes each. Single-bucket random-hyperplane LSH has poor recall;
     * candidates from ANY shared (table, bucket) restore it while keeping
-    * the per-table join key cardinality high. */
+    * the per-table join key cardinality high.
+    *
+    * Delegates to the native [[graft.functions.LshBuckets]] expression —
+    * the per-plane expression-tree form ([[lshBucketsTree]], kept as the
+    * parity witness) built ~tables·planes dot nodes with literal-array
+    * planes in one projection, overflowing codegen's method budget into
+    * interpreted evaluation (138 s of hashing on a 200k-vector corpus;
+    * the native loop does the same arithmetic at scan speed). */
   def lshBuckets(vecCol: String, dims: Int, tables: Int, planesPerTable: Int): Column = {
+    // tolerant registration: a Column has no session handle, and this may
+    // be called while building a plan before any session exists on the
+    // thread — every operator entry point registers on its own frame's
+    // session anyway, so this is belt-and-braces for direct column users
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .foreach(graft.plans.GraftExtensions.register)
+    call_function("lsh_buckets", col(vecCol),
+      lit(dims), lit(tables), lit(planesPerTable))
+  }
+
+  /** The expression-tree formulation [[lshBuckets]] replaced — the
+    * equivalence-test witness (CorpusOpsSpec pins identical (t, bucket)
+    * sets on both paths). */
+  private[graft] def lshBucketsTree(
+      vecCol: String, dims: Int, tables: Int, planesPerTable: Int): Column = {
     val buckets = (0 until tables).map { t =>
       struct(lit(t).as("t"),
         lshBucket(vecCol, dims, planesPerTable, t * planesPerTable).as("bucket"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{BestCentroid, BestCentroidProbe, BloomProbe, BucketPairs, DeflateLen, DeflateRoundtrip, JaroWinklerSim, MinHash64, NfcNormalize, PhraseCount, ShingleHash60, SimHash60, VectorDot, Winnow60, ZOrder60}
+import graft.functions.{BestCentroid, BestCentroidProbe, BloomProbe, BucketPairs, DeflateLen, DeflateRoundtrip, JaroWinklerSim, LshBuckets, MinHash64, NfcNormalize, PhraseCount, ShingleHash60, SimHash60, VectorDot, Winnow60, ZOrder60}
 
 /** Session extensions registering the engine's native Catalyst functions.
   * Install with `spark.sql.extensions=graft.plans.GraftExtensions`, or call
@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.jaroWinkler)
     ext.injectFunction(GraftExtensions.bloomProbe)
     ext.injectFunction(GraftExtensions.bestCentroidProbe)
+    ext.injectFunction(GraftExtensions.lshBucketsFn)
   }
 }
 
@@ -56,6 +57,20 @@ object GraftExtensions {
     (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
       require(children.length == 2, "jaro_winkler takes exactly 2 arguments")
       JaroWinklerSim(children.head, children(1))
+    }
+  )
+
+  private val lshBucketsFn = (
+    new FunctionIdentifier("lsh_buckets"),
+    new ExpressionInfo(classOf[LshBuckets].getName, "lsh_buckets"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.length == 4,
+        "lsh_buckets takes exactly 4 arguments (vec, dims, tables, planes)")
+      // geometry is plan-time constant
+      val dims = children(1).eval().asInstanceOf[Number].intValue()
+      val tables = children(2).eval().asInstanceOf[Number].intValue()
+      val planes = children(3).eval().asInstanceOf[Number].intValue()
+      LshBuckets(children.head, dims, tables, planes)
     }
   )
 
@@ -193,7 +208,7 @@ object GraftExtensions {
   private val all =
     Seq(vecDot, simHash60, zOrder60, deflateLen, deflateRoundtrip, minHash64,
       winnow60, shingleHash60, bucketPairs, bestCentroid, nfcNormalize,
-      phraseCount, jaroWinkler, bloomProbe, bestCentroidProbe)
+      phraseCount, jaroWinkler, bloomProbe, bestCentroidProbe, lshBucketsFn)
 
   /** Idempotently register the functions on a live session. */
   def register(spark: SparkSession): Unit = {
