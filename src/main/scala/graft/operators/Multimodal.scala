@@ -445,6 +445,140 @@ object Multimodal {
         "r_sum", "g_sum", "b_sum", "luma_min", "luma_max")
   }
 
+  // ------------------------------------------------- perceptual hash (dHash)
+
+  /** dHash thumbnail geometry: 11×6 luma cells → 10 horizontal gradient
+    * signs per row × 6 rows = 60 bits. 60 and not 64 for the same reason
+    * as SimHash60/Winnow60/ZOrder60: the hash stays strictly positive in
+    * a signed 64-bit lane, so the DuckDB oracle rebuilds it with plain
+    * `<<` arithmetic on BIGINT. */
+  val DHashW = 11
+  val DHashH = 6
+
+  /** 60-bit difference hash of a decoded raster: box-resize to the
+    * [[DHashW]]×[[DHashH]] thumbnail ([[resizeBox]] — deterministic
+    * integer arithmetic), take the ITU-R 601 integer luma of each cell,
+    * and set bit `y·10 + x` iff `luma(x, y) > luma(x+1, y)`. Gradient
+    * SIGNS are what survive re-encoding, uniform brightness shifts, and
+    * rescaling — the point of a perceptual hash: the same content at an
+    * exact multiple of the thumbnail size box-averages to the identical
+    * thumbnail (Hamming 0), and a local pixel edit flips at most 2 bits
+    * (the two comparisons that touch its cell). None for images smaller
+    * than the thumbnail — there is nothing to average. */
+  def dHash60(img: PixelImage): Option[Long] = {
+    if (img.width < DHashW || img.height < DHashH) None
+    else {
+      val t =
+        if (img.width == DHashW && img.height == DHashH) img
+        else resizeBox(img, DHashW, DHashH)
+      val luma = new Array[Int](DHashW * DHashH)
+      var i = 0
+      while (i < luma.length) {
+        val p = t.argb(i)
+        luma(i) = (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
+          114 * (p & 0xff)) / 1000
+        i += 1
+      }
+      var h = 0L
+      var y = 0
+      while (y < DHashH) {
+        var x = 0
+        while (x < DHashW - 1) {
+          if (luma(y * DHashW + x) > luma(y * DHashW + x + 1))
+            h |= 1L << (y * (DHashW - 1) + x)
+          x += 1
+        }
+        y += 1
+      }
+      Some(h)
+    }
+  }
+
+  /** Partition-wise REAL decode → [[dHash60]] projection: (id, width,
+    * height, dhash), NULLs where the payload doesn't decode or the image
+    * is smaller than the thumbnail. Same batch shape as
+    * [[decodeImagePixelStats]]: one ImageIO pipeline per partition,
+    * payloads hashed where they sit and never shuffled. */
+  def imageDHash(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        System.setProperty("java.awt.headless", "true")
+        rows.map { case (id, payload) =>
+          val img = decodePixels(payload)
+          (id, img.map(_.width), img.map(_.height), img.flatMap(dHash60))
+        }
+      }
+      .toDF("id", "width", "height", "dhash")
+  }
+
+  /** Image near-dup pairs over [[imageDHash]]: the 60-bit hash is split
+    * into `maxHamming + 1` disjoint bit-range bands; a pair within
+    * `maxHamming` differs in at most `maxHamming` bands, so at least one
+    * band matches exactly (pigeonhole) — the band buckets are a LOSSLESS
+    * candidate generator, and candidates are rescored with the exact
+    * popcount. The multimodal sibling of the SimHash text near-dup, with
+    * one structural difference: candidates are paired INSIDE the bucket
+    * (group on the band key, explode in-bucket pairs) instead of a
+    * banded self-join, because here the hash is an expensive per-row
+    * decode (ImageIO) rather than a scan-speed projection — a self-join
+    * would re-decode every image once per join side, the grouped form
+    * decodes once and shuffles only 16-byte (id, dhash) structs.
+    * Per-bucket work stays quadratic in the bucket only.
+    * `maxHamming <= 5` keeps every band >= 10 bits so a band key still
+    * partitions a corpus rather than funneling it into 2^few buckets.
+    * Returns (id_a < id_b, dhash_a, dhash_b, hamming).
+    *
+    * @param maxBandFreq drop (band, bits) buckets larger than this before
+    *                    pairing — the dHash twin of the SimHash
+    *                    `maxBandFreq` cap. A corpus with a mass of
+    *                    identical images (logos, spacer GIFs) concentrates
+    *                    whole hashes, and one hot bucket makes the
+    *                    in-bucket quadratic the job's whole cost; capped
+    *                    buckets drop from CANDIDACY only (the standard
+    *                    stop-bucket recall trade). None = keep all. */
+  def imageNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      maxHamming: Int = 3,
+      maxBandFreq: Option[Int] = None
+  ): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 5,
+      "maxHamming must be in [0, 5] — 6+ would shrink bands below 10 bits")
+    val nb = maxHamming + 1
+    val hashed = imageDHash(df, idCol)
+      .filter(col("dhash").isNotNull)
+      .select(col("id"), col("dhash"))
+    val bandKeys = (0 until nb).map { b =>
+      val lo = b * 60 / nb
+      val width = (b + 1) * 60 / nb - lo
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("dhash"), lo)
+          .bitwiseAND(lit((1L << width) - 1)).as("bits"))
+    }
+    val banded = hashed
+      .select(col("id"), col("dhash"), explode(array(bandKeys: _*)).as("bk"))
+      .select(col("id"), col("dhash"),
+        col("bk.band").as("band"), col("bk.bits").as("bits"))
+    val buckets = banded
+      .groupBy("band", "bits")
+      .agg(array_sort(collect_list(struct(col("id"), col("dhash")))).as("ms"))
+      .filter(size(col("ms")).between(2, maxBandFreq.getOrElse(Int.MaxValue)))
+    buckets
+      .select(explode(expr(
+        "flatten(transform(ms, (a, i) -> " +
+          "transform(slice(ms, i + 2, size(ms) - i - 1), b -> " +
+          "struct(a.id AS id_a, b.id AS id_b, " +
+          "a.dhash AS dhash_a, b.dhash AS dhash_b))))")).as("p"))
+      .select("p.*")
+      .distinct()
+      .withColumn("hamming",
+        expr("bit_count(dhash_a ^ dhash_b)").cast("int"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   // ------------------------------------------------------------------ PCM
 
   /** A minimal PCM WAV with REAL sample data (16-bit little-endian),

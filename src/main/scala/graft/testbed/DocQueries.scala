@@ -37,6 +37,57 @@ object DocQueries {
       if (s eq spark) { Dedup.release(df); false } else true }
   }
 
+  /** m8/m9 image corpus, cached across the battery (m8 hashes it, m9
+    * pair-joins it — the PNG encode runs once). Group g = doc_id/4 owns a
+    * 32-byte pattern table derived from md5(g) ++ md5(g||"b") — md5 so
+    * the DuckDB oracle rebuilds the exact bytes, TWO digests so the
+    * 66-cell thumbnail walk doesn't cycle a 16-byte table into a tiny
+    * comparison-pattern space (32 independent byte comparisons ≈ 2^32
+    * distinct dhash patterns — incidental cross-group collisions are
+    * birthday-rare at any test SF, and the oracle reproduces them when
+    * they happen). Variants: v0 base 11x6, v1 exact 2x upscale (22x12),
+    * v2 one-cell +8 brightness jitter, v3 unrelated pattern (seeds
+    * "c"/"d"); doc_id % 97 == 0 rows carry an undecodable payload. Cell
+    * values are % 240 so the +8 jitter can't wrap. */
+  private def imagePayloads(s: SparkSession, dir: String): DataFrame =
+    cache.getOrElseUpdate((s, dir, "_image_payloads"), {
+      import s.implicits._
+      table(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          System.setProperty("java.awt.headless", "true")
+          val md = java.security.MessageDigest.getInstance("MD5")
+          def bytes32(seed: String, salt1: String, salt2: String): Array[Int] = {
+            def digest(x: String): Array[Int] =
+              md.digest(x.getBytes("UTF-8")).map(b => b & 0xff)
+            digest(seed + salt1) ++ digest(seed + salt2)
+          }
+          it.map { id =>
+            if (id % 97 == 0) (id, "not an image".getBytes("UTF-8"))
+            else {
+              val g = id / 4
+              val v = (id % 4).toInt
+              val tbl =
+                if (v == 3) bytes32(g.toString, "c", "d")
+                else bytes32(g.toString, "", "b")
+              def base(x: Int, y: Int): Int = tbl((x + y * 11) % 32) % 240
+              val cx = (1 + g % 9).toInt
+              val cy = (g % 6).toInt
+              def gray(l: Int): Int = (l << 16) | (l << 8) | l
+              val png = v match {
+                case 1 => Multimodal.encodePng(22, 12,
+                  (x, y) => gray(base(x / 2, y / 2)))
+                case 2 => Multimodal.encodePng(11, 6, (x, y) =>
+                  gray(base(x, y) + (if (x == cx && y == cy) 8 else 0)))
+                case _ => Multimodal.encodePng(11, 6,
+                  (x, y) => gray(base(x, y)))
+              }
+              (id, png)
+            }
+          }
+        }
+        .toDF("doc_id", "payload").cache()
+    })
+
   /** Exact-Jaccard >= 0.8 pair graph, cached across the battery (d2 emits
     * it, d4 clusters it — the shingle co-occurrence join runs once). */
   private def jaccardEdges(s: SparkSession, dir: String): DataFrame =
@@ -614,6 +665,52 @@ object DocQueries {
        |SELECT cent_id, doc_a, doc_b, cosine FROM p
        |WHERE cosine >= 0.35
        |ORDER BY cent_id, doc_a, doc_b""".stripMargin
+
+  /** Shared m8/m9 CTE chain: the dHash60 of every decodable synthesized
+    * image, rebuilt from the md5 byte tables [[imagePayloads]] seeds each
+    * group with — byte j of the 32-byte table is hex pair j of md5(g) ++
+    * md5(g||'b') (seeds 'c'/'d' for the v3 unrelated pattern), cell
+    * (x, y) reads byte (x + 11y) mod 32, % 240, plus the v2 one-cell +8
+    * jitter; bit y·10+x of the hash is the luma(x,y) > luma(x+1,y)
+    * gradient sign. The v1 2x upscale box-averages four equal pixels
+    * back to the base cell, so v0 and v1 share the base formula —
+    * which IS the resize's correctness statement. */
+  private lazy val imageHashCte = {
+    val byteOf =
+      "16 * (strpos('0123456789abcdef', substr(%s, 2 * (%s) + 1, 1)) - 1)" +
+        " + (strpos('0123456789abcdef', substr(%s, 2 * (%s) + 2, 1)) - 1)"
+    val j = "(sx.x + sy.y * 11) % 32"
+    val fromA = byteOf.format("s.ha", j, "s.ha", j)
+    val fromB = byteOf.format("s.hb", s"$j - 16", "s.hb", s"$j - 16")
+    s"""WITH ids AS (
+       |  SELECT doc_id, CAST(doc_id % 4 AS INT) AS v, doc_id // 4 AS g
+       |  FROM documents
+       | ),
+       | seeds AS (
+       |  SELECT doc_id, v, g,
+       |         CASE WHEN v = 3 THEN md5(CAST(g AS VARCHAR) || 'c')
+       |              ELSE md5(CAST(g AS VARCHAR)) END AS ha,
+       |         CASE WHEN v = 3 THEN md5(CAST(g AS VARCHAR) || 'd')
+       |              ELSE md5(CAST(g AS VARCHAR) || 'b') END AS hb
+       |  FROM ids WHERE doc_id % 97 <> 0
+       | ),
+       | cells AS (
+       |  SELECT s.doc_id, sx.x, sy.y,
+       |         ((CASE WHEN $j < 16 THEN $fromA ELSE $fromB END) % 240)
+       |         + CASE WHEN s.v = 2 AND sx.x = 1 + s.g % 9
+       |                     AND sy.y = s.g % 6 THEN 8 ELSE 0 END AS luma
+       |  FROM seeds s, generate_series(0, 10) sx(x), generate_series(0, 5) sy(y)
+       | ),
+       | hashes AS (
+       |  SELECT l.doc_id,
+       |         CAST(SUM(CASE WHEN l.luma > r.luma
+       |                       THEN (1::BIGINT << CAST(l.y * 10 + l.x AS INT))
+       |                       ELSE 0 END) AS BIGINT) AS dhash
+       |  FROM cells l
+       |  JOIN cells r ON r.doc_id = l.doc_id AND r.y = l.y AND r.x = l.x + 1
+       |  GROUP BY l.doc_id
+       | )""".stripMargin
+  }
 
   /** Shared d3/d17 CTE chain: MinHash signatures (base hash = first 8 md5
     * hex digits masked to 31 bits, 64 affine permutations mod 2^31-1) and
@@ -1762,6 +1859,32 @@ object DocQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     }),
+
+    // M8: REAL perceptual hashing end-to-end — per-doc PNGs whose luma
+    // cells come from the group's md5-derived byte table (32 bytes per
+    // group, so patterns NEVER repeat periodically across groups — a
+    // linear-in-g formula would be periodic mod 256 and manufacture huge
+    // identical-image classes at scale), decoded through javax.imageio,
+    // box-resized to the 11x6 thumbnail, dHash60'd. Variants per group:
+    // the base image, its exact 2x upscale (box resize recovers the
+    // identical thumbnail — the scale-invariance the hash exists for),
+    // a one-pixel brightness jitter (flips <= 2 bits), and an unrelated
+    // pattern. The oracle rebuilds every hash from the SAME md5 bytes
+    // without touching an image; undecodable payloads surface as NULLs.
+    "m8_image_dhash" -> ((s, dir) =>
+      Multimodal.imageDHash(imagePayloads(s, dir), "doc_id")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
+    // M9: image near-dup pairs over the same corpus — banded Hamming
+    // join on dHash60 (4 x 15-bit bands, lossless for Hamming <= 3 by
+    // pigeonhole), exact popcount rescore. The multimodal sibling of the
+    // d9 SimHash text near-dup; the oracle mirrors hash, banding, and
+    // rescore structurally.
+    "m9_image_neardup" -> ((s, dir) =>
+      Multimodal.imageNearDupPairs(imagePayloads(s, dir), "doc_id",
+          maxHamming = 3)
+        .orderBy("id_a", "id_b")),
 
     // D21: exact duplicated-SPAN extraction (substring-grain dedup — the
     // Lee et al. 2021 signal): maximal runs of corpus-duplicated 5-gram
@@ -3771,6 +3894,42 @@ object DocQueries {
         |       CAST(CASE WHEN doc_id % 5 = 0 THEN -1
         |                 ELSE 3 + doc_id % 2 END AS BIGINT) AS first_cut
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // M8: every dHash60 rebuilt from the md5 byte tables the synthesis
+    // used — decode, 2x box resize (v1), luma, and all 60 gradient signs
+    // mirrored without touching an image; undecodable rows NULL
+    "m8_image_dhash" ->
+      s"""$imageHashCte
+         |SELECT i.doc_id,
+         |       CAST(CASE WHEN i.doc_id % 97 = 0 THEN NULL
+         |                 WHEN i.v = 1 THEN 22 ELSE 11 END AS INT) AS width,
+         |       CAST(CASE WHEN i.doc_id % 97 = 0 THEN NULL
+         |                 WHEN i.v = 1 THEN 12 ELSE 6 END AS INT) AS height,
+         |       h.dhash
+         |FROM ids i LEFT JOIN hashes h ON h.doc_id = i.doc_id
+         |ORDER BY i.doc_id""".stripMargin,
+
+    // M9: the banded Hamming join mirrored structurally — same 4 x 15-bit
+    // band keys, same pigeonhole candidate set, same popcount rescore
+    "m9_image_neardup" ->
+      s"""$imageHashCte,
+         | bands AS (
+         |  SELECT doc_id, dhash, b.band,
+         |         (dhash >> CAST(b.band * 15 AS INT)) & 32767 AS bits
+         |  FROM hashes, generate_series(0, 3) b(band)
+         | ),
+         | cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+         |         a.dhash AS dhash_a, c.dhash AS dhash_b
+         |  FROM bands a
+         |  JOIN bands c ON c.band = a.band AND c.bits = a.bits
+         |              AND a.doc_id < c.doc_id
+         | )
+         |SELECT id_a, id_b, dhash_a, dhash_b,
+         |       CAST(bit_count(xor(dhash_a, dhash_b)) AS INT) AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(dhash_a, dhash_b)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // D21: duplicated 5-gram POSITIONS merged to maximal spans — the
     // gaps-and-islands mirror of Dedup.dupSpans over raw gram strings

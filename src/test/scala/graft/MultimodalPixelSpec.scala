@@ -204,4 +204,93 @@ class MultimodalPixelSpec extends SparkSpec {
     assert(r.getInt(6) === -20 && r.getInt(7) === 30)
     assert(out(1).isNullAt(3))
   }
+
+  // ---- dHash60 / image near-dup --------------------------------------
+
+  private def grayPng(w: Int, h: Int, luma: (Int, Int) => Int): Array[Byte] =
+    Multimodal.encodePng(w, h, (x, y) => { val l = luma(x, y); rgb(l, l, l) })
+
+  /** An 11×6 grayscale PNG whose dHash60 has EXACTLY the given bits: per
+    * row, each set bit steps the luma down by 1 (left > right), each
+    * clear bit holds it flat (equal → not >). Values stay in [20, 30]. */
+  private def imgOfBits(bits: Set[Int]): Array[Byte] = {
+    val luma = Array.ofDim[Int](6, 11)
+    for (y <- 0 until 6) {
+      luma(y)(0) = 30
+      for (x <- 0 until 10)
+        luma(y)(x + 1) = luma(y)(x) - (if (bits(y * 10 + x)) 1 else 0)
+    }
+    grayPng(11, 6, (x, y) => luma(y)(x))
+  }
+
+  test("dHash60: monotone gradients and a single bump, hand-computed") {
+    // strictly increasing luma: no left>right anywhere -> all bits clear
+    val inc = Multimodal.decodePixels(grayPng(11, 6, (x, _) => 20 + x)).get
+    assert(Multimodal.dHash60(inc) === Some(0L))
+    // strictly decreasing: every comparison true -> all 60 bits set
+    val dec = Multimodal.decodePixels(grayPng(11, 6, (x, _) => 30 - x)).get
+    assert(Multimodal.dHash60(dec) === Some((1L << 60) - 1))
+    // flat except a bump at (x=3, y=2): only x=3>x=4 fires -> bit 23
+    val bump = Multimodal.decodePixels(
+      grayPng(11, 6, (x, y) => if (x == 3 && y == 2) 5 else 0)).get
+    assert(Multimodal.dHash60(bump) === Some(1L << 23))
+    // the bit-encoding helper is exact for an arbitrary pattern
+    val s = Set(0, 9, 23, 31, 42, 59)
+    val img = Multimodal.decodePixels(imgOfBits(s)).get
+    val h = Multimodal.dHash60(img).get
+    assert((0 until 60).filter(b => (h >> b & 1L) == 1L).toSet === s)
+  }
+
+  test("dHash60 is invariant under exact 2x and 3x upscales") {
+    def base(x: Int, y: Int): Int = (x * 37 + y * 91 + 13) % 240
+    val h1 = Multimodal.dHash60(
+      Multimodal.decodePixels(grayPng(11, 6, base)).get)
+    val h2 = Multimodal.dHash60(
+      Multimodal.decodePixels(grayPng(22, 12, (x, y) => base(x / 2, y / 2))).get)
+    val h3 = Multimodal.dHash60(
+      Multimodal.decodePixels(grayPng(33, 18, (x, y) => base(x / 3, y / 3))).get)
+    assert(h1.isDefined && h1 === h2 && h1 === h3)
+  }
+
+  test("dHash60: a one-cell brightness jitter flips at most 2 bits") {
+    def base(x: Int, y: Int): Int = (x * 53 + y * 17 + 31) % 240
+    val h = Multimodal.dHash60(
+      Multimodal.decodePixels(grayPng(11, 6, base)).get).get
+    val j = Multimodal.dHash60(Multimodal.decodePixels(grayPng(11, 6,
+      (x, y) => base(x, y) + (if (x == 4 && y == 3) 8 else 0))).get).get
+    assert(java.lang.Long.bitCount(h ^ j) <= 2)
+  }
+
+  test("dHash60 is None below thumbnail size; imageDHash NULLs bad rows") {
+    import spark.implicits._
+    assert(Multimodal.dHash60(
+      Multimodal.decodePixels(grayPng(10, 6, (x, _) => x)).get).isEmpty)
+    assert(Multimodal.dHash60(
+      Multimodal.decodePixels(grayPng(11, 5, (x, _) => x)).get).isEmpty)
+    val in = Seq(
+      (1L, grayPng(11, 6, (x, _) => 30 - x)),
+      (2L, "garbage".getBytes),
+      (3L, grayPng(4, 3, (x, _) => x))).toDF("doc_id", "payload")
+    val out = Multimodal.imageDHash(in, "doc_id").orderBy("id").collect()
+    assert(out(0).getLong(3) === (1L << 60) - 1)
+    assert(out(1).isNullAt(1) && out(1).isNullAt(3))
+    assert(out(2).getInt(1) === 4 && out(2).isNullAt(3))
+  }
+
+  test("imageNearDupPairs: banding is lossless at the Hamming cap") {
+    import spark.implicits._
+    val sA = Set(5, 17)
+    val in = Seq(
+      (1L, imgOfBits(sA)),                          // base
+      (2L, imgOfBits(sA)),                          // identical -> hamming 0
+      (3L, imgOfBits(sA ++ Set(40, 41, 42, 43))),   // 4 flips -> over the cap
+      // 3 flips ALL inside band 0 (bits 0-14) — the pigeonhole worst
+      // case: bands 1-3 must still produce the candidate
+      (4L, imgOfBits(sA ++ Set(0, 1, 2)))           // bits {0,1,2} added
+    ).toDF("doc_id", "payload")
+    val pairs = Multimodal.imageNearDupPairs(in, "doc_id", maxHamming = 3)
+      .select("id_a", "id_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs === Set((1L, 2L, 0), (1L, 4L, 3), (2L, 4L, 3)))
+  }
 }

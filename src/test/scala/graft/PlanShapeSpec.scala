@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleEx
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Keywords, Sampling, Similarity}
+import graft.operators.{Dedup, Keywords, Multimodal, Sampling, Similarity}
 
 /** Physical-plan regression gate for the scale-bearing claims: the
   * per-row operator family must stay shuffle-free (scan speed on 100 TB),
@@ -253,6 +253,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(shape(Dedup.embeddingNearDupPairs(
       embSpread, "vec_id", "embedding", 0.4, dims = 64, tables = 4,
       planesPerTable = 4, maxBucketOccupancy = Some(30))) === ((2, 0)))
+  }
+
+  test("image near-dup: decode rides the scan once, pairs die in the bucket") {
+    // 2 shuffles: the (band, bits) bucket groupBy (16-byte structs — the
+    // pixels never shuffle) and the cross-band pair dedup; 0 broadcasts
+    // and NO self-join — a refactor back to the banded self-join would
+    // re-decode every image once per join side (the decode is the cost
+    // here, unlike SimHash's scan-speed projection) and fails the pin.
+    val payloads = docs.select(col("doc_id"),
+      lit(Multimodal.encodePng(11, 6, (x, _) => (x * 20 << 16))).as("payload"))
+    assert(shape(Multimodal.imageNearDupPairs(payloads, "doc_id")) === ((2, 0)))
   }
 
   test("recipe repeat never shuffles: copies are decided row-locally") {
