@@ -1,17 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
-  /** Total bytes of parquet under `dir` (one level of table dirs deep) —
-    * the scale signal the session-config defaults key off. */
-  private def parquetBytes(dir: String): Long = {
-    def sizeOf(f: java.io.File): Long =
-      if (f.isFile) f.length()
-      else Option(f.listFiles()).map(_.map(sizeOf).sum).getOrElse(0L)
-    Option(new java.io.File(dir).listFiles())
-      .map(_.filter(_.getName.endsWith(".parquet")).map(sizeOf).sum)
-      .getOrElse(0L)
-  }
-
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -34,22 +23,19 @@ object Bench {
       // inflation). A tight interval plus the explicit family-barrier
       // System.gc() below moves reclamation to the barriers.
       .config("spark.cleaner.periodicGC.interval", "2min")
-      // Size-aware default for the adaptive machinery: at tiny bench SFs
-      // every exchange is a handful of KB, so AQE's per-stage re-planning
-      // (a query-stage materialization barrier + re-optimization per
-      // exchange) is pure driver overhead on ~90 sub-second entries —
-      // measured r13 full-battery A/B at sf0.1 (17.5 MB of parquet):
-      // 110.1 s AQE-on vs 105.3 s off at matched canaries, with the two
-      // apparent per-entry regressions (a20 +13%, g2 +15%) shown to be
-      // battery-position noise by isolated A/B. At production scale AQE
-      // is load-bearing (skew joins, runtime broadcast, partition
-      // coalescing — the d22 sf10 OOM fix rides it) and stays on. The
-      // 64 MB parquet threshold splits the two regimes: sf0.1 = 17.5 MB
-      // → off, sf1 = 157 MB / sf10 = 1.57 GB → on, matching the configs
-      // the SCALE.md rehearsals published. Env override wins either way.
+      // A/B seam for the adaptive machinery — measured TWICE in r13, and
+      // AQE stays ON both times. Full-battery A/B at sf0.1 at matched
+      // canaries: 110.1 s on vs 105.3 s off — the ~90 sub-second entries
+      // each shed a little per-stage re-planning overhead — BUT the five
+      // join-heavy entries whose runtime broadcast AQE provides regress
+      // far past the 10% gate without it (t14 +17%, t23 +24%, t36 +33%,
+      // v11 +34%, v12 +18%; confirms the earlier noise-confounded A/B's
+      // per-entry story at clean canaries). A 4% total win that taxes
+      // the scale-bearing joins 20-30% is the wrong trade at every SF,
+      // and at production scale AQE is load-bearing outright (skew
+      // joins, partition coalescing — the d22 sf10 OOM fix rides it).
       .config("spark.sql.adaptive.enabled",
-        sys.env.getOrElse("SPARK_GRAFT_AQE",
-          (parquetBytes(sfDir) >= 64L * 1024 * 1024).toString))
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       // A/B seam for the AQE initial partition count: with coalescing on,
       // a high initial count lets heavy exchanges (the d22 candidate
       // aggregation at sf10 OOM'd 32 shared-heap partitions) split across
