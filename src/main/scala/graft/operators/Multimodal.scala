@@ -547,17 +547,23 @@ object Multimodal {
   ): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 5,
       "maxHamming must be in [0, 5] — 6+ would shrink bands below 10 bits")
-    val nb = maxHamming + 1
     val hashed = imageDHash(df, idCol)
       .filter(col("dhash").isNotNull)
       .select(col("id"), col("dhash"))
-    val bandKeys = (0 until nb).map { b =>
-      val lo = b * 60 / nb
-      val width = (b + 1) * 60 / nb - lo
-      struct(lit(b).as("band"),
-        shiftrightunsigned(col("dhash"), lo)
-          .bitwiseAND(lit((1L << width) - 1)).as("bits"))
-    }
+    bandedHamming60Pairs(hashed, hamming60BandKeys(maxHamming + 1),
+      maxHamming, maxBandFreq)
+  }
+
+  /** The shared banded-Hamming pairing stage of [[imageNearDupPairs]] and
+    * [[audioNearDupPairs]]: explode the band keys, bucket on (band, bits),
+    * pair inside the bucket (sorted, id_a < id_b), dedup across bands,
+    * rescore with the exact popcount. `hashed` is (id, dhash). */
+  private def bandedHamming60Pairs(
+      hashed: DataFrame,
+      bandKeys: Seq[org.apache.spark.sql.Column],
+      maxHamming: Int,
+      maxBandFreq: Option[Int]
+  ): DataFrame = {
     val banded = hashed
       .select(col("id"), col("dhash"), explode(array(bandKeys: _*)).as("bk"))
       .select(col("id"), col("dhash"),
@@ -577,6 +583,90 @@ object Multimodal {
       .withColumn("hamming",
         expr("bit_count(dhash_a ^ dhash_b)").cast("int"))
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** The shared maxHamming+1 disjoint-bit-range band keys of the 60-bit
+    * perceptual hashes (pigeonhole: a pair within maxHamming leaves at
+    * least one band untouched). */
+  private def hamming60BandKeys(nb: Int): Seq[org.apache.spark.sql.Column] =
+    (0 until nb).map { b =>
+      val lo = b * 60 / nb
+      val width = (b + 1) * 60 / nb - lo
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("dhash"), lo)
+          .bitwiseAND(lit((1L << width) - 1)).as("bits"))
+    }
+
+  /** 60-bit envelope fingerprint of decoded PCM audio — the audio
+    * sibling of [[dHash60]]: the sample stream (channel-interleaved, as
+    * decoded) splits into 61 windows (window w covers samples
+    * [⌊w·n/61⌋, ⌊(w+1)·n/61⌋) — the same floor-boundary scheme as
+    * [[resizeBox]]), each window's energy is the exact integer sum of
+    * |sample|, and bit w is the energy(w) > energy(w+1) gradient sign.
+    * Energy-envelope SHAPE is what survives amplitude-preserving
+    * resampling (duplicating every sample doubles every window's energy
+    * when the window count divides both lengths — identical signs) and
+    * small local edits (a one-window perturbation flips at most the two
+    * comparisons touching it). None for streams shorter than 61 samples
+    * — no envelope to compare. */
+  def audioDHash60(pcm: PcmAudio): Option[Long] = {
+    val s = pcm.samples
+    val n = s.length
+    if (n < 61) None
+    else {
+      val energy = new Array[Long](61)
+      var w = 0
+      while (w < 61) {
+        val i0 = w * n / 61
+        val i1 = (w + 1) * n / 61
+        var e = 0L
+        var i = i0
+        while (i < i1) { e += math.abs(s(i).toLong); i += 1 }
+        energy(w) = e
+        w += 1
+      }
+      var h = 0L
+      var b = 0
+      while (b < 60) {
+        if (energy(b) > energy(b + 1)) h |= 1L << b
+        b += 1
+      }
+      Some(h)
+    }
+  }
+
+  /** Partition-wise REAL PCM decode → [[audioDHash60]] projection:
+    * (id, n_samples, dhash), NULLs where the payload doesn't decode or
+    * is shorter than the envelope. Payloads never shuffle. */
+  def audioDHash(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val pcm = decodePcm(payload)
+        (id, pcm.map(_.samples.length), pcm.flatMap(audioDHash60))
+      })
+      .toDF("id", "n_samples", "dhash")
+  }
+
+  /** Audio near-dup pairs over [[audioDHash]] — identical machinery to
+    * [[imageNearDupPairs]] (banded pigeonhole candidates, in-bucket
+    * pairing so the PCM decode runs once, popcount rescore, stop-bucket
+    * cap); see there for the scale contract. */
+  def audioNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      maxHamming: Int = 3,
+      maxBandFreq: Option[Int] = None
+  ): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 5,
+      "maxHamming must be in [0, 5] — 6+ would shrink bands below 10 bits")
+    val hashed = audioDHash(df, idCol)
+      .filter(col("dhash").isNotNull)
+      .select(col("id"), col("dhash"))
+    bandedHamming60Pairs(hashed, hamming60BandKeys(maxHamming + 1),
+      maxHamming, maxBandFreq)
   }
 
   // ------------------------------------------------------------------ PCM

@@ -49,6 +49,16 @@ object DocQueries {
     * v2 one-cell +8 brightness jitter, v3 unrelated pattern (seeds
     * "c"/"d"); doc_id % 97 == 0 rows carry an undecodable payload. Cell
     * values are % 240 so the +8 jitter can't wrap. */
+  /** The 32-byte per-group pattern table of the m8-m11 corpora:
+    * md5(g) ++ md5(g||"b") (the v3 unrelated pattern reseeds with
+    * "c"/"d"), byte-for-byte reproducible by the oracle from the hex. */
+  private def md5Table(md: java.security.MessageDigest, seed: String,
+                       salt1: String, salt2: String): Array[Int] = {
+    def digest(x: String): Array[Int] =
+      md.digest(x.getBytes("UTF-8")).map(b => b & 0xff)
+    digest(seed + salt1) ++ digest(seed + salt2)
+  }
+
   private def imagePayloads(s: SparkSession, dir: String): DataFrame =
     cache.getOrElseUpdate((s, dir, "_image_payloads"), {
       import s.implicits._
@@ -56,19 +66,14 @@ object DocQueries {
         .mapPartitions { it =>
           System.setProperty("java.awt.headless", "true")
           val md = java.security.MessageDigest.getInstance("MD5")
-          def bytes32(seed: String, salt1: String, salt2: String): Array[Int] = {
-            def digest(x: String): Array[Int] =
-              md.digest(x.getBytes("UTF-8")).map(b => b & 0xff)
-            digest(seed + salt1) ++ digest(seed + salt2)
-          }
           it.map { id =>
             if (id % 97 == 0) (id, "not an image".getBytes("UTF-8"))
             else {
               val g = id / 4
               val v = (id % 4).toInt
               val tbl =
-                if (v == 3) bytes32(g.toString, "c", "d")
-                else bytes32(g.toString, "", "b")
+                if (v == 3) md5Table(md, g.toString, "c", "d")
+                else md5Table(md, g.toString, "", "b")
               def base(x: Int, y: Int): Int = tbl((x + y * 11) % 32) % 240
               val cx = (1 + g % 9).toInt
               val cy = (g % 6).toInt
@@ -82,6 +87,44 @@ object DocQueries {
                   (x, y) => gray(base(x, y)))
               }
               (id, png)
+            }
+          }
+        }
+        .toDF("doc_id", "payload").cache()
+    })
+
+  /** m10/m11 audio corpus, cached like [[imagePayloads]] and built from
+    * the SAME md5 group tables: 244 16-bit PCM samples per doc (window w
+    * of the 61-window envelope covers samples [4w, 4w+4) exactly),
+    * sample i = 117 · tbl[(5i + i mod 7) mod 32] — the nonlinear index
+    * walk keeps the 61 window energies from collapsing onto a short
+    * byte-table cycle. Variants: v0 base, v1 every-sample-duplicated 2x
+    * resample (window energies double exactly → identical envelope
+    * signs), v2 +100 on one interior window's 4 samples (flips <= 2
+    * bits), v3 unrelated pattern; doc_id % 97 == 0 rows are undecodable. */
+  private def audioPayloads(s: SparkSession, dir: String): DataFrame =
+    cache.getOrElseUpdate((s, dir, "_audio_payloads"), {
+      import s.implicits._
+      table(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.map { id =>
+            if (id % 97 == 0) (id, Array[Byte](1, 2, 3))
+            else {
+              val g = id / 4
+              val v = (id % 4).toInt
+              val tbl =
+                if (v == 3) md5Table(md, g.toString, "c", "d")
+                else md5Table(md, g.toString, "", "b")
+              val wj = (1 + g % 59).toInt
+              def sample(i: Int): Int =
+                117 * tbl((i * 5 + i % 7) % 32) +
+                  (if (v == 2 && i / 4 == wj) 100 else 0)
+              val base = Array.tabulate(244)(sample)
+              val samples: Array[Short] =
+                if (v == 1) Array.tabulate(488)(i => base(i / 2).toShort)
+                else base.map(_.toShort)
+              (id, Multimodal.syntheticWavPcm(8000, 1, samples))
             }
           }
         }
@@ -708,6 +751,53 @@ object DocQueries {
        |                       ELSE 0 END) AS BIGINT) AS dhash
        |  FROM cells l
        |  JOIN cells r ON r.doc_id = l.doc_id AND r.y = l.y AND r.x = l.x + 1
+       |  GROUP BY l.doc_id
+       | )""".stripMargin
+  }
+
+  /** Shared m10/m11 CTE chain: the envelope dHash60 of every decodable
+    * synthesized WAV, rebuilt from the same md5 byte tables — sample i =
+    * 117 · byte[(5i + i mod 7) mod 32] plus the v2 one-window +100
+    * jitter; 61 windows of exactly 4 samples (n = 244), energy = window
+    * sum, bit w = energy(w) > energy(w+1). The v1 2x resample doubles
+    * every energy exactly, so its hash mirrors through the base formula
+    * — which IS the resample-invariance statement. */
+  private lazy val audioHashCte = {
+    val byteOf =
+      "16 * (strpos('0123456789abcdef', substr(%s, 2 * (%s) + 1, 1)) - 1)" +
+        " + (strpos('0123456789abcdef', substr(%s, 2 * (%s) + 2, 1)) - 1)"
+    val j = "(i.i * 5 + i.i % 7) % 32"
+    val fromA = byteOf.format("s.ha", j, "s.ha", j)
+    val fromB = byteOf.format("s.hb", s"$j - 16", "s.hb", s"$j - 16")
+    s"""WITH ids AS (
+       |  SELECT doc_id, CAST(doc_id % 4 AS INT) AS v, doc_id // 4 AS g
+       |  FROM documents
+       | ),
+       | seeds AS (
+       |  SELECT doc_id, v, g,
+       |         CASE WHEN v = 3 THEN md5(CAST(g AS VARCHAR) || 'c')
+       |              ELSE md5(CAST(g AS VARCHAR)) END AS ha,
+       |         CASE WHEN v = 3 THEN md5(CAST(g AS VARCHAR) || 'd')
+       |              ELSE md5(CAST(g AS VARCHAR) || 'b') END AS hb
+       |  FROM ids WHERE doc_id % 97 <> 0
+       | ),
+       | samples AS (
+       |  SELECT s.doc_id, i.i // 4 AS w,
+       |         117 * (CASE WHEN $j < 16 THEN $fromA ELSE $fromB END)
+       |         + CASE WHEN s.v = 2 AND i.i // 4 = 1 + s.g % 59
+       |                THEN 100 ELSE 0 END AS smp
+       |  FROM seeds s, generate_series(0, 243) i(i)
+       | ),
+       | energies AS (
+       |  SELECT doc_id, w, SUM(smp) AS e FROM samples GROUP BY doc_id, w
+       | ),
+       | ahashes AS (
+       |  SELECT l.doc_id,
+       |         CAST(SUM(CASE WHEN l.e > r.e
+       |                       THEN (1::BIGINT << CAST(l.w AS INT))
+       |                       ELSE 0 END) AS BIGINT) AS dhash
+       |  FROM energies l
+       |  JOIN energies r ON r.doc_id = l.doc_id AND r.w = l.w + 1
        |  GROUP BY l.doc_id
        | )""".stripMargin
   }
@@ -1883,6 +1973,24 @@ object DocQueries {
     // rescore structurally.
     "m9_image_neardup" -> ((s, dir) =>
       Multimodal.imageNearDupPairs(imagePayloads(s, dir), "doc_id",
+          maxHamming = 3)
+        .orderBy("id_a", "id_b")),
+
+    // M10: REAL audio fingerprinting end-to-end — PCM WAVs synthesized
+    // from the same md5 group tables, decoded by hand, envelope-hashed
+    // (61 window energies → 60 gradient signs). The 2x resample variant
+    // doubles every window energy exactly, so its hash is bit-identical
+    // to the base — the invariance the fingerprint exists for; the
+    // oracle rebuilds every hash from the bytes without touching a WAV.
+    "m10_audio_dhash" -> ((s, dir) =>
+      Multimodal.audioDHash(audioPayloads(s, dir), "doc_id")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
+    // M11: audio near-dup pairs — the same banded Hamming machinery as
+    // m9 over the envelope hashes, mirrored structurally.
+    "m11_audio_neardup" -> ((s, dir) =>
+      Multimodal.audioNearDupPairs(audioPayloads(s, dir), "doc_id",
           maxHamming = 3)
         .orderBy("id_a", "id_b")),
 
@@ -3908,6 +4016,39 @@ object DocQueries {
          |       h.dhash
          |FROM ids i LEFT JOIN hashes h ON h.doc_id = i.doc_id
          |ORDER BY i.doc_id""".stripMargin,
+
+    // M10: every envelope hash rebuilt from the md5 byte tables — the 2x
+    // resample variant mirrors through the base energies (doubling is
+    // exact), undecodable rows NULL
+    "m10_audio_dhash" ->
+      s"""$audioHashCte
+         |SELECT i.doc_id,
+         |       CAST(CASE WHEN i.doc_id % 97 = 0 THEN NULL
+         |                 WHEN i.v = 1 THEN 488 ELSE 244 END AS INT) AS n_samples,
+         |       h.dhash
+         |FROM ids i LEFT JOIN ahashes h ON h.doc_id = i.doc_id
+         |ORDER BY i.doc_id""".stripMargin,
+
+    // M11: the m9 band/rescore mirror over the audio envelope hashes
+    "m11_audio_neardup" ->
+      s"""$audioHashCte,
+         | bands AS (
+         |  SELECT doc_id, dhash, b.band,
+         |         (dhash >> CAST(b.band * 15 AS INT)) & 32767 AS bits
+         |  FROM ahashes, generate_series(0, 3) b(band)
+         | ),
+         | cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+         |         a.dhash AS dhash_a, c.dhash AS dhash_b
+         |  FROM bands a
+         |  JOIN bands c ON c.band = a.band AND c.bits = a.bits
+         |              AND a.doc_id < c.doc_id
+         | )
+         |SELECT id_a, id_b, dhash_a, dhash_b,
+         |       CAST(bit_count(xor(dhash_a, dhash_b)) AS INT) AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(dhash_a, dhash_b)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // M9: the banded Hamming join mirrored structurally — same 4 x 15-bit
     // band keys, same pigeonhole candidate set, same popcount rescore

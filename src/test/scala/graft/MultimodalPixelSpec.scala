@@ -277,6 +277,87 @@ class MultimodalPixelSpec extends SparkSpec {
     assert(out(2).getInt(1) === 4 && out(2).isNullAt(3))
   }
 
+  // ---- audioDHash60 / audio near-dup ----------------------------------
+
+  /** 61 samples (one per envelope window) whose audioDHash60 has EXACTLY
+    * the given bits: each set bit steps the |sample| down by 1. */
+  private def audioOfBits(bits: Set[Int]): Array[Short] = {
+    val s = new Array[Short](61)
+    s(0) = 1000
+    for (w <- 0 until 60)
+      s(w + 1) = (s(w) - (if (bits(w)) 1 else 0)).toShort
+    s
+  }
+
+  test("audioDHash60: hand-computed envelopes, abs energy, uneven windows") {
+    import Multimodal.PcmAudio
+    def pcm(s: Array[Short]) = PcmAudio(8000, 1, 16, s.map(_.toInt))
+    // strictly rising |sample| -> no bit; strictly falling -> all 60
+    assert(Multimodal.audioDHash60(
+      pcm(Array.tabulate(61)(i => (100 + i).toShort))) === Some(0L))
+    assert(Multimodal.audioDHash60(
+      pcm(Array.tabulate(61)(i => (200 - i).toShort))) === Some((1L << 60) - 1))
+    // energy is |sample|: a falling NEGATIVE ramp is a rising envelope
+    assert(Multimodal.audioDHash60(
+      pcm(Array.tabulate(61)(i => (-100 - i).toShort))) === Some(0L))
+    // uneven windows (n = 100): windows are [w*100/61, (w+1)*100/61) —
+    // recompute the same floor arithmetic independently and compare
+    val arr = Array.tabulate(100)(i => ((i * 37 + 11) % 200 - 100).toShort)
+    val e = Array.tabulate(61) { w =>
+      (w * 100 / 61 until (w + 1) * 100 / 61)
+        .map(i => math.abs(arr(i).toLong)).sum
+    }
+    val expect = (0 until 60).filter(w => e(w) > e(w + 1))
+      .map(1L << _).foldLeft(0L)(_ | _)
+    assert(Multimodal.audioDHash60(pcm(arr)) === Some(expect))
+    // the bit-encoding helper is exact
+    val s = Set(3, 14, 29, 44, 58)
+    val h = Multimodal.audioDHash60(pcm(audioOfBits(s))).get
+    assert((0 until 60).filter(b => (h >> b & 1L) == 1L).toSet === s)
+  }
+
+  test("audioDHash60 is invariant under exact sample duplication") {
+    val base = Array.tabulate(183)(i => ((i * 53 + 7) % 300 - 150).toShort)
+    val doubled = Array.tabulate(366)(i => base(i / 2))
+    def pcm(s: Array[Short]) = Multimodal.PcmAudio(8000, 1, 16, s.map(_.toInt))
+    val h1 = Multimodal.audioDHash60(pcm(base))
+    val h2 = Multimodal.audioDHash60(pcm(doubled))
+    assert(h1.isDefined && h1 === h2)
+  }
+
+  test("audioDHash60 is None below 61 samples; audioDHash NULLs bad rows") {
+    import spark.implicits._
+    assert(Multimodal.audioDHash60(
+      Multimodal.PcmAudio(8000, 1, 16, Array.fill(60)(5))).isEmpty)
+    val in = Seq(
+      (1L, Multimodal.syntheticWavPcm(8000, 1,
+        Array.tabulate(61)(i => (200 - i).toShort))),
+      (2L, Array[Byte](9, 9, 9)),
+      (3L, Multimodal.syntheticWavPcm(8000, 1, Array[Short](1, 2, 3))))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.audioDHash(in, "doc_id").orderBy("id").collect()
+    assert(out(0).getLong(2) === (1L << 60) - 1)
+    assert(out(1).isNullAt(1) && out(1).isNullAt(2))
+    assert(out(2).getInt(1) === 3 && out(2).isNullAt(2))
+  }
+
+  test("audioNearDupPairs: same pigeonhole contract as the image path") {
+    import spark.implicits._
+    val sA = Set(7, 33)
+    def wav(bits: Set[Int]) =
+      Multimodal.syntheticWavPcm(8000, 1, audioOfBits(bits))
+    val in = Seq(
+      (1L, wav(sA)),
+      (2L, wav(sA)),                          // identical -> hamming 0
+      (3L, wav(sA ++ Set(50, 51, 52, 53))),   // 4 flips -> over the cap
+      (4L, wav(sA ++ Set(15, 16, 17)))        // 3 flips all in band 1
+    ).toDF("doc_id", "payload")
+    val pairs = Multimodal.audioNearDupPairs(in, "doc_id", maxHamming = 3)
+      .select("id_a", "id_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs === Set((1L, 2L, 0), (1L, 4L, 3), (2L, 4L, 3)))
+  }
+
   test("imageNearDupPairs: banding is lossless at the Hamming cap") {
     import spark.implicits._
     val sA = Set(5, 17)
