@@ -128,6 +128,18 @@ object TextFunctions {
     call_function("deflate_len", c)
   }
 
+  /** Mojibake repair (native [[FixMojibake]]): unwind cp1252-misdecoded
+    * UTF-8 ("cafÃ©" → "café", the double-encoded "Ã¢â‚¬â„¢" apostrophe →
+    * "’") to a bounded fixpoint; strings that are not a cp1252 image of
+    * valid UTF-8 — including genuinely-Latin-1 text — pass through
+    * unchanged. The standard curation-pipeline text hygiene step next to
+    * the native `nfc_normalize`. */
+  def fixMojibake(c: Column): Column = {
+    graft.plans.GraftExtensions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("fix_mojibake", c)
+  }
+
   /** `inflate(deflate(text)) == text` witness (native [[DeflateRoundtrip]]).
     * The oracle-adjudicable form of the compression signal: DuckDB can't
     * mirror raw-DEFLATE lengths but CAN assert this boolean is universally

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{BestCentroid, BestCentroidProbe, BloomProbe, BucketPairs, DeflateLen, DeflateRoundtrip, JaroWinklerSim, LshBuckets, MinHash64, NfcNormalize, PhraseCount, ShingleHash60, SimHash60, VectorDot, Winnow60, ZOrder60}
+import graft.functions.{BestCentroid, BestCentroidProbe, BloomProbe, BucketPairs, DeflateLen, DeflateRoundtrip, FixMojibake, JaroWinklerSim, LshBuckets, MinHash64, NfcNormalize, PhraseCount, ShingleHash60, SimHash60, VectorDot, Winnow60, ZOrder60}
 
 /** Session extensions registering the engine's native Catalyst functions.
   * Install with `spark.sql.extensions=graft.plans.GraftExtensions`, or call
@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.bucketPairs)
     ext.injectFunction(GraftExtensions.bestCentroid)
     ext.injectFunction(GraftExtensions.nfcNormalize)
+    ext.injectFunction(GraftExtensions.fixMojibake)
     ext.injectFunction(GraftExtensions.phraseCount)
     ext.injectFunction(GraftExtensions.jaroWinkler)
     ext.injectFunction(GraftExtensions.bloomProbe)
@@ -103,6 +104,15 @@ object GraftExtensions {
     (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
       require(children.length == 1, "nfc_normalize takes exactly 1 argument")
       NfcNormalize(children.head)
+    }
+  )
+
+  private val fixMojibake = (
+    new FunctionIdentifier("fix_mojibake"),
+    new ExpressionInfo(classOf[FixMojibake].getName, "fix_mojibake"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.length == 1, "fix_mojibake takes exactly 1 argument")
+      FixMojibake(children.head)
     }
   )
 
@@ -207,7 +217,7 @@ object GraftExtensions {
 
   private val all =
     Seq(vecDot, simHash60, zOrder60, deflateLen, deflateRoundtrip, minHash64,
-      winnow60, shingleHash60, bucketPairs, bestCentroid, nfcNormalize,
+      winnow60, shingleHash60, bucketPairs, bestCentroid, nfcNormalize, fixMojibake,
       phraseCount, jaroWinkler, bloomProbe, bestCentroidProbe, lshBucketsFn)
 
   /** Idempotently register the functions on a live session. */

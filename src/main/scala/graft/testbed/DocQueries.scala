@@ -2044,6 +2044,34 @@ object DocQueries {
         .orderBy("doc_id")
     }),
 
+    // T49: mojibake repair (native fix_mojibake) — per-doc text built
+    // from five accented phrases, corrupted by doc_id % 3: clean /
+    // cp1252-misdecoded once / misdecoded twice. The mojibake literals
+    // are computed at plan-build time by the REAL misdecode (ASCII
+    // suffixes commute with it), the engine unwinds them at scan speed,
+    // and the oracle states the expected CLEAN text directly from the
+    // same arithmetic — a repair bug at any depth, or a spurious change
+    // to the clean rows, breaks the hash compare
+    "t49_fix_mojibake" -> ((s, dir) => {
+      def moji(x: String): String = new String(x.getBytes("UTF-8"), "windows-1252")
+      val phrases = Seq("café déjà vu", "naïve coöperation",
+        "don’t «quote» me", "price €99 – 50¢", "mañana señor")
+      val id = col("doc_id")
+      def pick(opts: Seq[String]): org.apache.spark.sql.Column =
+        element_at(array(opts.map(lit): _*), (id % 5 + 1).cast("int"))
+      val rawP = when(id % 3 === 0, pick(phrases))
+        .when(id % 3 === 1, pick(phrases.map(moji)))
+        .otherwise(pick(phrases.map(p => moji(moji(p)))))
+      val raw = concat(rawP, lit(" #"), id.cast("string"))
+      table(s, dir, "documents")
+        .select(id, raw.as("raw_text"))
+        .select(col("doc_id"),
+          TextFunctions.fixMojibake(col("raw_text")).as("fixed_text"),
+          (TextFunctions.fixMojibake(col("raw_text")) =!= col("raw_text"))
+            .as("changed"))
+        .orderBy("doc_id")
+    }),
+
     // T47: native Jaro-Winkler scoring — each doc's t45-style variant
     // name scored against its group's canonical form AND against a
     // reversed decoy; the oracle recomputes through DuckDB's
@@ -4159,6 +4187,22 @@ object DocQueries {
         |       || (CASE WHEN doc_id % 3 = 2 THEN '' ELSE '?a=1&b=2' END)
         |         AS canonical_url,
         |       'www.site' || (doc_id % 7) || '.com' AS host
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // T49: the expected CLEAN text stated directly from the generative
+    // arithmetic — the engine must unwind one and two cp1252 misdecodes
+    // to exactly this, and must leave the clean rows (doc_id % 3 = 0)
+    // byte-identical
+    "t49_fix_mojibake" ->
+      """SELECT doc_id,
+        |       (CASE CAST(doc_id % 5 AS INT)
+        |             WHEN 0 THEN 'café déjà vu'
+        |             WHEN 1 THEN 'naïve coöperation'
+        |             WHEN 2 THEN 'don’t «quote» me'
+        |             WHEN 3 THEN 'price €99 – 50¢'
+        |             ELSE 'mañana señor' END)
+        |       || ' #' || CAST(doc_id AS VARCHAR) AS fixed_text,
+        |       doc_id % 3 <> 0 AS changed
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // T48: the same extraction chain re-implemented in DuckDB's RE2 —

@@ -87,6 +87,41 @@ class QualityOpsSpec extends SparkSpec {
     twice.foreach(r => assert(r.getString(0) === r.getString(1)))
   }
 
+  test("fix_mojibake unwinds one and two cp1252 misdecodes, leaves the rest") {
+    import spark.implicits._
+    def moji(x: String): String = new String(x.getBytes("UTF-8"), "windows-1252")
+    // the apostrophe chain: ’ -> â€™ -> Ã¢â‚¬â„¢ (the classic sighting)
+    assert(moji("don’t") === "donâ€™t")
+    val in = Seq(
+      (1L, moji("café déjà")),        // single misdecode
+      (2L, moji(moji("don’t «q»"))),  // double misdecode
+      (3L, "café already clean"),               // genuine Latin-1 text
+      (4L, "plain ascii"),                           // fast path
+      (5L, "literal Ã© stays repaired"))   // the documented trade
+      .toDF("id", "t")
+    val out = in.selectExpr("id", "fix_mojibake(t) AS f")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "café déjà")
+    assert(out(2L) === "don’t «q»")
+    // é alone re-encodes to 0xE9, which is not valid UTF-8 -> untouched
+    assert(out(3L) === "café already clean")
+    assert(out(4L) === "plain ascii")
+    // "Ã©" IS a cp1252 image of UTF-8 é — the false positive every
+    // mojibake fixer accepts, pinned so the convention can't drift
+    assert(out(5L) === "literal é stays repaired")
+    // idempotent: a repaired corpus re-repairs to itself
+    val twice = in.selectExpr("fix_mojibake(fix_mojibake(t)) AS f2",
+      "fix_mojibake(t) AS f1").collect()
+    twice.foreach(r => assert(r.getString(0) === r.getString(1)))
+    // the cp1252-undefined-byte boundary: a misdecode that hit 0x9D
+    // replaced it with U+FFFD at corruption time — unrecoverable by
+    // construction, must pass through rather than corrupt further
+    val destroyed = moji("curly ” quote")
+    assert(destroyed.contains('�'))
+    assert(Seq(Tuple1(destroyed)).toDF("t")
+      .selectExpr("fix_mojibake(t) AS f").head().getString(0) === destroyed)
+  }
+
   test("keepBestQuality keeps the max-quality member, ties to lowest id") {
     import spark.implicits._
     val d = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
