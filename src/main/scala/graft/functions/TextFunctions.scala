@@ -140,6 +140,17 @@ object TextFunctions {
     call_function("fix_mojibake", c)
   }
 
+  /** Checksum-validated credit-card scrubbing (native [[LuhnScrub]]):
+    * 13-19 digit runs (single space/dash separators allowed) are masked
+    * as `<CC>` only when they pass the Luhn mod-10 check, so phone
+    * numbers, order ids, and timestamps survive while well-formed PANs
+    * never leak. Compose with [[scrubPii]] for the full hygiene pass. */
+  def luhnScrub(c: Column): Column = {
+    graft.plans.GraftExtensions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("luhn_scrub", c)
+  }
+
   /** `inflate(deflate(text)) == text` witness (native [[DeflateRoundtrip]]).
     * The oracle-adjudicable form of the compression signal: DuckDB can't
     * mirror raw-DEFLATE lengths but CAN assert this boolean is universally

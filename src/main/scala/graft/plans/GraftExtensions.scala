@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{BestCentroid, BestCentroidProbe, BloomProbe, BucketPairs, DeflateLen, DeflateRoundtrip, FixMojibake, JaroWinklerSim, LshBuckets, MinHash64, NfcNormalize, PhraseCount, ShingleHash60, SimHash60, VectorDot, Winnow60, ZOrder60}
+import graft.functions.{BestCentroid, BestCentroidProbe, BloomProbe, BucketPairs, DeflateLen, DeflateRoundtrip, FixMojibake, JaroWinklerSim, LshBuckets, LuhnScrub, MinHash64, NfcNormalize, PhraseCount, ShingleHash60, SimHash60, VectorDot, Winnow60, ZOrder60}
 
 /** Session extensions registering the engine's native Catalyst functions.
   * Install with `spark.sql.extensions=graft.plans.GraftExtensions`, or call
@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.bestCentroid)
     ext.injectFunction(GraftExtensions.nfcNormalize)
     ext.injectFunction(GraftExtensions.fixMojibake)
+    ext.injectFunction(GraftExtensions.luhnScrub)
     ext.injectFunction(GraftExtensions.phraseCount)
     ext.injectFunction(GraftExtensions.jaroWinkler)
     ext.injectFunction(GraftExtensions.bloomProbe)
@@ -104,6 +105,15 @@ object GraftExtensions {
     (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
       require(children.length == 1, "nfc_normalize takes exactly 1 argument")
       NfcNormalize(children.head)
+    }
+  )
+
+  private val luhnScrub = (
+    new FunctionIdentifier("luhn_scrub"),
+    new ExpressionInfo(classOf[LuhnScrub].getName, "luhn_scrub"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.length == 1, "luhn_scrub takes exactly 1 argument")
+      LuhnScrub(children.head)
     }
   )
 
@@ -217,7 +227,7 @@ object GraftExtensions {
 
   private val all =
     Seq(vecDot, simHash60, zOrder60, deflateLen, deflateRoundtrip, minHash64,
-      winnow60, shingleHash60, bucketPairs, bestCentroid, nfcNormalize, fixMojibake,
+      winnow60, shingleHash60, bucketPairs, bestCentroid, nfcNormalize, fixMojibake, luhnScrub,
       phraseCount, jaroWinkler, bloomProbe, bestCentroidProbe, lshBucketsFn)
 
   /** Idempotently register the functions on a live session. */

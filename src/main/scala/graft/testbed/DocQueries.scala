@@ -2072,6 +2072,43 @@ object DocQueries {
         .orderBy("doc_id")
     }),
 
+    // T50: Luhn-validated credit-card scrubbing (native luhn_scrub) —
+    // per-doc card numbers whose check digit the synthesis computes by
+    // the REAL Luhn rule, so the oracle can reconstruct them digit for
+    // digit in SQL: valid plain / valid dash-grouped cards must mask to
+    // <CC>, a check-digit-broken card and a short digit run must stay
+    // byte-identical. A scrubber that regexes without the checksum (or
+    // gets the checksum wrong in either direction) fails the hash compare
+    "t50_cc_scrub" -> ((s, dir) => {
+      import s.implicits._
+      val raw = table(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val d = Array.tabulate(15)(j => (((id + 1) * (j + 3) * 7919) % 10).toInt)
+          // card = d14 .. d0 then the check digit; d_j sits at position
+          // j+2 from the right, so j-even digits double under Luhn
+          val s15 = (14 to 0 by -1).map(d).mkString
+          val sum = d.zipWithIndex.map { case (x, j) =>
+            if (j % 2 == 0) { val y = 2 * x; if (y > 9) y - 9 else y } else x
+          }.sum
+          val c = (10 - sum % 10) % 10
+          val cbad = (c + 5) % 10
+          val card = s15 + c
+          val text = (id % 4).toInt match {
+            case 0 => s"pay $card today #$id"
+            case 1 => s"card ${card.grouped(4).mkString("-")} on file #$id"
+            case 2 => s"pay $s15$cbad today #$id"
+            case _ => s"order ${s15.take(8)} #$id"
+          }
+          (id, text)
+        })
+        .toDF("doc_id", "raw_text")
+      raw.select(col("doc_id"),
+          TextFunctions.luhnScrub(col("raw_text")).as("scrubbed"),
+          (TextFunctions.luhnScrub(col("raw_text")) =!= col("raw_text"))
+            .as("changed"))
+        .orderBy("doc_id")
+    }),
+
     // T47: native Jaro-Winkler scoring — each doc's t45-style variant
     // name scored against its group's canonical form AND against a
     // reversed decoy; the oracle recomputes through DuckDB's
@@ -4188,6 +4225,43 @@ object DocQueries {
         |         AS canonical_url,
         |       'www.site' || (doc_id % 7) || '.com' AS host
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // T50: the same cards reconstructed digit for digit — the Luhn check
+    // digit restated by the identical mod-10 rule — and the expected
+    // masking decision stated per variant
+    "t50_cc_scrub" ->
+      """WITH ids AS (
+        |  SELECT doc_id, CAST(doc_id % 4 AS INT) AS v FROM documents
+        | ),
+        | d AS (
+        |  SELECT doc_id, j.j AS j,
+        |         CAST(((doc_id + 1) * (j.j + 3) * 7919) % 10 AS INT) AS dg
+        |  FROM documents, generate_series(0, 14) j(j)
+        | ),
+        | agg AS (
+        |  SELECT doc_id,
+        |         string_agg(CAST(dg AS VARCHAR), '' ORDER BY j DESC) AS d15,
+        |         SUM(CASE WHEN j % 2 = 0
+        |                  THEN CASE WHEN 2 * dg > 9 THEN 2 * dg - 9 ELSE 2 * dg END
+        |                  ELSE dg END) AS s
+        |  FROM d GROUP BY doc_id
+        | ),
+        | card AS (
+        |  SELECT doc_id, d15,
+        |         CAST((10 - s % 10) % 10 AS INT) AS c,
+        |         CAST((10 - s % 10 + 5) % 10 AS INT) AS cbad
+        |  FROM agg
+        | )
+        |SELECT i.doc_id,
+        |       (CASE i.v
+        |             WHEN 0 THEN 'pay <CC> today'
+        |             WHEN 1 THEN 'card <CC> on file'
+        |             WHEN 2 THEN 'pay ' || k.d15 || CAST(k.cbad AS VARCHAR) || ' today'
+        |             ELSE 'order ' || substr(k.d15, 1, 8) END)
+        |       || ' #' || CAST(i.doc_id AS VARCHAR) AS scrubbed,
+        |       i.v IN (0, 1) AS changed
+        |FROM ids i JOIN card k USING (doc_id)
+        |ORDER BY i.doc_id""".stripMargin,
 
     // T49: the expected CLEAN text stated directly from the generative
     // arithmetic — the engine must unwind one and two cp1252 misdecodes

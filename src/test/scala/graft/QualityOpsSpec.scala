@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
+import graft.functions.LuhnScrub
 import graft.operators.{Dedup, Keywords}
 
 /** Hand-computed fixtures for the round-10 quality operators: bigram-LM
@@ -120,6 +121,36 @@ class QualityOpsSpec extends SparkSpec {
     assert(destroyed.contains('�'))
     assert(Seq(Tuple1(destroyed)).toDF("t")
       .selectExpr("fix_mojibake(t) AS f").head().getString(0) === destroyed)
+  }
+
+  test("luhn_scrub masks only checksum-valid card runs") {
+    import spark.implicits._
+    def scrub(t: String): String =
+      Seq(Tuple1(t)).toDF("t").selectExpr("luhn_scrub(t) AS f")
+        .head().getString(0)
+    // the classic test PANs: 4111111111111111 and 4539148803436467 pass
+    // Luhn; flipping the last digit must break them
+    assert(LuhnScrub.luhnValid("4111111111111111"))
+    assert(!LuhnScrub.luhnValid("4111111111111112"))
+    assert(scrub("pay 4111111111111111 now") === "pay <CC> now")
+    assert(scrub("pay 4111111111111112 now") === "pay 4111111111111112 now")
+    // separators: dash groups and space groups both mask
+    assert(scrub("card 4539-1488-0343-6467.") === "card <CC>.")
+    assert(scrub("card 4539 1488 0343 6467.") === "card <CC>.")
+    // a 20-digit run is not a card and no sub-window of it is masked
+    assert(scrub("id 41111111111111110000 x") === "id 41111111111111110000 x")
+    // short runs (phone numbers, order ids) never match
+    assert(scrub("call 555 1234 today") === "call 555 1234 today")
+    // two cards in one row, mixed validity
+    assert(scrub("a 4111111111111111 b 4111111111111112 c")
+      === "a <CC> b 4111111111111112 c")
+    // 13-digit lower bound (old Visa): valid masks, 12 digits can't match
+    assert(LuhnScrub.luhnValid("4222222222222"))
+    assert(scrub("v 4222222222222 w") === "v <CC> w")
+    assert(scrub("v 422222222222 w") === "v 422222222222 w")
+    // card-free text returns the input reference (the fast path)
+    val s = "no numbers here"
+    assert(LuhnScrub.scrub(s) eq s)
   }
 
   test("keepBestQuality keeps the max-quality member, ties to lowest id") {
