@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
 import graft.operators.{Classifier, Dedup, Keywords, Multimodal, Packing, Salted, Sampling, Similarity, Sketches}
+import graft.sources.Warc
 
 /** LLM-training-data pipeline battery over the `documents` / `embeddings`
   * tables: text analysis, language ID, fingerprinting, exact + near dedup,
@@ -1975,6 +1976,40 @@ object DocQueries {
       Multimodal.imageNearDupPairs(imagePayloads(s, dir), "doc_id",
           maxHamming = 3)
         .orderBy("id_a", "id_b")),
+
+    // S5: REAL WARC ingestion end-to-end — per-doc WARC files (warcinfo
+    // + 1-3 HTTP response records, gzipped one-member-per-record for
+    // even ids exactly like Common Crawl ships) built by the writer
+    // face, parsed back by the real record walk, HTTP bodies extracted;
+    // the oracle restates every record's metadata, payload length, and
+    // body from the generative arithmetic. Corrupt payloads parse to
+    // zero records rather than failing the file.
+    "s5_warc_read" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = table(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          if (id % 97 == 0) (id, "garbage not warc".getBytes("UTF-8"))
+          else {
+            val k = 1 + (id % 3).toInt
+            val info = Warc.WarcRecord("warcinfo", None, None,
+              Some("application/warc-fields"),
+              "software: graft\r\n".getBytes("UTF-8"))
+            val resps = (0 until k).map { i =>
+              Warc.WarcRecord("response",
+                Some(s"http://site${id % 7}.com/p$i"),
+                Some("2024-01-01T00:00:00Z"),
+                Some("application/http; msgtype=response"),
+                ("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n" +
+                  s"body $id $i end").getBytes("UTF-8"))
+            }
+            (id, Warc.build(info +: resps, gzipPerRecord = id % 2 == 0))
+          }
+        })
+        .toDF("doc_id", "payload")
+      Warc.records(payloads, "doc_id")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "rec_idx")
+    }),
 
     // M10: REAL audio fingerprinting end-to-end — PCM WAVs synthesized
     // from the same md5 group tables, decoded by hand, envelope-hashed
@@ -4081,6 +4116,36 @@ object DocQueries {
          |       h.dhash
          |FROM ids i LEFT JOIN hashes h ON h.doc_id = i.doc_id
          |ORDER BY i.doc_id""".stripMargin,
+
+    // S5: every WARC record restated from the generative arithmetic —
+    // the warcinfo's fixed 17-byte payload, each response's URI, the
+    // HTTP header block's 45 bytes + the body's 11 + |digits(id)|, and
+    // the extracted body string; corrupt files contribute no rows
+    "s5_warc_read" ->
+      """WITH ids AS (
+        |  SELECT doc_id, CAST(doc_id % 3 AS INT) + 1 AS k
+        |  FROM documents WHERE doc_id % 97 <> 0
+        | ),
+        | recs AS (
+        |  SELECT doc_id, CAST(0 AS INT) AS rec_idx,
+        |         'warcinfo' AS record_type,
+        |         CAST(NULL AS VARCHAR) AS target_uri,
+        |         CAST(NULL AS VARCHAR) AS warc_date,
+        |         CAST(17 AS BIGINT) AS payload_len,
+        |         CAST(NULL AS VARCHAR) AS http_body
+        |  FROM ids
+        |  UNION ALL
+        |  SELECT doc_id, CAST(i.i + 1 AS INT),
+        |         'response',
+        |         'http://site' || (doc_id % 7) || '.com/p' || i.i,
+        |         '2024-01-01T00:00:00Z',
+        |         CAST(56 + length(CAST(doc_id AS VARCHAR)) AS BIGINT),
+        |         'body ' || CAST(doc_id AS VARCHAR) || ' ' || i.i || ' end'
+        |  FROM ids, generate_series(0, 2) i(i) WHERE i.i < k
+        | )
+        |SELECT doc_id, rec_idx, record_type, target_uri, warc_date,
+        |       payload_len, http_body
+        |FROM recs ORDER BY doc_id, rec_idx""".stripMargin,
 
     // M10: every envelope hash rebuilt from the md5 byte tables — the 2x
     // resample variant mirrors through the base energies (doubling is
