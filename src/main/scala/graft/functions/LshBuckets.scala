@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, StructField, StructType}
 
 /** Native multi-table random-hyperplane LSH bucketing: all
   * `tables × planesPerTable` sign bits of one vector in a single tight
@@ -39,6 +39,20 @@ case class LshBuckets(child: Expression, dims: Int, tables: Int, planes: Int)
       StructField("bucket", IntegerType, nullable = false))),
     containsNull = false)
   override def prettyName: String = "lsh_buckets"
+
+  // the tree form this replaced cast ANY numeric array to array<double>;
+  // here the element read is typed, so unsupported element types must be
+  // rejected at analysis — v.getDouble over an int array would silently
+  // reinterpret 4-byte slots as doubles and bucket garbage
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"lsh_buckets expects array<float> or array<double>, got " +
+            other.catalogString)
+    }
 
   @transient private lazy val isFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true

@@ -19,9 +19,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Candidate grammar: `(?<![0-9-])\d(?:[ -]?\d){12,18}(?![0-9-])` —
   * starts and ends on a digit, at most one separator between digits,
-  * and the lookarounds reject runs embedded in longer digit/dash
-  * sequences (a 20+ digit run is NOT a card and no sub-window of it is
-  * masked). Deterministic pure function; card-free rows return on a
+  * and the lookarounds reject candidates embedded in longer CONTIGUOUS
+  * digit/dash sequences (a 20-digit contiguous run is not a card and no
+  * sub-window of it is masked). SPACE-grouped runs longer than 19
+  * digits are deliberately not protected the same way: a Luhn-valid
+  * 13-19 digit prefix of "4111 1111 1111 1111 0000" still masks,
+  * because for a PII scrubber the asymmetric risk says over-redact —
+  * rejecting any digit-space-adjacent candidate to avoid that would
+  * also skip a real PAN in "qty 2 4111111111111111", which is a leak.
+  * Deterministic pure function; card-free rows return on a
   * no-allocation fast path, so the scrub runs at scan speed inside
   * whole-stage codegen. */
 case class LuhnScrub(child: Expression) extends UnaryExpression {
@@ -68,14 +74,30 @@ object LuhnScrub {
   }
 
   /** Mask every Luhn-valid candidate run as `<CC>`; returns the input
-    * REFERENCE unchanged (no allocation) when no candidate exists. */
+    * REFERENCE unchanged (no allocation) when no candidate exists.
+    *
+    * After a candidate FAILS Luhn, the scan resumes one character into
+    * it rather than past it — a failed candidate must not shadow a card
+    * it contains: "qty 2 4111111111111111" first matches the glued
+    * "2 4111..." 17-digit window (invalid), and only the resume finds
+    * the real PAN inside. Leak-averse like everything else here; the
+    * cost is bounded (each failed candidate advances at least one char,
+    * and a candidate is at most 37 chars). */
   def scrub(s: String): String = {
     val m = CardPattern.matcher(s)
+    // transparent bounds keep the lookarounds honest when the scan
+    // resumes mid-string: a candidate attempt after a resume still sees
+    // the digit before it (so contiguous-run sub-windows keep failing
+    // the lookbehind), while a space-preceded card inside a failed
+    // glued candidate is found
+    m.useTransparentBounds(true)
     if (!m.find()) return s
     val sb = new java.lang.StringBuilder(s.length)
     var last = 0
     var changed = false
-    do {
+    var from = 0
+    var found = true
+    while (found) {
       val g = m.group()
       var digits = g
       if (g.indexOf(' ') >= 0 || g.indexOf('-') >= 0) {
@@ -86,11 +108,16 @@ object LuhnScrub {
         }
         digits = b.toString
       }
-      sb.append(s, last, m.start)
-      if (luhnValid(digits)) { sb.append("<CC>"); changed = true }
-      else sb.append(g)
-      last = m.end
-    } while (m.find())
+      if (luhnValid(digits)) {
+        sb.append(s, last, m.start).append("<CC>")
+        changed = true
+        last = m.end
+        from = m.end
+      } else {
+        from = m.start + 1
+      }
+      found = from < s.length && m.find(from)
+    }
     if (!changed) return s
     sb.append(s, last, s.length)
     sb.toString

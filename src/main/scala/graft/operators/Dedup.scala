@@ -530,13 +530,23 @@ object Dedup {
       .withColumn("run_end", max("cov_end").over(w))
       .filter(col("is_dup") === 0)
       .withColumn("removed", col("run_end") >= col("p"))
-    marked.groupBy("doc_id").agg(
+    val agg = marked.groupBy("doc_id").agg(
       count(lit(1)).as("n_tokens"),
       sum(when(col("removed"), 1L).otherwise(0L)).as("n_removed"),
       array_join(expr(
         "transform(array_sort(collect_list(" +
           "CASE WHEN NOT removed THEN struct(p, tok) END)), x -> x.tok)"),
         " ").as("kept_text"))
+    // one row per INPUT document: null/empty-text docs have no token rows
+    // (posexplode of a null array emits nothing), so without the rejoin
+    // they would silently vanish from the output — same zero-fill
+    // contract as dupSpans/contaminationScan
+    docs.select(col(idCol).as("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
   }
 
   /** Blocked fuzzy record matching — the entity-resolution join (author /

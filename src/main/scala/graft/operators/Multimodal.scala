@@ -617,8 +617,10 @@ object Multimodal {
       val energy = new Array[Long](61)
       var w = 0
       while (w < 61) {
-        val i0 = w * n / 61
-        val i1 = (w + 1) * n / 61
+        // long multiply: w*n overflows Int past ~35M samples (a dozen
+        // minutes of 44.1kHz mono), which would flip windows negative
+        val i0 = (w.toLong * n / 61).toInt
+        val i1 = ((w + 1).toLong * n / 61).toInt
         var e = 0L
         var i = i0
         while (i < i1) { e += math.abs(s(i).toLong); i += 1 }

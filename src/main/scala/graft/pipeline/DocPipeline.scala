@@ -136,7 +136,10 @@ object DocPipeline {
     val countCols = count(lit(1)).as("_n0") +:
       flags.map(f => sum(when(col(f), 1L).otherwise(0L)).as(s"_n$f"))
     val countsRow = m.agg(countCols.head, countCols.tail: _*).collect()(0)
-    val funnel: Seq[Long] = (0 to flags.size).map(i => countsRow.getLong(i))
+    // sum() over zero rows is NULL, not 0 — an empty corpus must produce
+    // an all-zero funnel, not an NPE
+    val funnel: Seq[Long] = (0 to flags.size).map(i =>
+      if (countsRow.isNullAt(i)) 0L else countsRow.getLong(i))
     stages += (("00_input", funnel.head, funnel.head))
     gateNames.result().zipWithIndex.foreach { case (name, i) =>
       stages += ((name, funnel(i), funnel(i + 1)))

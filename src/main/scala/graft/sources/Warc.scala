@@ -67,58 +67,74 @@ object Warc {
     out.toByteArray
   }
 
-  private def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
-    val in = new GZIPInputStream(new ByteArrayInputStream(bytes), 65536)
-    val out = new ByteArrayOutputStream(bytes.length * 4)
-    val buf = new Array[Byte](65536)
-    var n = in.read(buf)
-    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-    out.toByteArray
-  }
+  /** Incrementally parse records off a (possibly multi-member-gzipped)
+    * WARC stream. STREAMING on purpose: a standard Common Crawl segment
+    * is ~1 GB gzipped / 4-5 GB inflated, which must never materialize as
+    * one array — memory here is bounded by the largest single record.
+    * Total: a malformed record ends the iterator with the records seen
+    * so far; a stream that is not WARC at all yields nothing. The caller
+    * owns closing the underlying stream. */
+  def parseStream(in0: java.io.InputStream): Iterator[WarcRecord] = {
+    val pb = new java.io.PushbackInputStream(in0, 2)
+    val head = new Array[Byte](2)
+    val n0 = pb.read(head)
+    if (n0 > 0) pb.unread(head, 0, n0)
+    val in: java.io.InputStream =
+      if (n0 == 2 && (head(0) & 0xff) == 0x1f && (head(1) & 0xff) == 0x8b)
+        try new GZIPInputStream(pb, 65536)
+        catch { case _: Exception => return Iterator.empty }
+      else new java.io.BufferedInputStream(pb, 65536)
 
-  /** Parse every record of a (possibly multi-member-gzipped) WARC byte
-    * stream. Total: malformed trailing content ends the parse with the
-    * records seen so far; a stream that is not WARC at all parses to
-    * Nil. */
-  def parseAll(bytes: Array[Byte]): Seq[WarcRecord] = {
-    if (bytes == null || bytes.length < 4) return Nil
-    val raw =
-      if ((bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b)
-        try gunzipAll(bytes) catch { case _: Exception => return Nil }
-      else bytes
-    val recs = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
-    var pos = 0
-    def lineEnd(from: Int): Int = {
-      var i = from
-      while (i + 1 < raw.length && !(raw(i) == '\r' && raw(i + 1) == '\n')) i += 1
-      if (i + 1 < raw.length) i else -1
+    // CRLF-terminated line, None at EOF/corruption; bounded so a
+    // headerless binary blob can't buffer unboundedly
+    def readLine(): Option[String] = {
+      val buf = new ByteArrayOutputStream(64)
+      var prev = -1
+      var c = try in.read() catch { case _: Exception => -1 }
+      while (c >= 0) {
+        if (prev == '\r' && c == '\n') {
+          val b = buf.toByteArray
+          return Some(new String(b, 0, b.length - 1, "UTF-8"))
+        }
+        buf.write(c)
+        if (buf.size > 65536) return None
+        prev = c
+        c = try in.read() catch { case _: Exception => -1 }
+      }
+      None
     }
-    while (pos < raw.length) {
-      // skip inter-record padding (tolerate extra blank lines)
-      while (pos + 1 < raw.length && raw(pos) == '\r' && raw(pos + 1) == '\n') pos += 2
-      if (pos >= raw.length) return recs.toSeq
-      val ve = lineEnd(pos)
-      if (ve < 0) return recs.toSeq
-      val version = new String(raw, pos, ve - pos, "UTF-8")
-      if (!version.startsWith("WARC/")) return recs.toSeq
-      pos = ve + 2
-      var recordType = ""
-      var uri: Option[String] = None
-      var date: Option[String] = None
-      var ctype: Option[String] = None
-      var clen = -1L
-      var headerDone = false
-      while (!headerDone) {
-        val he = lineEnd(pos)
-        if (he < 0) return recs.toSeq
-        if (he == pos) { headerDone = true; pos += 2 } // blank line
-        else {
-          val line = new String(raw, pos, he - pos, "UTF-8")
-          pos = he + 2
-          val colon = line.indexOf(':')
+    def readFully(n: Long): Option[Array[Byte]] = {
+      if (n > Int.MaxValue - 8) return None
+      val out = new Array[Byte](n.toInt)
+      var off = 0
+      while (off < n) {
+        val r = try in.read(out, off, n.toInt - off)
+          catch { case _: Exception => -1 }
+        if (r < 0) return None
+        off += r
+      }
+      Some(out)
+    }
+
+    new Iterator[WarcRecord] {
+      private var nextRec: Option[WarcRecord] = advance()
+      private def advance(): Option[WarcRecord] = {
+        // skip inter-record blank lines until the version line
+        var line = readLine()
+        while (line.exists(_.isEmpty)) line = readLine()
+        val version = line.getOrElse(return None)
+        if (!version.startsWith("WARC/")) return None
+        var recordType = ""
+        var uri: Option[String] = None
+        var date: Option[String] = None
+        var ctype: Option[String] = None
+        var clen = -1L
+        var h = readLine().getOrElse(return None)
+        while (h.nonEmpty) {
+          val colon = h.indexOf(':')
           if (colon > 0) {
-            val k = line.substring(0, colon).trim.toLowerCase
-            val v = line.substring(colon + 1).trim
+            val k = h.substring(0, colon).trim.toLowerCase
+            val v = h.substring(colon + 1).trim
             k match {
               case "warc-type" => recordType = v
               case "warc-target-uri" => uri = Some(v)
@@ -129,14 +145,25 @@ object Warc {
               case _ => ()
             }
           }
+          h = readLine().getOrElse(return None)
         }
+        if (clen < 0) return None
+        readFully(clen).map(WarcRecord(recordType, uri, date, ctype, _))
       }
-      if (clen < 0 || pos + clen > raw.length) return recs.toSeq
-      val payload = java.util.Arrays.copyOfRange(raw, pos, (pos + clen).toInt)
-      pos = (pos + clen).toInt
-      recs += WarcRecord(recordType, uri, date, ctype, payload)
+      override def hasNext: Boolean = nextRec.isDefined
+      override def next(): WarcRecord = {
+        val r = nextRec.get
+        nextRec = advance()
+        r
+      }
     }
-    recs.toSeq
+  }
+
+  /** Parse every record of an in-memory WARC byte blob — the small-file
+    * convenience face over [[parseStream]]. */
+  def parseAll(bytes: Array[Byte]): Seq[WarcRecord] = {
+    if (bytes == null || bytes.length < 4) return Nil
+    parseStream(new ByteArrayInputStream(bytes)).toSeq
   }
 
   /** The body of an HTTP message payload (a `response` record carries
@@ -164,17 +191,52 @@ object Warc {
     df.select(col(idCol).cast(LongType), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, payload) =>
-        parseAll(payload).zipWithIndex.map { case (r, i) =>
-          val body = r.contentType match {
-            case Some(ct) if ct.startsWith("application/http") =>
-              httpBody(r.payload).map(b => new String(b, "UTF-8"))
-            case _ => None
-          }
-          (id, i, r.recordType, r.targetUri, r.date,
-            r.payload.length.toLong, body)
-        }
+        if (payload == null) Iterator.empty
+        else parseStream(new ByteArrayInputStream(payload))
+          .zipWithIndex.map { case (r, i) => recordRow(id, i, r) }
       })
       .toDF("id", "rec_idx", "record_type", "target_uri", "warc_date",
+        "payload_len", "http_body")
+  }
+
+  private def recordRow(id: Long, i: Int, r: WarcRecord)
+      : (Long, Int, String, Option[String], Option[String], Long, Option[String]) = {
+    val body = r.contentType match {
+      case Some(ct) if ct.startsWith("application/http") =>
+        httpBody(r.payload).map(b => new String(b, "UTF-8"))
+      case _ => None
+    }
+    (id, i, r.recordType, r.targetUri, r.date, r.payload.length.toLong, body)
+  }
+
+  /** The production Common Crawl path: read WARC files/segments straight
+    * off a filesystem glob as STREAMS (`binaryFiles` hands each task a
+    * seekable stream, never the whole file), parse incrementally, and
+    * emit the same per-record schema as [[records]] keyed by file path.
+    * One file = one task = one pass; memory is bounded by the largest
+    * record, so multi-GB gzipped segments read fine. Partition
+    * parallelism = file count — shard segments across the glob exactly
+    * as Common Crawl publishes them (~1 GB apiece). */
+  def readFiles(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.binaryFiles(path)
+      .flatMap { case (file, pds) =>
+        val in = pds.open()
+        val it = parseStream(in).zipWithIndex
+          .map { case (r, i) =>
+            val row = recordRow(0L, i, r)
+            (file, row._2, row._3, row._4, row._5, row._6, row._7)
+          }
+        new Iterator[(String, Int, String, Option[String], Option[String], Long, Option[String])] {
+          override def hasNext: Boolean = {
+            val h = it.hasNext
+            if (!h) in.close()
+            h
+          }
+          override def next() = it.next()
+        }
+      }
+      .toDF("file", "rec_idx", "record_type", "target_uri", "warc_date",
         "payload_len", "http_body")
   }
 }

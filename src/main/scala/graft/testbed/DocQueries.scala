@@ -719,13 +719,17 @@ object DocQueries {
     * gradient sign. The v1 2x upscale box-averages four equal pixels
     * back to the base cell, so v0 and v1 share the base formula —
     * which IS the resize's correctness statement. */
+  /** SQL template: byte j (0-based) of a hex digest string, as the two
+    * strpos-decoded hex digits — THE shared byte decode of both md5
+    * pattern-table mirrors (m8-m11); args: (hex, j, hex, j). */
+  private val md5ByteOfSql =
+    "16 * (strpos('0123456789abcdef', substr(%s, 2 * (%s) + 1, 1)) - 1)" +
+      " + (strpos('0123456789abcdef', substr(%s, 2 * (%s) + 2, 1)) - 1)"
+
   private lazy val imageHashCte = {
-    val byteOf =
-      "16 * (strpos('0123456789abcdef', substr(%s, 2 * (%s) + 1, 1)) - 1)" +
-        " + (strpos('0123456789abcdef', substr(%s, 2 * (%s) + 2, 1)) - 1)"
     val j = "(sx.x + sy.y * 11) % 32"
-    val fromA = byteOf.format("s.ha", j, "s.ha", j)
-    val fromB = byteOf.format("s.hb", s"$j - 16", "s.hb", s"$j - 16")
+    val fromA = md5ByteOfSql.format("s.ha", j, "s.ha", j)
+    val fromB = md5ByteOfSql.format("s.hb", s"$j - 16", "s.hb", s"$j - 16")
     s"""WITH ids AS (
        |  SELECT doc_id, CAST(doc_id % 4 AS INT) AS v, doc_id // 4 AS g
        |  FROM documents
@@ -764,12 +768,9 @@ object DocQueries {
     * every energy exactly, so its hash mirrors through the base formula
     * — which IS the resample-invariance statement. */
   private lazy val audioHashCte = {
-    val byteOf =
-      "16 * (strpos('0123456789abcdef', substr(%s, 2 * (%s) + 1, 1)) - 1)" +
-        " + (strpos('0123456789abcdef', substr(%s, 2 * (%s) + 2, 1)) - 1)"
     val j = "(i.i * 5 + i.i % 7) % 32"
-    val fromA = byteOf.format("s.ha", j, "s.ha", j)
-    val fromB = byteOf.format("s.hb", s"$j - 16", "s.hb", s"$j - 16")
+    val fromA = md5ByteOfSql.format("s.ha", j, "s.ha", j)
+    val fromB = md5ByteOfSql.format("s.hb", s"$j - 16", "s.hb", s"$j - 16")
     s"""WITH ids AS (
        |  SELECT doc_id, CAST(doc_id % 4 AS INT) AS v, doc_id // 4 AS g
        |  FROM documents
@@ -4267,13 +4268,21 @@ object DocQueries {
          | ),
          | t2 AS (
          |  SELECT doc_id, p, tok, (run_end >= p) AS removed FROM mk WHERE is_dup = 0
+         | ),
+         | agg2 AS (
+         |  SELECT doc_id,
+         |         COUNT(*) AS n_tokens,
+         |         COUNT(*) FILTER (WHERE removed) AS n_removed,
+         |         md5(COALESCE(string_agg(CASE WHEN NOT removed THEN tok END,
+         |             ' ' ORDER BY p), '')) AS kept_hash
+         |  FROM t2 GROUP BY doc_id
          | )
-         |SELECT doc_id,
-         |       COUNT(*) AS n_tokens,
-         |       COUNT(*) FILTER (WHERE removed) AS n_removed,
-         |       md5(COALESCE(string_agg(CASE WHEN NOT removed THEN tok END,
-         |           ' ' ORDER BY p), '')) AS kept_hash
-         |FROM t2 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+         |SELECT d.doc_id,
+         |       COALESCE(a.n_tokens, 0) AS n_tokens,
+         |       COALESCE(a.n_removed, 0) AS n_removed,
+         |       COALESCE(a.kept_hash, md5('')) AS kept_hash
+         |FROM documents d LEFT JOIN agg2 a ON a.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     // T43: the CANONICAL url built directly from the doc_id arithmetic —
     // scheme/host lowercased, trailing host dot stripped, default ports

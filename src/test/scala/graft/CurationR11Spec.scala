@@ -99,6 +99,21 @@ class CurationR11Spec extends SparkSpec {
     assert(out(2L) === ((4L, 4L, "")))
   }
 
+  test("exactSubstringDedup: null/empty-text docs keep their output row") {
+    // the one-row-per-input-document contract: NULL-text docs have no
+    // posexplode rows, so they only survive via the zero-fill rejoin.
+    // Empty text tokenizes to one empty token (the engine-wide toksOf /
+    // wCte convention shared with every token-count operator) — its row
+    // comes from the normal path with n_tokens = 1
+    val out = cut(Seq(
+      (1L, "a b c d e"),
+      (2L, null),
+      (3L, "")), n = 3)
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert(out(2L) === ((0L, 0L, "")))
+    assert(out(3L) === ((1L, 0L, "")))
+  }
+
   // ---- jaroWinkler --------------------------------------------------------
 
   test("jaro_winkler matches the classic convention's pinned values") {

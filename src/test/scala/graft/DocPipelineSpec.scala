@@ -29,6 +29,17 @@ class DocPipelineSpec extends SparkSpec {
     assert(r.kept.columns.toSeq === docs.columns.toSeq)
   }
 
+  test("an empty corpus yields an all-zero funnel, not a null crash") {
+    // sum() over zero rows is NULL; the funnel must read it as 0
+    val r = DocPipeline.run(docs.filter(lit(false)), "doc_id", "text",
+      Some(evalSet), DocPipelineConfig())
+    val rows = r.summary.orderBy("stage").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nIn, nOut) => assert(nIn === 0L && nOut === 0L) }
+    assert(r.kept.count() === 0L)
+  }
+
   test("skip matrix: disabled stages are absent and identity-preserving") {
     val r = DocPipeline.run(docs, "doc_id", "text", None,
       DocPipelineConfig(dedupExact = false, qualityGate = false,

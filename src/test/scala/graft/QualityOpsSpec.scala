@@ -137,8 +137,14 @@ class QualityOpsSpec extends SparkSpec {
     // separators: dash groups and space groups both mask
     assert(scrub("card 4539-1488-0343-6467.") === "card <CC>.")
     assert(scrub("card 4539 1488 0343 6467.") === "card <CC>.")
-    // a 20-digit run is not a card and no sub-window of it is masked
+    // a 20-digit CONTIGUOUS run is not a card and no sub-window of it
+    // is masked
     assert(scrub("id 41111111111111110000 x") === "id 41111111111111110000 x")
+    // but a SPACE-grouped over-long run masks its Luhn-valid prefix —
+    // the documented leak-averse trade (a digit-space-adjacency guard
+    // would also skip real PANs after counts like "qty 2 4111...")
+    assert(scrub("ref 4111 1111 1111 1111 0000 done") === "ref <CC> 0000 done")
+    assert(scrub("qty 2 4111111111111111 now") === "qty 2 <CC> now")
     // short runs (phone numbers, order ids) never match
     assert(scrub("call 555 1234 today") === "call 555 1234 today")
     // two cards in one row, mixed validity
