@@ -652,6 +652,42 @@ object Multimodal {
       .toDF("id", "n_samples", "dhash")
   }
 
+  /** Banded Hamming matching of an incoming hash frame AGAINST a
+    * reference hash frame — the incremental face of the perceptual
+    * near-dup family, for both modalities (compose with [[imageDHash]] /
+    * [[audioDHash]] upstream). Both inputs are (id, dhash). Returns
+    * (in_id, ref_id, dhash_in, dhash_ref, hamming ≤ maxHamming).
+    *
+    * STREAM-COMPATIBLE by construction, mirroring the MinHash
+    * incremental near-dup: the band join is stream-static (incoming
+    * stream × broadcastable reference band table) and the only stateful
+    * operator is the per-(in_id, ref_id) dedup aggregation — run in
+    * update mode, state stays pair-sparse because banding is. The same
+    * call on two batch frames is the batch backfill, so live and batch
+    * share one definition. */
+  def hammingPairsAgainstRef(
+      in: DataFrame,
+      ref: DataFrame,
+      maxHamming: Int = 3
+  ): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 5,
+      "maxHamming must be in [0, 5] — 6+ would shrink bands below 10 bits")
+    val keys = hamming60BandKeys(maxHamming + 1)
+    def banded(df: DataFrame, idName: String, hName: String): DataFrame =
+      df.filter(col("dhash").isNotNull)
+        .select(col("id"), col("dhash"), explode(array(keys: _*)).as("bk"))
+        .select(col("id").as(idName), col("dhash").as(hName),
+          col("bk.band").as("band"), col("bk.bits").as("bits"))
+    banded(in, "in_id", "dhash_in")
+      .join(banded(ref, "ref_id", "dhash_ref"), Seq("band", "bits"))
+      .groupBy("in_id", "ref_id", "dhash_in", "dhash_ref")
+      .agg(count(lit(1)).as("_nbands"))
+      .drop("_nbands")
+      .withColumn("hamming",
+        expr("bit_count(dhash_in ^ dhash_ref)").cast("int"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Audio near-dup pairs over [[audioDHash]] — identical machinery to
     * [[imageNearDupPairs]] (banded pigeonhole candidates, in-bucket
     * pairing so the PCM decode runs once, popcount rescore, stop-bucket

@@ -115,6 +115,24 @@ object Streaming {
     graft.operators.Dedup.incrementalNearDup(
       reference, stream, idCol, textCol, n, numHashes, bands)
 
+  /** Incoming image payloads matched against a static reference corpus
+    * by perceptual hash — the multimodal twin of
+    * [[nearDupAgainstReference]]: the stream decodes + dHash60s in place
+    * (stateless mapPartitions), bands join stream-static against the
+    * reference's band table, and the per-(in, ref) dedup aggregation is
+    * the only state (update mode, pair-sparse). Batch parity: the same
+    * call on batch frames IS the batch operator (StreamingSpec pins it). */
+  def imageNearDupStream(
+      stream: DataFrame,
+      reference: DataFrame,
+      idCol: String,
+      maxHamming: Int = 3
+  ): DataFrame =
+    graft.operators.Multimodal.hammingPairsAgainstRef(
+      graft.operators.Multimodal.imageDHash(stream, idCol),
+      graft.operators.Multimodal.imageDHash(reference, idCol),
+      maxHamming)
+
   /** Stream-stream interval join — the streaming face of
     * [[graft.operators.RangeJoin.joinPointInRange]]: point rows of `left`
     * matched to rows of `right` whose `[rightTs, rightTs + windowMs)`

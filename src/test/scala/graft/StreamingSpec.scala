@@ -277,6 +277,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming IMAGE near-dup against a reference equals the batch operator") {
+    // parity harness #10: the multimodal twin of the text harness —
+    // decode + dHash60 runs stateless on the stream, bands join
+    // stream-static, the pair dedup aggregation runs in complete mode;
+    // micro-batch boundaries must not change the result
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def gray(l: Int): Int = (l << 16) | (l << 8) | l
+    // an 11x6 PNG whose dHash60 has exactly `bits` (the pixel-spec trick)
+    def img(bits: Set[Int]): Array[Byte] = {
+      val luma = Array.ofDim[Int](6, 11)
+      for (y <- 0 until 6) {
+        luma(y)(0) = 30
+        for (x <- 0 until 10)
+          luma(y)(x + 1) = luma(y)(x) - (if (bits(y * 10 + x)) 1 else 0)
+      }
+      graft.operators.Multimodal.encodePng(11, 6, (x, y) => gray(luma(y)(x)))
+    }
+    val far = (0 until 60 by 2).toSet // 30 bits away from everything below
+    val reference = Seq((100L, img(Set(5))), (101L, img(Set(10, 20))))
+      .toDF("doc_id", "payload")
+    val arriving = Seq(
+      (1L, img(Set(5))),          // identical to ref 100
+      (2L, img(Set(5, 7, 9))),    // 2 flips from ref 100
+      (3L, img(far)),             // unrelated
+      (4L, "not an image".getBytes("UTF-8")))
+    val batch = graft.operators.Multimodal.hammingPairsAgainstRef(
+        graft.operators.Multimodal.imageDHash(
+          arriving.toDF("doc_id", "payload"), "doc_id"),
+        graft.operators.Multimodal.imageDHash(reference, "doc_id"))
+      .select("in_id", "ref_id", "hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // arrival 1 (bits {5}) is ALSO hamming 3 from ref 101 (bits {10,20})
+    // — {5,10,20} differ, bands 2-3 untouched, so the candidate exists
+    assert(batch === Set((1L, 100L, 0), (1L, 101L, 3), (2L, 100L, 2)))
+
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = Streaming.imageNearDupStream(
+        input.toDF().toDF("doc_id", "payload"), reference, "doc_id")
+      .select("in_id", "ref_id", "hamming")
+      .writeStream.format("memory").queryName("imgdup")
+      .outputMode("complete").start()
+    try {
+      arriving.grouped(2).foreach { g => input.addData(g: _*); q.processAllAvailable() }
+      val stream = spark.table("imgdup")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(stream === batch)
+    } finally q.stop()
+  }
+
   test("streaming near-dup against a reference equals the batch operator") {
     // parity harness #4: the d17 plan run as a stream — stateless
     // stream-static band join + pair-count aggregation in complete mode;
