@@ -2012,6 +2012,43 @@ object DocQueries {
         .orderBy("doc_id", "rec_idx")
     }),
 
+    // W1: the crawl-to-graph composition in ONE plan — per-page WARC
+    // files (HTML bodies linking to two arithmetic targets) walked by the
+    // real record parser, bodies href-extracted, the link graph's degree
+    // profile computed; the oracle restates the edges from the same
+    // arithmetic and mirrors the degree logic. Everything between the
+    // synthesized bytes and the degree rows is real engine surface:
+    // gzip member walk, Content-Length slicing, HTTP body split, regex
+    // link extraction, edge dedup, the three degree aggregations.
+    "w1_web_graph" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = table(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val t1 = (id * 7 + 1) % 1000
+          val t2 = (id * 13 + 2) % 1000
+          val body = s"<html><body><p>page $id</p>" +
+            s"<a href=\"http://site${t1 % 7}.com/p$t1\">one</a> " +
+            s"<a href=\"http://site${t2 % 7}.com/p$t2\">two</a></body></html>"
+          val rec = Warc.WarcRecord("response",
+            Some(s"http://site${id % 7}.com/p$id"),
+            Some("2024-01-01T00:00:00Z"),
+            Some("application/http; msgtype=response"),
+            ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body)
+              .getBytes("UTF-8"))
+          (id, Warc.build(Seq(rec), gzipPerRecord = id % 2 == 0))
+        })
+        .toDF("doc_id", "payload")
+      val edges = Warc.records(payloads, "doc_id")
+        .filter(col("record_type") === "response")
+        .select(col("id").as("src_page"),
+          explode(expr(
+            "regexp_extract_all(http_body, 'href=\"([^\"]+)\"', 1)")).as("href"))
+        .select(col("src_page"),
+          regexp_extract(col("href"), "/p(\\d+)$", 1).cast("long").as("dst_page"))
+      graft.operators.Graph.degreeProfile(edges, "src_page", "dst_page")
+        .orderBy("node")
+    }),
+
     // M10: REAL audio fingerprinting end-to-end — PCM WAVs synthesized
     // from the same md5 group tables, decoded by hand, envelope-hashed
     // (61 window energies → 60 gradient signs). The 2x resample variant
@@ -4147,6 +4184,31 @@ object DocQueries {
         |SELECT doc_id, rec_idx, record_type, target_uri, warc_date,
         |       payload_len, http_body
         |FROM recs ORDER BY doc_id, rec_idx""".stripMargin,
+
+    // W1: the link graph restated from the generative arithmetic, the
+    // degree logic mirrored like g2's oracle
+    "w1_web_graph" ->
+      """WITH e AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT doc_id AS src, (doc_id * 7 + 1) % 1000 AS dst FROM documents
+        |    UNION ALL
+        |    SELECT doc_id, (doc_id * 13 + 2) % 1000 FROM documents)
+        |  WHERE src <> dst
+        | ),
+        | od AS (SELECT src AS node, COUNT(*) AS out_deg FROM e GROUP BY 1),
+        | idg AS (SELECT dst AS node, COUNT(*) AS in_deg FROM e GROUP BY 1),
+        | r AS (SELECT a.src AS node, COUNT(*) AS recip_deg
+        |       FROM e a JOIN e b ON a.src = b.dst AND a.dst = b.src GROUP BY 1),
+        | n AS (SELECT node FROM od UNION SELECT node FROM idg)
+        |SELECT n.node,
+        |       CAST(COALESCE(out_deg, 0) AS BIGINT) AS out_deg,
+        |       CAST(COALESCE(in_deg, 0) AS BIGINT) AS in_deg,
+        |       CAST(COALESCE(recip_deg, 0) AS BIGINT) AS recip_deg,
+        |       (COALESCE(in_deg, 0) = 0) AS is_source,
+        |       (COALESCE(out_deg, 0) = 0) AS is_sink
+        |FROM n LEFT JOIN od USING (node) LEFT JOIN idg USING (node)
+        |       LEFT JOIN r USING (node)
+        |ORDER BY n.node""".stripMargin,
 
     // M10: every envelope hash rebuilt from the md5 byte tables — the 2x
     // resample variant mirrors through the base energies (doubling is
