@@ -121,7 +121,11 @@ object Streaming {
     * (stateless mapPartitions), bands join stream-static against the
     * reference's band table, and the per-(in, ref) dedup aggregation is
     * the only state (update mode, pair-sparse). Batch parity: the same
-    * call on batch frames IS the batch operator (StreamingSpec pins it). */
+    * call on batch frames IS the batch operator (StreamingSpec pins it).
+    * The static side re-plans per micro-batch — at scale, pre-hash the
+    * reference ONCE (`Multimodal.imageDHash(ref, id).cache()`) and call
+    * `Multimodal.hammingPairsAgainstRef` directly so each batch pays a
+    * cached 16-byte-row scan, not a full re-decode of the reference. */
   def imageNearDupStream(
       stream: DataFrame,
       reference: DataFrame,
