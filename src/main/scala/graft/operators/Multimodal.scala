@@ -445,6 +445,129 @@ object Multimodal {
         "r_sum", "g_sum", "b_sum", "luma_min", "luma_max")
   }
 
+  // ------------------------------------------------- metadata strip (PII)
+
+  /** Append an ancillary PNG chunk (e.g. `tEXt` key/value, `tIME`) right
+    * before IEND — the test/synthesis face of [[stripImageMetadata]];
+    * real crawl images arrive with these already embedded. */
+  def addPngChunk(png: Array[Byte], chunkType: String, data: Array[Byte]): Array[Byte] = {
+    require(chunkType.length == 4, "PNG chunk type is 4 ASCII chars")
+    val iend = pngChunks(png).collectFirst {
+      case (t, start, _) if t == "IEND" => start
+    }.getOrElse(throw new IllegalArgumentException("not a PNG (no IEND)"))
+    val out = new java.io.ByteArrayOutputStream(png.length + data.length + 12)
+    out.write(png, 0, iend)
+    val b = java.nio.ByteBuffer.allocate(12 + data.length)
+    b.putInt(data.length)
+    val typeAndData = chunkType.getBytes("US-ASCII") ++ data
+    b.put(typeAndData)
+    val crc = new java.util.zip.CRC32()
+    crc.update(typeAndData)
+    b.putInt(crc.getValue.toInt)
+    out.write(b.array())
+    out.write(png, iend, png.length - iend)
+    out.toByteArray
+  }
+
+  /** (type, startOffset, totalLength) of every chunk of a PNG stream;
+    * empty for non-PNG/malformed input. */
+  private def pngChunks(b: Array[Byte]): Seq[(String, Int, Int)] = {
+    if (b == null || b.length < 16 ||
+      (b(0) & 0xff) != 0x89 || b(1) != 'P' || b(2) != 'N' || b(3) != 'G')
+      return Nil
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+    var p = 8
+    while (p + 8 <= b.length) {
+      val len = ((b(p) & 0xff) << 24) | ((b(p + 1) & 0xff) << 16) |
+        ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+      if (len < 0 || p + 12 + len > b.length) return out.toSeq
+      val t = new String(b, p + 4, 4, "US-ASCII")
+      out += ((t, p, 12 + len))
+      p += 12 + len
+      if (t == "IEND") return out.toSeq
+    }
+    out.toSeq
+  }
+
+  /** PNG chunk types that carry PIXELS rather than metadata — everything
+    * else (tEXt/zTXt/iTXt comments, eXIf blobs, tIME stamps, pHYs, ...)
+    * is the metadata a privacy pass strips. tRNS stays because it maps
+    * palette/gray values to alpha, i.e. it IS pixel data. */
+  private val PngPixelChunks = Set("IHDR", "PLTE", "tRNS", "IDAT", "IEND")
+
+  /** Strip embedded metadata from an image payload — the image-side PII
+    * scrub (EXIF blobs carry GPS positions, device serials, timestamps;
+    * tEXt/COM comments carry authorship): PNG drops every chunk outside
+    * [[PngPixelChunks]]; JPEG drops APP1-APP15 and COM segments (APP0
+    * JFIF stays — decoders key on it). Pixel bytes are untouched — the
+    * output decodes to the identical raster. None for malformed input or
+    * formats without a byte-level walk here (strip-or-reject: a privacy
+    * pass must never silently pass a format it didn't inspect). Returns
+    * the input REFERENCE when nothing needed stripping. */
+  def stripImageMetadata(bytes: Array[Byte]): Option[Array[Byte]] = {
+    if (bytes == null || bytes.length < 4) return None
+    if ((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P') {
+      val chunks = pngChunks(bytes)
+      if (chunks.isEmpty || chunks.last._1 != "IEND") return None
+      val drop = chunks.filterNot(c => PngPixelChunks(c._1))
+      if (drop.isEmpty) return Some(bytes)
+      val out = new java.io.ByteArrayOutputStream(bytes.length)
+      out.write(bytes, 0, 8)
+      chunks.foreach { case (t, start, len) =>
+        if (PngPixelChunks(t)) out.write(bytes, start, len)
+      }
+      Some(out.toByteArray)
+    } else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) {
+      // JPEG: walk segments up to SOS, dropping APP1-15 + COM; from SOS
+      // on, entropy-coded data copies verbatim
+      val out = new java.io.ByteArrayOutputStream(bytes.length)
+      out.write(bytes, 0, 2)
+      var p = 2
+      var changed = false
+      while (p + 4 <= bytes.length) {
+        if ((bytes(p) & 0xff) != 0xff) return None
+        val marker = bytes(p + 1) & 0xff
+        if (marker == 0xda) { // SOS: rest is entropy data + EOI
+          out.write(bytes, p, bytes.length - p)
+          val result = out.toByteArray
+          return Some(if (changed) result else bytes)
+        }
+        val segLen = ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)
+        if (segLen < 2 || p + 2 + segLen > bytes.length) return None
+        val isMeta = (marker >= 0xe1 && marker <= 0xef) || marker == 0xfe
+        if (isMeta) changed = true
+        else out.write(bytes, p, 2 + segLen)
+        p += 2 + segLen
+      }
+      None // never reached SOS — malformed
+    } else None
+  }
+
+  /** Partition-wise metadata strip over payload rows: (id, fmt, n_in,
+    * n_out, meta_removed_bytes, payload) with NULLs (and the original
+    * payload) where the input is malformed or an unhandled format.
+    * Payloads are rewritten where they sit — nothing but the row stream
+    * moves. */
+  def stripImageMetadataDf(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val fmt = parseImageHeader(payload).map(_.format)
+        stripImageMetadata(payload) match {
+          case Some(outB) =>
+            (id, fmt, Option(payload.length.toLong),
+              Option(outB.length.toLong),
+              Option(payload.length.toLong - outB.length), outB)
+          case None =>
+            (id, fmt, Option(payload.length.toLong),
+              None: Option[Long], None: Option[Long], payload)
+        }
+      })
+      .toDF("id", "fmt", "n_in", "n_out", "meta_removed_bytes", "payload")
+  }
+
   // ------------------------------------------------- perceptual hash (dHash)
 
   /** dHash thumbnail geometry: 11×6 luma cells → 10 horizontal gradient

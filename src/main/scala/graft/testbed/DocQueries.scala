@@ -2012,6 +2012,76 @@ object DocQueries {
         .orderBy("doc_id", "rec_idx")
     }),
 
+    // M12: image metadata stripping (the image-side PII scrub) — PNGs
+    // with REAL tEXt/tIME chunks spliced in (CRC-correct, via the
+    // operator's writer face) and JPEGs with REAL APP1-Exif + COM
+    // segments; the strip must remove exactly the spliced bytes
+    // (meta_removed mirrors their arithmetic sizes), a second pass must
+    // remove nothing (idempotence), and the stripped payloads must still
+    // decode to the SAME raster (exact channel sums for lossless PNG,
+    // m6-style bounded booleans for JPEG). Corrupt payloads reject.
+    "m12_image_meta_strip" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = table(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          System.setProperty("java.awt.headless", "true")
+          it.map { id =>
+            if (id % 97 == 0) (id, "garbage".getBytes("UTF-8"))
+            else if (id % 3 == 1) {
+              val r0 = ((id * 37) % 256).toInt
+              val g0 = ((id * 59 + 85) % 256).toInt
+              val b0 = ((id * 83 + 170) % 256).toInt
+              val base = Multimodal.encodeJpeg(8, 8,
+                (_, _) => (r0 << 16) | (g0 << 8) | b0)
+              def seg(marker: Int, data: Array[Byte]): Array[Byte] =
+                Array[Byte](0xff.toByte, marker.toByte,
+                  (((data.length + 2) >> 8) & 0xff).toByte,
+                  ((data.length + 2) & 0xff).toByte) ++ data
+              val app1 = seg(0xe1,
+                "Exif  ".getBytes("US-ASCII") ++ Array.fill[Byte](10)(7))
+              val com = seg(0xfe, s"c$id".getBytes("US-ASCII"))
+              (id, base.take(2) ++ app1 ++ com ++ base.drop(2))
+            } else {
+              val a = 1 + (id % 5).toInt
+              val b = 1 + (id % 4).toInt
+              val c = (id % 200).toInt
+              val png = Multimodal.encodePng(8, 6, (x, y) => {
+                val l = a * x + b * y + c; (l << 16) | (l << 8) | l
+              })
+              if (id % 3 == 0) {
+                val t = Multimodal.addPngChunk(png, "tEXt",
+                  ("Author user" + id).getBytes("US-ASCII"))
+                (id, Multimodal.addPngChunk(t, "tIME", Array.fill[Byte](7)(1)))
+              } else (id, png)
+            }
+          }
+        }
+        .toDF("doc_id", "payload")
+      val once = Multimodal.stripImageMetadataDf(payloads, "doc_id")
+      val second = Multimodal.stripImageMetadataDf(
+          once.select(col("id").as("doc_id"), col("payload")), "doc_id")
+        .select(col("id"), col("meta_removed_bytes").as("second_pass_removed"))
+      val px = Multimodal.decodeImagePixelStats(
+          once.select(col("id").as("doc_id"), col("payload")), "doc_id")
+        .select(col("id"), col("r_sum"), col("g_sum"), col("b_sum"))
+      val idc = col("id")
+      val pngSum = (lit(168) * (lit(1) + (idc % 5)) +
+        lit(120) * (lit(1) + (idc % 4)) + lit(48) * (idc % 200)).cast("long")
+      val jOk = Seq(("r_sum", lit(64) * ((idc * 37) % 256)),
+          ("g_sum", lit(64) * ((idc * 59 + 85) % 256)),
+          ("b_sum", lit(64) * ((idc * 83 + 170) % 256)))
+        .map { case (cn, exp) => abs(col(cn) - exp.cast("long")) <= lit(64 * 6) }
+        .reduce(_ && _)
+      once.join(second, Seq("id")).join(px, Seq("id"))
+        .select(idc.as("doc_id"), col("fmt"), col("meta_removed_bytes"),
+          col("second_pass_removed"),
+          when(idc % 97 === 0, lit(null).cast("boolean"))
+            .when(idc % 3 === 1, jOk)
+            .otherwise(col("r_sum") === pngSum && col("g_sum") === pngSum &&
+              col("b_sum") === pngSum).as("px_ok"))
+        .orderBy("doc_id")
+    }),
+
     // W1: the crawl-to-graph composition in ONE plan — per-page WARC
     // files (HTML bodies linking to two arithmetic targets) walked by the
     // real record parser, bodies href-extracted, the link graph's degree
@@ -4184,6 +4254,22 @@ object DocQueries {
         |SELECT doc_id, rec_idx, record_type, target_uri, warc_date,
         |       payload_len, http_body
         |FROM recs ORDER BY doc_id, rec_idx""".stripMargin,
+
+    // M12: the removed-byte arithmetic restated (the spliced chunks'
+    // exact sizes), idempotence as a universal zero, pixel preservation
+    // as universal TRUE — NULLs for the corrupt rows
+    "m12_image_meta_strip" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 97 = 0 THEN NULL
+        |            WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'png' END AS fmt,
+        |       CAST(CASE WHEN doc_id % 97 = 0 THEN NULL
+        |            WHEN doc_id % 3 = 0 THEN 42 + length(CAST(doc_id AS VARCHAR))
+        |            WHEN doc_id % 3 = 1 THEN 25 + length(CAST(doc_id AS VARCHAR))
+        |            ELSE 0 END AS BIGINT) AS meta_removed_bytes,
+        |       CAST(CASE WHEN doc_id % 97 = 0 THEN NULL
+        |            ELSE 0 END AS BIGINT) AS second_pass_removed,
+        |       CASE WHEN doc_id % 97 = 0 THEN NULL ELSE TRUE END AS px_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // W1: the link graph restated from the generative arithmetic, the
     // degree logic mirrored like g2's oracle

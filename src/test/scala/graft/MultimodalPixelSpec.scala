@@ -205,6 +205,58 @@ class MultimodalPixelSpec extends SparkSpec {
     assert(out(1).isNullAt(3))
   }
 
+  // ---- metadata strip (PII) -------------------------------------------
+
+  test("stripImageMetadata: PNG drops exactly the ancillary chunks, pixels intact") {
+    val png = Multimodal.encodePng(5, 4, (x, y) => rgb(x * 30, y * 40, 7))
+    val dirty = Multimodal.addPngChunk(
+      Multimodal.addPngChunk(png, "tEXt", "Author secret".getBytes("US-ASCII")),
+      "tIME", Array.fill[Byte](7)(1))
+    val clean = Multimodal.stripImageMetadata(dirty).get
+    // exactly the two spliced chunks (12B framing each) disappear
+    assert(dirty.length - clean.length === (12 + 13) + (12 + 7))
+    assert(!new String(clean, "ISO-8859-1").contains("secret"))
+    // raster identical (PNG is lossless)
+    val a = Multimodal.decodePixels(png).get
+    val b = Multimodal.decodePixels(clean).get
+    assert(a.argb.toSeq === b.argb.toSeq)
+    // nothing left to strip: the clean payload comes back by REFERENCE
+    assert(Multimodal.stripImageMetadata(clean).get eq clean)
+  }
+
+  test("stripImageMetadata: JPEG drops APP1/COM, keeps APP0, decodes the same") {
+    val base = Multimodal.encodeJpeg(8, 8, (_, _) => rgb(200, 100, 50))
+    def seg(marker: Int, data: Array[Byte]): Array[Byte] =
+      Array[Byte](0xff.toByte, marker.toByte,
+        (((data.length + 2) >> 8) & 0xff).toByte,
+        ((data.length + 2) & 0xff).toByte) ++ data
+    val dirty = base.take(2) ++
+      seg(0xe1, "Exif gps-here".getBytes("US-ASCII")) ++
+      seg(0xfe, "a comment".getBytes("US-ASCII")) ++ base.drop(2)
+    val clean = Multimodal.stripImageMetadata(dirty).get
+    // the strip restores the encoder's exact byte stream (APP0 kept)
+    assert(clean.toSeq === base.toSeq)
+    assert(Multimodal.decodePixels(clean).isDefined)
+    // a clean JPEG passes through by reference
+    assert(Multimodal.stripImageMetadata(base).get eq base)
+  }
+
+  test("stripImageMetadata rejects garbage, unhandled formats, lying lengths") {
+    assert(Multimodal.stripImageMetadata("garbage".getBytes).isEmpty)
+    assert(Multimodal.stripImageMetadata(null).isEmpty)
+    // GIF is inspectable but has no byte-level walk here -> reject, never
+    // silently pass a format the scrub didn't inspect
+    val gif = "GIF89a".getBytes("US-ASCII") ++
+      Array[Byte](2, 0, 2, 0, 0, 0, 0, 0x3b)
+    assert(Multimodal.stripImageMetadata(gif).isEmpty)
+    // a JPEG segment length past the buffer must reject, not overrun
+    // (0x7f00 = 32512 bytes claimed, far beyond the payload)
+    val base = Multimodal.encodeJpeg(8, 8, (_, _) => rgb(1, 2, 3))
+    val lying = base.take(2) ++
+      Array[Byte](0xff.toByte, 0xe1.toByte, 0x7f, 0x00) ++ base.drop(2)
+    assert(Multimodal.stripImageMetadata(lying).isEmpty)
+  }
+
   // ---- dHash60 / image near-dup --------------------------------------
 
   private def grayPng(w: Int, h: Int, luma: (Int, Int) => Int): Array[Byte] =
