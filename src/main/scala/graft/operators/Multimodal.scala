@@ -480,7 +480,9 @@ object Multimodal {
     while (p + 8 <= b.length) {
       val len = ((b(p) & 0xff) << 24) | ((b(p + 1) & 0xff) << 16) |
         ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
-      if (len < 0 || p + 12 + len > b.length) return out.toSeq
+      // Long arithmetic: a corrupt length near Int.MaxValue would wrap
+      // `p + 12 + len` negative and slip past an Int bounds check
+      if (len < 0 || p.toLong + 12L + len > b.length) return out.toSeq
       val t = new String(b, p + 4, 4, "US-ASCII")
       out += ((t, p, 12 + len))
       p += 12 + len
@@ -504,13 +506,22 @@ object Multimodal {
     * formats without a byte-level walk here (strip-or-reject: a privacy
     * pass must never silently pass a format it didn't inspect). Returns
     * the input REFERENCE when nothing needed stripping. */
+  /** APNG control/frame chunks: frames 2..N live in fdAT, so an animated
+    * PNG is a container this scrub does NOT fully model — reject rather
+    * than silently destroy frames. */
+  private val ApngChunks = Set("acTL", "fcTL", "fdAT")
+
   def stripImageMetadata(bytes: Array[Byte]): Option[Array[Byte]] = {
     if (bytes == null || bytes.length < 4) return None
     if ((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P') {
       val chunks = pngChunks(bytes)
       if (chunks.isEmpty || chunks.last._1 != "IEND") return None
+      if (chunks.exists(c => ApngChunks(c._1))) return None
       val drop = chunks.filterNot(c => PngPixelChunks(c._1))
-      if (drop.isEmpty) return Some(bytes)
+      val iendEnd = chunks.last._2 + chunks.last._3
+      // data appended AFTER IEND is the classic hiding place — it is
+      // dropped by the rebuild, and its presence alone forces one
+      if (drop.isEmpty && iendEnd == bytes.length) return Some(bytes)
       val out = new java.io.ByteArrayOutputStream(bytes.length)
       out.write(bytes, 0, 8)
       chunks.foreach { case (t, start, len) =>
@@ -518,28 +529,62 @@ object Multimodal {
       }
       Some(out.toByteArray)
     } else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) {
-      // JPEG: walk segments up to SOS, dropping APP1-15 + COM; from SOS
-      // on, entropy-coded data copies verbatim
-      val out = new java.io.ByteArrayOutputStream(bytes.length)
-      out.write(bytes, 0, 2)
-      var p = 2
-      var changed = false
-      while (p + 4 <= bytes.length) {
-        if ((bytes(p) & 0xff) != 0xff) return None
-        val marker = bytes(p + 1) & 0xff
-        if (marker == 0xda) { // SOS: rest is entropy data + EOI
-          out.write(bytes, p, bytes.length - p)
-          val result = out.toByteArray
-          return Some(if (changed) result else bytes)
-        }
-        val segLen = ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)
-        if (segLen < 2 || p + 2 + segLen > bytes.length) return None
-        val isMeta = (marker >= 0xe1 && marker <= 0xef) || marker == 0xfe
-        if (isMeta) changed = true
-        else out.write(bytes, p, 2 + segLen)
-        p += 2 + segLen
+      // JPEG: a FULL segment walk — before the first SOS, between
+      // progressive scans (markers are legal there too), and after EOI
+      // (motion-photo trailers) — dropping APP1-15 + COM everywhere.
+      // Entropy-coded data after an SOS is scanned for the next true
+      // marker (skipping stuffed FF 00 and RST0-7) and copied verbatim.
+      // The output buffer allocates lazily: a clean payload returns by
+      // REFERENCE with zero copies.
+      val n = bytes.length
+      var out: java.io.ByteArrayOutputStream = null
+      def dropFrom(p: Int): Unit = if (out == null) {
+        out = new java.io.ByteArrayOutputStream(n)
+        out.write(bytes, 0, p)
       }
-      None // never reached SOS — malformed
+      def keep(from: Int, len: Int): Unit =
+        if (out != null) out.write(bytes, from, len)
+      var p = 2
+      while (p + 1 < n) {
+        if ((bytes(p) & 0xff) != 0xff) return None // desynced walk
+        val marker = bytes(p + 1) & 0xff
+        if (marker == 0xff) { // fill byte: keep, resync on the next FF
+          keep(p, 1); p += 1
+        } else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
+          keep(p, 2); p += 2 // standalone markers carry no length
+        } else if (marker == 0xd9) { // EOI: anything after it drops
+          keep(p, 2); p += 2
+          if (p < n) dropFrom(p)
+          return Some(if (out == null) bytes else out.toByteArray)
+        } else if (marker == 0xda) { // SOS: header, then entropy scan
+          if (p + 3 >= n) return None
+          val segLen = ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)
+          if (segLen < 2 || p.toLong + 2 + segLen > n) return None
+          keep(p, 2 + segLen)
+          p += 2 + segLen
+          val entStart = p
+          var atMarker = false
+          while (!atMarker && p < n) {
+            if ((bytes(p) & 0xff) != 0xff || p + 1 >= n) p += 1
+            else {
+              val m2 = bytes(p + 1) & 0xff
+              if (m2 == 0x00 || (m2 >= 0xd0 && m2 <= 0xd7)) p += 2
+              else atMarker = true
+            }
+          }
+          if (!atMarker) return None // ended inside entropy data — truncated
+          keep(entStart, p - entStart)
+        } else {
+          if (p + 3 >= n) return None
+          val segLen = ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)
+          if (segLen < 2 || p.toLong + 2 + segLen > n) return None
+          if ((marker >= 0xe1 && marker <= 0xef) || marker == 0xfe)
+            dropFrom(p)
+          else keep(p, 2 + segLen)
+          p += 2 + segLen
+        }
+      }
+      None // never reached EOI — malformed/truncated
     } else None
   }
 
@@ -555,14 +600,13 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, payload) =>
         val fmt = parseImageHeader(payload).map(_.format)
+        val nIn = Option(payload).map(_.length.toLong) // null payloads flow
         stripImageMetadata(payload) match {
           case Some(outB) =>
-            (id, fmt, Option(payload.length.toLong),
-              Option(outB.length.toLong),
-              Option(payload.length.toLong - outB.length), outB)
+            (id, fmt, nIn, Option(outB.length.toLong),
+              nIn.map(_ - outB.length), outB)
           case None =>
-            (id, fmt, Option(payload.length.toLong),
-              None: Option[Long], None: Option[Long], payload)
+            (id, fmt, nIn, None: Option[Long], None: Option[Long], payload)
         }
       })
       .toDF("id", "fmt", "n_in", "n_out", "meta_removed_bytes", "payload")

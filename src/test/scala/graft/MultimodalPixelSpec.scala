@@ -241,6 +241,34 @@ class MultimodalPixelSpec extends SparkSpec {
     assert(Multimodal.stripImageMetadata(base).get eq base)
   }
 
+  test("stripImageMetadata: trailing bytes and between-scan/after-EOI JPEG metadata drop") {
+    val png = Multimodal.encodePng(5, 4, (x, y) => rgb(x * 30, y * 40, 7))
+    // data appended after IEND (the classic hiding place) forces a rebuild
+    val pngTrailed = png ++ "hidden gps blob".getBytes("US-ASCII")
+    assert(Multimodal.stripImageMetadata(pngTrailed).get.toSeq === png.toSeq)
+    val base = Multimodal.encodeJpeg(8, 8, (_, _) => rgb(200, 100, 50))
+    assert((base(base.length - 2) & 0xff) === 0xff &&
+      (base.last & 0xff) === 0xd9) // sanity: encoder ends with EOI
+    def seg(marker: Int, data: Array[Byte]): Array[Byte] =
+      Array[Byte](0xff.toByte, marker.toByte,
+        (((data.length + 2) >> 8) & 0xff).toByte,
+        ((data.length + 2) & 0xff).toByte) ++ data
+    // a COM between the entropy data and EOI (legal mid-stream metadata)
+    val midCom = base.dropRight(2) ++
+      seg(0xfe, "late comment".getBytes("US-ASCII")) ++ base.takeRight(2)
+    assert(Multimodal.stripImageMetadata(midCom).get.toSeq === base.toSeq)
+    // a motion-photo-style trailer after EOI drops
+    val trailed = base ++ "embedded video bytes".getBytes("US-ASCII")
+    assert(Multimodal.stripImageMetadata(trailed).get.toSeq === base.toSeq)
+  }
+
+  test("stripImageMetadata rejects APNG rather than destroying frames") {
+    val png = Multimodal.encodePng(5, 4, (x, y) => rgb(x, y, 7))
+    val apng = Multimodal.addPngChunk(png, "acTL",
+      Array[Byte](0, 0, 0, 2, 0, 0, 0, 0))
+    assert(Multimodal.stripImageMetadata(apng).isEmpty)
+  }
+
   test("stripImageMetadata rejects garbage, unhandled formats, lying lengths") {
     assert(Multimodal.stripImageMetadata("garbage".getBytes).isEmpty)
     assert(Multimodal.stripImageMetadata(null).isEmpty)
@@ -255,6 +283,13 @@ class MultimodalPixelSpec extends SparkSpec {
     val lying = base.take(2) ++
       Array[Byte](0xff.toByte, 0xe1.toByte, 0x7f, 0x00) ++ base.drop(2)
     assert(Multimodal.stripImageMetadata(lying).isEmpty)
+    // a PNG chunk length near Int.MaxValue must reject via the Long-safe
+    // bounds check, not wrap negative and crash
+    val png = Multimodal.encodePng(5, 4, (x, y) => rgb(x, y, 9))
+    val bigLen = png.clone()
+    bigLen(8) = 0x7f.toByte; bigLen(9) = 0xff.toByte
+    bigLen(10) = 0xff.toByte; bigLen(11) = 0xf4.toByte
+    assert(Multimodal.stripImageMetadata(bigLen).isEmpty)
   }
 
   // ---- dHash60 / image near-dup --------------------------------------
