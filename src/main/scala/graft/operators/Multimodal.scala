@@ -588,12 +588,83 @@ object Multimodal {
     } else None
   }
 
+  /** Append a RIFF chunk (e.g. a `LIST`/INFO tag block) to a WAV and
+    * patch the RIFF size header — the test/synthesis face of
+    * [[stripWavMetadata]]; real recordings arrive with these embedded. */
+  def addWavChunk(wav: Array[Byte], chunkId: String, data: Array[Byte]): Array[Byte] = {
+    require(chunkId.length == 4, "RIFF chunk id is 4 ASCII chars")
+    require(wav.length >= 12 && tag(wav, 0) == "RIFF" && tag(wav, 8) == "WAVE",
+      "not a WAV")
+    val pad = data.length % 2
+    val out = java.nio.ByteBuffer.allocate(wav.length + 8 + data.length + pad)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put(wav)
+    out.put(chunkId.getBytes("US-ASCII"))
+    out.putInt(data.length)
+    out.put(data)
+    if (pad == 1) out.put(0.toByte)
+    val b = out.array()
+    val newSize = b.length - 8
+    b(4) = (newSize & 0xff).toByte; b(5) = ((newSize >> 8) & 0xff).toByte
+    b(6) = ((newSize >> 16) & 0xff).toByte; b(7) = ((newSize >> 24) & 0xff).toByte
+    b
+  }
+
+  /** RIFF chunk types that carry the AUDIO rather than metadata —
+    * everything else (LIST/INFO artist+software tags, id3, bext
+    * broadcast metadata, cue sheets, ...) is what a privacy pass
+    * strips. `fact` stays: it is structural (sample count). */
+  private val WavKeepChunks = Set("fmt ", "data", "fact")
+
+  /** WAV-side metadata strip, same contract as [[stripImageMetadata]]:
+    * keep only [[WavKeepChunks]], drop LIST/id3/bext/... tags AND any
+    * bytes beyond the declared RIFF extent (trailing hiding place), and
+    * rewrite the RIFF size header to match. Sample bytes are untouched.
+    * None for malformed/truncated input; the input REFERENCE comes back
+    * when nothing needed stripping. */
+  def stripWavMetadata(bytes: Array[Byte]): Option[Array[Byte]] = {
+    if (bytes == null || bytes.length < 12) return None
+    if (tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE") return None
+    val riffEnd = 8L + le32(bytes, 4)
+    if (riffEnd > bytes.length) return None // truncated vs its own header
+    val chunks = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+    var p = 12L
+    while (p + 8 <= riffEnd) {
+      val id = tag(bytes, p.toInt)
+      val size = le32(bytes, p.toInt + 4)
+      val total = 8L + size + (size % 2)
+      if (p + total > riffEnd) return None // chunk overruns its container
+      chunks += ((id, p.toInt, total.toInt))
+      p += total
+    }
+    if (p != riffEnd) return None // slack inside the declared extent
+    val drop = chunks.exists(c => !WavKeepChunks(c._1))
+    if (!drop && riffEnd == bytes.length) return Some(bytes)
+    val kept = chunks.filter(c => WavKeepChunks(c._1))
+    val newSize = 4 + kept.map(_._3).sum
+    val out = java.nio.ByteBuffer.allocate(8 + newSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(newSize)
+    out.put("WAVE".getBytes("US-ASCII"))
+    kept.foreach { case (_, start, len) => out.put(bytes, start, len) }
+    Some(out.array())
+  }
+
+  /** One media-PII entry point: dispatch on the container magic — WAV to
+    * [[stripWavMetadata]], images to [[stripImageMetadata]]; None for
+    * anything neither inspects. */
+  def stripMediaMetadata(bytes: Array[Byte]): Option[Array[Byte]] =
+    if (bytes != null && bytes.length >= 12 &&
+      tag(bytes, 0) == "RIFF" && tag(bytes, 8) == "WAVE")
+      stripWavMetadata(bytes)
+    else stripImageMetadata(bytes)
+
   /** Partition-wise metadata strip over payload rows: (id, fmt, n_in,
     * n_out, meta_removed_bytes, payload) with NULLs (and the original
     * payload) where the input is malformed or an unhandled format.
     * Payloads are rewritten where they sit — nothing but the row stream
     * moves. */
-  def stripImageMetadataDf(df: DataFrame, idCol: String): DataFrame = {
+  def stripMediaMetadataDf(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast(LongType), col("payload"))
@@ -601,7 +672,7 @@ object Multimodal {
       .mapPartitions(_.map { case (id, payload) =>
         val fmt = parseImageHeader(payload).map(_.format)
         val nIn = Option(payload).map(_.length.toLong) // null payloads flow
-        stripImageMetadata(payload) match {
+        stripMediaMetadata(payload) match {
           case Some(outB) =>
             (id, fmt, nIn, Option(outB.length.toLong),
               nIn.map(_ - outB.length), outB)

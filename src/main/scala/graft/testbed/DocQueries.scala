@@ -2057,8 +2057,8 @@ object DocQueries {
           }
         }
         .toDF("doc_id", "payload")
-      val once = Multimodal.stripImageMetadataDf(payloads, "doc_id")
-      val second = Multimodal.stripImageMetadataDf(
+      val once = Multimodal.stripMediaMetadataDf(payloads, "doc_id")
+      val second = Multimodal.stripMediaMetadataDf(
           once.select(col("id").as("doc_id"), col("payload")), "doc_id")
         .select(col("id"), col("meta_removed_bytes").as("second_pass_removed"))
       val px = Multimodal.decodeImagePixelStats(
@@ -2079,6 +2079,52 @@ object DocQueries {
             .when(idc % 3 === 1, jOk)
             .otherwise(col("r_sum") === pngSum && col("g_sum") === pngSum &&
               col("b_sum") === pngSum).as("px_ok"))
+        .orderBy("doc_id")
+    }),
+
+    // M13: the WAV side of the media-PII scrub — recordings with a REAL
+    // LIST/INFO artist tag (v0), clean files (v1, reference
+    // pass-through), and trailing bytes beyond the RIFF extent (v2, the
+    // hiding place); the strip must remove exactly the tag/trailer
+    // arithmetic, re-strip to zero, and leave the PCM samples
+    // bit-identical (sum mirrored from the generative formula).
+    "m13_audio_meta_strip" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = table(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          if (id % 97 == 0) (id, "garbage".getBytes("UTF-8"))
+          else {
+            val n = 100 + (id % 7).toInt
+            val samples = Array.tabulate(n)(i =>
+              (((id + i * 31L) % 1000L) - 500L).toShort)
+            val wav = Multimodal.syntheticWavPcm(8000, 1, samples)
+            (id % 3).toInt match {
+              case 0 =>
+                val artist = s"artist$id".getBytes("US-ASCII")
+                val pad = artist.length % 2
+                val sub = java.nio.ByteBuffer
+                  .allocate(8 + artist.length + pad)
+                  .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+                sub.put("IART".getBytes("US-ASCII"))
+                  .putInt(artist.length).put(artist)
+                (id, Multimodal.addWavChunk(wav, "LIST",
+                  "INFO".getBytes("US-ASCII") ++ sub.array()))
+              case 1 => (id, wav)
+              case _ => (id, wav ++ "hiddenPIItrailer".getBytes("US-ASCII"))
+            }
+          }
+        })
+        .toDF("doc_id", "payload")
+      val once = Multimodal.stripMediaMetadataDf(payloads, "doc_id")
+      val second = Multimodal.stripMediaMetadataDf(
+          once.select(col("id").as("doc_id"), col("payload")), "doc_id")
+        .select(col("id"), col("meta_removed_bytes").as("second_pass_removed"))
+      val pcm = Multimodal.decodeAudioStats(
+          once.select(col("id").as("doc_id"), col("payload")), "doc_id")
+        .select(col("id"), col("n_samples"), col("pcm_sum"))
+      once.join(second, Seq("id")).join(pcm, Seq("id"))
+        .select(col("id").as("doc_id"), col("meta_removed_bytes"),
+          col("second_pass_removed"), col("n_samples"), col("pcm_sum"))
         .orderBy("doc_id")
     }),
 
@@ -4270,6 +4316,36 @@ object DocQueries {
         |            ELSE 0 END AS BIGINT) AS second_pass_removed,
         |       CASE WHEN doc_id % 97 = 0 THEN NULL ELSE TRUE END AS px_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // M13: the LIST/INFO tag arithmetic (8 LIST framing + 'INFO' + IART
+    // subchunk + pads), the 16-byte trailer, idempotence zeros, and the
+    // PCM sums from the generative sample formula
+    "m13_audio_meta_strip" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(doc_id % 3 AS INT) AS v,
+        |         length(CAST(doc_id AS VARCHAR)) AS dg,
+        |         100 + CAST(doc_id % 7 AS INT) AS n
+        |  FROM documents
+        | ),
+        | sums AS (
+        |  SELECT d.doc_id,
+        |         CAST(SUM((d.doc_id + i.i * 31) % 1000 - 500) AS BIGINT) AS pcm_sum
+        |  FROM d, generate_series(0, 106) i(i) WHERE i.i < d.n
+        |  GROUP BY d.doc_id
+        | )
+        |SELECT d.doc_id,
+        |       CAST(CASE WHEN d.doc_id % 97 = 0 THEN NULL
+        |            WHEN d.v = 0 THEN 26 + dg + dg % 2
+        |            WHEN d.v = 2 THEN 16 ELSE 0 END AS BIGINT)
+        |         AS meta_removed_bytes,
+        |       CAST(CASE WHEN d.doc_id % 97 = 0 THEN NULL
+        |            ELSE 0 END AS BIGINT) AS second_pass_removed,
+        |       CAST(CASE WHEN d.doc_id % 97 = 0 THEN NULL
+        |            ELSE d.n END AS BIGINT) AS n_samples,
+        |       CASE WHEN d.doc_id % 97 = 0 THEN NULL ELSE s.pcm_sum END
+        |         AS pcm_sum
+        |FROM d JOIN sums s ON s.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // W1: the link graph restated from the generative arithmetic, the
     // degree logic mirrored like g2's oracle

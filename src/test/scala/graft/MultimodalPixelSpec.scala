@@ -269,6 +269,32 @@ class MultimodalPixelSpec extends SparkSpec {
     assert(Multimodal.stripImageMetadata(apng).isEmpty)
   }
 
+  test("stripWavMetadata: LIST tags and trailers drop, samples bit-identical") {
+    val wav = Multimodal.syntheticWavPcm(8000, 1, Array[Short](10, -20, 30, 1000))
+    val artist = "IART".getBytes("US-ASCII") ++
+      Array[Byte](6, 0, 0, 0) ++ "secret".getBytes("US-ASCII")
+    val dirty = Multimodal.addWavChunk(wav, "LIST",
+      "INFO".getBytes("US-ASCII") ++ artist)
+    val clean = Multimodal.stripWavMetadata(dirty).get
+    assert(dirty.length - clean.length === 8 + 4 + 8 + 6) // LIST frame + INFO + IART
+    assert(!new String(clean, "ISO-8859-1").contains("secret"))
+    assert(Multimodal.decodePcm(clean).get.samples.toSeq ===
+      Multimodal.decodePcm(wav).get.samples.toSeq)
+    // clean file passes through by reference; stripped result is clean
+    assert(Multimodal.stripWavMetadata(wav).get eq wav)
+    assert(Multimodal.stripWavMetadata(clean).get eq clean)
+    // trailing bytes beyond the RIFF extent drop
+    val trailed = wav ++ "gps trail".getBytes("US-ASCII")
+    assert(Multimodal.stripWavMetadata(trailed).get.toSeq === wav.toSeq)
+    // truncation vs the RIFF header rejects, as does a lying chunk size
+    assert(Multimodal.stripWavMetadata(wav.dropRight(5)).isEmpty)
+    val lying = wav.clone()
+    lying(40) = 0x7f.toByte // data chunk size low byte -> overruns
+    assert(Multimodal.stripWavMetadata(lying).isEmpty)
+    // dispatch: the combined entry point routes WAV correctly
+    assert(Multimodal.stripMediaMetadata(dirty).get.toSeq === clean.toSeq)
+  }
+
   test("stripImageMetadata rejects garbage, unhandled formats, lying lengths") {
     assert(Multimodal.stripImageMetadata("garbage".getBytes).isEmpty)
     assert(Multimodal.stripImageMetadata(null).isEmpty)
