@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** robots.txt compliance filtering — the legality gate a crawl-derived
+  * corpus runs before anything else: pages whose host's robots.txt
+  * disallows the path for the pipeline's user agent are dropped (or
+  * flagged) BEFORE text ever enters curation.
+  *
+  * Semantics implemented (the core Robots Exclusion Protocol,
+  * RFC 9309): group selection picks the group whose `User-agent` name
+  * is the LONGEST case-insensitive substring... more precisely: an
+  * exact/longest agent-token match wins over the `*` group, which is
+  * the fallback; within the chosen group, the rule whose path prefix is
+  * the LONGEST match decides, an `Allow`/`Disallow` tie at equal length
+  * resolves to Allow, and a path matching no rule is allowed. An empty
+  * `Disallow:` value allows everything (the classic idiom). Wildcard
+  * (`*`, `$`) path extensions are out of scope — prefix rules are the
+  * RFC core and what the oracle mirrors; a site using wildcards parses
+  * to its literal-prefix subset. Unparseable content (a 404 HTML page
+  * where robots.txt should be) yields NO rules = allow-all, the web
+  * default.
+  *
+  * Scale shape: the robots table is host-cardinality (millions of
+  * rows), the page table is corpus-cardinality (billions) — so robots
+  * BROADCASTS and pages never shuffle: the decision is evaluated in a
+  * `mapPartitions` over the broadcast-joined rows with a per-partition
+  * parsed-rules cache keyed by the robots text (hosts repeat heavily
+  * within a partition), so each distinct robots.txt parses once per
+  * task, not once per page. */
+object Robots {
+
+  /** One path rule: `allow` with its path prefix. */
+  final case class Rule(allow: Boolean, prefix: String)
+
+  /** Parse robots.txt for `agent`: the rules of the best-matching group
+    * — the group whose User-agent token is the longest one contained in
+    * `agent` (case-insensitive), falling back to the `*` group. */
+  def parseRobots(txt: String, agent: String): Seq[Rule] = {
+    if (txt == null) return Nil
+    val la = agent.toLowerCase(java.util.Locale.ROOT)
+    // groups: consecutive User-agent lines, then the rules that follow
+    var groups = List.empty[(List[String], List[Rule])] // (agents, rules reversed)
+    var curAgents = List.empty[String]
+    var curRules = List.empty[Rule]
+    var inAgents = false
+    def flush(): Unit =
+      if (curAgents.nonEmpty) groups = (curAgents, curRules) :: groups
+    txt.split("\n").foreach { line0 =>
+      val line = line0.takeWhile(_ != '#').trim
+      val colon = line.indexOf(':')
+      if (colon > 0) {
+        val key = line.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT)
+        val value = line.substring(colon + 1).trim
+        key match {
+          case "user-agent" =>
+            if (!inAgents) { flush(); curAgents = Nil; curRules = Nil }
+            curAgents ::= value.toLowerCase(java.util.Locale.ROOT)
+            inAgents = true
+          case "allow" | "disallow" =>
+            inAgents = false
+            // an empty Disallow allows everything: no rule
+            if (value.nonEmpty)
+              curRules ::= Rule(allow = key == "allow", prefix = value)
+          case _ => inAgents = false // crawl-delay, sitemap, ... ignored
+        }
+      }
+    }
+    flush()
+    // best group: longest agent token contained in our agent; '*' = fallback
+    val candidates = groups.reverse.flatMap { case (agents, rules) =>
+      agents.collect {
+        case a if a != "*" && la.contains(a) => (a.length, rules.reverse)
+        case a if a == "*" => (0, rules.reverse)
+      }
+    }
+    if (candidates.isEmpty) Nil
+    else candidates.maxBy(_._1)._2
+  }
+
+  /** RFC 9309 decision: longest matching prefix wins, Allow wins length
+    * ties, no match = allowed. */
+  def isAllowed(rules: Seq[Rule], path: String): Boolean = {
+    var bestLen = -1
+    var bestAllow = true
+    rules.foreach { r =>
+      if (path.startsWith(r.prefix)) {
+        if (r.prefix.length > bestLen ||
+          (r.prefix.length == bestLen && r.allow)) {
+          bestLen = r.prefix.length
+          bestAllow = r.allow
+        }
+      }
+    }
+    bestAllow
+  }
+
+  /** URL path (+ "/" default) — the portion robots rules match against. */
+  private def pathOf(url: String): String = {
+    val schemeEnd = url.indexOf("://")
+    val from = if (schemeEnd >= 0) schemeEnd + 3 else 0
+    val slash = url.indexOf('/', from)
+    if (slash < 0) "/" else url.substring(slash)
+  }
+
+  /** Pages (`idCol`, `urlCol`) joined against `robots` (`hostCol`,
+    * `txtCol`) and decided for `agent`: (id, url, allowed). The robots
+    * side broadcasts; pages with no robots row are allowed (no
+    * robots.txt = no restrictions). `hostExpr` must produce the page's
+    * host in the same normalization as `robots.hostCol`. */
+  def filterByRobots(
+      pages: DataFrame,
+      robots: DataFrame,
+      idCol: String,
+      urlCol: String,
+      hostExpr: Column,
+      agent: String
+  ): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val joined = pages
+      .select(col(idCol).cast("long").as("id"), col(urlCol).as("url"),
+        hostExpr.as("_host"))
+      .join(broadcast(robots.select(col("host").as("_host"),
+        col("robots_txt").as("_txt"))), Seq("_host"), "left")
+      .select(col("id"), col("url"), col("_txt"))
+      .as[(Long, String, String)]
+    joined.mapPartitions { it =>
+      // per-task parse cache: hosts repeat, robots.txt parses once
+      val cache = scala.collection.mutable.HashMap.empty[String, Seq[Rule]]
+      it.map { case (id, url, txt) =>
+        val allowed =
+          if (txt == null) true
+          else isAllowed(cache.getOrElseUpdate(txt, parseRobots(txt, agent)),
+            pathOf(url))
+        (id, url, allowed)
+      }
+    }.toDF("id", "url", "allowed")
+  }
+}

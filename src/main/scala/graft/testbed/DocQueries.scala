@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Classifier, Dedup, Keywords, Multimodal, Packing, Salted, Sampling, Similarity, Sketches}
+import graft.operators.{Classifier, Dedup, Keywords, Multimodal, Packing, Robots, Salted, Sampling, Similarity, Sketches}
 import graft.sources.Warc
 
 /** LLM-training-data pipeline battery over the `documents` / `embeddings`
@@ -2298,6 +2298,36 @@ object DocQueries {
         .orderBy("doc_id")
     }),
 
+    // T51: robots.txt compliance filtering — per-host robots files with
+    // an agent-specific deny-all group (which our agent must NOT pick
+    // up), a '*' group whose Disallow/Allow pair exercises the
+    // longest-prefix-match override, plus a garbage-robots host (no
+    // rules = allow-all, the web default) and a host with no robots row;
+    // the oracle restates every allow/deny from the same arithmetic
+    "t51_robots_filter" -> ((s, dir) => {
+      import s.implicits._
+      def c(m: Int) = ('a' + m).toChar
+      val robotsDf = ((0 until 7).map { k =>
+        (s"site$k.com",
+          "User-agent: evilbot\nDisallow: /\n\n" +
+            s"User-agent: *\nDisallow: /s${c(k)}\n" +
+            s"Allow: /s${c(k)}/p\nDisallow: /s${c((k + 1) % 11)}\n")
+      } :+ (("site9.com", "<html>404 not found</html>")))
+        .toDF("host", "robots_txt")
+      val id = col("doc_id")
+      val hostIdx = when(id % 97 === 0, lit("9"))
+        .when(id % 89 === 0, lit("8"))
+        .otherwise((id % 7).cast("string"))
+      val url = concat(lit("http://site"), hostIdx, lit(".com/s"),
+        expr("char(97 + cast(doc_id % 11 as int))"), lit("/p"),
+        id.cast("string"))
+      val pages = table(s, dir, "documents").select(id, url.as("url"))
+      Robots.filterByRobots(pages, robotsDf, "doc_id", "url",
+          TextFunctions.urlHost(col("url")), agent = "graftbot")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // T47: native Jaro-Winkler scoring — each doc's t45-style variant
     // name scored against its group's canonical form AND against a
     // reversed decoy; the oracle recomputes through DuckDB's
@@ -4575,6 +4605,22 @@ object DocQueries {
         |             ELSE 'mañana señor' END)
         |       || ' #' || CAST(doc_id AS VARCHAR) AS fixed_text,
         |       doc_id % 3 <> 0 AS changed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // T51: the allow/deny decisions restated from the rule arithmetic —
+    // deny only when the path segment hits the host's un-overridden
+    // Disallow; garbage-robots and no-robots hosts allow everything
+    "t51_robots_filter" ->
+      """SELECT doc_id,
+        |       'http://site'
+        |       || CASE WHEN doc_id % 97 = 0 THEN '9'
+        |               WHEN doc_id % 89 = 0 THEN '8'
+        |               ELSE CAST(doc_id % 7 AS VARCHAR) END
+        |       || '.com/s' || chr(97 + CAST(doc_id % 11 AS INT))
+        |       || '/p' || CAST(doc_id AS VARCHAR) AS url,
+        |       CASE WHEN doc_id % 97 = 0 OR doc_id % 89 = 0 THEN TRUE
+        |            WHEN doc_id % 11 = (doc_id % 7 + 1) % 11 THEN FALSE
+        |            ELSE TRUE END AS allowed
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // T48: the same extraction chain re-implemented in DuckDB's RE2 —

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Robots
+import graft.operators.Robots.Rule
+
+/** RFC 9309 core semantics: group selection, longest-prefix-match
+  * decisions, the Allow tie-break, parser tolerance, and the
+  * broadcast-join DataFrame face. */
+class RobotsSpec extends SparkSpec {
+
+  private val txt =
+    """# example robots.txt
+      |User-agent: evilbot
+      |Disallow: /
+      |
+      |User-agent: graftbot
+      |Disallow: /private
+      |Allow: /private/ok
+      |
+      |User-agent: *
+      |Disallow: /all
+      |Crawl-delay: 10
+      |Sitemap: http://x/s.xml
+      |""".stripMargin
+
+  test("group selection: exact agent beats '*', '*' is the fallback") {
+    // evilbot gets its deny-all group
+    assert(Robots.parseRobots(txt, "evilbot") === Seq(Rule(false, "/")))
+    // graftbot gets ITS group, not '*' and not evilbot's
+    assert(Robots.parseRobots(txt, "graftbot")
+      === Seq(Rule(false, "/private"), Rule(true, "/private/ok")))
+    // an agent token CONTAINED in the UA string matches (RFC token match)
+    assert(Robots.parseRobots(txt, "graftbot-news/1.0")
+      === Seq(Rule(false, "/private"), Rule(true, "/private/ok")))
+    // anyone else falls back to '*' (directives like Crawl-delay ignored)
+    assert(Robots.parseRobots(txt, "otherbot") === Seq(Rule(false, "/all")))
+  }
+
+  test("decision: longest prefix wins, Allow wins ties, no rule allows") {
+    val rules = Robots.parseRobots(txt, "graftbot")
+    assert(!Robots.isAllowed(rules, "/private/x"))
+    assert(Robots.isAllowed(rules, "/private/ok/page")) // longer Allow wins
+    assert(Robots.isAllowed(rules, "/public"))          // no matching rule
+    // equal-length tie resolves to Allow
+    val tie = Seq(Rule(false, "/p"), Rule(true, "/p"))
+    assert(Robots.isAllowed(tie, "/page"))
+    // the deny-all group really denies everything
+    assert(!Robots.isAllowed(Robots.parseRobots(txt, "evilbot"), "/"))
+  }
+
+  test("parser tolerance: garbage, empty Disallow, missing groups") {
+    // a 404 HTML page where robots.txt should be: no rules = allow-all
+    assert(Robots.parseRobots("<html>404</html>", "graftbot") === Nil)
+    assert(Robots.isAllowed(Nil, "/anything"))
+    // the empty-Disallow idiom allows everything (no rule emitted)
+    assert(Robots.parseRobots("User-agent: *\nDisallow:\n", "x") === Nil)
+    assert(Robots.parseRobots(null, "x") === Nil)
+  }
+
+  test("filterByRobots: broadcast decision, missing robots row allows") {
+    import spark.implicits._
+    val robots = Seq(
+      ("a.com", "User-agent: *\nDisallow: /no\nAllow: /no/yes\n"))
+      .toDF("host", "robots_txt")
+    val pages = Seq(
+      (1L, "http://a.com/no/page"),    // denied
+      (2L, "http://a.com/no/yes/p"),   // allow override
+      (3L, "http://a.com/fine"),       // no matching rule
+      (4L, "http://b.com/no/page"),    // no robots row -> allowed
+      (5L, "http://a.com")             // bare host -> path "/"
+    ).toDF("doc_id", "url")
+    val out = Robots.filterByRobots(pages, robots, "doc_id", "url",
+        graft.functions.TextFunctions.urlHost(col("url")), "anybot")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out === Map(1L -> false, 2L -> true, 3L -> true,
+      4L -> true, 5L -> true))
+  }
+}
