@@ -578,8 +578,14 @@ object Multimodal {
           if (p + 3 >= n) return None
           val segLen = ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)
           if (segLen < 2 || p.toLong + 2 + segLen > n) return None
-          if ((marker >= 0xe1 && marker <= 0xef) || marker == 0xfe)
-            dropFrom(p)
+          // APP0 (JFIF), APP2 (ICC color profile), and APP14 (the Adobe
+          // color-transform flag — without it a transform=0 Adobe JPEG
+          // decodes RGB as YCbCr, and CMYK/YCCK misdecode outright) are
+          // DECODE-critical and stay; APP1 (EXIF/XMP — the GPS/serial
+          // carrier), the other APPn, and COM comments drop
+          val isMeta = (marker >= 0xe1 && marker <= 0xef &&
+            marker != 0xe2 && marker != 0xee) || marker == 0xfe
+          if (isMeta) dropFrom(p)
           else keep(p, 2 + segLen)
           p += 2 + segLen
         }
@@ -650,34 +656,54 @@ object Multimodal {
     Some(out.array())
   }
 
+  /** A JPEG marker segment (`FF mm len data`) — the writer face for
+    * tests/synthesis, next to [[addPngChunk]]/[[addWavChunk]]. */
+  def jpegSegment(marker: Int, data: Array[Byte]): Array[Byte] = {
+    require(data.length + 2 <= 0xffff, "JPEG segment length is 16-bit")
+    Array[Byte](0xff.toByte, marker.toByte,
+      (((data.length + 2) >> 8) & 0xff).toByte,
+      ((data.length + 2) & 0xff).toByte) ++ data
+  }
+
+  /** Container magic sniff — dispatch/labeling only (full validation is
+    * the stripper's job): "png" / "jpeg" / "wav". */
+  private def sniffFormat(bytes: Array[Byte]): Option[String] = {
+    if (bytes == null || bytes.length < 12) None
+    else if ((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P') Some("png")
+    else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) Some("jpeg")
+    else if (tag(bytes, 0) == "RIFF" && tag(bytes, 8) == "WAVE") Some("wav")
+    else None
+  }
+
   /** One media-PII entry point: dispatch on the container magic — WAV to
     * [[stripWavMetadata]], images to [[stripImageMetadata]]; None for
     * anything neither inspects. */
   def stripMediaMetadata(bytes: Array[Byte]): Option[Array[Byte]] =
-    if (bytes != null && bytes.length >= 12 &&
-      tag(bytes, 0) == "RIFF" && tag(bytes, 8) == "WAVE")
-      stripWavMetadata(bytes)
+    if (sniffFormat(bytes).contains("wav")) stripWavMetadata(bytes)
     else stripImageMetadata(bytes)
 
   /** Partition-wise metadata strip over payload rows: (id, fmt, n_in,
-    * n_out, meta_removed_bytes, payload) with NULLs (and the original
-    * payload) where the input is malformed or an unhandled format.
-    * Payloads are rewritten where they sit — nothing but the row stream
-    * moves. */
+    * n_out, meta_removed_bytes, payload). Rejected rows (malformed or
+    * uninspected formats) carry NULL n_out/meta_removed AND a NULL
+    * payload — the output column must never hold un-scrubbed bytes a
+    * downstream consumer could ship by accident; rejoin on id when the
+    * original is needed. Payloads are rewritten where they sit —
+    * nothing but the row stream moves. */
   def stripMediaMetadataDf(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast(LongType), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, payload) =>
-        val fmt = parseImageHeader(payload).map(_.format)
+        val fmt = sniffFormat(payload)
         val nIn = Option(payload).map(_.length.toLong) // null payloads flow
         stripMediaMetadata(payload) match {
           case Some(outB) =>
             (id, fmt, nIn, Option(outB.length.toLong),
               nIn.map(_ - outB.length), outB)
           case None =>
-            (id, fmt, nIn, None: Option[Long], None: Option[Long], payload)
+            (id, fmt, nIn, None: Option[Long], None: Option[Long],
+              null: Array[Byte])
         }
       })
       .toDF("id", "fmt", "n_in", "n_out", "meta_removed_bytes", "payload")

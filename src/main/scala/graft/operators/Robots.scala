@@ -68,7 +68,11 @@ object Robots {
       }
     }
     flush()
-    // best group: longest agent token contained in our agent; '*' = fallback
+    // best agent-match length: longest token contained in our agent;
+    // '*' = fallback at length 0. ALL groups at the winning length merge
+    // — RFC 9309 requires combining the rules of every matching group
+    // (two 'User-agent: *' blocks are one logical group), and dropping
+    // one would under-block on a compliance gate
     val candidates = groups.reverse.flatMap { case (agents, rules) =>
       agents.collect {
         case a if a != "*" && la.contains(a) => (a.length, rules.reverse)
@@ -76,7 +80,10 @@ object Robots {
       }
     }
     if (candidates.isEmpty) Nil
-    else candidates.maxBy(_._1)._2
+    else {
+      val best = candidates.map(_._1).max
+      candidates.filter(_._1 == best).flatMap(_._2)
+    }
   }
 
   /** RFC 9309 decision: longest matching prefix wins, Allow wins length
@@ -104,11 +111,14 @@ object Robots {
     if (slash < 0) "/" else url.substring(slash)
   }
 
-  /** Pages (`idCol`, `urlCol`) joined against `robots` (`hostCol`,
-    * `txtCol`) and decided for `agent`: (id, url, allowed). The robots
-    * side broadcasts; pages with no robots row are allowed (no
-    * robots.txt = no restrictions). `hostExpr` must produce the page's
-    * host in the same normalization as `robots.hostCol`. */
+  /** Pages (`idCol`, `urlCol`) joined against `robots` — which MUST
+    * carry the columns `(host, robots_txt)` — and decided for `agent`:
+    * (id, url, allowed). The robots side broadcasts; pages with no
+    * robots row are allowed (no robots.txt = no restrictions).
+    * `hostExpr` must produce the page's host in the same normalization
+    * as `robots.host`. The per-task rule cache is keyed by HOST, so its
+    * footprint is parsed rules only — never the (potentially 100s-of-KB)
+    * robots text duplicated per distinct host. */
   def filterByRobots(
       pages: DataFrame,
       robots: DataFrame,
@@ -124,15 +134,16 @@ object Robots {
         hostExpr.as("_host"))
       .join(broadcast(robots.select(col("host").as("_host"),
         col("robots_txt").as("_txt"))), Seq("_host"), "left")
-      .select(col("id"), col("url"), col("_txt"))
-      .as[(Long, String, String)]
+      .select(col("id"), col("url"), col("_host"), col("_txt"))
+      .as[(Long, String, String, String)]
     joined.mapPartitions { it =>
-      // per-task parse cache: hosts repeat, robots.txt parses once
+      // per-task parse cache: hosts repeat, each robots.txt parses once
       val cache = scala.collection.mutable.HashMap.empty[String, Seq[Rule]]
-      it.map { case (id, url, txt) =>
+      it.map { case (id, url, host, txt) =>
         val allowed =
           if (txt == null) true
-          else isAllowed(cache.getOrElseUpdate(txt, parseRobots(txt, agent)),
+          else isAllowed(
+            cache.getOrElseUpdate(host, parseRobots(txt, agent)),
             pathOf(url))
         (id, url, allowed)
       }

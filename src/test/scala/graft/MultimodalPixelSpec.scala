@@ -226,13 +226,9 @@ class MultimodalPixelSpec extends SparkSpec {
 
   test("stripImageMetadata: JPEG drops APP1/COM, keeps APP0, decodes the same") {
     val base = Multimodal.encodeJpeg(8, 8, (_, _) => rgb(200, 100, 50))
-    def seg(marker: Int, data: Array[Byte]): Array[Byte] =
-      Array[Byte](0xff.toByte, marker.toByte,
-        (((data.length + 2) >> 8) & 0xff).toByte,
-        ((data.length + 2) & 0xff).toByte) ++ data
     val dirty = base.take(2) ++
-      seg(0xe1, "Exif gps-here".getBytes("US-ASCII")) ++
-      seg(0xfe, "a comment".getBytes("US-ASCII")) ++ base.drop(2)
+      Multimodal.jpegSegment(0xe1, "Exif gps-here".getBytes("US-ASCII")) ++
+      Multimodal.jpegSegment(0xfe, "a comment".getBytes("US-ASCII")) ++ base.drop(2)
     val clean = Multimodal.stripImageMetadata(dirty).get
     // the strip restores the encoder's exact byte stream (APP0 kept)
     assert(clean.toSeq === base.toSeq)
@@ -249,17 +245,41 @@ class MultimodalPixelSpec extends SparkSpec {
     val base = Multimodal.encodeJpeg(8, 8, (_, _) => rgb(200, 100, 50))
     assert((base(base.length - 2) & 0xff) === 0xff &&
       (base.last & 0xff) === 0xd9) // sanity: encoder ends with EOI
-    def seg(marker: Int, data: Array[Byte]): Array[Byte] =
-      Array[Byte](0xff.toByte, marker.toByte,
-        (((data.length + 2) >> 8) & 0xff).toByte,
-        ((data.length + 2) & 0xff).toByte) ++ data
     // a COM between the entropy data and EOI (legal mid-stream metadata)
     val midCom = base.dropRight(2) ++
-      seg(0xfe, "late comment".getBytes("US-ASCII")) ++ base.takeRight(2)
+      Multimodal.jpegSegment(0xfe, "late comment".getBytes("US-ASCII")) ++ base.takeRight(2)
     assert(Multimodal.stripImageMetadata(midCom).get.toSeq === base.toSeq)
     // a motion-photo-style trailer after EOI drops
     val trailed = base ++ "embedded video bytes".getBytes("US-ASCII")
     assert(Multimodal.stripImageMetadata(trailed).get.toSeq === base.toSeq)
+  }
+
+  test("stripImageMetadata keeps decode-critical APP2/APP14, drops the rest") {
+    val base = Multimodal.encodeJpeg(8, 8, (_, _) => rgb(90, 90, 90))
+    val icc = Multimodal.jpegSegment(0xe2,
+      "ICC_PROFILE".getBytes("US-ASCII") ++ Array.fill[Byte](8)(3))
+    val adobe = Multimodal.jpegSegment(0xee,
+      "Adobe".getBytes("US-ASCII") ++ Array[Byte](0, 100, 0, 0, 0, 0, 0))
+    val exif = Multimodal.jpegSegment(0xe1, "Exif gps".getBytes("US-ASCII"))
+    val dirty = base.take(2) ++ icc ++ adobe ++ exif ++ base.drop(2)
+    val clean = Multimodal.stripImageMetadata(dirty).get
+    // only the EXIF segment drops; the color-critical segments survive
+    assert(clean.toSeq === (base.take(2) ++ icc ++ adobe ++ base.drop(2)).toSeq)
+  }
+
+  test("stripMediaMetadataDf NULLs rejected rows' payloads and metrics") {
+    import spark.implicits._
+    val in = Seq(
+      (1L, Multimodal.encodePng(11, 6, (x, _) => rgb(x, x, x))),
+      (2L, "garbage".getBytes("UTF-8")),
+      (3L, null: Array[Byte])).toDF("doc_id", "payload")
+    val out = Multimodal.stripMediaMetadataDf(in, "doc_id")
+      .orderBy("id").collect()
+    assert(out(0).getLong(3) > 0) // the PNG strips to a real payload
+    // rejected rows must NOT carry the original bytes in the scrubbed
+    // column — NULL payload, NULL metrics
+    assert(out(1).isNullAt(3) && out(1).isNullAt(5))
+    assert(out(2).isNullAt(2) && out(2).isNullAt(5))
   }
 
   test("stripImageMetadata rejects APNG rather than destroying frames") {

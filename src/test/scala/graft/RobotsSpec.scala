@@ -50,6 +50,23 @@ class RobotsSpec extends SparkSpec {
     assert(!Robots.isAllowed(Robots.parseRobots(txt, "evilbot"), "/"))
   }
 
+  test("all groups at the winning agent-match length MERGE (RFC 9309)") {
+    // two separate '*' blocks are ONE logical group — dropping either
+    // under-blocks a compliance gate
+    val two =
+      "User-agent: *\nDisallow: /a\n\nUser-agent: *\nDisallow: /b\n"
+    val rules = Robots.parseRobots(two, "anybot")
+    assert(rules.toSet === Set(Rule(false, "/a"), Rule(false, "/b")))
+    assert(!Robots.isAllowed(rules, "/b/page"))
+    // merged exact-agent groups too, and they still beat '*'
+    val mixed = "User-agent: graftbot\nDisallow: /x\n\n" +
+      "User-agent: *\nDisallow: /everything\n\n" +
+      "User-agent: graftbot\nDisallow: /y\n"
+    val g = Robots.parseRobots(mixed, "graftbot")
+    assert(g.toSet === Set(Rule(false, "/x"), Rule(false, "/y")))
+    assert(Robots.isAllowed(g, "/everything")) // '*' group not mixed in
+  }
+
   test("parser tolerance: garbage, empty Disallow, missing groups") {
     // a 404 HTML page where robots.txt should be: no rules = allow-all
     assert(Robots.parseRobots("<html>404</html>", "graftbot") === Nil)
