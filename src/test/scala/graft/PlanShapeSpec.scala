@@ -257,6 +257,20 @@ class PlanShapeSpec extends SparkSpec {
       planesPerTable = 4, maxBucketOccupancy = Some(30))) === ((2, 0)))
   }
 
+  test("robots filter: the corpus never shuffles, robots broadcast") {
+    // (0, 1): the host-cardinality robots table broadcasts onto the page
+    // scan, the decision runs in the scan's mapPartitions — a refactor
+    // to a shuffle join or a per-page parse would change the shape
+    import spark.implicits._
+    val robots = Seq(("h0.com", "User-agent: *\nDisallow: /x\n"))
+      .toDF("host", "robots_txt")
+    val pages = docs.select(col("doc_id"),
+      concat(lit("http://h"), col("doc_id") % 3, lit(".com/p")).as("url"))
+    assert(shape(graft.operators.Robots.filterByRobots(
+      pages, robots, "doc_id", "url",
+      TextFunctions.urlHost(col("url")), "bot")) === ((0, 1)))
+  }
+
   test("image near-dup: decode rides the scan once, pairs die in the bucket") {
     // 2 shuffles: the (band, bits) bucket groupBy (16-byte structs — the
     // pixels never shuffle) and the cross-band pair dedup; 0 broadcasts
