@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
 import graft.operators.{Classifier, Dedup, Keywords, Multimodal, Packing, Robots, Salted, Sampling, Similarity, Sketches}
-import graft.sources.Warc
+import graft.sources.{Sitemaps, Warc}
 
 /** LLM-training-data pipeline battery over the `documents` / `embeddings`
   * tables: text analysis, language ID, fingerprinting, exact + near dedup,
@@ -2126,6 +2126,40 @@ object DocQueries {
         .select(col("id").as("doc_id"), col("meta_removed_bytes"),
           col("second_pass_removed"), col("n_samples"), col("pcm_sum"))
         .orderBy("doc_id")
+    }),
+
+    // W2: sitemap ingestion — per-host sitemap XML synthesized from
+    // arithmetic: urlset files (1-3 <url> blocks, lastmod present except
+    // on the third) for most docs, sitemapindex files (2 <sitemap>
+    // children, no lastmod) for doc_id % 5 = 0, garbage for % 97 = 0;
+    // the one-grammar parser must emit the exact entry stream the
+    // oracle restates
+    "w2_sitemap" -> ((s, dir) => {
+      val id = col("doc_id")
+      val k = (id % 3 + 1).cast("int")
+      def urlBlock(i: Int) = when(lit(i) < k, concat(
+        lit("<url>\n <loc> http://site"), id % 7, lit(s".com/p"),
+        id.cast("string"), lit(s"_$i </loc>\n"),
+        when(lit(i) === 2, lit(""))
+          .otherwise(concat(lit("<lastmod>2024-01-"),
+            lpad(((id + i) % 28 + 1).cast("string"), 2, "0"),
+            lit("</lastmod>\n"))),
+        lit("</url>\n"))).otherwise(lit(""))
+      val urlset = concat(lit("<urlset>\n"),
+        urlBlock(0), urlBlock(1), urlBlock(2), lit("</urlset>"))
+      val index = concat(lit("<sitemapindex>\n"),
+        lit("<sitemap><loc>http://site"), id % 7,
+        lit(".com/sm1.xml</loc></sitemap>\n"),
+        lit("<sitemap><loc>http://site"), id % 7,
+        lit(".com/sm2.xml</loc></sitemap>\n</sitemapindex>"))
+      val xml = when(id % 97 === 0, lit("<html>not a sitemap</html>"))
+        .when(id % 5 === 0, index)
+        .otherwise(urlset)
+      Sitemaps.entries(
+          table(s, dir, "documents").select(id, xml.as("xml")),
+          "doc_id", "xml")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "loc")
     }),
 
     // W1: the crawl-to-graph composition in ONE plan — per-page WARC
@@ -4376,6 +4410,32 @@ object DocQueries {
         |         AS pcm_sum
         |FROM d JOIN sums s ON s.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // W2: the entry stream restated — urlset rows for i < k (lastmod
+    // NULL on i=2), two sitemap-index children for %5 docs, nothing for
+    // garbage
+    "w2_sitemap" ->
+      """WITH ids AS (
+        |  SELECT doc_id, CAST(doc_id % 3 + 1 AS INT) AS k FROM documents
+        | ),
+        | e AS (
+        |  SELECT doc_id, 'url' AS kind,
+        |         'http://site' || (doc_id % 7) || '.com/p'
+        |           || CAST(doc_id AS VARCHAR) || '_' || i.i AS loc,
+        |         CASE WHEN i.i = 2 THEN NULL
+        |              ELSE '2024-01-' || lpad(CAST((doc_id + i.i) % 28 + 1
+        |                   AS VARCHAR), 2, '0') END AS lastmod
+        |  FROM ids, generate_series(0, 2) i(i)
+        |  WHERE i.i < k AND doc_id % 97 <> 0 AND doc_id % 5 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, 'sitemap',
+        |         'http://site' || (doc_id % 7) || '.com/sm' || i.i || '.xml',
+        |         NULL
+        |  FROM ids, generate_series(1, 2) i(i)
+        |  WHERE doc_id % 97 <> 0 AND doc_id % 5 = 0
+        | )
+        |SELECT doc_id, kind, loc, lastmod FROM e
+        |ORDER BY doc_id, loc""".stripMargin,
 
     // W1: the link graph restated from the generative arithmetic, the
     // degree logic mirrored like g2's oracle

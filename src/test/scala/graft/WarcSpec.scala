@@ -66,6 +66,32 @@ class WarcSpec extends SparkSpec {
     assert(Warc.parseAll(lied) === Nil)
   }
 
+  test("Sitemaps.entries: urlset + index one-grammar parse, trim, optional lastmod") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val urlset =
+      """<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |<url>
+        |  <loc>  http://a.com/p1 </loc>
+        |  <lastmod>2024-03-01</lastmod>
+        |</url>
+        |<url><loc>http://a.com/p2</loc></url>
+        |<url><lastmod>2024-01-01</lastmod></url>
+        |</urlset>""".stripMargin // last block has no loc -> dropped
+    val index =
+      "<sitemapindex><sitemap><loc>http://a.com/s1.xml</loc></sitemap></sitemapindex>"
+    val in = Seq((1L, urlset), (2L, index), (3L, "<html>nope</html>"))
+      .toDF("doc_id", "xml")
+    val out = graft.sources.Sitemaps.entries(in, "doc_id", "xml")
+      .orderBy(col("id"), col("loc")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        Option(r.getString(3))))
+    assert(out.toSeq === Seq(
+      (1L, "url", "http://a.com/p1", Some("2024-03-01")),
+      (1L, "url", "http://a.com/p2", None),
+      (2L, "sitemap", "http://a.com/s1.xml", None)))
+  }
+
   test("records() explodes files into the per-record stream with bodies") {
     import spark.implicits._
     val fileA = Warc.build(Seq(warcInfo, resp("http://a/1", "body A")),
