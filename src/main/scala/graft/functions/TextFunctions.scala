@@ -171,6 +171,43 @@ object TextFunctions {
     round(when(n > 0, deflateLen(c).cast("double") / n), 4)
   }
 
+  /** Unicode script ranges for [[scriptProfile]] — explicit BMP
+    * code-point ranges, NOT engine script tables, so Spark and any SQL
+    * mirror count the exact same characters. */
+  val ScriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z]",
+    "cyrillic" -> "[Ѐ-ӿ]",
+    "greek" -> "[Ͱ-Ͽ]",
+    "cjk" -> "[一-鿿]",
+    "arabic" -> "[؀-ۿ]")
+
+  /** Script-mix profile — the multilingual curation signal next to
+    * [[langId]]: per-script character counts (explicit code-point
+    * ranges) plus the dominant script, ties broken by [[ScriptRanges]]
+    * order. Counting is `length(x) - length(regexp_replace(x, range,
+    * ''))` — no per-char array materializes, the whole struct is
+    * codegen'd scan work. Returns struct(n_latin, n_cyrillic, n_greek,
+    * n_cjk, n_arabic, n_digit, dominant). */
+  def scriptProfile(c: String): Column = {
+    def count(range: String): Column =
+      (length(col(c)) - length(regexp_replace(col(c), range, ""))).cast("int")
+    val counts = ScriptRanges.map { case (name, range) => name -> count(range) }
+    val dominant = counts.zipWithIndex.foldRight(
+      lit(ScriptRanges.last._1): Column) { case (((name, cnt), i), rest) =>
+      val laterMax = counts.drop(i + 1).map(_._2)
+      if (laterMax.isEmpty) rest
+      else {
+        val others =
+          if (laterMax.size == 1) laterMax.head else greatest(laterMax: _*)
+        when(cnt >= others, name).otherwise(rest)
+      }
+    }
+    struct(
+      (counts.map { case (n, cc) => cc.as(s"n_$n") } :+
+        count("[0-9]").as("n_digit") :+
+        dominant.as("dominant")): _*)
+  }
+
   /** Function-word markers per language (public-knowledge closed-class
     * words); the language whose markers appear most often wins. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(

@@ -2362,6 +2362,28 @@ object DocQueries {
         .orderBy("doc_id")
     }),
 
+    // T52: script-mix profiling — per-doc multilingual text built from
+    // repeated Latin/Cyrillic/Greek/CJK/Arabic words, counted by the
+    // SAME explicit code-point ranges on both engines and argmaxed with
+    // the same priority chain, so exactness is structural: any range or
+    // tie-break drift breaks the hash compare
+    "t52_script_mix" -> ((s, dir) => {
+      val id = col("doc_id")
+      val text = concat(
+        repeat(lit("hello "), (id % 3 + 1).cast("int")),
+        repeat(lit("мир "), (id % 4).cast("int")),
+        repeat(lit("κόσμος "), (id % 2).cast("int")),
+        repeat(lit("世界 "), (id % 5).cast("int")),
+        repeat(lit("سلام "), (id % 3).cast("int")),
+        lit("#"), id.cast("string"))
+      table(s, dir, "documents").select(id, text.as("text"))
+        .withColumn("p", TextFunctions.scriptProfile("text"))
+        .select(id, col("p.n_latin"), col("p.n_cyrillic"), col("p.n_greek"),
+          col("p.n_cjk"), col("p.n_arabic"), col("p.n_digit"),
+          col("p.dominant"))
+        .orderBy("doc_id")
+    }),
+
     // T47: native Jaro-Winkler scoring — each doc's t45-style variant
     // name scored against its group's canonical form AND against a
     // reversed decoy; the oracle recomputes through DuckDB's
@@ -4682,6 +4704,37 @@ object DocQueries {
         |            WHEN doc_id % 11 = (doc_id % 7 + 1) % 11 THEN FALSE
         |            ELSE TRUE END AS allowed
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // T52: the same text rebuilt, the same code-point-range counting
+    // (length minus range-stripped length), the same dominant chain
+    "t52_script_mix" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         repeat('hello ', CAST(doc_id % 3 + 1 AS INT))
+        |         || repeat('мир ', CAST(doc_id % 4 AS INT))
+        |         || repeat('κόσμος ', CAST(doc_id % 2 AS INT))
+        |         || repeat('世界 ', CAST(doc_id % 5 AS INT))
+        |         || repeat('سلام ', CAST(doc_id % 3 AS INT))
+        |         || '#' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents
+        | ),
+        | c AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS INT) AS n_latin,
+        |    CAST(length(text) - length(regexp_replace(text, '[Ѐ-ӿ]', '', 'g')) AS INT) AS n_cyrillic,
+        |    CAST(length(text) - length(regexp_replace(text, '[Ͱ-Ͽ]', '', 'g')) AS INT) AS n_greek,
+        |    CAST(length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) AS INT) AS n_cjk,
+        |    CAST(length(text) - length(regexp_replace(text, '[؀-ۿ]', '', 'g')) AS INT) AS n_arabic,
+        |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INT) AS n_digit
+        |  FROM t
+        | )
+        |SELECT doc_id, n_latin, n_cyrillic, n_greek, n_cjk, n_arabic, n_digit,
+        |       CASE WHEN n_latin >= GREATEST(n_cyrillic, n_greek, n_cjk, n_arabic) THEN 'latin'
+        |            WHEN n_cyrillic >= GREATEST(n_greek, n_cjk, n_arabic) THEN 'cyrillic'
+        |            WHEN n_greek >= GREATEST(n_cjk, n_arabic) THEN 'greek'
+        |            WHEN n_cjk >= n_arabic THEN 'cjk'
+        |            ELSE 'arabic' END AS dominant
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // T48: the same extraction chain re-implemented in DuckDB's RE2 —
     // comment drop, whole-element script/style drop, generic tag strip,

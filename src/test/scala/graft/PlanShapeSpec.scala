@@ -59,6 +59,7 @@ class PlanShapeSpec extends SparkSpec {
     assert(shape(docs.selectExpr("nfc_normalize(text)")) === ((0, 0)))
     assert(shape(docs.selectExpr("fix_mojibake(text)")) === ((0, 0)))
     assert(shape(docs.selectExpr("luhn_scrub(text)")) === ((0, 0)))
+    assert(shape(docs.select(TextFunctions.scriptProfile("text"))) === ((0, 0)))
     assert(shape(docs.select(TextFunctions.canonicalUrl(
       concat(lit("http://h"), col("doc_id"), lit(".co/p"))))) === ((0, 0)))
     assert(shape(docs.select(TextFunctions.jaroWinkler(

@@ -123,6 +123,29 @@ class QualityOpsSpec extends SparkSpec {
       .selectExpr("fix_mojibake(t) AS f").head().getString(0) === destroyed)
   }
 
+  test("scriptProfile counts code-point ranges and argmaxes with fixed priority") {
+    import spark.implicits._
+    val in = Seq(
+      (1L, "hello мир мир"),          // latin 5, cyrillic 6 -> cyrillic
+      (2L, "abc 123 世界"),           // latin 3, cjk 2, digits 3 -> latin
+      (3L, "κκκ سسس"),                // greek 3 vs arabic 3: tie -> greek
+      (4L, ""),                        // all zero -> latin (first in order)
+      (5L, "!!! ???")).toDF("id", "t") // no script chars at all -> latin
+    val out = in.withColumn("p",
+        graft.functions.TextFunctions.scriptProfile("t"))
+      .select(col("id"), col("p.n_latin"), col("p.n_cyrillic"),
+        col("p.n_greek"), col("p.n_arabic"), col("p.n_digit"),
+        col("p.dominant"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5),
+          r.getString(6)))).toMap
+    assert(out(1L) === ((5, 6, 0, 0, 0, "cyrillic")))
+    assert(out(2L) === ((3, 0, 0, 0, 3, "latin")))
+    assert(out(3L) === ((0, 0, 3, 3, 0, "greek"))) // tie -> earlier script
+    assert(out(4L) === ((0, 0, 0, 0, 0, "latin")))
+    assert(out(5L) === ((0, 0, 0, 0, 0, "latin")))
+  }
+
   test("luhn_scrub masks only checksum-valid card runs") {
     import spark.implicits._
     def scrub(t: String): String =
