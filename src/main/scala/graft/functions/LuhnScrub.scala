@@ -85,12 +85,15 @@ object LuhnScrub {
     * and a candidate is at most 37 chars). */
   def scrub(s: String): String = {
     val m = CardPattern.matcher(s)
-    // transparent bounds keep the lookarounds honest when the scan
-    // resumes mid-string: a candidate attempt after a resume still sees
-    // the digit before it (so contiguous-run sub-windows keep failing
-    // the lookbehind), while a space-preceded card inside a failed
-    // glued candidate is found
-    m.useTransparentBounds(true)
+    // the resume scan uses m.find(from), which RESETS the matcher and
+    // restores its region to the whole input — so the lookarounds
+    // always see the characters before `from`: a candidate attempt
+    // after a resume still sees the digit before it (contiguous-run
+    // sub-windows keep failing the lookbehind) while a space-preceded
+    // card inside a failed glued candidate is found. A refactor to
+    // region(from, len)-based scanning would need
+    // useTransparentBounds(true) to keep this property; with find(int)
+    // it holds by itself.
     if (!m.find()) return s
     val sb = new java.lang.StringBuilder(s.length)
     var last = 0

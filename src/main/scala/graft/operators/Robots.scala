@@ -9,10 +9,13 @@ import org.apache.spark.sql.functions._
   * flagged) BEFORE text ever enters curation.
   *
   * Semantics implemented (the core Robots Exclusion Protocol,
-  * RFC 9309): group selection picks the group whose `User-agent` name
-  * is the LONGEST case-insensitive substring... more precisely: an
-  * exact/longest agent-token match wins over the `*` group, which is
-  * the fallback; within the chosen group, the rule whose path prefix is
+  * RFC 9309): group selection uses crawler-name matching — a group
+  * applies when its `User-agent` token is a case-insensitive PREFIX of
+  * the crawler's product token (so `graftbot` captures
+  * `graftbot-news/1.0` but a generic `bot` group does NOT capture
+  * `graftbot`); the longest matching token wins over the `*` group,
+  * which is the fallback. Within the chosen group, the rule whose path
+  * prefix is
   * the LONGEST match decides, an `Allow`/`Disallow` tie at equal length
   * resolves to Allow, and a path matching no rule is allowed. An empty
   * `Disallow:` value allows everything (the classic idiom). Wildcard
@@ -26,17 +29,19 @@ import org.apache.spark.sql.functions._
   * rows), the page table is corpus-cardinality (billions) — so robots
   * BROADCASTS and pages never shuffle: the decision is evaluated in a
   * `mapPartitions` over the broadcast-joined rows with a per-partition
-  * parsed-rules cache keyed by the robots text (hosts repeat heavily
-  * within a partition), so each distinct robots.txt parses once per
-  * task, not once per page. */
+  * parsed-rules cache keyed by host (the broadcast side is deduped to
+  * one robots text per host, and hosts repeat heavily within a
+  * partition), so each distinct robots.txt parses once per task, not
+  * once per page. */
 object Robots {
 
   /** One path rule: `allow` with its path prefix. */
   final case class Rule(allow: Boolean, prefix: String)
 
   /** Parse robots.txt for `agent`: the rules of the best-matching group
-    * — the group whose User-agent token is the longest one contained in
-    * `agent` (case-insensitive), falling back to the `*` group. */
+    * — the group whose User-agent token is the longest case-insensitive
+    * PREFIX of `agent` (RFC 9309 crawler-name matching), falling back
+    * to the `*` group. */
   def parseRobots(txt: String, agent: String): Seq[Rule] = {
     if (txt == null) return Nil
     val la = agent.toLowerCase(java.util.Locale.ROOT)
@@ -68,14 +73,16 @@ object Robots {
       }
     }
     flush()
-    // best agent-match length: longest token contained in our agent;
+    // best agent-match length: longest token that PREFIXES our agent
+    // (RFC 9309 crawler-name match — a substring match would let a
+    // generic 'bot' group capture 'graftbot' and outrank '*');
     // '*' = fallback at length 0. ALL groups at the winning length merge
     // — RFC 9309 requires combining the rules of every matching group
     // (two 'User-agent: *' blocks are one logical group), and dropping
     // one would under-block on a compliance gate
     val candidates = groups.reverse.flatMap { case (agents, rules) =>
       agents.collect {
-        case a if a != "*" && la.contains(a) => (a.length, rules.reverse)
+        case a if a != "*" && la.startsWith(a) => (a.length, rules.reverse)
         case a if a == "*" => (0, rules.reverse)
       }
     }
@@ -113,10 +120,17 @@ object Robots {
 
   /** Pages (`idCol`, `urlCol`) joined against `robots` — which MUST
     * carry the columns `(host, robots_txt)` — and decided for `agent`:
-    * (id, url, allowed). The robots side broadcasts; pages with no
-    * robots row are allowed (no robots.txt = no restrictions).
-    * `hostExpr` must produce the page's host in the same normalization
-    * as `robots.host`. The per-task rule cache is keyed by HOST, so its
+    * (id, url, allowed). The robots side is deduplicated to one row per
+    * host (first text wins, deterministic only if the input is — feed a
+    * clean snapshot) and then broadcasts; pages with no robots row are
+    * allowed (no robots.txt = no restrictions). Without the dedup, a
+    * host with two robots rows would both DUPLICATE every page row of
+    * that host through the left join and apply whichever text a task's
+    * cache saw first — order-dependent compliance decisions. The dedup
+    * shuffle is on the host-cardinality robots table only; the corpus
+    * side still never shuffles. `hostExpr` must produce the page's host
+    * in the same normalization as `robots.host`. The per-task rule
+    * cache is keyed by HOST (now provably one txt per host), so its
     * footprint is parsed rules only — never the (potentially 100s-of-KB)
     * robots text duplicated per distinct host. */
   def filterByRobots(
@@ -133,7 +147,8 @@ object Robots {
       .select(col(idCol).cast("long").as("id"), col(urlCol).as("url"),
         hostExpr.as("_host"))
       .join(broadcast(robots.select(col("host").as("_host"),
-        col("robots_txt").as("_txt"))), Seq("_host"), "left")
+        col("robots_txt").as("_txt")).dropDuplicates("_host")),
+        Seq("_host"), "left")
       .select(col("id"), col("url"), col("_host"), col("_txt"))
       .as[(Long, String, String, String)]
     joined.mapPartitions { it =>

@@ -222,6 +222,16 @@ object Warc {
     spark.sparkContext.binaryFiles(path)
       .flatMap { case (file, pds) =>
         val in = pds.open()
+        var closed = false
+        def closeOnce(): Unit = if (!closed) { closed = true; in.close() }
+        // close-on-exhaustion alone leaks the handle when downstream
+        // stops early (limit/take), throws mid-partition, or the task
+        // aborts — the task-completion listener closes it on task end
+        // regardless of how much of the iterator was consumed, while
+        // the eager close below still frees handles early within a
+        // long multi-file task
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => closeOnce())
         val it = parseStream(in).zipWithIndex
           .map { case (r, i) =>
             val row = recordRow(0L, i, r)
@@ -230,7 +240,7 @@ object Warc {
         new Iterator[(String, Int, String, Option[String], Option[String], Long, Option[String])] {
           override def hasNext: Boolean = {
             val h = it.hasNext
-            if (!h) in.close()
+            if (!h) closeOnce()
             h
           }
           override def next() = it.next()

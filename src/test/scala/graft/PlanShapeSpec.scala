@@ -259,9 +259,13 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("robots filter: the corpus never shuffles, robots broadcast") {
-    // (0, 1): the host-cardinality robots table broadcasts onto the page
-    // scan, the decision runs in the scan's mapPartitions — a refactor
-    // to a shuffle join or a per-page parse would change the shape
+    // (1, 1): the ONE exchange is the one-row-per-host dedup on the
+    // host-cardinality robots side (contract enforcement — duplicate
+    // hosts would duplicate page rows through the left join); the
+    // corpus side still never shuffles, the deduped robots table
+    // broadcasts onto the page scan, and the decision runs in the
+    // scan's mapPartitions — a refactor to a corpus-side shuffle join
+    // or a per-page parse would change the shape
     import spark.implicits._
     val robots = Seq(("h0.com", "User-agent: *\nDisallow: /x\n"))
       .toDF("host", "robots_txt")
@@ -269,7 +273,7 @@ class PlanShapeSpec extends SparkSpec {
       concat(lit("http://h"), col("doc_id") % 3, lit(".com/p")).as("url"))
     assert(shape(graft.operators.Robots.filterByRobots(
       pages, robots, "doc_id", "url",
-      TextFunctions.urlHost(col("url")), "bot")) === ((0, 1)))
+      TextFunctions.urlHost(col("url")), "bot")) === ((1, 1)))
   }
 
   test("image near-dup: decode rides the scan once, pairs die in the bucket") {

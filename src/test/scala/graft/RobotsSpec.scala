@@ -31,11 +31,33 @@ class RobotsSpec extends SparkSpec {
     // graftbot gets ITS group, not '*' and not evilbot's
     assert(Robots.parseRobots(txt, "graftbot")
       === Seq(Rule(false, "/private"), Rule(true, "/private/ok")))
-    // an agent token CONTAINED in the UA string matches (RFC token match)
+    // an agent token that PREFIXES the product token matches (RFC 9309
+    // crawler-name match)
     assert(Robots.parseRobots(txt, "graftbot-news/1.0")
       === Seq(Rule(false, "/private"), Rule(true, "/private/ok")))
+    // but a generic group token that is merely a SUBSTRING of the agent
+    // must NOT capture it — 'bot' does not govern 'graftbot'
+    val generic = "User-agent: bot\nDisallow: /\n\nUser-agent: *\nDisallow: /all\n"
+    assert(Robots.parseRobots(generic, "graftbot") === Seq(Rule(false, "/all")))
     // anyone else falls back to '*' (directives like Crawl-delay ignored)
     assert(Robots.parseRobots(txt, "otherbot") === Seq(Rule(false, "/all")))
+  }
+
+  test("duplicate robots rows: deduped, no page-row fanout") {
+    import spark.implicits._
+    // two conflicting rows for the same host: the join must still emit
+    // exactly one row per page, decided by ONE of the texts
+    val robots = Seq(
+      ("a.com", "User-agent: *\nDisallow: /no\n"),
+      ("a.com", "User-agent: *\nDisallow: /no\n")).toDF("host", "robots_txt")
+    val pages = Seq((1L, "http://a.com/no/p"), (2L, "http://a.com/ok"))
+      .toDF("doc_id", "url")
+    val out = Robots.filterByRobots(pages, robots, "doc_id", "url",
+        graft.functions.TextFunctions.urlHost(col("url")), "anybot")
+      .collect()
+    assert(out.length === 2)
+    assert(out.map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      === Map(1L -> false, 2L -> true))
   }
 
   test("decision: longest prefix wins, Allow wins ties, no rule allows") {
