@@ -184,11 +184,23 @@ object TextFunctions {
   /** Script-mix profile — the multilingual curation signal next to
     * [[langId]]: per-script character counts (explicit code-point
     * ranges) plus the dominant script, ties broken by [[ScriptRanges]]
-    * order. Counting is `length(x) - length(regexp_replace(x, range,
-    * ''))` — no per-char array materializes, the whole struct is
-    * codegen'd scan work. Returns struct(n_latin, n_cyrillic, n_greek,
-    * n_cjk, n_arabic, n_digit, dominant). */
+    * order. Returns struct(n_latin, n_cyrillic, n_greek, n_cjk,
+    * n_arabic, n_digit, dominant), computed by the native
+    * [[ScriptProfile]] expression — one UTF-8 decode pass per row
+    * instead of [[scriptProfileRegexp]]'s six regexp scans. */
   def scriptProfile(c: String): Column = {
+    graft.plans.GraftExtensions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("script_profile", col(c))
+  }
+
+  /** The regexp formulation [[scriptProfile]] replaced, kept as the
+    * equivalence-test witness (QualityOpsSpec asserts bit-parity on
+    * both codegen paths): counting is `length(x) -
+    * length(regexp_replace(x, range, ''))` per range — correct, but six
+    * full string scans and six transient stripped copies per row where
+    * the native expression decodes each code point once. */
+  def scriptProfileRegexp(c: String): Column = {
     def count(range: String): Column =
       (length(col(c)) - length(regexp_replace(col(c), range, ""))).cast("int")
     val counts = ScriptRanges.map { case (name, range) => name -> count(range) }

@@ -225,10 +225,20 @@ object GraftExtensions {
     }
   )
 
+  private val scriptProfileFn = (
+    new FunctionIdentifier("script_profile"),
+    new ExpressionInfo(classOf[graft.functions.ScriptProfile].getName, "script_profile"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.length == 1, "script_profile takes exactly 1 argument")
+      graft.functions.ScriptProfile(children.head)
+    }
+  )
+
   private val all =
     Seq(vecDot, simHash60, zOrder60, deflateLen, deflateRoundtrip, minHash64,
       winnow60, shingleHash60, bucketPairs, bestCentroid, nfcNormalize, fixMojibake, luhnScrub,
-      phraseCount, jaroWinkler, bloomProbe, bestCentroidProbe, lshBucketsFn)
+      phraseCount, jaroWinkler, bloomProbe, bestCentroidProbe, lshBucketsFn,
+      scriptProfileFn)
 
   /** Idempotently register the functions on a live session. */
   def register(spark: SparkSession): Unit = {

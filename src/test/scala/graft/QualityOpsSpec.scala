@@ -146,6 +146,38 @@ class QualityOpsSpec extends SparkSpec {
     assert(out(5L) === ((0, 0, 0, 0, 0, "latin")))
   }
 
+  test("native script_profile == regexp witness on both codegen paths") {
+    import spark.implicits._
+    // seeded multilingual soup: mixed scripts, non-BMP (emoji surrogate
+    // pairs must count in NO range on both formulations), combining
+    // marks, empty and whitespace-only strings, plus the real sf0.001
+    // documents corpus
+    val rnd = new scala.util.Random(20260815L)
+    val pieces = Vector("hello", "мир", "κόσμος", "世界", "سلام", "123",
+      "!?#", "🙂🚀", "é", "ʘ", "ー", "ѐѣӿ", "ͰͿ", "一鿿", "؀ۿ", "")
+    val rows = (0 until 400).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(12))(pieces(rnd.nextInt(pieces.size)))
+        .mkString(if (i % 3 == 0) "" else " "))
+    }
+    def check(df: org.apache.spark.sql.DataFrame): Unit = {
+      val both = df
+        .withColumn("nat", graft.functions.TextFunctions.scriptProfile("text"))
+        .withColumn("wit", graft.functions.TextFunctions.scriptProfileRegexp("text"))
+        .where(col("nat") =!= col("wit"))
+      assert(both.count() === 0L)
+    }
+    val key = "spark.sql.codegen.wholeStage"
+    val prev = spark.conf.get(key)
+    Seq("true", "false").foreach { ws =>
+      spark.conf.set(key, ws)
+      try {
+        check(rows.toDF("doc_id", "text"))
+        check(spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+          .select(col("doc_id"), col("text")))
+      } finally spark.conf.set(key, prev)
+    }
+  }
+
   test("luhn_scrub masks only checksum-valid card runs") {
     import spark.implicits._
     def scrub(t: String): String =
