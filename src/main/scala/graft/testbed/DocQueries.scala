@@ -1068,12 +1068,18 @@ object DocQueries {
       Similarity.recallAtK(resid3(s, dir), brute3(s, dir), k = 3)
         .orderBy("query_id")),
 
-    // D7: embedding-cosine near-dup pairs — LSH-bucketed candidates scored
-    // exactly (the synthetic embeddings have no true near-dups, so the
-    // threshold sits in the distribution tail to exercise the pipeline)
+    // D7: embedding-cosine near-dup pairs at the HIGHER-RECALL table
+    // count — 12 tables instead of d10's 8, planes auto-derived
+    // ([[Dedup.autoPlanes]]) like every shipped config, so occupancy
+    // (and the within-bucket quadratic join) stays bounded at any
+    // corpus size. The fixed-4-plane scale trap this entry used to pin
+    // lives on as a CorpusOpsSpec demonstration (Σocc² growth), not as
+    // a shipped query. (The synthetic embeddings have no true
+    // near-dups, so the threshold sits in the distribution tail to
+    // exercise the pipeline.)
     "d7_embedding_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(table(s, dir, "embeddings"), "vec_id", "embedding",
-          minCosine = 0.4, dims = 64, tables = 8, planesPerTable = 4)
+          minCosine = 0.4, dims = 64, tables = 12)
         .orderBy("doc_a", "doc_b")),
 
     // D8: the occupancy-bounded configuration of the same operator —
@@ -2817,17 +2823,19 @@ object DocQueries {
          |FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
          |ORDER BY doc_id""".stripMargin,
 
-    // D7: same bucket CTE as v2, unordered pairs, exact-cosine filter
+    // D7: the d10 auto-plane mirror at 12 tables — p derived from
+    // COUNT(*) exactly like Dedup.autoPlanes, then the same bucket CTE
     "d7_embedding_neardup" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         | params AS (SELECT GREATEST(4, CAST(CEIL(LOG2(COUNT(*) / 64.0)) AS INT)) AS p FROM e),
          | tb AS (
          |  SELECT vec_id, t,
-         |         CAST(list_sum(list_transform(generate_series(0, 3), i ->
+         |         CAST(list_sum(list_transform(generate_series(0, p - 1), i ->
          |           CASE WHEN list_dot_product(v,
          |                  list_transform(generate_series(0, 63),
-         |                    d -> (((t * 4 + i) * 64 + d) * 2654435761) % 1000 / 1000.0 - 0.5)) >= 0.0
+         |                    d -> (((t * p + i) * 64 + d) * 2654435761) % 1000 / 1000.0 - 0.5)) >= 0.0
          |                THEN (1 << CAST(i AS INT)) ELSE 0 END)) AS INT) AS bucket
-         |  FROM e CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS t) tt
+         |  FROM e CROSS JOIN params CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS t) tt
          | ),
          | cand AS (
          |  SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
