@@ -122,6 +122,39 @@ class TilingSpec extends SparkSpec {
     assert(TileProto.decode(TileProto.encode(tile)) === tile)
   }
 
+  test("InspectTile renders the golden tile in protobuf text format") {
+    // the reference's scripts/inspect_tile_pb.py:1-26 is ParseFromString
+    // + print(tile): Python text_format output — map entries ascending by
+    // key, proto3 zero-defaults omitted, two-space nesting, repr doubles.
+    // Pinned on the zoom-8 golden tile (totalBins 4096 = 64 subtile bins
+    // aggregated at z=8).
+    val tile = readTile("model-id-1/run-id-1/month/F1/tiles/0-8-156-120.tile")
+    assert(graft.tools.InspectTile.render(tile) ===
+      """coord {
+        |  x: 156
+        |  y: 120
+        |  z: 8
+        |}
+        |bins {
+        |  stats {
+        |    key: 3001
+        |    value {
+        |      s_sum_t_sum: 96.0
+        |      s_sum_t_mean: 48.0
+        |      weight: 3.0
+        |    }
+        |  }
+        |  totalBins: 4096
+        |}
+        |""".stripMargin)
+    // exponent spelling: Java 'E100' must render as Python 'e+100'/'e-07'
+    val tiny = TileProto.Tile(x = 0, y = 0, z = 0, t = 0L, totalBins = 0,
+      stats = Map(1 -> TileProto.TileStats(sum = 1.0e100, avg = -1.23e-7)))
+    val txt = graft.tools.InspectTile.render(tiny)
+    assert(txt.contains("sum: 1e+100"))
+    assert(txt.contains("avg: -1.23e-07"))
+  }
+
   test("proto3 zero-default fields are omitted from the wire") {
     val empty = TileProto.Tile(x = 0, y = 0, z = 0, t = 0L, totalBins = 0, stats = Map.empty)
     // all-zero coord and bins submessages encode to length-0 bodies
