@@ -4,6 +4,27 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    def dirBytes(f: java.io.File): Long =
+      if (f.isFile) f.length
+      else Option(f.listFiles).map(_.map(dirBytes).sum).getOrElse(0L)
+    val inputBytes = dirBytes(new java.io.File(sfDir))
+    // Heavy-exchange sizing is the DEFAULT, not an env knob: a default
+    // that falls over at the rehearsal SF is the wrong default (r13 —
+    // d22's sf10 candidate aggregation OOM'd 32 shared-heap partitions
+    // while the SAME run completed at initialPartitionNum=512). Derived
+    // from INPUT SIZE at ~8 MiB of parquet per initial partition,
+    // floored at the core count: sf10 (1.5 GB) gets ~188 partitions —
+    // measured: d22 completes in 153.5 s at the default 8 GB heap,
+    // FASTER than the 512-partition env knob's 225.7 s — while sf0.1
+    // and sf1 stay at the core count, so no small-SF entry can regress
+    // by construction. (A flat 16x-cores floor was measured first and
+    // rejected: it taxed the iterative graph family 1.5-2.2x at sf0.1 —
+    // hundreds of near-empty map tasks per CC/PageRank round.) AQE
+    // coalesces small stages back down, so the derived count only bites
+    // where exchanges are actually heavy — the production posture where
+    // shuffle.partitions is a floor, not the working count.
+    val derivedInitialPartitions =
+      math.max(cpus.toLong, inputBytes >> 23).toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -36,14 +57,10 @@ object Bench {
       // joins, partition coalescing — the d22 sf10 OOM fix rides it).
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
-      // A/B seam for the AQE initial partition count: with coalescing on,
-      // a high initial count lets heavy exchanges (the d22 candidate
-      // aggregation at sf10 OOM'd 32 shared-heap partitions) split across
-      // more, smaller partitions while small queries coalesce back — the
-      // production posture where shuffle.partitions is a floor, not the
-      // working count.
+      // A/B seam retained over the derived default above
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", cpus))
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS",
+          derivedInitialPartitions))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -90,6 +107,35 @@ object Bench {
       warmPrev = warmCur
     }
     val canaryFirst = canary()
+    // IO/bandwidth canary next to the pure-CPU probe: scans a real
+    // parquet (page-cache-resident after the untimed warm read) and pays
+    // ONE full-data exchange, so memory-bandwidth and page-cache
+    // contention register here. The CPU probe reads no files and
+    // shuffles one row per core — r13 produced direct evidence of a
+    // battery running uniformly 1.3-1.5x slow at an IDENTICAL CPU probe
+    // reading (the contention was in the bandwidth the probe never
+    // touches). min-of-3 for the same steady-state reasons as above.
+    // lineitem is the largest table at every SF (11 MB at sf0.1 vs
+    // documents' 0.6 MB) — the probe should move real bytes
+    val ioPath = new java.io.File(s"$sfDir/lineitem.parquet")
+    val ioBytes = dirBytes(ioPath)
+    def ioOnce(): Double = {
+      val t0 = System.nanoTime()
+      // modulo keeps the sum inside a long under ANSI mode (same trick
+      // as the CPU probe); the repartition exchanges EVERY row with all
+      // columns attached, so shuffle bandwidth registers too
+      spark.read.parquet(ioPath.getPath)
+        .repartition(cpus.toInt,
+          org.apache.spark.sql.functions.col("l_orderkey"))
+        .selectExpr(
+          "sum(xxhash64(l_partkey, l_quantity, l_returnflag) % 1000000007) as s")
+        .collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def ioCanary(): Double =
+      if (!ioPath.exists()) -1.0 else Seq.fill(3)(ioOnce()).min
+    if (ioPath.exists()) ioOnce() // untimed: page cache + codegen warm
+    val ioFirst = ioCanary()
     // A failed query must be visible as a failure, not a fast timing:
     // -1 sec marks it and the error list is emitted alongside.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -201,8 +247,19 @@ object Bench {
     // inflation shows up as ns_per_row drifting above its round history
     // even when contended:false.
     val nsPerRow = math.min(canaryFirst, canaryLast) / 2e8 * 1e9
+    val ioLast = ioCanary()
+    // same directional rule as the CPU probe: only a SLOWER post-battery
+    // IO probe is contention
+    val ioContended =
+      ioFirst > 0 && ioLast / math.max(1e-9, ioFirst) > 1.5
+    // absolute cross-round gauge (the flag is blind to contention that
+    // inflates both probes): input bytes through the scan+exchange per
+    // second, best of both probes
+    val ioMbPerSec =
+      if (ioFirst <= 0) -1.0
+      else ioBytes / 1048576.0 / math.min(ioFirst, math.max(1e-9, ioLast))
     val canaryJson =
-      s"""{"first":$canaryFirst,"last":$canaryLast,"contended":$contended,"warmup_runs":$warmRuns,"ns_per_row":$nsPerRow}"""
+      s"""{"first":$canaryFirst,"last":$canaryLast,"contended":$contended,"warmup_runs":$warmRuns,"ns_per_row":$nsPerRow,"io_first":$ioFirst,"io_last":$ioLast,"io_contended":$ioContended,"io_mb_per_sec":$ioMbPerSec}"""
     val isoJson = isolated.map { case (k, v) => q(k) + ":" + v }
       .mkString("{", ",", "}")
     val famJson = familyTimes.map { case (k, v) => q(k) + ":" + v }

@@ -1261,11 +1261,26 @@ object Dedup {
       bands: Int = 4, maxHamming: Int = 3,
       maxBandFreq: Option[Int] = None
   ): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.simHash(textCol).as("sh"))
+    simHashPairsFromHashes(sh, bands, maxHamming, maxBandFreq)
+  }
+
+  /** The pair half of [[simHashCandidates]] over PRECOMPUTED 60-bit
+    * simhashes `(doc_id, sh)` — for pipelines whose one signal
+    * projection already carries the hash in per-doc metadata
+    * ([[graft.pipeline.CrawlPipeline]]): candidates meet only inside a
+    * shared (band, band_val) bucket, rescored by exact Hamming
+    * distance. Identical semantics and plan shape to running
+    * [[simHashCandidates]] on the originating text. */
+  def simHashPairsFromHashes(
+      sh: DataFrame,
+      bands: Int = 4, maxHamming: Int = 3,
+      maxBandFreq: Option[Int] = None
+  ): DataFrame = {
     require(60 % bands == 0, s"bands must divide 60, got $bands")
     val width = 60 / bands
     val mask = (1L << width) - 1
-    val sh = docs.select(col(idCol).as("doc_id"),
-      TextFunctions.simHash(textCol).as("sh"))
     val banded0 = sh
       .select(col("doc_id"), col("sh"),
         explode(expr(s"sequence(0, ${bands - 1})")).as("b"))

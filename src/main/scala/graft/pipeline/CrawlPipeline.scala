@@ -1,0 +1,220 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Robots}
+import graft.sources.Warc
+
+/** Stage toggles + knobs of [[CrawlPipeline]]. Every stage is opt-out so
+  * a recipe can run any prefix/subset, mirroring [[DocPipelineConfig]]
+  * and the datacube skip matrix. */
+final case class CrawlPipelineConfig(
+    agent: String = "graftbot",
+    robotsGate: Boolean = true,
+    extractGate: Boolean = true,
+    langGate: Boolean = true,
+    allowedLangs: Seq[String] = Seq("en"),
+    qualityGate: Boolean = true,
+    dedupExact: Boolean = true,
+    dedupNear: Boolean = true,
+    nearBands: Int = 4,
+    nearMaxHamming: Int = 3,
+    nearMaxBandFreq: Option[Int] = None)
+
+final case class CrawlPipelineResult(kept: DataFrame, summary: DataFrame)
+
+/** The crawl-front-end counterpart of [[DocPipeline]]: one entry point
+  * that runs the whole acquisition recipe — WARC record walk → robots
+  * legality → HTML text extraction → language gate → quality gate →
+  * exact dedup → simhash near-dedup — over raw WARC files, composed
+  * entirely from the oracle-gated operators, and returns both the kept
+  * page records and a per-stage funnel summary (stage, n_in, n_out).
+  *
+  * Execution contract (the [[DocPipeline]] id-set discipline, applied
+  * to a source whose "text" is buried inside binary WARC payloads): the
+  * WARC files are parsed in ONE scan, and every per-page signal any
+  * enabled stage decides on (url/host, extracted-text length, language,
+  * quality keep, content hash, simhash) is computed in that same pass;
+  * only the resulting metadata frame (~100 bytes/page, never the
+  * payloads or extracted text) is `localCheckpoint`ed. The robots
+  * decision — the one signal needing the per-host broadcast-join shape
+  * — runs over the checkpointed metadata ([[Robots.filterByRobots]]),
+  * not the corpus. The gate stages are then SEQUENTIAL SURVIVAL FLAGS
+  * on that one metadata frame, so the funnel through exact dedup counts
+  * in ONE aggregation job; only near-dedup — whose banded self-join +
+  * connected components need their own plan shapes — runs as its own
+  * jobs over the surviving (id, simhash) sliver (16 bytes/page). The
+  * kept frame is the WARC records re-parsed once and semi-joined
+  * against the final id set: at 100 TB the WARC bytes are read exactly
+  * twice and written zero times, and nothing wider than metadata ever
+  * shuffles.
+  *
+  * Page identity: `file_id * PageIdStride + rec_idx` — stable across
+  * re-parses (WARC records are positional), monotone in (file, record)
+  * order so min-id canonical selection prefers earlier-crawled pages.
+  *
+  * Stage semantics (all identical to their standalone operators):
+  *  - 00_responses: WARC `response` records with a target URI and an
+  *    HTTP body ([[Warc.records]]) — the page universe;
+  *  - 10_robots: RFC 9309 allow/deny for `agent` against the provided
+  *    per-host robots.txt table ([[Robots.filterByRobots]]; pages with
+  *    no robots row are allowed);
+  *  - 20_extract: [[TextFunctions.htmlText]] yields non-empty text;
+  *  - 30_lang: [[TextFunctions.langId]] prediction ∈ `allowedLangs`;
+  *  - 40_quality: [[TextFunctions.qualityFilter]]'s composite keep;
+  *  - 50_exact_dedup: keep the min-id SURVIVOR per normalized content
+  *    hash (canonical chosen among pages that passed the earlier gates,
+  *    so a blocked/garbage copy never shadows a clean one);
+  *  - 60_near_dedup: [[Dedup.simHashPairsFromHashes]] banded candidates
+  *    → [[Dedup.connectedComponents]] → keep each cluster's min id. */
+object CrawlPipeline {
+
+  /** Max records per WARC file the page-id packing supports; Common
+    * Crawl segments carry ~50k. */
+  val PageIdStride = 1000000L
+
+  def pageId(fileId: Column, recIdx: Column): Column =
+    fileId * PageIdStride + recIdx
+
+  def run(
+      warcFiles: DataFrame,
+      idCol: String,
+      robots: Option[DataFrame],
+      cfg: CrawlPipelineConfig = CrawlPipelineConfig()
+  ): CrawlPipelineResult = {
+    val spark = warcFiles.sparkSession
+    val doRobots = cfg.robotsGate && robots.nonEmpty
+    val stages = Seq.newBuilder[(String, Long, Long)]
+
+    // the ONE corpus-reading plan: WARC walk, response filter, page ids
+    val responses = Warc.records(warcFiles, idCol)
+      .filter(col("record_type") === "response" &&
+        col("http_body").isNotNull && col("target_uri").isNotNull)
+      .withColumn("_id", pageId(col("id"), col("rec_idx")))
+
+    if (!doRobots && !cfg.extractGate && !cfg.langGate && !cfg.qualityGate &&
+      !cfg.dedupExact && !cfg.dedupNear) {
+      // nothing to decide: the page universe passes through untouched
+      val n = responses.count()
+      stages += (("00_responses", n, n))
+      return CrawlPipelineResult(responses.drop("_id"),
+        spark.createDataFrame(stages.result()).toDF("stage", "n_in", "n_out"))
+    }
+
+    // the single signal projection over that scan: extracted text is an
+    // intermediate column consumed in-plan (adjacent projects collapse),
+    // never checkpointed; only the signals enabled stages will read are
+    // computed
+    val withText = responses.select(col("_id"), col("target_uri").as("_url"),
+      TextFunctions.htmlText(col("http_body")).as("text"))
+    val sigCols: Seq[Column] =
+      Seq(col("_id")) ++
+        (if (doRobots)
+          Seq(col("_url"), TextFunctions.urlHost(col("_url")).as("_host"))
+        else Nil) ++
+        (if (cfg.extractGate) Seq((length(col("text")) > 0).as("_extract_ok"))
+        else Nil) ++
+        (if (cfg.langGate)
+          Seq(TextFunctions.langId("text").getField("predicted").as("_lang"))
+        else Nil) ++
+        (if (cfg.qualityGate)
+          Seq(TextFunctions.qualityFilter("text").getField("keep").as("_keep_q"))
+        else Nil) ++
+        (if (cfg.dedupExact)
+          Seq(md5(expr(Dedup.normalizedSql("text"))).as("_hash"))
+        else Nil) ++
+        (if (cfg.dedupNear) Seq(TextFunctions.simHash("text").as("_sh"))
+        else Nil)
+    var meta = withText.select(sigCols: _*).localCheckpoint()
+
+    if (doRobots) {
+      // per-host legality over the metadata sliver — the robots table
+      // broadcasts inside filterByRobots; the metadata-sized join back
+      // onto `meta` is the same shape DocPipeline uses for contamination
+      val dec = Robots
+        .filterByRobots(meta, robots.get, "_id", "_url", col("_host"), cfg.agent)
+        .select(col("id").as("_id"), col("allowed").as("_allowed"))
+      meta = meta.join(dec, Seq("_id"))
+    }
+
+    // sequential survival flags: each enabled gate ANDs its rule onto
+    // the previous stage's flag (the DocPipeline funnel contract)
+    var survive = lit(true)
+    val gateFlags = Seq.newBuilder[String]
+    val gateNames = Seq.newBuilder[String]
+    def gate(name: String, flag: String, enabled: Boolean)(rule: Column): Unit =
+      if (enabled) {
+        survive = survive && rule
+        meta = meta.withColumn(flag, survive)
+        gateFlags += flag; gateNames += name
+      }
+    gate("10_robots", "_s_robots", doRobots)(col("_allowed"))
+    gate("20_extract", "_s_extract", cfg.extractGate)(col("_extract_ok"))
+    gate("30_lang", "_s_lang", cfg.langGate)(
+      col("_lang").isin(cfg.allowedLangs: _*))
+    gate("40_quality", "_s_quality", cfg.qualityGate)(col("_keep_q"))
+    if (cfg.dedupExact) {
+      // canonical = min id AMONG SURVIVORS of the earlier gates — one
+      // window exchange on the metadata frame; rows already dead stay
+      // dead through the cumulative AND regardless of the window value
+      val priorSurvive = survive
+      meta = meta.withColumn("_canon",
+        min(when(priorSurvive, col("_id"))).over(Window.partitionBy("_hash")))
+      gate("50_exact_dedup", "_s_exact", enabled = true)(
+        col("_id") === col("_canon"))
+    }
+
+    val flags = gateFlags.result()
+    val m = meta.localCheckpoint()
+    // the whole gate funnel counted in ONE aggregation job
+    val countCols = count(lit(1)).as("_n0") +:
+      flags.map(f => sum(when(col(f), 1L).otherwise(0L)).as(s"_n$f"))
+    val countsRow = m.agg(countCols.head, countCols.tail: _*).collect()(0)
+    // sum() over zero rows is NULL — an empty crawl must produce an
+    // all-zero funnel
+    val funnel: Seq[Long] = (0 to flags.size).map(i =>
+      if (countsRow.isNullAt(i)) 0L else countsRow.getLong(i))
+    stages += (("00_responses", funnel.head, funnel.head))
+    gateNames.result().zipWithIndex.foreach { case (name, i) =>
+      stages += ((name, funnel(i), funnel(i + 1)))
+    }
+
+    val lastFlag = flags.lastOption.map(col).getOrElse(lit(true))
+    var finalIds = m.filter(lastFlag).select(col("_id"))
+    if (cfg.dedupNear) {
+      // near-dedup over the surviving (id, simhash) sliver: banded
+      // candidates, components, drop non-canonical members. Its own
+      // jobs — the self-join and the CC iterations have their own plan
+      // shapes — but still metadata-only work.
+      val sliver = m.filter(lastFlag)
+        .select(col("_id").as("doc_id"), col("_sh").as("sh"))
+      val pairs = Dedup.simHashPairsFromHashes(sliver, cfg.nearBands,
+        cfg.nearMaxHamming, cfg.nearMaxBandFreq)
+      val labels = Dedup.connectedComponents(pairs)
+      val dropIds = labels.filter(col("component") =!= col("doc_id"))
+        .select(col("doc_id").as("_drop_id"))
+      val kept = finalIds.join(dropIds, col("_id") === col("_drop_id"),
+        "left_anti")
+        // id-only frame (8 bytes/row) — checkpointing it lets the CC
+        // label checkpoint be released NOW instead of leaking for the
+        // JVM lifetime while `kept` lazily references it
+        .localCheckpoint()
+      stages += (("60_near_dedup", funnel.last, kept.count()))
+      Dedup.release(labels)
+      finalIds = kept.select(col("_id"))
+    }
+
+    // the second (and last) WARC read: the full records semi-joined
+    // against the final id set
+    val kept = responses
+      .join(finalIds.select(col("_id").as("_keep_id")),
+        col("_id") === col("_keep_id"), "left_semi")
+      .drop("_id")
+    val summary = spark.createDataFrame(stages.result())
+      .toDF("stage", "n_in", "n_out")
+    CrawlPipelineResult(kept, summary)
+  }
+}

@@ -885,6 +885,166 @@ object DocQueries {
     s"""$ccCtes
        |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin
 
+  /** The w3/w4 oracle's shared CTE chain: page universe + robots +
+    * extraction arithmetic, t2-style language scores, the t15 quality
+    * expression, d1's content hash, the d9 simhash chain over the
+    * exact-dedup survivors, and the recursive component closure —
+    * `finalSelect` reads `flags` / `counts` / `f50` / `c50` / `f60` /
+    * `c60`. */
+  private def crawlFunnelSql(finalSelect: String): String = {
+    val langScores = TextFunctions.LangMarkers.map { case (l, m) =>
+      s"          len(list_filter(ws, t -> ${inList("t", m)})) AS s_$l"
+    }.mkString(",\n")
+    s"""WITH RECURSIVE
+       | pg AS (
+       |  SELECT d.doc_id AS id, s.text AS text,
+       |         ((d.doc_id % 11) <> ((d.doc_id % 7) + 1) % 11) AS allowed,
+       |         (d.doc_id % 89 <> 0) AS extract_ok
+       |  FROM documents d JOIN documents s ON s.doc_id = d.doc_id - d.doc_id % 3
+       |  WHERE d.doc_id % 97 <> 0
+       | ),
+       | w AS (
+       |  SELECT id, allowed, extract_ok,
+       |         regexp_replace(trim(text), '\\s+', ' ', 'g') AS norm,
+       |         regexp_split_to_array(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS ws
+       |  FROM pg
+       | ),
+       | sig AS (
+       |  SELECT id, allowed, extract_ok,
+       |         md5(lower(norm)) AS hash,
+       |         CASE GREATEST(s_de, s_en, s_es, s_fr, s_zh)
+       |              WHEN s_de THEN 'de' WHEN s_en THEN 'en'
+       |              WHEN s_es THEN 'es' WHEN s_fr THEN 'fr'
+       |              ELSE 'zh' END AS predicted,
+       |         (nt BETWEEN 20 AND 80) AND ttr >= 0.4 AND swr >= 0.05
+       |           AND punct <= 0.1 AND (avg_len BETWEEN 3.0 AND 6.0) AS keep_q
+       |  FROM (
+       |   SELECT id, allowed, extract_ok, norm, len(ws) AS nt,
+       |$langScores,
+       |          len(list_distinct(ws)) * 1.0 / len(ws) AS ttr,
+       |          (length(norm) - (len(ws) - 1)) * 1.0 / len(ws) AS avg_len,
+       |          (length(norm) - length(regexp_replace(norm, '[^a-zA-Z0-9 ]', '', 'g'))) * 1.0
+       |            / length(norm) AS punct,
+       |          len(list_filter(ws, t -> ${inList("t", TextFunctions.Stopwords)})) * 1.0
+       |            / len(ws) AS swr
+       |   FROM w
+       |  )
+       | ),
+       | flags AS (
+       |  SELECT id, hash,
+       |         allowed AS f10,
+       |         allowed AND extract_ok AS f20,
+       |         allowed AND extract_ok AND predicted = 'en' AS f30,
+       |         allowed AND extract_ok AND predicted = 'en' AND keep_q AS f40
+       |  FROM sig
+       | ),
+       | canon AS (
+       |  SELECT id, f40,
+       |         MIN(CASE WHEN f40 THEN id END) OVER (PARTITION BY hash) AS canon_id
+       |  FROM flags
+       | ),
+       | f50 AS (SELECT id FROM canon WHERE f40 AND id = canon_id),
+       | surv AS (SELECT w.id, ws, len(ws) AS nt FROM w JOIN f50 USING (id)),
+       | tok AS (SELECT id, nt, unnest(ws) AS t FROM surv),
+       | tokj AS (SELECT id, nt, t, unnest(generate_series(0, 59)) AS j FROM tok),
+       | bits AS (
+       |  SELECT id, nt, j,
+       |         ((strpos('0123456789abcdef', substr(md5(t), CAST(j // 4 AS INT) + 1, 1)) - 1)
+       |          >> CAST(3 - (j % 4) AS INT)) & 1 AS bit
+       |  FROM tokj
+       | ),
+       | ones AS (SELECT id, nt, j, SUM(bit) AS ones FROM bits GROUP BY 1, 2, 3),
+       | shh AS (
+       |  SELECT id,
+       |         CAST(SUM(CASE WHEN 2 * ones > nt THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS sh
+       |  FROM ones GROUP BY 1
+       | ),
+       | banded AS (
+       |  SELECT id, sh, b, (sh >> CAST(b * 15 AS INT)) & 32767 AS band_val
+       |  FROM shh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bb
+       | ),
+       | cand AS (
+       |  SELECT DISTINCT x.id AS a, y.id AS b, x.sh AS ha, y.sh AS hb
+       |  FROM banded x JOIN banded y
+       |    ON x.b = y.b AND x.band_val = y.band_val AND x.id < y.id
+       | ),
+       | edges AS (
+       |  SELECT a, b FROM cand
+       |  WHERE CAST(list_sum(list_transform(generate_series(0, 59),
+       |          i -> CAST((xor(ha, hb) >> CAST(i AS INT)) & 1 AS INT))) AS INT) <= 10
+       | ),
+       | sym AS (
+       |  SELECT a, b FROM edges UNION SELECT b, a FROM edges
+       |  UNION SELECT a, a FROM edges UNION SELECT b, b FROM edges
+       | ),
+       | reach(a, b) AS (
+       |  SELECT a, b FROM sym
+       |  UNION
+       |  SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a
+       | ),
+       | comp AS (SELECT a AS id, MIN(b) AS component FROM reach GROUP BY a),
+       | dropids AS (SELECT id FROM comp WHERE component <> id),
+       | f60 AS (SELECT id FROM f50 WHERE id NOT IN (SELECT id FROM dropids)),
+       | counts AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n00,
+       |         CAST(COUNT(*) FILTER (WHERE f10) AS BIGINT) AS n10,
+       |         CAST(COUNT(*) FILTER (WHERE f20) AS BIGINT) AS n20,
+       |         CAST(COUNT(*) FILTER (WHERE f30) AS BIGINT) AS n30,
+       |         CAST(COUNT(*) FILTER (WHERE f40) AS BIGINT) AS n40
+       |  FROM flags
+       | ),
+       | c50 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n50 FROM f50),
+       | c60 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n60 FROM f60)
+       |$finalSelect""".stripMargin
+  }
+
+  /** Shared w3/w4 fixture + run: per-doc WARC files whose single
+    * response wraps the text of the doc's GROUP HEAD (`id - id % 3` —
+    * guaranteed exact-dup groups) in minimal HTML, t51's host/path and
+    * robots arithmetic, garbage (non-WARC) files at id % 97 and
+    * script-only bodies (empty extraction) at id % 89. nearMaxHamming
+    * 10 matches d9 so the near-dedup stage actually bites on this
+    * corpus. */
+  private def crawlRun(s: SparkSession, dir: String)
+      : graft.pipeline.CrawlPipelineResult = {
+    import s.implicits._
+    val robotsDf = (0 until 7).map { k =>
+      def c(m: Int) = ('a' + m).toChar
+      (s"site$k.com",
+        "User-agent: evilbot\nDisallow: /\n\n" +
+          s"User-agent: *\nDisallow: /s${c(k)}\n" +
+          s"Allow: /s${c(k)}/p\nDisallow: /s${c((k + 1) % 11)}\n")
+    }.toDF("host", "robots_txt")
+    val docs = table(s, dir, "documents")
+    val src = docs.select(col("doc_id").as("src_id"), col("text").as("src_text"))
+    val warc = docs
+      .select(col("doc_id"), (col("doc_id") - col("doc_id") % 3).as("src_id"))
+      .join(src, "src_id")
+      .select(col("doc_id"), col("src_text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        if (id % 97 == 0) (id, "garbage not warc".getBytes("UTF-8"))
+        else {
+          val c = ('a' + (id % 11).toInt).toChar
+          val body =
+            if (id % 89 == 0)
+              "<html><body><script>var x = 1;</script></body></html>"
+            else s"<html><body><p>$text</p></body></html>"
+          val rec = Warc.WarcRecord("response",
+            Some(s"http://site${id % 7}.com/s$c/p$id"),
+            Some("2024-01-01T00:00:00Z"),
+            Some("application/http; msgtype=response"),
+            ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body)
+              .getBytes("UTF-8"))
+          val info = Warc.WarcRecord("warcinfo", None, None,
+            Some("application/warc-fields"),
+            "software: graft\r\n".getBytes("UTF-8"))
+          (id, Warc.build(Seq(info, rec), gzipPerRecord = id % 2 == 0))
+        }
+      }).toDF("doc_id", "payload")
+    graft.pipeline.CrawlPipeline.run(warc, "doc_id", Some(robotsDf),
+      graft.pipeline.CrawlPipelineConfig(nearMaxHamming = 10))
+  }
+
   // ---- the battery --------------------------------------------------------
 
   def queries: Map[String, Q] = Map(
@@ -909,11 +1069,15 @@ object DocQueries {
       // into the generated source), and without this the first query of
       // each config absorbs its compile (the same attribution hygiene as
       // the canary's untimed warm-up run)
-      val planeConfigs =
-        Set(4, 7, Dedup.autoPlanes(ne)) // d7/d16, d8, and the d10 auto config
-      planeConfigs.foreach { p =>
+      // (tables, planes) pairs: both literals bake into the generated
+      // source, so each shipped config warms separately — d16 (8, 4),
+      // d8 (8, 7), d10 (8, auto), d7 (12, auto)
+      val lshConfigs =
+        Set((8, 4), (8, 7), (8, Dedup.autoPlanes(ne)),
+          (12, Dedup.autoPlanes(ne)))
+      lshConfigs.foreach { case (t, p) =>
         Dedup.embeddingNearDupPairs(table(s, dir, "embeddings").limit(64),
-          "vec_id", "embedding", minCosine = 0.4, dims = 64, tables = 8,
+          "vec_id", "embedding", minCosine = 0.4, dims = 64, tables = t,
           planesPerTable = p).count()
       }
       val sess = s
@@ -2167,6 +2331,35 @@ object DocQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id", "loc")
     }),
+
+    // W3: the whole crawl front end as ONE orchestrator — WARC walk →
+    // robots legality → HTML extraction → language gate → quality gate
+    // → exact dedup → simhash near-dedup (CrawlPipeline, the
+    // DocPipeline pattern applied to the acquisition half). The fixture
+    // wraps REAL documents.text in the WARC HTML bodies (groups of 3
+    // pages share one source text, so exact dedup bites), reuses t51's
+    // host/path/robots arithmetic (so legality is mirrorable), plants
+    // garbage files at id%97 (never parse to pages) and script-only
+    // bodies at id%89 (extraction yields empty text). The oracle
+    // recomputes every stage's keep-set independently: robots from the
+    // rule arithmetic, lang/quality/hash/simhash from documents.text
+    // with the same CTE fragments t2/t15/d1/d9 pin, near-dup clusters
+    // through the recursive-CTE closure — then restates the funnel.
+    // Everything between the synthesized bytes and the funnel counts is
+    // real engine surface: gzip member walk, HTTP body split, tag
+    // stripping, the one-scan metadata contract, the banded self-join,
+    // CC, and the anti-joins.
+    "w3_crawl_pipeline" -> ((s, dir) =>
+      crawlRun(s, dir).summary.orderBy("stage")),
+
+    // W4: the same pipeline's KEPT frame — the oracle rebuilds the final
+    // keep-set and each survivor's target URI from the same arithmetic,
+    // so the semi-join back onto the re-parsed records is id-exact, not
+    // just count-exact.
+    "w4_crawl_kept" -> ((s, dir) =>
+      crawlRun(s, dir).kept
+        .select(col("id").as("doc_id"), col("target_uri"))
+        .orderBy("doc_id")),
 
     // W1: the crawl-to-graph composition in ONE plan — per-page WARC
     // files (HTML bodies linking to two arithmetic targets) walked by the
@@ -4440,6 +4633,36 @@ object DocQueries {
         |         AS pcm_sum
         |FROM d JOIN sums s ON s.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // W3: every CrawlPipeline stage's keep-set recomputed independently
+    // — the page universe and robots/extract decisions from the fixture
+    // arithmetic ('*' group: Allow /s<c(k)>/p overrides Disallow
+    // /s<c(k)>, Disallow /s<c(k+1)> blocks → blocked iff
+    // id%11 = (id%7+1)%11); lang/quality/content-hash from the SOURCE
+    // text with the same expressions t2/t15/d1 pin (extraction is
+    // whitespace-collapse-invariant, so signals on documents.text equal
+    // signals on the extracted text); exact-dedup canonical = min
+    // SURVIVING id per hash; near-dedup through the d9 simhash chain +
+    // the recursive-CTE component closure — then the funnel restated.
+    "w3_crawl_pipeline" -> crawlFunnelSql(
+      """SELECT stage, n_in, n_out FROM (
+        | SELECT '00_responses' AS stage, n00 AS n_in, n00 AS n_out FROM counts
+        | UNION ALL SELECT '10_robots', n00, n10 FROM counts
+        | UNION ALL SELECT '20_extract', n10, n20 FROM counts
+        | UNION ALL SELECT '30_lang', n20, n30 FROM counts
+        | UNION ALL SELECT '40_quality', n30, n40 FROM counts
+        | UNION ALL SELECT '50_exact_dedup', n40, n50 FROM counts, c50
+        | UNION ALL SELECT '60_near_dedup', n50, n60 FROM c50, c60
+        |) ORDER BY stage""".stripMargin),
+
+    // W4: the final keep-set id-exact, each survivor's URI rebuilt from
+    // the same host/path arithmetic the fixture synthesized
+    "w4_crawl_kept" -> crawlFunnelSql(
+      """SELECT id AS doc_id,
+        |       'http://site' || CAST(id % 7 AS VARCHAR) || '.com/s' ||
+        |       chr(97 + CAST(id % 11 AS INT)) || '/p' ||
+        |       CAST(id AS VARCHAR) AS target_uri
+        |FROM f60 ORDER BY doc_id""".stripMargin),
 
     // W2: the entry stream restated — urlset rows for i < k (lastmod
     // NULL on i=2), two sitemap-index children for %5 docs, nothing for
