@@ -128,10 +128,24 @@ class CrawlPipelineSpec extends SparkSpec {
   test("one WARC scan feeds every stage; kept pays the documented second") {
     import spark.implicits._
     val acc = spark.sparkContext.longAccumulator("warcBuilds")
-    val n = 6
+    // six DISTINCT quality-passing texts: dedupExact stays on in the
+    // default config, so repeated texts would (correctly) collapse and
+    // hide the contract this test pins — every page must survive every
+    // gate so kept == n and the accumulator arithmetic is exact
+    val distinctGoodTexts = Seq(
+      goodText,
+      otherGoodText,
+      "the old man sat by the warm fire and read a long book while " +
+        "the rain fell soft on the roof of his small house",
+      "a young girl walks to the farm each day and feeds the hens and " +
+        "the cows before the sun climbs over the far green hills",
+      "the boat drifts on the calm sea under a wide sky while the crew " +
+        "waits for the wind to rise and fill the white sails",
+      "some men dig in the field all day to plant the corn and the " +
+        "beans so the town will have food when the cold days come")
+    val n = distinctGoodTexts.size
     val bytes = (0 until n).map(i =>
-      Warc.build(Seq(page(s"http://x.com/p$i",
-        html(if (i % 2 == 0) goodText else otherGoodText)))))
+      Warc.build(Seq(page(s"http://x.com/p$i", html(distinctGoodTexts(i))))))
     val warc = spark.range(n.toLong).as[Long]
       .mapPartitions(_.map { id =>
         acc.add(1) // counts FILE PARSES: bumps once per evaluation of the scan
