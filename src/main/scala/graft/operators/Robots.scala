@@ -121,8 +121,10 @@ object Robots {
   /** Pages (`idCol`, `urlCol`) joined against `robots` — which MUST
     * carry the columns `(host, robots_txt)` — and decided for `agent`:
     * (id, url, allowed). The robots side is deduplicated to one row per
-    * host (first text wins, deterministic only if the input is — feed a
-    * clean snapshot) and then broadcasts; pages with no robots row are
+    * host (lexicographic MIN text wins — repeated runs over the same
+    * dirty snapshot always decide identically; a partition-order
+    * "first wins" would be too weak a contract for a legality gate)
+    * and then broadcasts; pages with no robots row are
     * allowed (no robots.txt = no restrictions). Without the dedup, a
     * host with two robots rows would both DUPLICATE every page row of
     * that host through the left join and apply whichever text a task's
@@ -147,7 +149,8 @@ object Robots {
       .select(col(idCol).cast("long").as("id"), col(urlCol).as("url"),
         hostExpr.as("_host"))
       .join(broadcast(robots.select(col("host").as("_host"),
-        col("robots_txt").as("_txt")).dropDuplicates("_host")),
+        col("robots_txt").as("_txt"))
+        .groupBy("_host").agg(min("_txt").as("_txt"))),
         Seq("_host"), "left")
       .select(col("id"), col("url"), col("_host"), col("_txt"))
       .as[(Long, String, String, String)]

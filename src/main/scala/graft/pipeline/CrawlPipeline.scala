@@ -76,8 +76,15 @@ object CrawlPipeline {
     * Crawl segments carry ~50k. */
   val PageIdStride = 1000000L
 
+  /** Packs (file, record) into one long — GUARDED: a file with >=
+    * [[PageIdStride]] records would silently alias page ids (corrupting
+    * canonical selection and the final semi-join), so overflow fails
+    * the job loudly instead. */
   def pageId(fileId: Column, recIdx: Column): Column =
-    fileId * PageIdStride + recIdx
+    when(recIdx < PageIdStride, fileId * PageIdStride + recIdx)
+      .otherwise(raise_error(concat(
+        lit(s"CrawlPipeline: WARC file "), fileId.cast("string"),
+        lit(s" has >= $PageIdStride records; page-id packing would alias"))))
 
   def run(
       warcFiles: DataFrame,

@@ -31,20 +31,33 @@ object InspectTile {
 
   /** Python text_format renders doubles via repr: shortest round-trip,
     * always with a decimal point or exponent, lowercase `e+NN`/`e-NN`.
-    * Java's Double.toString is also shortest-round-trip but spells the
-    * exponent `E5` — translate the spelling, not the digits. */
-  private def pyDouble(v: Double): String = {
+    * Java's Double.toString is also shortest-round-trip but differs in
+    * TWO ways: the exponent spelling (`E5` vs `e+05`) and the switchover
+    * thresholds — Java goes scientific at >=1e7 and <1e-3 while Python
+    * repr stays plain until >=1e16 and <1e-4. Aggregated tile sums land
+    * in [1e7, 1e16) all the time, so both must be handled: re-lay the
+    * same shortest digits out as plain decimal where Python would, and
+    * translate the exponent spelling elsewhere. */
+  private[graft] def pyDouble(v: Double): String = {
     val s = java.lang.Double.toString(v)
     val e = s.indexOf('E')
     if (e < 0) s
     else {
-      // "1.0E100" -> "1e+100", "-1.23E-7" -> "-1.23e-07"
-      val mant0 = s.substring(0, e).stripSuffix(".0")
-      val exp = s.substring(e + 1)
-      val (sign, digits) =
-        if (exp.startsWith("-")) ("-", exp.substring(1)) else ("+", exp)
-      val padded = if (digits.length < 2) "0" + digits else digits
-      s"${mant0}e$sign$padded"
+      val a = math.abs(v)
+      if (a >= 1e-4 && a < 1e16) {
+        // Java went scientific where Python repr stays plain (e.g.
+        // "1.2345678E7" vs "12345678.0"): same digits, plain layout
+        val plain = new java.math.BigDecimal(s).stripTrailingZeros.toPlainString
+        if (plain.contains('.')) plain else plain + ".0"
+      } else {
+        // "1.0E100" -> "1e+100", "-1.23E-7" -> "-1.23e-07"
+        val mant0 = s.substring(0, e).stripSuffix(".0")
+        val exp = s.substring(e + 1)
+        val (sign, digits) =
+          if (exp.startsWith("-")) ("-", exp.substring(1)) else ("+", exp)
+        val padded = if (digits.length < 2) "0" + digits else digits
+        s"${mant0}e$sign$padded"
+      }
     }
   }
 

@@ -60,6 +60,30 @@ class RobotsSpec extends SparkSpec {
       === Map(1L -> false, 2L -> true))
   }
 
+  test("conflicting robots rows: the lexicographic-min text decides, always") {
+    import spark.implicits._
+    // a dirty snapshot with two DIFFERENT texts for one host: a legality
+    // gate must decide identically on every run, not by partition order.
+    // "Disallow: /no" < "User-agent" lexicographically inside the full
+    // texts below, so the allow-all variant (sorting first) wins.
+    val allowAll = "User-agent: *\nAllow: /\n"
+    val denyNo = "User-agent: *\nDisallow: /no\n"
+    assert(allowAll < denyNo) // the contract this test pins
+    val pages = Seq((1L, "http://a.com/no/p")).toDF("doc_id", "url")
+    (1 to 3).foreach { _ =>
+      // both input orders, repeated: the decision never flips
+      Seq(Seq(("a.com", allowAll), ("a.com", denyNo)),
+          Seq(("a.com", denyNo), ("a.com", allowAll))).foreach { rows =>
+        val out = Robots.filterByRobots(pages, rows.toDF("host", "robots_txt"),
+            "doc_id", "url",
+            graft.functions.TextFunctions.urlHost(col("url")), "anybot")
+          .collect()
+        assert(out.map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+          === Map(1L -> true))
+      }
+    }
+  }
+
   test("decision: longest prefix wins, Allow wins ties, no rule allows") {
     val rules = Robots.parseRobots(txt, "graftbot")
     assert(!Robots.isAllowed(rules, "/private/x"))

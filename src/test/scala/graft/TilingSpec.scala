@@ -155,6 +155,29 @@ class TilingSpec extends SparkSpec {
     assert(txt.contains("avg: -1.23e-07"))
   }
 
+  test("pyDouble matches Python repr across the switchover ranges") {
+    // Java Double.toString goes scientific at >=1e7 / <1e-3; Python repr
+    // holds plain until >=1e16 / <1e-4. Goldens generated with CPython
+    // repr() — aggregated tile sums live in exactly these ranges.
+    val goldens = Seq(
+      12345678.0 -> "12345678.0",          // Java "1.2345678E7"
+      1.0e7 -> "10000000.0",               // Java "1.0E7"
+      123456789012345.6 -> "123456789012345.6",
+      7.5e15 -> "7500000000000000.0",
+      9999999999999998.0 -> "9999999999999998.0", // last plain double
+      1.0e16 -> "1e+16",                   // first scientific
+      0.0005 -> "0.0005",                  // Java "5.0E-4"
+      1.5e-4 -> "0.00015",
+      0.0001 -> "0.0001",                  // last plain small double
+      0.00012345678901234567 -> "0.00012345678901234567",
+      5.0e-5 -> "5e-05",                   // first scientific small
+      -12345678.0 -> "-12345678.0",
+      0.5 -> "0.5", 42.0 -> "42.0")
+    goldens.foreach { case (v, want) =>
+      assert(graft.tools.InspectTile.pyDouble(v) === want, s"for $v")
+    }
+  }
+
   test("proto3 zero-default fields are omitted from the wire") {
     val empty = TileProto.Tile(x = 0, y = 0, z = 0, t = 0L, totalBins = 0, stats = Map.empty)
     // all-zero coord and bins submessages encode to length-0 bodies
