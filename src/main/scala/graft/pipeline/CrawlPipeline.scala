@@ -13,6 +13,7 @@ import graft.sources.Warc
   * and the datacube skip matrix. */
 final case class CrawlPipelineConfig(
     agent: String = "graftbot",
+    dedupUrl: Boolean = false,
     robotsGate: Boolean = true,
     extractGate: Boolean = true,
     langGate: Boolean = true,
@@ -22,7 +23,8 @@ final case class CrawlPipelineConfig(
     dedupNear: Boolean = true,
     nearBands: Int = 4,
     nearMaxHamming: Int = 3,
-    nearMaxBandFreq: Option[Int] = None)
+    nearMaxBandFreq: Option[Int] = None,
+    checkpointDir: Option[String] = None)
 
 final case class CrawlPipelineResult(kept: DataFrame, summary: DataFrame)
 
@@ -39,7 +41,9 @@ final case class CrawlPipelineResult(kept: DataFrame, summary: DataFrame)
   * enabled stage decides on (url/host, extracted-text length, language,
   * quality keep, content hash, simhash) is computed in that same pass;
   * only the resulting metadata frame (~100 bytes/page, never the
-  * payloads or extracted text) is `localCheckpoint`ed. The robots
+  * payloads or extracted text) is pinned — `localCheckpoint` by
+  * default, a RELIABLE parquet spill under `cfg.checkpointDir` when set
+  * (executor-loss-safe on a real cluster; see [[Pin]]). The robots
   * decision — the one signal needing the per-host broadcast-join shape
   * — runs over the checkpointed metadata ([[Robots.filterByRobots]]),
   * not the corpus. The gate stages are then SEQUENTIAL SURVIVAL FLAGS
@@ -59,6 +63,13 @@ final case class CrawlPipelineResult(kept: DataFrame, summary: DataFrame)
   * Stage semantics (all identical to their standalone operators):
   *  - 00_responses: WARC `response` records with a target URI and an
   *    HTTP body ([[Warc.records]]) — the page universe;
+  *  - 05_url_dedup (opt-in): keep the min-id page per CANONICAL URL
+  *    ([[TextFunctions.canonicalUrl]] — tracking params stripped, query
+  *    sorted, default ports dropped) — the same page fetched twice
+  *    under URL aliases is the commonest crawl dup, and dropping it by
+  *    URL costs one metadata window instead of content hashing; pages
+  *    whose URL does not canonicalize (null) are each their own
+  *    identity and always survive this stage;
   *  - 10_robots: RFC 9309 allow/deny for `agent` against the provided
   *    per-host robots.txt table ([[Robots.filterByRobots]]; pages with
   *    no robots row are allowed);
@@ -102,8 +113,8 @@ object CrawlPipeline {
         col("http_body").isNotNull && col("target_uri").isNotNull)
       .withColumn("_id", pageId(col("id"), col("rec_idx")))
 
-    if (!doRobots && !cfg.extractGate && !cfg.langGate && !cfg.qualityGate &&
-      !cfg.dedupExact && !cfg.dedupNear) {
+    if (!cfg.dedupUrl && !doRobots && !cfg.extractGate && !cfg.langGate &&
+      !cfg.qualityGate && !cfg.dedupExact && !cfg.dedupNear) {
       // nothing to decide: the page universe passes through untouched
       val n = responses.count()
       stages += (("00_responses", n, n))
@@ -119,6 +130,9 @@ object CrawlPipeline {
       TextFunctions.htmlText(col("http_body")).as("text"))
     val sigCols: Seq[Column] =
       Seq(col("_id")) ++
+        (if (cfg.dedupUrl)
+          Seq(TextFunctions.canonicalUrl(col("_url")).as("_curl"))
+        else Nil) ++
         (if (doRobots)
           Seq(col("_url"), TextFunctions.urlHost(col("_url")).as("_host"))
         else Nil) ++
@@ -135,7 +149,7 @@ object CrawlPipeline {
         else Nil) ++
         (if (cfg.dedupNear) Seq(TextFunctions.simHash("text").as("_sh"))
         else Nil)
-    var meta = withText.select(sigCols: _*).localCheckpoint()
+    var meta = Pin.pin(withText.select(sigCols: _*), cfg.checkpointDir)
 
     if (doRobots) {
       // per-host legality over the metadata sliver — the robots table
@@ -158,6 +172,16 @@ object CrawlPipeline {
         meta = meta.withColumn(flag, survive)
         gateFlags += flag; gateNames += name
       }
+    if (cfg.dedupUrl) {
+      // canonical-URL min-id keep, FIRST: the commonest crawl dup (one
+      // page under many URL aliases) never reaches the content stages.
+      // One metadata window; a page whose URL fails to canonicalize is
+      // its own identity (the null partition's min is never consulted)
+      meta = meta.withColumn("_canon_curl",
+        min(when(survive, col("_id"))).over(Window.partitionBy("_curl")))
+      gate("05_url_dedup", "_s_url", enabled = true)(
+        col("_curl").isNull || col("_id") === col("_canon_curl"))
+    }
     gate("10_robots", "_s_robots", doRobots)(col("_allowed"))
     gate("20_extract", "_s_extract", cfg.extractGate)(col("_extract_ok"))
     gate("30_lang", "_s_lang", cfg.langGate)(
@@ -175,7 +199,7 @@ object CrawlPipeline {
     }
 
     val flags = gateFlags.result()
-    val m = meta.localCheckpoint()
+    val m = Pin.pin(meta, cfg.checkpointDir)
     // the whole gate funnel counted in ONE aggregation job
     val countCols = count(lit(1)).as("_n0") +:
       flags.map(f => sum(when(col(f), 1L).otherwise(0L)).as(s"_n$f"))
@@ -203,12 +227,12 @@ object CrawlPipeline {
       val labels = Dedup.connectedComponents(pairs)
       val dropIds = labels.filter(col("component") =!= col("doc_id"))
         .select(col("doc_id").as("_drop_id"))
-      val kept = finalIds.join(dropIds, col("_id") === col("_drop_id"),
-        "left_anti")
-        // id-only frame (8 bytes/row) — checkpointing it lets the CC
-        // label checkpoint be released NOW instead of leaking for the
-        // JVM lifetime while `kept` lazily references it
-        .localCheckpoint()
+      val kept = Pin.pin(
+        finalIds.join(dropIds, col("_id") === col("_drop_id"), "left_anti"),
+        // id-only frame (8 bytes/row) — pinning it lets the CC label
+        // checkpoint be released NOW instead of leaking for the JVM
+        // lifetime while `kept` lazily references it
+        cfg.checkpointDir)
       stages += (("60_near_dedup", funnel.last, kept.count()))
       Dedup.release(labels)
       finalIds = kept.select(col("_id"))

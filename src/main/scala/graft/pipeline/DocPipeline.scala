@@ -16,7 +16,8 @@ final case class DocPipelineConfig(
     decontaminate: Boolean = true,
     contaminationN: Int = 3,
     contaminationMaxFrac: Double = 0.05,
-    tokenBudget: Option[Long] = None)
+    tokenBudget: Option[Long] = None,
+    checkpointDir: Option[String] = None)
 
 final case class DocPipelineResult(kept: DataFrame, summary: DataFrame)
 
@@ -30,7 +31,9 @@ final case class DocPipelineResult(kept: DataFrame, summary: DataFrame)
   * every per-document signal a stage decides on (content hash, quality
   * keep flag, quality score, token count) is computed in ONE projection
   * over the corpus text, and only that metadata frame (~50 bytes/doc) is
-  * ever `localCheckpoint`ed; the contamination fraction — the one signal
+  * ever pinned (`localCheckpoint` by default, a reliable parquet spill
+  * under `cfg.checkpointDir` when set — see [[Pin]]); the contamination
+  * fraction — the one signal
   * needing its own aggregation shape (shingle explode + benchmark
   * semi-join) — is doc-local, so it too is computed once up front and
   * joined into the metadata regardless of what earlier stages drop.
@@ -131,7 +134,7 @@ object DocPipeline {
       col("_contam").isNull || col("_contam") <= cfg.contaminationMaxFrac)
 
     val flags = gateFlags.result()
-    val m = meta.localCheckpoint()
+    val m = Pin.pin(meta, cfg.checkpointDir)
     // the whole gate funnel counted in ONE aggregation job
     val countCols = count(lit(1)).as("_n0") +:
       flags.map(f => sum(when(col(f), 1L).otherwise(0L)).as(s"_n$f"))

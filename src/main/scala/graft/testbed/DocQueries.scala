@@ -885,32 +885,39 @@ object DocQueries {
     s"""$ccCtes
        |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin
 
-  /** The w3/w4 oracle's shared CTE chain: page universe + robots +
-    * extraction arithmetic, t2-style language scores, the t15 quality
-    * expression, d1's content hash, the d9 simhash chain over the
-    * exact-dedup survivors, and the recursive component closure —
-    * `finalSelect` reads `flags` / `counts` / `f50` / `c50` / `f60` /
-    * `c60`. */
+  /** The w3/w4 oracle's shared CTE chain: page universe + URL-alias
+    * identity (uid / f05) + robots + extraction arithmetic, t2-style
+    * language scores, the t15 quality expression, d1's content hash,
+    * the d9 simhash chain over the exact-dedup survivors, and the
+    * recursive component closure — `finalSelect` reads `pg` / `flags` /
+    * `counts` / `f50` / `c50` / `f60` / `c60`. */
   private def crawlFunnelSql(finalSelect: String): String = {
     val langScores = TextFunctions.LangMarkers.map { case (l, m) =>
       s"          len(list_filter(ws, t -> ${inList("t", m)})) AS s_$l"
     }.mkString(",\n")
     s"""WITH RECURSIVE
-       | pg AS (
+       | pg0 AS (
        |  SELECT d.doc_id AS id, s.text AS text,
-       |         ((d.doc_id % 11) <> ((d.doc_id % 7) + 1) % 11) AS allowed,
+       |         CASE WHEN d.doc_id % 13 = 1 THEN d.doc_id - 1
+       |              ELSE d.doc_id END AS uid,
        |         (d.doc_id % 89 <> 0) AS extract_ok
        |  FROM documents d JOIN documents s ON s.doc_id = d.doc_id - d.doc_id % 3
        |  WHERE d.doc_id % 97 <> 0
        | ),
+       | pg AS (
+       |  SELECT id, text, uid, extract_ok,
+       |         (id = MIN(id) OVER (PARTITION BY uid)) AS f05,
+       |         ((uid % 11) <> ((uid % 7) + 1) % 11) AS allowed
+       |  FROM pg0
+       | ),
        | w AS (
-       |  SELECT id, allowed, extract_ok,
+       |  SELECT id, f05, allowed, extract_ok,
        |         regexp_replace(trim(text), '\\s+', ' ', 'g') AS norm,
        |         regexp_split_to_array(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS ws
        |  FROM pg
        | ),
        | sig AS (
-       |  SELECT id, allowed, extract_ok,
+       |  SELECT id, f05, allowed, extract_ok,
        |         md5(lower(norm)) AS hash,
        |         CASE GREATEST(s_de, s_en, s_es, s_fr, s_zh)
        |              WHEN s_de THEN 'de' WHEN s_en THEN 'en'
@@ -919,7 +926,7 @@ object DocQueries {
        |         (nt BETWEEN 20 AND 80) AND ttr >= 0.4 AND swr >= 0.05
        |           AND punct <= 0.1 AND (avg_len BETWEEN 3.0 AND 6.0) AS keep_q
        |  FROM (
-       |   SELECT id, allowed, extract_ok, norm, len(ws) AS nt,
+       |   SELECT id, f05, allowed, extract_ok, norm, len(ws) AS nt,
        |$langScores,
        |          len(list_distinct(ws)) * 1.0 / len(ws) AS ttr,
        |          (length(norm) - (len(ws) - 1)) * 1.0 / len(ws) AS avg_len,
@@ -932,10 +939,12 @@ object DocQueries {
        | ),
        | flags AS (
        |  SELECT id, hash,
-       |         allowed AS f10,
-       |         allowed AND extract_ok AS f20,
-       |         allowed AND extract_ok AND predicted = 'en' AS f30,
-       |         allowed AND extract_ok AND predicted = 'en' AND keep_q AS f40
+       |         f05,
+       |         f05 AND allowed AS f10,
+       |         f05 AND allowed AND extract_ok AS f20,
+       |         f05 AND allowed AND extract_ok AND predicted = 'en' AS f30,
+       |         f05 AND allowed AND extract_ok AND predicted = 'en'
+       |           AND keep_q AS f40
        |  FROM sig
        | ),
        | canon AS (
@@ -987,6 +996,7 @@ object DocQueries {
        | f60 AS (SELECT id FROM f50 WHERE id NOT IN (SELECT id FROM dropids)),
        | counts AS (
        |  SELECT CAST(COUNT(*) AS BIGINT) AS n00,
+       |         CAST(COUNT(*) FILTER (WHERE f05) AS BIGINT) AS n05,
        |         CAST(COUNT(*) FILTER (WHERE f10) AS BIGINT) AS n10,
        |         CAST(COUNT(*) FILTER (WHERE f20) AS BIGINT) AS n20,
        |         CAST(COUNT(*) FILTER (WHERE f30) AS BIGINT) AS n30,
@@ -1002,8 +1012,14 @@ object DocQueries {
     * response wraps the text of the doc's GROUP HEAD (`id - id % 3` —
     * guaranteed exact-dup groups) in minimal HTML, t51's host/path and
     * robots arithmetic, garbage (non-WARC) files at id % 97 and
-    * script-only bodies (empty extraction) at id % 89. nearMaxHamming
-    * 10 matches d9 so the near-dedup stage actually bites on this
+    * script-only bodies (empty extraction) at id % 89. Pages at
+    * id % 13 = 1 are URL ALIASES: they carry the PREVIOUS page's
+    * host/path plus tracking params (`?utm_source=...&fbclid=...`), so
+    * the canonicalizer maps them onto page id-1's URL and the opt-in
+    * 05_url_dedup stage drops them whenever the target page exists
+    * (min-id keep; when id-1 is a garbage file the alias is the sole
+    * holder of that canonical URL and survives). nearMaxHamming 10
+    * matches d9 so the near-dedup stage actually bites on this
     * corpus. */
   private def crawlRun(s: SparkSession, dir: String)
       : graft.pipeline.CrawlPipelineResult = {
@@ -1024,13 +1040,16 @@ object DocQueries {
       .mapPartitions(_.map { case (id, text) =>
         if (id % 97 == 0) (id, "garbage not warc".getBytes("UTF-8"))
         else {
-          val c = ('a' + (id % 11).toInt).toChar
+          // alias pages surface under their TARGET's URL + tracking query
+          val u = if (id % 13 == 1) id - 1 else id
+          val c = ('a' + (u % 11).toInt).toChar
+          val qs = if (id % 13 == 1) s"?utm_source=feed&fbclid=x$id" else ""
           val body =
             if (id % 89 == 0)
               "<html><body><script>var x = 1;</script></body></html>"
             else s"<html><body><p>$text</p></body></html>"
           val rec = Warc.WarcRecord("response",
-            Some(s"http://site${id % 7}.com/s$c/p$id"),
+            Some(s"http://site${u % 7}.com/s$c/p$u$qs"),
             Some("2024-01-01T00:00:00Z"),
             Some("application/http; msgtype=response"),
             ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body)
@@ -1042,7 +1061,30 @@ object DocQueries {
         }
       }).toDF("doc_id", "payload")
     graft.pipeline.CrawlPipeline.run(warc, "doc_id", Some(robotsDf),
-      graft.pipeline.CrawlPipelineConfig(nearMaxHamming = 10))
+      graft.pipeline.CrawlPipelineConfig(dedupUrl = true, nearMaxHamming = 10))
+  }
+
+  /** The one shared crawl run w3 and w4 both read: each entry stays
+    * independently hash-matched against its own oracle, but the ~8 s
+    * pipeline (two WARC parses + gzip + HTML strip + simhash + CC at
+    * sf0.1) executes ONCE per battery instead of once per entry — the
+    * two frames go through the battery cache so clearCaches releases
+    * them. run() materializes `summary` eagerly (the funnel agg job);
+    * `kept` is lazy, so w4 still pays — and its timing still measures —
+    * the second WARC read + semi-join. */
+  private def crawlShared(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val sKey = (s, dir, "_crawl_summary")
+    val kKey = (s, dir, "_crawl_kept")
+    (cache.get(sKey), cache.get(kKey)) match {
+      case (Some(sum), Some(kept)) => (sum, kept)
+      case _ =>
+        val res = crawlRun(s, dir)
+        val sum = res.summary.cache()
+        val kept = res.kept.cache()
+        cache.put(sKey, sum); cache.put(kKey, kept)
+        (sum, kept)
+    }
   }
 
   // ---- the battery --------------------------------------------------------
@@ -2333,31 +2375,35 @@ object DocQueries {
     }),
 
     // W3: the whole crawl front end as ONE orchestrator — WARC walk →
-    // robots legality → HTML extraction → language gate → quality gate
-    // → exact dedup → simhash near-dedup (CrawlPipeline, the
-    // DocPipeline pattern applied to the acquisition half). The fixture
-    // wraps REAL documents.text in the WARC HTML bodies (groups of 3
-    // pages share one source text, so exact dedup bites), reuses t51's
-    // host/path/robots arithmetic (so legality is mirrorable), plants
-    // garbage files at id%97 (never parse to pages) and script-only
-    // bodies at id%89 (extraction yields empty text). The oracle
-    // recomputes every stage's keep-set independently: robots from the
-    // rule arithmetic, lang/quality/hash/simhash from documents.text
-    // with the same CTE fragments t2/t15/d1/d9 pin, near-dup clusters
-    // through the recursive-CTE closure — then restates the funnel.
+    // canonical-URL dedup → robots legality → HTML extraction →
+    // language gate → quality gate → exact dedup → simhash near-dedup
+    // (CrawlPipeline, the DocPipeline pattern applied to the
+    // acquisition half). The fixture wraps REAL documents.text in the
+    // WARC HTML bodies (groups of 3 pages share one source text, so
+    // exact dedup bites), reuses t51's host/path/robots arithmetic (so
+    // legality is mirrorable), plants URL aliases at id%13=1 (previous
+    // page's URL + tracking params — the canonicalizer folds them, so
+    // 05_url_dedup bites), garbage files at id%97 (never parse to
+    // pages) and script-only bodies at id%89 (extraction yields empty
+    // text). The oracle recomputes every stage's keep-set
+    // independently: URL identity from the alias arithmetic, robots
+    // from the rule arithmetic, lang/quality/hash/simhash from
+    // documents.text with the same CTE fragments t2/t15/d1/d9 pin,
+    // near-dup clusters through the recursive-CTE closure — then
+    // restates the funnel.
     // Everything between the synthesized bytes and the funnel counts is
     // real engine surface: gzip member walk, HTTP body split, tag
     // stripping, the one-scan metadata contract, the banded self-join,
     // CC, and the anti-joins.
     "w3_crawl_pipeline" -> ((s, dir) =>
-      crawlRun(s, dir).summary.orderBy("stage")),
+      crawlShared(s, dir)._1.orderBy("stage")),
 
     // W4: the same pipeline's KEPT frame — the oracle rebuilds the final
     // keep-set and each survivor's target URI from the same arithmetic,
     // so the semi-join back onto the re-parsed records is id-exact, not
     // just count-exact.
     "w4_crawl_kept" -> ((s, dir) =>
-      crawlRun(s, dir).kept
+      crawlShared(s, dir)._2
         .select(col("id").as("doc_id"), col("target_uri"))
         .orderBy("doc_id")),
 
@@ -4647,7 +4693,8 @@ object DocQueries {
     "w3_crawl_pipeline" -> crawlFunnelSql(
       """SELECT stage, n_in, n_out FROM (
         | SELECT '00_responses' AS stage, n00 AS n_in, n00 AS n_out FROM counts
-        | UNION ALL SELECT '10_robots', n00, n10 FROM counts
+        | UNION ALL SELECT '05_url_dedup', n00, n05 FROM counts
+        | UNION ALL SELECT '10_robots', n05, n10 FROM counts
         | UNION ALL SELECT '20_extract', n10, n20 FROM counts
         | UNION ALL SELECT '30_lang', n20, n30 FROM counts
         | UNION ALL SELECT '40_quality', n30, n40 FROM counts
@@ -4656,13 +4703,18 @@ object DocQueries {
         |) ORDER BY stage""".stripMargin),
 
     // W4: the final keep-set id-exact, each survivor's URI rebuilt from
-    // the same host/path arithmetic the fixture synthesized
+    // the same host/path arithmetic the fixture synthesized — alias
+    // pages (id%13=1) surface under their TARGET's host/path plus the
+    // tracking query the canonicalizer strips
     "w4_crawl_kept" -> crawlFunnelSql(
       """SELECT id AS doc_id,
-        |       'http://site' || CAST(id % 7 AS VARCHAR) || '.com/s' ||
-        |       chr(97 + CAST(id % 11 AS INT)) || '/p' ||
-        |       CAST(id AS VARCHAR) AS target_uri
-        |FROM f60 ORDER BY doc_id""".stripMargin),
+        |       'http://site' || CAST(uid % 7 AS VARCHAR) || '.com/s' ||
+        |       chr(97 + CAST(uid % 11 AS INT)) || '/p' ||
+        |       CAST(uid AS VARCHAR) ||
+        |       CASE WHEN id % 13 = 1
+        |            THEN '?utm_source=feed&fbclid=x' || CAST(id AS VARCHAR)
+        |            ELSE '' END AS target_uri
+        |FROM f60 JOIN pg USING (id) ORDER BY doc_id""".stripMargin),
 
     // W2: the entry stream restated — urlset rows for i < k (lastmod
     // NULL on i=2), two sitemap-index children for %5 docs, nothing for

@@ -114,6 +114,57 @@ class CrawlPipelineSpec extends SparkSpec {
       === Array("http://x.com/a", "http://x.com/b", "http://x.com/c"))
   }
 
+  test("05_url_dedup: canonical-URL aliases collapse to the min id first") {
+    // four pages: 40/41 are the SAME page under tracking/query aliases
+    // (canonicalUrl strips utm_*/fbclid and sorts the rest), 42 is a
+    // distinct page, 43 has an uncanonicalizable URI (no scheme/host) and
+    // must be its own identity. Texts all distinct so no later dedup bites.
+    val texts = Seq(goodText, otherGoodText,
+      "the old man sat by the warm fire and read a long book while " +
+        "the rain fell soft on the roof of his small house",
+      "a young girl walks to the farm each day and feeds the hens and " +
+        "the cows before the sun climbs over the far green hills")
+    val files = Seq(
+      (40L, Warc.build(Seq(page(
+        "http://x.com/page?b=2&a=1&utm_source=feed", html(texts(0)))))),
+      (41L, Warc.build(Seq(page(
+        "http://x.com:80/page?a=1&fbclid=zz&b=2", html(texts(1)))))),
+      (42L, Warc.build(Seq(page("http://x.com/other", html(texts(2)))))),
+      (43L, Warc.build(Seq(page("urn:uuid:1234", html(texts(3)))))))
+    val res = CrawlPipeline.run(warcDf(files), "doc_id", None,
+      CrawlPipelineConfig(dedupUrl = true, robotsGate = false,
+        extractGate = false, langGate = false, qualityGate = false,
+        dedupExact = false, dedupNear = false))
+    val funnel = res.summary.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(funnel === Map(
+      "00_responses" -> ((4L, 4L)),
+      "05_url_dedup" -> ((4L, 3L))))
+    assert(res.kept.select("id").collect().map(_.getLong(0)).sorted
+      === Array(40L, 42L, 43L))
+  }
+
+  test("reliable checkpointDir: identical results, pins land as parquet") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-crawl-ckpt").toString
+    val files = Seq(
+      (0L, Warc.build(Seq(page("http://x.com/p0", html(goodText))))),
+      (1L, Warc.build(Seq(page("http://x.com/p1", html(goodText))))),
+      (2L, Warc.build(Seq(page("http://x.com/p2", html(otherGoodText))))))
+    def run(ckpt: Option[String]) = CrawlPipeline.run(
+      warcDf(files), "doc_id", None,
+      CrawlPipelineConfig(robotsGate = false, checkpointDir = ckpt))
+    val local = run(None)
+    val reliable = run(Some(dir))
+    assert(rowSet(reliable.summary) === rowSet(local.summary))
+    assert(rowSet(reliable.kept.select("id", "target_uri"))
+      === rowSet(local.kept.select("id", "target_uri")))
+    // the pins really are on-disk parquet (executor-loss-safe), not
+    // executor-memory blocks
+    val pins = new java.io.File(dir).listFiles()
+    assert(pins != null && pins.exists(_.getName.startsWith("pin-")))
+  }
+
   test("robots gate without a robots table is a no-op stage") {
     val files = Seq(
       (30L, Warc.build(Seq(page("http://x.com/p", html(goodText))))))

@@ -29,6 +29,20 @@ class DocPipelineSpec extends SparkSpec {
     assert(r.kept.columns.toSeq === docs.columns.toSeq)
   }
 
+  test("reliable checkpointDir: identical funnel and kept set") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-doc-ckpt").toString
+    def run(ckpt: Option[String]) = DocPipeline.run(docs, "doc_id", "text",
+      Some(evalSet), DocPipelineConfig(checkpointDir = ckpt))
+    val local = run(None)
+    val reliable = run(Some(dir))
+    assert(rowSet(reliable.summary) === rowSet(local.summary))
+    assert(rowSet(reliable.kept.select("doc_id"))
+      === rowSet(local.kept.select("doc_id")))
+    val pins = new java.io.File(dir).listFiles()
+    assert(pins != null && pins.exists(_.getName.startsWith("pin-")))
+  }
+
   test("an empty corpus yields an all-zero funnel, not a null crash") {
     // sum() over zero rows is NULL; the funnel must read it as 0
     val r = DocPipeline.run(docs.filter(lit(false)), "doc_id", "text",
