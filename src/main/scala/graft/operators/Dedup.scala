@@ -752,8 +752,15 @@ object Dedup {
     */
   def connectedComponents(
       pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
-      maxIterations: Int = 20
-  ): DataFrame = freeingIntermediateCheckpoints(pairs.sparkSession) { ck =>
+      maxIterations: Int = 20, checkpointDir: Option[String] = None
+  ): DataFrame = (checkpointDir match {
+    // checkpointDir swaps the per-iteration pins from localCheckpoint
+    // blocks (die with their executor) to reliable parquet spills —
+    // the option the pipeline orchestrators thread through so their
+    // executor-loss-safety claim covers the CC iterations too
+    case Some(d) => freeingIntermediateSpills(pairs.sparkSession, d) _
+    case None => freeingIntermediateCheckpoints(pairs.sparkSession) _
+  }) { ck =>
     // eager localCheckpoint (`ck`, tracked by the wrapper) instead of
     // cache: each iteration references the previous labels twice, so
     // without lineage truncation the logical plan DOUBLES per iteration —
@@ -1161,6 +1168,34 @@ object Dedup {
       created.filterNot(r => keep.contains(r.id)).foreach(_.unpersist(blocking = false))
     finally
       org.apache.logging.log4j.core.config.Configurator.setLevel(rddLogger, prevLevel)
+    result
+  }
+
+  /** The RELIABLE twin of [[freeingIntermediateCheckpoints]]: each `ck`
+    * is a parquet round-trip under `dir` (survives executor loss on any
+    * Hadoop filesystem — localCheckpoint blocks die with their
+    * executor), and every spill EXCEPT the result's is deleted on
+    * completion. Relies on the invariant — true of both CC algorithms —
+    * that the returned frame is the LAST `ck(...)` call; keep it that
+    * way in `body`. The result's own spill lives under `dir` for as
+    * long as the caller reads the frame: the caller owns `dir`
+    * retention (see [[graft.pipeline.CrawlPipelineConfig]]). */
+  private def freeingIntermediateSpills(
+      spark: org.apache.spark.sql.SparkSession, dir: String)(
+      body: (DataFrame => DataFrame) => DataFrame): DataFrame = {
+    val paths = scala.collection.mutable.ArrayBuffer.empty[String]
+    val ck: DataFrame => DataFrame = { df =>
+      val p = s"$dir/cc-${java.util.UUID.randomUUID()}"
+      df.write.parquet(p)
+      paths += p
+      spark.read.parquet(p)
+    }
+    val result = body(ck)
+    val hconf = spark.sessionState.newHadoopConf()
+    paths.dropRight(1).foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).delete(hp, true)
+    }
     result
   }
 

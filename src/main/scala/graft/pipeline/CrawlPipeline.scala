@@ -63,13 +63,16 @@ final case class CrawlPipelineResult(kept: DataFrame, summary: DataFrame)
   * Stage semantics (all identical to their standalone operators):
   *  - 00_responses: WARC `response` records with a target URI and an
   *    HTTP body ([[Warc.records]]) — the page universe;
-  *  - 05_url_dedup (opt-in): keep the min-id page per CANONICAL URL
+  *  - 05_url_dedup (opt-in): keep ONE page per CANONICAL URL
   *    ([[TextFunctions.canonicalUrl]] — tracking params stripped, query
   *    sorted, default ports dropped) — the same page fetched twice
   *    under URL aliases is the commonest crawl dup, and dropping it by
-  *    URL costs one metadata window instead of content hashing; pages
-  *    whose URL does not canonicalize (null) are each their own
-  *    identity and always survive this stage;
+  *    URL costs one metadata window instead of content hashing. The
+  *    kept copy is the min-id fetch among copies passing the other
+  *    per-page gates (min id overall when none pass) — a blocked or
+  *    garbled fetch never shadows a clean copy; pages whose URL does
+  *    not canonicalize (null) are each their own identity and always
+  *    survive this stage;
   *  - 10_robots: RFC 9309 allow/deny for `agent` against the provided
   *    per-host robots.txt table ([[Robots.filterByRobots]]; pages with
   *    no robots row are allowed);
@@ -149,7 +152,8 @@ object CrawlPipeline {
         else Nil) ++
         (if (cfg.dedupNear) Seq(TextFunctions.simHash("text").as("_sh"))
         else Nil)
-    var meta = Pin.pin(withText.select(sigCols: _*), cfg.checkpointDir)
+    val sigPin = Pin.pin(withText.select(sigCols: _*), cfg.checkpointDir)
+    var meta = sigPin.df
 
     if (doRobots) {
       // per-host legality over the metadata sliver — the robots table
@@ -173,12 +177,28 @@ object CrawlPipeline {
         gateFlags += flag; gateNames += name
       }
     if (cfg.dedupUrl) {
-      // canonical-URL min-id keep, FIRST: the commonest crawl dup (one
-      // page under many URL aliases) never reaches the content stages.
-      // One metadata window; a page whose URL fails to canonicalize is
-      // its own identity (the null partition's min is never consulted)
+      // canonical-URL keep, FIRST: the commonest crawl dup (one page
+      // under many URL aliases) never reaches the content stages. The
+      // canonical is the min-id fetch AMONG COPIES THAT PASS the other
+      // per-page gates (robots/extract/lang/quality — their signals are
+      // already in meta), falling back to the plain min id when no copy
+      // passes: a blocked or garbled fetch must never shadow a clean
+      // copy of the same page (the 50_exact_dedup principle, applied at
+      // URL grain — a plain min-id pick would silently LOSE the page).
+      // Still one metadata window; a page whose URL fails to
+      // canonicalize is its own identity (the null partition's min is
+      // never consulted).
+      val pagePass = Seq(
+        if (doRobots) Some(col("_allowed")) else None,
+        if (cfg.extractGate) Some(col("_extract_ok")) else None,
+        if (cfg.langGate) Some(col("_lang").isin(cfg.allowedLangs: _*))
+        else None,
+        if (cfg.qualityGate) Some(col("_keep_q")) else None
+      ).flatten.reduceOption(_ && _).getOrElse(lit(true))
+      val w = Window.partitionBy("_curl")
       meta = meta.withColumn("_canon_curl",
-        min(when(survive, col("_id"))).over(Window.partitionBy("_curl")))
+        coalesce(min(when(pagePass, col("_id"))).over(w),
+          min(col("_id")).over(w)))
       gate("05_url_dedup", "_s_url", enabled = true)(
         col("_curl").isNull || col("_id") === col("_canon_curl"))
     }
@@ -199,7 +219,10 @@ object CrawlPipeline {
     }
 
     val flags = gateFlags.result()
-    val m = Pin.pin(meta, cfg.checkpointDir)
+    val mPin = Pin.pin(meta, cfg.checkpointDir)
+    val m = mPin.df
+    // the signal pin is fully superseded by the flagged pin just written
+    Pin.drop(spark, sigPin)
     // the whole gate funnel counted in ONE aggregation job
     val countCols = count(lit(1)).as("_n0") +:
       flags.map(f => sum(when(col(f), 1L).otherwise(0L)).as(s"_n$f"))
@@ -224,7 +247,12 @@ object CrawlPipeline {
         .select(col("_id").as("doc_id"), col("_sh").as("sh"))
       val pairs = Dedup.simHashPairsFromHashes(sliver, cfg.nearBands,
         cfg.nearMaxHamming, cfg.nearMaxBandFreq)
-      val labels = Dedup.connectedComponents(pairs)
+      // CC gets a scratch SUBDIR of the reliable checkpoint dir: its
+      // iteration spills self-clean, and the result spill — dead once
+      // the kept-id sliver below is pinned — is deleted wholesale here
+      val ccDir = cfg.checkpointDir
+        .map(d => s"$d/cc-scratch-${java.util.UUID.randomUUID()}")
+      val labels = Dedup.connectedComponents(pairs, checkpointDir = ccDir)
       val dropIds = labels.filter(col("component") =!= col("doc_id"))
         .select(col("doc_id").as("_drop_id"))
       val kept = Pin.pin(
@@ -232,9 +260,10 @@ object CrawlPipeline {
         // id-only frame (8 bytes/row) — pinning it lets the CC label
         // checkpoint be released NOW instead of leaking for the JVM
         // lifetime while `kept` lazily references it
-        cfg.checkpointDir)
+        cfg.checkpointDir).df
       stages += (("60_near_dedup", funnel.last, kept.count()))
       Dedup.release(labels)
+      ccDir.foreach(Pin.dropPath(spark, _))
       finalIds = kept.select(col("_id"))
     }
 

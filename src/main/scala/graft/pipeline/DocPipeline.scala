@@ -134,7 +134,7 @@ object DocPipeline {
       col("_contam").isNull || col("_contam") <= cfg.contaminationMaxFrac)
 
     val flags = gateFlags.result()
-    val m = Pin.pin(meta, cfg.checkpointDir)
+    val m = Pin.pin(meta, cfg.checkpointDir).df
     // the whole gate funnel counted in ONE aggregation job
     val countCols = count(lit(1)).as("_n0") +:
       flags.map(f => sum(when(col(f), 1L).otherwise(0L)).as(s"_n$f"))

@@ -906,18 +906,17 @@ object DocQueries {
        | ),
        | pg AS (
        |  SELECT id, text, uid, extract_ok,
-       |         (id = MIN(id) OVER (PARTITION BY uid)) AS f05,
        |         ((uid % 11) <> ((uid % 7) + 1) % 11) AS allowed
        |  FROM pg0
        | ),
        | w AS (
-       |  SELECT id, f05, allowed, extract_ok,
+       |  SELECT id, uid, allowed, extract_ok,
        |         regexp_replace(trim(text), '\\s+', ' ', 'g') AS norm,
        |         regexp_split_to_array(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS ws
        |  FROM pg
        | ),
-       | sig AS (
-       |  SELECT id, f05, allowed, extract_ok,
+       | sig0 AS (
+       |  SELECT id, uid, allowed, extract_ok,
        |         md5(lower(norm)) AS hash,
        |         CASE GREATEST(s_de, s_en, s_es, s_fr, s_zh)
        |              WHEN s_de THEN 'de' WHEN s_en THEN 'en'
@@ -926,7 +925,7 @@ object DocQueries {
        |         (nt BETWEEN 20 AND 80) AND ttr >= 0.4 AND swr >= 0.05
        |           AND punct <= 0.1 AND (avg_len BETWEEN 3.0 AND 6.0) AS keep_q
        |  FROM (
-       |   SELECT id, f05, allowed, extract_ok, norm, len(ws) AS nt,
+       |   SELECT id, uid, allowed, extract_ok, norm, len(ws) AS nt,
        |$langScores,
        |          len(list_distinct(ws)) * 1.0 / len(ws) AS ttr,
        |          (length(norm) - (len(ws) - 1)) * 1.0 / len(ws) AS avg_len,
@@ -936,6 +935,14 @@ object DocQueries {
        |            / len(ws) AS swr
        |   FROM w
        |  )
+       | ),
+       | sig AS (
+       |  SELECT *,
+       |         (id = COALESCE(
+       |            MIN(CASE WHEN allowed AND extract_ok AND predicted = 'en'
+       |                      AND keep_q THEN id END) OVER (PARTITION BY uid),
+       |            MIN(id) OVER (PARTITION BY uid))) AS f05
+       |  FROM sig0
        | ),
        | flags AS (
        |  SELECT id, hash,

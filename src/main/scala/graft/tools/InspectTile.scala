@@ -39,6 +39,10 @@ object InspectTile {
     * same shortest digits out as plain decimal where Python would, and
     * translate the exponent spelling elsewhere. */
   private[graft] def pyDouble(v: Double): String = {
+    // non-finite spellings differ too: Java NaN/Infinity, Python nan/inf
+    if (v.isNaN) return "nan"
+    if (v == Double.PositiveInfinity) return "inf"
+    if (v == Double.NegativeInfinity) return "-inf"
     val s = java.lang.Double.toString(v)
     val e = s.indexOf('E')
     if (e < 0) s

@@ -144,6 +144,32 @@ class CrawlPipelineSpec extends SparkSpec {
       === Array(40L, 42L, 43L))
   }
 
+  test("05_url_dedup: a garbled min-id fetch never shadows a clean copy") {
+    // 50/51 share a canonical URL; the MIN-id fetch (50) is script-only
+    // (extraction fails), the later fetch (51) is clean — the stage must
+    // keep 51, not lose the page by picking 50 and then killing it at 20.
+    // 52/53 also share a canonical URL and BOTH fail extraction: the
+    // fallback keeps the plain min id (52), which 20 then drops.
+    val script = "<html><body><script>var x = 1;</script></body></html>"
+    val files = Seq(
+      (50L, Warc.build(Seq(page("http://y.com/page?utm_source=a", script)))),
+      (51L, Warc.build(Seq(page("http://y.com/page", html(goodText))))),
+      (52L, Warc.build(Seq(page("http://y.com/dead?utm_source=b", script)))),
+      (53L, Warc.build(Seq(page("http://y.com/dead", script)))))
+    val res = CrawlPipeline.run(warcDf(files), "doc_id", None,
+      CrawlPipelineConfig(dedupUrl = true, robotsGate = false,
+        extractGate = true, langGate = false, qualityGate = false,
+        dedupExact = false, dedupNear = false))
+    val funnel = res.summary.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(funnel === Map(
+      "00_responses" -> ((4L, 4L)),
+      "05_url_dedup" -> ((4L, 2L)),
+      "20_extract" -> ((2L, 1L))))
+    assert(res.kept.select("id").collect().map(_.getLong(0)).toSeq
+      === Seq(51L))
+  }
+
   test("reliable checkpointDir: identical results, pins land as parquet") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-crawl-ckpt").toString

@@ -64,8 +64,9 @@ class RobotsSpec extends SparkSpec {
     import spark.implicits._
     // a dirty snapshot with two DIFFERENT texts for one host: a legality
     // gate must decide identically on every run, not by partition order.
-    // "Disallow: /no" < "User-agent" lexicographically inside the full
-    // texts below, so the allow-all variant (sorting first) wins.
+    // The texts share their first line ("User-agent: *\n"); the deciding
+    // comparison is the second line, "Allow" < "Disallow", so the
+    // allow-all variant sorts first and wins the min.
     val allowAll = "User-agent: *\nAllow: /\n"
     val denyNo = "User-agent: *\nDisallow: /no\n"
     assert(allowAll < denyNo) // the contract this test pins

@@ -172,7 +172,9 @@ class TilingSpec extends SparkSpec {
       0.00012345678901234567 -> "0.00012345678901234567",
       5.0e-5 -> "5e-05",                   // first scientific small
       -12345678.0 -> "-12345678.0",
-      0.5 -> "0.5", 42.0 -> "42.0")
+      0.5 -> "0.5", 42.0 -> "42.0",
+      Double.NaN -> "nan", Double.PositiveInfinity -> "inf",
+      Double.NegativeInfinity -> "-inf")
     goldens.foreach { case (v, want) =>
       assert(graft.tools.InspectTile.pyDouble(v) === want, s"for $v")
     }
