@@ -14,8 +14,9 @@ object Bench {
     // while the SAME run completed at initialPartitionNum=512). Derived
     // from INPUT SIZE at ~8 MiB of parquet per initial partition,
     // floored at the core count: sf10 (1.5 GB) gets ~188 partitions —
-    // measured: d22 completes in 153.5 s at the default 8 GB heap,
-    // FASTER than the 512-partition env knob's 225.7 s. Inputs under
+    // measured (r15 refresh, dated + canary-stamped in SCALE.md): d22
+    // completes in 126.1 s at the default 8 GB heap, zero env
+    // overrides, FASTER than both r13 mitigations. Inputs under
     // cores x 8 MiB stay at the core count, so at the official 32-core
     // bench both sf0.1 (~18 MB) and sf1 (~170 MB < 256 MiB) keep
     // cpus partitions and no small-SF entry can regress by
