@@ -697,11 +697,22 @@ object Dedup {
   def minHashSignatures(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 64
-  ): DataFrame = {
-    graft.plans.GraftExtensions.register(docs.sparkSession)
+  ): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-        call_function("minhash64", expr(toksOf(textCol)), lit(n), lit(numHashes)).as("sig"))
+        minHashSigCol(textCol, n, numHashes).as("sig"))
       .filter(col("sig").isNotNull)
+
+  /** The [[minHashSignatures]] signature as a bare COLUMN, for pipelines
+    * that fold it into their one signal projection instead of paying a
+    * second scan ([[graft.pipeline.DocPipeline]]'s near-dedup stage).
+    * NULL for documents with fewer than `n` tokens — such docs have no
+    * shingle identity and must be treated as their own near-dup
+    * identity by the caller. Registered on the ACTIVE session (the
+    * [[graft.functions.TextFunctions.deflateLen]] convention). */
+  def minHashSigCol(textCol: String, n: Int = 3, numHashes: Int = 64): Column = {
+    graft.plans.GraftExtensions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("minhash64", expr(toksOf(textCol)), lit(n), lit(numHashes))
   }
 
   /** The explode + hash-aggregate formulation [[minHashSignatures]]
@@ -1690,9 +1701,24 @@ object Dedup {
       n: Int = 3,
       numHashes: Int = 64,
       bands: Int = 16
+  ): DataFrame =
+    minHashCandidatesFromSignatures(
+      minHashSignatures(docs, idCol, textCol, n, numHashes), numHashes, bands)
+
+  /** [[minHashCandidates]] from a precomputed `(doc_id, sig)` frame —
+    * the face for pipelines whose one signal projection already carries
+    * the signature (the [[simHashPairsFromHashes]] convention, applied
+    * to MinHash). Same banded-join plan shape: pairs meet only through
+    * a shared `(band, band_hash)` bucket, never all-pairs. NULL
+    * signatures (docs too short to shingle) are skipped — they can pair
+    * with nothing. */
+  def minHashCandidatesFromSignatures(
+      sigs: DataFrame,
+      numHashes: Int = 64,
+      bands: Int = 16
   ): DataFrame = {
     val rows = numHashes / bands
-    val withBands = minHashSignatures(docs, idCol, textCol, n, numHashes)
+    val withBands = sigs.filter(col("sig").isNotNull)
       .select(col("doc_id"), explode(lshBands("sig", bands, rows)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
     withBands.as("a")

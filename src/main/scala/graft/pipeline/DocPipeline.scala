@@ -16,6 +16,10 @@ final case class DocPipelineConfig(
     decontaminate: Boolean = true,
     contaminationN: Int = 3,
     contaminationMaxFrac: Double = 0.05,
+    dedupNear: Boolean = false,
+    nearShingleN: Int = 3,
+    nearNumHashes: Int = 64,
+    nearBands: Int = 16,
     tokenBudget: Option[Long] = None,
     checkpointDir: Option[String] = None)
 
@@ -59,6 +63,14 @@ final case class DocPipelineResult(kept: DataFrame, summary: DataFrame)
   *    decision is independent of what earlier stages dropped; docs too
   *    short to shingle have a null fraction and are kept, matching
   *    [[Dedup.decontaminate]]);
+  *  - near dedup (opt-in, 35_near_dedup): MinHash-LSH banded candidates
+  *    over the SURVIVORS' signatures
+  *    ([[Dedup.minHashCandidatesFromSignatures]] — the signature is one
+  *    more column of the signal projection, never a second text scan) →
+  *    [[Dedup.connectedComponents]] → keep each cluster's min id; docs
+  *    too short to shingle are their own identity. The crawl-side
+  *    [[CrawlPipeline]] composes the same shape with SimHash — the two
+  *    orchestrators demonstrate both near-dup families;
   *  - token budget: greedy max-quality selection under a global token
   *    budget ([[Sampling.selectByBudget]] on (quality_score, n_tokens)).
   */
@@ -75,10 +87,11 @@ object DocPipeline {
     val doDedup = cfg.dedupExact
     val doQuality = cfg.qualityGate
     val doDecon = cfg.decontaminate && evalDocs.nonEmpty
+    val doNear = cfg.dedupNear
     val doBudget = cfg.tokenBudget.nonEmpty
     val stages = Seq.newBuilder[(String, Long, Long)]
 
-    if (!doDedup && !doQuality && !doDecon && !doBudget) {
+    if (!doDedup && !doQuality && !doDecon && !doNear && !doBudget) {
       // nothing to decide: the input passes through untouched (same frame,
       // not a self-semi-join — duplicate ids survive as they arrived)
       val n = docs.count()
@@ -98,6 +111,12 @@ object DocPipeline {
         else Nil) ++
         (if (doQuality)
           Seq(TextFunctions.qualityFilter(textCol).getField("keep").as("_keep"))
+        else Nil) ++
+        (if (doNear)
+          // MinHash signature (~8 bytes x numHashes per doc) computed in
+          // the SAME projection — the near stage never re-reads the text
+          Seq(Dedup.minHashSigCol(textCol, cfg.nearShingleN,
+            cfg.nearNumHashes).as("_sig"))
         else Nil) ++
         (if (doBudget)
           Seq(TextFunctions.textStats(textCol).getField("quality_score").as("_q"),
@@ -149,15 +168,46 @@ object DocPipeline {
     }
 
     val lastFlag = flags.lastOption.map(col).getOrElse(lit(true))
-    var finalIds = m.filter(lastFlag).select(col("_id"))
+    var surv = m.filter(lastFlag)
+    var nCur = funnel.last
+    if (doNear) {
+      // near-dedup over the surviving (id, signature) sliver — banded
+      // candidates, components, drop non-canonical members. Its own
+      // jobs (the banded self-join + CC iterations have their own plan
+      // shapes), but still metadata-only work: the signatures came off
+      // the one signal projection, the text is never re-read. Docs too
+      // short to shingle carry a NULL signature, pair with nothing, and
+      // survive as their own identity.
+      val pairs = Dedup.minHashCandidatesFromSignatures(
+        surv.select(col("_id").as("doc_id"), col("_sig").as("sig")),
+        cfg.nearNumHashes, cfg.nearBands)
+      val ccDir = cfg.checkpointDir
+        .map(d => s"$d/cc-scratch-${java.util.UUID.randomUUID()}")
+      val labels = Dedup.connectedComponents(pairs, checkpointDir = ccDir)
+      val dropIds = labels.filter(col("component") =!= col("doc_id"))
+        .select(col("doc_id").as("_drop_id"))
+      // id-only pin — lets the CC result be released/deleted NOW instead
+      // of leaking while downstream stages lazily reference it
+      val keptIds = Pin.pin(
+        surv.select(col("_id"))
+          .join(dropIds, col("_id") === col("_drop_id"), "left_anti"),
+        cfg.checkpointDir).df
+      val nNear = keptIds.count()
+      stages += (("35_near_dedup", nCur, nNear))
+      Dedup.release(labels)
+      ccDir.foreach(Pin.dropPath(spark, _))
+      surv = surv.join(keptIds.select(col("_id").as("_keep_id")),
+        col("_id") === col("_keep_id"), "left_semi")
+      nCur = nNear
+    }
+    var finalIds = surv.select(col("_id"))
     cfg.tokenBudget.foreach { budget =>
       val picked = Sampling
-        .selectByBudget(m.filter(lastFlag)
-            .select(col("_id"), col("_q"), col("_nt")),
+        .selectByBudget(surv.select(col("_id"), col("_q"), col("_nt")),
           "_id", "_q", "_nt", budget)
         .select(col("_id"))
       val nPicked = picked.count()
-      stages += (("40_token_budget", funnel.last, nPicked))
+      stages += (("40_token_budget", nCur, nPicked))
       finalIds = picked
     }
     val kept = docs.join(finalIds.select(col("_id").as("_keep_id")),

@@ -808,8 +808,13 @@ object DocQueries {
     * hex digits masked to 31 bits, 64 affine permutations mod 2^31-1) and
     * the 16 × 4-row LSH band table `bands(doc_id, b, bh)`. Assumes `w`
     * (the tokenized corpus CTE) is already in scope. */
-  private lazy val minhashBandCtes =
-    s""" sh AS (SELECT doc_id, $shListSql AS shingles FROM w WHERE nt >= 3),
+  private lazy val minhashBandCtes = minhashBandCtesFrom("w")
+
+  /** [[minhashBandCtes]] over any w-shaped source CTE (doc_id, ws, nt) —
+    * t40's near-dedup stage bands only the SURVIVORS of the earlier
+    * gates, exactly like the engine. */
+  private def minhashBandCtesFrom(src: String) =
+    s""" sh AS (SELECT doc_id, $shListSql AS shingles FROM $src WHERE nt >= 3),
        | hs AS (
        |  SELECT doc_id,
        |         list_transform(shingles, s ->
@@ -1687,7 +1692,8 @@ object DocQueries {
       val docs = table(s, dir, "documents")
       graft.pipeline.DocPipeline.run(docs, "doc_id", "text",
           Some(docs.filter(col("doc_id") < 10)),
-          graft.pipeline.DocPipelineConfig(tokenBudget = Some(5000L)))
+          graft.pipeline.DocPipelineConfig(dedupNear = true,
+            tokenBudget = Some(5000L)))
         .summary.orderBy("stage")
     }),
 
@@ -3807,7 +3813,7 @@ object DocQueries {
     // decisions are all doc-local or globally-ordered, so set algebra
     // over w reproduces the sequential pipeline exactly)
     "t40_doc_pipeline" ->
-      s"""$wCte,
+      s"""WITH RECURSIVE ${wCte.stripPrefix("WITH ")},
          | k1 AS (
          |  SELECT w.doc_id FROM w JOIN (
          |   SELECT doc_id, doc_id = MIN(doc_id) OVER (PARTITION BY md5(lower($norm))) AS keep
@@ -3824,11 +3830,30 @@ object DocQueries {
          | ),
          | contam AS (SELECT doc_id FROM ($contaminationSql) sc WHERE contamination > 0.05),
          | k3 AS (SELECT doc_id FROM k2 WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+         | k3w AS (SELECT w.* FROM w JOIN k3 USING (doc_id)),
+         |${minhashBandCtesFrom("k3w")},
+         | ncand AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         | ),
+         | nsym AS (
+         |  SELECT a, b FROM ncand UNION SELECT b, a FROM ncand
+         |  UNION SELECT a, a FROM ncand UNION SELECT b, b FROM ncand
+         | ),
+         | nreach(a, b) AS (
+         |  SELECT a, b FROM nsym
+         |  UNION
+         |  SELECT r.a, s2.b FROM nreach r JOIN nsym s2 ON r.b = s2.a
+         | ),
+         | ncomp AS (SELECT a AS doc_id, MIN(b) AS component FROM nreach GROUP BY a),
+         | k35 AS (SELECT doc_id FROM k3 WHERE doc_id NOT IN
+         |         (SELECT doc_id FROM ncomp WHERE component <> doc_id)),
          | bst AS (
          |  SELECT w.doc_id, nt,
          |         ROUND(LEAST(1.0, nt / 50.0) * (len(list_distinct(ws)) * 1.0 / nt)
          |               * (1.0 - (length(norm) - length(regexp_replace(norm, '[^a-zA-Z0-9 ]', '', 'g'))) * 1.0 / length(norm)), 4) AS q
-         |  FROM w JOIN k3 USING (doc_id)
+         |  FROM w JOIN k35 USING (doc_id)
          | ),
          | bsel AS (
          |  SELECT doc_id, CAST(SUM(nt) OVER (ORDER BY q DESC, doc_id) AS BIGINT) AS cum
@@ -3839,13 +3864,15 @@ object DocQueries {
          | n1 AS (SELECT COUNT(*) AS c FROM k1),
          | n2 AS (SELECT COUNT(*) AS c FROM k2),
          | n3 AS (SELECT COUNT(*) AS c FROM k3),
+         | n35 AS (SELECT COUNT(*) AS c FROM k35),
          | n4 AS (SELECT COUNT(*) AS c FROM k4)
          |SELECT * FROM (
          |  SELECT '00_input' AS stage, CAST(n0.c AS BIGINT) AS n_in, CAST(n0.c AS BIGINT) AS n_out FROM n0
          |  UNION ALL SELECT '10_exact_dedup', CAST(n0.c AS BIGINT), CAST(n1.c AS BIGINT) FROM n0, n1
          |  UNION ALL SELECT '20_quality_gate', CAST(n1.c AS BIGINT), CAST(n2.c AS BIGINT) FROM n1, n2
          |  UNION ALL SELECT '30_decontaminate', CAST(n2.c AS BIGINT), CAST(n3.c AS BIGINT) FROM n2, n3
-         |  UNION ALL SELECT '40_token_budget', CAST(n3.c AS BIGINT), CAST(n4.c AS BIGINT) FROM n3, n4
+         |  UNION ALL SELECT '35_near_dedup', CAST(n3.c AS BIGINT), CAST(n35.c AS BIGINT) FROM n3, n35
+         |  UNION ALL SELECT '40_token_budget', CAST(n35.c AS BIGINT), CAST(n4.c AS BIGINT) FROM n35, n4
          | ) ORDER BY stage""".stripMargin,
 
     // T26: d18's chunk chain + reassembly — first occurrence of each

@@ -29,11 +29,31 @@ class DocPipelineSpec extends SparkSpec {
     assert(r.kept.columns.toSeq === docs.columns.toSeq)
   }
 
+  test("near dedup: banded minhash clusters collapse to min id; short docs survive") {
+    import spark.implicits._
+    val same = "the quick brown fox jumps over the lazy dog near the " +
+      "river bank today while birds sing in the tall trees"
+    val other = "completely different prose about spark partitions and " +
+      "shuffles and the exchanges that dominate distributed query cost"
+    val d = Seq((1L, same), (2L, same), (3L, other), (4L, "hi"))
+      .toDF("doc_id", "text")
+    // exact dedup OFF so the identical pair reaches the near stage;
+    // doc 4 has < 3 tokens -> NULL signature -> its own identity
+    val r = DocPipeline.run(d, "doc_id", "text", None,
+      DocPipelineConfig(dedupExact = false, qualityGate = false,
+        decontaminate = false, dedupNear = true))
+    val rows = r.summary.orderBy("stage").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    assert(rows.toSeq === Seq(("00_input", 4L, 4L), ("35_near_dedup", 4L, 3L)))
+    assert(r.kept.select("doc_id").collect().map(_.getLong(0)).sorted
+      === Array(1L, 3L, 4L))
+  }
+
   test("reliable checkpointDir: identical funnel and kept set") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-doc-ckpt").toString
     def run(ckpt: Option[String]) = DocPipeline.run(docs, "doc_id", "text",
-      Some(evalSet), DocPipelineConfig(checkpointDir = ckpt))
+      Some(evalSet), DocPipelineConfig(dedupNear = true, checkpointDir = ckpt))
     val local = run(None)
     val reliable = run(Some(dir))
     assert(rowSet(reliable.summary) === rowSet(local.summary))
