@@ -1711,21 +1711,45 @@ object Dedup {
     * to MinHash). Same banded-join plan shape: pairs meet only through
     * a shared `(band, band_hash)` bucket, never all-pairs. NULL
     * signatures (docs too short to shingle) are skipped — they can pair
-    * with nothing. */
+    * with nothing.
+    *
+    * `minSigAgreement` adds a VERIFY stage on the candidates: the
+    * fraction of equal signature components estimates the pair's
+    * Jaccard (the MinHash guarantee), so requiring
+    * `agree >= ceil(minSigAgreement * numHashes)` tightens the banded
+    * s-curve into a hard similarity threshold WITHOUT re-reading any
+    * text — the verification joins only the candidate-scale pair frame
+    * back onto the doc-scale signature sliver (twice, id-keyed,
+    * broadcast-able), never the corpus. The integer ceil comparison
+    * keeps the decision exact in any engine. */
   def minHashCandidatesFromSignatures(
       sigs: DataFrame,
       numHashes: Int = 64,
-      bands: Int = 16
+      bands: Int = 16,
+      minSigAgreement: Option[Double] = None
   ): DataFrame = {
     val rows = numHashes / bands
-    val withBands = sigs.filter(col("sig").isNotNull)
+    val nn = sigs.filter(col("sig").isNotNull)
+    val withBands = nn
       .select(col("doc_id"), explode(lshBands("sig", bands, rows)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
-    withBands.as("a")
+    val cand = withBands.as("a")
       .join(withBands.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared_bands"))
+    minSigAgreement match {
+      case None => cand
+      case Some(t) =>
+        val need = math.ceil(t * numHashes).toLong
+        val agree = expr(
+          "aggregate(zip_with(_sa, _sb, (x, y) -> IF(x = y, 1L, 0L)), 0L, (s, v) -> s + v)")
+        cand
+          .join(nn.select(col("doc_id").as("doc_a"), col("sig").as("_sa")), "doc_a")
+          .join(nn.select(col("doc_id").as("doc_b"), col("sig").as("_sb")), "doc_b")
+          .filter(agree >= need)
+          .select(col("doc_a"), col("doc_b"), col("shared_bands"))
+    }
   }
 }

@@ -20,6 +20,7 @@ final case class DocPipelineConfig(
     nearShingleN: Int = 3,
     nearNumHashes: Int = 64,
     nearBands: Int = 16,
+    nearMinSigAgreement: Option[Double] = None,
     tokenBudget: Option[Long] = None,
     checkpointDir: Option[String] = None)
 
@@ -66,7 +67,11 @@ final case class DocPipelineResult(kept: DataFrame, summary: DataFrame)
   *  - near dedup (opt-in, 35_near_dedup): MinHash-LSH banded candidates
   *    over the SURVIVORS' signatures
   *    ([[Dedup.minHashCandidatesFromSignatures]] — the signature is one
-  *    more column of the signal projection, never a second text scan) →
+  *    more column of the signal projection, never a second text scan),
+  *    optionally VERIFIED by signature agreement
+  *    (`nearMinSigAgreement`: the equal-component fraction estimates
+  *    the pair's Jaccard, tightening the banded s-curve into a hard
+  *    threshold with no text re-read) →
   *    [[Dedup.connectedComponents]] → keep each cluster's min id; docs
   *    too short to shingle are their own identity. The crawl-side
   *    [[CrawlPipeline]] composes the same shape with SimHash — the two
@@ -180,7 +185,7 @@ object DocPipeline {
       // survive as their own identity.
       val pairs = Dedup.minHashCandidatesFromSignatures(
         surv.select(col("_id").as("doc_id"), col("_sig").as("sig")),
-        cfg.nearNumHashes, cfg.nearBands)
+        cfg.nearNumHashes, cfg.nearBands, cfg.nearMinSigAgreement)
       val ccDir = cfg.checkpointDir
         .map(d => s"$d/cc-scratch-${java.util.UUID.randomUUID()}")
       val labels = Dedup.connectedComponents(pairs, checkpointDir = ccDir)

@@ -1693,7 +1693,7 @@ object DocQueries {
       graft.pipeline.DocPipeline.run(docs, "doc_id", "text",
           Some(docs.filter(col("doc_id") < 10)),
           graft.pipeline.DocPipelineConfig(dedupNear = true,
-            tokenBudget = Some(5000L)))
+            nearMinSigAgreement = Some(0.5), tokenBudget = Some(5000L)))
         .summary.orderBy("stage")
     }),
 
@@ -3837,9 +3837,16 @@ object DocQueries {
          |  FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2
          | ),
+         | nver AS (
+         |  SELECT c.a, c.b FROM ncand c
+         |  JOIN sig sa ON sa.doc_id = c.a
+         |  JOIN sig sb ON sb.doc_id = c.b
+         |  WHERE list_sum(list_transform(generate_series(1, 64),
+         |          i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) >= 32
+         | ),
          | nsym AS (
-         |  SELECT a, b FROM ncand UNION SELECT b, a FROM ncand
-         |  UNION SELECT a, a FROM ncand UNION SELECT b, b FROM ncand
+         |  SELECT a, b FROM nver UNION SELECT b, a FROM nver
+         |  UNION SELECT a, a FROM nver UNION SELECT b, b FROM nver
          | ),
          | nreach(a, b) AS (
          |  SELECT a, b FROM nsym
