@@ -2420,6 +2420,39 @@ object DocQueries {
         .select(col("id").as("doc_id"), col("target_uri"))
         .orderBy("doc_id")),
 
+    // W5: the frontier scheduler composed with URL canonicalization —
+    // the discovery→fetch bridge in ONE plan: raw URLs synthesized with
+    // case noise (id%5: uppercase scheme+host) and tracking params
+    // (id%3), canonicalized (t43's normalizer), URL-deduped (min-id
+    // keeper owns the priority), then politeness-scheduled per host
+    // (priority DESC, 2 s delay, queue depth capped at 5). The oracle
+    // restates canonical identity and priorities from the arithmetic
+    // and mirrors the rank/offset windows.
+    "w5_frontier_schedule" -> ((s, dir) => {
+      val id = col("doc_id")
+      val raw = table(s, dir, "documents").select(id,
+        concat(
+          when(id % 5 === 0, lit("HTTP://SITE")).otherwise(lit("http://site")),
+          (id % 7).cast("string"),
+          when(id % 5 === 0, lit(".COM/p")).otherwise(lit(".com/p")),
+          (id % 50).cast("string"),
+          when(id % 3 === 0, lit("?utm_source=x&ref=y")).otherwise(lit("")))
+          .as("u"))
+      val canon = raw
+        .withColumn("url", TextFunctions.canonicalUrl(col("u")))
+        .withColumn("_keep",
+          col("doc_id") === min(col("doc_id")).over(Window.partitionBy(col("url"))))
+        .filter(col("_keep"))
+        .select(TextFunctions.urlHost(col("url")).as("host"), col("url"),
+          ((col("doc_id") * 7) % 100).as("priority"))
+      graft.operators.Frontier.schedule(canon, "host", "url", "priority",
+          perHostDelaySec = 2, maxPerHost = Some(5))
+        .select(col("host"), col("url"), col("priority"),
+          col("fetch_rank").cast("long").as("fetch_rank"),
+          col("scheduled_offset_sec"))
+        .orderBy("host", "fetch_rank")
+    }),
+
     // W1: the crawl-to-graph composition in ONE plan — per-page WARC
     // files (HTML bodies linking to two arithmetic targets) walked by the
     // real record parser, bodies href-extracted, the link graph's degree
@@ -4756,6 +4789,27 @@ object DocQueries {
         |            THEN '?utm_source=feed&fbclid=x' || CAST(id AS VARCHAR)
         |            ELSE '' END AS target_uri
         |FROM f60 JOIN pg USING (id) ORDER BY doc_id""".stripMargin),
+
+    // W5: canonical identity from the arithmetic (case noise and
+    // tracking params both normalize away), min-id keeper owns the
+    // priority, rank/offset windows mirrored
+    "w5_frontier_schedule" ->
+      """WITH d AS (
+        |  SELECT 'http://site' || (doc_id % 7) || '.com/p' || (doc_id % 50) AS url,
+        |         'site' || (doc_id % 7) || '.com' AS host,
+        |         MIN(doc_id) AS keeper
+        |  FROM documents GROUP BY 1, 2
+        | ),
+        | r AS (
+        |  SELECT host, url, CAST((keeper * 7) % 100 AS BIGINT) AS priority,
+        |         ROW_NUMBER() OVER (PARTITION BY host
+        |           ORDER BY (keeper * 7) % 100 DESC, url) AS fetch_rank
+        |  FROM d
+        | )
+        |SELECT host, url, priority, CAST(fetch_rank AS BIGINT) AS fetch_rank,
+        |       CAST((fetch_rank - 1) * 2 AS BIGINT) AS scheduled_offset_sec
+        |FROM r WHERE fetch_rank <= 5
+        |ORDER BY host, fetch_rank""".stripMargin,
 
     // W2: the entry stream restated — urlset rows for i < k (lastmod
     // NULL on i=2), two sitemap-index children for %5 docs, nothing for

@@ -106,6 +106,25 @@ class PlanShapeSpec extends SparkSpec {
       docs, "doc_id", "lang", Map("en" -> 0.5), 0.25)) === ((0, 0)))
   }
 
+  test("frontier schedule: one host exchange uncapped, skew-split + pruned capped") {
+    // uncapped = ONE host exchange (a true global per-host sort).
+    // capped = TWO: the pre-rank keys on (host, spark_partition_id), so
+    // its exchange SPREADS a hot host across partitions (no single task
+    // ever sorts a whole hot host) and the final host exchange then
+    // ships only <= maxPerHost x partitions rows per host — bounded
+    // sort memory at every stage, which is the property the cap exists
+    // for. A refactor that collapses the pre-rank into a plain host
+    // window (one exchange but an unbounded hot-host sort) fails here.
+    val urls = docs.select(
+      concat(lit("h"), col("doc_id") % 50).as("host"),
+      concat(lit("http://h"), col("doc_id")).as("url"),
+      (col("doc_id") % 11).as("priority"))
+    assert(shape(graft.operators.Frontier.schedule(
+      urls, "host", "url", "priority", 2, Some(5))) === ((2, 0)))
+    assert(shape(graft.operators.Frontier.schedule(
+      urls, "host", "url", "priority", 2, None)) === ((1, 0)))
+  }
+
   test("contamination scan: corpus aggregates, benchmark broadcasts") {
     // 3 shuffles: the two per-doc count aggregations + the doc-side
     // exchange of the assembly join; 3 broadcasts: the benchmark shingle
