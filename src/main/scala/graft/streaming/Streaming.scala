@@ -115,6 +115,42 @@ object Streaming {
     graft.operators.Dedup.incrementalNearDup(
       reference, stream, idCol, textCol, n, numHashes, bands)
 
+  /** The crawl front end's GATE prefix as a stream — live WARC
+    * acquisition: binary WARC payloads arrive continuously (a fetcher
+    * fleet's output topic), and each micro-batch walks the records,
+    * extracts text, and applies the language + quality gates ENTIRELY
+    * STATELESSLY — [[graft.sources.Warc.records]] is a mapPartitions
+    * walk and every signal is a codegen'd projection, so the stream
+    * needs no watermark and no state store for the gates themselves.
+    * Emits the surviving page records plus `text` and `content_hash`
+    * (the [[graft.operators.Dedup]] normalized-md5 identity), so exact
+    * dedup composes downstream as [[dedupWithinWatermark]] on
+    * `content_hash` — first arrival keeps, state bounded by the
+    * watermark horizon. Robots legality belongs UPSTREAM of the fetch
+    * (the [[graft.operators.Frontier]] schedule feeds fetchers only
+    * legal URLs), not in this post-hoc gate.
+    *
+    * Batch parity: on a batch frame this is exactly
+    * [[graft.pipeline.CrawlPipeline]]'s kept set for the gate-only
+    * config (robots/dedup stages off) — StreamingSpec pins it. */
+  def crawlGateStream(
+      warcFiles: DataFrame,
+      idCol: String,
+      allowedLangs: Seq[String] = Seq("en")
+  ): DataFrame = {
+    import graft.functions.TextFunctions
+    graft.sources.Warc.records(warcFiles, idCol)
+      .filter(col("record_type") === "response" &&
+        col("http_body").isNotNull && col("target_uri").isNotNull)
+      .withColumn("text", TextFunctions.htmlText(col("http_body")))
+      .filter(length(col("text")) > 0 &&
+        TextFunctions.langId("text").getField("predicted")
+          .isin(allowedLangs: _*) &&
+        TextFunctions.qualityFilter("text").getField("keep"))
+      .withColumn("content_hash",
+        md5(expr(graft.operators.Dedup.normalizedSql("text"))))
+  }
+
   /** Incoming image payloads matched against a static reference corpus
     * by perceptual hash — the multimodal twin of
     * [[nearDupAgainstReference]]: the stream decodes + dHash60s in place

@@ -277,6 +277,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming crawl gates equal the batch CrawlPipeline kept set (#11)") {
+    // live WARC acquisition: the gate prefix (record walk -> extraction
+    // -> language -> quality) is stateless, so it runs unchanged on a
+    // payload stream; composing dedupWithinWatermark(content_hash) then
+    // gives first-arrival exact dedup. Parity: streamed survivors ==
+    // CrawlPipeline's kept ids for the gate-only config on the same
+    // bytes, regardless of micro-batching.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def page(uri: String, body: String): graft.sources.Warc.WarcRecord =
+      graft.sources.Warc.WarcRecord("response", Some(uri),
+        Some("2024-01-01T00:00:00Z"),
+        Some("application/http; msgtype=response"),
+        ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+          s"<html><body><p>$body</p></body></html>").getBytes("UTF-8"))
+    val good = "the small cat and the old dog walk over the green hill " +
+      "and they see some birds fly past the tall trees near the lake"
+    val other = "a big red ball rolls down the long road and the kids " +
+      "run after it with joy as the sun sets over the quiet town"
+    val fr = "le chat est sur le mur et le chien est dans le jardin " +
+      "avec les fleurs du printemps"
+    val files = Seq(
+      (0L, graft.sources.Warc.build(Seq(page("http://x.com/p0", good)))),
+      (1L, graft.sources.Warc.build(Seq(page("http://x.com/p1", fr)))),    // lang
+      (2L, graft.sources.Warc.build(Seq(page("http://x.com/p2", "spam")))), // quality
+      (3L, graft.sources.Warc.build(Seq(page("http://x.com/p3", other)))),
+      (4L, graft.sources.Warc.build(Seq(page("http://x.com/p4", good)))))  // content dup of 0
+    val batch = graft.pipeline.CrawlPipeline.run(
+        files.toDF("doc_id", "payload"), "doc_id", None,
+        graft.pipeline.CrawlPipelineConfig(robotsGate = false,
+          dedupExact = false, dedupNear = false))
+      .kept.select("id").collect().map(_.getLong(0)).toSet
+    assert(batch === Set(0L, 3L, 4L)) // gates only: the dup survives
+
+    val input = MemoryStream[(Long, Array[Byte])]
+    val gated = Streaming.crawlGateStream(
+      input.toDF().toDF("doc_id", "payload"), "doc_id")
+    val deduped = Streaming.dedupWithinWatermark(
+      gated.withColumn("ts", (col("id") + 1L) * 1000L), Seq("content_hash"))
+    val q = deduped.select("id")
+      .writeStream.format("memory").queryName("crawlgate")
+      .outputMode("append").start()
+    try {
+      files.grouped(2).foreach { g => input.addData(g: _*); q.processAllAvailable() }
+      val kept = spark.table("crawlgate").collect().map(_.getLong(0)).toSet
+      // gates match the batch pipeline; the composed content dedup then
+      // drops the re-crawl (4 repeats 0's text, first arrival keeps)
+      assert(kept === Set(0L, 3L))
+    } finally q.stop()
+  }
+
   test("streaming IMAGE near-dup against a reference equals the batch operator") {
     // parity harness #10: the multimodal twin of the text harness —
     // decode + dHash60 runs stateless on the stream, bands join
