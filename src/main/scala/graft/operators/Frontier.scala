@@ -41,8 +41,38 @@ object Frontier {
       maxPerHost: Option[Int] = None
   ): DataFrame = {
     require(perHostDelaySec >= 0, "perHostDelaySec must be non-negative")
+    ranked(urls, hostCol, urlCol, priorityCol, maxPerHost)
+      .withColumn("scheduled_offset_sec",
+        (col("fetch_rank") - 1).cast("long") * perHostDelaySec)
+  }
+
+  /** [[schedule]] with a PER-HOST politeness delay column (constant
+    * within each host — e.g. the robots.txt Crawl-delay surface,
+    * [[Robots.crawlDelays]], coalesced with a crawler default):
+    * `scheduled_offset_sec = (fetch_rank - 1) * delaySecCol`, double —
+    * Crawl-delay values are legitimately fractional. Same ranking
+    * shapes as [[schedule]]. */
+  def scheduleWithDelays(
+      urls: DataFrame,
+      hostCol: String,
+      urlCol: String,
+      priorityCol: String,
+      delaySecCol: String,
+      maxPerHost: Option[Int] = None
+  ): DataFrame =
+    ranked(urls, hostCol, urlCol, priorityCol, maxPerHost)
+      .withColumn("scheduled_offset_sec",
+        (col("fetch_rank") - 1).cast("double") * col(delaySecCol))
+
+  private def ranked(
+      urls: DataFrame,
+      hostCol: String,
+      urlCol: String,
+      priorityCol: String,
+      maxPerHost: Option[Int]
+  ): DataFrame = {
     val ord: Seq[Column] = Seq(col(priorityCol).desc, col(urlCol).asc)
-    val ranked = maxPerHost match {
+    maxPerHost match {
       case Some(m) =>
         require(m > 0, "maxPerHost must be positive")
         val pre = Window.partitionBy(col(hostCol), spark_partition_id())
@@ -58,7 +88,5 @@ object Frontier {
         urls.withColumn("fetch_rank",
           row_number().over(Window.partitionBy(col(hostCol)).orderBy(ord: _*)))
     }
-    ranked.withColumn("scheduled_offset_sec",
-      (col("fetch_rank") - 1).cast("long") * perHostDelaySec)
   }
 }

@@ -38,20 +38,22 @@ object Robots {
   /** One path rule: `allow` with its path prefix. */
   final case class Rule(allow: Boolean, prefix: String)
 
-  /** Parse robots.txt for `agent`: the rules of the best-matching group
-    * — the group whose User-agent token is the longest case-insensitive
-    * PREFIX of `agent` (RFC 9309 crawler-name matching), falling back
-    * to the `*` group. */
-  def parseRobots(txt: String, agent: String): Seq[Rule] = {
-    if (txt == null) return Nil
-    val la = agent.toLowerCase(java.util.Locale.ROOT)
-    // groups: consecutive User-agent lines, then the rules that follow
-    var groups = List.empty[(List[String], List[Rule])] // (agents, rules reversed)
+  /** One parsed robots group: its (lowercased) agent tokens, path rules
+    * in file order, and the group's Crawl-delay if it declared a
+    * numeric one. */
+  private final case class Group(
+      agents: List[String], rules: List[Rule], delay: Option[Double])
+
+  /** The raw group structure of a robots.txt: consecutive User-agent
+    * lines open a group; Allow/Disallow/Crawl-delay lines fill it. */
+  private def parseGroups(txt: String): List[Group] = {
+    var groups = List.empty[Group] // reversed; rules reversed within
     var curAgents = List.empty[String]
     var curRules = List.empty[Rule]
+    var curDelay = Option.empty[Double]
     var inAgents = false
     def flush(): Unit =
-      if (curAgents.nonEmpty) groups = (curAgents, curRules) :: groups
+      if (curAgents.nonEmpty) groups = Group(curAgents, curRules, curDelay) :: groups
     txt.split("\n").foreach { line0 =>
       val line = line0.takeWhile(_ != '#').trim
       val colon = line.indexOf(':')
@@ -60,7 +62,7 @@ object Robots {
         val value = line.substring(colon + 1).trim
         key match {
           case "user-agent" =>
-            if (!inAgents) { flush(); curAgents = Nil; curRules = Nil }
+            if (!inAgents) { flush(); curAgents = Nil; curRules = Nil; curDelay = None }
             curAgents ::= value.toLowerCase(java.util.Locale.ROOT)
             inAgents = true
           case "allow" | "disallow" =>
@@ -68,29 +70,63 @@ object Robots {
             // an empty Disallow allows everything: no rule
             if (value.nonEmpty)
               curRules ::= Rule(allow = key == "allow", prefix = value)
-          case _ => inAgents = false // crawl-delay, sitemap, ... ignored
+          case "crawl-delay" =>
+            inAgents = false
+            // non-numeric values are ignored like any other garbage line
+            value.toDoubleOption.filter(d => d >= 0 && !d.isInfinite)
+              .foreach(d => curDelay = Some(d))
+          case _ => inAgents = false // sitemap, host, ... ignored
         }
       }
     }
     flush()
-    // best agent-match length: longest token that PREFIXES our agent
-    // (RFC 9309 crawler-name match — a substring match would let a
-    // generic 'bot' group capture 'graftbot' and outrank '*');
-    // '*' = fallback at length 0. ALL groups at the winning length merge
-    // — RFC 9309 requires combining the rules of every matching group
-    // (two 'User-agent: *' blocks are one logical group), and dropping
-    // one would under-block on a compliance gate
-    val candidates = groups.reverse.flatMap { case (agents, rules) =>
-      agents.collect {
-        case a if a != "*" && la.startsWith(a) => (a.length, rules.reverse)
-        case a if a == "*" => (0, rules.reverse)
+    groups.reverse.map(g => g.copy(rules = g.rules.reverse))
+  }
+
+  /** The groups matching `agent`, best agent-match length only: the
+    * longest token that PREFIXES our agent wins (RFC 9309 crawler-name
+    * match — a substring match would let a generic 'bot' group capture
+    * 'graftbot' and outrank '*'); '*' = fallback at length 0. ALL
+    * groups at the winning length are returned — RFC 9309 requires
+    * combining the rules of every matching group (two 'User-agent: *'
+    * blocks are one logical group), and dropping one would under-block
+    * on a compliance gate. */
+  private def matchingGroups(txt: String, agent: String): Seq[Group] = {
+    if (txt == null) return Nil
+    val la = agent.toLowerCase(java.util.Locale.ROOT)
+    val candidates = parseGroups(txt).flatMap { g =>
+      g.agents.collect {
+        case a if a != "*" && la.startsWith(a) => (a.length, g)
+        case a if a == "*" => (0, g)
       }
     }
     if (candidates.isEmpty) Nil
     else {
       val best = candidates.map(_._1).max
-      candidates.filter(_._1 == best).flatMap(_._2)
+      candidates.filter(_._1 == best).map(_._2)
     }
+  }
+
+  /** Parse robots.txt for `agent`: the rules of the best-matching group
+    * — the group whose User-agent token is the longest case-insensitive
+    * PREFIX of `agent` (RFC 9309 crawler-name matching), falling back
+    * to the `*` group. */
+  def parseRobots(txt: String, agent: String): Seq[Rule] =
+    matchingGroups(txt, agent).flatMap(_.rules).toList
+
+  /** The Crawl-delay (seconds) the best-matching group declares for
+    * `agent`, None when it declares none (callers apply their own
+    * politeness default). Crawl-delay is a de-facto extension (not in
+    * RFC 9309) that real crawl pipelines respect; group selection is
+    * the SAME crawler-name matching as [[parseRobots]], so an
+    * `evilbot` group's punitive delay never leaks onto `graftbot`.
+    * When several groups tie at the winning match length, the most
+    * conservative (maximum) declared delay wins — deterministic and
+    * compliance-safe. Feed the result into
+    * [[graft.operators.Frontier.scheduleWithDelays]]. */
+  def crawlDelaySeconds(txt: String, agent: String): Option[Double] = {
+    val declared = matchingGroups(txt, agent).flatMap(_.delay)
+    if (declared.isEmpty) None else Some(declared.max)
   }
 
   /** RFC 9309 decision: longest matching prefix wins, Allow wins length
@@ -166,5 +202,23 @@ object Robots {
         (id, url, allowed)
       }
     }.toDF("id", "url", "allowed")
+  }
+
+  /** Per-host Crawl-delay table for `agent`: `(host, crawl_delay_sec)`,
+    * hosts whose robots.txt declares none omitted (join with a left +
+    * coalesce to apply a politeness default). The input is
+    * host-cardinality — the same deterministic min-text dedup as
+    * [[filterByRobots]], then a plain per-row parse; the result is the
+    * natural broadcast side of a [[Frontier.scheduleWithDelays]] join. */
+  def crawlDelays(robots: DataFrame, agent: String): DataFrame = {
+    val spark = robots.sparkSession
+    import spark.implicits._
+    robots.select(col("host").as("_host"), col("robots_txt").as("_txt"))
+      .groupBy("_host").agg(min("_txt").as("_txt"))
+      .as[(String, String)]
+      .mapPartitions(_.flatMap { case (host, txt) =>
+        crawlDelaySeconds(txt, agent).map(d => (host, d))
+      })
+      .toDF("host", "crawl_delay_sec")
   }
 }

@@ -2353,6 +2353,48 @@ object DocQueries {
         .orderBy("doc_id")
     }),
 
+    // W6: robots Crawl-delay feeding the frontier — the politeness
+    // surface a real fetcher fleet honors: per-host robots texts carry
+    // an evilbot group (punitive delay 99 that graftbot must NOT pick
+    // up), a graftbot-specific group on host 5 (delay 7, overriding the
+    // '*' group), '*' delays of k+1 elsewhere, and NO delay on k%3=0
+    // hosts (crawler default 1.0 applies). REAL parsing on the engine
+    // side (group selection + numeric extraction); the oracle restates
+    // the resulting per-host delay from the arithmetic. Offsets are
+    // integer-valued doubles, so the compare is hash-exact.
+    "w6_crawl_delay_schedule" -> ((s, dir) => {
+      import s.implicits._
+      val robotsDf = (0 until 7).map { k =>
+        val specific =
+          if (k == 5) "User-agent: graftbot\nCrawl-delay: 7\n\n" else ""
+        val star =
+          if (k % 3 == 0) "User-agent: *\nDisallow: /private\n"
+          else s"User-agent: *\nCrawl-delay: ${k + 1}\n"
+        (s"site$k.com",
+          "User-agent: evilbot\nCrawl-delay: 99\nDisallow: /\n\n" +
+            specific + star)
+      }.toDF("host", "robots_txt")
+      val delays = graft.operators.Robots.crawlDelays(robotsDf, "graftbot")
+      val id = col("doc_id")
+      val urls = table(s, dir, "documents")
+        .select(
+          concat(lit("http://site"), (id % 7).cast("string"), lit(".com/p"),
+            (id % 50).cast("string")).as("url"),
+          concat(lit("site"), (id % 7).cast("string"), lit(".com")).as("host"),
+          id)
+        .groupBy("host", "url").agg(min("doc_id").as("keeper"))
+        .select(col("host"), col("url"),
+          ((col("keeper") * 7) % 100).as("priority"))
+      val withDelay = urls.join(broadcast(delays), Seq("host"), "left")
+        .withColumn("delay_sec", coalesce(col("crawl_delay_sec"), lit(1.0)))
+      graft.operators.Frontier.scheduleWithDelays(withDelay, "host", "url",
+          "priority", "delay_sec", maxPerHost = Some(5))
+        .select(col("host"), col("url"), col("priority"),
+          col("fetch_rank").cast("long").as("fetch_rank"),
+          col("scheduled_offset_sec"))
+        .orderBy("host", "fetch_rank")
+    }),
+
     // W2: sitemap ingestion — per-host sitemap XML synthesized from
     // arithmetic: urlset files (1-3 <url> blocks, lastmod present except
     // on the third) for most docs, sitemapindex files (2 <sitemap>
@@ -4808,6 +4850,31 @@ object DocQueries {
         | )
         |SELECT host, url, priority, CAST(fetch_rank AS BIGINT) AS fetch_rank,
         |       CAST((fetch_rank - 1) * 2 AS BIGINT) AS scheduled_offset_sec
+        |FROM r WHERE fetch_rank <= 5
+        |ORDER BY host, fetch_rank""".stripMargin,
+
+    // W6: the per-host delay restated from the fixture arithmetic
+    // (host 5's graftbot-specific 7, k%3=0 hosts default 1.0, else
+    // k+1); identity/priority/rank mirror w5's pattern
+    "w6_crawl_delay_schedule" ->
+      """WITH d AS (
+        |  SELECT 'http://site' || (doc_id % 7) || '.com/p' || (doc_id % 50) AS url,
+        |         'site' || (doc_id % 7) || '.com' AS host,
+        |         (doc_id % 7) AS k,
+        |         MIN(doc_id) AS keeper
+        |  FROM documents GROUP BY 1, 2, 3
+        | ),
+        | r AS (
+        |  SELECT host, url, CAST((keeper * 7) % 100 AS BIGINT) AS priority,
+        |         CASE WHEN k = 5 THEN 7.0
+        |              WHEN k % 3 = 0 THEN 1.0
+        |              ELSE k + 1.0 END AS delay_sec,
+        |         ROW_NUMBER() OVER (PARTITION BY host
+        |           ORDER BY (keeper * 7) % 100 DESC, url) AS fetch_rank
+        |  FROM d
+        | )
+        |SELECT host, url, priority, CAST(fetch_rank AS BIGINT) AS fetch_rank,
+        |       CAST((fetch_rank - 1) * delay_sec AS DOUBLE) AS scheduled_offset_sec
         |FROM r WHERE fetch_rank <= 5
         |ORDER BY host, fetch_rank""".stripMargin,
 

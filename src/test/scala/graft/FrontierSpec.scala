@@ -59,6 +59,24 @@ class FrontierSpec extends SparkSpec {
     assert(expected === full)
   }
 
+  test("per-host delays: offsets step by each host's own politeness") {
+    import spark.implicits._
+    val d = Seq(
+      ("a.com", "http://a.com/1", 2L, 0.5),
+      ("a.com", "http://a.com/2", 1L, 0.5),
+      ("b.com", "http://b.com/1", 9L, 3.0),
+      ("b.com", "http://b.com/2", 8L, 3.0),
+      ("b.com", "http://b.com/3", 7L, 3.0))
+      .toDF("host", "url", "priority", "delay")
+    val out = Frontier.scheduleWithDelays(d, "host", "url", "priority", "delay")
+      .select("url", "fetch_rank", "scheduled_offset_sec")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(out === Set(
+      ("http://a.com/1", 1, 0.0), ("http://a.com/2", 2, 0.5),
+      ("http://b.com/1", 1, 0.0), ("http://b.com/2", 2, 3.0),
+      ("http://b.com/3", 3, 6.0)))
+  }
+
   test("zero delay schedules everything at offset 0; rank still orders") {
     val d = urls(("a.com", "http://a.com/x", 2L), ("a.com", "http://a.com/y", 1L))
     val out = Frontier.schedule(d, "host", "url", "priority", 0)

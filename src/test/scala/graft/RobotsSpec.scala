@@ -85,6 +85,41 @@ class RobotsSpec extends SparkSpec {
     }
   }
 
+  test("crawl-delay: group-selected, numeric-only, max on ties, None when absent") {
+    import Robots.crawlDelaySeconds
+    val txt = "User-agent: evilbot\nCrawl-delay: 99\nDisallow: /\n\n" +
+      "User-agent: graftbot\nCrawl-delay: 2.5\n\n" +
+      "User-agent: *\nCrawl-delay: 10\n"
+    // group selection mirrors parseRobots: the specific group wins, the
+    // punitive evilbot 99 and the '*' 10 never leak onto graftbot
+    assert(crawlDelaySeconds(txt, "graftbot") === Some(2.5))
+    assert(crawlDelaySeconds(txt, "otherbot") === Some(10.0))
+    assert(crawlDelaySeconds(txt, "evilbot") === Some(99.0))
+    // absent in the winning group -> None even if another group has one
+    val noDelay = "User-agent: graftbot\nDisallow: /x\n\nUser-agent: *\nCrawl-delay: 10\n"
+    assert(crawlDelaySeconds(noDelay, "graftbot") === None)
+    // two groups tie at the winning length: the conservative max wins
+    val two = "User-agent: *\nCrawl-delay: 3\n\nUser-agent: *\nCrawl-delay: 8\n"
+    assert(crawlDelaySeconds(two, "anybot") === Some(8.0))
+    // garbage values are ignored like any other malformed line
+    assert(crawlDelaySeconds("User-agent: *\nCrawl-delay: fast\n", "x") === None)
+    assert(crawlDelaySeconds("User-agent: *\nCrawl-delay: -1\n", "x") === None)
+    assert(crawlDelaySeconds(null, "x") === None)
+  }
+
+  test("crawlDelays frame: one row per declaring host, deterministic on dups") {
+    import spark.implicits._
+    val robots = Seq(
+      ("a.com", "User-agent: *\nCrawl-delay: 4\n"),
+      ("b.com", "User-agent: *\nDisallow: /x\n"), // no delay -> omitted
+      ("c.com", "User-agent: *\nCrawl-delay: 2\n"),
+      ("c.com", "User-agent: *\nCrawl-delay: 9\n")) // dup host: min text wins
+      .toDF("host", "robots_txt")
+    val out = Robots.crawlDelays(robots, "graftbot").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out === Map("a.com" -> 4.0, "c.com" -> 2.0))
+  }
+
   test("decision: longest prefix wins, Allow wins ties, no rule allows") {
     val rules = Robots.parseRobots(txt, "graftbot")
     assert(!Robots.isAllowed(rules, "/private/x"))
