@@ -697,10 +697,16 @@ object Dedup {
   def minHashSignatures(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 64
-  ): DataFrame =
+  ): DataFrame = {
+    // register on the FRAME's session, not just the active one — a
+    // multi-session app may call this from a thread whose active
+    // session is not the frame's, and the function must resolve where
+    // the plan analyzes
+    graft.plans.GraftExtensions.register(docs.sparkSession)
     docs.select(col(idCol).as("doc_id"),
         minHashSigCol(textCol, n, numHashes).as("sig"))
       .filter(col("sig").isNotNull)
+  }
 
   /** The [[minHashSignatures]] signature as a bare COLUMN, for pipelines
     * that fold it into their one signal projection instead of paying a

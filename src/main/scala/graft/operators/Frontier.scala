@@ -21,6 +21,15 @@ object Frontier {
     * (`(fetch_rank - 1) * perHostDelaySec` — the earliest polite fetch
     * time relative to the host's first fetch).
     *
+    * Determinism contract: `(host, url)` must be UNIQUE — a frontier's
+    * natural key, which upstream URL-dedup
+    * ([[graft.functions.TextFunctions.canonicalUrl]] + min-id keep)
+    * guarantees. Rows duplicating `(host, url, priority)` make the sort
+    * key non-total: the (rank, offset) assignment stays deterministic,
+    * but WHICH physical duplicate carries each rank is partition-order
+    * luck, and the capped pre-prune may keep a different duplicate than
+    * the uncapped path would.
+    *
     * Scale shape: uncapped, ONE host-keyed window exchange — a true
     * global per-host sort, so callers who keep unbounded queues accept
     * the hot-host skew. With `maxPerHost` set, ranking is TWO-phase

@@ -72,9 +72,12 @@ object Robots {
               curRules ::= Rule(allow = key == "allow", prefix = value)
           case "crawl-delay" =>
             inAgents = false
-            // non-numeric values are ignored like any other garbage line
+            // non-numeric values are ignored like any other garbage line;
+            // duplicate declarations WITHIN a group take the conservative
+            // max, same as the cross-group tie rule — RFC 9309 merges
+            // repeated groups, so the two layouts must decide identically
             value.toDoubleOption.filter(d => d >= 0 && !d.isInfinite)
-              .foreach(d => curDelay = Some(d))
+              .foreach(d => curDelay = Some(curDelay.fold(d)(math.max(_, d))))
           case _ => inAgents = false // sitemap, host, ... ignored
         }
       }

@@ -35,7 +35,8 @@ final case class DocPipelineResult(kept: DataFrame, summary: DataFrame)
   * Execution contract — the stages refine an ID SET, never the corpus:
   * every per-document signal a stage decides on (content hash, quality
   * keep flag, quality score, token count) is computed in ONE projection
-  * over the corpus text, and only that metadata frame (~50 bytes/doc) is
+  * over the corpus text, and only that metadata frame (~50 bytes/doc;
+  * ~½ KB/doc when `dedupNear` adds the 64-minima MinHash signature) is
   * ever pinned (`localCheckpoint` by default, a reliable parquet spill
   * under `cfg.checkpointDir` when set — see [[Pin]]); the contamination
   * fraction — the one signal
@@ -138,7 +139,16 @@ object DocPipeline {
 
     // sequential survival flags: each enabled gate ANDs its rule onto the
     // previous stage's flag. The dedup rule needs the per-hash min id —
-    // one window exchange inside the same plan.
+    // one window exchange inside the same plan. With dedupNear also on,
+    // the ~½ KB/doc signature rides this exchange; accepted DELIBERATELY:
+    // every alternative ships the same signature bytes through some other
+    // single metadata exchange instead (a narrow-window + join-back re-
+    // keys the wide frame by _hash or _id — same bytes; a separate sig
+    // sliver re-joining the survivors exchanges (id, sig) — same bytes;
+    // banding ALL docs and filtering pairs to survivors pays the 16-band
+    // explode on non-survivors — more). The near stage's own band
+    // exchange (~640 B/doc) dominates regardless, and everything here is
+    // still metadata — the corpus text never shuffles.
     if (doDedup)
       meta = meta.withColumn("_canon",
         min(col("_id")).over(Window.partitionBy("_hash")))

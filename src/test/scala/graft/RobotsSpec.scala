@@ -101,6 +101,10 @@ class RobotsSpec extends SparkSpec {
     // two groups tie at the winning length: the conservative max wins
     val two = "User-agent: *\nCrawl-delay: 3\n\nUser-agent: *\nCrawl-delay: 8\n"
     assert(crawlDelaySeconds(two, "anybot") === Some(8.0))
+    // ...and duplicate declarations WITHIN one group decide the same way
+    // (RFC 9309 merges repeated groups — the layouts must agree)
+    val dupInGroup = "User-agent: *\nCrawl-delay: 9\nCrawl-delay: 2\n"
+    assert(crawlDelaySeconds(dupInGroup, "anybot") === Some(9.0))
     // garbage values are ignored like any other malformed line
     assert(crawlDelaySeconds("User-agent: *\nCrawl-delay: fast\n", "x") === None)
     assert(crawlDelaySeconds("User-agent: *\nCrawl-delay: -1\n", "x") === None)
