@@ -210,8 +210,11 @@ object Bench {
     // official run vs 2.8 s quiet — the variance class that cost r12 a
     // phantom regression) — so the honest per-operator cost is
     // published alongside, not instead of, the battery numbers.
+    // w3 joined the list in r15: the battery's most expensive entry runs
+    // first in its family (alphabetical) and absorbs the crawl chain's
+    // JIT/codegen warm-up; the isolated number is the honest operator cost
     val retimeNames = sys.env.getOrElse("SPARK_GRAFT_RETIME",
-        "a18_qualifier_prune,d11_dupgram_fraction,d12_dedup_keep,t40_doc_pipeline")
+        "a18_qualifier_prune,d11_dupgram_fraction,d12_dedup_keep,t40_doc_pipeline,w3_crawl_pipeline")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val isolated: Seq[(String, Double)] =
       if (only.nonEmpty) Seq.empty  // subset runs are already isolated
