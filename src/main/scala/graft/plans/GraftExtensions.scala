@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{BestCentroid, BestCentroidProbe, BloomProbe, BucketPairs, DeflateLen, DeflateRoundtrip, FixMojibake, JaroWinklerSim, LshBuckets, LuhnScrub, MinHash64, NfcNormalize, PhraseCount, ShingleHash60, SimHash60, VectorDot, Winnow60, ZOrder60}
+import graft.functions.{BestCentroid, BestCentroidProbe, BloomProbe, BucketPairs, DeflateLen, DeflateRoundtrip, FixMojibake, JaroWinklerSim, LshBuckets, LuhnScrub, MinHash64, NfcNormalize, PhraseCount, ShingleHash60, SimHash60, StripAccents, VectorDot, Winnow60, ZOrder60}
 
 /** Session extensions registering the engine's native Catalyst functions.
   * Install with `spark.sql.extensions=graft.plans.GraftExtensions`, or call
@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.bucketPairs)
     ext.injectFunction(GraftExtensions.bestCentroid)
     ext.injectFunction(GraftExtensions.nfcNormalize)
+    ext.injectFunction(GraftExtensions.stripAccentsFn)
     ext.injectFunction(GraftExtensions.fixMojibake)
     ext.injectFunction(GraftExtensions.luhnScrub)
     ext.injectFunction(GraftExtensions.phraseCount)
@@ -105,6 +106,15 @@ object GraftExtensions {
     (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
       require(children.length == 1, "nfc_normalize takes exactly 1 argument")
       NfcNormalize(children.head)
+    }
+  )
+
+  private val stripAccentsFn = (
+    new FunctionIdentifier("strip_accents"),
+    new ExpressionInfo(classOf[StripAccents].getName, "strip_accents"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.length == 1, "strip_accents takes exactly 1 argument")
+      StripAccents(children.head)
     }
   )
 
@@ -236,7 +246,8 @@ object GraftExtensions {
 
   private val all =
     Seq(vecDot, simHash60, zOrder60, deflateLen, deflateRoundtrip, minHash64,
-      winnow60, shingleHash60, bucketPairs, bestCentroid, nfcNormalize, fixMojibake, luhnScrub,
+      winnow60, shingleHash60, bucketPairs, bestCentroid, nfcNormalize,
+      stripAccentsFn, fixMojibake, luhnScrub,
       phraseCount, jaroWinkler, bloomProbe, bestCentroidProbe, lshBucketsFn,
       scriptProfileFn)
 

@@ -1676,6 +1676,25 @@ object DocQueries {
           length(expr("nfc_normalize(t2)")).as("len_after"))
         .orderBy("doc_id")),
 
+    // T53: diacritic folding (native strip_accents, the 20th codegen'd
+    // expression) — accented fragments synthesized by doc_id arithmetic
+    // onto the real text; DuckDB's utf8proc-based strip_accents is the
+    // INDEPENDENT mirror (the Jaro-Winkler two-engines gate): NFD +
+    // combining-mark removal must agree byte-for-byte, including the
+    // no-decomposition pass-through (the stroked ł)
+    "t53_strip_accents" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(substring(col("text"), 1, 40), lit(" "),
+            element_at(array(lit("café au lait"), lit("über die Brücke"),
+              lit("mañana señor"), lit("déjà vu résumé"),
+              lit("łódź office"), lit("naïve façade")),
+              (col("doc_id") % 6 + 1).cast("int"))).as("t2"))
+        .select(col("doc_id"), expr("strip_accents(t2)").as("folded"),
+          length(col("t2")).as("len_before"),
+          length(expr("strip_accents(t2)")).as("len_after"))
+        .orderBy("doc_id")),
+
     // T41: the dataset card — per-column row/null/distinct/min/max in
     // ONE corpus pass (multiple exact distincts planned as one Expand +
     // two-stage agg; the unpivot touches one row)
@@ -3865,6 +3884,29 @@ object DocQueries {
         |       md5(nfc_normalize(t2)) AS nfc_md5,
         |       CAST(length(t2) AS INT) AS len_before,
         |       CAST(length(nfc_normalize(t2)) AS INT) AS len_after
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    // T53: DuckDB's utf8proc strip_accents vs our JDK-tables native —
+    // two independent engines agreeing on NFD + mark-removal, accented
+    // fragments built from chr() codepoints (incl. the stroked ł that
+    // has no decomposition and must pass through)
+    "t53_strip_accents" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         substr(text, 1, 40) || ' ' ||
+        |         CASE CAST(doc_id % 6 AS INT)
+        |           WHEN 0 THEN 'caf' || chr(233) || ' au lait'
+        |           WHEN 1 THEN chr(252) || 'ber die Br' || chr(252) || 'cke'
+        |           WHEN 2 THEN 'ma' || chr(241) || 'ana se' || chr(241) || 'or'
+        |           WHEN 3 THEN 'd' || chr(233) || 'j' || chr(224) || ' vu r'
+        |                       || chr(233) || 'sum' || chr(233)
+        |           WHEN 4 THEN chr(322) || chr(243) || 'd' || chr(378) || ' office'
+        |           ELSE 'na' || chr(239) || 've fa' || chr(231) || 'ade' END AS t2
+        |  FROM documents
+        | )
+        |SELECT doc_id, strip_accents(t2) AS folded,
+        |       CAST(length(t2) AS INT) AS len_before,
+        |       CAST(length(strip_accents(t2)) AS INT) AS len_after
         |FROM p ORDER BY doc_id""".stripMargin,
 
     // T41: per-column stats, numeric min/max taken before the VARCHAR

@@ -57,6 +57,7 @@ class PlanShapeSpec extends SparkSpec {
     assert(shape(docs.select(TextFunctions.langId("text"))) === ((0, 0)))
     assert(shape(docs.select(TextFunctions.bpeTokenCount("text"))) === ((0, 0)))
     assert(shape(docs.selectExpr("nfc_normalize(text)")) === ((0, 0)))
+    assert(shape(docs.selectExpr("strip_accents(text)")) === ((0, 0)))
     assert(shape(docs.selectExpr("fix_mojibake(text)")) === ((0, 0)))
     assert(shape(docs.selectExpr("luhn_scrub(text)")) === ((0, 0)))
     assert(shape(docs.select(TextFunctions.scriptProfile("text"))) === ((0, 0)))

@@ -88,6 +88,34 @@ class QualityOpsSpec extends SparkSpec {
     twice.foreach(r => assert(r.getString(0) === r.getString(1)))
   }
 
+  test("strip_accents folds combining marks, passes non-decomposables through") {
+    import spark.implicits._
+    val in = Seq(
+      (1L, "café"),          // precomposed é -> e
+      (2L, "café"),         // decomposed e + acute -> e (same result)
+      (3L, "mañana señor"),
+      (4L, "łódź"),// stroked ł has NO decomposition: stays
+      (5L, "plain ascii"),        // fast path: returned by reference
+      (6L, "façade naïve")).toDF("id", "t")
+    val out = in.selectExpr("id", "strip_accents(t) AS f")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "cafe")
+    assert(out(2L) === "cafe") // both encodings of é converge
+    assert(out(3L) === "manana senor")
+    assert(out(4L) === "łodz") // ó/ź fold, ł survives
+    assert(out(5L) === "plain ascii")
+    assert(out(6L) === "facade naive")
+    // idempotent, and agrees across both codegen paths
+    val withCodegen = in.selectExpr("strip_accents(strip_accents(t)) AS f2",
+      "strip_accents(t) AS f1")
+    Seq("CODEGEN_ONLY", "NO_CODEGEN").foreach { mode =>
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try withCodegen.collect().foreach(r =>
+        assert(r.getString(0) === r.getString(1)))
+      finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("fix_mojibake unwinds one and two cp1252 misdecodes, leaves the rest") {
     import spark.implicits._
     def moji(x: String): String = new String(x.getBytes("UTF-8"), "windows-1252")
