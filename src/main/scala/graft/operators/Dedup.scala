@@ -1417,6 +1417,36 @@ object Dedup {
     docs.join(dropIds, docs(idCol) === col("__graft_drop_id"), "left_anti")
   }
 
+  /** SEMANTIC decontamination — the embedding-space complement of
+    * [[decontaminate]]: drop corpus rows whose embedding sits within
+    * `minCosine` of ANY eval-set embedding. A paraphrased or
+    * reformatted benchmark copy shares no shingles with the original
+    * (n-gram decontamination is blind to it) but still lands on top of
+    * the eval point in embedding space — modern curation pipelines run
+    * both gates.
+    *
+    * Scale shape: the eval side BROADCASTS (eval sets are
+    * query-batch-sized); contamination is a THRESHOLD over the
+    * broadcast cross — no top-k, no per-doc aggregation — so only the
+    * contaminated-id sliver is ever distinct'd, and the corpus drops it
+    * through a broadcast-able anti-join: corpus rows never shuffle.
+    * The cosine is rounded to 4 dp before the compare on BOTH engines
+    * (the o12 convention), so the keep/drop decision never sits on a
+    * float ulp. */
+  def semanticDecontaminate(
+      emb: DataFrame, evalEmb: DataFrame,
+      idCol: String, vecCol: String, minCosine: Double
+  ): DataFrame = {
+    graft.plans.GraftExtensions.register(emb.sparkSession)
+    val c = emb.select(col(idCol).as("__graft_sd_id"),
+      col(vecCol).cast("array<double>").as("_cv"))
+    val q = evalEmb.select(col(vecCol).cast("array<double>").as("_qv"))
+    val contaminated = c.crossJoin(broadcast(q))
+      .filter(round(Similarity.cosine("_qv", "_cv"), 4) >= minCosine)
+      .select(col("__graft_sd_id")).distinct()
+    emb.join(contaminated, emb(idCol) === col("__graft_sd_id"), "left_anti")
+  }
+
   /** Diff two corpus snapshots by id + normalized content: one row per
     * document present in either, `status` ∈ added / removed / changed /
     * unchanged. The comparison key is the same whitespace-insensitive

@@ -1366,6 +1366,21 @@ object DocQueries {
           nProbe = 2, coarseIters = 2)
         .orderBy("cent_id", "doc_a", "doc_b")),
 
+    // D25: SEMANTIC decontamination — the embedding-space complement of
+    // t25's n-gram gate: corpus vectors within cosine 0.8 of ANY
+    // eval-set vector (vec_id < 20, the v1 query convention) drop;
+    // at 0.4 the gate bites on GENUINE semantic neighbors (24 drops at
+    // sf0.01: the 20 in-corpus eval self-matches plus 4 non-identical
+    // neighbors), not just identity. Kept ids only — the decision set,
+    // not float payloads, is the contract
+    "d25_semantic_decon" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Dedup.semanticDecontaminate(emb, emb.filter(col("vec_id") < 20),
+          "vec_id", "embedding", minCosine = 0.4)
+        .select(col("vec_id"))
+        .orderBy("vec_id")
+    }),
+
     // V4: IVF top-3 with Lloyd-refined (spherical k-means) centroids —
     // fully oracle-mirrored (the Lloyd iterations unroll into SQL CTEs);
     // CorpusOpsSpec additionally asserts the monotone-objective and
@@ -3435,6 +3450,21 @@ object DocQueries {
     // members = each fine centroid's best coarse cell (raw dot on unit
     // vectors, lowest-coarse-id ties), probes = each vector's top-2
     // coarse cells by cosine (lowest-id ties), assignment = argmax cosine
+    // D25: the threshold set restated — any (eval, corpus) pair at
+    // ROUND(cosine,4) >= 0.4 marks the corpus vector contaminated; the
+    // shared rounding convention keeps the boundary off a float ulp
+    "d25_semantic_decon" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        | q AS (SELECT v AS qv FROM e WHERE vec_id < 20),
+        | bad AS (
+        |  SELECT DISTINCT e.vec_id FROM e, q
+        |  WHERE ROUND(list_dot_product(qv, v)
+        |        / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 4) >= 0.4
+        | )
+        |SELECT vec_id FROM embeddings
+        |WHERE vec_id NOT IN (SELECT vec_id FROM bad)
+        |ORDER BY vec_id""".stripMargin,
+
     // over the probed cells' members (lowest-cent-id ties) — every
     // ROW_NUMBER mirrors a documented BestCentroidProbe tie-break
     "d24_semdedup_hier" ->

@@ -126,6 +126,21 @@ class PlanShapeSpec extends SparkSpec {
       urls, "host", "url", "priority", 2, None)) === ((1, 0)))
   }
 
+  test("semantic decontamination: eval broadcasts; statically 2 exchanges") {
+    // 1 broadcast: the eval side under the nested-loop cross (the
+    // flop-heavy half — corpus rows score against the broadcast, never
+    // exchange for it). 2 shuffles on the AQE-OFF static plan: the
+    // contaminated-id distinct (sliver-sized) and the corpus side of
+    // the anti-join (stats-less sliver -> no static broadcast); at
+    // runtime AQE broadcasts the id sliver and the corpus never
+    // shuffles — the same posture as decontaminate/t25, deliberately
+    // unhinted so a pathological low threshold (sliver ~ corpus) can't
+    // OOM the driver with a forced broadcast.
+    assert(shape(graft.operators.Dedup.semanticDecontaminate(
+      emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 0.4))
+      === ((2, 1)))
+  }
+
   test("contamination scan: corpus aggregates, benchmark broadcasts") {
     // 3 shuffles: the two per-doc count aggregations + the doc-side
     // exchange of the assembly join; 3 broadcasts: the benchmark shingle
