@@ -12,15 +12,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * collapses those classes at scan speed, where leaving them split
   * double-counts entities in every downstream dedup and vocab stage.
   *
-  * Semantics: canonical decomposition (NFD) then REMOVAL of combining
-  * marks (Unicode category Mn) — `é` → `e`, `ñ` → `n`, `ü` → `u`;
-  * characters with no decomposition (`ł`, `ø`, Han, emoji) pass
-  * through unchanged, and the result is NOT re-composed (nothing is
-  * left to compose once the marks are gone). This is exactly DuckDB's
-  * `strip_accents`, which the oracle battery compares against — two
-  * independent implementations (JDK `java.text.Normalizer` tables here,
-  * utf8proc there) agreeing byte-for-byte is the same
-  * independent-engines gate [[JaroWinkler]] uses.
+  * Semantics: canonical decomposition (NFD) then REMOVAL of marks —
+  * ALL THREE mark categories (Mn non-spacing, Mc spacing-combining,
+  * Me enclosing), matching utf8proc's STRIPMARK exactly: `é` → `e`,
+  * `ñ` → `n`, Devanagari vowel signs (Mc) and enclosing marks (Me)
+  * strip too (an Mn-only fold would silently disagree with DuckDB on
+  * Indic text). Characters with no decomposition (`ł`, `ø`, Han,
+  * emoji) pass through unchanged, and the result is NOT re-composed
+  * (nothing is left to compose once the marks are gone). This is
+  * exactly DuckDB's `strip_accents`, which the oracle battery compares
+  * against — two independent implementations (JDK
+  * `java.text.Normalizer` tables here, utf8proc there) agreeing
+  * byte-for-byte is the same independent-engines gate [[JaroWinkler]]
+  * uses.
   *
   * Fast path: pure-ASCII input (the overwhelming majority of crawl
   * text) is detected in UTF8String bytes without decoding and returned
@@ -39,7 +43,10 @@ case class StripAccents(child: Expression) extends UnaryExpression {
     var i = 0
     while (i < nfd.length) {
       val cp = nfd.codePointAt(i)
-      if (Character.getType(cp) != Character.NON_SPACING_MARK)
+      val t = Character.getType(cp)
+      if (t != Character.NON_SPACING_MARK &&
+        t != Character.COMBINING_SPACING_MARK &&
+        t != Character.ENCLOSING_MARK)
         sb.appendCodePoint(cp)
       i += Character.charCount(cp)
     }

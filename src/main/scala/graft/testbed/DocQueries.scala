@@ -1367,12 +1367,12 @@ object DocQueries {
         .orderBy("cent_id", "doc_a", "doc_b")),
 
     // D25: SEMANTIC decontamination — the embedding-space complement of
-    // t25's n-gram gate: corpus vectors within cosine 0.8 of ANY
-    // eval-set vector (vec_id < 20, the v1 query convention) drop;
-    // at 0.4 the gate bites on GENUINE semantic neighbors (24 drops at
-    // sf0.01: the 20 in-corpus eval self-matches plus 4 non-identical
-    // neighbors), not just identity. Kept ids only — the decision set,
-    // not float payloads, is the contract
+    // t25's n-gram gate: corpus vectors within cosine 0.4 of ANY
+    // eval-set vector (vec_id < 20, the v1 query convention) drop.
+    // At this threshold the gate bites on GENUINE semantic neighbors
+    // (24 drops at sf0.01: the 20 in-corpus eval self-matches plus 4
+    // non-identical neighbors), not just identity. Kept ids only — the
+    // decision set, not float payloads, is the contract
     "d25_semantic_decon" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       Dedup.semanticDecontaminate(emb, emb.filter(col("vec_id") < 20),
@@ -1703,8 +1703,11 @@ object DocQueries {
           concat(substring(col("text"), 1, 40), lit(" "),
             element_at(array(lit("café au lait"), lit("über die Brücke"),
               lit("mañana señor"), lit("déjà vu résumé"),
-              lit("łódź office"), lit("naïve façade")),
-              (col("doc_id") % 6 + 1).cast("int"))).as("t2"))
+              lit("łódź office"), lit("naïve façade"),
+              // Mc (Devanagari vowel sign) + Me (enclosing mark): the
+              // categories an Mn-only fold would miss
+              lit("कि a҈b mark")),
+              (col("doc_id") % 7 + 1).cast("int"))).as("t2"))
         .select(col("doc_id"), expr("strip_accents(t2)").as("folded"),
           length(col("t2")).as("len_before"),
           length(expr("strip_accents(t2)")).as("len_after"))
@@ -3450,21 +3453,6 @@ object DocQueries {
     // members = each fine centroid's best coarse cell (raw dot on unit
     // vectors, lowest-coarse-id ties), probes = each vector's top-2
     // coarse cells by cosine (lowest-id ties), assignment = argmax cosine
-    // D25: the threshold set restated — any (eval, corpus) pair at
-    // ROUND(cosine,4) >= 0.4 marks the corpus vector contaminated; the
-    // shared rounding convention keeps the boundary off a float ulp
-    "d25_semantic_decon" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        | q AS (SELECT v AS qv FROM e WHERE vec_id < 20),
-        | bad AS (
-        |  SELECT DISTINCT e.vec_id FROM e, q
-        |  WHERE ROUND(list_dot_product(qv, v)
-        |        / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 4) >= 0.4
-        | )
-        |SELECT vec_id FROM embeddings
-        |WHERE vec_id NOT IN (SELECT vec_id FROM bad)
-        |ORDER BY vec_id""".stripMargin,
-
     // over the probed cells' members (lowest-cent-id ties) — every
     // ROW_NUMBER mirrors a documented BestCentroidProbe tie-break
     "d24_semdedup_hier" ->
@@ -3514,6 +3502,27 @@ object DocQueries {
          |SELECT cent_id, doc_a, doc_b, cosine FROM p
          |WHERE cosine >= 0.35
          |ORDER BY cent_id, doc_a, doc_b""".stripMargin,
+
+    // D25: the threshold set restated — any (eval, corpus) pair at
+    // ROUND(cosine,4) >= 0.4 marks the corpus vector contaminated; the
+    // shared rounding convention keeps the boundary off a float ulp.
+    // Zero-norm vectors are excluded on BOTH sides of the pair exactly
+    // like the Spark face (Similarity.cosine yields NULL there, so a
+    // dead-encoder vector neither contaminates nor is contaminated —
+    // unguarded, DuckDB's 0/0 = NaN would compare >= t and flip the set)
+    "d25_semantic_decon" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        | q AS (SELECT v AS qv FROM e
+        |       WHERE vec_id < 20 AND list_dot_product(v, v) > 0),
+        | bad AS (
+        |  SELECT DISTINCT e.vec_id FROM e, q
+        |  WHERE list_dot_product(v, v) > 0
+        |    AND ROUND(list_dot_product(qv, v)
+        |        / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 4) >= 0.4
+        | )
+        |SELECT vec_id FROM embeddings
+        |WHERE vec_id NOT IN (SELECT vec_id FROM bad)
+        |ORDER BY vec_id""".stripMargin,
 
     "v4_ann_ivf_refined" ->
       s"""WITH ${kmeansCtes("16", 3)},
@@ -3924,14 +3933,16 @@ object DocQueries {
       """WITH p AS (
         |  SELECT doc_id,
         |         substr(text, 1, 40) || ' ' ||
-        |         CASE CAST(doc_id % 6 AS INT)
+        |         CASE CAST(doc_id % 7 AS INT)
         |           WHEN 0 THEN 'caf' || chr(233) || ' au lait'
         |           WHEN 1 THEN chr(252) || 'ber die Br' || chr(252) || 'cke'
         |           WHEN 2 THEN 'ma' || chr(241) || 'ana se' || chr(241) || 'or'
         |           WHEN 3 THEN 'd' || chr(233) || 'j' || chr(224) || ' vu r'
         |                       || chr(233) || 'sum' || chr(233)
         |           WHEN 4 THEN chr(322) || chr(243) || 'd' || chr(378) || ' office'
-        |           ELSE 'na' || chr(239) || 've fa' || chr(231) || 'ade' END AS t2
+        |           WHEN 5 THEN 'na' || chr(239) || 've fa' || chr(231) || 'ade'
+        |           ELSE chr(2325) || chr(2367) || ' a' || chr(1160) || 'b mark'
+        |         END AS t2
         |  FROM documents
         | )
         |SELECT doc_id, strip_accents(t2) AS folded,

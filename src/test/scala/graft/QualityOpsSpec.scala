@@ -105,6 +105,15 @@ class QualityOpsSpec extends SparkSpec {
     assert(out(4L) === "łodz") // ó/ź fold, ł survives
     assert(out(5L) === "plain ascii")
     assert(out(6L) === "facade naive")
+    // ALL mark categories strip, matching utf8proc STRIPMARK: Devanagari
+    // vowel sign I (U+093F, Mc) and the enclosing Cyrillic hundred
+    // thousands sign (U+0488, Me), verified against DuckDB directly
+    val marks = Seq((10L, "कि"), (11L, "a҈b"))
+      .toDF("id", "t")
+      .selectExpr("id", "strip_accents(t) AS f")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(marks(10L) === "क")
+    assert(marks(11L) === "ab")
     // idempotent, and agrees across both codegen paths
     val withCodegen = in.selectExpr("strip_accents(strip_accents(t)) AS f2",
       "strip_accents(t) AS f1")
