@@ -289,7 +289,33 @@ object Bench {
     val famJson = familyTimes.toSeq.sortBy(_._1)
       .map { case (k, v) => q(k) + ":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"families":$famJson,"isolated":$isoJson,"errors":$errJson,"canary":$canaryJson,"sf":"$sfDir"}""")
+    // Canary-normalized family totals alongside the raw ones: cross-round
+    // tables kept needing manual normalization because the official runs
+    // land in host windows up to ~1.5x apart (r13 sf1 canary 0.406 vs r15
+    // 0.573 ns/row). Convention: scale every family to a canonical
+    // 0.40 ns/row host (the quiet-window figure this repo's round history
+    // centers on), i.e. normalized = raw * (0.40 / measured_ns_per_row).
+    // The reference constant is emitted too so a reader can undo it.
+    val refNsPerRow = 0.40
+    val normScale = if (nsPerRow > 0) refNsPerRow / nsPerRow else 1.0
+    val famNormJson = familyTimes.toSeq.sortBy(_._1)
+      .map { case (k, v) => q(k) + ":" + (v * normScale) }
+      .mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"families":$famJson,"families_normalized":$famNormJson,"canary_ref_ns_per_row":$refNsPerRow,"isolated":$isoJson,"errors":$errJson,"canary":$canaryJson,"sf":"$sfDir"}"""
+    println(json)
+    // The driver captures stdout with a bounded tail, and two rounds in a
+    // row (r14, r15) the official BENCH_r{N}.json arrived truncated with
+    // the per-query dict unusable. The file write makes the artifact
+    // self-sufficient: BENCH.json at the working directory (repo root
+    // under sbt), env-overridable for ad-hoc runs.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(outPath),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"bench: could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
     // A bench with failed queries is a failed bench: rc=0 with an errors map
     // let three broken queries ride through two whole rounds unnoticed.

@@ -12,15 +12,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * collapses those classes at scan speed, where leaving them split
   * double-counts entities in every downstream dedup and vocab stage.
   *
-  * Semantics: canonical decomposition (NFD) then REMOVAL of marks —
-  * ALL THREE mark categories (Mn non-spacing, Mc spacing-combining,
-  * Me enclosing), matching utf8proc's STRIPMARK exactly: `é` → `e`,
+  * Semantics: canonical decomposition (NFD), REMOVAL of marks — ALL
+  * THREE mark categories (Mn non-spacing, Mc spacing-combining, Me
+  * enclosing), matching utf8proc's STRIPMARK exactly: `é` → `e`,
   * `ñ` → `n`, Devanagari vowel signs (Mc) and enclosing marks (Me)
   * strip too (an Mn-only fold would silently disagree with DuckDB on
-  * Indic text). Characters with no decomposition (`ł`, `ø`, Han,
-  * emoji) pass through unchanged, and the result is NOT re-composed
-  * (nothing is left to compose once the marks are gone). This is
-  * exactly DuckDB's `strip_accents`, which the oracle battery compares
+  * Indic text) — then canonical RE-COMPOSITION (NFC). The recompose is
+  * NOT a no-op once marks are gone: Hangul syllables decompose to
+  * conjoining Jamo (category Lo, not marks — nothing strips), and
+  * without NFC `한국어` would come back as six Jamo code points while
+  * utf8proc (probed directly: precomposed syllables round-trip
+  * unchanged, raw Jamo input composes to syllables, `ガ` → `カ`)
+  * returns precomposed syllables. Characters with no decomposition
+  * (`ł`, `ø`, Han, emoji) pass through unchanged. This is exactly
+  * DuckDB's `strip_accents`, which the oracle battery compares
   * against — two independent implementations (JDK
   * `java.text.Normalizer` tables here, utf8proc there) agreeing
   * byte-for-byte is the same independent-engines gate [[JaroWinkler]]
@@ -50,7 +55,10 @@ case class StripAccents(child: Expression) extends UnaryExpression {
         sb.appendCodePoint(cp)
       i += Character.charCount(cp)
     }
-    UTF8String.fromString(sb.toString)
+    // NFC recompose — load-bearing for Hangul (Jamo → syllables); a
+    // no-op for Latin/Greek/Cyrillic whose marks were just removed
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      sb.toString, java.text.Normalizer.Form.NFC))
   }
 
   private def isAscii(s: UTF8String): Boolean = {

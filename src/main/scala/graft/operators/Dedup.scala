@@ -713,11 +713,18 @@ object Dedup {
     * second scan ([[graft.pipeline.DocPipeline]]'s near-dedup stage).
     * NULL for documents with fewer than `n` tokens — such docs have no
     * shingle identity and must be treated as their own near-dup
-    * identity by the caller. Registered on the ACTIVE session (the
-    * [[graft.functions.TextFunctions.deflateLen]] convention). */
-  def minHashSigCol(textCol: String, n: Int = 3, numHashes: Int = 64): Column = {
-    graft.plans.GraftExtensions.register(
-      org.apache.spark.sql.SparkSession.active)
+    * identity by the caller. `session` must be the session the plan
+    * ANALYZES against — a bare Column cannot see its frame, so callers
+    * that hold one (DocPipeline holds `docs`) pass `docs.sparkSession`;
+    * the active-session default covers single-session apps only, and a
+    * multi-session app calling from a thread whose active session is
+    * not the frame's would otherwise fail resolution (the exact failure
+    * [[minHashSignatures]] fixed by registering on the frame's
+    * session). */
+  def minHashSigCol(textCol: String, n: Int = 3, numHashes: Int = 64,
+      session: org.apache.spark.sql.SparkSession =
+        org.apache.spark.sql.SparkSession.active): Column = {
+    graft.plans.GraftExtensions.register(session)
     call_function("minhash64", expr(toksOf(textCol)), lit(n), lit(numHashes))
   }
 
@@ -1192,11 +1199,16 @@ object Dedup {
     * is a parquet round-trip under `dir` (survives executor loss on any
     * Hadoop filesystem — localCheckpoint blocks die with their
     * executor), and every spill EXCEPT the result's is deleted on
-    * completion. Relies on the invariant — true of both CC algorithms —
-    * that the returned frame is the LAST `ck(...)` call; keep it that
-    * way in `body`. The result's own spill lives under `dir` for as
-    * long as the caller reads the frame: the caller owns `dir`
-    * retention (see [[graft.pipeline.CrawlPipelineConfig]]). */
+    * completion. The result's spill is identified by matching the read
+    * paths the result plan actually references (the reliable analogue of
+    * `checkpointRdd(result)` in the localCheckpoint twin) — NOT by the
+    * "result is the last ck" position, which a body refactor could
+    * silently break by returning an earlier ck frame. On failure, ALL
+    * spills are deleted — a mid-CC exception must not leak one parquet
+    * tree per completed iteration under the caller's checkpointDir. The
+    * surviving result spill lives under `dir` for as long as the caller
+    * reads the frame: the caller owns `dir` retention (see
+    * [[graft.pipeline.CrawlPipelineConfig]]). */
   private def freeingIntermediateSpills(
       spark: org.apache.spark.sql.SparkSession, dir: String)(
       body: (DataFrame => DataFrame) => DataFrame): DataFrame = {
@@ -1207,13 +1219,38 @@ object Dedup {
       paths += p
       spark.read.parquet(p)
     }
-    val result = body(ck)
     val hconf = spark.sessionState.newHadoopConf()
-    paths.dropRight(1).foreach { p =>
+    def delete(p: String): Unit = {
       val hp = new org.apache.hadoop.fs.Path(p)
-      hp.getFileSystem(hconf).delete(hp, true)
+      try hp.getFileSystem(hconf).delete(hp, true)
+      catch { case _: Throwable => () } // best-effort: cleanup never masks the real failure
     }
-    result
+    var result: DataFrame = null
+    try {
+      result = body(ck)
+      // the paths the result's analyzed plan actually scans; every ck dir
+      // is UUID-named, so basename containment is collision-free
+      val referenced = result.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Seq.empty[String]
+          }
+      }.flatten
+      val keep: String => Boolean = { p =>
+        val base = new org.apache.hadoop.fs.Path(p).getName
+        referenced.exists(_.contains(base))
+      }
+      // fall back to the last-ck convention only if plan inspection finds
+      // nothing (e.g. a body that returns a non-ck frame)
+      val survivors =
+        if (paths.exists(keep)) paths.filter(keep) else paths.takeRight(1)
+      paths.filterNot(survivors.contains).foreach(delete)
+      result
+    } finally {
+      if (result == null) paths.foreach(delete)
+    }
   }
 
   /** Connected components via alternating large-star/small-star rounds
@@ -1432,15 +1469,34 @@ object Dedup {
     * through a broadcast-able anti-join: corpus rows never shuffle.
     * The cosine is rounded to 4 dp before the compare on BOTH engines
     * (the o12 convention), so the keep/drop decision never sits on a
-    * float ulp. */
+    * float ulp.
+    *
+    * The query-batch-size contract is ENFORCED, not just documented
+    * (the [[graft.operators.Graph.EdgeCollectLimit]] discipline): the
+    * eval side is counted before the cross, and a set above
+    * `evalBroadcastLimit` rows fails loudly instead of silently OOMing
+    * the driver's broadcast build at 100 TB posture. Real eval suites
+    * are 10^2–10^5 rows; a caller with a genuinely huge one should
+    * chunk it and union the contaminated-id slivers, or raise the limit
+    * deliberately. The count costs one job over the (small) eval frame
+    * only. */
+  val EvalBroadcastLimit: Long = 200000L
+
   def semanticDecontaminate(
       emb: DataFrame, evalEmb: DataFrame,
-      idCol: String, vecCol: String, minCosine: Double
+      idCol: String, vecCol: String, minCosine: Double,
+      evalBroadcastLimit: Long = EvalBroadcastLimit
   ): DataFrame = {
     graft.plans.GraftExtensions.register(emb.sparkSession)
     val c = emb.select(col(idCol).as("__graft_sd_id"),
       col(vecCol).cast("array<double>").as("_cv"))
     val q = evalEmb.select(col(vecCol).cast("array<double>").as("_qv"))
+    val evalRows = q.count()
+    require(evalRows <= evalBroadcastLimit,
+      s"semanticDecontaminate broadcasts the eval side: got $evalRows eval " +
+        s"rows > limit $evalBroadcastLimit. Eval sets are query-batch-sized " +
+        "by contract; chunk the eval frame and union the contaminated ids, " +
+        "or pass a higher evalBroadcastLimit deliberately.")
     val contaminated = c.crossJoin(broadcast(q))
       .filter(round(Similarity.cosine("_qv", "_cv"), 4) >= minCosine)
       .select(col("__graft_sd_id")).distinct()
@@ -1778,6 +1834,11 @@ object Dedup {
     minSigAgreement match {
       case None => cand
       case Some(t) =>
+        // t > 1 would make need > numHashes and silently drop EVERY
+        // candidate pair; t < 0 silently degenerates to no verification
+        require(t >= 0.0 && t <= 1.0,
+          s"minSigAgreement must be in [0, 1], got $t (fraction of the " +
+            s"$numHashes signature rows that must agree)")
         val need = math.ceil(t * numHashes).toLong
         val agree = expr(
           "aggregate(zip_with(_sa, _sb, (x, y) -> IF(x = y, 1L, 0L)), 0L, (s, v) -> s + v)")

@@ -60,18 +60,105 @@ object Frontier {
     * [[Robots.crawlDelays]], coalesced with a crawler default):
     * `scheduled_offset_sec = (fetch_rank - 1) * delaySecCol`, double —
     * Crawl-delay values are legitimately fractional. Same ranking
-    * shapes as [[schedule]]. */
+    * shapes as [[schedule]].
+    *
+    * Null delays are handled HERE, not delegated to every caller: a
+    * host missing from the delay frame would otherwise yield
+    * `scheduled_offset_sec = null` rows that still carry a
+    * `fetch_rank`, and a scheduler consumer ordering by offset gets
+    * them in undefined positions. `defaultDelaySec = Some(d)` coalesces
+    * the crawler default in-operator; `None` (the default) fails the
+    * job loudly on the first null delay instead of propagating it. */
   def scheduleWithDelays(
       urls: DataFrame,
       hostCol: String,
       urlCol: String,
       priorityCol: String,
       delaySecCol: String,
-      maxPerHost: Option[Int] = None
-  ): DataFrame =
+      maxPerHost: Option[Int] = None,
+      defaultDelaySec: Option[Double] = None
+  ): DataFrame = {
+    defaultDelaySec.foreach(d =>
+      require(d >= 0, "defaultDelaySec must be non-negative"))
+    val delay = defaultDelaySec match {
+      case Some(d) => coalesce(col(delaySecCol).cast("double"), lit(d))
+      case None =>
+        when(col(delaySecCol).isNull, raise_error(concat(
+          lit("Frontier.scheduleWithDelays: null delay for host "),
+          col(hostCol).cast("string"),
+          lit(s" (column '$delaySecCol'); coalesce a crawler default " +
+            "upstream or pass defaultDelaySec"))).cast("double"))
+          .otherwise(col(delaySecCol).cast("double"))
+    }
     ranked(urls, hostCol, urlCol, priorityCol, maxPerHost)
       .withColumn("scheduled_offset_sec",
-        (col("fetch_rank") - 1).cast("double") * col(delaySecCol))
+        (col("fetch_rank") - 1).cast("double") * delay)
+  }
+
+  /** INCREMENTAL frontier maintenance — the missing piece between
+    * one-shot [[schedule]] and a real crawler's standing queue: merge
+    * newly `discovered` URLs into a `standing` schedule WITHOUT
+    * re-ranking what is already queued. A from-scratch re-rank would
+    * reshuffle every queued URL each discovery round AND churn the
+    * assigned offsets a fetcher fleet is already executing against;
+    * this merge preserves every standing row byte-for-byte (rank/offset
+    * CONTINUITY) and appends only the genuinely new `(host, url)` keys
+    * after each host's current queue tail.
+    *
+    * `standing` is a prior [[schedule]]/[[mergeSchedule]] output (must
+    * carry `fetch_rank` and `scheduled_offset_sec`); `discovered` is a
+    * bare `(hostCol, urlCol, priorityCol)` frame. New keys rank after
+    * the host's max standing rank, ordered priority DESC / URL ASC
+    * among themselves, offsets continuing the same
+    * `(fetch_rank - 1) * perHostDelaySec` arithmetic — a host absent
+    * from `standing` starts at rank 1 exactly as [[schedule]] would.
+    * With `maxPerHost`, appended rows past the merged cap are dropped
+    * (standing rows are trusted to respect their own cap — a merge
+    * never revokes an already-scheduled fetch).
+    *
+    * Scale shape: the standing queue is TOUCHED but never re-sorted —
+    * one host-cardinality max-rank aggregation (map-side combinable)
+    * plus one `(host, url)` anti-join (co-partitionable, zero-shuffle
+    * when both sides are stored host-bucketed); the window sort runs
+    * over the DISCOVERY DELTA only. Work is delta-proportional, never
+    * frontier², the same discipline as [[graft.operators.Dedup]]'s
+    * mergeUpsert/corpusDiff incremental family. */
+  def mergeSchedule(
+      standing: DataFrame,
+      discovered: DataFrame,
+      hostCol: String,
+      urlCol: String,
+      priorityCol: String,
+      perHostDelaySec: Int,
+      maxPerHost: Option[Int] = None
+  ): DataFrame = {
+    require(perHostDelaySec >= 0, "perHostDelaySec must be non-negative")
+    maxPerHost.foreach(m => require(m > 0, "maxPerHost must be positive"))
+    val base = standing.groupBy(col(hostCol))
+      .agg(max(col("fetch_rank")).as("__graft_base_rank"))
+    val fresh = discovered
+      .select(col(hostCol), col(urlCol), col(priorityCol))
+      .join(standing.select(col(hostCol), col(urlCol)),
+        Seq(hostCol, urlCol), "left_anti")
+      .join(base, Seq(hostCol), "left")
+      .withColumn("__graft_rn", row_number().over(
+        Window.partitionBy(col(hostCol))
+          .orderBy(col(priorityCol).desc, col(urlCol).asc)))
+      .withColumn("fetch_rank",
+        (coalesce(col("__graft_base_rank"), lit(0)) + col("__graft_rn"))
+          .cast("integer"))
+      .withColumn("scheduled_offset_sec",
+        (col("fetch_rank") - 1).cast("long") * perHostDelaySec)
+      .drop("__graft_base_rank", "__graft_rn")
+    val appended = maxPerHost match {
+      case Some(m) => fresh.filter(col("fetch_rank") <= m)
+      case None => fresh
+    }
+    standing.select(col(hostCol), col(urlCol), col(priorityCol),
+        col("fetch_rank").cast("integer").as("fetch_rank"),
+        col("scheduled_offset_sec").cast("long").as("scheduled_offset_sec"))
+      .unionByName(appended)
+  }
 
   private def ranked(
       urls: DataFrame,

@@ -152,7 +152,30 @@ object CrawlPipeline {
         else Nil) ++
         (if (cfg.dedupNear) Seq(TextFunctions.simHash("text").as("_sh"))
         else Nil)
-    val sigPin = Pin.pin(withText.select(sigCols: _*), cfg.checkpointDir)
+    // failure cleanup: every reliable spill created below (pins, the CC
+    // scratch subdir) is tracked, and an exception anywhere in the
+    // funnel drops them all instead of leaving superseded scratch behind
+    // for the caller's per-run-dir deletion to catch eventually. On
+    // SUCCESS nothing here runs — the pins the returned frames still
+    // read stay caller-owned, per the Pin contract. Already-dropped
+    // entries are harmless to re-drop (hadoop delete on a missing path
+    // is a no-op).
+    val scratch = scala.collection.mutable.ArrayBuffer.empty[String]
+    def cleanupOnFailure[T](body: => T): T =
+      try body
+      catch {
+        case e: Throwable =>
+          scratch.foreach { p =>
+            try Pin.dropPath(spark, p) catch { case _: Throwable => () }
+          }
+          throw e
+      }
+    def tracked(p: Pin.Pinned): Pin.Pinned = {
+      p.path.foreach(scratch += _); p
+    }
+
+    cleanupOnFailure {
+    val sigPin = tracked(Pin.pin(withText.select(sigCols: _*), cfg.checkpointDir))
     var meta = sigPin.df
 
     if (doRobots) {
@@ -219,7 +242,7 @@ object CrawlPipeline {
     }
 
     val flags = gateFlags.result()
-    val mPin = Pin.pin(meta, cfg.checkpointDir)
+    val mPin = tracked(Pin.pin(meta, cfg.checkpointDir))
     val m = mPin.df
     // the signal pin is fully superseded by the flagged pin just written
     Pin.drop(spark, sigPin)
@@ -252,15 +275,16 @@ object CrawlPipeline {
       // the kept-id sliver below is pinned — is deleted wholesale here
       val ccDir = cfg.checkpointDir
         .map(d => s"$d/cc-scratch-${java.util.UUID.randomUUID()}")
+      ccDir.foreach(scratch += _)
       val labels = Dedup.connectedComponents(pairs, checkpointDir = ccDir)
       val dropIds = labels.filter(col("component") =!= col("doc_id"))
         .select(col("doc_id").as("_drop_id"))
-      val kept = Pin.pin(
+      val kept = tracked(Pin.pin(
         finalIds.join(dropIds, col("_id") === col("_drop_id"), "left_anti"),
         // id-only frame (8 bytes/row) — pinning it lets the CC label
         // checkpoint be released NOW instead of leaking for the JVM
         // lifetime while `kept` lazily references it
-        cfg.checkpointDir).df
+        cfg.checkpointDir)).df
       stages += (("60_near_dedup", funnel.last, kept.count()))
       Dedup.release(labels)
       ccDir.foreach(Pin.dropPath(spark, _))
@@ -276,5 +300,6 @@ object CrawlPipeline {
     val summary = spark.createDataFrame(stages.result())
       .toDF("stage", "n_in", "n_out")
     CrawlPipelineResult(kept, summary)
+    } // cleanupOnFailure
   }
 }

@@ -122,7 +122,7 @@ object DocPipeline {
           // MinHash signature (~8 bytes x numHashes per doc) computed in
           // the SAME projection — the near stage never re-reads the text
           Seq(Dedup.minHashSigCol(textCol, cfg.nearShingleN,
-            cfg.nearNumHashes).as("_sig"))
+            cfg.nearNumHashes, docs.sparkSession).as("_sig"))
         else Nil) ++
         (if (doBudget)
           Seq(TextFunctions.textStats(textCol).getField("quality_score").as("_q"),

@@ -1695,8 +1695,11 @@ object DocQueries {
     // expression) — accented fragments synthesized by doc_id arithmetic
     // onto the real text; DuckDB's utf8proc-based strip_accents is the
     // INDEPENDENT mirror (the Jaro-Winkler two-engines gate): NFD +
-    // combining-mark removal must agree byte-for-byte, including the
-    // no-decomposition pass-through (the stroked ł)
+    // mark-removal + NFC recompose must agree byte-for-byte, including
+    // the no-decomposition pass-through (the stroked ł) and the Hangul
+    // no-Jamo-leak class (precomposed syllables must round-trip, raw
+    // conjoining Jamo must COMPOSE — the behavior an un-recomposed NFD
+    // fold silently breaks and a Latin-only battery cannot see)
     "t53_strip_accents" -> ((s, dir) =>
       table(s, dir, "documents")
         .select(col("doc_id"),
@@ -1706,8 +1709,10 @@ object DocQueries {
               lit("łódź office"), lit("naïve façade"),
               // Mc (Devanagari vowel sign) + Me (enclosing mark): the
               // categories an Mn-only fold would miss
-              lit("कि a҈b mark")),
-              (col("doc_id") % 7 + 1).cast("int"))).as("t2"))
+              lit("कि a҈b mark"),
+              // Hangul: precomposed 한국어 + the raw Jamo spelling of 한
+              lit("한국어 한 jamo")),
+              (col("doc_id") % 8 + 1).cast("int"))).as("t2"))
         .select(col("doc_id"), expr("strip_accents(t2)").as("folded"),
           length(col("t2")).as("len_before"),
           length(expr("strip_accents(t2)")).as("len_after"))
@@ -2430,6 +2435,67 @@ object DocQueries {
           col("fetch_rank").cast("long").as("fetch_rank"),
           col("scheduled_offset_sec"))
         .orderBy("host", "fetch_rank")
+    }),
+
+    // W7: INCREMENTAL frontier maintenance — the standing queue built by
+    // the real scheduler (paths doc_id%20, priority keeper*7%100, 2 s
+    // delay), then a discovery delta (paths doc_id%40 — half its URLs
+    // already standing, half genuinely new) merged in WITHOUT re-ranking:
+    // every standing row must survive byte-for-byte (rank/offset
+    // CONTINUITY — the delta's higher priorities must NOT displace queued
+    // fetches), new keys rank after each host's queue tail (5..8), and
+    // the merged cap 6 drops the overflow. The oracle restates both the
+    // standing ranks and the appended continuation from the arithmetic.
+    "w7_frontier_merge" -> ((s, dir) => {
+      val id = col("doc_id")
+      def urlUniverse(mod: Int) = table(s, dir, "documents")
+        .select(
+          concat(lit("site"), (id % 5).cast("string"), lit(".com")).as("host"),
+          concat(lit("http://site"), (id % 5).cast("string"), lit(".com/p"),
+            (id % mod).cast("string")).as("url"),
+          id)
+        .groupBy("host", "url").agg(min("doc_id").as("keeper"))
+      val standing = graft.operators.Frontier.schedule(
+        urlUniverse(20).select(col("host"), col("url"),
+          ((col("keeper") * 7) % 100).as("priority")),
+        "host", "url", "priority", perHostDelaySec = 2)
+      val discovered = urlUniverse(40).select(col("host"), col("url"),
+        ((col("keeper") * 11) % 100).as("priority"))
+      graft.operators.Frontier.mergeSchedule(standing, discovered,
+          "host", "url", "priority", perHostDelaySec = 2, maxPerHost = Some(6))
+        .select(col("host"), col("url"), col("priority"),
+          col("fetch_rank").cast("long").as("fetch_rank"),
+          col("scheduled_offset_sec"))
+        .orderBy("host", "fetch_rank")
+    }),
+
+    // W8: the acquisition-to-training-set COMPOSITION — CrawlPipeline's
+    // kept corpus (the shared w3/w4 run: WARC walk → URL dedup → robots
+    // → extract → lang → quality → exact dedup → simhash near-dedup)
+    // fed INTO DocPipeline as a token-budget curation pass (the crawl
+    // already deduped and quality-gated, so only the budget stage is
+    // on): greedy max-quality selection under an 8k-token budget over
+    // the crawl survivors. Id handoff: page id = WARC file id (one
+    // response per file in this fixture — PipelineComposeSpec pins the
+    // general pageId grain). No corpus scan beyond the two pipelines'
+    // own: the budget signals ride DocPipeline's single projection over
+    // the already-extracted text. The oracle rebuilds the crawl
+    // keep-set (the w3 CTE chain), scores survivors with the t21
+    // quality expression, and mirrors the running-sum selection.
+    "w8_crawl_to_corpus" -> ((s, dir) => {
+      val kept = crawlShared(s, dir)._2
+      val pages = kept.select(col("id").as("page_id"),
+        TextFunctions.htmlText(col("http_body")).as("text"))
+      val res = graft.pipeline.DocPipeline.run(pages, "page_id", "text",
+        evalDocs = None,
+        graft.pipeline.DocPipelineConfig(dedupExact = false,
+          qualityGate = false, decontaminate = false,
+          tokenBudget = Some(8000L)))
+      res.kept
+        .select(col("page_id"),
+          TextFunctions.textStats("text").getField("n_tokens")
+            .cast("long").as("n_tokens"))
+        .orderBy("page_id")
     }),
 
     // W2: sitemap ingestion — per-host sitemap XML synthesized from
@@ -3926,14 +3992,15 @@ object DocQueries {
         |FROM p ORDER BY doc_id""".stripMargin,
 
     // T53: DuckDB's utf8proc strip_accents vs our JDK-tables native —
-    // two independent engines agreeing on NFD + mark-removal, accented
-    // fragments built from chr() codepoints (incl. the stroked ł that
-    // has no decomposition and must pass through)
+    // two independent engines agreeing on NFD + mark-removal + NFC
+    // recompose, accented fragments built from chr() codepoints (incl.
+    // the stroked ł that has no decomposition and must pass through,
+    // and Hangul in both precomposed-syllable and raw-Jamo spellings)
     "t53_strip_accents" ->
       """WITH p AS (
         |  SELECT doc_id,
         |         substr(text, 1, 40) || ' ' ||
-        |         CASE CAST(doc_id % 7 AS INT)
+        |         CASE CAST(doc_id % 8 AS INT)
         |           WHEN 0 THEN 'caf' || chr(233) || ' au lait'
         |           WHEN 1 THEN chr(252) || 'ber die Br' || chr(252) || 'cke'
         |           WHEN 2 THEN 'ma' || chr(241) || 'ana se' || chr(241) || 'or'
@@ -3941,7 +4008,9 @@ object DocQueries {
         |                       || chr(233) || 'sum' || chr(233)
         |           WHEN 4 THEN chr(322) || chr(243) || 'd' || chr(378) || ' office'
         |           WHEN 5 THEN 'na' || chr(239) || 've fa' || chr(231) || 'ade'
-        |           ELSE chr(2325) || chr(2367) || ' a' || chr(1160) || 'b mark'
+        |           WHEN 6 THEN chr(2325) || chr(2367) || ' a' || chr(1160) || 'b mark'
+        |           ELSE chr(54620) || chr(44397) || chr(50612) || ' ' ||
+        |                chr(4370) || chr(4449) || chr(4523) || ' jamo'
         |         END AS t2
         |  FROM documents
         | )
@@ -4960,6 +5029,73 @@ object DocQueries {
         |       CAST((fetch_rank - 1) * delay_sec AS DOUBLE) AS scheduled_offset_sec
         |FROM r WHERE fetch_rank <= 5
         |ORDER BY host, fetch_rank""".stripMargin,
+
+    // W7: standing ranks restated from the %20 universe (keeper*7
+    // priority), the discovery delta anti-joined on (host, url), new
+    // keys continuing each host's rank sequence under the merged cap —
+    // standing offsets and appended offsets share the (rank-1)*2
+    // arithmetic, so continuity is hash-checked, not just counted
+    "w7_frontier_merge" ->
+      """WITH st AS (
+        |  SELECT 'site' || (doc_id % 5) || '.com' AS host,
+        |         'http://site' || (doc_id % 5) || '.com/p' || (doc_id % 20) AS url,
+        |         MIN(doc_id) AS keeper
+        |  FROM documents GROUP BY 1, 2
+        | ),
+        | standing AS (
+        |  SELECT host, url, CAST((keeper * 7) % 100 AS BIGINT) AS priority,
+        |         ROW_NUMBER() OVER (PARTITION BY host
+        |           ORDER BY (keeper * 7) % 100 DESC, url) AS fetch_rank
+        |  FROM st
+        | ),
+        | dv AS (
+        |  SELECT 'site' || (doc_id % 5) || '.com' AS host,
+        |         'http://site' || (doc_id % 5) || '.com/p' || (doc_id % 40) AS url,
+        |         MIN(doc_id) AS keeper
+        |  FROM documents GROUP BY 1, 2
+        | ),
+        | fresh AS (
+        |  SELECT d.host, d.url, CAST((d.keeper * 11) % 100 AS BIGINT) AS priority
+        |  FROM dv d
+        |  WHERE NOT EXISTS (SELECT 1 FROM st s
+        |                    WHERE s.host = d.host AND s.url = d.url)
+        | ),
+        | base AS (SELECT host, MAX(fetch_rank) AS mr FROM standing GROUP BY 1),
+        | app AS (
+        |  SELECT f.host, f.url, f.priority,
+        |         COALESCE(b.mr, 0) + ROW_NUMBER() OVER (PARTITION BY f.host
+        |           ORDER BY f.priority DESC, f.url) AS fetch_rank
+        |  FROM fresh f LEFT JOIN base b ON f.host = b.host
+        | ),
+        | merged AS (
+        |  SELECT host, url, priority, fetch_rank FROM standing
+        |  UNION ALL
+        |  SELECT host, url, priority, fetch_rank FROM app WHERE fetch_rank <= 6
+        | )
+        |SELECT host, url, priority, CAST(fetch_rank AS BIGINT) AS fetch_rank,
+        |       CAST((fetch_rank - 1) * 2 AS BIGINT) AS scheduled_offset_sec
+        |FROM merged ORDER BY host, fetch_rank""".stripMargin,
+
+    // W8: the crawl keep-set rebuilt through the same CTE chain as
+    // w3/w4 (f60), survivors scored with the t21 quality expression on
+    // the whitespace-collapsed source text (extraction is
+    // whitespace-collapse-invariant, the w3 contract), then the same
+    // running-sum budget selection as t21's oracle
+    "w8_crawl_to_corpus" -> crawlFunnelSql(
+      """SELECT page_id, n_tokens FROM (
+        | SELECT page_id, n_tokens,
+        |        CAST(SUM(nt) OVER (ORDER BY q DESC, page_id) AS BIGINT) AS cum_cost
+        | FROM (
+        |  SELECT w.id AS page_id, CAST(len(ws) AS BIGINT) AS n_tokens, len(ws) AS nt,
+        |         ROUND(LEAST(1.0, len(ws) / 50.0)
+        |               * (len(list_distinct(ws)) * 1.0 / len(ws))
+        |               * (1.0 - (length(norm) - length(regexp_replace(norm,
+        |                    '[^a-zA-Z0-9 ]', '', 'g'))) * 1.0 / length(norm)),
+        |               4) AS q
+        |  FROM w JOIN f60 ON w.id = f60.id
+        | )
+        |)
+        |WHERE cum_cost <= 8000 ORDER BY page_id""".stripMargin),
 
     // W2: the entry stream restated — urlset rows for i < k (lastmod
     // NULL on i=2), two sitemap-index children for %5 docs, nothing for

@@ -77,6 +77,94 @@ class FrontierSpec extends SparkSpec {
       ("http://b.com/3", 3, 6.0)))
   }
 
+  test("null delays fail loudly by default, coalesce when a default is given") {
+    import spark.implicits._
+    val d = Seq(
+      ("a.com", "http://a.com/1", 2L, Some(0.5)),
+      ("b.com", "http://b.com/1", 1L, None)) // host missing from delay frame
+      .toDF("host", "url", "priority", "delay")
+    // default: the first null delay is a job failure naming the host,
+    // never a null offset carrying a live fetch_rank
+    val e = intercept[Exception] {
+      Frontier.scheduleWithDelays(d, "host", "url", "priority", "delay")
+        .collect()
+    }
+    assert(e.getMessage.contains("null delay") ||
+      Option(e.getCause).exists(_.getMessage.contains("null delay")))
+    // with a crawler default: coalesced in-operator, no null offsets
+    val out = Frontier.scheduleWithDelays(d, "host", "url", "priority",
+        "delay", defaultDelaySec = Some(2.0))
+      .select("url", "fetch_rank", "scheduled_offset_sec")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(out === Set(
+      ("http://a.com/1", 1, 0.0), ("http://b.com/1", 1, 0.0)))
+    val two = Seq(
+      ("b.com", "http://b.com/1", 9L, None: Option[Double]),
+      ("b.com", "http://b.com/2", 8L, None))
+      .toDF("host", "url", "priority", "delay")
+    val offs = Frontier.scheduleWithDelays(two, "host", "url", "priority",
+        "delay", defaultDelaySec = Some(2.0))
+      .select("url", "scheduled_offset_sec")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(offs === Set(("http://b.com/1", 0.0), ("http://b.com/2", 2.0)))
+  }
+
+  test("mergeSchedule: standing rows survive byte-for-byte, new keys append after the tail") {
+    import spark.implicits._
+    val standing = Frontier.schedule(urls(
+      ("a.com", "http://a.com/q1", 5L),
+      ("a.com", "http://a.com/q2", 3L),
+      ("b.com", "http://b.com/q1", 1L)), "host", "url", "priority", 2)
+    // delta: one already-standing key (higher priority — must NOT
+    // displace), two new keys for a.com, one for a brand-new host
+    val discovered = urls(
+      ("a.com", "http://a.com/q1", 99L), // dup key, new priority: dropped
+      ("a.com", "http://a.com/n-hi", 9L),
+      ("a.com", "http://a.com/n-lo", 1L),
+      ("c.com", "http://c.com/first", 4L))
+    val out = Frontier.mergeSchedule(standing, discovered,
+        "host", "url", "priority", perHostDelaySec = 2)
+      .select("host", "url", "priority", "fetch_rank", "scheduled_offset_sec")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getInt(3), r.getLong(4))).toSet
+    assert(out === Set(
+      // standing: untouched ranks/offsets, original priorities
+      ("a.com", "http://a.com/q1", 5L, 1, 0L),
+      ("a.com", "http://a.com/q2", 3L, 2, 2L),
+      ("b.com", "http://b.com/q1", 1L, 1, 0L),
+      // appended: rank continues after a.com's tail (2), priority desc
+      ("a.com", "http://a.com/n-hi", 9L, 3, 4L),
+      ("a.com", "http://a.com/n-lo", 1L, 4, 6L),
+      // new host starts at rank 1, exactly as schedule() would
+      ("c.com", "http://c.com/first", 4L, 1, 0L)))
+  }
+
+  test("mergeSchedule maxPerHost drops appended overflow, never standing rows") {
+    val standing = Frontier.schedule(urls(
+      ("a.com", "http://a.com/q1", 5L),
+      ("a.com", "http://a.com/q2", 3L)), "host", "url", "priority", 1)
+    val discovered = urls(
+      ("a.com", "http://a.com/n1", 9L),
+      ("a.com", "http://a.com/n2", 8L),
+      ("a.com", "http://a.com/n3", 7L))
+    val out = Frontier.mergeSchedule(standing, discovered,
+        "host", "url", "priority", 1, maxPerHost = Some(3))
+      .select("url", "fetch_rank")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    // both standing rows kept; only the single slot under the cap fills
+    assert(out === Set(
+      ("http://a.com/q1", 1), ("http://a.com/q2", 2),
+      ("http://a.com/n1", 3)))
+    // idempotence: re-merging the same delta adds nothing
+    val merged = Frontier.mergeSchedule(standing, discovered,
+      "host", "url", "priority", 1, maxPerHost = Some(3))
+    val again = Frontier.mergeSchedule(merged, discovered,
+        "host", "url", "priority", 1, maxPerHost = Some(3))
+      .select("url", "fetch_rank")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(again === out)
+  }
+
   test("zero delay schedules everything at offset 0; rank still orders") {
     val d = urls(("a.com", "http://a.com/x", 2L), ("a.com", "http://a.com/y", 1L))
     val out = Frontier.schedule(d, "host", "url", "priority", 0)

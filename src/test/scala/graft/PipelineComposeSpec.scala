@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.pipeline.{CrawlPipeline, CrawlPipelineConfig, DocPipeline,
+  DocPipelineConfig}
+import graft.sources.Warc
+
+/** The acquisition-to-training-set composition (the w8 battery entry's
+  * contract): CrawlPipeline's kept WARC records hand off to DocPipeline
+  * on the pageId grain. The battery fixture has one response per file
+  * (page id collapses to the file id there), so THIS spec pins the
+  * general case — multi-record files, where the handoff must key on
+  * `pageId(file, rec_idx)` or two pages of one file would collide. */
+class PipelineComposeSpec extends SparkSpec {
+
+  private def page(uri: String, body: String): Warc.WarcRecord =
+    Warc.WarcRecord("response", Some(uri), Some("2024-01-01T00:00:00Z"),
+      Some("application/http; msgtype=response"),
+      ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body)
+        .getBytes("UTF-8"))
+  private def html(text: String) = s"<html><body><p>$text</p></body></html>"
+
+  private val t1 = "the small cat and the old dog walk over the green " +
+    "hill and they see some birds fly past the tall trees near the lake"
+  private val t2 = "a big red ball rolls down the long road and the kids " +
+    "run after it with joy as the sun sets over the quiet town"
+  private val t3 = "the river bends past the mill and the boats drift " +
+    "slow under the stone bridge while the light fades into the hills"
+
+  test("crawl kept pages hand off to DocPipeline on the pageId grain") {
+    import spark.implicits._
+    // two files x two response records each: the grain where a file-id
+    // handoff would alias pages
+    val warc = Seq(
+      (100L, Warc.build(Seq(
+        page("http://a.com/p0", html(t1)),
+        page("http://a.com/p1", html(t2))))),
+      (200L, Warc.build(Seq(
+        page("http://a.com/p2", html(t1)), // exact dup of file 100 rec 0
+        page("http://a.com/p3", html(t3))))))
+      .toDF("doc_id", "payload")
+    val crawl = CrawlPipeline.run(warc, "doc_id", robots = None,
+      CrawlPipelineConfig(robotsGate = false, langGate = false,
+        qualityGate = false, dedupNear = false))
+    // the handoff projection the w8 entry uses
+    val pages = crawl.kept.select(
+      CrawlPipeline.pageId(col("id"), col("rec_idx")).as("page_id"),
+      TextFunctions.htmlText(col("http_body")).as("text"))
+    val ids = pages.select("page_id").collect().map(_.getLong(0)).sorted
+    val S = CrawlPipeline.PageIdStride
+    // min-pageId canonical kept the file-100 copy of t1; the file-200
+    // copy dropped — and the two pages of one file stay DISTINCT ids
+    assert(ids === Array(100L * S, 100L * S + 1, 200L * S + 1))
+    assert(ids.distinct.length === ids.length)
+
+    // budget handoff: compute the selection the greedy budget SHOULD
+    // make from the pages' own stats, then assert DocPipeline makes it
+    val stats = pages.select(col("page_id"),
+        TextFunctions.textStats("text").getField("quality_score").as("q"),
+        TextFunctions.textStats("text").getField("n_tokens")
+          .cast("long").as("nt"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val ordered = stats.sortBy { case (id, q, _) => (-q, id) }
+    val budget = ordered.take(2).map(_._3).sum // exactly the top 2 fit
+    val expected = ordered.take(2).map(_._1).sorted
+    val dp = DocPipeline.run(pages, "page_id", "text", evalDocs = None,
+      DocPipelineConfig(dedupExact = false, qualityGate = false,
+        decontaminate = false, tokenBudget = Some(budget)))
+    val kept = dp.kept.select("page_id").collect().map(_.getLong(0)).sorted
+    assert(kept === expected)
+    val funnel = dp.summary.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(funnel === Map(
+      "00_input" -> ((3L, 3L)),
+      "40_token_budget" -> ((3L, 2L))))
+  }
+}

@@ -114,6 +114,19 @@ class QualityOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(marks(10L) === "क")
     assert(marks(11L) === "ab")
+    // Hangul: NFD decomposes syllables into conjoining Jamo (category
+    // Lo — nothing strips), so the NFC recompose is load-bearing:
+    // precomposed syllables must round-trip UNCHANGED (no Jamo leak)
+    // and raw Jamo input must COMPOSE — both probed against DuckDB's
+    // utf8proc strip_accents directly
+    val hangul = Seq(
+      (20L, "한국어"),       // 한국어 precomposed
+      (21L, "한"))       // raw Jamo spelling of 한
+      .toDF("id", "t")
+      .selectExpr("id", "strip_accents(t) AS f")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(hangul(20L) === "한국어")
+    assert(hangul(21L) === "한")
     // idempotent, and agrees across both codegen paths
     val withCodegen = in.selectExpr("strip_accents(strip_accents(t)) AS f2",
       "strip_accents(t) AS f1")
