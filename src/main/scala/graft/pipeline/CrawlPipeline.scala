@@ -261,6 +261,7 @@ object CrawlPipeline {
 
     val lastFlag = flags.lastOption.map(col).getOrElse(lit(true))
     var finalIds = m.filter(lastFlag).select(col("_id"))
+    var finalCount = funnel.last
     if (cfg.dedupNear) {
       // near-dedup over the surviving (id, simhash) sliver: banded
       // candidates, components, drop non-canonical members. Its own
@@ -285,17 +286,25 @@ object CrawlPipeline {
         // checkpoint be released NOW instead of leaking for the JVM
         // lifetime while `kept` lazily references it
         cfg.checkpointDir)).df
-      stages += (("60_near_dedup", funnel.last, kept.count()))
+      val nNear = kept.count()
+      stages += (("60_near_dedup", funnel.last, nNear))
       Dedup.release(labels)
       ccDir.foreach(Pin.dropPath(spark, _))
       finalIds = kept.select(col("_id"))
+      finalCount = nNear
     }
 
     // the second (and last) WARC read: the full records semi-joined
-    // against the final id set
-    val kept = responses
-      .join(finalIds.select(col("_id").as("_keep_id")),
-        col("_id") === col("_keep_id"), "left_semi")
+    // against the final id set. SIZE-GATED (KeepJoin): the funnel
+    // already counted the kept ids, so the id sliver broadcasts when it
+    // fits — the re-parsed payloads stream through ONE stage and never
+    // serialize into shuffle files. The naive unhinted semi-join
+    // sort-merged here (the pinned id frame reports no size statistic),
+    // shuffling every kept-candidate payload — the sf10 decade
+    // rehearsal measured that as the pipeline's dominant cost
+    // (SCALE.md round-16).
+    val kept = KeepJoin.semi(responses, col("_id"),
+        finalIds, "_id", finalCount)
       .drop("_id")
     val summary = spark.createDataFrame(stages.result())
       .toDF("stage", "n_in", "n_out")

@@ -216,6 +216,7 @@ object DocPipeline {
       nCur = nNear
     }
     var finalIds = surv.select(col("_id"))
+    var finalCount = nCur
     cfg.tokenBudget.foreach { budget =>
       val picked = Sampling
         .selectByBudget(surv.select(col("_id"), col("_q"), col("_nt")),
@@ -224,9 +225,13 @@ object DocPipeline {
       val nPicked = picked.count()
       stages += (("40_token_budget", nCur, nPicked))
       finalIds = picked
+      finalCount = nPicked
     }
-    val kept = docs.join(finalIds.select(col("_id").as("_keep_id")),
-      docs(idCol) === col("_keep_id"), "left_semi")
+    // size-gated final semi-join (KeepJoin): the funnel already counted
+    // the surviving ids, so the id sliver broadcasts when it fits and
+    // the corpus text never serializes into shuffle files — the same
+    // sf10-measured fix as CrawlPipeline's kept frame
+    val kept = KeepJoin.semi(docs, docs(idCol), finalIds, "_id", finalCount)
     val summary = spark.createDataFrame(stages.result())
       .toDF("stage", "n_in", "n_out")
     DocPipelineResult(kept, summary)

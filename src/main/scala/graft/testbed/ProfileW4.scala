@@ -1,0 +1,46 @@
+package graft.testbed
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+/** Dev profiler: the crawl pipeline's kept-frame cost, per stage, with
+  * shuffle/input volumes — written for the r16 sf10 decade work where
+  * w4's wall-clock didn't respond to the keep-join tier and the per-stage
+  * attribution was needed. Not part of the contract. */
+object ProfileW4 {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftExtensions.register(spark)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+        val si = e.stageInfo
+        val m = si.taskMetrics
+        val wall = (for {a <- si.completionTime; b <- si.submissionTime}
+          yield (a - b) / 1000.0).getOrElse(-1.0)
+        println(f"STAGE ${si.stageId}%4d tasks=${si.numTasks}%4d " +
+          f"wall=$wall%7.1f s in=${m.inputMetrics.bytesRead / 1e6}%9.1f MB " +
+          f"shufW=${m.shuffleWriteMetrics.bytesWritten / 1e6}%9.1f MB " +
+          f"shufR=${m.shuffleReadMetrics.totalBytesRead / 1e6}%9.1f MB  " +
+          si.name.take(80))
+      }
+    })
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"PROF $label ${(System.nanoTime() - t0) / 1e9}%7.2f s"); r
+    }
+    t("w3_funnel")(graft.SparkEntry.queries("w3_crawl_pipeline")(spark, dir).count())
+    val w4 = graft.SparkEntry.queries("w4_crawl_kept")(spark, dir)
+    t("w4_kept")(w4.count())
+    println("W4 FINAL PLAN:\n" + w4.queryExecution.executedPlan.toString.take(8000))
+    spark.stop()
+  }
+}

@@ -126,6 +126,31 @@ class PlanShapeSpec extends SparkSpec {
       urls, "host", "url", "priority", 2, None)) === ((1, 0)))
   }
 
+  test("frontier merge: delta-proportional — the standing queue never re-sorts") {
+    // Exchanges belong to the MERGE only (standing is checkpointed):
+    // the host-cardinality max-rank aggregation, the (host, url)
+    // anti-join's two sides, and the delta's host re-key for the
+    // base-rank join + window. The standing frame itself contributes
+    // projections to union/join inputs but NO window sort — a refactor
+    // that re-ranks the whole merged queue (frontier-sized window every
+    // discovery round) adds a post-union exchange and fails here.
+    val urls = docs.select(
+      concat(lit("h"), col("doc_id") % 50).as("host"),
+      concat(lit("http://h"), col("doc_id") % 200).as("url"),
+      (col("doc_id") % 11).as("priority"))
+      .groupBy("host", "url").agg(max("priority").as("priority"))
+    val standing = graft.operators.Frontier.schedule(
+      urls, "host", "url", "priority", 2).localCheckpoint()
+    val delta = docs.select(
+      concat(lit("h"), col("doc_id") % 50).as("host"),
+      concat(lit("http://h"), col("doc_id") % 400).as("url"),
+      (col("doc_id") % 13).as("priority"))
+      .groupBy("host", "url").agg(max("priority").as("priority"))
+      .localCheckpoint()
+    assert(shape(graft.operators.Frontier.mergeSchedule(standing, delta,
+      "host", "url", "priority", 2), autoBroadcast = false) === ((4, 0)))
+  }
+
   test("semantic decontamination: eval broadcasts; statically 2 exchanges") {
     // 1 broadcast: the eval side under the nested-loop cross (the
     // flop-heavy half — corpus rows score against the broadcast, never
