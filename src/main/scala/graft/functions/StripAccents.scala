@@ -55,10 +55,17 @@ case class StripAccents(child: Expression) extends UnaryExpression {
         sb.appendCodePoint(cp)
       i += Character.charCount(cp)
     }
-    // NFC recompose — load-bearing for Hangul (Jamo → syllables); a
-    // no-op for Latin/Greek/Cyrillic whose marks were just removed
-    UTF8String.fromString(java.text.Normalizer.normalize(
-      sb.toString, java.text.Normalizer.Form.NFC))
+    // NFC recompose — load-bearing for Hangul (Jamo → syllables); for
+    // the dominant case (Latin/Greek/Cyrillic whose marks were just
+    // removed) the stripped text is already NFC, so the quick-check
+    // skips the second normalization pass + String copy and only the
+    // genuinely composable leftovers pay for it
+    val stripped = sb.toString
+    val out =
+      if (java.text.Normalizer.isNormalized(stripped, java.text.Normalizer.Form.NFC))
+        stripped
+      else java.text.Normalizer.normalize(stripped, java.text.Normalizer.Form.NFC)
+    UTF8String.fromString(out)
   }
 
   private def isAscii(s: UTF8String): Boolean = {

@@ -1229,8 +1229,11 @@ object Dedup {
     try {
       result = body(ck)
       // the paths the result's analyzed plan actually scans; every ck dir
-      // is UUID-named, so basename containment is collision-free
-      val referenced = result.queryExecution.analyzed.collect {
+      // is UUID-named, so basename containment is collision-free.
+      // collectWithSubqueries, not collect: a spill referenced only
+      // through an IN/EXISTS/scalar subquery would otherwise read as
+      // intermediate and be deleted under the returned frame
+      val referenced = result.queryExecution.analyzed.collectWithSubqueries {
         case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
           lr.relation match {
             case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
@@ -1454,6 +1457,9 @@ object Dedup {
     docs.join(dropIds, docs(idCol) === col("__graft_drop_id"), "left_anti")
   }
 
+  /** Row ceiling for [[semanticDecontaminate]]'s eval broadcast. */
+  val EvalBroadcastLimit: Long = 200000L
+
   /** SEMANTIC decontamination — the embedding-space complement of
     * [[decontaminate]]: drop corpus rows whose embedding sits within
     * `minCosine` of ANY eval-set embedding. A paraphrased or
@@ -1473,15 +1479,16 @@ object Dedup {
     *
     * The query-batch-size contract is ENFORCED, not just documented
     * (the [[graft.operators.Graph.EdgeCollectLimit]] discipline): the
-    * eval side is counted before the cross, and a set above
-    * `evalBroadcastLimit` rows fails loudly instead of silently OOMing
-    * the driver's broadcast build at 100 TB posture. Real eval suites
-    * are 10^2–10^5 rows; a caller with a genuinely huge one should
-    * chunk it and union the contaminated-id slivers, or raise the limit
-    * deliberately. The count costs one job over the (small) eval frame
-    * only. */
-  val EvalBroadcastLimit: Long = 200000L
-
+    * eval side is pinned (localCheckpoint — ONE execution of the eval
+    * plan serves both the guard count and the broadcast build) and
+    * counted at CALL time, and a set above `evalBroadcastLimit` rows
+    * fails loudly instead of silently OOMing the driver's broadcast
+    * build at 100 TB posture. Real eval suites are 10^2–10^5 rows; a
+    * caller with a genuinely huge one should chunk it and union the
+    * contaminated-id slivers, or raise the limit deliberately. The
+    * call-time job is the enforcement cost: building the frame runs
+    * the (small) eval projection even if the result is never acted
+    * on. */
   def semanticDecontaminate(
       emb: DataFrame, evalEmb: DataFrame,
       idCol: String, vecCol: String, minCosine: Double,
@@ -1490,7 +1497,11 @@ object Dedup {
     graft.plans.GraftExtensions.register(emb.sparkSession)
     val c = emb.select(col(idCol).as("__graft_sd_id"),
       col(vecCol).cast("array<double>").as("_cv"))
+    // pin then count: without the pin the eval plan would execute twice
+    // (once for the guard, once inside the cross at action time) — for
+    // a derived, uncached eval frame that doubles real work
     val q = evalEmb.select(col(vecCol).cast("array<double>").as("_qv"))
+      .localCheckpoint()
     val evalRows = q.count()
     require(evalRows <= evalBroadcastLimit,
       s"semanticDecontaminate broadcasts the eval side: got $evalRows eval " +

@@ -105,16 +105,29 @@ object Frontier {
     * CONTINUITY) and appends only the genuinely new `(host, url)` keys
     * after each host's current queue tail.
     *
-    * `standing` is a prior [[schedule]]/[[mergeSchedule]] output (must
-    * carry `fetch_rank` and `scheduled_offset_sec`); `discovered` is a
-    * bare `(hostCol, urlCol, priorityCol)` frame. New keys rank after
-    * the host's max standing rank, ordered priority DESC / URL ASC
-    * among themselves, offsets continuing the same
+    * `standing` is a prior [[schedule]]/[[scheduleWithDelays]]/
+    * [[mergeSchedule]] output (must carry `fetch_rank` and
+    * `scheduled_offset_sec`); `discovered` is a bare
+    * `(hostCol, urlCol, priorityCol)` frame, deduped HERE on
+    * `(host, url)` keeping the max priority (the same link discovered
+    * from many pages is the common crawl case, and appending it twice
+    * would break the `(host, url)`-uniqueness invariant [[schedule]]
+    * documents and the next merge's anti-join assumes). New keys rank
+    * after the host's max standing rank, ordered priority DESC / URL
+    * ASC among themselves, offsets continuing the
     * `(fetch_rank - 1) * perHostDelaySec` arithmetic — a host absent
     * from `standing` starts at rank 1 exactly as [[schedule]] would.
     * With `maxPerHost`, appended rows past the merged cap are dropped
     * (standing rows are trusted to respect their own cap — a merge
     * never revokes an already-scheduled fetch).
+    *
+    * Offset dtype follows the STANDING queue: a fractional queue
+    * ([[scheduleWithDelays]] emits double — Crawl-delay is legitimately
+    * fractional) merges to double with its offsets preserved exactly
+    * and the appended arithmetic carried out in double; an integral
+    * queue ([[schedule]]) merges to long. Truncating a fractional
+    * standing offset through a long cast would silently collapse
+    * politeness slots onto the same instant.
     *
     * Scale shape: the standing queue is TOUCHED but never re-sorted —
     * one host-cardinality max-rank aggregation (map-side combinable)
@@ -134,10 +147,21 @@ object Frontier {
   ): DataFrame = {
     require(perHostDelaySec >= 0, "perHostDelaySec must be non-negative")
     maxPerHost.foreach(m => require(m > 0, "maxPerHost must be positive"))
+    // output offset dtype follows the standing queue (see scaladoc)
+    val fractional = {
+      import org.apache.spark.sql.types._
+      standing.schema("scheduled_offset_sec").dataType match {
+        case DoubleType | FloatType | _: DecimalType => true
+        case _ => false
+      }
+    }
+    val offT = if (fractional) "double" else "long"
     val base = standing.groupBy(col(hostCol))
       .agg(max(col("fetch_rank")).as("__graft_base_rank"))
     val fresh = discovered
-      .select(col(hostCol), col(urlCol), col(priorityCol))
+      // intra-delta dedup: one row per (host, url), max priority wins
+      .groupBy(col(hostCol), col(urlCol))
+      .agg(max(col(priorityCol)).as(priorityCol))
       .join(standing.select(col(hostCol), col(urlCol)),
         Seq(hostCol, urlCol), "left_anti")
       .join(base, Seq(hostCol), "left")
@@ -148,7 +172,7 @@ object Frontier {
         (coalesce(col("__graft_base_rank"), lit(0)) + col("__graft_rn"))
           .cast("integer"))
       .withColumn("scheduled_offset_sec",
-        (col("fetch_rank") - 1).cast("long") * perHostDelaySec)
+        ((col("fetch_rank") - 1) * perHostDelaySec).cast(offT))
       .drop("__graft_base_rank", "__graft_rn")
     val appended = maxPerHost match {
       case Some(m) => fresh.filter(col("fetch_rank") <= m)
@@ -156,7 +180,7 @@ object Frontier {
     }
     standing.select(col(hostCol), col(urlCol), col(priorityCol),
         col("fetch_rank").cast("integer").as("fetch_rank"),
-        col("scheduled_offset_sec").cast("long").as("scheduled_offset_sec"))
+        col("scheduled_offset_sec").cast(offT).as("scheduled_offset_sec"))
       .unionByName(appended)
   }
 

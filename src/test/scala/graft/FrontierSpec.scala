@@ -139,6 +139,32 @@ class FrontierSpec extends SparkSpec {
       ("c.com", "http://c.com/first", 4L, 1, 0L)))
   }
 
+  test("mergeSchedule: fractional standing offsets survive exactly; delta dedups on (host,url)") {
+    import spark.implicits._
+    // a standing queue built by scheduleWithDelays: offsets are DOUBLE
+    // (Crawl-delay 0.5 s) — the merge must not truncate them to longs
+    val standing = Frontier.scheduleWithDelays(
+      Seq(("a.com", "http://a.com/q1", 5L, 0.5),
+        ("a.com", "http://a.com/q2", 3L, 0.5))
+        .toDF("host", "url", "priority", "delay"),
+      "host", "url", "priority", "delay")
+      .drop("delay")
+    // the same new URL discovered from two pages with different
+    // priorities: ONE appended row, max priority wins
+    val discovered = urls(
+      ("a.com", "http://a.com/n1", 2L),
+      ("a.com", "http://a.com/n1", 9L))
+    val out = Frontier.mergeSchedule(standing, discovered,
+        "host", "url", "priority", perHostDelaySec = 2)
+      .select("url", "priority", "fetch_rank", "scheduled_offset_sec")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))).toSet
+    assert(out === Set(
+      ("http://a.com/q1", 5L, 1, 0.0),
+      ("http://a.com/q2", 3L, 2, 0.5), // the 0.5 politeness slot intact
+      ("http://a.com/n1", 9L, 3, 4.0))) // one row, max priority, double arith
+  }
+
   test("mergeSchedule maxPerHost drops appended overflow, never standing rows") {
     val standing = Frontier.schedule(urls(
       ("a.com", "http://a.com/q1", 5L),
