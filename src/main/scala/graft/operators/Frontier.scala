@@ -77,22 +77,30 @@ object Frontier {
       delaySecCol: String,
       maxPerHost: Option[Int] = None,
       defaultDelaySec: Option[Double] = None
-  ): DataFrame = {
+  ): DataFrame =
+    ranked(urls, hostCol, urlCol, priorityCol, maxPerHost)
+      .withColumn("scheduled_offset_sec",
+        (col("fetch_rank") - 1).cast("double") *
+          delayExpr(hostCol, delaySecCol, defaultDelaySec,
+            "Frontier.scheduleWithDelays"))
+
+  /** The null-delay policy shared by the delay-aware schedulers (see
+    * [[scheduleWithDelays]]' scaladoc): coalesce the crawler default
+    * in-operator, or fail loudly naming the host. */
+  private def delayExpr(hostCol: String, delaySecCol: String,
+      defaultDelaySec: Option[Double], caller: String): Column = {
     defaultDelaySec.foreach(d =>
       require(d >= 0, "defaultDelaySec must be non-negative"))
-    val delay = defaultDelaySec match {
+    defaultDelaySec match {
       case Some(d) => coalesce(col(delaySecCol).cast("double"), lit(d))
       case None =>
         when(col(delaySecCol).isNull, raise_error(concat(
-          lit("Frontier.scheduleWithDelays: null delay for host "),
+          lit(s"$caller: null delay for host "),
           col(hostCol).cast("string"),
           lit(s" (column '$delaySecCol'); coalesce a crawler default " +
             "upstream or pass defaultDelaySec"))).cast("double"))
           .otherwise(col(delaySecCol).cast("double"))
     }
-    ranked(urls, hostCol, urlCol, priorityCol, maxPerHost)
-      .withColumn("scheduled_offset_sec",
-        (col("fetch_rank") - 1).cast("double") * delay)
   }
 
   /** INCREMENTAL frontier maintenance — the missing piece between
@@ -146,7 +154,6 @@ object Frontier {
       maxPerHost: Option[Int] = None
   ): DataFrame = {
     require(perHostDelaySec >= 0, "perHostDelaySec must be non-negative")
-    maxPerHost.foreach(m => require(m > 0, "maxPerHost must be positive"))
     // output offset dtype follows the standing queue (see scaladoc)
     val fractional = {
       import org.apache.spark.sql.types._
@@ -156,12 +163,67 @@ object Frontier {
       }
     }
     val offT = if (fractional) "double" else "long"
+    val fresh = freshRanked(standing, discovered,
+        hostCol, urlCol, priorityCol, carryCols = Nil)
+      .withColumn("scheduled_offset_sec",
+        ((col("fetch_rank") - 1) * perHostDelaySec).cast(offT))
+    mergedUnion(standing, fresh, hostCol, urlCol, priorityCol,
+      offT, maxPerHost)
+  }
+
+  /** [[mergeSchedule]] for a PER-HOST-delay queue (the
+    * [[scheduleWithDelays]] counterpart): appended rows continue each
+    * host's offsets with the HOST'S OWN delay — `delaySecCol` on the
+    * `discovered` frame (host-constant, e.g. the same
+    * [[Robots.crawlDelays]] join that built the standing queue) — not a
+    * global constant, which would break the politeness contract for
+    * every host whose Crawl-delay differs. Offsets are double on both
+    * sides (standing offsets preserved exactly; integral standing
+    * queues upcast losslessly). Null delays follow the
+    * [[scheduleWithDelays]] policy: `defaultDelaySec` coalesces, `None`
+    * fails loudly. Same delta-proportional shape as [[mergeSchedule]];
+    * the delay rides the intra-delta dedup as a `max` aggregate
+    * (host-constant, so any combiner is exact). */
+  def mergeScheduleWithDelays(
+      standing: DataFrame,
+      discovered: DataFrame,
+      hostCol: String,
+      urlCol: String,
+      priorityCol: String,
+      delaySecCol: String,
+      maxPerHost: Option[Int] = None,
+      defaultDelaySec: Option[Double] = None
+  ): DataFrame = {
+    val fresh = freshRanked(standing, discovered,
+        hostCol, urlCol, priorityCol, carryCols = Seq(delaySecCol))
+      .withColumn("scheduled_offset_sec",
+        (col("fetch_rank") - 1).cast("double") *
+          delayExpr(hostCol, delaySecCol, defaultDelaySec,
+            "Frontier.mergeScheduleWithDelays"))
+      .drop(delaySecCol)
+    mergedUnion(standing, fresh, hostCol, urlCol, priorityCol,
+      "double", maxPerHost)
+  }
+
+  /** Shared merge core: intra-delta (host, url) dedup (max priority;
+    * `carryCols` ride as max aggregates), anti-join against the
+    * standing keys, per-host rank continuation after the standing
+    * tail. The window sorts the DELTA only. */
+  private def freshRanked(
+      standing: DataFrame,
+      discovered: DataFrame,
+      hostCol: String,
+      urlCol: String,
+      priorityCol: String,
+      carryCols: Seq[String]
+  ): DataFrame = {
     val base = standing.groupBy(col(hostCol))
       .agg(max(col("fetch_rank")).as("__graft_base_rank"))
-    val fresh = discovered
-      // intra-delta dedup: one row per (host, url), max priority wins
+    val aggs = max(col(priorityCol)).as(priorityCol) +:
+      carryCols.map(c => max(col(c)).as(c))
+    discovered
       .groupBy(col(hostCol), col(urlCol))
-      .agg(max(col(priorityCol)).as(priorityCol))
+      .agg(aggs.head, aggs.tail: _*)
       .join(standing.select(col(hostCol), col(urlCol)),
         Seq(hostCol, urlCol), "left_anti")
       .join(base, Seq(hostCol), "left")
@@ -171,9 +233,19 @@ object Frontier {
       .withColumn("fetch_rank",
         (coalesce(col("__graft_base_rank"), lit(0)) + col("__graft_rn"))
           .cast("integer"))
-      .withColumn("scheduled_offset_sec",
-        ((col("fetch_rank") - 1) * perHostDelaySec).cast(offT))
       .drop("__graft_base_rank", "__graft_rn")
+  }
+
+  private def mergedUnion(
+      standing: DataFrame,
+      fresh: DataFrame,
+      hostCol: String,
+      urlCol: String,
+      priorityCol: String,
+      offT: String,
+      maxPerHost: Option[Int]
+  ): DataFrame = {
+    maxPerHost.foreach(m => require(m > 0, "maxPerHost must be positive"))
     val appended = maxPerHost match {
       case Some(m) => fresh.filter(col("fetch_rank") <= m)
       case None => fresh
@@ -181,7 +253,9 @@ object Frontier {
     standing.select(col(hostCol), col(urlCol), col(priorityCol),
         col("fetch_rank").cast("integer").as("fetch_rank"),
         col("scheduled_offset_sec").cast(offT).as("scheduled_offset_sec"))
-      .unionByName(appended)
+      .unionByName(appended.select(col(hostCol), col(urlCol),
+        col(priorityCol), col("fetch_rank"),
+        col("scheduled_offset_sec").cast(offT).as("scheduled_offset_sec")))
   }
 
   private def ranked(

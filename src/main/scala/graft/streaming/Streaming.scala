@@ -210,6 +210,10 @@ object Streaming {
 
   final case class KeyStats(key: String, count: Long, total: Double)
 
+  final case class HostQueue(tail: Int, seen: Set[String])
+  final case class ScheduledFetch(host: String, url: String,
+    priority: Long, fetch_rank: Int, scheduled_offset_sec: Long)
+
   final case class HllRegs(regs: Map[Int, Int], n_values: Long)
   final case class KeyDistinct(
       key: String, est_distinct: Double, n_buckets: Int, n_values: Long)
@@ -366,6 +370,64 @@ object Streaming {
           state.update(UserPeriods(seen.toSeq))
           val cohort = seen.head
           Iterator.single(UserRetention(user, cohort, seen.toSeq.map(_ - cohort)))
+      }
+  }
+
+  /** STREAMING frontier maintenance (parity harness #12) — the live
+    * face of [[graft.operators.Frontier.mergeSchedule]]: discovered
+    * URLs arrive as a stream, and each host's queue is
+    * `flatMapGroupsWithState` state `(tail rank, seen URLs)`; a
+    * micro-batch's new keys for a host are ranked priority DESC / URL
+    * ASC among themselves (exactly the batch merge's delta window),
+    * appended after the host's standing tail, and emitted ONCE with
+    * their final `(fetch_rank, scheduled_offset_sec)` — rank/offset
+    * continuity across batches, already-seen URLs dropped, a URL
+    * discovered twice within one batch admitted once (max priority
+    * wins). Folding the same batches through the batch operator
+    * (schedule → mergeSchedule → …) yields the identical schedule
+    * (StreamingSpec #12).
+    *
+    * State honesty at scale: the per-host seen-set grows with the
+    * host's queue length — the same O(frontier) state any exact
+    * URL-dedup keeps (a real crawler backs it with a disk-resident
+    * store or accepts a Bloom's false-drop rate); ranks and offsets
+    * are O(1) per host. Hosts are independent, so state partitions by
+    * host exactly like the batch merge's exchanges. */
+  def frontierStream(
+      discoveries: DataFrame,
+      hostCol: String,
+      urlCol: String,
+      priorityCol: String,
+      perHostDelaySec: Int
+  ): Dataset[ScheduledFetch] = {
+    require(perHostDelaySec >= 0, "perHostDelaySec must be non-negative")
+    val spark = discoveries.sparkSession
+    import spark.implicits._
+    discoveries
+      .select(col(hostCol).cast("string"), col(urlCol).cast("string"),
+        col(priorityCol).cast("long"))
+      .as[(String, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[HostQueue, ScheduledFetch](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (host: String, rows: Iterator[(String, String, Long)],
+         state: GroupState[HostQueue]) =>
+          val prev = state.getOption.getOrElse(HostQueue(0, Set.empty))
+          // intra-batch dedup: max priority per URL (the batch merge's
+          // intra-delta rule), then the delta ordering
+          val fresh = rows.map { case (_, u, p) => (u, p) }.toSeq
+            .groupBy(_._1).map { case (u, ps) => (u, ps.map(_._2).max) }
+            .filterNot { case (u, _) => prev.seen(u) }
+            .toSeq
+            .sortBy { case (u, p) => (-p, u) }
+          val out = fresh.zipWithIndex.map { case ((u, p), i) =>
+            val rank = prev.tail + i + 1
+            ScheduledFetch(host, u, p, rank,
+              (rank - 1).toLong * perHostDelaySec)
+          }
+          state.update(HostQueue(prev.tail + fresh.size,
+            prev.seen ++ fresh.map(_._1)))
+          out.iterator
       }
   }
 

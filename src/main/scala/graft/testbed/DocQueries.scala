@@ -2469,6 +2469,56 @@ object DocQueries {
         .orderBy("host", "fetch_rank")
     }),
 
+    // W9: incremental merge of a PER-HOST-DELAY queue — w6's standing
+    // schedule (robots Crawl-delay per host, capped at 5) merged with a
+    // bigger discovery round (paths doc_id%100 — everything outside each
+    // host's standing top-5 is new): appended rows must continue each
+    // host's offsets with the HOST'S OWN delay (7.0 on host 5, default
+    // 1.0 on k%3=0, else k+1), standing rows survive byte-for-byte, and
+    // the merged cap 8 admits 3 new fetches per host. The oracle
+    // restates both sides from the delay/priority arithmetic; offsets
+    // are integer-valued doubles, so the compare is hash-exact.
+    "w9_frontier_merge_delays" -> ((s, dir) => {
+      import s.implicits._
+      val robotsDf = (0 until 7).map { k =>
+        val specific =
+          if (k == 5) "User-agent: graftbot\nCrawl-delay: 7\n\n" else ""
+        val star =
+          if (k % 3 == 0) "User-agent: *\nDisallow: /private\n"
+          else s"User-agent: *\nCrawl-delay: ${k + 1}\n"
+        (s"site$k.com",
+          "User-agent: evilbot\nCrawl-delay: 99\nDisallow: /\n\n" +
+            specific + star)
+      }.toDF("host", "robots_txt")
+      val delays = graft.operators.Robots.crawlDelays(robotsDf, "graftbot")
+      val id = col("doc_id")
+      def universe(mod: Int, mult: Int) = table(s, dir, "documents")
+        .select(
+          concat(lit("http://site"), (id % 7).cast("string"), lit(".com/p"),
+            (id % mod).cast("string")).as("url"),
+          concat(lit("site"), (id % 7).cast("string"), lit(".com")).as("host"),
+          id)
+        .groupBy("host", "url").agg(min("doc_id").as("keeper"))
+        .select(col("host"), col("url"),
+          ((col("keeper") * mult) % 100).as("priority"))
+      def withDelay(u: org.apache.spark.sql.DataFrame) =
+        u.join(broadcast(delays), Seq("host"), "left")
+          .withColumn("delay_sec", coalesce(col("crawl_delay_sec"), lit(1.0)))
+          .drop("crawl_delay_sec")
+      val standing = graft.operators.Frontier.scheduleWithDelays(
+          withDelay(universe(50, 7)), "host", "url", "priority", "delay_sec",
+          maxPerHost = Some(5))
+        .select("host", "url", "priority", "fetch_rank",
+          "scheduled_offset_sec")
+      graft.operators.Frontier.mergeScheduleWithDelays(standing,
+          withDelay(universe(100, 11)), "host", "url", "priority",
+          "delay_sec", maxPerHost = Some(8))
+        .select(col("host"), col("url"), col("priority"),
+          col("fetch_rank").cast("long").as("fetch_rank"),
+          col("scheduled_offset_sec"))
+        .orderBy("host", "fetch_rank")
+    }),
+
     // W8: the acquisition-to-training-set COMPOSITION — CrawlPipeline's
     // kept corpus (the shared w3/w4 run: WARC walk → URL dedup → robots
     // → extract → lang → quality → exact dedup → simhash near-dedup)
@@ -5074,6 +5124,62 @@ object DocQueries {
         | )
         |SELECT host, url, priority, CAST(fetch_rank AS BIGINT) AS fetch_rank,
         |       CAST((fetch_rank - 1) * 2 AS BIGINT) AS scheduled_offset_sec
+        |FROM merged ORDER BY host, fetch_rank""".stripMargin,
+
+    // W9: standing = w6's per-host-delay queue capped at 5; fresh =
+    // the %100 universe anti-joined against the CAPPED standing (urls
+    // that fell outside a host's top-5 are genuinely new to the queue);
+    // appended ranks continue after the cap with the host's own delay
+    "w9_frontier_merge_delays" ->
+      """WITH d AS (
+        |  SELECT 'http://site' || (doc_id % 7) || '.com/p' || (doc_id % 50) AS url,
+        |         'site' || (doc_id % 7) || '.com' AS host,
+        |         (doc_id % 7) AS k,
+        |         MIN(doc_id) AS keeper
+        |  FROM documents GROUP BY 1, 2, 3
+        | ),
+        | r AS (
+        |  SELECT host, url, CAST((keeper * 7) % 100 AS BIGINT) AS priority, k,
+        |         CASE WHEN k = 5 THEN 7.0
+        |              WHEN k % 3 = 0 THEN 1.0
+        |              ELSE k + 1.0 END AS delay_sec,
+        |         ROW_NUMBER() OVER (PARTITION BY host
+        |           ORDER BY (keeper * 7) % 100 DESC, url) AS fetch_rank
+        |  FROM d
+        | ),
+        | standing AS (SELECT * FROM r WHERE fetch_rank <= 5),
+        | d2 AS (
+        |  SELECT 'http://site' || (doc_id % 7) || '.com/p' || (doc_id % 100) AS url,
+        |         'site' || (doc_id % 7) || '.com' AS host,
+        |         (doc_id % 7) AS k,
+        |         MIN(doc_id) AS keeper
+        |  FROM documents GROUP BY 1, 2, 3
+        | ),
+        | fresh AS (
+        |  SELECT d2.host, d2.url, CAST((d2.keeper * 11) % 100 AS BIGINT) AS priority,
+        |         d2.k
+        |  FROM d2
+        |  WHERE NOT EXISTS (SELECT 1 FROM standing s
+        |                    WHERE s.host = d2.host AND s.url = d2.url)
+        | ),
+        | base AS (SELECT host, MAX(fetch_rank) AS mr FROM standing GROUP BY 1),
+        | app AS (
+        |  SELECT f.host, f.url, f.priority,
+        |         COALESCE(b.mr, 0) + ROW_NUMBER() OVER (PARTITION BY f.host
+        |           ORDER BY f.priority DESC, f.url) AS fetch_rank,
+        |         CASE WHEN f.k = 5 THEN 7.0
+        |              WHEN f.k % 3 = 0 THEN 1.0
+        |              ELSE f.k + 1.0 END AS delay_sec
+        |  FROM fresh f LEFT JOIN base b ON f.host = b.host
+        | ),
+        | merged AS (
+        |  SELECT host, url, priority, fetch_rank, delay_sec FROM standing
+        |  UNION ALL
+        |  SELECT host, url, priority, fetch_rank, delay_sec FROM app
+        |  WHERE fetch_rank <= 8
+        | )
+        |SELECT host, url, priority, CAST(fetch_rank AS BIGINT) AS fetch_rank,
+        |       CAST((fetch_rank - 1) * delay_sec AS DOUBLE) AS scheduled_offset_sec
         |FROM merged ORDER BY host, fetch_rank""".stripMargin,
 
     // W8: the crawl keep-set rebuilt through the same CTE chain as

@@ -165,6 +165,39 @@ class FrontierSpec extends SparkSpec {
       ("http://a.com/n1", 9L, 3, 4.0))) // one row, max priority, double arith
   }
 
+  test("mergeScheduleWithDelays continues each host's offsets with the HOST's delay") {
+    import spark.implicits._
+    val standing = Frontier.scheduleWithDelays(
+      Seq(("a.com", "http://a.com/q1", 5L, 0.5),
+        ("b.com", "http://b.com/q1", 5L, 3.0),
+        ("b.com", "http://b.com/q2", 4L, 3.0))
+        .toDF("host", "url", "priority", "delay"),
+      "host", "url", "priority", "delay").drop("delay")
+    val discovered = Seq(
+      ("a.com", "http://a.com/n1", 9L, Some(0.5)),
+      ("b.com", "http://b.com/n1", 9L, Some(3.0)),
+      ("c.com", "http://c.com/n1", 1L, None)) // no delay row for c.com
+      .toDF("host", "url", "priority", "delay")
+    // default-delay path: c.com coalesces 2.0; a/b continue their own
+    val out = Frontier.mergeScheduleWithDelays(standing, discovered,
+        "host", "url", "priority", "delay", defaultDelaySec = Some(2.0))
+      .select("url", "fetch_rank", "scheduled_offset_sec")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(out === Set(
+      ("http://a.com/q1", 1, 0.0),
+      ("http://b.com/q1", 1, 0.0), ("http://b.com/q2", 2, 3.0),
+      ("http://a.com/n1", 2, 0.5),   // a.com's own 0.5 delay continues
+      ("http://b.com/n1", 3, 6.0),   // b.com's 3.0 delay continues
+      ("http://c.com/n1", 1, 0.0)))  // new host, rank 1, offset 0
+    // null-delay strict path: the merge fails loudly, like the scheduler
+    val e = intercept[Exception] {
+      Frontier.mergeScheduleWithDelays(standing, discovered,
+        "host", "url", "priority", "delay").collect()
+    }
+    assert(e.getMessage.contains("null delay") ||
+      Option(e.getCause).exists(_.getMessage.contains("null delay")))
+  }
+
   test("mergeSchedule maxPerHost drops appended overflow, never standing rows") {
     val standing = Frontier.schedule(urls(
       ("a.com", "http://a.com/q1", 5L),

@@ -631,4 +631,54 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("streaming frontier equals the batch mergeSchedule fold (#12)") {
+    // live frontier maintenance: each micro-batch of discovered URLs
+    // appends after the host's standing tail exactly like one batch
+    // mergeSchedule round — rank/offset continuity across batches,
+    // seen-URL drops, intra-batch max-priority dedup. Parity: streamed
+    // emissions == schedule(batch1) folded through mergeSchedule for
+    // every later batch.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val batches = Seq(
+      Seq(("a.com", "http://a.com/q2", 3L), ("a.com", "http://a.com/q1", 5L),
+        ("b.com", "http://b.com/q1", 1L)),
+      Seq(("a.com", "http://a.com/n1", 9L), // higher than anything queued
+        ("a.com", "http://a.com/q1", 99L),  // seen: dropped
+        ("a.com", "http://a.com/n2", 2L),
+        ("a.com", "http://a.com/n2", 7L),   // intra-batch dup: max wins
+        ("c.com", "http://c.com/x", 4L)),
+      Seq(("b.com", "http://b.com/q2", 8L),
+        ("a.com", "http://a.com/n1", 1L)))  // seen from batch 2: dropped
+    val input = MemoryStream[(String, String, Long)]
+    val q = Streaming.frontierStream(
+        input.toDF().toDF("host", "url", "priority"),
+        "host", "url", "priority", perHostDelaySec = 2)
+      .writeStream.format("memory").queryName("frontier")
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      val streamed = spark.table("frontier")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getInt(3), r.getLong(4))).toSet
+      // the batch fold over the same micro-batches, in order
+      var folded = graft.operators.Frontier.schedule(
+        batches.head.toDF("host", "url", "priority"),
+        "host", "url", "priority", 2)
+      batches.tail.foreach { b =>
+        folded = graft.operators.Frontier.mergeSchedule(
+          folded.localCheckpoint(),
+          b.toDF("host", "url", "priority"), "host", "url", "priority", 2)
+      }
+      val batchSet = folded
+        .select("host", "url", "priority", "fetch_rank", "scheduled_offset_sec")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getInt(3), r.getLong(4))).toSet
+      assert(streamed === batchSet)
+      // spot-check the continuity the parity implies: a.com's batch-2
+      // high-priority URL ranks AFTER the standing tail, never displaces
+      assert(streamed.contains(("a.com", "http://a.com/n1", 9L, 3, 4L)))
+    } finally q.stop()
+  }
 }
