@@ -165,8 +165,10 @@ object Frontier {
     val offT = if (fractional) "double" else "long"
     val fresh = freshRanked(standing, discovered,
         hostCol, urlCol, priorityCol, carryCols = Nil)
+      // rank goes long BEFORE the multiply (the schedule() convention):
+      // 32-bit rank*delay would silently wrap for deep uncapped queues
       .withColumn("scheduled_offset_sec",
-        ((col("fetch_rank") - 1) * perHostDelaySec).cast(offT))
+        ((col("fetch_rank") - 1).cast("long") * perHostDelaySec).cast(offT))
     mergedUnion(standing, fresh, hostCol, urlCol, priorityCol,
       offT, maxPerHost)
   }

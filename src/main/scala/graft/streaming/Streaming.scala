@@ -212,7 +212,7 @@ object Streaming {
 
   final case class HostQueue(tail: Int, seen: Set[String])
   final case class ScheduledFetch(host: String, url: String,
-    priority: Long, fetch_rank: Int, scheduled_offset_sec: Long)
+    priority: Option[Long], fetch_rank: Int, scheduled_offset_sec: Long)
 
   final case class HllRegs(regs: Map[Int, Int], n_values: Long)
   final case class KeyDistinct(
@@ -385,7 +385,14 @@ object Streaming {
     * discovered twice within one batch admitted once (max priority
     * wins). Folding the same batches through the batch operator
     * (schedule → mergeSchedule → …) yields the identical schedule
-    * (StreamingSpec #12).
+    * (StreamingSpec #12) — for the FIRST batch the identity assumes
+    * `(host, url)`-unique rows, because [[Frontier.schedule]] documents
+    * uniqueness as its input contract and does not dedup; the stream
+    * (like [[Frontier.mergeSchedule]]) dedups every batch itself. A
+    * null priority ranks LAST within its batch (Spark's DESC NULLS
+    * LAST, the batch window's behavior) instead of killing the query;
+    * URL ties break in UTF-8 binary order, matching the batch
+    * window's UTF8String comparison, not Java's UTF-16 order.
     *
     * State honesty at scale: the per-host seen-set grows with the
     * host's queue length — the same O(frontier) state any exact
@@ -406,20 +413,40 @@ object Streaming {
     discoveries
       .select(col(hostCol).cast("string"), col(urlCol).cast("string"),
         col(priorityCol).cast("long"))
-      .as[(String, String, Long)]
+      .as[(String, String, Option[Long])]
       .groupByKey(_._1)
       .flatMapGroupsWithState[HostQueue, ScheduledFetch](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (host: String, rows: Iterator[(String, String, Long)],
+        (host: String, rows: Iterator[(String, String, Option[Long])],
          state: GroupState[HostQueue]) =>
           val prev = state.getOption.getOrElse(HostQueue(0, Set.empty))
           // intra-batch dedup: max priority per URL (the batch merge's
-          // intra-delta rule), then the delta ordering
+          // intra-delta rule; max over Option = null loses to any
+          // value, like SQL max), then the delta ordering — priority
+          // DESC with NULLS LAST, URL ties in UTF-8 binary order (the
+          // batch window's UTF8String comparison; Java's default
+          // UTF-16 order disagrees above the BMP). Long.compare, not
+          // negation: -Long.MinValue overflows back to itself.
           val fresh = rows.map { case (_, u, p) => (u, p) }.toSeq
-            .groupBy(_._1).map { case (u, ps) => (u, ps.map(_._2).max) }
+            .groupBy(_._1)
+            .map { case (u, ps) =>
+              val vs = ps.flatMap(_._2)
+              (u, if (vs.isEmpty) None else Some(vs.max))
+            }
             .filterNot { case (u, _) => prev.seen(u) }
             .toSeq
-            .sortBy { case (u, p) => (-p, u) }
+            .sorted(new Ordering[(String, Option[Long])] {
+              def compare(x: (String, Option[Long]),
+                  y: (String, Option[Long])): Int = {
+                val c = (x._2, y._2) match {
+                  case (Some(a), Some(b)) => java.lang.Long.compare(b, a)
+                  case (Some(_), None) => -1 // nulls last under DESC
+                  case (None, Some(_)) => 1
+                  case (None, None) => 0
+                }
+                if (c != 0) c else utf8BinaryCompare(x._1, y._1)
+              }
+            })
           val out = fresh.zipWithIndex.map { case ((u, p), i) =>
             val rank = prev.tail + i + 1
             ScheduledFetch(host, u, p, rank,
@@ -429,6 +456,21 @@ object Streaming {
             prev.seen ++ fresh.map(_._1)))
           out.iterator
       }
+  }
+
+  /** Unsigned byte-wise comparison of the UTF-8 encodings — code-point
+    * order, identical to Spark's binary `UTF8String.compareTo`. */
+  private def utf8BinaryCompare(a: String, b: String): Int = {
+    val ab = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(ab.length, bb.length)
+    var i = 0
+    while (i < n) {
+      val c = (ab(i) & 0xff) - (bb(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    ab.length - bb.length
   }
 
   /** Running per-key count/sum with custom state; emits updated stats on

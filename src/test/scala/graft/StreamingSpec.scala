@@ -642,16 +642,18 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val batches = Seq(
-      Seq(("a.com", "http://a.com/q2", 3L), ("a.com", "http://a.com/q1", 5L),
-        ("b.com", "http://b.com/q1", 1L)),
-      Seq(("a.com", "http://a.com/n1", 9L), // higher than anything queued
-        ("a.com", "http://a.com/q1", 99L),  // seen: dropped
-        ("a.com", "http://a.com/n2", 2L),
-        ("a.com", "http://a.com/n2", 7L),   // intra-batch dup: max wins
-        ("c.com", "http://c.com/x", 4L)),
-      Seq(("b.com", "http://b.com/q2", 8L),
-        ("a.com", "http://a.com/n1", 1L)))  // seen from batch 2: dropped
-    val input = MemoryStream[(String, String, Long)]
+      Seq(("a.com", "http://a.com/q2", Some(3L)),
+        ("a.com", "http://a.com/q1", Some(5L)),
+        ("b.com", "http://b.com/q1", Some(1L))),
+      Seq(("a.com", "http://a.com/n1", Some(9L)), // higher than anything queued
+        ("a.com", "http://a.com/q1", Some(99L)),  // seen: dropped
+        ("a.com", "http://a.com/n2", Some(2L)),
+        ("a.com", "http://a.com/n2", Some(7L)),   // intra-batch dup: max wins
+        ("c.com", "http://c.com/x", Some(4L))),
+      Seq(("b.com", "http://b.com/q2", Some(8L)),
+        ("b.com", "http://b.com/null", None),     // null priority: ranks last
+        ("a.com", "http://a.com/n1", Some(1L))))  // seen from batch 2: dropped
+    val input = MemoryStream[(String, String, Option[Long])]
     val q = Streaming.frontierStream(
         input.toDF().toDF("host", "url", "priority"),
         "host", "url", "priority", perHostDelaySec = 2)
@@ -659,9 +661,10 @@ class StreamingSpec extends SparkSpec {
       .outputMode("append").start()
     try {
       batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
-      val streamed = spark.table("frontier")
-        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
-          r.getInt(3), r.getLong(4))).toSet
+      def row(r: org.apache.spark.sql.Row) =
+        (r.getString(0), r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2), r.getInt(3), r.getLong(4))
+      val streamed = spark.table("frontier").collect().map(row).toSet
       // the batch fold over the same micro-batches, in order
       var folded = graft.operators.Frontier.schedule(
         batches.head.toDF("host", "url", "priority"),
@@ -673,9 +676,10 @@ class StreamingSpec extends SparkSpec {
       }
       val batchSet = folded
         .select("host", "url", "priority", "fetch_rank", "scheduled_offset_sec")
-        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
-          r.getInt(3), r.getLong(4))).toSet
+        .collect().map(row).toSet
       assert(streamed === batchSet)
+      // the null-priority discovery ranked LAST on its host, not first
+      assert(streamed.contains(("b.com", "http://b.com/null", -1L, 3, 4L)))
       // spot-check the continuity the parity implies: a.com's batch-2
       // high-priority URL ranks AFTER the standing tail, never displaces
       assert(streamed.contains(("a.com", "http://a.com/n1", 9L, 3, 4L)))
