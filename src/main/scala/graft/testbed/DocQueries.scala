@@ -1084,6 +1084,25 @@ object DocQueries {
     * them. run() materializes `summary` eagerly (the funnel agg job);
     * `kept` is lazy, so w4 still pays — and its timing still measures —
     * the second WARC read + semi-join. */
+  /** The w6/w9 Crawl-delay robots fixture: an evilbot group with a
+    * punitive delay graftbot must NOT pick up, a graftbot-specific
+    * override on host 5 (delay 7), '*' delays of k+1 elsewhere, and no
+    * delay on k%3=0 hosts (the crawler default applies). */
+  private def crawlDelayRobots(spark: SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    (0 until 7).map { k =>
+      val specific =
+        if (k == 5) "User-agent: graftbot\nCrawl-delay: 7\n\n" else ""
+      val star =
+        if (k % 3 == 0) "User-agent: *\nDisallow: /private\n"
+        else s"User-agent: *\nCrawl-delay: ${k + 1}\n"
+      (s"site$k.com",
+        "User-agent: evilbot\nCrawl-delay: 99\nDisallow: /\n\n" +
+          specific + star)
+    }.toDF("host", "robots_txt")
+  }
+
   private def crawlShared(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
     val sKey = (s, dir, "_crawl_summary")
@@ -2405,18 +2424,8 @@ object DocQueries {
     // the resulting per-host delay from the arithmetic. Offsets are
     // integer-valued doubles, so the compare is hash-exact.
     "w6_crawl_delay_schedule" -> ((s, dir) => {
-      import s.implicits._
-      val robotsDf = (0 until 7).map { k =>
-        val specific =
-          if (k == 5) "User-agent: graftbot\nCrawl-delay: 7\n\n" else ""
-        val star =
-          if (k % 3 == 0) "User-agent: *\nDisallow: /private\n"
-          else s"User-agent: *\nCrawl-delay: ${k + 1}\n"
-        (s"site$k.com",
-          "User-agent: evilbot\nCrawl-delay: 99\nDisallow: /\n\n" +
-            specific + star)
-      }.toDF("host", "robots_txt")
-      val delays = graft.operators.Robots.crawlDelays(robotsDf, "graftbot")
+      val delays = graft.operators.Robots.crawlDelays(
+        crawlDelayRobots(s), "graftbot")
       val id = col("doc_id")
       val urls = table(s, dir, "documents")
         .select(
@@ -2479,18 +2488,8 @@ object DocQueries {
     // restates both sides from the delay/priority arithmetic; offsets
     // are integer-valued doubles, so the compare is hash-exact.
     "w9_frontier_merge_delays" -> ((s, dir) => {
-      import s.implicits._
-      val robotsDf = (0 until 7).map { k =>
-        val specific =
-          if (k == 5) "User-agent: graftbot\nCrawl-delay: 7\n\n" else ""
-        val star =
-          if (k % 3 == 0) "User-agent: *\nDisallow: /private\n"
-          else s"User-agent: *\nCrawl-delay: ${k + 1}\n"
-        (s"site$k.com",
-          "User-agent: evilbot\nCrawl-delay: 99\nDisallow: /\n\n" +
-            specific + star)
-      }.toDF("host", "robots_txt")
-      val delays = graft.operators.Robots.crawlDelays(robotsDf, "graftbot")
+      val delays = graft.operators.Robots.crawlDelays(
+        crawlDelayRobots(s), "graftbot")
       val id = col("doc_id")
       def universe(mod: Int, mult: Int) = table(s, dir, "documents")
         .select(
