@@ -24,7 +24,11 @@ final case class CrawlPipelineConfig(
     nearBands: Int = 4,
     nearMaxHamming: Int = 3,
     nearMaxBandFreq: Option[Int] = None,
-    checkpointDir: Option[String] = None)
+    checkpointDir: Option[String] = None,
+    // kept-frame semi-join tiers (see KeepJoin): raise on big-executor
+    // clusters, lower for memory-tight ones
+    keepIdsBroadcastLimit: Long = KeepJoin.BroadcastIdLimit,
+    keepIdsBloomLimit: Long = KeepJoin.BloomIdLimit)
 
 final case class CrawlPipelineResult(kept: DataFrame, summary: DataFrame)
 
@@ -304,7 +308,8 @@ object CrawlPipeline {
     // rehearsal measured that as the pipeline's dominant cost
     // (SCALE.md round-16).
     val kept = KeepJoin.semi(responses, col("_id"),
-        finalIds, "_id", finalCount)
+        finalIds, "_id", finalCount,
+        cfg.keepIdsBroadcastLimit, cfg.keepIdsBloomLimit)
       .drop("_id")
     val summary = spark.createDataFrame(stages.result())
       .toDF("stage", "n_in", "n_out")

@@ -22,7 +22,11 @@ final case class DocPipelineConfig(
     nearBands: Int = 16,
     nearMinSigAgreement: Option[Double] = None,
     tokenBudget: Option[Long] = None,
-    checkpointDir: Option[String] = None)
+    checkpointDir: Option[String] = None,
+    // kept-frame semi-join tiers (see KeepJoin): raise on big-executor
+    // clusters, lower for memory-tight ones
+    keepIdsBroadcastLimit: Long = KeepJoin.BroadcastIdLimit,
+    keepIdsBloomLimit: Long = KeepJoin.BloomIdLimit)
 
 final case class DocPipelineResult(kept: DataFrame, summary: DataFrame)
 
@@ -231,7 +235,8 @@ object DocPipeline {
     // the surviving ids, so the id sliver broadcasts when it fits and
     // the corpus text never serializes into shuffle files — the same
     // sf10-measured fix as CrawlPipeline's kept frame
-    val kept = KeepJoin.semi(docs, docs(idCol), finalIds, "_id", finalCount)
+    val kept = KeepJoin.semi(docs, docs(idCol), finalIds, "_id", finalCount,
+      cfg.keepIdsBroadcastLimit, cfg.keepIdsBloomLimit)
     val summary = spark.createDataFrame(stages.result())
       .toDF("stage", "n_in", "n_out")
     DocPipelineResult(kept, summary)
