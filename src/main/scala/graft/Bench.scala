@@ -216,19 +216,70 @@ object Bench {
     val retimeNames = sys.env.getOrElse("SPARK_GRAFT_RETIME",
         "a18_qualifier_prune,d11_dupgram_fraction,d12_dedup_keep,t40_doc_pipeline,w3_crawl_pipeline")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    def retimeOnce(name: String): Double =
+      SparkEntry.queries.get(name).map { fn =>
+        System.gc()
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); () }
+        catch { case _: Throwable => () }
+        val t = (System.nanoTime() - t0) / 1e9
+        graft.testbed.DatacubeQueries.clearCaches(spark)
+        graft.testbed.DocQueries.clearCaches(spark)
+        t
+      }.getOrElse(-1.0)
     val isolated: Seq[(String, Double)] =
       if (only.nonEmpty) Seq.empty  // subset runs are already isolated
-      else retimeNames.flatMap { name =>
-        SparkEntry.queries.get(name).map { fn =>
-          System.gc()
-          val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count(); () }
-          catch { case _: Throwable => () }
-          val t = (System.nanoTime() - t0) / 1e9
-          graft.testbed.DatacubeQueries.clearCaches(spark)
-          graft.testbed.DocQueries.clearCaches(spark)
-          name -> t
-        }
+      else retimeNames.filter(SparkEntry.queries.contains)
+        .map(name => name -> retimeOnce(name))
+    // ---- auto-isolation of in-battery anomalies ---------------------------
+    // A contended/GC window can inflate one family's in-battery numbers
+    // 2-4x while both canaries read clean (the r16 g-family artifact: the
+    // official 26.9 s family total did not reproduce — 8.6 s on a judge
+    // re-run at a SLOWER canary), and adjudicating it needed a whole
+    // fresh battery. Self-adjudicate instead: any entry whose in-battery
+    // time exceeds 2x its PRIOR-ROUND value (canary-scaled, read from the
+    // previous round's bench artifact before this run overwrites it) is
+    // re-timed in isolation after the battery, and BOTH numbers ship —
+    // a contended-window artifact then carries its own correction.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    // prior artifact: same path this run will overwrite, unless overridden
+    // (e.g. per-round renamed sf1 artifacts under doc/)
+    val prevPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", outPath)
+    def parsePrev(path: String): (Map[String, Double], Double, String) =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+        val qm = "\"queries\":\\{([^}]*)\\}".r
+          .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+        val entries = "\"([^\"]+)\":(-?[0-9.eE+]+)".r.findAllMatchIn(qm)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val ns = "\"ns_per_row\":([0-9.eE+]+)".r
+          .findFirstMatchIn(txt).map(_.group(1).toDouble).getOrElse(-1.0)
+        val sf = "\"sf\":\"([^\"]*)\"".r
+          .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+        (entries, ns, sf)
+      } catch { case scala.util.control.NonFatal(_) => (Map.empty, -1.0, "") }
+    val (prevQ, prevNs, prevSf) = parsePrev(prevPath)
+    // pre-battery probe as this run's scale basis (the post-battery one
+    // is not measured yet at gate time and min-of-both differs by <10%
+    // on a sane run — a 2x gate doesn't care)
+    val nsFirst = canaryFirst / 2e8 * 1e9
+    val autoIsolated: Seq[(String, Double, Double, Double)] =
+      if (only.nonEmpty || prevQ.isEmpty || prevSf != sfDir) Seq.empty
+      else {
+        val scaleP = if (prevNs > 0 && nsFirst > 0) nsFirst / prevNs else 1.0
+        results.flatMap { case (name, cur) =>
+          prevQ.get(name) match {
+            // floor at 1 s: sub-second entries flap on job-overhead noise;
+            // entries already on the static retime list publish isolated
+            // numbers unconditionally above
+            case Some(p) if cur >= 1.0 && p > 0 && cur > 2.0 * p * scaleP &&
+                !retimeNames.contains(name) =>
+              Some((name, cur, p * scaleP))
+            case _ => None
+          }
+        }.take(12) // bound a pathological round's retime bill
+          .map { case (name, cur, ps) => (name, cur, retimeOnce(name), ps) }
       }
     def q(s: String): String =
       "\"" + s.flatMap {
@@ -271,6 +322,9 @@ object Bench {
       s"""{"first":$canaryFirst,"last":$canaryLast,"contended":$contended,"warmup_runs":$warmRuns,"ns_per_row":$nsPerRow,"io_first":$ioFirst,"io_last":$ioLast,"io_contended":$ioContended,"io_mb_per_sec":$ioMbPerSec}"""
     val isoJson = isolated.map { case (k, v) => q(k) + ":" + v }
       .mkString("{", ",", "}")
+    val autoIsoJson = autoIsolated.map { case (k, bat, iso, ps) =>
+      q(k) + ":" + s"""{"battery":$bat,"isolated":$iso,"prev_scaled":$ps}"""
+    }.mkString("{", ",", "}")
     // Cube-battery families (a/g/o/p/s...) run in one block with no
     // per-family barrier, so their totals are per-query sums rather than
     // barrier wall-times — within noise of each other (the doc wall-time
@@ -301,14 +355,13 @@ object Bench {
     val famNormJson = familyTimes.toSeq.sortBy(_._1)
       .map { case (k, v) => q(k) + ":" + (v * normScale) }
       .mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"families":$famJson,"families_normalized":$famNormJson,"canary_ref_ns_per_row":$refNsPerRow,"isolated":$isoJson,"errors":$errJson,"canary":$canaryJson,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"families":$famJson,"families_normalized":$famNormJson,"canary_ref_ns_per_row":$refNsPerRow,"isolated":$isoJson,"auto_isolated":$autoIsoJson,"errors":$errJson,"canary":$canaryJson,"sf":"$sfDir"}"""
     println(json)
     // The driver captures stdout with a bounded tail, and two rounds in a
     // row (r14, r15) the official BENCH_r{N}.json arrived truncated with
     // the per-query dict unusable. The file write makes the artifact
     // self-sufficient: BENCH.json at the working directory (repo root
     // under sbt), env-overridable for ad-hoc runs.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(outPath),

@@ -1222,8 +1222,15 @@ object Dedup {
     val hconf = spark.sessionState.newHadoopConf()
     def delete(p: String): Unit = {
       val hp = new org.apache.hadoop.fs.Path(p)
+      // best-effort: cleanup never masks the real failure — but only for
+      // NON-fatal errors; swallowing an OutOfMemoryError here would hide
+      // the real problem, and eating an InterruptedException would lose
+      // the thread's interrupt status (restore it and move on)
       try hp.getFileSystem(hconf).delete(hp, true)
-      catch { case _: Throwable => () } // best-effort: cleanup never masks the real failure
+      catch {
+        case _: InterruptedException => Thread.currentThread().interrupt()
+        case scala.util.control.NonFatal(_) => ()
+      }
     }
     var result: DataFrame = null
     try {

@@ -137,6 +137,17 @@ object Frontier {
     * standing offset through a long cast would silently collapse
     * politeness slots onto the same instant.
     *
+    * DTYPE IS NOT DELAY SEMANTICS: accepting a [[scheduleWithDelays]]
+    * standing queue makes the standing OFFSETS survive, but the rows
+    * appended here all use this call's single `perHostDelaySec` — a
+    * standing queue built with PER-HOST delays must merge through
+    * [[mergeScheduleWithDelays]] (with the same delay surface), or
+    * every host whose Crawl-delay differs from the constant gets its
+    * politeness contract silently rewritten from the append point on.
+    * The constant-delay merge over a fractional queue is only correct
+    * when the original schedule genuinely used one uniform (fractional
+    * or integral) delay.
+    *
     * Scale shape: the standing queue is TOUCHED but never re-sorted —
     * one host-cardinality max-rank aggregation (map-side combinable)
     * plus one `(host, url)` anti-join (co-partitionable, zero-shuffle

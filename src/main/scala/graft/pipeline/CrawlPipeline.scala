@@ -169,8 +169,15 @@ object CrawlPipeline {
       try body
       catch {
         case e: Throwable =>
+          // the outer catch re-THROWS (fatal errors included) — it only
+          // adds cleanup; the per-path drop swallows non-fatal errors
+          // only, restoring interrupt status rather than eating it
           scratch.foreach { p =>
-            try Pin.dropPath(spark, p) catch { case _: Throwable => () }
+            try Pin.dropPath(spark, p)
+            catch {
+              case _: InterruptedException => Thread.currentThread().interrupt()
+              case scala.util.control.NonFatal(_) => ()
+            }
           }
           throw e
       }

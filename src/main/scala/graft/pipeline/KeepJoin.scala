@@ -43,9 +43,17 @@ private[pipeline] object KeepJoin {
     * inside default executor memory with room for the stream side. */
   val BroadcastIdLimit: Long = 2000000L
 
-  /** Default ceiling for the Bloom tier: 500M ids at 1% fpp ≈ 0.6 GB of
-    * filter bits on the driver and in each executor's broadcast copy. */
-  val BloomIdLimit: Long = 500000000L
+  /** Default ceiling for the Bloom tier: 200M ids at 1% fpp ≈ 0.24 GB
+    * of filter bits. DRIVER-MEMORY POSTURE: the serialized filter is
+    * embedded as a plan LITERAL, so the driver holds it in the
+    * expression tree (and it rides into plan strings / the UI) for the
+    * life of the query, on top of the executors' broadcast copies — the
+    * ceiling is sized so that cost stays a fraction of a default driver
+    * heap, not a multiple. Raise `bloomLimit` explicitly (the pipeline
+    * configs expose it) only with driver memory provisioned for
+    * ~1.2 bytes/id; beyond the ceiling the plain sort-merge tier is the
+    * memory-safe exact path. */
+  val BloomIdLimit: Long = 200000000L
 
   def semi(
       corpus: DataFrame,
@@ -87,7 +95,11 @@ private[pipeline] object KeepJoin {
           .as("__graft_keep_id"))
         .stat.bloomFilter("__graft_keep_id", math.max(idCount, 1L), 0.01)
       val bfBytes = {
-        val bos = new java.io.ByteArrayOutputStream()
+        // presized to the filter's bit array (+64 B header slack): the
+        // default-growth ByteArrayOutputStream would transiently hold
+        // ~2× the filter in doubling copies at these sizes
+        val bos = new java.io.ByteArrayOutputStream(
+          math.toIntExact(bf.bitSize() / 8L + 64L))
         bf.writeTo(bos)
         bos.toByteArray
       }
