@@ -802,51 +802,101 @@ object Similarity {
       codes: Int = 16,
       iters: Int = 2
   ): DataFrame = {
+    val (coarse, books, enc) =
+      ivfPqTrainEncode(corpus, idCol, vecCol, dims, nCentroids, m, codes, iters)
+    val qunit = unitized(queries, idCol, vecCol, "query_id")
+    val probes = ivfPqProbes(corpus.sparkSession, qunit, coarse, nProbe)
+    ivfPqRank(enc, ivfPqAdc(probes, books, m, codes, dims / m), k, m, codes)
+  }
+
+  /** Unit-normalize `(idCol → outId, vecCol → uv)` with the scan path's
+    * exact arithmetic (left-fold dot, sqrt, per-element divide);
+    * zero-norm rows DROP — the PQ-family corpus/query contract. */
+  private def unitized(
+      df: DataFrame, idCol: String, vecCol: String, outId: String
+  ): DataFrame = df
+    .select(col(idCol).as(outId), col(vecCol).cast("array<double>").as("raw"))
+    .withColumn("nrm", sqrt(dot(col("raw"), col("raw"))))
+    .filter(col("nrm") > 0.0)
+    .select(col(outId),
+      transform(col("raw"), x => x / nullif(col("nrm"), lit(0.0))).as("uv"))
+
+  /** A subspace codebook augmented with −0.5‖c‖² (the dot-argmax trick)
+    * as a plan literal. */
+  private def pqAugLit(book: Array[Array[Double]]): Column =
+    typedLit(book.map(c =>
+      (c :+ (-0.5 * c.map(x => x * x).sum)).toSeq).toSeq)
+
+  /** The m per-subspace PQ code assignments of the `uv` column as ONE
+    * array expression — the projection that IS the encode at any scale. */
+  private def pqCodesCol(
+      books: Array[Array[Array[Double]]], m: Int, d: Int): Column =
+    array((0 until m).map { s =>
+      call_function("best_centroid",
+        concat(slice(col("uv"), s * d + 1, d), array(lit(1.0))),
+        pqAugLit(books(s)), lit(false))
+    }: _*)
+
+  /** The shared train+encode of [[ivfPqTopK]] and [[ivfPqIndexWrite]]:
+    * ONE collected sample trains both artifacts (PQ codebooks + the
+    * coarse quantizer = the first nCentroids nonzero unit vectors by
+    * id), and ONE corpus projection emits (neighbor_id, cent_id,
+    * pq_codes). Sharing the code path is what makes the persisted
+    * index's results equal the in-flight operator's bit-for-bit. */
+  private def ivfPqTrainEncode(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      dims: Int, nCentroids: Int, m: Int, codes: Int, iters: Int
+  ): (Array[Array[Double]], Array[Array[Array[Double]]], DataFrame) = {
+    require(dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
     val d = dims / m
-    val spark = corpus.sparkSession
-    graft.plans.GraftExtensions.register(spark)
-    def unitize(df: DataFrame, outId: String) = df
-      .select(col(idCol).as(outId), col(vecCol).cast("array<double>").as("raw"))
-      .withColumn("nrm", sqrt(dot(col("raw"), col("raw"))))
-      .filter(col("nrm") > 0.0)
-      .select(col(outId),
-        transform(col("raw"), x => x / nullif(col("nrm"), lit(0.0))).as("uv"))
-    // ONE collected sample trains both artifacts: the PQ codebooks and
-    // the coarse quantizer (= the first nCentroids nonzero unit vectors
-    // by id, exactly the old TakeOrdered-collect)
+    graft.plans.GraftExtensions.register(corpus.sparkSession)
     val sample = collectTrainSample(corpus, idCol, vecCol, TrainSampleCap)
       .flatMap { case (vid, v) => unitizeLocal(v).map((vid, _)) }
     val books = pqTrainBooksOnSample(sample, m, codes, iters, d)
-    def augLit(book: Array[Array[Double]]) =
-      typedLit(book.map(c =>
-        (c :+ (-0.5 * c.map(x => x * x).sum)).toSeq).toSeq)
-    val cunit = spreadToCores(unitize(corpus, "neighbor_id"))
     val coarse = sample.take(nCentroids).map(_._2)
     val coarseLit = typedLit(coarse.map(_.toSeq).toSeq)
-    // ONE corpus projection: coarse cell + the m PQ codes
+    val cunit = spreadToCores(unitized(corpus, idCol, vecCol, "neighbor_id"))
     val enc = cunit.select(col("neighbor_id"),
       call_function("best_centroid", col("uv"), coarseLit, lit(false))
         .as("cent_id"),
-      array((0 until m).map { s =>
-        call_function("best_centroid",
-          concat(slice(col("uv"), s * d + 1, d), array(lit(1.0))),
-          augLit(books(s)), lit(false))
-      }: _*).as("pq_codes"))
-    val qunit = unitize(queries, "query_id")
+      pqCodesCol(books, m, d).as("pq_codes"))
+    (coarse, books, enc)
+  }
+
+  /** Each query's `nProbe` max-dot coarse cells (ties to the lower
+    * cent_id). Returns (query_id, cent_id, uv). */
+  private def ivfPqProbes(
+      spark: org.apache.spark.sql.SparkSession,
+      qunit: DataFrame, coarse: Array[Array[Double]], nProbe: Int
+  ): DataFrame = {
     val centDf = spark.createDataFrame(
       coarse.toIndexedSeq.zipWithIndex.map { case (v, i) => (i, v.toSeq) })
       .toDF("cent_id", "centv")
     val probeWin = Window.partitionBy("query_id")
       .orderBy(col("dot_c").desc, col("cent_id").asc)
-    val probes = qunit.join(broadcast(centDf))
+    qunit.join(broadcast(centDf))
       .withColumn("dot_c", dot(col("uv"), col("centv")))
       .withColumn("_pr", row_number().over(probeWin)).filter(col("_pr") <= nProbe)
       .select("query_id", "cent_id", "uv")
-    val probeAdc = probes.select(col("query_id"), col("cent_id"), array((for {
+  }
+
+  /** Per-(query, cell) ADC lookup tables: the m × codes subspace dots as
+    * one query-side array — broadcast metadata, never corpus-sized. */
+  private def ivfPqAdc(
+      probes: DataFrame, books: Array[Array[Array[Double]]],
+      m: Int, codes: Int, d: Int
+  ): DataFrame =
+    probes.select(col("query_id"), col("cent_id"), array((for {
       s <- 0 until m
       c <- 0 until codes
     } yield dot(slice(col("uv"), s * d + 1, d),
       typedLit(books(s)(c).toSeq))): _*).as("adc"))
+
+  /** ADC scoring of the probed encoded cells + final per-query rank —
+    * the serving tail shared by the in-flight and index-served faces. */
+  private def ivfPqRank(
+      enc: DataFrame, probeAdc: DataFrame, k: Int, m: Int, codes: Int
+  ): DataFrame = {
     val fin = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
     enc.join(broadcast(probeAdc), Seq("cent_id"))
@@ -857,6 +907,91 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("score"))
       .withColumn("rank", row_number().over(fin)).filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+  }
+
+  /** Persist an IVF+PQ index — the third face of the index triad
+    * (inverted text: [[graft.io.TextIndex]]; IVF-Flat: [[ivfIndexWrite]])
+    * and at 100 TB THE serving artifact: the stored corpus is m small
+    * ints per vector (m bytes at codes ≤ 256), hive-partitioned by
+    * coarse cell, so a query batch reads nProbe/nCentroids of an
+    * already-512×-smaller corpus. Layout under `dir`:
+    *  - `centroids/` — (cent_id, centv), the coarse quantizer;
+    *  - `codebooks/` — (sub, code, cv), the m × codes PQ codebooks;
+    *  - `meta/` — one row (dims, n_centroids, m, codes), so serving
+    *    verifies against the layout's actual parameters instead of
+    *    trusting the caller (the TextIndex `storedBuckets` discipline);
+    *  - `codes/` — (neighbor_id, pq_codes) `partitionBy(cent_id)`.
+    * Training/encode is [[ivfPqTrainEncode]] — the identical code path
+    * [[ivfPqTopK]] runs, and doubles round-trip parquet exactly, so
+    * [[ivfPqIndexTopK]] over this layout returns what the in-flight
+    * operator computes bit-for-bit (IvfPqIndexSpec pins equality AND
+    * partition pruning). */
+  def ivfPqIndexWrite(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String,
+      dims: Int,
+      nCentroids: Int = 16,
+      m: Int = 4,
+      codes: Int = 16,
+      iters: Int = 2
+  ): Unit = {
+    val spark = corpus.sparkSession
+    val (coarse, books, enc) =
+      ivfPqTrainEncode(corpus, idCol, vecCol, dims, nCentroids, m, codes, iters)
+    spark.createDataFrame(
+        coarse.toIndexedSeq.zipWithIndex.map { case (v, i) => (i, v.toSeq) })
+      .toDF("cent_id", "centv")
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    spark.createDataFrame(
+        for { s <- 0 until m; c <- 0 until codes } yield (s, c, books(s)(c).toSeq))
+      .toDF("sub", "code", "cv")
+      .write.mode("overwrite").parquet(s"$dir/codebooks")
+    spark.createDataFrame(Seq((dims, nCentroids, m, codes)))
+      .toDF("dims", "n_centroids", "m", "codes")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    enc.write.mode("overwrite").partitionBy("cent_id").parquet(s"$dir/codes")
+  }
+
+  /** Top-k over a persisted IVF+PQ index ([[ivfPqIndexWrite]]): the
+    * (tiny) centroid/codebook tables collect as driver metadata, each
+    * query's probed cell ids (query-batch metadata — nQueries × nProbe
+    * ints) become a literal partition predicate, and the codes scan
+    * reads ONLY those cell directories — per-probe cost is
+    * nProbe/nCentroids of the m-bytes-per-vector index, corpus-size-
+    * free. Returns (query_id, rank, neighbor_id, score), identical to
+    * [[ivfPqTopK]] at the same build parameters. */
+  def ivfPqIndexTopK(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int = 4
+  ): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    val meta = spark.read.parquet(s"$dir/meta")
+      .select("dims", "n_centroids", "m", "codes").head()
+    val (dims, m, codes) = (meta.getInt(0), meta.getInt(2), meta.getInt(3))
+    val d = dims / m
+    val coarse = spark.read.parquet(s"$dir/centroids")
+      .select(col("cent_id").cast("int"), col("centv"))
+      .orderBy("cent_id").collect()
+      .map(_.getSeq[Double](1).toArray)
+    val books = Array.fill(m, codes)(Array.empty[Double])
+    spark.read.parquet(s"$dir/codebooks")
+      .select(col("sub").cast("int"), col("code").cast("int"), col("cv"))
+      .collect()
+      .foreach(r => books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+    val qunit = unitized(queries, idCol, vecCol, "query_id")
+    val probes = ivfPqProbes(spark, qunit, coarse, nProbe)
+    val probedCells = probes.select(col("cent_id").cast("int"))
+      .distinct().collect().map(_.getInt(0))
+    val enc = spark.read.parquet(s"$dir/codes")
+      .filter(col("cent_id").isin(probedCells.toIndexedSeq: _*))
+    ivfPqRank(enc, ivfPqAdc(probes, books, m, codes, d), k, m, codes)
   }
 
   /** IVF + PQ with RESIDUAL encoding — the Jégou et al. §IV refinement
