@@ -213,6 +213,10 @@ object Streaming {
   final case class HostQueue(tail: Int, seen: Set[String])
   final case class ScheduledFetch(host: String, url: String,
     priority: Option[Long], fetch_rank: Int, scheduled_offset_sec: Long)
+  /** [[ScheduledFetch]] with the per-host-delay queue's DOUBLE offset
+    * (Crawl-delay is legitimately fractional — the batch dtype rule). */
+  final case class ScheduledFetchD(host: String, url: String,
+    priority: Option[Long], fetch_rank: Int, scheduled_offset_sec: Double)
 
   final case class HllRegs(regs: Map[Int, Int], n_values: Long)
   final case class KeyDistinct(
@@ -394,6 +398,15 @@ object Streaming {
     * URL ties break in UTF-8 binary order, matching the batch
     * window's UTF8String comparison, not Java's UTF-16 order.
     *
+    * INTEGRAL-PRIORITY CONTRACT (the offset-dtype note's sibling): the
+    * priority column is cast to LONG on ingestion — the typed state/
+    * output row needs one concrete type, and every shipped frontier
+    * priority is integer-valued. A fractional priority column (e.g. a
+    * double score) would silently truncate here while the batch
+    * operators order on the native type — pre-scale such scores to
+    * integers (e.g. `round(score * 1e6)`) before feeding the stream,
+    * exactly as the batch/stream parity spec does.
+    *
     * State honesty at scale: the per-host seen-set grows with the
     * host's queue length — the same O(frontier) state any exact
     * URL-dedup keeps (a real crawler backs it with a disk-resident
@@ -451,6 +464,88 @@ object Streaming {
             val rank = prev.tail + i + 1
             ScheduledFetch(host, u, p, rank,
               (rank - 1).toLong * perHostDelaySec)
+          }
+          state.update(HostQueue(prev.tail + fresh.size,
+            prev.seen ++ fresh.map(_._1)))
+          out.iterator
+      }
+  }
+
+  /** STREAMING frontier maintenance with PER-HOST politeness delays
+    * (parity harness #13) — the live face of
+    * [[graft.operators.Frontier.mergeScheduleWithDelays]], completing
+    * the [[frontierStream]] pair the way the batch operators pair: a
+    * fleet honoring robots Crawl-delay needs the HOST'S OWN delay in
+    * the appended offsets, not a global constant. Discovered rows carry
+    * a `delaySecCol` (host-constant, e.g. the [[graft.operators.Robots
+    * .crawlDelays]] join that feeds the batch scheduler; legitimately
+    * fractional, hence the double offset); intra-batch duplicates take
+    * the max non-null delay exactly like the batch merge's `max`
+    * carry-aggregate. Null delays follow the batch policy:
+    * `defaultDelaySec = Some(d)` coalesces the crawler default, `None`
+    * (the default) fails the query loudly on the first null-delay
+    * append, naming the host. Ranking, dedup, rank/offset continuity,
+    * UTF-8 tie order, NULLS-LAST priorities, and the integral-priority
+    * contract are all [[frontierStream]]'s; folding the same batches
+    * through scheduleWithDelays → mergeScheduleWithDelays yields the
+    * identical schedule (StreamingSpec #13, including a delay-carrying
+    * first batch). Per-host state is unchanged — (tail rank, seen set);
+    * the delay is batch data, not state, exactly as in the batch merge
+    * (a later batch's changed delay affects only rows appended from it,
+    * never standing offsets). */
+  def frontierStreamWithDelays(
+      discoveries: DataFrame,
+      hostCol: String,
+      urlCol: String,
+      priorityCol: String,
+      delaySecCol: String,
+      defaultDelaySec: Option[Double] = None
+  ): Dataset[ScheduledFetchD] = {
+    defaultDelaySec.foreach(d =>
+      require(d >= 0, "defaultDelaySec must be non-negative"))
+    val spark = discoveries.sparkSession
+    import spark.implicits._
+    discoveries
+      .select(col(hostCol).cast("string"), col(urlCol).cast("string"),
+        col(priorityCol).cast("long"), col(delaySecCol).cast("double"))
+      .as[(String, String, Option[Long], Option[Double])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[HostQueue, ScheduledFetchD](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (host: String,
+         rows: Iterator[(String, String, Option[Long], Option[Double])],
+         state: GroupState[HostQueue]) =>
+          val prev = state.getOption.getOrElse(HostQueue(0, Set.empty))
+          val fresh = rows.map { case (_, u, p, dl) => (u, p, dl) }.toSeq
+            .groupBy(_._1)
+            .map { case (u, ps) =>
+              val vs = ps.flatMap(_._2)
+              val ds = ps.flatMap(_._3)
+              (u, if (vs.isEmpty) None else Some(vs.max),
+                if (ds.isEmpty) None else Some(ds.max))
+            }
+            .filterNot { case (u, _, _) => prev.seen(u) }
+            .toSeq
+            .sorted(new Ordering[(String, Option[Long], Option[Double])] {
+              def compare(x: (String, Option[Long], Option[Double]),
+                  y: (String, Option[Long], Option[Double])): Int = {
+                val c = (x._2, y._2) match {
+                  case (Some(a), Some(b)) => java.lang.Long.compare(b, a)
+                  case (Some(_), None) => -1 // nulls last under DESC
+                  case (None, Some(_)) => 1
+                  case (None, None) => 0
+                }
+                if (c != 0) c else utf8BinaryCompare(x._1, y._1)
+              }
+            })
+          val out = fresh.zipWithIndex.map { case ((u, p, dl), i) =>
+            val delay = dl.orElse(defaultDelaySec).getOrElse(throw
+              new IllegalStateException(
+                s"Streaming.frontierStreamWithDelays: null delay for host " +
+                  s"$host (column '$delaySecCol'); coalesce a crawler " +
+                  "default upstream or pass defaultDelaySec"))
+            val rank = prev.tail + i + 1
+            ScheduledFetchD(host, u, p, rank, (rank - 1).toDouble * delay)
           }
           state.update(HostQueue(prev.tail + fresh.size,
             prev.seen ++ fresh.map(_._1)))

@@ -685,4 +685,85 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.contains(("a.com", "http://a.com/n1", 9L, 3, 4L)))
     } finally q.stop()
   }
+
+  test("streaming per-host-delay frontier equals the batch fold (#13)") {
+    // the w9 semantics live: appended offsets continue with the HOST'S
+    // OWN delay (fractional on a.com, integral on b.com, missing on
+    // c.com -> the crawler default), across uneven micro-batches with a
+    // delay-carrying FIRST batch. Parity: streamed emissions ==
+    // scheduleWithDelays(batch1) folded through mergeScheduleWithDelays.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val batches = Seq(
+      Seq(("a.com", "http://a.com/q1", Some(5L), Some(2.5)),
+        ("a.com", "http://a.com/q2", Some(3L), Some(2.5)),
+        ("b.com", "http://b.com/q1", Some(1L), Some(7.0)),
+        ("c.com", "http://c.com/q1", Some(4L), None)), // default applies
+      Seq(("a.com", "http://a.com/n1", Some(9L), Some(2.5)),
+        ("a.com", "http://a.com/q1", Some(99L), Some(2.5)), // seen: dropped
+        ("a.com", "http://a.com/n2", Some(2L), Some(2.5)),
+        ("a.com", "http://a.com/n2", Some(7L), Some(2.5)), // dup: max wins
+        ("c.com", "http://c.com/x", Some(6L), None)),
+      Seq(("b.com", "http://b.com/q2", Some(8L), Some(7.0)),
+        ("b.com", "http://b.com/null", None, Some(7.0)))) // null priority last
+    val input = MemoryStream[(String, String, Option[Long], Option[Double])]
+    val q = Streaming.frontierStreamWithDelays(
+        input.toDF().toDF("host", "url", "priority", "delay_sec"),
+        "host", "url", "priority", "delay_sec", defaultDelaySec = Some(1.0))
+      .writeStream.format("memory").queryName("frontier_d")
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      def row(r: org.apache.spark.sql.Row) =
+        (r.getString(0), r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2), r.getInt(3), r.getDouble(4))
+      val streamed = spark.table("frontier_d").collect().map(row).toSet
+      var folded = graft.operators.Frontier.scheduleWithDelays(
+        batches.head.toDF("host", "url", "priority", "delay_sec"),
+        "host", "url", "priority", "delay_sec", defaultDelaySec = Some(1.0))
+      batches.tail.foreach { b =>
+        folded = graft.operators.Frontier.mergeScheduleWithDelays(
+          folded.select("host", "url", "priority", "fetch_rank",
+            "scheduled_offset_sec").localCheckpoint(),
+          b.toDF("host", "url", "priority", "delay_sec"),
+          "host", "url", "priority", "delay_sec",
+          defaultDelaySec = Some(1.0))
+      }
+      val batchSet = folded
+        .select("host", "url", "priority", "fetch_rank", "scheduled_offset_sec")
+        .collect().map(row).toSet
+      assert(streamed === batchSet)
+      // the fractional delay visible in a continued offset: a.com rank 3
+      // appended at (3-1)*2.5 = 5.0 — truncation to long would read 4
+      assert(streamed.contains(("a.com", "http://a.com/n1", 9L, 3, 5.0)))
+      // the defaulted host continued with the default, not a null offset
+      assert(streamed.contains(("c.com", "http://c.com/x", 6L, 2, 1.0)))
+      // null priority ranked last on its host, offset with the host delay
+      assert(streamed.contains(("b.com", "http://b.com/null", -1L, 3, 14.0)))
+    } finally q.stop()
+  }
+
+  test("per-host-delay frontier stream fails loudly on a null delay (#13)") {
+    // the batch null-delay policy, streamed: no default -> the query dies
+    // naming the host instead of emitting a null/zero offset
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(String, String, Option[Long], Option[Double])]
+    val q = Streaming.frontierStreamWithDelays(
+        input.toDF().toDF("host", "url", "priority", "delay_sec"),
+        "host", "url", "priority", "delay_sec")
+      .writeStream.format("memory").queryName("frontier_dx")
+      .outputMode("append").start()
+    try {
+      input.addData(("d.com", "http://d.com/p", Some(1L), None))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("null delay for host d.com")),
+        s"unexpected failure chain: ${messages(e)}")
+    } finally q.stop()
+  }
 }
