@@ -207,6 +207,49 @@ object Robots {
     }.toDF("id", "url", "allowed")
   }
 
+  /** All `Sitemap:` URLs a robots.txt declares, in file order,
+    * deduplicated. Sitemap is NOT group-scoped — sitemaps.org (and
+    * RFC 9309's treatment of unknown records) makes each declaration an
+    * independent, user-agent-free record, so extraction ignores the
+    * surrounding `User-agent` groups entirely (a `Sitemap:` line between
+    * an evilbot group and the `*` group still counts). Values are taken
+    * verbatim after trimming (the protocol requires absolute URLs;
+    * validating/canonicalizing them is the frontier's URL-normalizer's
+    * job, not the parser's). Unparseable/absent robots → no sitemaps. */
+  def sitemapUrls(txt: String): Seq[String] = {
+    if (txt == null) return Nil
+    txt.split("\n").toSeq.flatMap { line0 =>
+      val line = line0.takeWhile(_ != '#').trim
+      val colon = line.indexOf(':')
+      if (colon > 0 &&
+          line.substring(0, colon).trim
+            .toLowerCase(java.util.Locale.ROOT) == "sitemap") {
+        val v = line.substring(colon + 1).trim
+        if (v.nonEmpty) Some(v) else None
+      } else None
+    }.distinct
+  }
+
+  /** Per-host sitemap discovery table: `(host, sitemap_url)` from each
+    * host's robots.txt `Sitemap:` declarations — the missing link
+    * between the politeness surface and [[graft.sources.Sitemaps]]
+    * parsing (robots points at sitemaps; sitemaps enumerate the URLs;
+    * [[Frontier]] schedules them). Hosts declaring none are omitted.
+    * Same host-cardinality shape and deterministic min-text dedup as
+    * [[crawlDelays]], so the result is broadcast-sized discovery
+    * metadata at any corpus scale. */
+  def sitemapDeclarations(robots: DataFrame): DataFrame = {
+    val spark = robots.sparkSession
+    import spark.implicits._
+    robots.select(col("host").as("_host"), col("robots_txt").as("_txt"))
+      .groupBy("_host").agg(min("_txt").as("_txt"))
+      .as[(String, String)]
+      .mapPartitions(_.flatMap { case (host, txt) =>
+        sitemapUrls(txt).map(u => (host, u))
+      })
+      .toDF("host", "sitemap_url")
+  }
+
   /** Per-host Crawl-delay table for `agent`: `(host, crawl_delay_sec)`,
     * hosts whose robots.txt declares none omitted (join with a left +
     * coalesce to apply a politeness default). The input is

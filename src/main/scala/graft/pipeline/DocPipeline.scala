@@ -30,6 +30,13 @@ final case class DocPipelineConfig(
 
 final case class DocPipelineResult(kept: DataFrame, summary: DataFrame)
 
+/** [[DocPipeline.incrementalCurate]]'s three faces: the full diff surface
+  * (id, status), the re-scored delta (id, keep — added+changed docs ONLY,
+  * the work-proportionality witness), and the next standing kept corpus
+  * (the input schema). */
+final case class IncrementalCurationResult(
+    diff: DataFrame, rescored: DataFrame, keptNext: DataFrame)
+
 /** The LLM-side counterpart of the datacube [[Pipeline]]: one entry
   * point that runs a curation RECIPE — exact dedup → quality gate →
   * decontamination → token-budget selection — over a document corpus,
@@ -240,5 +247,61 @@ object DocPipeline {
     val summary = spark.createDataFrame(stages.result())
       .toDF("stage", "n_in", "n_out")
     DocPipelineResult(kept, summary)
+  }
+
+  /** The STEADY-STATE curation loop — the incremental analogue of [[run]]
+    * for a corpus that re-snapshots continuously: diff the snapshots
+    * ([[Dedup.corpusDiff]] — one hash pass, the only work that touches
+    * unchanged text), re-run the quality gate over the CHANGED sliver
+    * only (added + changed ids — the unchanged corpus is never re-scored,
+    * re-shingled, or re-indexed, so per-round cost is delta-proportional,
+    * the [[graft.operators.Frontier.mergeSchedule]] discipline applied to
+    * curation), then update the standing kept corpus in one pass:
+    * [[Dedup.mergeUpsert]] replaces re-decided keys with their keepers,
+    * and an eviction anti-join drops removed ids and
+    * changed-but-now-failing ids. Standing-index maintenance composes on
+    * the OUTPUT slivers: the ADDED keepers are exactly what
+    * [[graft.io.TextIndex.appendToIndex]] / [[graft.io.BandIndex
+    * .appendToIndex]] take (id-disjoint by construction —
+    * PipelineComposeSpec pins the composed equality).
+    *
+    * CONVERGENCE CONTRACT (what the w11 oracle adjudicates): when
+    * `standingKept` is the gate's output over `prevSnapshot` and ids are
+    * unique per snapshot, `keptNext` equals the gate run from scratch
+    * over `curSnapshot` — incremental maintenance never drifts from the
+    * batch result. An unchanged doc's membership is its standing
+    * decision (same text ⇒ same gate), a changed/added doc's is its
+    * fresh score, a removed doc is gone.
+    *
+    * `standingKept` must share `curSnapshot`'s schema (the
+    * [[Dedup.mergeUpsert]] contract). The gate is
+    * [[TextFunctions.qualityFilter]]'s composite keep — [[run]]'s
+    * quality stage, re-expressed over the delta. */
+  def incrementalCurate(
+      prevSnapshot: DataFrame,
+      curSnapshot: DataFrame,
+      standingKept: DataFrame,
+      idCol: String,
+      textCol: String
+  ): IncrementalCurationResult = {
+    require(standingKept.columns.sameElements(curSnapshot.columns),
+      "standingKept must share curSnapshot's schema (mergeUpsert's contract)")
+    val diff = Dedup.corpusDiff(prevSnapshot, curSnapshot, idCol, textCol)
+    // the changed sliver: metadata-sized id frame, semi-joined so the
+    // score projection sits ABOVE the delta restriction — only delta
+    // rows ever reach the gate expression
+    val deltaIds = diff.filter(col("status").isin("added", "changed"))
+      .select(col(idCol))
+    val delta = curSnapshot.join(deltaIds, Seq(idCol), "left_semi")
+    val scored = delta.withColumn("__graft_keep",
+      TextFunctions.qualityFilter(textCol).getField("keep"))
+    val rescored = scored.select(col(idCol), col("__graft_keep").as("keep"))
+    val deltaKept = scored.filter(col("__graft_keep")).drop("__graft_keep")
+    // evictions: snapshot-removed ids + changed-docs the gate now fails
+    val evictIds = diff.filter(col("status") === "removed").select(col(idCol))
+      .unionByName(rescored.filter(!col("keep")).select(col(idCol)))
+    val keptNext = Dedup.mergeUpsert(standingKept, deltaKept, Seq(idCol))
+      .join(evictIds, Seq(idCol), "left_anti")
+    IncrementalCurationResult(diff, rescored, keptNext)
   }
 }

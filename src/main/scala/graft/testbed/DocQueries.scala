@@ -217,6 +217,38 @@ object DocQueries {
       ix
     })
 
+  /** The persisted IVF+PQ index serving ir4 (built by ir3's first touch,
+    * then shared) — the v11 geometry (16 cells, 4×16 codes, 2 Lloyd
+    * passes), so the index-served search mirrors v11's oracle exactly.
+    * Path cache is driver metadata like [[textIndexDir]]. */
+  private val ivfPqDirCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+  private def ivfPqIndexDir(s: SparkSession, dir: String): String =
+    ivfPqDirCache.getOrElseUpdate((s, dir), {
+      val ix = java.nio.file.Files.createTempDirectory("graft-ivfpq-index").toString
+      Similarity.ivfPqIndexWrite(table(s, dir, "embeddings"), "vec_id",
+        "embedding", ix, dims = 64, nCentroids = 16, m = 4, codes = 16, iters = 2)
+      ix
+    })
+
+  /** The persisted MinHash band index serving ir5 — the d17 corpus split
+    * (reference < 250) built as write(< 150) + append(150..249), so the
+    * battery's oracle gate exercises the APPEND face too: a probe over
+    * the appended index must equal d17's in-flight result exactly. */
+  private val bandDirCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+  private def bandIndexDir(s: SparkSession, dir: String): String =
+    bandDirCache.getOrElseUpdate((s, dir), {
+      val ix = java.nio.file.Files.createTempDirectory("graft-band-index").toString
+      val docs = table(s, dir, "documents")
+      graft.io.BandIndex.writeIndex(docs.filter(col("doc_id") < 150),
+        "doc_id", "text", ix, n = 3, numHashes = 64, bands = 16)
+      graft.io.BandIndex.appendToIndex(
+        docs.filter(col("doc_id") >= 150 && col("doc_id") < 250),
+        "doc_id", "text", ix)
+      ix
+    })
+
   /** The t37/t38 learned BPE merge table, shared like the classifier
     * model (metadata: 3 string pairs). */
   private val bpeCache = scala.collection.concurrent.TrieMap
@@ -1033,7 +1065,7 @@ object DocQueries {
     * holder of that canonical URL and survives). nearMaxHamming 10
     * matches d9 so the near-dedup stage actually bites on this
     * corpus. */
-  private def crawlRun(s: SparkSession, dir: String)
+  private[testbed] def crawlRun(s: SparkSession, dir: String)
       : graft.pipeline.CrawlPipelineResult = {
     import s.implicits._
     val robotsDf = (0 until 7).map { k =>
@@ -1100,6 +1132,26 @@ object DocQueries {
       (s"site$k.com",
         "User-agent: evilbot\nCrawl-delay: 99\nDisallow: /\n\n" +
           specific + star)
+    }.toDF("host", "robots_txt")
+  }
+
+  /** The w10 discovery fixture: per-host robots texts with `Sitemap:`
+    * records interleaved BETWEEN the evilbot and `*` groups (extraction
+    * must be group-independent — a group-scoped parser would attribute
+    * them to evilbot and drop them): every host declares /sm0.xml, even
+    * hosts also /sm1.xml, host 4 declares none (omitted from
+    * discovery). */
+  private def sitemapRobots(spark: SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    (0 until 7).map { k =>
+      val sm0 = s"Sitemap: http://site$k.com/sm0.xml\n"
+      val sm1 = if (k % 2 == 0) s"Sitemap: http://site$k.com/sm1.xml\n" else ""
+      val decls = if (k == 4) "" else sm0 + sm1
+      (s"site$k.com",
+        "User-agent: evilbot\nCrawl-delay: 99\nDisallow: /\n\n" +
+          decls +
+          s"User-agent: *\nCrawl-delay: ${k + 1}\n")
     }.toDF("host", "robots_txt")
   }
 
@@ -1689,6 +1741,47 @@ object DocQueries {
       graft.io.TextIndex.phraseSearchIndex(s, textIndexDir(s, dir),
           Seq("table", "table"))
         .orderBy("doc_id")),
+
+    // IR3: the IVF+PQ index BUILD as its own battery entry (the ir0 move
+    // for the vector index): one train sample + one corpus projection +
+    // a cell-partitioned write of m-ints-per-vector codes — the
+    // ingest-time cost ir4 amortizes. Runs before ir4 (alphabetical), so
+    // ir4 measures SERVING. Emits the per-cell code counts; the oracle
+    // recomputes the coarse assignment independently (the v11 CTE chain)
+    "ir3_ivfpq_index_build" -> ((s, dir) => {
+      val ix = ivfPqIndexDir(s, dir)
+      s.read.parquet(s"$ix/codes")
+        .groupBy(col("cent_id").cast("long").as("cent_id"))
+        .agg(count(lit(1)).as("n_vecs"))
+        .orderBy("cent_id")
+    }),
+
+    // IR4: IVF+PQ top-k SERVED FROM THE PERSISTED INDEX — the 100 TB
+    // serving artifact: centroids/codebooks collect as driver metadata,
+    // the probed cells become a partition predicate, and the scan reads
+    // nProbe/nCentroids of an m-bytes-per-vector corpus. Identical
+    // output to v11 (IvfPqIndexSpec pins index == in-flight bit-for-bit
+    // plus the partition pruning), so the v11 oracle mirrors it
+    "ir4_ivfpq_search" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Similarity.ivfPqIndexTopK(s, ivfPqIndexDir(s, dir),
+          emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+          k = 3, nProbe = 4)
+        .orderBy("query_id", "rank")
+    }),
+
+    // IR5: incremental near-dup SERVED FROM THE PERSISTED BAND INDEX —
+    // the standing corpus's band table lives on disk (built < 150,
+    // APPENDED 150..249 — the append face is inside the oracle gate),
+    // and the batch (>= 250) probes only its own bands' bucket
+    // directories. Identical output to d17 (BandIndexSpec pins probe ==
+    // in-flight, append == rebuild, and the bucket pruning)
+    "ir5_neardup_index_probe" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      graft.io.BandIndex.probe(s, bandIndexDir(s, dir),
+          docs.filter(col("doc_id") >= 250), "doc_id", "text")
+        .orderBy("doc_id", "ref_id")
+    }),
 
     // T42: Unicode NFC normalization (native nfc_normalize expression,
     // JDK Normalizer) — per-doc payloads get decomposed sequences
@@ -2581,6 +2674,98 @@ object DocQueries {
         .orderBy("doc_id", "loc")
     }),
 
+    // W11: the STEADY-STATE curation loop — corpusDiff → re-score the
+    // CHANGED sliver only → mergeUpsert + eviction into the standing
+    // kept corpus (DocPipeline.incrementalCurate). The fixture derives
+    // both snapshots from arithmetic: %13=5 docs are ADDED (absent from
+    // prev), %9=2 docs CHANGED (prev carried text||' OLD'), retired
+    // ids (doc_id+1000000) were REMOVED; the standing kept corpus is
+    // the gate's own output over prev. The oracle adjudicates the
+    // CONVERGENCE contract: the incrementally-maintained keep-set must
+    // equal the t15 gate run from scratch over the current snapshot,
+    // with each kept doc's diff status restated from the arithmetic —
+    // drift between incremental and batch curation is exactly what
+    // this hash-compare would catch. (PipelineComposeSpec pins the
+    // delta-proportionality and the index-append composition.)
+    "w11_incremental_curation" -> ((s, dir) => {
+      val id = col("doc_id")
+      val cur = table(s, dir, "documents").select(id, col("text"))
+      val prevBase = cur.filter(!(id % 13 === 5))
+        .select(id, when(id % 9 === 2, concat(col("text"), lit(" OLD")))
+          .otherwise(col("text")).as("text"))
+      val retired = cur.filter(id % 17 === 4)
+        .select((id + 1000000L).as("doc_id"), col("text"))
+      val prev = prevBase.unionByName(retired)
+      val standingKept = prev.filter(
+        TextFunctions.qualityFilter("text").getField("keep"))
+      val res = graft.pipeline.DocPipeline.incrementalCurate(
+        prev, cur, standingKept, "doc_id", "text")
+      res.keptNext
+        .join(res.diff, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("status"),
+          TextFunctions.textStats("text").getField("n_tokens")
+            .cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // W10: robots `Sitemap:` discovery composed with the frontier — the
+    // reference-free gap between the crawl pieces closed in ONE plan:
+    // per-host robots texts carry Sitemap records BETWEEN user-agent
+    // groups (extraction is group-independent — host 4 declares none,
+    // odd hosts declare /sm0 only, even hosts /sm0+/sm1), each declared
+    // sitemap is "fetched" as a urlset synthesized from the host's
+    // documents (parity j of doc_id picks which sitemap lists it), the
+    // real Sitemaps grammar parses the entry stream, lastmod freshness
+    // becomes the priority (day of month — a real scheduler's
+    // fresher-first policy), and Frontier.mergeSchedule appends the
+    // discoveries after a standing queue's tails under the merged cap.
+    // The oracle restates discovery (which hosts/docs are listed at
+    // all), priorities, and both rank windows from the arithmetic.
+    "w10_sitemap_discovery_schedule" -> ((s, dir) => {
+      val id = col("doc_id")
+      val decls = graft.operators.Robots
+        .sitemapDeclarations(sitemapRobots(s))
+        .withColumn("k",
+          regexp_extract(col("host"), "site([0-9]+)", 1).cast("long"))
+        .withColumn("j",
+          regexp_extract(col("sitemap_url"), "sm([0-9]+)", 1).cast("long"))
+      val blocks = table(s, dir, "documents")
+        .select((id % 7).as("k"), (id % 2).as("j"), id.as("i"),
+          concat(lit("<url><loc>http://site"), id % 7, lit(".com/sd"),
+            id.cast("string"), lit("</loc><lastmod>2024-01-"),
+            lpad((id % 28 + 1).cast("string"), 2, "0"),
+            lit("</lastmod></url>")).as("block"))
+      val xmls = decls.join(blocks, Seq("k", "j"))
+        .withColumn("sid", col("k") * 10 + col("j"))
+        .groupBy("sid")
+        .agg(concat(lit("<urlset>\n"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("i"), col("block")))),
+            x => x.getField("block")), "\n"),
+          lit("\n</urlset>")).as("xml"))
+      val discovered = Sitemaps.entries(xmls, "sid", "xml")
+        .select(TextFunctions.urlHost(col("loc")).as("host"),
+          col("loc").as("url"),
+          dayofmonth(to_date(col("lastmod"))).cast("long").as("priority"))
+      val standingU = table(s, dir, "documents")
+        .select(concat(lit("site"), id % 7, lit(".com")).as("host"),
+          concat(lit("http://site"), id % 7, lit(".com/p"),
+            (id % 10).cast("string")).as("url"),
+          id)
+        .groupBy("host", "url").agg(min("doc_id").as("keeper"))
+        .select(col("host"), col("url"),
+          ((col("keeper") * 7) % 100).as("priority"))
+      val standing = graft.operators.Frontier.schedule(standingU,
+        "host", "url", "priority", perHostDelaySec = 2)
+      graft.operators.Frontier.mergeSchedule(standing, discovered,
+          "host", "url", "priority", perHostDelaySec = 2,
+          maxPerHost = Some(16))
+        .select(col("host"), col("url"), col("priority"),
+          col("fetch_rank").cast("long").as("fetch_rank"),
+          col("scheduled_offset_sec"))
+        .orderBy("host", "fetch_rank")
+    }),
+
     // W3: the whole crawl front end as ONE orchestrator — WARC walk →
     // canonical-URL dedup → robots legality → HTML extraction →
     // language gate → quality gate → exact dedup → simhash near-dedup
@@ -3048,6 +3233,31 @@ object DocQueries {
          |FROM ranked WHERE "rank" <= 3
          |ORDER BY query_id, "rank"""".stripMargin
 
+  /** The v11 IVF+PQ mirror, shared with ir4: the index-served search is
+    * bit-identical to the in-flight operator (IvfPqIndexSpec), so one
+    * oracle adjudicates both. */
+  private lazy val ivfPqTopkSql: String =
+    s"""WITH ${pqCtes(4, 16, 2, 64)},
+       |${ivfPqScoredCte(4, 2, 64, 16, 4)},
+       | ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS "rank"
+       |  FROM scored
+       | )
+       |SELECT query_id, "rank", neighbor_id, score
+       |FROM ranked WHERE "rank" <= 3
+       |ORDER BY query_id, "rank"""".stripMargin
+
+  /** The d17 incremental near-dup mirror, shared with ir5 (probe ==
+    * in-flight == this restatement, BandIndexSpec). */
+  private lazy val incrementalNearDupSql: String =
+    s"""$wCte,
+       |$minhashBandCtes
+       |SELECT a.doc_id AS doc_id, b.doc_id AS ref_id, COUNT(*) AS shared_bands
+       |FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh
+       |WHERE a.doc_id >= 250 AND b.doc_id < 250
+       |GROUP BY 1, 2
+       |ORDER BY doc_id, ref_id""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "d00_corpus_warmup" ->
       """SELECT 'documents' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows FROM documents
@@ -3225,14 +3435,12 @@ object DocQueries {
     // D17: the same band chain, asymmetric join across the 250 split —
     // batch (>= 250) vs reference (< 250) only, mirroring
     // Dedup.incrementalNearDup over the in-table corpus split
-    "d17_incremental_neardup" ->
-      s"""$wCte,
-         |$minhashBandCtes
-         |SELECT a.doc_id AS doc_id, b.doc_id AS ref_id, COUNT(*) AS shared_bands
-         |FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh
-         |WHERE a.doc_id >= 250 AND b.doc_id < 250
-         |GROUP BY 1, 2
-         |ORDER BY doc_id, ref_id""".stripMargin,
+    "d17_incremental_neardup" -> incrementalNearDupSql,
+
+    // IR5: the index-served probe — bit-identical to d17 by the
+    // BandIndexSpec contract (probe == in-flight, append == rebuild),
+    // so the same mirror adjudicates both
+    "ir5_neardup_index_probe" -> incrementalNearDupSql,
 
     // D18: 32-token non-overlapping chunk hashes; first occurrence in
     // (doc_id, chunk_id) order is canonical, the rest are duplicates
@@ -3793,16 +4001,37 @@ object DocQueries {
 
     // V11: the IVF+PQ chain — pqCtes' Lloyd/encode plus the coarse
     // probe restriction (cells = first 16 unit vectors, plain-dot argmax)
-    "v11_ivfpq_topk" ->
-      s"""WITH ${pqCtes(4, 16, 2, 64)},
-         |${ivfPqScoredCte(4, 2, 64, 16, 4)},
-         | ranked AS (
-         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS "rank"
-         |  FROM scored
-         | )
-         |SELECT query_id, "rank", neighbor_id, score
-         |FROM ranked WHERE "rank" <= 3
-         |ORDER BY query_id, "rank"""".stripMargin,
+    "v11_ivfpq_topk" -> ivfPqTopkSql,
+
+    // IR4: the index-served IVF+PQ search — bit-identical to v11 by the
+    // IvfPqIndexSpec contract, so the same mirror adjudicates both
+    "ir4_ivfpq_search" -> ivfPqTopkSql,
+
+    // IR3: the persisted index's per-cell code counts — the coarse
+    // assignment recomputed independently (the v11 chain's coarse/cassign
+    // CTEs) and aggregated
+    "ir3_ivfpq_index_build" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        | unit AS (
+        |  SELECT vec_id, list_transform(v, x -> x / nrm) AS uv
+        |  FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+        |  WHERE nrm > 0
+        | ),
+        | coarse AS (
+        |  SELECT * FROM (
+        |   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cent_id, uv AS centv
+        |   FROM unit) WHERE cent_id < 16
+        | ),
+        | cassign AS (
+        |  SELECT vec_id, cent_id FROM (
+        |   SELECT u.vec_id, c.cent_id,
+        |          ROW_NUMBER() OVER (PARTITION BY u.vec_id ORDER BY
+        |            list_dot_product(u.uv, c.centv) DESC, c.cent_id) AS rn
+        |   FROM unit u CROSS JOIN coarse c) WHERE rn = 1
+        | )
+        |SELECT CAST(cent_id AS BIGINT) AS cent_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_vecs
+        |FROM cassign GROUP BY cent_id ORDER BY cent_id""".stripMargin,
 
     // V12: the residual (IVFADC) chain — pqCtes trained on the rv
     // residual frame, scored as probe dot + residual lookups
@@ -5179,6 +5408,74 @@ object DocQueries {
         | )
         |SELECT host, url, priority, CAST(fetch_rank AS BIGINT) AS fetch_rank,
         |       CAST((fetch_rank - 1) * delay_sec AS DOUBLE) AS scheduled_offset_sec
+        |FROM merged ORDER BY host, fetch_rank""".stripMargin,
+
+    // W11: the convergence contract adjudicated — the incrementally
+    // maintained keep-set must equal the t15 gate run from scratch over
+    // the current snapshot (same `s` CTE as t15), statuses restated
+    // from the %13/%9 arithmetic (added wins when both apply; retired
+    // +1000000 ids are absent from the current snapshot by construction)
+    "w11_incremental_curation" ->
+      s"""$wCte,
+         | s AS (
+         |  SELECT doc_id, nt,
+         |         len(list_distinct(ws)) * 1.0 / nt AS ttr,
+         |         (length(norm) - (nt - 1)) * 1.0 / nt AS avg_len,
+         |         (length(norm) - length(regexp_replace(norm, '[^a-zA-Z0-9 ]', '', 'g'))) * 1.0
+         |           / length(norm) AS punct,
+         |         len(list_filter(ws, t -> ${inList("t", TextFunctions.Stopwords)})) * 1.0 / nt AS swr
+         |  FROM w
+         | )
+         |SELECT doc_id,
+         |       CASE WHEN doc_id % 13 = 5 THEN 'added'
+         |            WHEN doc_id % 9 = 2 THEN 'changed'
+         |            ELSE 'unchanged' END AS status,
+         |       CAST(nt AS BIGINT) AS n_tokens
+         |FROM s
+         |WHERE (nt BETWEEN 20 AND 80) AND ttr >= 0.4 AND swr >= 0.05
+         |  AND punct <= 0.1 AND (avg_len BETWEEN 3.0 AND 6.0)
+         |ORDER BY doc_id""".stripMargin,
+
+    // W10: discovery restated from the fixture arithmetic — a doc is
+    // listed at all iff its host declares the sitemap of its parity
+    // (host 4 none, odd hosts j=0 only, even hosts both); priority =
+    // the lastmod day (doc_id % 28 + 1); standing = the %10 universe's
+    // schedule; appended ranks continue each host's tail under cap 16
+    "w10_sitemap_discovery_schedule" ->
+      """WITH su AS (
+        |  SELECT 'site' || (doc_id % 7) || '.com' AS host,
+        |         'http://site' || (doc_id % 7) || '.com/p' || (doc_id % 10) AS url,
+        |         MIN(doc_id) AS keeper
+        |  FROM documents GROUP BY 1, 2
+        | ),
+        | standing AS (
+        |  SELECT host, url, CAST((keeper * 7) % 100 AS BIGINT) AS priority,
+        |         ROW_NUMBER() OVER (PARTITION BY host
+        |           ORDER BY (keeper * 7) % 100 DESC, url) AS fetch_rank
+        |  FROM su
+        | ),
+        | disc AS (
+        |  SELECT 'site' || (doc_id % 7) || '.com' AS host,
+        |         'http://site' || (doc_id % 7) || '.com/sd' || doc_id AS url,
+        |         CAST(doc_id % 28 + 1 AS BIGINT) AS priority
+        |  FROM documents
+        |  WHERE (doc_id % 7) <> 4
+        |    AND ((doc_id % 7) % 2 = 0 OR doc_id % 2 = 0)
+        | ),
+        | base AS (SELECT host, MAX(fetch_rank) AS mr FROM standing GROUP BY 1),
+        | app AS (
+        |  SELECT d.host, d.url, d.priority,
+        |         COALESCE(b.mr, 0) + ROW_NUMBER() OVER (PARTITION BY d.host
+        |           ORDER BY d.priority DESC, d.url) AS fetch_rank
+        |  FROM disc d LEFT JOIN base b ON d.host = b.host
+        | ),
+        | merged AS (
+        |  SELECT host, url, priority, fetch_rank FROM standing
+        |  UNION ALL
+        |  SELECT host, url, priority, fetch_rank FROM app WHERE fetch_rank <= 16
+        | )
+        |SELECT host, url, priority, CAST(fetch_rank AS BIGINT) AS fetch_rank,
+        |       CAST((fetch_rank - 1) * 2 AS BIGINT) AS scheduled_offset_sec
         |FROM merged ORDER BY host, fetch_rank""".stripMargin,
 
     // W8: the crawl keep-set rebuilt through the same CTE chain as

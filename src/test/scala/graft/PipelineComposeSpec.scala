@@ -76,4 +76,83 @@ class PipelineComposeSpec extends SparkSpec {
       "00_input" -> ((3L, 3L)),
       "40_token_budget" -> ((3L, 2L))))
   }
+
+  test("incrementalCurate: convergence, delta-proportional work, plan shape") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val id = col("doc_id")
+    val cur = docs.select(id, col("text"))
+    val prev = cur.filter(!(id % 13 === 5))
+      .select(id, when(id % 9 === 2, concat(col("text"), lit(" OLD")))
+        .otherwise(col("text")).as("text"))
+      .unionByName(cur.filter(id % 17 === 4)
+        .select((id + 1000000L).as("doc_id"), col("text")))
+    val standingKept = prev.filter(
+      TextFunctions.qualityFilter("text").getField("keep"))
+    val res = DocPipeline.incrementalCurate(
+      prev, cur, standingKept, "doc_id", "text")
+
+    // CONVERGENCE: incremental maintenance == the gate from scratch
+    val batch = cur.filter(TextFunctions.qualityFilter("text").getField("keep"))
+    assert(rowSet(res.keptNext.orderBy("doc_id")) ===
+      rowSet(batch.orderBy("doc_id")),
+      "incrementally maintained keep-set drifted from the batch gate")
+    assert(res.keptNext.count() > 0)
+
+    // DELTA-PROPORTIONAL: only added+changed docs were re-scored
+    val nDelta = cur
+      .filter((id % 13 === 5) || (id % 9 === 2)).count()
+    assert(res.rescored.count() === nDelta,
+      "re-scoring touched rows outside the added+changed sliver")
+
+    // PLAN SHAPE: the gate projection sits ABOVE the delta semi-join —
+    // the quality expression is only ever evaluated on delta rows
+    // the gate is a tree of built-in expressions aliased `keep`; its
+    // Project must print ABOVE (= evaluate on the output of) the semi join
+    val plan = res.rescored.queryExecution.optimizedPlan.toString
+    val gateAt = plan.indexOf(" AS keep#")
+    val semiAt = plan.indexOf("Join LeftSemi")
+    assert(gateAt >= 0 && semiAt >= 0 && gateAt < semiAt,
+      s"gate not restricted to the delta:\n$plan")
+  }
+
+  test("incrementalCurate output slivers drive the standing-index appends") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val id = col("doc_id")
+    val cur = docs.select(id, col("text"))
+    val prev = cur.filter(!(id % 13 === 5))
+    val standingKept = prev.filter(
+      TextFunctions.qualityFilter("text").getField("keep"))
+    val res = DocPipeline.incrementalCurate(
+      prev, cur, standingKept, "doc_id", "text")
+    // the ADDED keepers — id-disjoint from the standing corpus by
+    // construction, exactly the append-face contract of both indexes
+    val addedKept = res.keptNext.join(
+      res.diff.filter(col("status") === "added"), Seq("doc_id"), "left_semi")
+    assert(addedKept.count() > 0, "fixture produced no added keepers")
+
+    // text index: standing build + loop-driven append == full rebuild
+    val dirA = java.nio.file.Files.createTempDirectory("graft-loop-ti-a").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft-loop-ti-b").toString
+    graft.io.TextIndex.writeIndex(standingKept, "doc_id", "text", dirA, buckets = 16)
+    graft.io.TextIndex.appendToIndex(addedKept, "doc_id", "text", dirA)
+    graft.io.TextIndex.writeIndex(res.keptNext, "doc_id", "text", dirB, buckets = 16)
+    val qTerms = Seq("the", "and")
+    assert(
+      rowSet(graft.io.TextIndex.bm25SearchIndex(spark, dirA, qTerms, k = 10)) ===
+        rowSet(graft.io.TextIndex.bm25SearchIndex(spark, dirB, qTerms, k = 10)),
+      "appended text index diverged from a rebuild over keptNext")
+
+    // band index: same contract through BandIndex.appendToIndex
+    val dirC = java.nio.file.Files.createTempDirectory("graft-loop-bi-a").toString
+    val dirD = java.nio.file.Files.createTempDirectory("graft-loop-bi-b").toString
+    graft.io.BandIndex.writeIndex(standingKept, "doc_id", "text", dirC)
+    graft.io.BandIndex.appendToIndex(addedKept, "doc_id", "text", dirC)
+    graft.io.BandIndex.writeIndex(res.keptNext, "doc_id", "text", dirD)
+    val probeBatch = Seq((9000001L, t1), (9000002L, t2)).toDF("doc_id", "text")
+    assert(
+      rowSet(graft.io.BandIndex.probe(spark, dirC, probeBatch, "doc_id", "text")) ===
+        rowSet(graft.io.BandIndex.probe(spark, dirD, probeBatch, "doc_id", "text")),
+      "appended band index diverged from a rebuild over keptNext")
+  }
 }

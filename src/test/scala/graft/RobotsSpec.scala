@@ -180,4 +180,40 @@ class RobotsSpec extends SparkSpec {
     assert(out === Map(1L -> false, 2L -> true, 3L -> true,
       4L -> true, 5L -> true))
   }
+
+  test("sitemapUrls: group-free extraction, dedup, trimming, tolerance") {
+    // Sitemap is not group-scoped: declarations before, between, and
+    // inside user-agent groups all count, for every crawler
+    val txt =
+      "Sitemap: http://a.com/top.xml\n" +
+        "User-agent: evilbot\nDisallow: /\n" +
+        "Sitemap:   http://a.com/mid.xml  \n" +
+        "\nUser-agent: *\nCrawl-delay: 2\n" +
+        "sitemap: http://a.com/lower.xml\n" + // key is case-insensitive
+        "Sitemap: http://a.com/top.xml\n" +   // duplicate: once
+        "Sitemap:\n" +                        // empty value: ignored
+        "# Sitemap: http://a.com/comment.xml\n"
+    assert(Robots.sitemapUrls(txt) === Seq("http://a.com/top.xml",
+      "http://a.com/mid.xml", "http://a.com/lower.xml"))
+    // and the group parsing is undisturbed by the interleaved records
+    assert(Robots.crawlDelaySeconds(txt, "graftbot") === Some(2.0))
+    assert(Robots.sitemapUrls("<html>404</html>") === Nil)
+    assert(Robots.sitemapUrls(null) === Nil)
+  }
+
+  test("sitemapDeclarations: per-host table, min-text dedup, omission") {
+    import spark.implicits._
+    val robots = Seq(
+      ("a.com", "User-agent: *\nDisallow: /x\nSitemap: http://a.com/s1.xml\nSitemap: http://a.com/s2.xml\n"),
+      // duplicate host rows: lexicographic MIN text decides (the
+      // filterByRobots/crawlDelays contract) — 'A...' < 'Sitemap...'
+      ("b.com", "Sitemap: http://b.com/from-larger.xml\n"),
+      ("b.com", "Allow: /\n"),
+      ("c.com", "User-agent: *\nDisallow: /\n")) // none declared: omitted
+      .toDF("host", "robots_txt")
+    val out = Robots.sitemapDeclarations(robots)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out === Set(
+      ("a.com", "http://a.com/s1.xml"), ("a.com", "http://a.com/s2.xml")))
+  }
 }
