@@ -73,19 +73,36 @@ final case class FileWriter(bucketDir: String) extends Writer {
   *
   * @param confKV Hadoop configuration overrides (endpoint, credentials)
   *               carried as data so the task closure stays serializable.
+  * @param rawLocal `file:`-scheme URIs ONLY (other schemes ignore it —
+  *               s3a is unaffected): bypass Hadoop's checksummed
+  *               LocalFileSystem, which writes a `.crc` sidecar per
+  *               object — 2× creates, measured at exactly ½ fan-out
+  *               throughput on the 1.64M-object tile rehearsal
+  *               (SCALE.md round-16). The raw filesystem is also the
+  *               honest analogue of the production S3 path (one PUT per
+  *               object, integrity on the server side). The write
+  *               contract is unchanged: a throw still propagates and
+  *               fails the task (WriterFaultSpec).
   */
-final case class HadoopFsWriter(baseUri: String, confKV: Map[String, String] = Map.empty)
+final case class HadoopFsWriter(baseUri: String,
+    confKV: Map[String, String] = Map.empty,
+    rawLocal: Boolean = false)
     extends Writer {
   @transient private lazy val fs = {
     val conf = new org.apache.hadoop.conf.Configuration()
     confKV.foreach { case (k, v) => conf.set(k, v) }
     val uri = java.net.URI.create(baseUri)
+    val wantRaw = rawLocal && uri.getScheme == "file"
+    if (wantRaw)
+      conf.set("fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
     // FileSystem.get caches by scheme/authority only — if Spark already
     // opened this bucket with cluster config, the cached instance wins and
-    // every confKV override (endpoint, credentials) is silently dropped.
-    // With overrides present, force a private instance; it lives for the
-    // executor JVM (this val is a per-JVM lazy singleton).
-    if (confKV.nonEmpty) org.apache.hadoop.fs.FileSystem.newInstance(uri, conf)
+    // every confKV override (endpoint, credentials — or the raw-local
+    // impl) is silently dropped. With overrides present, force a private
+    // instance; it lives for the executor JVM (this val is a per-JVM lazy
+    // singleton).
+    if (confKV.nonEmpty || wantRaw)
+      org.apache.hadoop.fs.FileSystem.newInstance(uri, conf)
     else org.apache.hadoop.fs.FileSystem.get(uri, conf)
   }
   override def write(body: Array[Byte], path: String): Unit = {

@@ -41,6 +41,26 @@ object ProfileW4 {
     val w4 = graft.SparkEntry.queries("w4_crawl_kept")(spark, dir)
     t("w4_kept")(w4.count())
     println("W4 FINAL PLAN:\n" + w4.queryExecution.executedPlan.toString.take(8000))
+
+    // THE decade-table measurement (r16 verdict: the battery wrapper's
+    // kept.cache() materialized ~1 GB of payload rows to memory+disk and
+    // dominated the sf10 headline — 89.1 s wrapper vs ~26 s operator).
+    // Pin METADATA instead: a fresh pipeline run reduced to
+    // (kept count, xor of id hashes) in ONE job — result identity is
+    // still pinned (the hash changes if any id changes), but no payload
+    // row is ever cached or collected. This number states the operator's
+    // growth law; SCALE.md's w4 decade row records it.
+    val fresh = graft.testbed.DocQueries.crawlRun(spark, dir)
+    val meta = t("w4_meta_pin") {
+      fresh.kept.agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.xxhash64(
+            org.apache.spark.sql.functions.col("id"))))
+        .collect()(0)
+    }
+    println(s"W4 META kept_count=${meta.getLong(0)} id_hash_sum=${meta.getLong(1)}")
     spark.stop()
   }
 }

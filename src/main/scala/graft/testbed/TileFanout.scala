@@ -40,10 +40,9 @@ object TileFanout {
     val nTiles = tiles.count() // pyramid + encode materialize here
     val encodeSec = (System.nanoTime() - t0) / 1e9
 
-    val conf =
-      if (crc) Map.empty[String, String]
-      else Map("fs.file.impl" -> "org.apache.hadoop.fs.RawLocalFileSystem")
-    val writer = graft.io.HadoopFsWriter(s"file:$outDir", conf)
+    // the rawLocal Writer flag (promoted from this rehearsal's ad-hoc
+    // fs.file.impl override after the ½-throughput .crc finding)
+    val writer = graft.io.HadoopFsWriter(s"file:$outDir", rawLocal = !crc)
     val t1 = System.nanoTime()
     val written = graft.tiles.Tiling.saveTiles(
       tiles, writer, "fanout", "run1", "month")

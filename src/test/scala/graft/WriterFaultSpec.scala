@@ -105,6 +105,29 @@ class WriterFaultSpec extends SparkSpec {
     val finals = listFiles(dir).filterNot(_.contains("inprogress"))
     assert(finals.isEmpty, s"torn write published a final object: $finals")
   }
+
+  test("HadoopFsWriter rawLocal: same bytes, no .crc sidecars, file: only") {
+    import java.nio.file.{Files, Paths}
+    val checked = Files.createTempDirectory("graft-wf-crc").toString
+    val raw = Files.createTempDirectory("graft-wf-raw").toString
+    val body = "tile-bytes".getBytes("UTF-8")
+    graft.io.HadoopFsWriter(s"file:$checked").write(body, "a/t.bin")
+    graft.io.HadoopFsWriter(s"file:$raw", rawLocal = true).write(body, "a/t.bin")
+    // identical object bytes either way
+    assert(Files.readAllBytes(Paths.get(checked, "a/t.bin")).toSeq === body.toSeq)
+    assert(Files.readAllBytes(Paths.get(raw, "a/t.bin")).toSeq === body.toSeq)
+    // the checksummed default writes a .crc sidecar per object (the
+    // measured 2x-creates fan-out tax); rawLocal writes none
+    def crcs(d: String) = Files.walk(Paths.get(d)).toArray.map(_.toString)
+      .filter(_.endsWith(".crc")).toSeq
+    assert(crcs(checked).nonEmpty, "expected the default LocalFileSystem sidecar")
+    assert(crcs(raw).isEmpty, s"rawLocal still wrote sidecars: ${crcs(raw)}")
+    // non-file schemes ignore the flag (same resolved filesystem class):
+    // equality of the case class is config-only, so just assert the flag
+    // leaves an s3a writer constructible without touching fs resolution
+    assert(graft.io.HadoopFsWriter("s3a://bkt", rawLocal = true).baseUri
+      === "s3a://bkt")
+  }
 }
 
 /** Shared mutable failure budget: local-mode executors share the JVM, so a
