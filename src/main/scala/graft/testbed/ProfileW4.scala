@@ -47,20 +47,19 @@ object ProfileW4 {
     // dominated the sf10 headline — 89.1 s wrapper vs ~26 s operator).
     // Pin METADATA instead: a fresh pipeline run reduced to
     // (kept count, xor of id hashes) in ONE job — result identity is
-    // still pinned (the hash changes if any id changes), but no payload
-    // row is ever cached or collected. This number states the operator's
-    // growth law; SCALE.md's w4 decade row records it.
+    // still pinned (the xor changes if any id changes; bit_xor, not sum:
+    // full-range xxhash64 values overflow a long sum under ANSI), but no
+    // payload row is ever cached or collected. This number states the
+    // operator's growth law; SCALE.md's w4 decade row records it.
     val fresh = graft.testbed.DocQueries.crawlRun(spark, dir)
     val meta = t("w4_meta_pin") {
       fresh.kept.agg(
         org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1)),
-        org.apache.spark.sql.functions.sum(
-          org.apache.spark.sql.functions.xxhash64(
-            org.apache.spark.sql.functions.col("id"))))
+        org.apache.spark.sql.functions.expr("bit_xor(xxhash64(id))"))
         .collect()(0)
     }
-    println(s"W4 META kept_count=${meta.getLong(0)} id_hash_sum=${meta.getLong(1)}")
+    println(s"W4 META kept_count=${meta.getLong(0)} id_hash_xor=${meta.getLong(1)}")
     spark.stop()
   }
 }
