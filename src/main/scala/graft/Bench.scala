@@ -241,6 +241,14 @@ object Bench {
     // previous round's bench artifact before this run overwrites it) is
     // re-timed in isolation after the battery, and BOTH numbers ship —
     // a contended-window artifact then carries its own correction.
+    // READING the isolated value for CACHE-SHARING entries: the retime
+    // clears the battery caches first, so an entry that rides a shared
+    // materialization (w4 rides w3's crawlShared, d2 rides d12's edge
+    // cache, ...) pays the WHOLE shared pipeline in its isolated number —
+    // for those, isolated >> battery means "the flag was position/window
+    // noise", not "the operator is slow" (the r17 sf1 w4 case: battery
+    // 5.9 s flagged, isolated 10.3 s = the full crawl chain, while a
+    // fresh-session warm-cache A/B measured the operator at 1.25 s).
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     // prior artifact: same path this run will overwrite, unless overridden
     // (e.g. per-round renamed sf1 artifacts under doc/)
@@ -260,14 +268,18 @@ object Bench {
         (entries, ns, sf)
       } catch { case scala.util.control.NonFatal(_) => (Map.empty, -1.0, "") }
     val (prevQ, prevNs, prevSf) = parsePrev(prevPath)
-    // pre-battery probe as this run's scale basis (the post-battery one
-    // is not measured yet at gate time and min-of-both differs by <10%
-    // on a sane run — a 2x gate doesn't care)
-    val nsFirst = canaryFirst / 2e8 * 1e9
+    // post-battery probe measured HERE (before the gate, after the
+    // static retimes) so the gate scales by the same min-of-both
+    // ns_per_row the artifact publishes: the r17 sf1 run proved the
+    // first probe alone can carry a 2x JIT tail the warm-until-steady
+    // loop missed (0.64 vs 0.31 ns/row), which would silently double
+    // every threshold
+    val canaryLast = canary()
+    val nsPerRow = math.min(canaryFirst, canaryLast) / 2e8 * 1e9
     val autoIsolated: Seq[(String, Double, Double, Double)] =
       if (only.nonEmpty || prevQ.isEmpty || prevSf != sfDir) Seq.empty
       else {
-        val scaleP = if (prevNs > 0 && nsFirst > 0) nsFirst / prevNs else 1.0
+        val scaleP = if (prevNs > 0 && nsPerRow > 0) nsPerRow / prevNs else 1.0
         results.flatMap { case (name, cur) =>
           prevQ.get(name) match {
             // floor at 1 s: sub-second entries flap on job-overhead noise;
@@ -292,21 +304,19 @@ object Bench {
     val errJson = errors.map { case (k, v) => q(k) + ":" + q(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val canaryLast = canary()
-    // Directional: contention can only make the post-battery probe SLOWER
+    // canaryLast/nsPerRow are measured above (before the auto-isolation
+    // gate, which scales by them). Directional contention rule:
+    // contention can only make the post-battery probe SLOWER
     // than the pre-battery one. A faster last probe is residual JIT/GC
     // settling that the warm-until-steady loop missed (observed 0.31 →
     // 0.18 on a quiet machine after 12 agreeing warm runs — the battery
     // itself deep-warms Spark code paths the probe shares), and the old
     // symmetric max/min ratio flagged that improvement as contention.
+    // ns_per_row is the probe's absolute per-row cost (best of both
+    // probes, total work is 2e8 rows regardless of core count) — the
+    // ratio flag is blind to contention that inflates BOTH probes
+    // equally; the absolute number is comparable across rounds.
     val contended = canaryLast / math.max(1e-9, canaryFirst) > 1.5
-    // ns_per_row: the probe's absolute per-row cost (best of both probes,
-    // total work is 2e8 rows regardless of core count). The ratio flag is
-    // blind to contention that inflates BOTH probes equally; this number
-    // is comparable across rounds on the same host, so a uniform 1.5-2×
-    // inflation shows up as ns_per_row drifting above its round history
-    // even when contended:false.
-    val nsPerRow = math.min(canaryFirst, canaryLast) / 2e8 * 1e9
     val ioLast = ioCanary()
     // same directional rule as the CPU probe: only a SLOWER post-battery
     // IO probe is contention
