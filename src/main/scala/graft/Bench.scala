@@ -259,9 +259,15 @@ object Bench {
           java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
         val qm = "\"queries\":\\{([^}]*)\\}".r
           .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
-        val entries = "\"([^\"]+)\":(-?[0-9.eE+]+)".r.findAllMatchIn(qm)
+        // the exponent sign is mandatory in the pattern's tail: a plain
+        // [0-9.eE+]+ class stops at the '-' of "4.0E-4" (Scala renders
+        // sub-1e-3 doubles in scientific notation), the truncated token
+        // fails toDouble, and the enclosing catch would silently disable
+        // the whole gate for the round
+        val num = "-?[0-9.]+(?:[eE][+-]?[0-9]+)?"
+        val entries = ("\"([^\"]+)\":(" + num + ")").r.findAllMatchIn(qm)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        val ns = "\"ns_per_row\":([0-9.eE+]+)".r
+        val ns = ("\"ns_per_row\":(" + num + ")").r
           .findFirstMatchIn(txt).map(_.group(1).toDouble).getOrElse(-1.0)
         val sf = "\"sf\":\"([^\"]*)\"".r
           .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")

@@ -120,8 +120,12 @@ object BandIndex {
       batch: DataFrame, idCol: String, textCol: String
   ): DataFrame = {
     val (n, numHashes, bands, buckets) = storedMeta(spark, dir)
+    // eager localCheckpoint: the band frame feeds TWO executions (the
+    // bucket collect below and the served join) and the batch's
+    // shingle/minhash projection is the probe's dominant cost — without
+    // the pin it would run twice per probe
     val bb = bandRows(batch, idCol, textCol, n, numHashes, bands, buckets,
-      "doc_id")
+      "doc_id").localCheckpoint()
     // the probed bucket ids: one batch-sized job; a re-ingestion batch is
     // delta-sized by definition, so this collect is metadata, not corpus
     val probed = bb.select(col("band_bucket")).distinct()

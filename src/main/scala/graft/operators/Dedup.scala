@@ -1258,8 +1258,18 @@ object Dedup {
         if (paths.exists(keep)) paths.filter(keep) else paths.takeRight(1)
       paths.filterNot(survivors.contains).foreach(delete)
       result
-    } finally {
-      if (result == null) paths.foreach(delete)
+    } catch {
+      // failure cleanup runs in a CATCH (with suppression), not a bare
+      // finally: a fatal error escaping delete() inside a finally would
+      // REPLACE the pending root-cause exception (classic finally
+      // masking); here it attaches as suppressed and the original
+      // failure always propagates
+      case e: Throwable =>
+        if (result == null) {
+          try paths.foreach(delete)
+          catch { case fatal: Throwable => e.addSuppressed(fatal) }
+        }
+        throw e
     }
   }
 

@@ -951,7 +951,12 @@ object Similarity {
     spark.createDataFrame(Seq((dims, nCentroids, m, codes)))
       .toDF("dims", "n_centroids", "m", "codes")
       .write.mode("overwrite").parquet(s"$dir/meta")
-    enc.write.mode("overwrite").partitionBy("cent_id").parquet(s"$dir/codes")
+    // repartition on the cell key first (the TextIndex/BandIndex lesson):
+    // without it every task writes a sliver file into every cell
+    // directory — tasks × nCentroids files and a commit storm, and every
+    // subsequent probe's scan pays the per-cell file count forever
+    enc.repartition(col("cent_id"))
+      .write.mode("overwrite").partitionBy("cent_id").parquet(s"$dir/codes")
   }
 
   /** Top-k over a persisted IVF+PQ index ([[ivfPqIndexWrite]]): the
@@ -986,7 +991,10 @@ object Similarity {
       .collect()
       .foreach(r => books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
     val qunit = unitized(queries, idCol, vecCol, "query_id")
-    val probes = ivfPqProbes(spark, qunit, coarse, nProbe)
+    // eager localCheckpoint: the probe frame feeds TWO executions (the
+    // probed-cell collect and the ADC join) — without it the query
+    // batch's centroid-ranking window runs twice
+    val probes = ivfPqProbes(spark, qunit, coarse, nProbe).localCheckpoint()
     val probedCells = probes.select(col("cent_id").cast("int"))
       .distinct().collect().map(_.getInt(0))
     val enc = spark.read.parquet(s"$dir/codes")

@@ -171,14 +171,16 @@ object CrawlPipeline {
         case e: Throwable =>
           // the outer catch re-THROWS (fatal errors included) — it only
           // adds cleanup; the per-path drop swallows non-fatal errors
-          // only, restoring interrupt status rather than eating it
-          scratch.foreach { p =>
+          // only, restoring interrupt status rather than eating it, and
+          // a FATAL error escaping a drop is attached as suppressed so
+          // it can never REPLACE the root-cause failure `e`
+          try scratch.foreach { p =>
             try Pin.dropPath(spark, p)
             catch {
               case _: InterruptedException => Thread.currentThread().interrupt()
               case scala.util.control.NonFatal(_) => ()
             }
-          }
+          } catch { case fatal: Throwable => e.addSuppressed(fatal) }
           throw e
       }
     def tracked(p: Pin.Pinned): Pin.Pinned = {

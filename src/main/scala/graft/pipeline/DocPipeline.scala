@@ -297,9 +297,14 @@ object DocPipeline {
       TextFunctions.qualityFilter(textCol).getField("keep"))
     val rescored = scored.select(col(idCol), col("__graft_keep").as("keep"))
     val deltaKept = scored.filter(col("__graft_keep")).drop("__graft_keep")
-    // evictions: snapshot-removed ids + changed-docs the gate now fails
+    // evictions: snapshot-removed ids + changed-docs the gate now fails.
+    // "fails" = keep IS NOT TRUE, not `!keep`: a NULL keep (e.g. the
+    // gate over null text) drops out of BOTH deltaKept's filter and a
+    // bare `!keep`, which would leave the doc's STALE standing row alive
+    // and break the convergence contract (the batch gate excludes it)
     val evictIds = diff.filter(col("status") === "removed").select(col(idCol))
-      .unionByName(rescored.filter(!col("keep")).select(col(idCol)))
+      .unionByName(rescored
+        .filter(!coalesce(col("keep"), lit(false))).select(col(idCol)))
     val keptNext = Dedup.mergeUpsert(standingKept, deltaKept, Seq(idCol))
       .join(evictIds, Seq(idCol), "left_anti")
     IncrementalCurationResult(diff, rescored, keptNext)

@@ -2679,7 +2679,9 @@ object DocQueries {
     // kept corpus (DocPipeline.incrementalCurate). The fixture derives
     // both snapshots from arithmetic: %13=5 docs are ADDED (absent from
     // prev), %9=2 docs CHANGED (prev carried text||' OLD'), retired
-    // ids (doc_id+1000000) were REMOVED; the standing kept corpus is
+    // ids (-(doc_id+1) — NEGATIVE, disjoint from every live id at ANY
+    // corpus size; a fixed +1e6 offset would collide with real ids at
+    // sf10's 6M docs) were REMOVED; the standing kept corpus is
     // the gate's own output over prev. The oracle adjudicates the
     // CONVERGENCE contract: the incrementally-maintained keep-set must
     // equal the t15 gate run from scratch over the current snapshot,
@@ -2694,7 +2696,7 @@ object DocQueries {
         .select(id, when(id % 9 === 2, concat(col("text"), lit(" OLD")))
           .otherwise(col("text")).as("text"))
       val retired = cur.filter(id % 17 === 4)
-        .select((id + 1000000L).as("doc_id"), col("text"))
+        .select((-(id + 1L)).as("doc_id"), col("text"))
       val prev = prevBase.unionByName(retired)
       val standingKept = prev.filter(
         TextFunctions.qualityFilter("text").getField("keep"))
@@ -5414,7 +5416,7 @@ object DocQueries {
     // maintained keep-set must equal the t15 gate run from scratch over
     // the current snapshot (same `s` CTE as t15), statuses restated
     // from the %13/%9 arithmetic (added wins when both apply; retired
-    // +1000000 ids are absent from the current snapshot by construction)
+    // negative ids are absent from the current snapshot by construction)
     "w11_incremental_curation" ->
       s"""$wCte,
          | s AS (

@@ -85,7 +85,7 @@ class PipelineComposeSpec extends SparkSpec {
       .select(id, when(id % 9 === 2, concat(col("text"), lit(" OLD")))
         .otherwise(col("text")).as("text"))
       .unionByName(cur.filter(id % 17 === 4)
-        .select((id + 1000000L).as("doc_id"), col("text")))
+        .select((-(id + 1L)).as("doc_id"), col("text")))
     val standingKept = prev.filter(
       TextFunctions.qualityFilter("text").getField("keep"))
     val res = DocPipeline.incrementalCurate(
