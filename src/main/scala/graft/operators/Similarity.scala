@@ -967,6 +967,29 @@ object Similarity {
     * nProbe/nCentroids of the m-bytes-per-vector index, corpus-size-
     * free. Returns (query_id, rank, neighbor_id, score), identical to
     * [[ivfPqTopK]] at the same build parameters. */
+  /** The (tiny) persisted training artifacts of an IVF+PQ layout,
+    * collected as driver metadata: (m, codes, coarse centroids ordered
+    * by cell id, per-subspace codebooks). Doubles round-trip parquet
+    * exactly, so every consumer quantizes with the build's exact
+    * arithmetic. */
+  private def ivfPqArtifacts(
+      spark: org.apache.spark.sql.SparkSession, dir: String
+  ): (Int, Int, Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val meta = spark.read.parquet(s"$dir/meta")
+      .select("dims", "n_centroids", "m", "codes").head()
+    val (m, codes) = (meta.getInt(2), meta.getInt(3))
+    val coarse = spark.read.parquet(s"$dir/centroids")
+      .select(col("cent_id").cast("int"), col("centv"))
+      .orderBy("cent_id").collect()
+      .map(_.getSeq[Double](1).toArray)
+    val books = Array.fill(m, codes)(Array.empty[Double])
+    spark.read.parquet(s"$dir/codebooks")
+      .select(col("sub").cast("int"), col("code").cast("int"), col("cv"))
+      .collect()
+      .foreach(r => books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+    (m, codes, coarse, books)
+  }
+
   def ivfPqIndexTopK(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
@@ -977,19 +1000,8 @@ object Similarity {
       nProbe: Int = 4
   ): DataFrame = {
     graft.plans.GraftExtensions.register(spark)
-    val meta = spark.read.parquet(s"$dir/meta")
-      .select("dims", "n_centroids", "m", "codes").head()
-    val (dims, m, codes) = (meta.getInt(0), meta.getInt(2), meta.getInt(3))
-    val d = dims / m
-    val coarse = spark.read.parquet(s"$dir/centroids")
-      .select(col("cent_id").cast("int"), col("centv"))
-      .orderBy("cent_id").collect()
-      .map(_.getSeq[Double](1).toArray)
-    val books = Array.fill(m, codes)(Array.empty[Double])
-    spark.read.parquet(s"$dir/codebooks")
-      .select(col("sub").cast("int"), col("code").cast("int"), col("cv"))
-      .collect()
-      .foreach(r => books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+    val (m, codes, coarse, books) = ivfPqArtifacts(spark, dir)
+    val d = coarse(0).length / m
     val qunit = unitized(queries, idCol, vecCol, "query_id")
     // eager localCheckpoint: the probe frame feeds TWO executions (the
     // probed-cell collect and the ADC join) — without it the query
@@ -1000,6 +1012,59 @@ object Similarity {
     val enc = spark.read.parquet(s"$dir/codes")
       .filter(col("cent_id").isin(probedCells.toIndexedSeq: _*))
     ivfPqRank(enc, ivfPqAdc(probes, books, m, codes, d), k, m, codes)
+  }
+
+  /** Encode a vector frame with a persisted index's STORED training
+    * artifacts: one projection emitting (neighbor_id, cent_id, pq_codes)
+    * — exactly the rows [[ivfPqIndexAppend]] writes, exposed so the
+    * append layout's read-back is spec-comparable against the in-flight
+    * encode (IvfPqIndexSpec). */
+  def ivfPqIndexEncode(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String
+  ): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    val (m, codes, coarse, books) = ivfPqArtifacts(spark, dir)
+    val d = coarse(0).length / m
+    val coarseLit = typedLit(coarse.map(_.toSeq).toSeq)
+    spreadToCores(unitized(vectors, idCol, vecCol, "neighbor_id"))
+      .select(col("neighbor_id"),
+        call_function("best_centroid", col("uv"), coarseLit, lit(false))
+          .as("cent_id"),
+        pqCodesCol(books, m, d).as("pq_codes"))
+  }
+
+  /** Incremental maintenance of a persisted IVF+PQ index — the append
+    * face that completes the index triad's maintenance story (inverted
+    * text and the band index already have one): a DELTA of vectors (ids
+    * disjoint from the indexed ones) is encoded with the index's STORED
+    * artifacts and its codes append into the cell directories. This is
+    * the FAISS contract: `train()` is frozen at build time, `add()`
+    * quantizes against it — so unlike the text/band indexes (whose
+    * layouts are parameter-only and append == rebuild EXACTLY), a
+    * rebuild here would RE-TRAIN on the grown corpus and legitimately
+    * differ. What the append face guarantees instead (IvfPqIndexSpec):
+    * appended codes equal the in-flight encode against the stored
+    * artifacts ([[ivfPqIndexEncode]]), serving sees old and new vectors
+    * through the same pruned probes, and adding candidates can only
+    * IMPROVE each query's best ADC score (ranking is monotone in the
+    * candidate set). Re-train cadence — rebuilding when the corpus
+    * drifts far from the frozen training sample — is the operator's
+    * caller-owned knob, as in any IVF deployment. Costs one delta-sized
+    * encode pass; the standing codes are never rewritten. */
+  def ivfPqIndexAppend(
+      delta: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String
+  ): Unit = {
+    val spark = delta.sparkSession
+    ivfPqIndexEncode(spark, dir, delta, idCol, vecCol)
+      .repartition(col("cent_id"))
+      .write.mode("append").partitionBy("cent_id").parquet(s"$dir/codes")
   }
 
   /** IVF + PQ with RESIDUAL encoding — the Jégou et al. §IV refinement

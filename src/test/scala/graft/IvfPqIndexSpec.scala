@@ -57,6 +57,63 @@ class IvfPqIndexSpec extends SparkSpec {
       s"probe read $selected of ${cellDirs.length} cells — not pruned")
   }
 
+  test("append face: stored-artifact encode, coverage, monotone scores, pruning") {
+    // the FAISS add() contract: train() frozen at build, the delta
+    // quantized against the STORED artifacts (append == rebuild is
+    // deliberately NOT the contract here — a rebuild would re-train)
+    val dir = Files.createTempDirectory("graft-ivfpq-app").toFile.getAbsolutePath
+    val half = emb.filter(col("vec_id") < 150)
+    val delta = emb.filter(col("vec_id") >= 150)
+    Similarity.ivfPqIndexWrite(half, "vec_id", "embedding", dir,
+      dims = 64, nCentroids = 16, m = 4, codes = 16, iters = 2)
+    val queries = emb.filter(col("vec_id") < 5)
+    val before = Similarity.ivfPqIndexTopK(spark, dir, queries,
+        "vec_id", "embedding", k = 3, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(3)))
+
+    Similarity.ivfPqIndexAppend(delta, "vec_id", "embedding", dir)
+
+    // layout fidelity: read-back codes (partition column included) equal
+    // the in-flight encode with the same stored artifacts, row for row
+    val readBack = spark.read.parquet(s"$dir/codes")
+      .filter(col("neighbor_id") >= 150)
+      .select(col("neighbor_id").cast("long"), col("cent_id").cast("int"),
+        col("pq_codes"))
+    val expected = Similarity.ivfPqIndexEncode(spark, dir, delta,
+        "vec_id", "embedding")
+      .select(col("neighbor_id").cast("long"), col("cent_id").cast("int"),
+        col("pq_codes"))
+    assert(rowSet(readBack) === rowSet(expected),
+      "appended codes must equal the stored-artifact in-flight encode")
+
+    val after = Similarity.ivfPqIndexTopK(spark, dir, queries,
+      "vec_id", "embedding", k = 3, nProbe = 4)
+    // coverage: the delta's vectors are now reachable as neighbors
+    assert(after.filter(col("neighbor_id") >= 150).count() > 0,
+      "appended vectors never surfaced as neighbors")
+    // monotone: adding candidates can only improve a query's best ADC
+    // score (same scoring artifacts, larger candidate set)
+    val bestBefore = before.filter(_._2 == 1).map(t => t._1 -> t._3).toMap
+    val bestAfter = after.filter(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    bestBefore.foreach { case (q, s) =>
+      assert(bestAfter(q) >= s - 1e-9,
+        s"query $q best score degraded after append: ${bestAfter(q)} < $s")
+    }
+    // pruning still holds over the appended layout
+    after.count()
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p.collect { case f: FileSourceScanExec => Seq(f) }.flatten ++
+        p.collect { case a: AdaptiveSparkPlanExec => allScans(a.executedPlan) }.flatten ++
+        p.collect {
+          case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => allScans(s.plan)
+        }.flatten
+    val scans = allScans(after.queryExecution.executedPlan)
+    val codesScan = scans.find(_.metadata.get("Location").exists(_.contains("codes")))
+      .getOrElse(fail(s"no codes file scan in plan: $scans"))
+    assert(codesScan.metadata("PartitionFilters").contains("cent_id"))
+  }
+
   test("serving resolves parameters from the layout, not the caller") {
     // a non-default geometry: the meta sidecar must carry it to the probe
     val dir = Files.createTempDirectory("graft-ivfpq-m8").toFile.getAbsolutePath
