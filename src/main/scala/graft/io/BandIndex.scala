@@ -107,6 +107,43 @@ object BandIndex {
       .write.mode("append").partitionBy("band_bucket").parquet(s"$dir/bands")
   }
 
+  /** Replay-safe append for streaming maintenance (the
+    * [[graft.streaming.Streaming.bandIndexMaintenance]] foreachBatch
+    * body): a micro-batch id gates the append behind a high-watermark
+    * marker (`watermark/`, one row), so Structured Streaming's replay
+    * of the last batch after a restart is a no-op instead of a double
+    * append. Returns true iff the batch was applied.
+    *
+    * The one unprotected window — a crash AFTER the data append but
+    * BEFORE the marker advance — replays as a PHYSICAL duplicate of
+    * that batch's band rows; [[probe]] collapses physical duplicates
+    * before counting (the merge-on-read discipline), so the window
+    * costs wasted bytes, never wrong `shared_bands`. Marker reads
+    * take max(batch_id) over whatever rows exist, so a torn marker
+    * overwrite degrades to a replayed (healed) append too. */
+  def appendBatch(
+      delta: DataFrame, idCol: String, textCol: String, dir: String,
+      batchId: Long
+  ): Boolean = {
+    val spark = delta.sparkSession
+    if (batchId <= storedWatermark(spark, dir)) false
+    else {
+      appendToIndex(delta, idCol, textCol, dir)
+      import spark.implicits._
+      Seq(batchId).toDF("batch_id").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/watermark")
+      true
+    }
+  }
+
+  private def storedWatermark(spark: SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/watermark")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) -1L
+    else spark.read.parquet(p.toString)
+      .agg(max(col("batch_id").cast("long"))).head().getLong(0)
+  }
+
   /** Candidate (batch, reference) near-dup pairs against the persisted
     * index: the batch's band stream is computed in-flight (with the
     * INDEX's stored parameters), its distinct band buckets become a
@@ -130,9 +167,21 @@ object BandIndex {
     // delta-sized by definition, so this collect is metadata, not corpus
     val probed = bb.select(col("band_bucket")).distinct()
       .collect().map(_.getLong(0))
+    // dropDuplicates is a semantic no-op on a clean index ((ref_id, band)
+    // is unique by construction) and heals the physical duplicates a
+    // replayed streaming append can leave (see [[appendBatch]]); it runs
+    // on the bucket-pruned sliver only. The explicit repartition keys the
+    // dedup's exchange on the JOIN keys — hash on (band, band_hash)
+    // clusters the (ref_id, band, band_hash) groups too, so the dedup
+    // runs exchange-free on top of it and a sort-merge join reuses the
+    // same partitioning: one sliver shuffle total, what the join alone
+    // would cost (when AQE instead broadcasts the sliver, the exchange
+    // is the broadcast's input — still one, still sliver-sized)
     val ref = spark.read.parquet(s"$dir/bands")
       .filter(col("band_bucket").isin(probed.toIndexedSeq: _*))
       .select(col("ref_id"), col("band"), col("band_hash"))
+      .repartition(col("band"), col("band_hash"))
+      .dropDuplicates("ref_id", "band", "band_hash")
     bb.drop("band_bucket")
       .join(ref, Seq("band", "band_hash"))
       .groupBy("doc_id", "ref_id")

@@ -1,0 +1,185 @@
+package graft.io
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted URL-seen set — the crawl fleet's "have we fetched this
+  * before?" membership artifact made durable (the fifth persisted index
+  * family next to [[TextIndex]], the IVF/IVF+PQ layouts and
+  * [[BandIndex]]): a standing set of canonical URLs lives ON DISK,
+  * bucket-partitioned by a hash of the URL, with a Bloom-filter sidecar
+  * so each discovery delta answers membership at scan speed and only
+  * the CLAIMED sliver pays an exact confirm against only ITS bucket
+  * directories.
+  *
+  * Reference framing: the reference engine has no crawl front end; this
+  * is the LLM-pipeline component a Common-Crawl-scale acquisition loop
+  * needs between discovery ([[graft.sources.Sitemaps]], w10) and
+  * scheduling ([[graft.operators.Frontier]]) — a frontier that re-feeds
+  * every sitemap's URL list forever without a seen gate re-fetches the
+  * whole web every round.
+  *
+  * Layout under `dir`:
+  *  - `meta/` — one row (buckets, expected_urls, fpp): probe and append
+  *    resolve the layout from the index itself (the [[TextIndex]]
+  *    `storedBuckets` discipline), so a mismatched caller value can
+  *    never split buckets or probe wrong directories;
+  *  - `bloom/` — one row holding the serialized Bloom filter over
+  *    xxhash64(url), built at `expected_urls`/`fpp`; rewritten on
+  *    append by merging a parameter-compatible delta filter;
+  *  - `urls/` — (url), `partitionBy(url_bucket)` where url_bucket =
+  *    pmod(xxhash64(url), buckets); a URL lives in exactly one
+  *    directory.
+  *
+  * [[probeNovel]] is EXACT — bit-identical to the plain anti-join
+  * `batch LEFT ANTI JOIN seen ON url` (SeenSetSpec pins it): Bloom
+  * filters have no false negatives, so unclaimed rows are novel with no
+  * further work, and the false positives among claimed rows are removed
+  * by the string-equality confirm join. A 64-bit hash collision between
+  * two distinct URLs can only ever ADD a row to the claimed sliver —
+  * the confirm is on the URL string itself, so correctness never rests
+  * on hash injectivity.
+  *
+  * At 100 TB crawl scale: the seen set is billions of URLs. The Bloom
+  * sidecar costs ~1.2 bytes/URL at 1% fpp and rides the probe plan as a
+  * literal (the [[graft.pipeline.KeepJoin]] driver-memory posture —
+  * size `expectedUrls` with driver heap in mind; past-capacity appends
+  * SATURATE the filter, degrading the prefilter's selectivity but never
+  * correctness). The exact store reads `claimed buckets / buckets` of
+  * its bytes per probe — size `buckets` so a directory stays near one
+  * HDFS-block-ish file (≈ seen_bytes / 128 MB) and a small re-crawl
+  * delta touches a small fraction of the set; the delta itself is the
+  * only thing that ever shuffles. */
+object SeenSet {
+
+  val DefaultBuckets = 64
+  val DefaultFpp = 0.01
+
+  private def bucketOf(urlCol: Column, buckets: Int): Column =
+    pmod(xxhash64(urlCol), lit(buckets.toLong))
+
+  private def bloomBytesOf(urls: DataFrame, urlCol: String,
+      expected: Long, fpp: Double): Array[Byte] = {
+    val bf = urls.select(xxhash64(col(urlCol)).as("__graft_h"))
+      .stat.bloomFilter("__graft_h", math.max(expected, 1L), fpp)
+    // presized to the filter's bit array (+64 B header slack): the
+    // default-growth ByteArrayOutputStream would transiently hold ~2×
+    // the filter in doubling copies at seen-set sizes
+    val bos = new java.io.ByteArrayOutputStream(
+      math.toIntExact(bf.bitSize() / 8L + 64L))
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  private def writeBloom(spark: SparkSession, dir: String,
+      bytes: Array[Byte]): Unit = {
+    import spark.implicits._
+    Seq(bytes).toDF("bloom").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/bloom")
+  }
+
+  /** Build the set from a URL frame. `expectedUrls = 0` sizes the Bloom
+    * filter from the distinct count; pass the PLANNED capacity (today's
+    * count plus the appends you intend) explicitly for a long-lived set,
+    * since append never re-sizes the filter. */
+  def writeSet(
+      urls: DataFrame, urlCol: String, dir: String,
+      buckets: Int = DefaultBuckets, fpp: Double = DefaultFpp,
+      expectedUrls: Long = 0L
+  ): Unit = {
+    require(buckets >= 1, "need at least one bucket")
+    require(fpp > 0 && fpp < 1, s"fpp=$fpp out of (0,1)")
+    val spark = urls.sparkSession
+    // eager localCheckpoint: the distinct frame feeds three executions
+    // (count when auto-sizing, Bloom build, bucket write)
+    val u = urls.select(col(urlCol).as("url")).distinct().localCheckpoint()
+    try {
+      val expected =
+        if (expectedUrls > 0L) expectedUrls else math.max(u.count(), 1L)
+      spark.createDataFrame(Seq((buckets, expected, fpp)))
+        .toDF("buckets", "expected_urls", "fpp")
+        .write.mode("overwrite").parquet(s"$dir/meta")
+      writeBloom(spark, dir, bloomBytesOf(u, "url", expected, fpp))
+      u.withColumn("url_bucket", bucketOf(col("url"), buckets))
+        .repartition(col("url_bucket"))
+        .write.mode("overwrite").partitionBy("url_bucket").parquet(s"$dir/urls")
+    } finally graft.operators.Dedup.release(u)
+  }
+
+  private def storedMeta(spark: SparkSession, dir: String): (Int, Long, Double) = {
+    val r = spark.read.parquet(s"$dir/meta")
+      .select(col("buckets").cast("int"), col("expected_urls").cast("long"),
+        col("fpp").cast("double")).head()
+    (r.getInt(0), r.getLong(1), r.getDouble(2))
+  }
+
+  private def storedBloom(spark: SparkSession, dir: String): Array[Byte] =
+    spark.read.parquet(s"$dir/bloom").select(col("bloom")).head()
+      .getAs[Array[Byte]](0)
+
+  /** Incremental maintenance: add a delta of URLs (typically
+    * [[probeNovel]]'s own output — the fetch loop's natural feedback
+    * edge). Costs one delta-sized pass: delta URLs append into their
+    * bucket directories and a parameter-compatible delta Bloom filter
+    * merges into the sidecar (same expected/fpp ⇒ same bit geometry, so
+    * `mergeInPlace` is exact). Duplicates WITHIN the delta collapse;
+    * re-adding an already-seen URL is harmless for probe correctness
+    * (membership joins tolerate duplicates) but wastes bucket bytes —
+    * feed the novel sliver, not the raw batch. */
+  def appendToSet(delta: DataFrame, urlCol: String, dir: String): Unit = {
+    val spark = delta.sparkSession
+    val (buckets, expected, fpp) = storedMeta(spark, dir)
+    val u = delta.select(col(urlCol).as("url")).distinct().localCheckpoint()
+    try {
+      val deltaBf = org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(
+          bloomBytesOf(u, "url", expected, fpp)))
+      val merged = org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(storedBloom(spark, dir)))
+      merged.mergeInPlace(deltaBf)
+      val bos = new java.io.ByteArrayOutputStream(
+        math.toIntExact(merged.bitSize() / 8L + 64L))
+      merged.writeTo(bos)
+      writeBloom(spark, dir, bos.toByteArray)
+      u.withColumn("url_bucket", bucketOf(col("url"), buckets))
+        .repartition(col("url_bucket"))
+        .write.mode("append").partitionBy("url_bucket").parquet(s"$dir/urls")
+    } finally graft.operators.Dedup.release(u)
+  }
+
+  /** The rows of `batch` whose `urlCol` is NOT in the set — exactly
+    * `batch LEFT ANTI JOIN seen ON url` (all batch columns survive;
+    * duplicate novel URLs in the batch all return, the anti-join
+    * contract). The Bloom sidecar answers most rows at scan speed via
+    * the native codegen'd [[graft.functions.BloomProbe]]; only the
+    * claimed sliver's distinct buckets (metadata — at most `buckets`
+    * longs) become a literal partition predicate, so the exact store
+    * reads only the directories a claimed URL could live in. */
+  def probeNovel(
+      spark: SparkSession, dir: String,
+      batch: DataFrame, urlCol: String
+  ): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    val (buckets, _, _) = storedMeta(spark, dir)
+    val bfBytes = storedBloom(spark, dir)
+    val outCols = batch.columns.map(col).toIndexedSeq
+    // eager localCheckpoint: the flagged batch feeds three executions
+    // (bucket collect, the unclaimed branch, the confirm branch) and a
+    // probe batch is delta-sized by definition
+    val bb = batch
+      .withColumn("__graft_claimed",
+        call_function("bloom_probe", xxhash64(col(urlCol)), lit(bfBytes)))
+      .withColumn("__graft_bucket", bucketOf(col(urlCol), buckets))
+      .localCheckpoint()
+    val probed = bb.filter(col("__graft_claimed"))
+      .select(col("__graft_bucket")).distinct().collect().map(_.getLong(0))
+    val seen = spark.read.parquet(s"$dir/urls")
+      .filter(col("url_bucket").isin(probed.toIndexedSeq: _*))
+      .select(col("url").as("__graft_seen_url"))
+    bb.filter(!col("__graft_claimed")).select(outCols: _*)
+      .unionByName(
+        bb.filter(col("__graft_claimed"))
+          .join(seen, col(urlCol) === col("__graft_seen_url"), "left_anti")
+          .select(outCols: _*))
+  }
+}

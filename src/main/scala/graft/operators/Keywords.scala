@@ -368,4 +368,90 @@ object Keywords {
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(col("q8")) / 1e8 / count(lit(1)), 4).as("nll"))
   }
+
+  /** Per-document cross-entropy under a STUPID-BACKOFF trigram LM
+    * (Brants et al. 2007, "Large Language Models in Machine
+    * Translation") — the web-scale scoring scheme: no discounting, no
+    * normalization, just relative frequencies with a fixed backoff
+    * penalty, which is exactly what made trillion-token LMs computable.
+    * Per scored trigram (a, b, c):
+    *
+    *   S(c | a b) = c3(a,b,c) / c2(a,b)                  if c3 > 0
+    *              = α · c2(b,c) / c1(b)                  else if c2(b,c) > 0
+    *              = α² · (c1(c) + 1) / (N + V)           otherwise
+    *
+    * with α = 0.4 (the paper's constant). The terminal level is add-one
+    * smoothed (Brants' raw c1(c)/N zeroes on OOV words and the nll
+    * diverges; the +1/(N+V) floor keeps every token finite and is the
+    * one deliberate departure, documented here). S is a score, not a
+    * probability — stupid backoff never normalizes; nll = mean −ln S
+    * over the doc's size−2 interior trigrams, docs with < 3 tokens drop
+    * (the t20/t36 absent-row contract). Per-trigram −ln S is rounded to
+    * 8 decimals and summed as a scaled integer — order-free on both
+    * engines (the t19 lesson).
+    *
+    * The LM corpus is a PARAMETER (unlike the self-scored t20/t36):
+    * backoff only fires on n-grams UNSEEN in the LM, so a held-out
+    * scoring split is what exercises it — and is also the deployment
+    * shape (score candidate docs under a trusted-corpus LM).
+    *
+    * Plan shape: one tokenize pass over the LM corpus feeds the
+    * trigram/bigram/unigram count tables (all Heaps'-law-bounded hash
+    * aggregations) and the 1-row (N, V) totals; one tokenize pass over
+    * the scored corpus feeds the trigram stream, which LEFT-joins the
+    * count tables (no broadcast hints — AQE promotes the Heaps-bounded
+    * sides when they fit, the t36 reasoning; the bigram table joins
+    * twice, once as context (a,b) and once as backoff (b,c), and Spark
+    * reuses the one aggregation via ReusedExchange). The only
+    * corpus-sized shuffle is the final per-doc aggregation. */
+  def stupidBackoffLogProb(
+      docs: DataFrame, idCol: String, textCol: String,
+      lmDocs: DataFrame, alpha: Double = 0.4
+  ): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha=$alpha out of (0,1]")
+    def tris(d: DataFrame, id: org.apache.spark.sql.Column): DataFrame =
+      d.select(id.as("doc_id"), TextFunctions.tokens(textCol).as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), explode(
+          transform(sequence(lit(1), size(col("ws")) - 2),
+            i => struct(element_at(col("ws"), i).as("a"),
+              element_at(col("ws"), i + 1).as("b"),
+              element_at(col("ws"), i + 2).as("c")))).as("p"))
+        .select(col("doc_id"), col("p.a"), col("p.b"), col("p.c"))
+    val lmBase = lmDocs.select(TextFunctions.tokens(textCol).as("ws"))
+    val lmTri = tris(lmDocs, col(idCol))
+    val t3 = lmTri.groupBy("a", "b", "c").agg(count(lit(1)).as("c3"))
+    val b2 = lmBase.filter(size(col("ws")) >= 2)
+      .select(explode(
+        transform(sequence(lit(1), size(col("ws")) - 1),
+          i => struct(element_at(col("ws"), i).as("x"),
+            element_at(col("ws"), i + 1).as("y")))).as("p"))
+      .select(col("p.x"), col("p.y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("c2"))
+    val u1 = lmBase.select(explode(col("ws")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c1"))
+    val nv = lmBase.select(explode(col("ws")).as("t"))
+      .agg(count(lit(1)).as("n"), count_distinct(col("t")).as("v"))
+    tris(docs, col(idCol))
+      .join(t3, Seq("a", "b", "c"), "left")
+      .join(b2.select(col("x").as("a"), col("y").as("b"),
+        col("c2").as("c2ab")), Seq("a", "b"), "left")
+      .join(b2.select(col("x").as("b"), col("y").as("c"),
+        col("c2").as("c2bc")), Seq("b", "c"), "left")
+      .join(u1.select(col("t").as("b"), col("c1").as("c1b")), Seq("b"), "left")
+      .join(u1.select(col("t").as("c"), col("c1").as("c1c")), Seq("c"), "left")
+      .crossJoin(broadcast(nv))
+      .withColumn("s",
+        when(col("c3").isNotNull,
+          col("c3").cast("double") / col("c2ab").cast("double"))
+        .when(col("c2bc").isNotNull,
+          lit(alpha) * col("c2bc").cast("double") / col("c1b").cast("double"))
+        .otherwise(lit(alpha) * lit(alpha)
+          * (coalesce(col("c1c"), lit(0L)).cast("double") + 1.0)
+          / (col("n").cast("double") + col("v").cast("double"))))
+      .withColumn("q8", round(-log(col("s")) * 1e8).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        round(sum(col("q8")) / 1e8 / count(lit(1)), 4).as("nll"))
+  }
 }

@@ -568,6 +568,50 @@ object Streaming {
     ab.length - bb.length
   }
 
+  /** STREAMING index maintenance (parity harness #14) — the live face
+    * of [[graft.io.BandIndex.appendToIndex]]: a stream of KEPT documents
+    * (a dedup pipeline's accepted sliver) drains into the persisted
+    * MinHash band index via `foreachBatch`, so the standing corpus's
+    * near-dup index stays current without ever re-deriving the standing
+    * band table (the d17/ir5 steady state, live).
+    *
+    * Replay safety: each micro-batch routes through
+    * [[graft.io.BandIndex.appendBatch]], which gates on the index's own
+    * batch-id high-watermark — Structured Streaming re-runs the last
+    * uncommitted batch after a restart with the SAME batchId, and the
+    * gate turns that replay into a no-op. The residual crash window
+    * (data appended, marker not yet advanced) leaves physical duplicate
+    * band rows that [[graft.io.BandIndex.probe]] collapses before
+    * counting, so end-to-end the maintained index serves EXACTLY the
+    * batch-built one (StreamingSpec #14 pins stream-maintained ==
+    * full-rebuild probe, replayed-batch no-op, and the healed window).
+    *
+    * ID discipline is the caller's, same as the batch append: streamed
+    * ids must be disjoint from the already-indexed ones (feed the
+    * NOVEL sliver — [[graft.io.BandIndex.probe]]'s non-matches or a
+    * [[graft.operators.Dedup.mergeUpsert]] output's new keys).
+    *
+    * Returns the started query; pass a durable `checkpointDir` (the
+    * stream's offset log — batch-id continuity across restarts is what
+    * makes the watermark gate meaningful). At 100 TB the per-batch cost
+    * is one batch-sized signature pass + a bucket-partitioned append,
+    * reference-size-free like the batch face. */
+  def bandIndexMaintenance(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexDir: String,
+      checkpointDir: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.io.BandIndex.appendBatch(batch.toDF(), idCol, textCol,
+          indexDir, batchId): Unit
+      }
+      .start()
+
   /** Running per-key count/sum with custom state; emits updated stats on
     * every batch a key appears in. */
   def runningStats(

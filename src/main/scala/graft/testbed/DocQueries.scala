@@ -249,6 +249,32 @@ object DocQueries {
       ix
     })
 
+  /** The ir6 URL universe: one synthetic URL per document, derived from
+    * doc_id arithmetic so the DuckDB oracle restates it exactly. The id
+    * itself rides in the path, so the universe GROWS with the corpus
+    * (unlike a modulus-capped fixture) and the seen set / probe batch
+    * scale with sf. */
+  private def urlUniverse(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents").select(col("doc_id"),
+      concat(lit("http://h"), (col("doc_id") % 13).cast("string"),
+        lit(".example/p/"), col("doc_id").cast("string")).as("url"))
+
+  /** The persisted URL seen set serving ir6 — 60% of the corpus's URLs
+    * (doc_id % 10 < 6), built as write(% 10 < 3) + append(3 <= % 10 < 6)
+    * so the battery's oracle gate exercises the APPEND face too (the
+    * bandIndexDir discipline). */
+  private val seenDirCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+  private def seenSetDir(s: SparkSession, dir: String): String =
+    seenDirCache.getOrElseUpdate((s, dir), {
+      val ix = java.nio.file.Files.createTempDirectory("graft-seen-set").toString
+      val u = urlUniverse(s, dir)
+      graft.io.SeenSet.writeSet(u.filter(col("doc_id") % 10 < 3), "url", ix)
+      graft.io.SeenSet.appendToSet(
+        u.filter(col("doc_id") % 10 >= 3 && col("doc_id") % 10 < 6), "url", ix)
+      ix
+    })
+
   /** The t37/t38 learned BPE merge table, shared like the classifier
     * model (metadata: 3 string pairs). */
   private val bpeCache = scala.collection.concurrent.TrieMap
@@ -1783,6 +1809,22 @@ object DocQueries {
         .orderBy("doc_id", "ref_id")
     }),
 
+    // IR6: discovery novelty SERVED FROM THE PERSISTED URL SEEN SET —
+    // the crawl fleet's membership artifact (seen = 60% of the corpus's
+    // URLs, written 0-2 + APPENDED 3-5 by doc_id % 10, so the append
+    // face is inside the oracle gate) probed with a batch overlapping
+    // it (% 10 >= 4): the Bloom sidecar answers unclaimed rows at scan
+    // speed and only the claimed sliver's buckets are read for the
+    // exact confirm. Bit-identical to the plain anti-join (SeenSetSpec
+    // pins probe == anti-join, append == rebuild, bucket pruning), so
+    // the oracle restates the membership arithmetic directly
+    "ir6_seen_set_probe" -> ((s, dir) => {
+      val u = urlUniverse(s, dir)
+      graft.io.SeenSet.probeNovel(s, seenSetDir(s, dir),
+          u.filter(col("doc_id") % 10 >= 4), "url")
+        .orderBy("doc_id")
+    }),
+
     // T42: Unicode NFC normalization (native nfc_normalize expression,
     // JDK Normalizer) — per-doc payloads get decomposed sequences
     // appended (combining acute/ring, doc_id-conditional precomposed é),
@@ -2058,6 +2100,19 @@ object DocQueries {
     "t36_bigram_nll" -> ((s, dir) =>
       Keywords.bigramLogProb(table(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+
+    // T54: stupid-backoff trigram scoring (Brants et al. 2007) — the
+    // web-scale LM score: relative frequencies with a fixed 0.4 backoff
+    // penalty, never normalized. The LM trains on 90% of the corpus
+    // (doc_id % 10 != 7) and ALL docs score against it, so the held-out
+    // tenth exercises the whole backoff chain (unseen trigram → bigram →
+    // add-one unigram terminal) while train docs stay at the trigram level
+    "t54_stupid_backoff" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      Keywords.stupidBackoffLogProb(docs, "doc_id", "text",
+          docs.filter(col("doc_id") % 10 =!= 7))
+        .orderBy("doc_id")
+    }),
 
     // T37: BPE merge induction — three tokenizer-vocabulary merge rounds
     // learned from the corpus (pair counting + greedy-left application on
@@ -3444,6 +3499,22 @@ object DocQueries {
     // so the same mirror adjudicates both
     "ir5_neardup_index_probe" -> incrementalNearDupSql,
 
+    // IR6: the seen-set probe restated as the plain anti-join over the
+    // same doc_id-arithmetic URL universe — probeNovel is EXACT (Bloom
+    // has no false negatives; false positives die in the string-equality
+    // confirm), so set membership arithmetic is the whole truth
+    "ir6_seen_set_probe" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |         'http://h' || CAST(doc_id % 13 AS VARCHAR)
+        |           || '.example/p/' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents
+        | )
+        |SELECT doc_id, url FROM u b
+        |WHERE doc_id % 10 >= 4
+        |  AND NOT EXISTS (SELECT 1 FROM u s WHERE s.doc_id % 10 < 6 AND s.url = b.url)
+        |ORDER BY doc_id""".stripMargin,
+
     // D18: 32-token non-overlapping chunk hashes; first occurrence in
     // (doc_id, chunk_id) order is canonical, the rest are duplicates
     "d18_chunk_dedup" ->
@@ -4792,6 +4863,62 @@ object DocQueries {
          |SELECT doc_id, COUNT(*) AS n_bigrams,
          |       ROUND(SUM(q8) / 100000000.0 / COUNT(*), 4) AS nll
          |FROM bq GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // T54: the stupid-backoff chain restated — the CASE ladder IS the
+    // scoring rule (trigram relative frequency, else 0.4 × bigram, else
+    // 0.4² × add-one unigram terminal); every constant is CAST AS DOUBLE
+    // so both engines run the same IEEE arithmetic (DuckDB's bare 0.4 is
+    // DECIMAL and 0.4×0.4 would round to exactly 0.16, which double
+    // multiplication does NOT produce)
+    "t54_stupid_backoff" ->
+      s"""$wCte,
+         | lm AS (SELECT * FROM w WHERE doc_id % 10 <> 7),
+         | tg AS (
+         |  SELECT doc_id, ws[i.i] AS a, ws[i.i + 1] AS b, ws[i.i + 2] AS c
+         |  FROM w
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, nt - 2)) AS i) i
+         |  WHERE nt >= 3
+         | ),
+         | lt AS (
+         |  SELECT ws[i.i] AS a, ws[i.i + 1] AS b, ws[i.i + 2] AS c
+         |  FROM lm
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, nt - 2)) AS i) i
+         |  WHERE nt >= 3
+         | ),
+         | t3 AS (SELECT a, b, c, COUNT(*) AS c3 FROM lt GROUP BY 1, 2, 3),
+         | lb AS (
+         |  SELECT ws[i.i] AS x, ws[i.i + 1] AS y
+         |  FROM lm
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, nt - 1)) AS i) i
+         |  WHERE nt >= 2
+         | ),
+         | b2 AS (SELECT x, y, COUNT(*) AS c2 FROM lb GROUP BY 1, 2),
+         | u1 AS (SELECT t, COUNT(*) AS c1
+         |        FROM (SELECT unnest(ws) AS t FROM lm) GROUP BY 1),
+         | nv AS (SELECT COUNT(*) AS n, COUNT(DISTINCT t) AS v
+         |        FROM (SELECT unnest(ws) AS t FROM lm)),
+         | sq AS (
+         |  SELECT doc_id,
+         |         CAST(ROUND(-ln(CASE
+         |           WHEN t3.c3 IS NOT NULL
+         |             THEN CAST(t3.c3 AS DOUBLE) / CAST(bab.c2 AS DOUBLE)
+         |           WHEN bbc.c2 IS NOT NULL
+         |             THEN CAST(0.4 AS DOUBLE) * CAST(bbc.c2 AS DOUBLE) / CAST(ub.c1 AS DOUBLE)
+         |           ELSE CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)
+         |                * (CAST(COALESCE(uc.c1, 0) AS DOUBLE) + 1.0)
+         |                / (CAST(nv.n AS DOUBLE) + CAST(nv.v AS DOUBLE))
+         |          END) * 100000000) AS BIGINT) AS q8
+         |  FROM tg
+         |  LEFT JOIN t3 ON tg.a = t3.a AND tg.b = t3.b AND tg.c = t3.c
+         |  LEFT JOIN b2 bab ON tg.a = bab.x AND tg.b = bab.y
+         |  LEFT JOIN b2 bbc ON tg.b = bbc.x AND tg.c = bbc.y
+         |  LEFT JOIN u1 ub ON tg.b = ub.t
+         |  LEFT JOIN u1 uc ON tg.c = uc.t
+         |  CROSS JOIN nv
+         | )
+         |SELECT doc_id, COUNT(*) AS n_trigrams,
+         |       ROUND(SUM(q8) / 100000000.0 / COUNT(*), 4) AS nll
+         |FROM sq GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // T37: the three BPE merge rounds unrolled — per round: positional
     // pair counts over the double-space symbol encoding, argmax with

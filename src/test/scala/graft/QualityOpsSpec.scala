@@ -43,6 +43,53 @@ class QualityOpsSpec extends SparkSpec {
     assert(out === Set(1L))
   }
 
+  test("stupidBackoffLogProb walks the whole backoff ladder by hand") {
+    // LM corpus: one doc "a b c a b d" ->
+    //   trigrams: (a,b,c) (b,c,a) (c,a,b) (a,b,d) — each count 1
+    //   bigrams:  (a,b)=2 (b,c)=1 (c,a)=1 (b,d)=1
+    //   unigrams: a=2 b=2 c=1 d=1; N=6, V=4
+    val lm = docs("a b c a b d")
+    // scored doc "a b c d": trigram (a,b,c) SEEN -> 1/2;
+    // (b,c,d) unseen, bigram (c,d) unseen, d in vocab ->
+    //   0.4*0.4*(1+1)/(6+4); and "a b x": (a,b,x) unseen, (b,x) unseen,
+    //   x OOV -> 0.4*0.4*(0+1)/(6+4) — the add-one terminal both ways
+    val scored = docs("a b c d", "a b x", "c a b")
+    val out = Keywords.stupidBackoffLogProb(scored, "doc_id", "text", lm)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def q8(x: Double) = math.round(-math.log(x) * 1e8)
+    def nll(ss: Double*) = math.rint(ss.map(q8).sum / 1e8 / ss.size * 1e4) / 1e4
+    val a2 = 0.4 * 0.4
+    assert(out(0L)._1 === 2L)
+    assert(out(0L)._2 === nll(1.0 / 2, a2 * 2 / 10))
+    // doc1's second trigram is the OOV terminal
+    assert(out(1L) === ((1L, nll(a2 * 1 / 10))))
+    // doc2 "c a b": trigram (c,a,b) seen once, bigram (c,a)=1 -> 1/1
+    assert(out(2L) === ((1L, nll(1.0))))
+  }
+
+  test("stupidBackoff bigram tier: unseen trigram with a seen backoff bigram") {
+    // LM "a b c a b d": scored "b c a x" -> (b,c,a) seen: 1/c2(b,c)=1/1;
+    // (c,a,x): trigram unseen, bigram (a,x) unseen -> OOV terminal;
+    // scored "x b c": (x,b,c) unseen, bigram (b,c)=1 seen, c1(b)=2 ->
+    // 0.4 * 1/2 — the MIDDLE tier, which the other fixtures never hit
+    val lm = docs("a b c a b d")
+    val out = Keywords.stupidBackoffLogProb(docs("x b c"), "doc_id", "text", lm)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val exp = math.rint(math.round(-math.log(0.4 * 1 / 2.0) * 1e8) / 1e8 * 1e4) / 1e4
+    assert(out(0L) === exp)
+  }
+
+  test("stupidBackoff: self-scored train docs never back off; short docs drop") {
+    // every trigram of a doc scored against itself is seen -> scores are
+    // pure relative frequencies (ratio <= 1 -> nll >= 0); < 3 tokens absent
+    val lm = docs("p q r s", "t u")
+    val out = Keywords.stupidBackoffLogProb(lm, "doc_id", "text", lm)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out.keySet === Set(0L))
+    // (p,q,r): 1/c2(p,q)=1; (q,r,s): 1/c2(q,r)=1 -> nll 0
+    assert(out(0L) === 0.0)
+  }
+
   test("bm25Search ranks the doc matching more query terms first") {
     val corpus = docs("hash join hash", "merge sort", "nothing relevant here")
     val out = Keywords.bm25Search(corpus, "doc_id", "text",

@@ -766,4 +766,55 @@ class StreamingSpec extends SparkSpec {
         s"unexpected failure chain: ${messages(e)}")
     } finally q.stop()
   }
+
+  test("streaming band-index maintenance equals the batch-built index (#14)") {
+    // the d17/ir5 steady state LIVE: kept docs stream into the persisted
+    // band index via foreachBatch; after draining, a probe against the
+    // maintained index must equal one against a from-scratch full
+    // rebuild bit-for-bit, a replayed batch id must be a no-op (the
+    // restart contract), and the one unprotected crash window (data
+    // appended, marker not advanced) must be HEALED by probe's
+    // duplicate collapse, not just rare.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.io.BandIndex
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val ixDir = java.nio.file.Files.createTempDirectory("graft-sband").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-sband-ck").toString
+    BandIndex.writeIndex(docs.filter(col("doc_id") < 100), "doc_id", "text",
+      ixDir, n = 3, numHashes = 64, bands = 16)
+    val rows = docs.filter(col("doc_id") >= 100 && col("doc_id") < 250)
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val batches = Seq(rows.take(30), rows.slice(30, 100), rows.drop(100))
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.bandIndexMaintenance(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", ixDir, ckDir)
+    try batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+
+    val probeBatch = docs.filter(col("doc_id") >= 250)
+    val rbDir = java.nio.file.Files.createTempDirectory("graft-sband-rb").toString
+    BandIndex.writeIndex(docs.filter(col("doc_id") < 250), "doc_id", "text",
+      rbDir, n = 3, numHashes = 64, bands = 16)
+    val rebuilt = rowSet(BandIndex.probe(spark, rbDir, probeBatch, "doc_id", "text"))
+    assert(rebuilt.nonEmpty, "fixture degenerate: no candidate pairs")
+    assert(rowSet(BandIndex.probe(spark, ixDir, probeBatch, "doc_id", "text"))
+      === rebuilt, "stream-maintained probe must equal the full rebuild")
+
+    // restart replay: the last committed batch id re-applied is a no-op
+    val bandRows0 = spark.read.parquet(s"$ixDir/bands").count()
+    assert(!BandIndex.appendBatch(batches.last.toDF("doc_id", "text"),
+      "doc_id", "text", ixDir, batchId = batches.size - 1L))
+    assert(spark.read.parquet(s"$ixDir/bands").count() === bandRows0,
+      "replayed batch must not append")
+
+    // the crash window made flesh: a raw double-append leaves physical
+    // duplicate band rows; probe must collapse them to the exact counts
+    BandIndex.appendToIndex(batches.last.toDF("doc_id", "text"),
+      "doc_id", "text", ixDir)
+    assert(spark.read.parquet(s"$ixDir/bands").count() > bandRows0)
+    assert(rowSet(BandIndex.probe(spark, ixDir, probeBatch, "doc_id", "text"))
+      === rebuilt, "probe must heal a replayed physical append")
+  }
 }
