@@ -147,6 +147,64 @@ object SeenSet {
     } finally graft.operators.Dedup.release(u)
   }
 
+  /** Replay-safe streaming novelty: probe the batch, EMIT the novel
+    * sliver to `novelDir/batch_id=<batchId>/`, feed it back into the
+    * set, and advance the set's batch-id high-watermark — the
+    * [[graft.streaming.Streaming.seenSetMaintenance]] foreachBatch
+    * body. Returns true iff the batch was applied.
+    *
+    * The emission is EXACTLY-ONCE and the membership is exact under
+    * every crash-replay interleaving, without a transaction log:
+    *  - batchId ≤ watermark → the whole body is a no-op (the normal
+    *    restart replay);
+    *  - emit dir exists WITHOUT `_SUCCESS` (torn emit) → the append
+    *    never ran (it only runs after a committed emit), so the set is
+    *    unchanged and the probe re-computes the same novelty; the
+    *    overwrite discards the torn files;
+    *  - emit dir committed (crash before/inside the append or before
+    *    the marker) → the novel sliver is read BACK from the emit dir
+    *    instead of re-probed — probing again would return EMPTY if the
+    *    append had finished and would silently overwrite the committed
+    *    emission with nothing — and re-appended: duplicate URL rows and
+    *    a re-merged delta Bloom are both harmless (the anti-join
+    *    tolerates duplicate seen rows; merging the same filter twice is
+    *    a bitwise OR no-op), so re-running the append costs bucket
+    *    bytes, never correctness.
+    *
+    * Cross-batch dedup falls out of the feedback edge: a URL novel in
+    * batch k is in the set before batch k+1 probes, so each URL is
+    * emitted exactly once, attributed to its first batch. Readers take
+    * the whole `novelDir` tree (batch_id is a hive partition column). */
+  def dedupBatch(
+      batch: DataFrame, urlCol: String, dir: String, novelDir: String,
+      batchId: Long
+  ): Boolean = {
+    val spark = batch.sparkSession
+    if (batchId <= storedWatermark(spark, dir)) false
+    else {
+      val emitDir = s"$novelDir/batch_id=$batchId"
+      val success = new org.apache.hadoop.fs.Path(s"$emitDir/_SUCCESS")
+      val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(success))
+        probeNovel(spark, dir, batch, urlCol)
+          .write.mode("overwrite").parquet(emitDir)
+      val novel = spark.read.parquet(emitDir)
+      appendToSet(novel, urlCol, dir)
+      import spark.implicits._
+      Seq(batchId).toDF("batch_id").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/watermark")
+      true
+    }
+  }
+
+  private def storedWatermark(spark: SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/watermark")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) -1L
+    else spark.read.parquet(p.toString)
+      .agg(max(col("batch_id").cast("long"))).head().getLong(0)
+  }
+
   /** The rows of `batch` whose `urlCol` is NOT in the set — exactly
     * `batch LEFT ANTI JOIN seen ON url` (all batch columns survive;
     * duplicate novel URLs in the batch all return, the anti-join

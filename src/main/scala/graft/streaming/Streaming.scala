@@ -612,6 +612,43 @@ object Streaming {
       }
       .start()
 
+  /** STREAMING discovery novelty (parity harness #15) — the live face
+    * of [[graft.io.SeenSet]]: a stream of discovered URLs dedups itself
+    * against the persisted seen set via `foreachBatch`, emitting each
+    * URL EXACTLY ONCE (attributed to its first batch, under crash
+    * replays included) into `novelDir/batch_id=<n>/` and feeding the
+    * novel sliver straight back into the set — the crawl fleet's
+    * discovery→novelty→fetch-queue edge with no re-fetching, live.
+    *
+    * All the replay machinery lives in
+    * [[graft.io.SeenSet.dedupBatch]] (batch-id watermark, `_SUCCESS`-
+    * gated emit-dir reuse, membership-idempotent re-append — see its
+    * scaladoc for the interleaving-by-interleaving argument);
+    * StreamingSpec #15 pins streamed emissions == the batch
+    * first-occurrence fold, replayed-batch no-op, committed-emit
+    * recovery, and torn-emit recomputation.
+    *
+    * State is the DISK-RESIDENT set, not stream state: the
+    * per-host-seen problem [[frontierStream]]'s scaladoc flags as
+    * O(frontier) memory is exactly what this face solves at 100 TB —
+    * the stream job holds no URL state at all, and each batch pays one
+    * Bloom-prefiltered probe + a delta-sized append. */
+  def seenSetMaintenance(
+      discoveries: DataFrame,
+      urlCol: String,
+      seenDir: String,
+      novelDir: String,
+      checkpointDir: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    discoveries.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.io.SeenSet.dedupBatch(batch.toDF(), urlCol, seenDir,
+          novelDir, batchId): Unit
+      }
+      .start()
+
   /** Running per-key count/sum with custom state; emits updated stats on
     * every batch a key appears in. */
   def runningStats(

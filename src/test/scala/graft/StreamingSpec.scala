@@ -817,4 +817,67 @@ class StreamingSpec extends SparkSpec {
     assert(rowSet(BandIndex.probe(spark, ixDir, probeBatch, "doc_id", "text"))
       === rebuilt, "probe must heal a replayed physical append")
   }
+
+  test("streaming seen-set novelty emits each URL exactly once (#15)") {
+    // the discovery stream dedups itself against the persisted seen set:
+    // per batch, novel URLs are emitted to batch_id=<n>/ and fed back in,
+    // so cross-batch repeats never re-emit; the union of emissions must
+    // equal the batch first-occurrence fold exactly
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.io.SeenSet
+    def url(i: Int) = s"http://s${i % 5}.com/p/$i"
+    val seenDir = java.nio.file.Files.createTempDirectory("graft-sseen").toString
+    val novelDir = java.nio.file.Files.createTempDirectory("graft-snovel").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-sseen-ck").toString
+    SeenSet.writeSet((0 until 150).map(url).toDF("url"), "url", seenDir)
+    // overlapping batches: 100..250 (50 seen), 200..350 (50 repeat batch
+    // 1), 100..400 (everything repeats except 350..399)
+    val batches = Seq(100 until 250, 200 until 350, 100 until 400)
+      .map(_.map(i => Tuple1(url(i))))
+    val input = MemoryStream[Tuple1[String]]
+    val q = Streaming.seenSetMaintenance(
+      input.toDF().toDF("url"), "url", seenDir, novelDir, ckDir)
+    try batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+    // exactly-once with first-batch attribution
+    def emitted(b: Int) = spark.read.parquet(s"$novelDir/batch_id=$b")
+      .collect().map(_.getString(0)).toSet
+    assert(emitted(0) === (150 until 250).map(url).toSet)
+    assert(emitted(1) === (250 until 350).map(url).toSet)
+    assert(emitted(2) === (350 until 400).map(url).toSet)
+
+    // restart replay of a committed batch: whole-body no-op
+    val urlRows0 = spark.read.parquet(s"$seenDir/urls").count()
+    assert(!SeenSet.dedupBatch(batches(2).toDF("url"), "url", seenDir,
+      novelDir, batchId = 2))
+    assert(spark.read.parquet(s"$seenDir/urls").count() === urlRows0)
+
+    // crash AFTER a committed emit but BEFORE the append/marker: the
+    // replay must re-emit NOTHING new (read back, not re-probed — a
+    // re-probe could see the half-applied set) and append the emitted
+    // sliver; simulate by hand-committing batch 3's emit dir
+    (400 until 420).map(url).toDF("url")
+      .write.mode("overwrite").parquet(s"$novelDir/batch_id=3")
+    assert(SeenSet.dedupBatch(Seq.empty[String].toDF("url"), "url",
+      seenDir, novelDir, batchId = 3))
+    assert(emitted(3) === (400 until 420).map(url).toSet,
+      "committed emission must survive the replay untouched")
+    assert(SeenSet.probeNovel(spark, seenDir,
+      (400 until 420).map(url).toDF("url"), "url").isEmpty,
+      "the recovered batch's novel sliver must have entered the set")
+
+    // torn emit (no _SUCCESS): the files are garbage from a mid-write
+    // crash; the append never ran, so the body must RE-PROBE and
+    // overwrite them
+    val torn = new java.io.File(s"$novelDir/batch_id=4")
+    torn.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$novelDir/batch_id=4/part-torn.parquet"),
+      Array[Byte](1, 2, 3))
+    assert(SeenSet.dedupBatch((418 until 425).map(url).toDF("url"), "url",
+      seenDir, novelDir, batchId = 4))
+    assert(emitted(4) === (420 until 425).map(url).toSet,
+      "torn emit must be recomputed from the set, not trusted")
+  }
 }
