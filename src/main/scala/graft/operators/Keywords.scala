@@ -395,15 +395,18 @@ object Keywords {
     * scoring split is what exercises it — and is also the deployment
     * shape (score candidate docs under a trusted-corpus LM).
     *
-    * Plan shape: one tokenize pass over the LM corpus feeds the
-    * trigram/bigram/unigram count tables (all Heaps'-law-bounded hash
-    * aggregations) and the 1-row (N, V) totals; one tokenize pass over
-    * the scored corpus feeds the trigram stream, which LEFT-joins the
-    * count tables (no broadcast hints — AQE promotes the Heaps-bounded
-    * sides when they fit, the t36 reasoning; the bigram table joins
-    * twice, once as context (a,b) and once as backoff (b,c), and Spark
-    * reuses the one aggregation via ReusedExchange). The only
-    * corpus-sized shuffle is the final per-doc aggregation. */
+    * Plan shape (audited at sf0.01): the SCORED corpus tokenizes once —
+    * its trigram stream never shuffles; every count-table lookup is a
+    * broadcast hash join (no hints — AQE promotes the Heaps'-law-bounded
+    * tables when they fit, the t36 reasoning) and the only corpus-sized
+    * exchange is the final per-doc aggregation. The LM side is scanned
+    * once per count table (the bigram and unigram tables each join in
+    * two key roles and are PLANNED twice — exchange reuse does not
+    * collapse them): ~6 passes over the LM corpus. That asymmetry is the
+    * deployment shape — the LM trains on a small trusted corpus while
+    * the scored corpus is the 100 TB side; if the LM corpus is itself
+    * large, cache or checkpoint `lmDocs` before calling so the repeated
+    * passes read materialized bytes, not recomputed lineage. */
   def stupidBackoffLogProb(
       docs: DataFrame, idCol: String, textCol: String,
       lmDocs: DataFrame, alpha: Double = 0.4
