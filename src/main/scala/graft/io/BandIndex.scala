@@ -126,22 +126,12 @@ object BandIndex {
       batchId: Long
   ): Boolean = {
     val spark = delta.sparkSession
-    if (batchId <= storedWatermark(spark, dir)) false
+    if (batchId <= Watermark.read(spark, dir)) false
     else {
       appendToIndex(delta, idCol, textCol, dir)
-      import spark.implicits._
-      Seq(batchId).toDF("batch_id").coalesce(1)
-        .write.mode("overwrite").parquet(s"$dir/watermark")
+      Watermark.advance(spark, dir, batchId)
       true
     }
-  }
-
-  private def storedWatermark(spark: SparkSession, dir: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/watermark")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) -1L
-    else spark.read.parquet(p.toString)
-      .agg(max(col("batch_id").cast("long"))).head().getLong(0)
   }
 
   /** Candidate (batch, reference) near-dup pairs against the persisted

@@ -58,10 +58,13 @@ object SeenSet {
   private def bucketOf(urlCol: Column, buckets: Int): Column =
     pmod(xxhash64(urlCol), lit(buckets.toLong))
 
-  private def bloomBytesOf(urls: DataFrame, urlCol: String,
-      expected: Long, fpp: Double): Array[Byte] = {
-    val bf = urls.select(xxhash64(col(urlCol)).as("__graft_h"))
+  private def bloomOf(urls: DataFrame, urlCol: String,
+      expected: Long, fpp: Double): org.apache.spark.util.sketch.BloomFilter =
+    urls.select(xxhash64(col(urlCol)).as("__graft_h"))
       .stat.bloomFilter("__graft_h", math.max(expected, 1L), fpp)
+
+  private def bloomBytes(
+      bf: org.apache.spark.util.sketch.BloomFilter): Array[Byte] = {
     // presized to the filter's bit array (+64 B header slack): the
     // default-growth ByteArrayOutputStream would transiently hold ~2×
     // the filter in doubling copies at seen-set sizes
@@ -69,6 +72,18 @@ object SeenSet {
       math.toIntExact(bf.bitSize() / 8L + 64L))
     bf.writeTo(bos)
     bos.toByteArray
+  }
+
+  /** The serialized sidecar must fit a JVM byte array (and the plan
+    * literal it rides in): ~`-n ln(fpp) / ln²2` bits. Named here so the
+    * failure is this message at [[writeSet]] entry, not an arithmetic
+    * overflow from a private helper mid-build. */
+  private def requireBloomFits(expected: Long, fpp: Double): Unit = {
+    val bits = (-expected * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    require(bits / 8L + 64L <= Int.MaxValue.toLong,
+      s"Bloom sidecar for expectedUrls=$expected at fpp=$fpp would exceed " +
+        "2 GB (the byte-array/plan-literal ceiling). Raise fpp, or shard " +
+        "the seen set across several directories and union the probes.")
   }
 
   private def writeBloom(spark: SparkSession, dir: String,
@@ -89,6 +104,7 @@ object SeenSet {
   ): Unit = {
     require(buckets >= 1, "need at least one bucket")
     require(fpp > 0 && fpp < 1, s"fpp=$fpp out of (0,1)")
+    if (expectedUrls > 0L) requireBloomFits(expectedUrls, fpp)
     val spark = urls.sparkSession
     // eager localCheckpoint: the distinct frame feeds three executions
     // (count when auto-sizing, Bloom build, bucket write)
@@ -96,10 +112,11 @@ object SeenSet {
     try {
       val expected =
         if (expectedUrls > 0L) expectedUrls else math.max(u.count(), 1L)
+      requireBloomFits(expected, fpp)
       spark.createDataFrame(Seq((buckets, expected, fpp)))
         .toDF("buckets", "expected_urls", "fpp")
         .write.mode("overwrite").parquet(s"$dir/meta")
-      writeBloom(spark, dir, bloomBytesOf(u, "url", expected, fpp))
+      writeBloom(spark, dir, bloomBytes(bloomOf(u, "url", expected, fpp)))
       u.withColumn("url_bucket", bucketOf(col("url"), buckets))
         .repartition(col("url_bucket"))
         .write.mode("overwrite").partitionBy("url_bucket").parquet(s"$dir/urls")
@@ -113,9 +130,30 @@ object SeenSet {
     (r.getInt(0), r.getLong(1), r.getDouble(2))
   }
 
-  private def storedBloom(spark: SparkSession, dir: String): Array[Byte] =
-    spark.read.parquet(s"$dir/bloom").select(col("bloom")).head()
-      .getAs[Array[Byte]](0)
+  /** The committed Bloom sidecar — or, when a crash tore the sidecar's
+    * overwrite window (mode("overwrite") deletes the old copy before the
+    * new one commits; `_SUCCESS` is the commit marker), a REBUILD from
+    * `urls/`, which is the set's source of truth: inserting the same
+    * element set into a same-geometry filter yields bit-identical bits
+    * regardless of insertion order or batching, so the rebuilt sidecar
+    * IS the lost one. The rebuild is persisted so the recovery cost (one
+    * full-set scan) is paid once, and the set is never bricked by a
+    * mid-append crash. */
+  private def storedBloom(spark: SparkSession, dir: String): Array[Byte] = {
+    val success = new org.apache.hadoop.fs.Path(s"$dir/bloom/_SUCCESS")
+    val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(success))
+      spark.read.parquet(s"$dir/bloom").select(col("bloom")).head()
+        .getAs[Array[Byte]](0)
+    else {
+      val (_, expected, fpp) = storedMeta(spark, dir)
+      val bytes = bloomBytes(bloomOf(
+        spark.read.parquet(s"$dir/urls").select(col("url")), "url",
+        expected, fpp))
+      writeBloom(spark, dir, bytes)
+      bytes
+    }
+  }
 
   /** Incremental maintenance: add a delta of URLs (typically
     * [[probeNovel]]'s own output — the fetch loop's natural feedback
@@ -131,16 +169,14 @@ object SeenSet {
     val (buckets, expected, fpp) = storedMeta(spark, dir)
     val u = delta.select(col(urlCol).as("url")).distinct().localCheckpoint()
     try {
-      val deltaBf = org.apache.spark.util.sketch.BloomFilter
-        .readFrom(new java.io.ByteArrayInputStream(
-          bloomBytesOf(u, "url", expected, fpp)))
+      // bloom BEFORE urls: a crash between them leaves delta urls in the
+      // filter but not the store — false positives the confirm join
+      // removes; the reverse order would create false NEGATIVES and emit
+      // seen URLs as novel
       val merged = org.apache.spark.util.sketch.BloomFilter
         .readFrom(new java.io.ByteArrayInputStream(storedBloom(spark, dir)))
-      merged.mergeInPlace(deltaBf)
-      val bos = new java.io.ByteArrayOutputStream(
-        math.toIntExact(merged.bitSize() / 8L + 64L))
-      merged.writeTo(bos)
-      writeBloom(spark, dir, bos.toByteArray)
+      merged.mergeInPlace(bloomOf(u, "url", expected, fpp))
+      writeBloom(spark, dir, bloomBytes(merged))
       u.withColumn("url_bucket", bucketOf(col("url"), buckets))
         .repartition(col("url_bucket"))
         .write.mode("append").partitionBy("url_bucket").parquet(s"$dir/urls")
@@ -148,7 +184,11 @@ object SeenSet {
   }
 
   /** Replay-safe streaming novelty: probe the batch, EMIT the novel
-    * sliver to `novelDir/batch_id=<batchId>/`, feed it back into the
+    * sliver — ONE row per novel URL, an arbitrary representative when
+    * the batch discovered it several times (unlike [[probeNovel]], whose
+    * anti-join contract preserves batch duplicates; an emission queues a
+    * fetch, and two pages linking the same target must not fetch it
+    * twice) — to `novelDir/batch_id=<batchId>/`, feed it back into the
     * set, and advance the set's batch-id high-watermark — the
     * [[graft.streaming.Streaming.seenSetMaintenance]] foreachBatch
     * body. Returns true iff the batch was applied.
@@ -180,29 +220,24 @@ object SeenSet {
       batchId: Long
   ): Boolean = {
     val spark = batch.sparkSession
-    if (batchId <= storedWatermark(spark, dir)) false
+    if (batchId <= Watermark.read(spark, dir)) false
     else {
       val emitDir = s"$novelDir/batch_id=$batchId"
       val success = new org.apache.hadoop.fs.Path(s"$emitDir/_SUCCESS")
       val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(success))
-        probeNovel(spark, dir, batch, urlCol)
+        // dropDuplicates on the URL: probeNovel deliberately preserves
+        // batch duplicates (the anti-join contract), but the EMISSION
+        // contract here is one row per novel URL — two pages discovering
+        // the same target within one batch must not queue two fetches
+        // (an arbitrary representative row's other columns survive)
+        probeNovel(spark, dir, batch, urlCol).dropDuplicates(urlCol)
           .write.mode("overwrite").parquet(emitDir)
       val novel = spark.read.parquet(emitDir)
       appendToSet(novel, urlCol, dir)
-      import spark.implicits._
-      Seq(batchId).toDF("batch_id").coalesce(1)
-        .write.mode("overwrite").parquet(s"$dir/watermark")
+      Watermark.advance(spark, dir, batchId)
       true
     }
-  }
-
-  private def storedWatermark(spark: SparkSession, dir: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/watermark")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) -1L
-    else spark.read.parquet(p.toString)
-      .agg(max(col("batch_id").cast("long"))).head().getLong(0)
   }
 
   /** The rows of `batch` whose `urlCol` is NOT in the set — exactly

@@ -399,43 +399,51 @@ object Keywords {
     * its trigram stream never shuffles; every count-table lookup is a
     * broadcast hash join (no hints — AQE promotes the Heaps'-law-bounded
     * tables when they fit, the t36 reasoning) and the only corpus-sized
-    * exchange is the final per-doc aggregation. The LM side is scanned
-    * once per count table (the bigram and unigram tables each join in
-    * two key roles and are PLANNED twice — exchange reuse does not
-    * collapse them): ~6 passes over the LM corpus. That asymmetry is the
-    * deployment shape — the LM trains on a small trusted corpus while
-    * the scored corpus is the 100 TB side; if the LM corpus is itself
-    * large, cache or checkpoint `lmDocs` before calling so the repeated
-    * passes read materialized bytes, not recomputed lineage. */
+    * exchange is the final per-doc aggregation. The LM side tokenizes
+    * exactly 3× (one pass per n-gram order): the bigram and unigram
+    * tables each serve two key roles, and since exchange reuse does not
+    * collapse differently-keyed consumers they are MATERIALIZED once
+    * (localCheckpoint — Heaps-bounded, distributed) instead of planned
+    * twice. (N, V) reduce from the materialized unigram table and ride
+    * as literals. The LM frame only needs `textCol` — the id column is
+    * the SCORED corpus's concern. Like [[graft.operators.Dedup
+    * .semanticDecontaminate]], the guard below runs the (small) LM
+    * aggregations at CALL time: an empty or token-free LM corpus fails
+    * loudly here instead of silently scoring every doc against a
+    * zero-denominator terminal. */
   def stupidBackoffLogProb(
       docs: DataFrame, idCol: String, textCol: String,
       lmDocs: DataFrame, alpha: Double = 0.4
   ): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha=$alpha out of (0,1]")
-    def tris(d: DataFrame, id: org.apache.spark.sql.Column): DataFrame =
-      d.select(id.as("doc_id"), TextFunctions.tokens(textCol).as("ws"))
-        .filter(size(col("ws")) >= 3)
-        .select(col("doc_id"), explode(
-          transform(sequence(lit(1), size(col("ws")) - 2),
-            i => struct(element_at(col("ws"), i).as("a"),
-              element_at(col("ws"), i + 1).as("b"),
-              element_at(col("ws"), i + 2).as("c")))).as("p"))
-        .select(col("doc_id"), col("p.a"), col("p.b"), col("p.c"))
     val lmBase = lmDocs.select(TextFunctions.tokens(textCol).as("ws"))
-    val lmTri = tris(lmDocs, col(idCol))
-    val t3 = lmTri.groupBy("a", "b", "c").agg(count(lit(1)).as("c3"))
-    val b2 = lmBase.filter(size(col("ws")) >= 2)
-      .select(explode(
-        transform(sequence(lit(1), size(col("ws")) - 1),
-          i => struct(element_at(col("ws"), i).as("x"),
-            element_at(col("ws"), i + 1).as("y")))).as("p"))
-      .select(col("p.x"), col("p.y"))
-      .groupBy("x", "y").agg(count(lit(1)).as("c2"))
+    def lmGrams(n: Int, names: Seq[String]): DataFrame =
+      lmBase.filter(size(col("ws")) >= n)
+        .select(explode(
+          transform(sequence(lit(1), size(col("ws")) - (n - 1)),
+            i => struct(names.zipWithIndex.map { case (c, k) =>
+              element_at(col("ws"), i + k).as(c) }: _*))).as("p"))
+        .select(names.map(c => col(s"p.$c")): _*)
+    val t3 = lmGrams(3, Seq("a", "b", "c"))
+      .groupBy("a", "b", "c").agg(count(lit(1)).as("c3"))
+    val b2 = lmGrams(2, Seq("x", "y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("c2")).localCheckpoint()
     val u1 = lmBase.select(explode(col("ws")).as("t"))
-      .groupBy("t").agg(count(lit(1)).as("c1"))
-    val nv = lmBase.select(explode(col("ws")).as("t"))
-      .agg(count(lit(1)).as("n"), count_distinct(col("t")).as("v"))
-    tris(docs, col(idCol))
+      .groupBy("t").agg(count(lit(1)).as("c1")).localCheckpoint()
+    val nvRow = u1.agg(sum(col("c1")), count(lit(1))).head()
+    require(!nvRow.isNullAt(0) && nvRow.getLong(0) > 0,
+      "stupidBackoffLogProb: the LM corpus has no tokens — every trigram " +
+        "would hit the add-one terminal over a zero denominator. Pass a " +
+        "non-empty lmDocs.")
+    val (n, v) = (nvRow.getLong(0), nvRow.getLong(1))
+    docs.select(col(idCol).as("doc_id"), TextFunctions.tokens(textCol).as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("ws")) - 2),
+          i => struct(element_at(col("ws"), i).as("a"),
+            element_at(col("ws"), i + 1).as("b"),
+            element_at(col("ws"), i + 2).as("c")))).as("p"))
+      .select(col("doc_id"), col("p.a"), col("p.b"), col("p.c"))
       .join(t3, Seq("a", "b", "c"), "left")
       .join(b2.select(col("x").as("a"), col("y").as("b"),
         col("c2").as("c2ab")), Seq("a", "b"), "left")
@@ -443,7 +451,6 @@ object Keywords {
         col("c2").as("c2bc")), Seq("b", "c"), "left")
       .join(u1.select(col("t").as("b"), col("c1").as("c1b")), Seq("b"), "left")
       .join(u1.select(col("t").as("c"), col("c1").as("c1c")), Seq("c"), "left")
-      .crossJoin(broadcast(nv))
       .withColumn("s",
         when(col("c3").isNotNull,
           col("c3").cast("double") / col("c2ab").cast("double"))
@@ -451,7 +458,7 @@ object Keywords {
           lit(alpha) * col("c2bc").cast("double") / col("c1b").cast("double"))
         .otherwise(lit(alpha) * lit(alpha)
           * (coalesce(col("c1c"), lit(0L)).cast("double") + 1.0)
-          / (col("n").cast("double") + col("v").cast("double"))))
+          / lit(n.toDouble + v.toDouble)))
       .withColumn("q8", round(-log(col("s")) * 1e8).cast("long"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_trigrams"),

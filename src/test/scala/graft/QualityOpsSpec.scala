@@ -79,6 +79,21 @@ class QualityOpsSpec extends SparkSpec {
     assert(out(0L) === exp)
   }
 
+  test("stupidBackoff: the LM frame needs only text; an empty LM fails loudly") {
+    // the deployment shape is a trusted-corpus LM — it has no reason to
+    // carry the scored corpus's id column
+    val lm = docs("a b c a b d").select("text")
+    val out = Keywords.stupidBackoffLogProb(docs("c a b"), "doc_id", "text", lm)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(0L) === 0.0) // (c,a,b) seen once over c2(c,a)=1
+    // a token-free LM would make every trigram a 0-denominator terminal
+    val e = intercept[IllegalArgumentException] {
+      Keywords.stupidBackoffLogProb(docs("c a b"), "doc_id", "text",
+        docs().limit(0))
+    }
+    assert(e.getMessage.contains("no tokens"))
+  }
+
   test("stupidBackoff: self-scored train docs never back off; short docs drop") {
     // every trigram of a doc scored against itself is seen -> scores are
     // pure relative frequencies (ratio <= 1 -> nll >= 0); < 3 tokens absent

@@ -94,6 +94,32 @@ class SeenSetSpec extends SparkSpec {
       s"1-URL probe read $selected of ${bucketDirs.length} buckets — not pruned")
   }
 
+  test("a torn bloom sidecar is rebuilt from the urls store, not fatal") {
+    // appendToSet overwrites bloom/ (delete-then-commit): a crash inside
+    // that window deletes the only copy. The store is the source of
+    // truth — storedBloom must rebuild (same geometry + same elements =
+    // bit-identical filter), persist the rebuilt copy, and probe exactly
+    val dir = Files.createTempDirectory("graft-seen-torn").toFile.getAbsolutePath
+    SeenSet.writeSet(seenUrls, "url", dir)
+    val exact = rowSet(exactNovel(seenUrls, batch))
+    // simulate the torn overwrite: the commit marker (and data) gone
+    def rmBloom(): Unit = {
+      val d = new java.io.File(s"$dir/bloom")
+      d.listFiles().foreach(_.delete()); d.delete()
+      assert(!new java.io.File(s"$dir/bloom/_SUCCESS").exists())
+    }
+    rmBloom()
+    assert(rowSet(SeenSet.probeNovel(spark, dir, batch, "url")) === exact,
+      "probe must survive a lost sidecar via rebuild")
+    assert(new java.io.File(s"$dir/bloom/_SUCCESS").exists(),
+      "the rebuilt sidecar must be persisted")
+    // and the recovered set must still take appends (the dedupBatch
+    // replay path calls appendToSet after exactly this kind of crash)
+    rmBloom()
+    SeenSet.appendToSet(batch, "url", dir)
+    assert(SeenSet.probeNovel(spark, dir, batch, "url").isEmpty)
+  }
+
   test("probe resolves buckets from the layout; edge cases") {
     // non-default bucket count: a caller-side default would compute wrong
     // bucket ids and the pruned confirm would miss seen URLs

@@ -832,18 +832,25 @@ class StreamingSpec extends SparkSpec {
     val ckDir = java.nio.file.Files.createTempDirectory("graft-sseen-ck").toString
     SeenSet.writeSet((0 until 150).map(url).toDF("url"), "url", seenDir)
     // overlapping batches: 100..250 (50 seen), 200..350 (50 repeat batch
-    // 1), 100..400 (everything repeats except 350..399)
-    val batches = Seq(100 until 250, 200 until 350, 100 until 400)
-      .map(_.map(i => Tuple1(url(i))))
+    // 1), 100..400 (everything repeats except 350..399); batch 0 also
+    // discovers three of its URLs TWICE within the batch — the emission
+    // must still carry one row per novel URL
+    val batches = Seq(
+      (100 until 250) ++ Seq(160, 170, 180),
+      200 until 350,
+      100 until 400).map(_.map(i => Tuple1(url(i))))
     val input = MemoryStream[Tuple1[String]]
     val q = Streaming.seenSetMaintenance(
       input.toDF().toDF("url"), "url", seenDir, novelDir, ckDir)
     try batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
     finally q.stop()
     // exactly-once with first-batch attribution
-    def emitted(b: Int) = spark.read.parquet(s"$novelDir/batch_id=$b")
-      .collect().map(_.getString(0)).toSet
+    def emittedRows(b: Int) = spark.read.parquet(s"$novelDir/batch_id=$b")
+      .collect().map(_.getString(0)).toSeq
+    def emitted(b: Int) = emittedRows(b).toSet
     assert(emitted(0) === (150 until 250).map(url).toSet)
+    assert(emittedRows(0).size === emitted(0).size,
+      "a URL discovered twice within one batch must emit one row")
     assert(emitted(1) === (250 until 350).map(url).toSet)
     assert(emitted(2) === (350 until 400).map(url).toSet)
 
