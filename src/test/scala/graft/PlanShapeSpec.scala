@@ -175,6 +175,20 @@ class PlanShapeSpec extends SparkSpec {
       docs, docs.filter(col("doc_id") < 10), "doc_id", "text")) === ((3, 3)))
   }
 
+  test("stupid backoff: count tables broadcast onto the scored stream") {
+    // 2 shuffles: the trigram count table's aggregation (the one lazy LM
+    // aggregate — bigram/unigram materialize at call time) and the final
+    // per-doc aggregation; 5 broadcasts: every count-table lookup rides
+    // the scored trigram stream as a broadcast hash join, so the stream
+    // itself NEVER exchanges between the tokenize and the per-doc agg —
+    // the t54 audit's shape, pinned. A refactor that turns a lookup into
+    // a sort-merge join (corpus-sized stream shuffle per key role) fails
+    // here.
+    assert(shape(Keywords.stupidBackoffLogProb(
+      docs, "doc_id", "text", docs.filter(col("doc_id") % 10 =!= 7)))
+      === ((2, 5)))
+  }
+
   test("dupShingleFraction: one window + one aggregation, no join") {
     // 2 shuffles: the COUNT window on the shingle hash (doc-frequency
     // per shingle, computed on the hashed stream in place) and the final
