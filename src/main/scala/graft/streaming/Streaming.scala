@@ -649,6 +649,41 @@ object Streaming {
       }
       .start()
 
+  /** STREAMING corpus curation (parity harness #16) — the w11
+    * incremental-curation loop LIVE against a DISK-RESIDENT standing
+    * corpus: a CDC stream of document changes (`opCol` ∈ "upsert" /
+    * "delete") drains through the quality gate into a
+    * [[graft.io.CorpusStore]] via `foreachBatch`, installing passing
+    * upserts, evicting failing ones (keep-IS-NOT-TRUE, so a doc's decay
+    * removes its stale standing row) and deletes — each batch rewrites
+    * only the bucket directories its keys hash into
+    * (delta-proportional, the store's whole point at 100 TB).
+    *
+    * Replay safety rides [[graft.io.CorpusStore.applyCurationBatch]]:
+    * watermark-gated, and both store mutations are idempotent keyed
+    * overwrites, so every crash interleaving converges on the replayed
+    * apply. StreamingSpec #16 pins the CONVERGENCE contract — after the
+    * stream drains, the store equals the batch gate applied to the
+    * final snapshot from scratch — plus replayed-batch no-op and
+    * crash-window re-apply. CDC batches are compacted to one change per
+    * key (the store's key-uniqueness contract). */
+  def curateStream(
+      changes: DataFrame,
+      opCol: String,
+      idCol: String,
+      textCol: String,
+      storeDir: String,
+      checkpointDir: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.io.CorpusStore.applyCurationBatch(batch.toDF(), opCol, idCol,
+          textCol, storeDir, batchId): Unit
+      }
+      .start()
+
   /** Running per-key count/sum with custom state; emits updated stats on
     * every batch a key appears in. */
   def runningStats(

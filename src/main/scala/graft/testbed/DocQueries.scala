@@ -275,6 +275,27 @@ object DocQueries {
       ix
     })
 
+  /** The persisted bucket-partitioned corpus store serving ir7 — built
+    * write(doc_id % 3 == 0) + upsert(% 5 == 0, text amended) +
+    * delete(% 7 == 0), so BOTH maintenance faces sit inside the oracle
+    * gate: replaced rows must carry the new text, new keys must appear,
+    * deleted keys must not resurrect from their bucket directories. */
+  private val storeDirCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+  private def corpusStoreDir(s: SparkSession, dir: String): String =
+    storeDirCache.getOrElseUpdate((s, dir), {
+      val ix = java.nio.file.Files.createTempDirectory("graft-corpus-store").toString
+      val docs = table(s, dir, "documents").select("doc_id", "text")
+      graft.io.CorpusStore.write(docs.filter(col("doc_id") % 3 === 0),
+        "doc_id", ix)
+      graft.io.CorpusStore.upsert(docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text")),
+        "doc_id", ix)
+      graft.io.CorpusStore.delete(
+        docs.filter(col("doc_id") % 7 === 0).select("doc_id"), "doc_id", ix)
+      ix
+    })
+
   /** The t37/t38 learned BPE merge table, shared like the classifier
     * model (metadata: 3 string pairs). */
   private val bpeCache = scala.collection.concurrent.TrieMap
@@ -1824,6 +1845,18 @@ object DocQueries {
           u.filter(col("doc_id") % 10 >= 4), "url")
         .orderBy("doc_id")
     }),
+
+    // IR7: the standing corpus read back FROM THE MAINTAINED STORE —
+    // keyed upsert and delete applied as bucket-directory rewrites
+    // (delta-proportional — only touched buckets were rewritten; the
+    // CorpusStoreSpec mtime pin proves it), then the final content
+    // digested per key. The oracle restates the same final state from
+    // the change arithmetic: upsert wins over base, deletes drop,
+    // everything else survives byte-identically
+    "ir7_corpus_store" -> ((s, dir) =>
+      graft.io.CorpusStore.read(s, corpusStoreDir(s, dir))
+        .select(col("doc_id"), md5(col("text")).as("content_md5"))
+        .orderBy("doc_id")),
 
     // T42: Unicode NFC normalization (native nfc_normalize expression,
     // JDK Normalizer) — per-doc payloads get decomposed sequences
@@ -3498,6 +3531,23 @@ object DocQueries {
     // BandIndexSpec contract (probe == in-flight, append == rebuild),
     // so the same mirror adjudicates both
     "ir5_neardup_index_probe" -> incrementalNearDupSql,
+
+    // IR7: the maintained store's final state from the change
+    // arithmetic — the store semantics (mergeUpsert then anti-join) ARE
+    // the restatement; CorpusStoreSpec pins that the physical
+    // bucket-rewrite path implements exactly this
+    "ir7_corpus_store" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+        | up AS (SELECT doc_id, text || ' v2' AS text
+        |        FROM documents WHERE doc_id % 5 = 0),
+        | merged AS (
+        |  SELECT * FROM up
+        |  UNION ALL
+        |  SELECT * FROM base WHERE doc_id NOT IN (SELECT doc_id FROM up)
+        | )
+        |SELECT doc_id, md5(text) AS content_md5
+        |FROM merged WHERE doc_id % 7 <> 0
+        |ORDER BY doc_id""".stripMargin,
 
     // IR6: the seen-set probe restated as the plain anti-join over the
     // same doc_id-arithmetic URL universe — probeNovel is EXACT (Bloom

@@ -1,0 +1,150 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.io.CorpusStore
+import graft.operators.Dedup
+
+/** [[CorpusStore]]: keyed upsert/delete over the bucket-partitioned
+  * standing corpus must equal the logical mergeUpsert/anti-join, touch
+  * ONLY the buckets the change keys hash into, survive idempotent
+  * re-application (the crash-replay contract), and physically remove a
+  * bucket a delete emptied. */
+class CorpusStoreSpec extends SparkSpec {
+
+  private lazy val docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+    .select("doc_id", "text")
+
+  private def newStore(buckets: Int = 16): String = {
+    val dir = Files.createTempDirectory("graft-cstore").toFile.getAbsolutePath
+    CorpusStore.write(docs.filter(col("doc_id") % 3 === 0), "doc_id", dir,
+      buckets)
+    dir
+  }
+
+  private def bucketDirs(dir: String): Map[String, Long] = {
+    val root = new java.io.File(s"$dir/rows")
+    root.listFiles().filter(_.getName.startsWith("__graft_bucket="))
+      .flatMap(d => d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => s"${d.getName}/${f.getName}" -> f.lastModified()))
+      .toMap
+  }
+
+  test("write/read roundtrip drops the layout column") {
+    val dir = newStore()
+    val back = CorpusStore.read(spark, dir)
+    assert(back.columns.toSeq === Seq("doc_id", "text"))
+    assert(rowSet(back) === rowSet(docs.filter(col("doc_id") % 3 === 0)))
+  }
+
+  test("upsert equals mergeUpsert; delete equals the anti-join") {
+    val dir = newStore()
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"))
+    CorpusStore.upsert(delta, "doc_id", dir)
+    val expectUp = Dedup.mergeUpsert(
+      docs.filter(col("doc_id") % 3 === 0), delta, Seq("doc_id"))
+    assert(rowSet(CorpusStore.read(spark, dir)) === rowSet(expectUp))
+
+    val dropIds = docs.filter(col("doc_id") % 7 === 0).select("doc_id")
+    CorpusStore.delete(dropIds, "doc_id", dir)
+    val expectDel = expectUp.join(dropIds, Seq("doc_id"), "left_anti")
+    assert(rowSet(CorpusStore.read(spark, dir)) === rowSet(expectDel))
+  }
+
+  test("a change batch rewrites only its own buckets") {
+    val dir = newStore()
+    val before = bucketDirs(dir)
+    // a single-key upsert hashes into exactly one bucket
+    val one = docs.filter(col("doc_id") === 3)
+      .select(col("doc_id"), lit("patched").as("text"))
+    CorpusStore.upsert(one, "doc_id", dir)
+    val after = bucketDirs(dir)
+    val beforeDirs = before.keySet.map(_.split("/")(0))
+    val afterDirs = after.keySet.map(_.split("/")(0))
+    assert(beforeDirs === afterDirs, "no bucket directory appears or vanishes")
+    // untouched buckets keep their exact files (same names, same mtimes)
+    val changedDirs = afterDirs.filter { d =>
+      before.filter(_._1.startsWith(d + "/")) != after.filter(_._1.startsWith(d + "/"))
+    }
+    assert(changedDirs.size === 1,
+      s"one-key upsert must rewrite exactly one bucket, got $changedDirs")
+    // and the content moved
+    assert(CorpusStore.read(spark, dir)
+      .filter(col("doc_id") === 3).head().getString(1) === "patched")
+  }
+
+  test("re-applying the same change batch converges (crash-replay contract)") {
+    val dir = newStore()
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"))
+    CorpusStore.upsert(delta, "doc_id", dir)
+    val once = rowSet(CorpusStore.read(spark, dir))
+    CorpusStore.upsert(delta, "doc_id", dir)
+    assert(rowSet(CorpusStore.read(spark, dir)) === once)
+    val dropIds = docs.filter(col("doc_id") % 7 === 0).select("doc_id")
+    CorpusStore.delete(dropIds, "doc_id", dir)
+    val afterDel = rowSet(CorpusStore.read(spark, dir))
+    CorpusStore.delete(dropIds, "doc_id", dir)
+    assert(rowSet(CorpusStore.read(spark, dir)) === afterDel)
+  }
+
+  test("a delete that empties a bucket removes its directory") {
+    // tiny store, 4 buckets: delete EVERYTHING — dynamic overwrite alone
+    // would leave every old directory alive (it only replaces partitions
+    // present in the output); the explicit cleanup must remove them
+    val dir = Files.createTempDirectory("graft-cstore-e").toFile.getAbsolutePath
+    val small = docs.filter(col("doc_id") < 20)
+    CorpusStore.write(small, "doc_id", dir, buckets = 4)
+    CorpusStore.delete(small.select("doc_id"), "doc_id", dir)
+    assert(CorpusStore.read(spark, dir).isEmpty,
+      "deleted rows must not resurrect from stale bucket directories")
+    val left = new java.io.File(s"$dir/rows").listFiles()
+      .count(_.getName.startsWith("__graft_bucket="))
+    assert(left === 0, s"emptied bucket dirs must be removed, $left left")
+    // deleting absent ids on the emptied store is a no-op, not an error
+    CorpusStore.delete(small.select("doc_id"), "doc_id", dir)
+    assert(CorpusStore.read(spark, dir).isEmpty)
+  }
+
+  test("curation batch: gate installs, decay evicts, replay is a no-op") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-cstore-c").toFile.getAbsolutePath
+    // seed: prose that passes the gate (20-80 tokens, TTR >= 0.4,
+    // stopwords present, no punctuation, avg token length in 3-6)
+    def good(i: Long) = (i, "the quick brown fox jumps over a lazy dog " +
+      "while many other animals watch from their warm homes and some " +
+      "birds fly across the evening sky toward distant hills " + i)
+    CorpusStore.write(Seq(good(1), good(2)).toDF("doc_id", "text"),
+      "doc_id", dir, buckets = 4)
+    // batch 0: upsert a passing doc 3, DECAY doc 2 (gibberish now fails
+    // the gate -> evict), delete doc 1
+    val b0 = Seq(
+      ("upsert", good(3)._1, good(3)._2),
+      ("upsert", 2L, "zzzz"),
+      ("delete", 1L, null.asInstanceOf[String])
+    ).toDF("op", "doc_id", "text")
+    assert(CorpusStore.applyCurationBatch(b0, "op", "doc_id", "text", dir, 0L))
+    val kept = CorpusStore.read(spark, dir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(3L),
+      "passing upsert installs; decayed doc and deleted doc evict")
+    // replayed batch id: whole-body no-op
+    assert(!CorpusStore.applyCurationBatch(b0, "op", "doc_id", "text", dir, 0L))
+    // the crash window: changes applied, marker not advanced — re-apply
+    // with the NEXT id must converge, not corrupt
+    val b1 = Seq(("upsert", good(4)._1, good(4)._2))
+      .toDF("op", "doc_id", "text")
+    assert(CorpusStore.applyCurationBatch(b1, "op", "doc_id", "text", dir, 1L))
+    val after1 = rowSet(CorpusStore.read(spark, dir))
+    // simulate the replay of an already-applied-but-unmarked batch by
+    // re-running its mutations directly
+    CorpusStore.upsert(Seq((good(4)._1, good(4)._2)).toDF("doc_id", "text"),
+      "doc_id", dir)
+    assert(rowSet(CorpusStore.read(spark, dir)) === after1)
+  }
+}

@@ -887,4 +887,62 @@ class StreamingSpec extends SparkSpec {
     assert(emitted(4) === (420 until 425).map(url).toSet,
       "torn emit must be recomputed from the set, not trusted")
   }
+
+  test("streaming curation converges to the batch gate on the final snapshot (#16)") {
+    // the w11 loop live against a disk-resident CorpusStore: CDC batches
+    // install passing upserts, evict decayed docs and deletes; after the
+    // stream drains, the store must equal the quality gate applied to
+    // the FINAL snapshot from scratch — the incrementalCurate
+    // convergence contract, now with delta-proportional disk maintenance
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.io.CorpusStore
+    def prose(i: Long) = "the quick brown fox jumps over a lazy dog " +
+      "while many other animals watch from their warm homes and some " +
+      "birds fly across the evening sky toward distant hills " + i
+    val storeDir = java.nio.file.Files.createTempDirectory("graft-cur").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-cur-ck").toString
+    // seed snapshot: ids 0-9, all passing
+    val seed = (0L until 10L).map(i => (i, prose(i)))
+    CorpusStore.write(seed.toDF("doc_id", "text"), "doc_id", storeDir,
+      buckets = 8)
+    val del = null.asInstanceOf[String]
+    val batches = Seq(
+      // new passing docs + one decay (doc 2 turns to gibberish) + delete 0
+      Seq(("upsert", 10L, prose(10)), ("upsert", 11L, prose(11)),
+        ("upsert", 2L, "zz zz zz"), ("delete", 0L, del)),
+      // doc 2 recovers with NEW text; doc 11 decays; a born-failing doc 12
+      Seq(("upsert", 2L, prose(200)), ("upsert", 11L, "qq"),
+        ("upsert", 12L, "x y")),
+      // delete an already-evicted doc (no-op) and a standing one
+      Seq(("delete", 11L, del), ("delete", 3L, del),
+        ("upsert", 13L, prose(13))))
+    val input = MemoryStream[(String, Long, String)]
+    val q = Streaming.curateStream(
+      input.toDF().toDF("op", "doc_id", "text"),
+      "op", "doc_id", "text", storeDir, ckDir)
+    try batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+    // fold the snapshot in plain scala, then gate it from scratch
+    val snap = scala.collection.mutable.Map(seed: _*)
+    batches.flatten.foreach {
+      case ("upsert", id, t) => snap(id) = t
+      case ("delete", id, _) => snap.remove(id): Unit
+    }
+    val expected = snap.toSeq.toDF("doc_id", "text")
+      .filter(graft.functions.TextFunctions.qualityFilter("text")
+        .getField("keep"))
+    assert(rowSet(CorpusStore.read(spark, storeDir)) === rowSet(expected),
+      "maintained store must equal the batch gate over the final snapshot")
+    // the fixture must have exercised install, decay-evict, delete-evict
+    // and recovery: spot-pin the interesting ids
+    val ids = CorpusStore.read(spark, storeDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids.contains(2L) && ids.contains(13L))
+    assert(!ids.contains(0L) && !ids.contains(3L) && !ids.contains(11L)
+      && !ids.contains(12L))
+    // restart replay of the last batch: whole-body no-op
+    assert(!CorpusStore.applyCurationBatch(batches.last.toDF("op", "doc_id",
+      "text"), "op", "doc_id", "text", storeDir, batches.size - 1L))
+  }
 }
