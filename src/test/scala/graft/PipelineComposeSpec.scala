@@ -155,4 +155,38 @@ class PipelineComposeSpec extends SparkSpec {
         rowSet(graft.io.BandIndex.probe(spark, dirD, probeBatch, "doc_id", "text")),
       "appended band index diverged from a rebuild over keptNext")
   }
+
+  test("incrementalCurate output slivers maintain the persisted corpus store") {
+    // the loop's third durable artifact: the standing KEPT CORPUS itself,
+    // kept on disk by CorpusStore — upsert the delta keepers, evict the
+    // removed/now-failing ids, and the store must equal keptNext exactly
+    // (with added, CHANGED and removed docs all in the fixture, so the
+    // replace path is exercised, not just appends)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val id = col("doc_id")
+    val cur = docs.select(id, col("text"))
+    val prev = cur.filter(!(id % 13 === 5))
+      .select(id, when(id % 9 === 2, concat(col("text"), lit(" OLD")))
+        .otherwise(col("text")).as("text"))
+      .unionByName(cur.filter(id % 17 === 4)
+        .select((-(id + 1L)).as("doc_id"), col("text")))
+    val standingKept = prev.filter(
+      TextFunctions.qualityFilter("text").getField("keep"))
+    val res = DocPipeline.incrementalCurate(
+      prev, cur, standingKept, "doc_id", "text")
+    val deltaKeptIds = res.rescored.filter(col("keep")).select("doc_id")
+    val deltaKept = cur.join(deltaKeptIds, Seq("doc_id"), "left_semi")
+    val evictIds = res.diff.filter(col("status") === "removed").select("doc_id")
+      .unionByName(res.rescored
+        .filter(!coalesce(col("keep"), lit(false))).select("doc_id"))
+    assert(deltaKept.count() > 0 && evictIds.count() > 0,
+      "fixture must exercise both the upsert and the evict path")
+    val dirE = java.nio.file.Files.createTempDirectory("graft-loop-cs").toString
+    graft.io.CorpusStore.write(standingKept, "doc_id", dirE, buckets = 8)
+    graft.io.CorpusStore.upsert(deltaKept, "doc_id", dirE)
+    graft.io.CorpusStore.delete(evictIds, "doc_id", dirE)
+    assert(rowSet(graft.io.CorpusStore.read(spark, dirE)) ===
+      rowSet(res.keptNext),
+      "store maintained from the loop's slivers diverged from keptNext")
+  }
 }
