@@ -134,6 +134,15 @@ object BandIndex {
     }
   }
 
+  /** Compact fragmented bucket directories (see [[Compact]]) and make
+    * [[probe]]'s duplicate tolerance free by removing the physical
+    * duplicates a replayed [[appendBatch]] crash window leaves: the
+    * served pairs are unchanged, the per-bucket scan fan-in returns
+    * to one file. */
+  def compact(spark: SparkSession, dir: String): Compact.CompactStats =
+    Compact.compactTree(spark, s"$dir/bands", "band_bucket",
+      dedupCols = Some(Seq("ref_id", "band", "band_hash")))
+
   /** Candidate (batch, reference) near-dup pairs against the persisted
     * index: the batch's band stream is computed in-flight (with the
     * INDEX's stored parameters), its distinct band buckets become a

@@ -183,6 +183,14 @@ object SeenSet {
     } finally graft.operators.Dedup.release(u)
   }
 
+  /** Compact fragmented bucket directories (one parquet file per append
+    * accumulates — see [[Compact]]) and collapse the physically
+    * duplicated URLs membership-idempotent re-appends leave behind:
+    * membership is unchanged, probe fan-in and bytes shrink. */
+  def compact(spark: SparkSession, dir: String): Compact.CompactStats =
+    Compact.compactTree(spark, s"$dir/urls", "url_bucket",
+      dedupCols = Some(Seq("url")))
+
   /** Replay-safe streaming novelty: probe the batch, EMIT the novel
     * sliver — ONE row per novel URL, an arbitrary representative when
     * the batch discovered it several times (unlike [[probeNovel]], whose

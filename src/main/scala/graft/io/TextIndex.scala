@@ -120,6 +120,14 @@ object TextIndex {
       .write.mode("overwrite").parquet(s"$dir/stats")
   }
 
+  /** Compact fragmented posting-bucket directories (each append adds a
+    * file per touched bucket — see [[Compact]]). Postings are unique per
+    * (term, doc_id) under the append face's id-disjointness contract, so
+    * no dedup: a straight content-identical rewrite of only the
+    * fragmented directories. */
+  def compact(spark: SparkSession, dir: String): Compact.CompactStats =
+    Compact.compactTree(spark, s"$dir/postings", "term_bucket")
+
   /** BM25 top-k against a persisted index: the query terms' buckets
     * become a literal partition predicate (query metadata, not row
     * data), postings filter to the exact terms inside those directories,

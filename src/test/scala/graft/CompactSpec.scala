@@ -1,0 +1,111 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.io.{BandIndex, Compact, SeenSet, TextIndex}
+
+/** [[Compact]]: compaction must be invisible to every serving path
+  * (content-identical), reduce fragmented buckets to one file each,
+  * leave already-compact buckets' files untouched, remove the physical
+  * duplicates replayed appends leave, and be an idempotent no-op when
+  * re-run. */
+class CompactSpec extends SparkSpec {
+
+  private lazy val docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+
+  private def parquetsPerBucket(tree: String, prefix: String): Map[String, Int] =
+    new java.io.File(tree).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith(prefix))
+      .map(d => d.getName ->
+        d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+
+  test("text index: three appends fragment, compaction restores one file per bucket") {
+    val dir = Files.createTempDirectory("graft-cmp-ti").toString
+    TextIndex.writeIndex(docs.filter(col("doc_id") < 100), "doc_id", "text",
+      dir, buckets = 8)
+    Seq((100, 200), (200, 300), (300, 400)).foreach { case (a, b) =>
+      TextIndex.appendToIndex(
+        docs.filter(col("doc_id") >= a && col("doc_id") < b),
+        "doc_id", "text", dir)
+    }
+    val before = parquetsPerBucket(s"$dir/postings", "term_bucket=")
+    assert(before.values.max > 1, "appends must have fragmented the buckets")
+    val served = rowSet(TextIndex.bm25SearchIndex(spark, dir,
+      Seq("the", "and"), k = 10))
+    val stats = Compact.compactTree(spark, s"$dir/postings", "term_bucket")
+    assert(stats.bucketsCompacted > 0 && stats.filesAfter === stats.bucketsCompacted)
+    val after = parquetsPerBucket(s"$dir/postings", "term_bucket=")
+    assert(after.keySet === before.keySet)
+    assert(after.values.forall(_ === 1), s"still fragmented: $after")
+    assert(rowSet(TextIndex.bm25SearchIndex(spark, dir,
+      Seq("the", "and"), k = 10)) === served,
+      "compaction changed what the index serves")
+    // idempotent: nothing left to do
+    assert(TextIndex.compact(spark, dir) === Compact.CompactStats(0, 0, 0))
+  }
+
+  test("band index: compaction removes replay duplicates and keeps probe exact") {
+    val dir = Files.createTempDirectory("graft-cmp-bi").toString
+    BandIndex.writeIndex(docs.filter(col("doc_id") < 150), "doc_id", "text", dir)
+    val delta = docs.filter(col("doc_id") >= 150 && col("doc_id") < 250)
+    BandIndex.appendToIndex(delta, "doc_id", "text", dir)
+    // the crash window: the same append replayed physically
+    BandIndex.appendToIndex(delta, "doc_id", "text", dir)
+    val batch = docs.filter(col("doc_id") >= 250)
+    val served = rowSet(BandIndex.probe(spark, dir, batch, "doc_id", "text"))
+    val rowsBefore = spark.read.parquet(s"$dir/bands").count()
+    val stats = BandIndex.compact(spark, dir)
+    assert(stats.bucketsCompacted > 0)
+    assert(spark.read.parquet(s"$dir/bands").count() < rowsBefore,
+      "the duplicated delta's rows must be gone")
+    assert(rowSet(BandIndex.probe(spark, dir, batch, "doc_id", "text"))
+      === served, "compaction changed the served pairs")
+    assert(parquetsPerBucket(s"$dir/bands", "band_bucket=")
+      .values.forall(_ === 1))
+  }
+
+  test("seen set: compaction shrinks re-appended urls, membership unchanged") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-cmp-ss").toString
+    def url(i: Int) = s"http://x${i % 5}.com/p/$i"
+    SeenSet.writeSet((0 until 200).map(url).toDF("url"), "url", dir,
+      buckets = 16)
+    val delta = (150 until 300).map(url).toDF("url")
+    SeenSet.appendToSet(delta, "url", dir) // 150-199 now duplicated
+    val batch = (250 until 400).map(url).toDF("url")
+    val novel = rowSet(SeenSet.probeNovel(spark, dir, batch, "url"))
+    val rowsBefore = spark.read.parquet(s"$dir/urls").count()
+    assert(rowsBefore > 300, "fixture must contain physical duplicates")
+    val stats = SeenSet.compact(spark, dir)
+    assert(stats.bucketsCompacted > 0)
+    assert(spark.read.parquet(s"$dir/urls").count() === 300)
+    assert(rowSet(SeenSet.probeNovel(spark, dir, batch, "url")) === novel,
+      "compaction changed membership")
+  }
+
+  test("only fragmented buckets are rewritten; compact buckets keep their files") {
+    val dir = Files.createTempDirectory("graft-cmp-sel").toString
+    TextIndex.writeIndex(docs.filter(col("doc_id") < 100), "doc_id", "text",
+      dir, buckets = 8)
+    // a tiny one-doc append fragments only the buckets ITS terms hash to
+    TextIndex.appendToIndex(docs.filter(col("doc_id") === 100),
+      "doc_id", "text", dir)
+    val before = parquetsPerBucket(s"$dir/postings", "term_bucket=")
+    val untouched = before.filter(_._2 === 1).keySet
+    val mtimes = new java.io.File(s"$dir/postings").listFiles()
+      .filter(d => untouched(d.getName))
+      .flatMap(d => d.listFiles().map(f => f.getPath -> f.lastModified()))
+      .toMap
+    val stats = TextIndex.compact(spark, dir)
+    assert(stats.bucketsCompacted === before.count(_._2 > 1))
+    val mtimesAfter = new java.io.File(s"$dir/postings").listFiles()
+      .filter(d => untouched(d.getName))
+      .flatMap(d => d.listFiles().map(f => f.getPath -> f.lastModified()))
+      .toMap
+    assert(mtimesAfter === mtimes,
+      "compaction rewrote buckets that were not fragmented")
+  }
+}
