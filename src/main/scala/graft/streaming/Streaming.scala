@@ -601,14 +601,22 @@ object Streaming {
       idCol: String,
       textCol: String,
       indexDir: String,
-      checkpointDir: String
+      checkpointDir: String,
+      compactEvery: Int = 0
   ): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        graft.io.BandIndex.appendBatch(batch.toDF(), idCol, textCol,
-          indexDir, batchId): Unit
+        val applied = graft.io.BandIndex.appendBatch(batch.toDF(), idCol,
+          textCol, indexDir, batchId)
+        // compaction cadence: every appended batch adds a file per
+        // touched bucket; folding [[graft.io.Compact]] into every Kth
+        // batch bounds the probe fan-in at K files/bucket. Gated on
+        // `applied` so a replayed (skipped) batch doesn't re-compact,
+        // and safe mid-stream because compaction is content-identical
+        if (applied && compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          graft.io.BandIndex.compact(batch.sparkSession, indexDir): Unit
       }
       .start()
 
@@ -638,14 +646,18 @@ object Streaming {
       urlCol: String,
       seenDir: String,
       novelDir: String,
-      checkpointDir: String
+      checkpointDir: String,
+      compactEvery: Int = 0
   ): org.apache.spark.sql.streaming.StreamingQuery =
     discoveries.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        graft.io.SeenSet.dedupBatch(batch.toDF(), urlCol, seenDir,
-          novelDir, batchId): Unit
+        val applied = graft.io.SeenSet.dedupBatch(batch.toDF(), urlCol,
+          seenDir, novelDir, batchId)
+        // the bandIndexMaintenance compaction cadence, on the urls store
+        if (applied && compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          graft.io.SeenSet.compact(batch.sparkSession, seenDir): Unit
       }
       .start()
 

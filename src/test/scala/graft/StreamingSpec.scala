@@ -841,9 +841,16 @@ class StreamingSpec extends SparkSpec {
       100 until 400).map(_.map(i => Tuple1(url(i))))
     val input = MemoryStream[Tuple1[String]]
     val q = Streaming.seenSetMaintenance(
-      input.toDF().toDF("url"), "url", seenDir, novelDir, ckDir)
+      input.toDF().toDF("url"), "url", seenDir, novelDir, ckDir,
+      compactEvery = 2)
     try batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
     finally q.stop()
+    // the compaction cadence bounds the fan-in: compacted after batch 1,
+    // then at most batch 2's append on top — never 3 files deep
+    val maxFanIn = new java.io.File(s"$seenDir/urls").listFiles()
+      .filter(_.getName.startsWith("url_bucket="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet"))).max
+    assert(maxFanIn <= 2, s"compaction cadence did not bound fan-in: $maxFanIn")
     // exactly-once with first-batch attribution
     def emittedRows(b: Int) = spark.read.parquet(s"$novelDir/batch_id=$b")
       .collect().map(_.getString(0)).toSeq
