@@ -85,13 +85,9 @@ object Bench {
     // not contention; the min of three back-to-back runs is the
     // steady-state number (min-of-2 still flagged a quiet machine at 1.51×
     // once — the first probe's JIT tail).
-    def once(): Double = {
-      val t0 = System.nanoTime()
-      spark.range(0L, 200000000L, 1L, cpus.toInt)
-        .selectExpr("sum((id * 2654435761) % 1000000007) as s").collect()
-      (System.nanoTime() - t0) / 1e9
-    }
-    def canary(): Double = Seq.fill(3)(once()).min
+    // probe body + tuning history live in graft.testbed.CpuCanary —
+    // the ONE copy shared with the standalone CanaryProbe window-picker
+    def canary(): Double = graft.testbed.CpuCanary.probe(spark, cpus.toInt)
     // Warm up until STEADY, not for a fixed count: a single untimed
     // min-of-3 still left enough JIT tail to flag a quiet machine at
     // 1.4-1.6× (r7's false positive — first 0.186 vs last 0.076 with
@@ -102,16 +98,7 @@ object Bench {
     // happened to agree on the JIT tail); the iteration cap keeps a
     // genuinely contended machine (which may never agree) from stalling
     // the bench.
-    var warmRuns = 1
-    var agree = 0
-    var warmPrev = once()
-    while (agree < 2 && warmRuns < 14) {
-      val warmCur = once(); warmRuns += 1
-      if (math.abs(warmCur - warmPrev) / math.min(warmCur, warmPrev) <= 0.10)
-        agree += 1
-      else agree = 0
-      warmPrev = warmCur
-    }
+    val warmRuns = graft.testbed.CpuCanary.warm(spark, cpus.toInt)
     val canaryFirst = canary()
     // early visibility: the window's health BEFORE the battery spends
     // ~10 min — lets an operator abort a degraded-window recording

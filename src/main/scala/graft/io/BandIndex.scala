@@ -73,6 +73,7 @@ object BandIndex {
     require(bands >= 1 && numHashes % bands == 0,
       s"numHashes=$numHashes must divide into bands=$bands")
     val spark = reference.sparkSession
+    BucketRewrite.dropJournal(spark, s"$dir/bands")
     spark.createDataFrame(Seq((n, numHashes, bands, buckets)))
       .toDF("n", "num_hashes", "bands", "buckets")
       .write.mode("overwrite").parquet(s"$dir/meta")
@@ -101,6 +102,8 @@ object BandIndex {
       delta: DataFrame, idCol: String, textCol: String, dir: String
   ): Unit = {
     val spark = delta.sparkSession
+    // recover BEFORE appending (the SeenSet.appendToSet reasoning)
+    BucketRewrite.recover(spark, s"$dir/bands", "band_bucket")
     val (n, numHashes, bands, buckets) = storedMeta(spark, dir)
     bandRows(delta, idCol, textCol, n, numHashes, bands, buckets, "ref_id")
       .repartition(col("band_bucket"))
@@ -155,6 +158,7 @@ object BandIndex {
       spark: SparkSession, dir: String,
       batch: DataFrame, idCol: String, textCol: String
   ): DataFrame = {
+    BucketRewrite.recover(spark, s"$dir/bands", "band_bucket")
     val (n, numHashes, bands, buckets) = storedMeta(spark, dir)
     // eager localCheckpoint: the band frame feeds TWO executions (the
     // bucket collect below and the served join) and the batch's

@@ -1,0 +1,92 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Journaled bucket-directory rewrite — the durability layer under every
+  * partial overwrite of a bucket-partitioned tree ([[CorpusStore]]'s
+  * keyed upsert/delete, [[Compact]]'s defragmentation).
+  *
+  * Why it exists: Spark's dynamic partition overwrite commits each
+  * touched directory as `delete(final)` then `rename(staging, final)` —
+  * a non-atomic pair. A crash between them loses the bucket ENTIRELY
+  * (neither the old files nor the new exist), and no replay can restore
+  * rows that are gone from disk. So before the overwrite, the full
+  * intended content of the touched buckets (plus the touched-bucket
+  * list — an emptied bucket is absent from the data but its directory
+  * must still be dropped) is journaled to a sibling `<tree>.journal`
+  * dir; the overwrite runs only after the journal commits.
+  *
+  * Recovery contract: every entry point that reads or mutates the tree
+  * calls [[recover]] first (one `fs.exists` when healthy). An
+  * uncommitted journal (missing `_SUCCESS`) means the overwrite never
+  * started — the tree is intact, drop the journal. A committed journal
+  * means the overwrite may have torn anywhere — re-apply it (the
+  * journal holds the complete post-state of every touched bucket, so
+  * re-application is idempotent), then drop it. Appends must recover
+  * BEFORE adding files: replaying a journal over a bucket that took an
+  * append after the torn run would silently drop the appended rows. */
+private[io] object BucketRewrite {
+
+  private def journalDir(treeDir: String) = s"$treeDir.journal"
+
+  private def fsOf(spark: SparkSession, p: String) =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def committed(spark: SparkSession, dir: String): Boolean =
+    fsOf(spark, dir).exists(new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS"))
+
+  /** Heal a torn rewrite if a committed journal exists; drop an
+    * uncommitted one. Cheap no-op (one exists check) when healthy. */
+  def recover(spark: SparkSession, treeDir: String, bucketCol: String): Unit = {
+    val j = journalDir(treeDir)
+    val fs = fsOf(spark, j)
+    val jPath = new org.apache.hadoop.fs.Path(j)
+    if (fs.exists(jPath)) {
+      if (committed(spark, s"$j/data") && committed(spark, s"$j/touched")) {
+        val touched = spark.read.parquet(s"$j/touched")
+          .select(col("bucket").cast("long")).collect().map(_.getLong(0))
+        applyOverwrite(spark, treeDir, bucketCol, touched.toIndexedSeq,
+          spark.read.parquet(s"$j/data"))
+      }
+      fs.delete(jPath, true): Unit
+    }
+  }
+
+  /** Journal then overwrite. `merged` must be PINNED (localCheckpoint)
+    * by the caller and carry `bucketCol` as a long data column; it is
+    * written to the journal verbatim, so the journal IS the post-state. */
+  def journaledOverwrite(spark: SparkSession, treeDir: String,
+      bucketCol: String, touched: Seq[Long], merged: DataFrame): Unit = {
+    import spark.implicits._
+    val j = journalDir(treeDir)
+    merged.write.mode("overwrite").parquet(s"$j/data")
+    touched.toDF("bucket").coalesce(1)
+      .write.mode("overwrite").parquet(s"$j/touched")
+    applyOverwrite(spark, treeDir, bucketCol, touched, merged)
+    fsOf(spark, j).delete(new org.apache.hadoop.fs.Path(j), true): Unit
+  }
+
+  private def applyOverwrite(spark: SparkSession, treeDir: String,
+      bucketCol: String, touched: Seq[Long], data: DataFrame): Unit = {
+    data.repartition(col(bucketCol))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(bucketCol).parquet(treeDir)
+    val present = data.select(col(bucketCol)).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val fs = fsOf(spark, treeDir)
+    touched.filterNot(present).foreach { b =>
+      fs.delete(
+        new org.apache.hadoop.fs.Path(s"$treeDir/$bucketCol=$b"), true): Unit
+    }
+  }
+
+  /** For full-tree rebuild faces (writeSet/writeIndex/write): a fresh
+    * build invalidates any stale journal wholesale. */
+  def dropJournal(spark: SparkSession, treeDir: String): Unit = {
+    val j = journalDir(treeDir)
+    fsOf(spark, j).delete(new org.apache.hadoop.fs.Path(j), true): Unit
+  }
+}

@@ -13,12 +13,12 @@ import org.apache.spark.sql.functions._
   * dynamic partition overwrite; untouched buckets keep their files
   * byte-for-byte.
   *
-  * Idempotent and crash-tolerant by the same argument as
-  * [[CorpusStore]]'s rewrite: the compacted content equals the
-  * fragmented content, so a torn overwrite (some buckets compacted,
-  * some not) changes nothing a re-run will not converge; run it from a
-  * maintenance window or the streaming maintenance's own foreachBatch
-  * cadence (every Kth batch).
+  * Crash-tolerant through [[BucketRewrite]]'s journal (dynamic
+  * overwrite's per-directory delete-then-rename commit could otherwise
+  * lose a bucket outright to a mid-commit crash); beyond that, torn
+  * runs are harmless by content (compacted == fragmented), so re-running
+  * converges. Run it from a maintenance window or the streaming
+  * maintenance's own foreachBatch cadence (every Kth batch).
   *
   * `dedupCols` additionally collapses physically duplicated rows — the
   * residue a replayed streaming append can leave ([[BandIndex
@@ -36,6 +36,7 @@ object Compact {
       dedupCols: Option[Seq[String]] = None, maxFilesPerBucket: Int = 1
   ): CompactStats = {
     require(maxFilesPerBucket >= 1, "a bucket keeps at least one file")
+    BucketRewrite.recover(spark, treeDir, bucketCol)
     val root = new org.apache.hadoop.fs.Path(treeDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return CompactStats(0, 0, 0)
@@ -53,14 +54,14 @@ object Compact {
       .filter(col(bucketCol).isin(values: _*))
       .withColumn(bucketCol, col(bucketCol).cast("long"))
     val deduped = dedupCols.fold(base)(ks => base.dropDuplicates(ks))
-    // pin before the self-overwrite (the CorpusStore.rewriteTouched
-    // reasoning: sever the file-source lineage, never re-derive mid-write)
+    // pin before the self-overwrite (the CorpusStore.rewriteKeyed
+    // reasoning: sever the file-source lineage, never re-derive
+    // mid-write), then journal+overwrite: a bare dynamic overwrite's
+    // delete-then-rename commit could LOSE a bucket to a mid-commit
+    // crash (see [[BucketRewrite]])
     val pinned = deduped.localCheckpoint()
-    try
-      pinned.repartition(col(bucketCol))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(bucketCol).parquet(treeDir)
+    try BucketRewrite.journaledOverwrite(spark, treeDir, bucketCol,
+      values, pinned)
     finally graft.operators.Dedup.release(pinned)
     val after = values.map(v => parquetFiles(
       new org.apache.hadoop.fs.Path(s"$treeDir/$bucketCol=$v"))).sum

@@ -48,6 +48,7 @@ object CorpusStore {
       buckets: Int = DefaultBuckets): Unit = {
     require(buckets >= 1, "need at least one bucket")
     val spark = df.sparkSession
+    BucketRewrite.dropJournal(spark, s"$dir/rows")
     spark.createDataFrame(Seq(Tuple1(buckets))).toDF("buckets")
       .write.mode("overwrite").parquet(s"$dir/meta")
     df.limit(0).write.mode("overwrite").parquet(s"$dir/schema")
@@ -66,6 +67,7 @@ object CorpusStore {
     * frame, not an inference error, and the partition column's
     * dirname-inferred int never leaks into a union. */
   private def rowsFrame(spark: SparkSession, dir: String): DataFrame = {
+    BucketRewrite.recover(spark, s"$dir/rows", "__graft_bucket")
     val logical = spark.read.parquet(s"$dir/schema")
     val root = new org.apache.hadoop.fs.Path(s"$dir/rows")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -86,61 +88,65 @@ object CorpusStore {
     * append — [[graft.operators.Dedup.mergeUpsert]] semantics, at
     * touched-buckets cost. `delta` must share [[read]]'s schema and be
     * key-unique. */
-  def upsert(delta: DataFrame, idCol: String, dir: String): Unit =
-    rewriteTouched(delta.sparkSession, dir,
-      delta.withColumn("__graft_bucket",
-        bucketOf(col(idCol), storedBuckets(delta.sparkSession, dir))),
-      idCol, keepDelta = true)
+  def upsert(delta: DataFrame, idCol: String, dir: String): Unit = {
+    val spark = delta.sparkSession
+    // pinned once: the change-key view and the install view below are
+    // two selects off the SAME materialization, not two delta computes
+    val flagged = delta.withColumn("__graft_bucket",
+      bucketOf(col(idCol), storedBuckets(spark, dir))).localCheckpoint()
+    try rewriteKeyed(spark, dir,
+      flagged.select(col(idCol), col("__graft_bucket")), Some(flagged), idCol)
+    finally graft.operators.Dedup.release(flagged)
+  }
 
   /** Keyed delete: standing rows whose id is in `ids` are removed;
     * absent ids are a no-op. `ids` needs only `idCol`. */
-  def delete(ids: DataFrame, idCol: String, dir: String): Unit =
-    rewriteTouched(ids.sparkSession, dir,
+  def delete(ids: DataFrame, idCol: String, dir: String): Unit = {
+    val spark = ids.sparkSession
+    rewriteKeyed(spark, dir,
       ids.select(col(idCol)).withColumn("__graft_bucket",
-        bucketOf(col(idCol), storedBuckets(ids.sparkSession, dir))),
-      idCol, keepDelta = false)
+        bucketOf(col(idCol), storedBuckets(spark, dir))),
+      None, idCol)
+  }
 
-  /** The shared rewrite: touched buckets = the change batch's distinct
-    * buckets (metadata — at most `buckets` longs); standing rows of ONLY
-    * those directories are read (partition-pruned — CorpusStoreSpec pins
-    * it), change keys anti-joined away, delta rows unioned back for
-    * upserts. The merged sliver is pinned (localCheckpoint) BEFORE the
-    * write both because it severs the file-source lineage (Spark refuses
-    * to overwrite a path a plan still reads) and because the write must
-    * not re-derive it mid-overwrite. Dynamic partition overwrite only
-    * replaces directories PRESENT in the output, so buckets a delete
-    * emptied are removed explicitly afterwards — without that, an
-    * emptied bucket's old directory would silently survive and resurrect
-    * its rows. */
-  private def rewriteTouched(spark: SparkSession, dir: String,
-      flagged: DataFrame, idCol: String, keepDelta: Boolean): Unit = {
-    val d = flagged.localCheckpoint()
+  /** The shared rewrite: `changeKeys` (id, bucket) names every key whose
+    * standing row must go; `install` (full schema + bucket), when
+    * present, carries the rows to put in their place — so one call
+    * expresses upsert (install = change rows), delete (no install), and
+    * the curation batch's combined install-some-evict-others in a
+    * SINGLE pass over the touched buckets. Touched buckets = the change
+    * keys' distinct buckets (metadata — at most `buckets` longs);
+    * standing rows of ONLY those directories are read (partition-pruned
+    * — CorpusStoreSpec pins it), change keys anti-joined away, install
+    * rows unioned back. The merged sliver is pinned (localCheckpoint)
+    * BEFORE the write both because it severs the file-source lineage
+    * (Spark refuses to overwrite a path a plan still reads) and because
+    * the write must not re-derive it mid-overwrite; the overwrite itself
+    * is journaled ([[BucketRewrite]]) because dynamic partition
+    * overwrite's per-directory delete-then-rename commit can otherwise
+    * LOSE a bucket to a mid-commit crash — a loss no replay could heal.
+    * Emptied buckets ride the journal's touched list and are removed
+    * explicitly (dynamic overwrite only replaces directories present in
+    * the output). */
+  private def rewriteKeyed(spark: SparkSession, dir: String,
+      changeKeys: DataFrame, install: Option[DataFrame], idCol: String): Unit = {
+    BucketRewrite.recover(spark, s"$dir/rows", "__graft_bucket")
+    val keys = changeKeys.localCheckpoint()
     try {
-      val touched = d.select(col("__graft_bucket")).distinct()
+      val touched = keys.select(col("__graft_bucket")).distinct()
         .collect().map(_.getLong(0))
       if (touched.nonEmpty) {
         val standing = rowsFrame(spark, dir)
           .filter(col("__graft_bucket").isin(touched.toIndexedSeq: _*))
-        val survivors = standing.join(d.select(col(idCol)), Seq(idCol), "left_anti")
-        val merged0 = if (keepDelta) survivors.unionByName(d) else survivors
+        val survivors = standing
+          .join(keys.select(col(idCol)), Seq(idCol), "left_anti")
+        val merged0 = install.fold(survivors)(survivors.unionByName(_))
         val merged = merged0.localCheckpoint()
-        try {
-          merged.repartition(col("__graft_bucket"))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("__graft_bucket").parquet(s"$dir/rows")
-          val nonEmpty = merged.select(col("__graft_bucket")).distinct()
-            .collect().map(_.getLong(0)).toSet
-          val fs = new org.apache.hadoop.fs.Path(s"$dir/rows")
-            .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          touched.filterNot(nonEmpty).foreach { b =>
-            fs.delete(
-              new org.apache.hadoop.fs.Path(s"$dir/rows/__graft_bucket=$b"),
-              true): Unit
-          }
-        } finally graft.operators.Dedup.release(merged)
+        try BucketRewrite.journaledOverwrite(spark, s"$dir/rows",
+          "__graft_bucket", touched.toIndexedSeq, merged)
+        finally graft.operators.Dedup.release(merged)
       }
-    } finally graft.operators.Dedup.release(d)
+    } finally graft.operators.Dedup.release(keys)
   }
 
   /** Replay-safe streaming curation: apply one CDC micro-batch —
@@ -160,22 +166,33 @@ object CorpusStore {
     val spark = batch.sparkSession
     if (batchId <= Watermark.read(spark, dir)) false
     else {
-      val b = batch.localCheckpoint()
+      val buckets = storedBuckets(spark, dir)
+      // gate pinned: the keep verdict computes ONCE and serves both the
+      // install filter and the evict filter
+      val gated = batch.filter(col(opCol) === "upsert").drop(opCol)
+        .withColumn("__graft_keep",
+          graft.functions.TextFunctions.qualityFilter(textCol)
+            .getField("keep"))
+        .withColumn("__graft_bucket", bucketOf(col(idCol), buckets))
+        .localCheckpoint()
       try {
-        val gated = b.filter(col(opCol) === "upsert").drop(opCol)
-          .withColumn("__graft_keep",
-            graft.functions.TextFunctions.qualityFilter(textCol)
-              .getField("keep"))
         val kept = gated.filter(col("__graft_keep")).drop("__graft_keep")
-        val evict = b.filter(col(opCol) === "delete").select(col(idCol))
+        val evictKeys = batch.filter(col(opCol) === "delete")
+          .select(col(idCol))
+          .withColumn("__graft_bucket", bucketOf(col(idCol), buckets))
           .unionByName(gated
             .filter(!coalesce(col("__graft_keep"), lit(false)))
-            .select(col(idCol)))
-        upsert(kept, idCol, dir)
-        delete(evict, idCol, dir)
+            .select(col(idCol), col("__graft_bucket")))
+        // ONE pass over the touched buckets: install the keepers, drop
+        // every changed/evicted key — a bucket holding both a kept and
+        // an evicted id is read and rewritten once, not twice
+        rewriteKeyed(spark, dir,
+          kept.select(col(idCol), col("__graft_bucket"))
+            .unionByName(evictKeys),
+          Some(kept), idCol)
         Watermark.advance(spark, dir, batchId)
         true
-      } finally graft.operators.Dedup.release(b)
+      } finally graft.operators.Dedup.release(gated)
     }
   }
 }

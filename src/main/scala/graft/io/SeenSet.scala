@@ -106,6 +106,7 @@ object SeenSet {
     require(fpp > 0 && fpp < 1, s"fpp=$fpp out of (0,1)")
     if (expectedUrls > 0L) requireBloomFits(expectedUrls, fpp)
     val spark = urls.sparkSession
+    BucketRewrite.dropJournal(spark, s"$dir/urls")
     // eager localCheckpoint: the distinct frame feeds three executions
     // (count when auto-sizing, Bloom build, bucket write)
     val u = urls.select(col(urlCol).as("url")).distinct().localCheckpoint()
@@ -166,6 +167,9 @@ object SeenSet {
     * feed the novel sliver, not the raw batch. */
   def appendToSet(delta: DataFrame, urlCol: String, dir: String): Unit = {
     val spark = delta.sparkSession
+    // recover BEFORE appending: replaying a compaction journal over a
+    // bucket that took this append would drop the appended rows
+    BucketRewrite.recover(spark, s"$dir/urls", "url_bucket")
     val (buckets, expected, fpp) = storedMeta(spark, dir)
     val u = delta.select(col(urlCol).as("url")).distinct().localCheckpoint()
     try {
@@ -261,6 +265,7 @@ object SeenSet {
       batch: DataFrame, urlCol: String
   ): DataFrame = {
     graft.plans.GraftExtensions.register(spark)
+    BucketRewrite.recover(spark, s"$dir/urls", "url_bucket")
     val (buckets, _, _) = storedMeta(spark, dir)
     val bfBytes = storedBloom(spark, dir)
     val outCols = batch.columns.map(col).toIndexedSeq

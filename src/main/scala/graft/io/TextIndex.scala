@@ -42,6 +42,7 @@ object TextIndex {
       buckets: Int = DefaultBuckets
   ): Unit = {
     require(buckets >= 1, "need at least one bucket")
+    BucketRewrite.dropJournal(docs.sparkSession, s"$dir/postings")
     val toks = docs.select(col(idCol).as("doc_id"),
       TextFunctions.tokens(textCol).as("toks"))
     // sum_dl is stored alongside so stats MERGE exactly on append
@@ -103,6 +104,8 @@ object TextIndex {
       buckets: Int = DefaultBuckets
   ): Unit = {
     val spark = delta.sparkSession
+    // recover BEFORE appending (the SeenSet.appendToSet reasoning)
+    BucketRewrite.recover(spark, s"$dir/postings", "term_bucket")
     val nBuckets = storedBuckets(spark, dir, buckets)
     val toks = delta.select(col(idCol).as("doc_id"),
       TextFunctions.tokens(textCol).as("toks"))
@@ -139,6 +142,7 @@ object TextIndex {
   ): DataFrame = {
     require(queryTerms.nonEmpty, "empty query")
     require(k > 0, "k must be positive")
+    BucketRewrite.recover(spark, s"$dir/postings", "term_bucket")
     val terms = queryTerms.distinct
     // NOTE: named nBuckets, not b — `b` is the BM25 length-normalization
     // parameter in scope here
@@ -192,6 +196,7 @@ object TextIndex {
       buckets: Int = DefaultBuckets
   ): DataFrame = {
     require(phrase.nonEmpty, "empty phrase")
+    BucketRewrite.recover(spark, s"$dir/postings", "term_bucket")
     val terms = phrase.distinct
     val nBuckets = storedBuckets(spark, dir, buckets)
     val probed = terms.map { t =>

@@ -18,22 +18,9 @@ object CanaryProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    def once(): Double = {
-      val t0 = System.nanoTime()
-      spark.range(0L, 200000000L, 1L, cpus)
-        .selectExpr("sum((id * 2654435761) % 1000000007) as s").collect()
-      (System.nanoTime() - t0) / 1e9
-    }
-    var warmRuns = 1; var agree = 0; var warmPrev = once()
-    while (agree < 2 && warmRuns < 14) {
-      val warmCur = once(); warmRuns += 1
-      if (math.abs(warmCur - warmPrev) / math.min(warmCur, warmPrev) <= 0.10)
-        agree += 1
-      else agree = 0
-      warmPrev = warmCur
-    }
-    val best = Seq.fill(3)(once()).min
-    println(f"CANARY ns_per_row=${best / 2e8 * 1e9}%.3f warm_runs=$warmRuns")
+    val warmRuns = CpuCanary.warm(spark, cpus)
+    val best = CpuCanary.probe(spark, cpus)
+    println(f"CANARY ns_per_row=${CpuCanary.nsPerRow(best)}%.3f warm_runs=$warmRuns")
     spark.stop()
   }
 }

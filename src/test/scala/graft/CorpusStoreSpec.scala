@@ -111,6 +111,55 @@ class CorpusStoreSpec extends SparkSpec {
     assert(CorpusStore.read(spark, dir).isEmpty)
   }
 
+  test("a committed journal heals a bucket lost mid-commit; uncommitted is dropped") {
+    import spark.implicits._
+    // dynamic partition overwrite commits delete-then-rename per bucket:
+    // a crash between them loses the directory outright. The journal
+    // holds the full post-state of every touched bucket, so recovery
+    // re-applies it; simulate the loss by hand
+    val dir = newStore(buckets = 4)
+    val rows = CorpusStore.read(spark, dir)
+      .withColumn("__graft_bucket",
+        pmod(xxhash64(col("doc_id")), lit(4L)))
+    val b = rows.select("__graft_bucket").head().getLong(0)
+    val bucketRows = rows.filter(col("__graft_bucket") === b)
+    // materialize every expectation BEFORE the simulated loss — the lazy
+    // frames above hold the pre-deletion file listing
+    val bucketSet = rowSet(bucketRows.drop("__graft_bucket"))
+    val others = rowSet(CorpusStore.read(spark, dir)
+      .join(bucketRows.select("doc_id"), Seq("doc_id"), "left_anti"))
+    // committed journal: bucket b's intended post-state (with one
+    // sentinel row so recovery is distinguishable from the stale dir)
+    bucketRows.unionByName(
+        Seq((999999L, "recovered", b)).toDF("doc_id", "text", "__graft_bucket"))
+      .write.mode("overwrite").parquet(s"$dir/rows.journal/data")
+    Seq(b).toDF("bucket").write.mode("overwrite")
+      .parquet(s"$dir/rows.journal/touched")
+    // the mid-commit loss: the bucket directory is GONE
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(): Unit
+    }
+    rm(new java.io.File(s"$dir/rows/__graft_bucket=$b"))
+    val healed = CorpusStore.read(spark, dir)
+    assert(healed.filter(col("doc_id") === 999999L).count() === 1,
+      "recovery must re-apply the journaled post-state")
+    assert(rowSet(healed.filter(col("doc_id") =!= 999999L)) ===
+      others ++ bucketSet,
+      "recovery must restore the lost bucket's rows")
+    assert(!new java.io.File(s"$dir/rows.journal").exists(),
+      "the journal is dropped after recovery")
+
+    // an UNCOMMITTED journal (no _SUCCESS on data) means the overwrite
+    // never started: the tree is intact and the journal must be dropped
+    val before = rowSet(CorpusStore.read(spark, dir))
+    Seq((888888L, "torn", b)).toDF("doc_id", "text", "__graft_bucket")
+      .write.mode("overwrite").parquet(s"$dir/rows.journal/data")
+    new java.io.File(s"$dir/rows.journal/data/_SUCCESS").delete()
+    assert(rowSet(CorpusStore.read(spark, dir)) === before,
+      "an uncommitted journal must not change the tree")
+    assert(!new java.io.File(s"$dir/rows.journal").exists())
+  }
+
   test("curation batch: gate installs, decay evicts, replay is a no-op") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-cstore-c").toFile.getAbsolutePath
