@@ -50,11 +50,18 @@ object TextIndex {
     // the bucket count is persisted too, so append/search verify against
     // the layout the postings were actually written with instead of
     // trusting the caller's parameter
+    // stats live as a LEDGER of per-batch delta rows (batch=<id> dirs),
+    // aggregated at read: a batch-scoped overwrite is replay-IDEMPOTENT,
+    // which is what makes the streaming [[appendBatch]] exactly-once —
+    // the old read-add-overwrite single row double-added on any replay
+    new org.apache.hadoop.fs.Path(s"$dir/stats")
+      .getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(s"$dir/stats"), true)
     toks.agg(count(lit(1)).as("n_docs"),
         sum(size(col("toks"))).cast("long").as("sum_dl"))
-      .withColumn("avgdl", col("sum_dl") / col("n_docs"))
       .withColumn("buckets", lit(buckets))
-      .write.mode("overwrite").parquet(s"$dir/stats")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/stats/batch=base")
     // repartition on the bucket key first: without it every shuffle
     // partition writes a sliver into every bucket directory (partitions ×
     // buckets small files — 2048 at bench config, and the file-commit
@@ -87,8 +94,16 @@ object TextIndex {
   private def storedBuckets(spark: SparkSession, dir: String, fallback: Int): Int = {
     val stats = spark.read.parquet(s"$dir/stats")
     if (stats.columns.contains("buckets"))
-      stats.select(col("buckets").cast("int")).head().getInt(0)
+      stats.agg(max(col("buckets").cast("int"))).head().getInt(0)
     else fallback
+  }
+
+  /** Corpus totals aggregated over the stats ledger. */
+  private def statsTotals(spark: SparkSession, dir: String): (Long, Long) = {
+    val r = spark.read.parquet(s"$dir/stats")
+      .agg(sum(col("n_docs").cast("long")), sum(col("sum_dl").cast("long")))
+      .head()
+    (r.getLong(0), r.getLong(1))
   }
 
   /** Incremental maintenance: add a DELTA corpus (document ids disjoint
@@ -109,18 +124,77 @@ object TextIndex {
     val nBuckets = storedBuckets(spark, dir, buckets)
     val toks = delta.select(col(idCol).as("doc_id"),
       TextFunctions.tokens(textCol).as("toks"))
-    val Array(dn, dsum) = toks
-      .agg(count(lit(1)).cast("long"), sum(size(col("toks"))).cast("long"))
-      .head().toSeq.map(_.asInstanceOf[Long]).toArray
-    val old = spark.read.parquet(s"$dir/stats")
-      .select(col("n_docs").cast("long"), col("sum_dl").cast("long")).head()
-    val (n, sd) = (old.getLong(0) + dn, old.getLong(1) + dsum)
     postings(toks, nBuckets).repartition(col("term_bucket"))
       .write.mode("append")
       .partitionBy("term_bucket").parquet(s"$dir/postings")
-    import spark.implicits._
-    Seq((n, sd, sd.toDouble / n, nBuckets)).toDF("n_docs", "sum_dl", "avgdl", "buckets")
-      .write.mode("overwrite").parquet(s"$dir/stats")
+    // a fresh ledger row per append: totals aggregate at read time
+    toks.agg(count(lit(1)).as("n_docs"),
+        sum(size(col("toks"))).cast("long").as("sum_dl"))
+      .withColumn("buckets", lit(nBuckets))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(
+        s"$dir/stats/batch=a${java.util.UUID.randomUUID().toString.take(12)}")
+  }
+
+  /** EXACTLY-ONCE streaming maintenance (the foreachBatch body of
+    * [[graft.streaming.Streaming.textIndexMaintenance]], parity harness
+    * #17) — strictly stronger than [[graft.io.BandIndex.appendBatch]]'s
+    * tolerate-and-heal posture, because this index cannot tolerate
+    * duplicates at all: a double-appended posting doubles `tf` and a
+    * double-added stats row corrupts the BM25 normalizers. Three
+    * mechanisms compose:
+    *  - postings go through [[BucketRewrite.journaledOverwrite]] of the
+    *    touched buckets (standing ∪ delta, with identical-row collapse —
+    *    a replay whose journal already landed finds the delta in the
+    *    standing side and dedups to the same content, so re-application
+    *    converges instead of doubling);
+    *  - the stats delta is a batch-scoped ledger row
+    *    (`stats/batch=b<id>`, overwritten in place — idempotent);
+    *  - the [[Watermark]] gate skips batches already marked done.
+    * Every crash interleaving lands in one of those three recoveries.
+    * Returns true iff the batch was applied. */
+  def appendBatch(
+      delta: DataFrame, idCol: String, textCol: String, dir: String,
+      batchId: Long
+  ): Boolean = {
+    val spark = delta.sparkSession
+    if (batchId <= Watermark.read(spark, dir)) false
+    else {
+      BucketRewrite.recover(spark, s"$dir/postings", "term_bucket")
+      val nBuckets = storedBuckets(spark, dir, DefaultBuckets)
+      val toks = delta.select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(textCol).as("toks")).localCheckpoint()
+      try {
+        val post = postings(toks, nBuckets)
+          .withColumn("term_bucket", col("term_bucket").cast("long"))
+          .localCheckpoint()
+        try {
+          val touched = post.select(col("term_bucket")).distinct()
+            .collect().map(_.getLong(0))
+          if (touched.nonEmpty) {
+            val standing = spark.read.parquet(s"$dir/postings")
+              .filter(col("term_bucket").isin(touched.toIndexedSeq: _*))
+              .withColumn("term_bucket", col("term_bucket").cast("long"))
+            // dropDuplicates over ALL columns: legitimately impossible
+            // duplicates ((term, doc) is unique under the id-disjointness
+            // contract), so the only rows it can collapse are a replayed
+            // delta already applied by a recovered journal
+            val merged = standing.unionByName(post)
+              .dropDuplicates().localCheckpoint()
+            try BucketRewrite.journaledOverwrite(spark, s"$dir/postings",
+              "term_bucket", touched.toIndexedSeq, merged)
+            finally graft.operators.Dedup.release(merged)
+          }
+          toks.agg(count(lit(1)).as("n_docs"),
+              sum(size(col("toks"))).cast("long").as("sum_dl"))
+            .withColumn("buckets", lit(nBuckets))
+            .coalesce(1)
+            .write.mode("overwrite").parquet(s"$dir/stats/batch=b$batchId")
+          Watermark.advance(spark, dir, batchId)
+          true
+        } finally graft.operators.Dedup.release(post)
+      } finally graft.operators.Dedup.release(toks)
+    }
   }
 
   /** Compact fragmented posting-bucket directories (each append adds a
@@ -152,8 +226,10 @@ object TextIndex {
       math.floorMod(graft.functions.Winnow60.hash60(
         org.apache.spark.unsafe.types.UTF8String.fromString(t)), nBuckets.toLong)
     }.distinct
-    val stats = broadcast(spark.read.parquet(s"$dir/stats")
-      .select("n_docs", "sum_dl", "avgdl"))
+    val (nDocs, sumDl) = statsTotals(spark, dir)
+    val stats = broadcast(spark.range(1).select(
+      lit(nDocs).as("n_docs"), lit(sumDl).as("sum_dl"),
+      (lit(sumDl).cast("double") / lit(nDocs).cast("double")).as("avgdl")))
     val tf = spark.read.parquet(s"$dir/postings")
       .filter(col("term_bucket").isin(probed: _*))
       .filter(col("term").isin(terms: _*))

@@ -620,6 +620,35 @@ object Streaming {
       }
       .start()
 
+  /** STREAMING text-index maintenance (parity harness #17) — kept docs
+    * drain into the persisted inverted index via `foreachBatch` →
+    * [[graft.io.TextIndex.appendBatch]], which is EXACTLY-ONCE (not
+    * tolerate-and-heal like #14: a doubled posting doubles tf and a
+    * doubled stats row corrupts the BM25 normalizers, so duplicates are
+    * structurally impossible — journaled bucket overwrite with
+    * identical-row collapse + a batch-scoped stats ledger row + the
+    * watermark gate; the interleaving argument lives on appendBatch).
+    * Same `compactEvery` cadence as the other maintenance faces. Ids
+    * must be disjoint from the indexed corpus (the append contract). */
+  def textIndexMaintenance(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexDir: String,
+      checkpointDir: String,
+      compactEvery: Int = 0
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val applied = graft.io.TextIndex.appendBatch(batch.toDF(), idCol,
+          textCol, indexDir, batchId)
+        if (applied && compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          graft.io.TextIndex.compact(batch.sparkSession, indexDir): Unit
+      }
+      .start()
+
   /** STREAMING discovery novelty (parity harness #15) — the live face
     * of [[graft.io.SeenSet]]: a stream of discovered URLs dedups itself
     * against the persisted seen set via `foreachBatch`, emitting each

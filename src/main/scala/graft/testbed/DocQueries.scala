@@ -1762,10 +1762,12 @@ object DocQueries {
     // independently by the oracle with the same tokenizer.
     "ir0_index_build" -> ((s, dir) => {
       val ix = textIndexDir(s, dir)
+      // the stats sidecar is a per-batch LEDGER (r17): totals aggregate
       s.read.parquet(s"$ix/stats")
-        .select(col("n_docs").cast("long").as("n_docs"),
-          col("sum_dl").cast("long").as("sum_dl"),
-          round(col("avgdl"), 4).as("avgdl"))
+        .agg(sum(col("n_docs").cast("long")).as("n_docs"),
+          sum(col("sum_dl").cast("long")).as("sum_dl"))
+        .select(col("n_docs"), col("sum_dl"),
+          round(col("sum_dl") / col("n_docs"), 4).as("avgdl"))
     }),
 
     // IR1: BM25 retrieval — rank documents against a query (the search /

@@ -895,6 +895,69 @@ class StreamingSpec extends SparkSpec {
       "torn emit must be recomputed from the set, not trusted")
   }
 
+  test("streaming text-index maintenance is exactly-once (#17)") {
+    // kept docs stream into the persisted inverted index; the maintained
+    // index must serve EXACTLY what a from-scratch rebuild serves (tf and
+    // the BM25 normalizers have no duplicate tolerance), a replayed batch
+    // must be a whole-body no-op, and the worst crash window — journal
+    // applied, stats/marker not — must converge on the replayed apply
+    // instead of doubling tf
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.io.TextIndex
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val ixDir = java.nio.file.Files.createTempDirectory("graft-sti").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-sti-ck").toString
+    TextIndex.writeIndex(docs.filter(col("doc_id") < 100), "doc_id", "text",
+      ixDir, buckets = 16)
+    val rows = docs.filter(col("doc_id") >= 100 && col("doc_id") < 250)
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val batches = Seq(rows.take(40), rows.slice(40, 90), rows.drop(90))
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.textIndexMaintenance(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", ixDir, ckDir,
+      compactEvery = 2)
+    try batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+
+    val rbDir = java.nio.file.Files.createTempDirectory("graft-sti-rb").toString
+    TextIndex.writeIndex(docs.filter(col("doc_id") < 250), "doc_id", "text",
+      rbDir, buckets = 16)
+    val terms = Seq("the", "and", "table")
+    def serve(d: String) = rowSet(TextIndex.bm25SearchIndex(spark, d, terms, k = 10))
+    val rebuilt = serve(rbDir)
+    assert(serve(ixDir) === rebuilt,
+      "stream-maintained index must serve exactly the full rebuild")
+
+    // replayed batch id: whole-body no-op (stats ledger unchanged)
+    val stats0 = spark.read.parquet(s"$ixDir/stats")
+      .agg(sum(col("n_docs")), sum(col("sum_dl"))).head()
+    assert(!TextIndex.appendBatch(batches.last.toDF("doc_id", "text"),
+      "doc_id", "text", ixDir, batchId = batches.size - 1L))
+    val stats1 = spark.read.parquet(s"$ixDir/stats")
+      .agg(sum(col("n_docs")), sum(col("sum_dl"))).head()
+    assert(stats0 === stats1, "replay must not touch the stats ledger")
+    assert(serve(ixDir) === rebuilt)
+
+    // the crash window made flesh: journal landed (postings already
+    // carry the batch), stats and marker did not — simulate by wiping
+    // the watermark and re-applying the last batch: the identical-row
+    // collapse must converge the postings and the batch-scoped stats
+    // overwrite must not double-add
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(): Unit
+    }
+    rm(new java.io.File(s"$ixDir/watermark"))
+    assert(TextIndex.appendBatch(batches.last.toDF("doc_id", "text"),
+      "doc_id", "text", ixDir, batchId = batches.size - 1L))
+    assert(serve(ixDir) === rebuilt,
+      "re-applying an already-landed batch must not double tf")
+    val stats2 = spark.read.parquet(s"$ixDir/stats")
+      .agg(sum(col("n_docs")), sum(col("sum_dl"))).head()
+    assert(stats2 === stats0, "batch-scoped stats row must overwrite, not add")
+  }
+
   test("streaming curation converges to the batch gate on the final snapshot (#16)") {
     // the w11 loop live against a disk-resident CorpusStore: CDC batches
     // install passing upserts, evict decayed docs and deletes; after the
