@@ -25,8 +25,10 @@ import org.apache.spark.sql.functions._
   * journal holds the complete post-state of every touched bucket, so
   * re-application is idempotent), then drop it. Appends must recover
   * BEFORE adding files: replaying a journal over a bucket that took an
-  * append after the torn run would silently drop the appended rows. */
-private[io] object BucketRewrite {
+  * append after the torn run would silently drop the appended rows.
+  * (private[graft]: graft.operators.Similarity's IVF+PQ codes tree uses
+  * the same recover discipline around its compaction.) */
+private[graft] object BucketRewrite {
 
   private def journalDir(treeDir: String) = s"$treeDir.journal"
 

@@ -1000,6 +1000,7 @@ object Similarity {
       nProbe: Int = 4
   ): DataFrame = {
     graft.plans.GraftExtensions.register(spark)
+    graft.io.BucketRewrite.recover(spark, s"$dir/codes", "cent_id")
     val (m, codes, coarse, books) = ivfPqArtifacts(spark, dir)
     val d = coarse(0).length / m
     val qunit = unitized(queries, idCol, vecCol, "query_id")
@@ -1062,10 +1063,22 @@ object Similarity {
       dir: String
   ): Unit = {
     val spark = delta.sparkSession
+    // recover BEFORE appending (the io-family append discipline: a torn
+    // compaction's journal replayed over this append would drop it)
+    graft.io.BucketRewrite.recover(spark, s"$dir/codes", "cent_id")
     ivfPqIndexEncode(spark, dir, delta, idCol, vecCol)
       .repartition(col("cent_id"))
       .write.mode("append").partitionBy("cent_id").parquet(s"$dir/codes")
   }
+
+  /** Compact fragmented code-cell directories — each [[ivfPqIndexAppend]]
+    * adds one parquet file per touched cell, so probe fan-in grows with
+    * every append batch (the [[graft.io.Compact]] small-files decay, on
+    * the vector index). Straight content-identical rewrite of only the
+    * fragmented cells; serving is unchanged (IvfPqIndexSpec pins it). */
+  def ivfPqIndexCompact(spark: org.apache.spark.sql.SparkSession,
+      dir: String): graft.io.Compact.CompactStats =
+    graft.io.Compact.compactTree(spark, s"$dir/codes", "cent_id")
 
   /** IVF + PQ with RESIDUAL encoding — the Jégou et al. §IV refinement
     * (IVFADC proper) that [[ivfPqTopK]] deliberately skips: the PQ

@@ -114,6 +114,31 @@ class IvfPqIndexSpec extends SparkSpec {
     assert(codesScan.metadata("PartitionFilters").contains("cent_id"))
   }
 
+  test("compaction defragments appended cells without changing serving") {
+    val dir = Files.createTempDirectory("graft-ivfpq-cmp").toFile.getAbsolutePath
+    Similarity.ivfPqIndexWrite(emb.filter(col("vec_id") < 100),
+      "vec_id", "embedding", dir,
+      dims = 64, nCentroids = 16, m = 4, codes = 16, iters = 2)
+    Seq((100, 180), (180, 250)).foreach { case (a, b) =>
+      Similarity.ivfPqIndexAppend(
+        emb.filter(col("vec_id") >= a && col("vec_id") < b),
+        "vec_id", "embedding", dir)
+    }
+    def fanIn = new java.io.File(s"$dir/codes").listFiles()
+      .filter(_.getName.startsWith("cent_id="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(fanIn.max > 1, "appends must have fragmented the cells")
+    val queries = emb.filter(col("vec_id") < 5)
+    val served = rowSet(Similarity.ivfPqIndexTopK(spark, dir, queries,
+      "vec_id", "embedding", k = 3, nProbe = 4))
+    val stats = Similarity.ivfPqIndexCompact(spark, dir)
+    assert(stats.bucketsCompacted > 0)
+    assert(fanIn.forall(_ === 1), "cells still fragmented after compaction")
+    assert(rowSet(Similarity.ivfPqIndexTopK(spark, dir, queries,
+      "vec_id", "embedding", k = 3, nProbe = 4)) === served,
+      "compaction changed what the index serves")
+  }
+
   test("serving resolves parameters from the layout, not the caller") {
     // a non-default geometry: the meta sidecar must carry it to the probe
     val dir = Files.createTempDirectory("graft-ivfpq-m8").toFile.getAbsolutePath
