@@ -103,7 +103,7 @@ object Bench {
     // early visibility: the window's health BEFORE the battery spends
     // ~10 min — lets an operator abort a degraded-window recording
     // instead of discovering it in the final JSON (r17 lesson)
-    println(f"[bench] canary_first_ns_per_row=${canaryFirst / 2e8 * 1e9}%.3f")
+    println(f"[bench] canary_first_ns_per_row=${graft.testbed.CpuCanary.nsPerRow(canaryFirst)}%.3f")
     // IO/bandwidth canary next to the pure-CPU probe: scans a real
     // parquet (page-cache-resident after the untimed warm read) and pays
     // ONE full-data exchange, so memory-bandwidth and page-cache

@@ -74,6 +74,7 @@ object BandIndex {
       s"numHashes=$numHashes must divide into bands=$bands")
     val spark = reference.sparkSession
     BucketRewrite.dropJournal(spark, s"$dir/bands")
+    Watermark.clear(spark, dir)
     spark.createDataFrame(Seq((n, numHashes, bands, buckets)))
       .toDF("n", "num_hashes", "bands", "buckets")
       .write.mode("overwrite").parquet(s"$dir/meta")

@@ -39,22 +39,36 @@ private[graft] object BucketRewrite {
   private def committed(spark: SparkSession, dir: String): Boolean =
     fsOf(spark, dir).exists(new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS"))
 
+  /** Per-tree JVM lock: recover mutates the tree and is called from
+    * READ paths too, so two concurrent queries discovering the same
+    * committed journal must not race the re-apply + journal delete
+    * (concurrent dynamic overwrites of one directory are the exact
+    * failure the journal exists to prevent, and the first finisher's
+    * delete fails the second mid-read). Within one driver JVM this
+    * serializes them — the second entrant re-checks and no-ops. ACROSS
+    * processes the single-maintainer contract still applies: exactly
+    * one application (the streaming maintenance job) owns a tree's
+    * mutations, recovery included. */
+  private val treeLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+
   /** Heal a torn rewrite if a committed journal exists; drop an
     * uncommitted one. Cheap no-op (one exists check) when healthy. */
-  def recover(spark: SparkSession, treeDir: String, bucketCol: String): Unit = {
-    val j = journalDir(treeDir)
-    val fs = fsOf(spark, j)
-    val jPath = new org.apache.hadoop.fs.Path(j)
-    if (fs.exists(jPath)) {
-      if (committed(spark, s"$j/data") && committed(spark, s"$j/touched")) {
-        val touched = spark.read.parquet(s"$j/touched")
-          .select(col("bucket").cast("long")).collect().map(_.getLong(0))
-        applyOverwrite(spark, treeDir, bucketCol, touched.toIndexedSeq,
-          spark.read.parquet(s"$j/data"))
+  def recover(spark: SparkSession, treeDir: String, bucketCol: String): Unit =
+    treeLocks.getOrElseUpdate(treeDir, new Object).synchronized {
+      val j = journalDir(treeDir)
+      val fs = fsOf(spark, j)
+      val jPath = new org.apache.hadoop.fs.Path(j)
+      if (fs.exists(jPath)) {
+        if (committed(spark, s"$j/data") && committed(spark, s"$j/touched")) {
+          val touched = spark.read.parquet(s"$j/touched")
+            .select(col("bucket").cast("long")).collect().map(_.getLong(0))
+          applyOverwrite(spark, treeDir, bucketCol, touched.toIndexedSeq,
+            spark.read.parquet(s"$j/data"))
+        }
+        fs.delete(jPath, true): Unit
       }
-      fs.delete(jPath, true): Unit
     }
-  }
 
   /** Journal then overwrite. `merged` must be PINNED (localCheckpoint)
     * by the caller and carry `bucketCol` as a long data column; it is

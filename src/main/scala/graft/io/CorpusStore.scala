@@ -49,6 +49,7 @@ object CorpusStore {
     require(buckets >= 1, "need at least one bucket")
     val spark = df.sparkSession
     BucketRewrite.dropJournal(spark, s"$dir/rows")
+    Watermark.clear(spark, dir)
     spark.createDataFrame(Seq(Tuple1(buckets))).toDF("buckets")
       .write.mode("overwrite").parquet(s"$dir/meta")
     df.limit(0).write.mode("overwrite").parquet(s"$dir/schema")
@@ -167,9 +168,11 @@ object CorpusStore {
     if (batchId <= Watermark.read(spark, dir)) false
     else {
       val buckets = storedBuckets(spark, dir)
-      // gate pinned: the keep verdict computes ONCE and serves both the
-      // install filter and the evict filter
-      val gated = batch.filter(col(opCol) === "upsert").drop(opCol)
+      // the batch pinned once (a streaming source is not free to rescan),
+      // then the gate pinned once on top: the keep verdict computes ONCE
+      // and serves both the install filter and the evict filter
+      val b = batch.localCheckpoint()
+      val gated = b.filter(col(opCol) === "upsert").drop(opCol)
         .withColumn("__graft_keep",
           graft.functions.TextFunctions.qualityFilter(textCol)
             .getField("keep"))
@@ -177,7 +180,7 @@ object CorpusStore {
         .localCheckpoint()
       try {
         val kept = gated.filter(col("__graft_keep")).drop("__graft_keep")
-        val evictKeys = batch.filter(col(opCol) === "delete")
+        val evictKeys = b.filter(col(opCol) === "delete")
           .select(col(idCol))
           .withColumn("__graft_bucket", bucketOf(col(idCol), buckets))
           .unionByName(gated
@@ -192,7 +195,10 @@ object CorpusStore {
           Some(kept), idCol)
         Watermark.advance(spark, dir, batchId)
         true
-      } finally graft.operators.Dedup.release(gated)
+      } finally {
+        graft.operators.Dedup.release(gated)
+        graft.operators.Dedup.release(b)
+      }
     }
   }
 }

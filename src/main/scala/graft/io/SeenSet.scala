@@ -107,6 +107,7 @@ object SeenSet {
     if (expectedUrls > 0L) requireBloomFits(expectedUrls, fpp)
     val spark = urls.sparkSession
     BucketRewrite.dropJournal(spark, s"$dir/urls")
+    Watermark.clear(spark, dir)
     // eager localCheckpoint: the distinct frame feeds three executions
     // (count when auto-sizing, Bloom build, bucket write)
     val u = urls.select(col(urlCol).as("url")).distinct().localCheckpoint()

@@ -42,7 +42,7 @@ object TextIndex {
       buckets: Int = DefaultBuckets
   ): Unit = {
     require(buckets >= 1, "need at least one bucket")
-    BucketRewrite.dropJournal(docs.sparkSession, s"$dir/postings")
+    Watermark.clear(docs.sparkSession, dir)
     val toks = docs.select(col(idCol).as("doc_id"),
       TextFunctions.tokens(textCol).as("toks"))
     // sum_dl is stored alongside so stats MERGE exactly on append
@@ -70,9 +70,15 @@ object TextIndex {
     // own its key. At larger corpora raise spark.sql.shuffle.partitions —
     // the hash-partitioning spreads buckets across however many tasks
     // exist.
-    postings(toks, buckets).repartition(col("term_bucket"))
+    // second partition level `ingest_batch`: every maintenance write owns
+    // its own leaf directories, so appends never touch standing data and
+    // the streaming face is an idempotent batch-scoped overwrite with NO
+    // journal and NO standing read (see [[appendBatch]])
+    postings(toks, buckets)
+      .withColumn("ingest_batch", lit("base"))
+      .repartition(col("term_bucket"))
       .write.mode("overwrite")
-      .partitionBy("term_bucket").parquet(s"$dir/postings")
+      .partitionBy("term_bucket", "ingest_batch").parquet(s"$dir/postings")
   }
 
   /** Positional postings: (term, doc_id, tf, dl, positions) — positions
@@ -119,14 +125,15 @@ object TextIndex {
       buckets: Int = DefaultBuckets
   ): Unit = {
     val spark = delta.sparkSession
-    // recover BEFORE appending (the SeenSet.appendToSet reasoning)
-    BucketRewrite.recover(spark, s"$dir/postings", "term_bucket")
     val nBuckets = storedBuckets(spark, dir, buckets)
     val toks = delta.select(col(idCol).as("doc_id"),
       TextFunctions.tokens(textCol).as("toks"))
-    postings(toks, nBuckets).repartition(col("term_bucket"))
+    postings(toks, nBuckets)
+      .withColumn("ingest_batch",
+        lit(s"a${java.util.UUID.randomUUID().toString.take(12)}"))
+      .repartition(col("term_bucket"))
       .write.mode("append")
-      .partitionBy("term_bucket").parquet(s"$dir/postings")
+      .partitionBy("term_bucket", "ingest_batch").parquet(s"$dir/postings")
     // a fresh ledger row per append: totals aggregate at read time
     toks.agg(count(lit(1)).as("n_docs"),
         sum(size(col("toks"))).cast("long").as("sum_dl"))
@@ -138,21 +145,22 @@ object TextIndex {
 
   /** EXACTLY-ONCE streaming maintenance (the foreachBatch body of
     * [[graft.streaming.Streaming.textIndexMaintenance]], parity harness
-    * #17) — strictly stronger than [[graft.io.BandIndex.appendBatch]]'s
+    * #17) — stronger than [[graft.io.BandIndex.appendBatch]]'s
     * tolerate-and-heal posture, because this index cannot tolerate
     * duplicates at all: a double-appended posting doubles `tf` and a
-    * double-added stats row corrupts the BM25 normalizers. Three
-    * mechanisms compose:
-    *  - postings go through [[BucketRewrite.journaledOverwrite]] of the
-    *    touched buckets (standing ∪ delta, with identical-row collapse —
-    *    a replay whose journal already landed finds the delta in the
-    *    standing side and dedups to the same content, so re-application
-    *    converges instead of doubling);
+    * double-added stats row corrupts the BM25 normalizers. The layout
+    * does the work — every write owns batch-scoped leaf directories
+    * (`term_bucket=X/ingest_batch=b<id>`), so:
+    *  - the postings write is a dynamic partition overwrite of THIS
+    *    batch's own directories — a replay overwrites them with the
+    *    identical recomputed content, and standing directories are
+    *    never touched (delta-proportional: no standing read, no
+    *    journal, nothing to lose);
     *  - the stats delta is a batch-scoped ledger row
     *    (`stats/batch=b<id>`, overwritten in place — idempotent);
     *  - the [[Watermark]] gate skips batches already marked done.
-    * Every crash interleaving lands in one of those three recoveries.
-    * Returns true iff the batch was applied. */
+    * Every crash interleaving converges on the replayed apply. Returns
+    * true iff the batch was applied. */
   def appendBatch(
       delta: DataFrame, idCol: String, textCol: String, dir: String,
       batchId: Long
@@ -160,50 +168,75 @@ object TextIndex {
     val spark = delta.sparkSession
     if (batchId <= Watermark.read(spark, dir)) false
     else {
-      BucketRewrite.recover(spark, s"$dir/postings", "term_bucket")
       val nBuckets = storedBuckets(spark, dir, DefaultBuckets)
+      // pinned: feeds the postings write and the stats row
       val toks = delta.select(col(idCol).as("doc_id"),
         TextFunctions.tokens(textCol).as("toks")).localCheckpoint()
       try {
-        val post = postings(toks, nBuckets)
-          .withColumn("term_bucket", col("term_bucket").cast("long"))
-          .localCheckpoint()
-        try {
-          val touched = post.select(col("term_bucket")).distinct()
-            .collect().map(_.getLong(0))
-          if (touched.nonEmpty) {
-            val standing = spark.read.parquet(s"$dir/postings")
-              .filter(col("term_bucket").isin(touched.toIndexedSeq: _*))
-              .withColumn("term_bucket", col("term_bucket").cast("long"))
-            // dropDuplicates over ALL columns: legitimately impossible
-            // duplicates ((term, doc) is unique under the id-disjointness
-            // contract), so the only rows it can collapse are a replayed
-            // delta already applied by a recovered journal
-            val merged = standing.unionByName(post)
-              .dropDuplicates().localCheckpoint()
-            try BucketRewrite.journaledOverwrite(spark, s"$dir/postings",
-              "term_bucket", touched.toIndexedSeq, merged)
-            finally graft.operators.Dedup.release(merged)
-          }
-          toks.agg(count(lit(1)).as("n_docs"),
-              sum(size(col("toks"))).cast("long").as("sum_dl"))
-            .withColumn("buckets", lit(nBuckets))
-            .coalesce(1)
-            .write.mode("overwrite").parquet(s"$dir/stats/batch=b$batchId")
-          Watermark.advance(spark, dir, batchId)
-          true
-        } finally graft.operators.Dedup.release(post)
+        postings(toks, nBuckets)
+          .withColumn("ingest_batch", lit(s"b$batchId"))
+          .repartition(col("term_bucket"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("term_bucket", "ingest_batch")
+          .parquet(s"$dir/postings")
+        toks.agg(count(lit(1)).as("n_docs"),
+            sum(size(col("toks"))).cast("long").as("sum_dl"))
+          .withColumn("buckets", lit(nBuckets))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/stats/batch=b$batchId")
+        Watermark.advance(spark, dir, batchId)
+        true
       } finally graft.operators.Dedup.release(toks)
     }
   }
 
-  /** Compact fragmented posting-bucket directories (each append adds a
-    * file per touched bucket — see [[Compact]]). Postings are unique per
-    * (term, doc_id) under the append face's id-disjointness contract, so
-    * no dedup: a straight content-identical rewrite of only the
-    * fragmented directories. */
-  def compact(spark: SparkSession, dir: String): Compact.CompactStats =
-    Compact.compactTree(spark, s"$dir/postings", "term_bucket")
+  /** Consolidate the batch-scoped layout: every append leaves its own
+    * `ingest_batch=<tag>` leaf under each touched bucket, so fan-in
+    * grows with append count; compaction reads the whole tree, collapses
+    * (term, doc_id) duplicates (a torn previous consolidation's residue —
+    * identical rows, so the collapse is content-free), writes everything
+    * as ONE fresh consolidated tag (dynamic overwrite of the new tag's
+    * directories only — standing tags untouched until the write commits),
+    * then deletes the old tags. Crash anywhere leaves duplicates the
+    * search faces collapse at read ([[bm25SearchIndex]]/
+    * [[phraseSearchIndex]] dropDuplicates on the pruned sliver), and the
+    * next compact converges. A no-op when a single tag remains. */
+  def compact(spark: SparkSession, dir: String): Compact.CompactStats = {
+    val root = new org.apache.hadoop.fs.Path(s"$dir/postings")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Compact.CompactStats(0, 0, 0)
+    val bucketDirs = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("term_bucket="))
+    def leaves(b: org.apache.hadoop.fs.Path) = fs.listStatus(b)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("ingest_batch="))
+    val oldTags = bucketDirs.flatMap(b => leaves(b.getPath))
+      .map(_.getPath.getName.stripPrefix("ingest_batch=")).distinct
+    if (oldTags.length <= 1) return Compact.CompactStats(0, 0, 0)
+    def fileCount() = bucketDirs.map(b => leaves(b.getPath)
+      .map(l => fs.listStatus(l.getPath)
+        .count(_.getPath.getName.endsWith(".parquet"))).sum).sum
+    val before = fileCount()
+    val tag = s"c${java.util.UUID.randomUUID().toString.take(12)}"
+    val consolidated = spark.read.parquet(root.toString)
+      .drop("ingest_batch")
+      .dropDuplicates("term", "doc_id")
+      .withColumn("term_bucket", col("term_bucket").cast("long"))
+      .withColumn("ingest_batch", lit(tag))
+      .localCheckpoint() // sever the self-overwrite lineage
+    try
+      consolidated.repartition(col("term_bucket"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("term_bucket", "ingest_batch").parquet(root.toString)
+    finally graft.operators.Dedup.release(consolidated)
+    bucketDirs.foreach { b =>
+      leaves(b.getPath)
+        .filter(_.getPath.getName != s"ingest_batch=$tag")
+        .foreach(l => fs.delete(l.getPath, true): Unit)
+    }
+    Compact.CompactStats(bucketDirs.length, before, fileCount())
+  }
 
   /** BM25 top-k against a persisted index: the query terms' buckets
     * become a literal partition predicate (query metadata, not row
@@ -216,7 +249,6 @@ object TextIndex {
   ): DataFrame = {
     require(queryTerms.nonEmpty, "empty query")
     require(k > 0, "k must be positive")
-    BucketRewrite.recover(spark, s"$dir/postings", "term_bucket")
     val terms = queryTerms.distinct
     // NOTE: named nBuckets, not b — `b` is the BM25 length-normalization
     // parameter in scope here
@@ -230,9 +262,14 @@ object TextIndex {
     val stats = broadcast(spark.range(1).select(
       lit(nDocs).as("n_docs"), lit(sumDl).as("sum_dl"),
       (lit(sumDl).cast("double") / lit(nDocs).cast("double")).as("avgdl")))
+    // dropDuplicates on the posting key: a no-op on a healthy index
+    // ((term, doc_id) is unique; duplicate rows are identical), it
+    // collapses the residue a torn [[compact]] can leave (old tags +
+    // a partial consolidated tag) — runs on the pruned sliver only
     val tf = spark.read.parquet(s"$dir/postings")
       .filter(col("term_bucket").isin(probed: _*))
       .filter(col("term").isin(terms: _*))
+      .dropDuplicates("term", "doc_id")
     val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val perTerm = tf.join(dft, "term").crossJoin(stats)
       .withColumn("idf",
@@ -272,7 +309,6 @@ object TextIndex {
       buckets: Int = DefaultBuckets
   ): DataFrame = {
     require(phrase.nonEmpty, "empty phrase")
-    BucketRewrite.recover(spark, s"$dir/postings", "term_bucket")
     val terms = phrase.distinct
     val nBuckets = storedBuckets(spark, dir, buckets)
     val probed = terms.map { t =>
@@ -282,6 +318,7 @@ object TextIndex {
     val posts = spark.read.parquet(s"$dir/postings")
       .filter(col("term_bucket").isin(probed: _*))
       .filter(col("term").isin(terms: _*))
+      .dropDuplicates("term", "doc_id") // torn-compact residue (see bm25)
       .select("doc_id", "term", "positions")
     // one frame per distinct term, joined per doc; each phrase slot j
     // contributes its term's positions shifted by -j, and the fold

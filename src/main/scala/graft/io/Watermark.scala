@@ -27,4 +27,13 @@ private[io] object Watermark {
     Seq(batchId).toDF("batch_id").coalesce(1)
       .write.mode("overwrite").parquet(s"$indexDir/watermark")
   }
+
+  /** Full-rebuild faces must clear the marker: a stale watermark from a
+    * previous stream silently drops the first batches of a NEW stream
+    * whose checkpoint restarts batch ids at 0 (review finding). */
+  def clear(spark: SparkSession, indexDir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/watermark")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(p, true): Unit
+  }
 }

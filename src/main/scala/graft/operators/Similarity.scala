@@ -938,6 +938,11 @@ object Similarity {
       iters: Int = 2
   ): Unit = {
     val spark = corpus.sparkSession
+    // a committed journal left by a torn compaction of the PREVIOUS
+    // index must not be replayed over the rebuild (review finding: the
+    // other write faces all drop it; old-codebook cells replacing new
+    // ones would silently corrupt search)
+    graft.io.BucketRewrite.dropJournal(spark, s"$dir/codes")
     val (coarse, books, enc) =
       ivfPqTrainEncode(corpus, idCol, vecCol, dims, nCentroids, m, codes, iters)
     spark.createDataFrame(

@@ -22,7 +22,16 @@ class CompactSpec extends SparkSpec {
       .map(d => d.getName ->
         d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
 
-  test("text index: three appends fragment, compaction restores one file per bucket") {
+  private def parquetsPerBucketDeep(tree: String, prefix: String): Map[String, Int] = {
+    def deepCount(f: java.io.File): Int =
+      if (f.isDirectory) f.listFiles().map(deepCount).sum
+      else if (f.getName.endsWith(".parquet")) 1 else 0
+    new java.io.File(tree).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith(prefix))
+      .map(d => d.getName -> deepCount(d)).toMap
+  }
+
+  test("text index: three appends fragment, compaction consolidates the batch tags") {
     val dir = Files.createTempDirectory("graft-cmp-ti").toString
     TextIndex.writeIndex(docs.filter(col("doc_id") < 100), "doc_id", "text",
       dir, buckets = 8)
@@ -31,19 +40,49 @@ class CompactSpec extends SparkSpec {
         docs.filter(col("doc_id") >= a && col("doc_id") < b),
         "doc_id", "text", dir)
     }
-    val before = parquetsPerBucket(s"$dir/postings", "term_bucket=")
+    val before = parquetsPerBucketDeep(s"$dir/postings", "term_bucket=")
     assert(before.values.max > 1, "appends must have fragmented the buckets")
     val served = rowSet(TextIndex.bm25SearchIndex(spark, dir,
       Seq("the", "and"), k = 10))
-    val stats = Compact.compactTree(spark, s"$dir/postings", "term_bucket")
+    val stats = TextIndex.compact(spark, dir)
     assert(stats.bucketsCompacted > 0 && stats.filesAfter === stats.bucketsCompacted)
-    val after = parquetsPerBucket(s"$dir/postings", "term_bucket=")
+    val after = parquetsPerBucketDeep(s"$dir/postings", "term_bucket=")
     assert(after.keySet === before.keySet)
     assert(after.values.forall(_ === 1), s"still fragmented: $after")
     assert(rowSet(TextIndex.bm25SearchIndex(spark, dir,
       Seq("the", "and"), k = 10)) === served,
       "compaction changed what the index serves")
-    // idempotent: nothing left to do
+    // idempotent: a single consolidated tag remains — nothing to do
+    assert(TextIndex.compact(spark, dir) === Compact.CompactStats(0, 0, 0))
+  }
+
+  test("text index: a torn consolidation's duplicates collapse at read") {
+    // crash after the consolidated tag committed but before the old tags
+    // were deleted: every posting exists twice; the search faces must
+    // serve the same results, and the next compact must converge
+    val dir = Files.createTempDirectory("graft-cmp-ti-torn").toString
+    TextIndex.writeIndex(docs.filter(col("doc_id") < 150), "doc_id", "text",
+      dir, buckets = 8)
+    TextIndex.appendToIndex(
+      docs.filter(col("doc_id") >= 150 && col("doc_id") < 250),
+      "doc_id", "text", dir)
+    val served = rowSet(TextIndex.bm25SearchIndex(spark, dir,
+      Seq("the", "and"), k = 10))
+    // simulate the torn state: duplicate EVERY posting under a fake
+    // consolidated tag (what a committed-but-uncleaned compact leaves)
+    val dup = spark.read.parquet(s"$dir/postings")
+      .drop("ingest_batch")
+      .withColumn("term_bucket", col("term_bucket").cast("long"))
+      .withColumn("ingest_batch", lit("cdeadbeef"))
+    dup.write.mode("append").partitionBy("term_bucket", "ingest_batch")
+      .parquet(s"$dir/postings")
+    assert(rowSet(TextIndex.bm25SearchIndex(spark, dir,
+      Seq("the", "and"), k = 10)) === served,
+      "duplicated postings must collapse at read, not double tf")
+    val stats = TextIndex.compact(spark, dir)
+    assert(stats.bucketsCompacted > 0)
+    assert(rowSet(TextIndex.bm25SearchIndex(spark, dir,
+      Seq("the", "and"), k = 10)) === served)
     assert(TextIndex.compact(spark, dir) === Compact.CompactStats(0, 0, 0))
   }
 
@@ -115,21 +154,24 @@ class CompactSpec extends SparkSpec {
   }
 
   test("only fragmented buckets are rewritten; compact buckets keep their files") {
+    // the single-level compactTree (band index): a one-doc append
+    // fragments only the buckets ITS bands hash to — the others must
+    // keep their exact files
     val dir = Files.createTempDirectory("graft-cmp-sel").toString
-    TextIndex.writeIndex(docs.filter(col("doc_id") < 100), "doc_id", "text",
-      dir, buckets = 8)
-    // a tiny one-doc append fragments only the buckets ITS terms hash to
-    TextIndex.appendToIndex(docs.filter(col("doc_id") === 100),
+    BandIndex.writeIndex(docs.filter(col("doc_id") < 100), "doc_id", "text",
+      dir, buckets = 16)
+    BandIndex.appendToIndex(docs.filter(col("doc_id") === 100),
       "doc_id", "text", dir)
-    val before = parquetsPerBucket(s"$dir/postings", "term_bucket=")
+    val before = parquetsPerBucket(s"$dir/bands", "band_bucket=")
     val untouched = before.filter(_._2 === 1).keySet
-    val mtimes = new java.io.File(s"$dir/postings").listFiles()
+    assert(untouched.nonEmpty, "fixture degenerate: every bucket touched")
+    val mtimes = new java.io.File(s"$dir/bands").listFiles()
       .filter(d => untouched(d.getName))
       .flatMap(d => d.listFiles().map(f => f.getPath -> f.lastModified()))
       .toMap
-    val stats = TextIndex.compact(spark, dir)
+    val stats = BandIndex.compact(spark, dir)
     assert(stats.bucketsCompacted === before.count(_._2 > 1))
-    val mtimesAfter = new java.io.File(s"$dir/postings").listFiles()
+    val mtimesAfter = new java.io.File(s"$dir/bands").listFiles()
       .filter(d => untouched(d.getName))
       .flatMap(d => d.listFiles().map(f => f.getPath -> f.lastModified()))
       .toMap

@@ -940,11 +940,11 @@ class StreamingSpec extends SparkSpec {
     assert(stats0 === stats1, "replay must not touch the stats ledger")
     assert(serve(ixDir) === rebuilt)
 
-    // the crash window made flesh: journal landed (postings already
-    // carry the batch), stats and marker did not — simulate by wiping
-    // the watermark and re-applying the last batch: the identical-row
-    // collapse must converge the postings and the batch-scoped stats
-    // overwrite must not double-add
+    // the crash window made flesh: postings landed (the batch's own
+    // ingest_batch directories committed), stats and marker did not —
+    // simulate by wiping the watermark and re-applying the last batch:
+    // the batch-scoped overwrite must converge the postings and the
+    // batch-scoped stats row must not double-add
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm); f.delete(): Unit
     }
