@@ -241,9 +241,6 @@ object Bench {
     // 5.9 s flagged, isolated 10.3 s = the full crawl chain, while a
     // fresh-session warm-cache A/B measured the operator at 1.25 s).
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
-    // prior artifact: same path this run will overwrite, unless overridden
-    // (e.g. per-round renamed sf1 artifacts under doc/)
-    val prevPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", outPath)
     def parsePrev(path: String): (Map[String, Double], Double, String) =
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
@@ -264,6 +261,25 @@ object Bench {
           .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
         (entries, ns, sf)
       } catch { case scala.util.control.NonFatal(_) => (Map.empty, -1.0, "") }
+    // prior baseline: the newest PRIOR-ROUND artifact under doc/ whose
+    // recorded sf matches this run, never the out path this run will
+    // overwrite (the r17 failure: the on-disk BENCH.json was an earlier
+    // CONTENDED same-round recording, its prev_scaled thresholds ran ~3x
+    // low, and the spurious flags burned the whole retime cap before the
+    // real anomalies were examined). Round-stamped artifacts follow
+    // `doc/BENCH_sf01_r{N}.json` / `doc/BENCH_sf1_r{N}.json`; variants
+    // (contended/quiet/sub) deliberately don't match the pattern. The sf
+    // check reads the candidate's own "sf" field, so a wrong-sf pick is
+    // structurally impossible; env-overridable for ad-hoc comparisons.
+    val prevPath = sys.env.get("SPARK_GRAFT_BENCH_PREV").getOrElse {
+      val stamped = Option(new java.io.File("doc").listFiles)
+        .getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.matches("BENCH_sf[0-9]+_r[0-9]+\\.json"))
+        .sortBy(f => -"_r([0-9]+)\\.json".r.findFirstMatchIn(f.getName)
+          .map(_.group(1).toInt).getOrElse(0))
+      stamped.find(f => parsePrev(f.getPath)._3 == sfDir)
+        .map(_.getPath).getOrElse(outPath)
+    }
     val (prevQ, prevNs, prevSf) = parsePrev(prevPath)
     // post-battery probe measured HERE (before the gate, after the
     // static retimes) so the gate scales by the same min-of-both
@@ -277,7 +293,7 @@ object Bench {
       if (only.nonEmpty || prevQ.isEmpty || prevSf != sfDir) Seq.empty
       else {
         val scaleP = if (prevNs > 0 && nsPerRow > 0) nsPerRow / prevNs else 1.0
-        results.flatMap { case (name, cur) =>
+        val flagged = results.flatMap { case (name, cur) =>
           prevQ.get(name) match {
             // floor at 1 s: sub-second entries flap on job-overhead noise;
             // entries already on the static retime list publish isolated
@@ -287,8 +303,19 @@ object Bench {
               Some((name, cur, p * scaleP))
             case _ => None
           }
-        }.take(12) // bound a pathological round's retime bill
+        }
+        // EVERY flagged entry ships (a flag the artifact silently drops
+        // is an uncorrected anomaly — the r17 failure mode: the cap was
+        // applied in battery order and g1/g2/g3/t45 never got slots);
+        // the retime bill alone is capped, spent worst-overshoot-first,
+        // and an un-retimed flag carries isolated = -1 ("flagged, not
+        // re-timed — adjudicate with a fresh-session run").
+        val byOvershoot = flagged.sortBy { case (_, cur, ps) => -(cur / ps) }
+        val retimed = byOvershoot.take(12)
           .map { case (name, cur, ps) => (name, cur, retimeOnce(name), ps) }
+        val unretimed = byOvershoot.drop(12)
+          .map { case (name, cur, ps) => (name, cur, -1.0, ps) }
+        retimed ++ unretimed
       }
     def q(s: String): String =
       "\"" + s.flatMap {
