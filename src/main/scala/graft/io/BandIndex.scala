@@ -128,15 +128,10 @@ object BandIndex {
   def appendBatch(
       delta: DataFrame, idCol: String, textCol: String, dir: String,
       batchId: Long
-  ): Boolean = {
-    val spark = delta.sparkSession
-    if (batchId <= Watermark.read(spark, dir)) false
-    else {
+  ): Boolean =
+    MaintenanceFace.gated(delta.sparkSession, dir, batchId) {
       appendToIndex(delta, idCol, textCol, dir)
-      Watermark.advance(spark, dir, batchId)
-      true
     }
-  }
 
   /** Compact fragmented bucket directories (see [[Compact]]) and make
     * [[probe]]'s duplicate tolerance free by removing the physical
@@ -154,11 +149,33 @@ object BandIndex {
     * the reference scan reads ONLY those bucket directories. Returns
     * (doc_id, ref_id, shared_bands) — exactly
     * [[Dedup.incrementalNearDup]](reference, batch, ...) at the build
-    * parameters. */
+    * parameters.
+    *
+    * Pin discipline (r17 verdict #6): the result's lineage reads a
+    * batch-sized `localCheckpoint` of the band frame, reaped by the
+    * ContextCleaner once the frame is garbage; a long-lived
+    * serving/maintenance session should use [[probeScoped]], which
+    * releases it deterministically at scope exit. */
   def probe(
       spark: SparkSession, dir: String,
       batch: DataFrame, idCol: String, textCol: String
-  ): DataFrame = {
+  ): DataFrame = probePinned(spark, dir, batch, idCol, textCol)._1
+
+  /** [[probe]] with a caller scope: `consume` runs against the
+    * candidate-pair frame and the probe's internal pin is released on
+    * exit ([[Dedup.release]]). The frame must not escape `consume`. */
+  def probeScoped[A](
+      spark: SparkSession, dir: String,
+      batch: DataFrame, idCol: String, textCol: String
+  )(consume: DataFrame => A): A = {
+    val (pairs, pin) = probePinned(spark, dir, batch, idCol, textCol)
+    try consume(pairs) finally Dedup.release(pin)
+  }
+
+  private def probePinned(
+      spark: SparkSession, dir: String,
+      batch: DataFrame, idCol: String, textCol: String
+  ): (DataFrame, DataFrame) = {
     BucketRewrite.recover(spark, s"$dir/bands", "band_bucket")
     val (n, numHashes, bands, buckets) = storedMeta(spark, dir)
     // eager localCheckpoint: the band frame feeds TWO executions (the
@@ -186,9 +203,10 @@ object BandIndex {
       .select(col("ref_id"), col("band"), col("band_hash"))
       .repartition(col("band"), col("band_hash"))
       .dropDuplicates("ref_id", "band", "band_hash")
-    bb.drop("band_bucket")
+    val pairs = bb.drop("band_bucket")
       .join(ref, Seq("band", "band_hash"))
       .groupBy("doc_id", "ref_id")
       .agg(count(lit(1)).as("shared_bands"))
+    (pairs, bb)
   }
 }

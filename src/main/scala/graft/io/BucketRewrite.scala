@@ -19,8 +19,8 @@ import org.apache.spark.sql.functions._
   *
   * Recovery contract: every entry point that reads or mutates the tree
   * calls [[recover]] first (one `fs.exists` when healthy). An
-  * uncommitted journal (missing `_SUCCESS`) means the overwrite never
-  * started — the tree is intact, drop the journal. A committed journal
+  * uncommitted journal (missing the engine-owned [[Commit]] sentinel)
+  * means the overwrite never started — the tree is intact, drop the journal. A committed journal
   * means the overwrite may have torn anywhere — re-apply it (the
   * journal holds the complete post-state of every touched bucket, so
   * re-application is idempotent), then drop it. Appends must recover
@@ -36,31 +36,42 @@ private[graft] object BucketRewrite {
     new org.apache.hadoop.fs.Path(p)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def committed(spark: SparkSession, dir: String): Boolean =
-    fsOf(spark, dir).exists(new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS"))
-
   /** Per-tree JVM lock: recover mutates the tree and is called from
     * READ paths too, so two concurrent queries discovering the same
     * committed journal must not race the re-apply + journal delete
     * (concurrent dynamic overwrites of one directory are the exact
     * failure the journal exists to prevent, and the first finisher's
-    * delete fails the second mid-read). Within one driver JVM this
-    * serializes them — the second entrant re-checks and no-ops. ACROSS
-    * processes the single-maintainer contract still applies: exactly
-    * one application (the streaming maintenance job) owns a tree's
-    * mutations, recovery included. */
+    * delete fails the second mid-read). [[journaledOverwrite]] holds the
+    * SAME lock across journal-commit → apply → journal-delete (r17
+    * verdict #3): without it, a serve-path `recover` in the same driver
+    * that lists the writer's just-committed journal would re-apply it
+    * CONCURRENTLY with the writer's own in-flight apply — the
+    * serve-while-maintain shape the streaming specs model is in-JVM,
+    * so the single-maintainer contract alone does not cover it. Within
+    * one driver JVM the lock serializes them — the later entrant
+    * re-checks and no-ops (journal gone). ACROSS processes the
+    * single-maintainer contract still applies: exactly one application
+    * (the streaming maintenance job) owns a tree's mutations, recovery
+    * included. */
   private val treeLocks =
     scala.collection.concurrent.TrieMap.empty[String, Object]
+
+  private def withTreeLock[A](treeDir: String)(body: => A): A =
+    treeLocks.getOrElseUpdate(treeDir, new Object).synchronized(body)
 
   /** Heal a torn rewrite if a committed journal exists; drop an
     * uncommitted one. Cheap no-op (one exists check) when healthy. */
   def recover(spark: SparkSession, treeDir: String, bucketCol: String): Unit =
-    treeLocks.getOrElseUpdate(treeDir, new Object).synchronized {
+    withTreeLock(treeDir) {
       val j = journalDir(treeDir)
       val fs = fsOf(spark, j)
       val jPath = new org.apache.hadoop.fs.Path(j)
       if (fs.exists(jPath)) {
-        if (committed(spark, s"$j/data") && committed(spark, s"$j/touched")) {
+        // the journal's commit gate is the engine-owned sentinel, not
+        // the committer's _SUCCESS (see [[Commit]]): a committed journal
+        // misread as uncommitted would be dropped here — permanently
+        // losing the very bucket it was written to protect
+        if (Commit.isCommitted(spark, j)) {
           val touched = spark.read.parquet(s"$j/touched")
             .select(col("bucket").cast("long")).collect().map(_.getLong(0))
           applyOverwrite(spark, treeDir, bucketCol, touched.toIndexedSeq,
@@ -72,17 +83,24 @@ private[graft] object BucketRewrite {
 
   /** Journal then overwrite. `merged` must be PINNED (localCheckpoint)
     * by the caller and carry `bucketCol` as a long data column; it is
-    * written to the journal verbatim, so the journal IS the post-state. */
+    * written to the journal verbatim, so the journal IS the post-state.
+    * Holds the per-tree lock for the whole journal→apply→delete span
+    * (see [[treeLocks]]); the JVM monitor is reentrant, so a caller
+    * already holding it via its own recover is fine. */
   def journaledOverwrite(spark: SparkSession, treeDir: String,
-      bucketCol: String, touched: Seq[Long], merged: DataFrame): Unit = {
-    import spark.implicits._
-    val j = journalDir(treeDir)
-    merged.write.mode("overwrite").parquet(s"$j/data")
-    touched.toDF("bucket").coalesce(1)
-      .write.mode("overwrite").parquet(s"$j/touched")
-    applyOverwrite(spark, treeDir, bucketCol, touched, merged)
-    fsOf(spark, j).delete(new org.apache.hadoop.fs.Path(j), true): Unit
-  }
+      bucketCol: String, touched: Seq[Long], merged: DataFrame): Unit =
+    withTreeLock(treeDir) {
+      import spark.implicits._
+      val j = journalDir(treeDir)
+      merged.write.mode("overwrite").parquet(s"$j/data")
+      touched.toDF("bucket").coalesce(1)
+        .write.mode("overwrite").parquet(s"$j/touched")
+      // the sentinel flips the journal from droppable to authoritative
+      // in one create — both content dirs are fully written before it
+      Commit.mark(spark, j)
+      applyOverwrite(spark, treeDir, bucketCol, touched, merged)
+      fsOf(spark, j).delete(new org.apache.hadoop.fs.Path(j), true): Unit
+    }
 
   private def applyOverwrite(spark: SparkSession, treeDir: String,
       bucketCol: String, touched: Seq[Long], data: DataFrame): Unit = {

@@ -25,7 +25,20 @@ import org.apache.spark.sql.functions._
   * .appendBatch]]'s crash window; [[SeenSet]]'s membership-idempotent
   * re-appends): the serving paths already tolerate those duplicates,
   * compaction with the family's natural key makes the tolerance free by
-  * removing the bytes. */
+  * removing the bytes.
+  *
+  * Reader contract (r17 advisory): the dynamic overwrite replaces the
+  * fragmented directories' files, so a CONCURRENT serving query in
+  * ANOTHER process that listed those files before the rewrite can fail
+  * mid-scan with FileNotFoundException. The single-maintainer contract
+  * therefore extends to serving sessions: external readers either
+  * probe between maintenance windows or retry on a lost-file failure —
+  * the retried plan lists the compacted files and serves identical
+  * results by construction (compacted == fragmented by content).
+  * Within ONE driver JVM, serve and maintain interleave safely: plans
+  * list files at execution start, the maintenance faces are
+  * call-sequenced, and [[BucketRewrite]]'s per-tree lock serializes
+  * journal recovery against the rewrite. */
 object Compact {
 
   final case class CompactStats(

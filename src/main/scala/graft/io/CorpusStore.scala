@@ -150,6 +150,30 @@ object CorpusStore {
     } finally graft.operators.Dedup.release(keys)
   }
 
+  /** Watermark-gated install + evict with the keep verdict computed by
+    * the CALLER — the [[graft.streaming.Streaming.steadyStateIngest]]
+    * (harness #18) building block, where the quality gate runs once in
+    * the composed body and serves the store AND the index appends:
+    * `kept` rows install (replacing any same-key standing row),
+    * `evictIds` keys are removed, all in ONE pass over the touched
+    * buckets ([[rewriteKeyed]]). Same idempotence and replay posture as
+    * [[applyCurationBatch]]; `kept` must share [[read]]'s schema and be
+    * key-unique, `evictIds` needs only `idCol`. Returns true iff
+    * applied. */
+  def applyGatedBatch(kept: DataFrame, evictIds: DataFrame, idCol: String,
+      dir: String, batchId: Long): Boolean = {
+    val spark = kept.sparkSession
+    MaintenanceFace.gated(spark, dir, batchId) {
+      val buckets = storedBuckets(spark, dir)
+      val k = kept.withColumn("__graft_bucket", bucketOf(col(idCol), buckets))
+      val e = evictIds.select(col(idCol))
+        .withColumn("__graft_bucket", bucketOf(col(idCol), buckets))
+      rewriteKeyed(spark, dir,
+        k.select(col(idCol), col("__graft_bucket")).unionByName(e),
+        Some(k), idCol)
+    }
+  }
+
   /** Replay-safe streaming curation: apply one CDC micro-batch —
     * `opCol` ∈ "upsert" / "delete" — through the quality gate into the
     * store, [[graft.pipeline.DocPipeline.incrementalCurate]]'s live
@@ -165,8 +189,7 @@ object CorpusStore {
   def applyCurationBatch(batch: DataFrame, opCol: String, idCol: String,
       textCol: String, dir: String, batchId: Long): Boolean = {
     val spark = batch.sparkSession
-    if (batchId <= Watermark.read(spark, dir)) false
-    else {
+    MaintenanceFace.gated(spark, dir, batchId) {
       val buckets = storedBuckets(spark, dir)
       // the batch pinned once (a streaming source is not free to rescan),
       // then the gate pinned once on top: the keep verdict computes ONCE
@@ -193,8 +216,6 @@ object CorpusStore {
           kept.select(col(idCol), col("__graft_bucket"))
             .unionByName(evictKeys),
           Some(kept), idCol)
-        Watermark.advance(spark, dir, batchId)
-        true
       } finally {
         graft.operators.Dedup.release(gated)
         graft.operators.Dedup.release(b)

@@ -59,9 +59,18 @@ object SeenSet {
     pmod(xxhash64(urlCol), lit(buckets.toLong))
 
   private def bloomOf(urls: DataFrame, urlCol: String,
-      expected: Long, fpp: Double): org.apache.spark.util.sketch.BloomFilter =
-    urls.select(xxhash64(col(urlCol)).as("__graft_h"))
-      .stat.bloomFilter("__graft_h", math.max(expected, 1L), fpp)
+      expected: Long, fpp: Double): org.apache.spark.util.sketch.BloomFilter = {
+    val hashed = urls.select(xxhash64(col(urlCol)).as("__graft_h"))
+    // df.stat.bloomFilter NPEs on a ZERO-ROW frame (null aggregate
+    // buffer) — which is exactly what a fully-seen discovery batch
+    // feeds back through dedupBatch→appendToSet (r18 spec finding). An
+    // explicitly-created empty filter has the same (expected, fpp)
+    // geometry, so sidecar merges stay bit-exact.
+    if (hashed.isEmpty)
+      org.apache.spark.util.sketch.BloomFilter.create(
+        math.max(expected, 1L), fpp)
+    else hashed.stat.bloomFilter("__graft_h", math.max(expected, 1L), fpp)
+  }
 
   private def bloomBytes(
       bf: org.apache.spark.util.sketch.BloomFilter): Array[Byte] = {
@@ -91,6 +100,9 @@ object SeenSet {
     import spark.implicits._
     Seq(bytes).toDF("bloom").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/bloom")
+    // engine-owned commit gate for [[storedBloom]]'s tear detection —
+    // committer-independent, unlike _SUCCESS (see [[Commit]])
+    Commit.mark(spark, s"$dir/bloom")
   }
 
   /** Build the set from a URL frame. `expectedUrls = 0` sizes the Bloom
@@ -134,17 +146,15 @@ object SeenSet {
 
   /** The committed Bloom sidecar — or, when a crash tore the sidecar's
     * overwrite window (mode("overwrite") deletes the old copy before the
-    * new one commits; `_SUCCESS` is the commit marker), a REBUILD from
-    * `urls/`, which is the set's source of truth: inserting the same
+    * new one commits; the engine-owned [[Commit]] sentinel is the commit
+    * marker), a REBUILD from `urls/`, which is the set's source of truth: inserting the same
     * element set into a same-geometry filter yields bit-identical bits
     * regardless of insertion order or batching, so the rebuilt sidecar
     * IS the lost one. The rebuild is persisted so the recovery cost (one
     * full-set scan) is paid once, and the set is never bricked by a
     * mid-append crash. */
   private def storedBloom(spark: SparkSession, dir: String): Array[Byte] = {
-    val success = new org.apache.hadoop.fs.Path(s"$dir/bloom/_SUCCESS")
-    val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(success))
+    if (Commit.isCommitted(spark, s"$dir/bloom"))
       spark.read.parquet(s"$dir/bloom").select(col("bloom")).head()
         .getAs[Array[Byte]](0)
     else {
@@ -210,7 +220,8 @@ object SeenSet {
     * every crash-replay interleaving, without a transaction log:
     *  - batchId ≤ watermark → the whole body is a no-op (the normal
     *    restart replay);
-    *  - emit dir exists WITHOUT `_SUCCESS` (torn emit) → the append
+    *  - emit dir exists WITHOUT the [[Commit]] sentinel (torn emit,
+    *    including a crash between the write and the mark) → the append
     *    never ran (it only runs after a committed emit), so the set is
     *    unchanged and the probe re-computes the same novelty; the
     *    overwrite discards the torn files;
@@ -233,23 +244,21 @@ object SeenSet {
       batchId: Long
   ): Boolean = {
     val spark = batch.sparkSession
-    if (batchId <= Watermark.read(spark, dir)) false
-    else {
+    MaintenanceFace.gated(spark, dir, batchId) {
       val emitDir = s"$novelDir/batch_id=$batchId"
-      val success = new org.apache.hadoop.fs.Path(s"$emitDir/_SUCCESS")
-      val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(success))
+      if (!Commit.isCommitted(spark, emitDir)) {
         // dropDuplicates on the URL: probeNovel deliberately preserves
         // batch duplicates (the anti-join contract), but the EMISSION
         // contract here is one row per novel URL — two pages discovering
         // the same target within one batch must not queue two fetches
         // (an arbitrary representative row's other columns survive)
-        probeNovel(spark, dir, batch, urlCol).dropDuplicates(urlCol)
-          .write.mode("overwrite").parquet(emitDir)
+        probeNovelScoped(spark, dir, batch, urlCol)(
+          _.dropDuplicates(urlCol)
+            .write.mode("overwrite").parquet(emitDir))
+        Commit.mark(spark, emitDir)
+      }
       val novel = spark.read.parquet(emitDir)
       appendToSet(novel, urlCol, dir)
-      Watermark.advance(spark, dir, batchId)
-      true
     }
   }
 
@@ -260,11 +269,37 @@ object SeenSet {
     * the native codegen'd [[graft.functions.BloomProbe]]; only the
     * claimed sliver's distinct buckets (metadata — at most `buckets`
     * longs) become a literal partition predicate, so the exact store
-    * reads only the directories a claimed URL could live in. */
+    * reads only the directories a claimed URL could live in.
+    *
+    * Pin discipline (r17 verdict #6): the result's lineage reads a
+    * delta-sized `localCheckpoint` of the flagged batch, which this
+    * face cannot release (the caller hasn't consumed the result yet) —
+    * it is reaped by the ContextCleaner after the frame is garbage.
+    * A LONG-LIVED serving/maintenance session should use
+    * [[probeNovelScoped]], which releases the pin deterministically at
+    * scope exit instead of at an eventual driver GC. */
   def probeNovel(
       spark: SparkSession, dir: String,
       batch: DataFrame, urlCol: String
-  ): DataFrame = {
+  ): DataFrame = probeNovelPinned(spark, dir, batch, urlCol)._1
+
+  /** [[probeNovel]] with a caller scope: `consume` runs against the
+    * novel frame, and the probe's internal pin is released on exit —
+    * the [[graft.operators.Dedup.release]] discipline the batch faces
+    * use, made available to serving callers. The frame must not escape
+    * `consume` (its backing blocks are gone after). */
+  def probeNovelScoped[A](
+      spark: SparkSession, dir: String,
+      batch: DataFrame, urlCol: String
+  )(consume: DataFrame => A): A = {
+    val (novel, pin) = probeNovelPinned(spark, dir, batch, urlCol)
+    try consume(novel) finally graft.operators.Dedup.release(pin)
+  }
+
+  private def probeNovelPinned(
+      spark: SparkSession, dir: String,
+      batch: DataFrame, urlCol: String
+  ): (DataFrame, DataFrame) = {
     graft.plans.GraftExtensions.register(spark)
     BucketRewrite.recover(spark, s"$dir/urls", "url_bucket")
     val (buckets, _, _) = storedMeta(spark, dir)
@@ -283,10 +318,11 @@ object SeenSet {
     val seen = spark.read.parquet(s"$dir/urls")
       .filter(col("url_bucket").isin(probed.toIndexedSeq: _*))
       .select(col("url").as("__graft_seen_url"))
-    bb.filter(!col("__graft_claimed")).select(outCols: _*)
+    val novel = bb.filter(!col("__graft_claimed")).select(outCols: _*)
       .unionByName(
         bb.filter(col("__graft_claimed"))
           .join(seen, col(urlCol) === col("__graft_seen_url"), "left_anti")
           .select(outCols: _*))
+    (novel, bb)
   }
 }

@@ -98,6 +98,7 @@ object TextIndex {
     * postings across two directories (append) or probe the wrong
     * directory (search) — so every entry point resolves through here. */
   private def storedBuckets(spark: SparkSession, dir: String, fallback: Int): Int = {
+    statsSwapRecover(spark, dir)
     val stats = spark.read.parquet(s"$dir/stats")
     if (stats.columns.contains("buckets"))
       stats.agg(max(col("buckets").cast("int"))).head().getInt(0)
@@ -106,10 +107,58 @@ object TextIndex {
 
   /** Corpus totals aggregated over the stats ledger. */
   private def statsTotals(spark: SparkSession, dir: String): (Long, Long) = {
+    statsSwapRecover(spark, dir)
     val r = spark.read.parquet(s"$dir/stats")
       .agg(sum(col("n_docs").cast("long")), sum(col("sum_dl").cast("long")))
       .head()
     (r.getLong(0), r.getLong(1))
+  }
+
+  /** Complete or discard a torn ledger swap (see [[consolidateStats]]):
+    * a COMMITTED `stats.swap` is the consolidated truth — finish the
+    * delete-then-rename; an uncommitted one is a torn write — drop it,
+    * the old ledger is intact. Cheap no-op (one exists check) when
+    * healthy; called from every ledger read so a crash mid-swap can
+    * never brick the index. */
+  private def statsSwapRecover(spark: SparkSession, dir: String): Unit = {
+    val swap = new org.apache.hadoop.fs.Path(s"$dir/stats.swap")
+    val fs = swap.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(swap)) {
+      if (Commit.isCommitted(spark, s"$dir/stats.swap")) {
+        val stats = new org.apache.hadoop.fs.Path(s"$dir/stats")
+        fs.delete(stats, true)
+        fs.rename(swap, stats): Unit
+      } else fs.delete(swap, true): Unit
+    }
+  }
+
+  /** Fold the stats ledger back to ONE row (r17 advisory): every append
+    * adds a `stats/batch=*` directory forever, so without this the BM25
+    * normalizer read pays an ever-growing many-tiny-files scan. The
+    * totals are summed, written to a fresh `stats.swap` tree, committed
+    * ([[Commit]]), then swapped in via delete-then-rename — the
+    * [[statsSwapRecover]] protocol makes every crash window converge
+    * (uncommitted swap → dropped, committed swap → completed), and the
+    * single-maintainer contract keeps an append from racing the swap
+    * (an append's ledger row landing between the total read and the
+    * rename would be silently dropped — compaction and appends run from
+    * the same maintenance face, serialized). */
+  private def consolidateStats(spark: SparkSession, dir: String): Unit = {
+    statsSwapRecover(spark, dir)
+    val stats = new org.apache.hadoop.fs.Path(s"$dir/stats")
+    val fs = stats.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(stats)) return
+    val batchDirs = fs.listStatus(stats)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+    if (batchDirs.length <= 1) return
+    val (nDocs, sumDl) = statsTotals(spark, dir)
+    val nBuckets = storedBuckets(spark, dir, DefaultBuckets)
+    spark.createDataFrame(Seq((nDocs, sumDl, nBuckets)))
+      .toDF("n_docs", "sum_dl", "buckets").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/stats.swap/batch=base")
+    Commit.mark(spark, s"$dir/stats.swap")
+    fs.delete(stats, true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/stats.swap"), stats): Unit
   }
 
   /** Incremental maintenance: add a DELTA corpus (document ids disjoint
@@ -119,28 +168,46 @@ object TextIndex {
     * integer-valued totals, so a search over the appended index is
     * bit-identical to re-indexing the full corpus (TextIndexSpec pins
     * it). A delta batch costs one tokenize + one aggregation over the
-    * BATCH; the standing index is never rewritten. */
+    * BATCH; the standing index is never rewritten.
+    *
+    * RETRYABLE (r17 advisory): the ingest tag is derived from the
+    * delta's CONTENT (xor of per-doc hashes over id + token list), not
+    * a random UUID, so a caller's naive retry after a crash between the
+    * postings write and the stats row re-writes the SAME tag — the
+    * postings land as a dynamic overwrite of that tag's own leaf
+    * directories and the stats row overwrites its own batch dir,
+    * instead of double-appending postings and double-counting the BM25
+    * normalizers. (Two DIFFERENT deltas colliding on the 64-bit tag is
+    * a hash-collision event, not an operational one; the streaming face
+    * [[appendBatch]] uses the batch id and is immune outright.) */
   def appendToIndex(
       delta: DataFrame, idCol: String, textCol: String, dir: String,
       buckets: Int = DefaultBuckets
   ): Unit = {
     val spark = delta.sparkSession
     val nBuckets = storedBuckets(spark, dir, buckets)
+    // pinned: feeds the content tag, the postings write, and the stats
+    // row — without it the delta would tokenize three times
     val toks = delta.select(col(idCol).as("doc_id"),
-      TextFunctions.tokens(textCol).as("toks"))
-    postings(toks, nBuckets)
-      .withColumn("ingest_batch",
-        lit(s"a${java.util.UUID.randomUUID().toString.take(12)}"))
-      .repartition(col("term_bucket"))
-      .write.mode("append")
-      .partitionBy("term_bucket", "ingest_batch").parquet(s"$dir/postings")
-    // a fresh ledger row per append: totals aggregate at read time
-    toks.agg(count(lit(1)).as("n_docs"),
-        sum(size(col("toks"))).cast("long").as("sum_dl"))
-      .withColumn("buckets", lit(nBuckets))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(
-        s"$dir/stats/batch=a${java.util.UUID.randomUUID().toString.take(12)}")
+      TextFunctions.tokens(textCol).as("toks")).localCheckpoint()
+    try {
+      val contentHash = toks
+        .agg(coalesce(bit_xor(xxhash64(col("doc_id"), col("toks"))), lit(0L)))
+        .head().getLong(0)
+      val tag = "a" + java.lang.Long.toHexString(contentHash)
+      postings(toks, nBuckets)
+        .withColumn("ingest_batch", lit(tag))
+        .repartition(col("term_bucket"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("term_bucket", "ingest_batch").parquet(s"$dir/postings")
+      // a fresh ledger row per append: totals aggregate at read time
+      toks.agg(count(lit(1)).as("n_docs"),
+          sum(size(col("toks"))).cast("long").as("sum_dl"))
+        .withColumn("buckets", lit(nBuckets))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/stats/batch=$tag")
+    } finally graft.operators.Dedup.release(toks)
   }
 
   /** EXACTLY-ONCE streaming maintenance (the foreachBatch body of
@@ -166,8 +233,7 @@ object TextIndex {
       batchId: Long
   ): Boolean = {
     val spark = delta.sparkSession
-    if (batchId <= Watermark.read(spark, dir)) false
-    else {
+    MaintenanceFace.gated(spark, dir, batchId) {
       val nBuckets = storedBuckets(spark, dir, DefaultBuckets)
       // pinned: feeds the postings write and the stats row
       val toks = delta.select(col(idCol).as("doc_id"),
@@ -185,8 +251,6 @@ object TextIndex {
           .withColumn("buckets", lit(nBuckets))
           .coalesce(1)
           .write.mode("overwrite").parquet(s"$dir/stats/batch=b$batchId")
-        Watermark.advance(spark, dir, batchId)
-        true
       } finally graft.operators.Dedup.release(toks)
     }
   }
@@ -201,7 +265,23 @@ object TextIndex {
     * then deletes the old tags. Crash anywhere leaves duplicates the
     * search faces collapse at read ([[bm25SearchIndex]]/
     * [[phraseSearchIndex]] dropDuplicates on the pruned sliver), and the
-    * next compact converges. A no-op when a single tag remains. */
+    * next compact converges. A no-op when a single tag remains.
+    *
+    * Also folds the STATS LEDGER back to one row ([[consolidateStats]]
+    * — r17 advisory: without it every append's batch dir lives
+    * forever and the normalizer read decays into a many-tiny-files
+    * scan).
+    *
+    * Reader contract (r17 advisory): the old-tag deletes below can
+    * fail a CONCURRENT serving query in another process that listed
+    * those files before the delete (FileNotFoundException mid-scan) —
+    * the single-maintainer contract must extend to serving sessions:
+    * external readers either probe between maintenance windows or
+    * retry on a lost-file failure (the re-listed plan sees the
+    * consolidated tag; results are identical by construction). Within
+    * ONE driver, serve and maintain interleave safely — plans list
+    * files at execution start and the in-JVM maintenance faces are
+    * call-sequenced. */
   def compact(spark: SparkSession, dir: String): Compact.CompactStats = {
     val root = new org.apache.hadoop.fs.Path(s"$dir/postings")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -235,6 +315,7 @@ object TextIndex {
         .filter(_.getPath.getName != s"ingest_batch=$tag")
         .foreach(l => fs.delete(l.getPath, true): Unit)
     }
+    consolidateStats(spark, dir)
     Compact.CompactStats(bucketDirs.length, before, fileCount())
   }
 

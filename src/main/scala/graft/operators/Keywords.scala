@@ -410,11 +410,38 @@ object Keywords {
     * .semanticDecontaminate]], the guard below runs the (small) LM
     * aggregations at CALL time: an empty or token-free LM corpus fails
     * loudly here instead of silently scoring every doc against a
-    * zero-denominator terminal. */
+    * zero-denominator terminal.
+    *
+    * Pin discipline (r17 verdict #6): the result's lineage reads the
+    * two materialized LM count tables, which this function cannot
+    * release (the caller hasn't consumed the result yet) — they are
+    * reaped by the ContextCleaner once the frame is garbage. A
+    * long-lived serving session should use
+    * [[stupidBackoffLogProbScoped]], which releases them
+    * deterministically at scope exit. */
   def stupidBackoffLogProb(
       docs: DataFrame, idCol: String, textCol: String,
       lmDocs: DataFrame, alpha: Double = 0.4
-  ): DataFrame = {
+  ): DataFrame = stupidBackoffPinned(docs, idCol, textCol, lmDocs, alpha)._1
+
+  /** [[stupidBackoffLogProb]] with a caller scope: `consume` runs
+    * against the per-doc score frame and the LM count-table pins are
+    * released on exit ([[graft.operators.Dedup.release]]). The frame
+    * must not escape `consume`. */
+  def stupidBackoffLogProbScoped[A](
+      docs: DataFrame, idCol: String, textCol: String,
+      lmDocs: DataFrame, alpha: Double = 0.4
+  )(consume: DataFrame => A): A = {
+    val (scored, pins) =
+      stupidBackoffPinned(docs, idCol, textCol, lmDocs, alpha)
+    try consume(scored)
+    finally pins.foreach(graft.operators.Dedup.release)
+  }
+
+  private def stupidBackoffPinned(
+      docs: DataFrame, idCol: String, textCol: String,
+      lmDocs: DataFrame, alpha: Double
+  ): (DataFrame, Seq[DataFrame]) = {
     require(alpha > 0 && alpha <= 1, s"alpha=$alpha out of (0,1]")
     val lmBase = lmDocs.select(TextFunctions.tokens(textCol).as("ws"))
     def lmGrams(n: Int, names: Seq[String]): DataFrame =
@@ -436,7 +463,8 @@ object Keywords {
         "would hit the add-one terminal over a zero denominator. Pass a " +
         "non-empty lmDocs.")
     val (n, v) = (nvRow.getLong(0), nvRow.getLong(1))
-    docs.select(col(idCol).as("doc_id"), TextFunctions.tokens(textCol).as("ws"))
+    val scored = docs
+      .select(col(idCol).as("doc_id"), TextFunctions.tokens(textCol).as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(
         transform(sequence(lit(1), size(col("ws")) - 2),
@@ -463,5 +491,6 @@ object Keywords {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_trigrams"),
         round(sum(col("q8")) / 1e8 / count(lit(1)), 4).as("nll"))
+    (scored, Seq(b2, u1))
   }
 }

@@ -943,6 +943,14 @@ object Similarity {
     // other write faces all drop it; old-codebook cells replacing new
     // ones would silently corrupt search)
     graft.io.BucketRewrite.dropJournal(spark, s"$dir/codes")
+    // ... and a stale rebuild swap is invalidated wholesale, except when
+    // THIS build is itself targeting a swap tree (ivfPqIndexRebuild owns
+    // that lifecycle — recursing into `<dir>.swap.swap` would be noise)
+    if (!dir.endsWith(".swap")) {
+      val swapPath = new org.apache.hadoop.fs.Path(s"$dir.swap")
+      swapPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(swapPath, true): Unit
+    }
     val (coarse, books, enc) =
       ivfPqTrainEncode(corpus, idCol, vecCol, dims, nCentroids, m, codes, iters)
     spark.createDataFrame(
@@ -980,6 +988,9 @@ object Similarity {
   private def ivfPqArtifacts(
       spark: org.apache.spark.sql.SparkSession, dir: String
   ): (Int, Int, Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    // every consumer resolves artifacts through here, so a torn rebuild
+    // swap heals before any read (see [[ivfPqIndexRebuild]])
+    ivfPqSwapRecover(spark, dir)
     val meta = spark.read.parquet(s"$dir/meta")
       .select("dims", "n_centroids", "m", "codes").head()
     val (m, codes) = (meta.getInt(2), meta.getInt(3))
@@ -1005,6 +1016,8 @@ object Similarity {
       nProbe: Int = 4
   ): DataFrame = {
     graft.plans.GraftExtensions.register(spark)
+    ivfPqSwapRecover(spark, dir) // BEFORE the journal recover: a
+    // completed swap replaces the tree the journal belonged to
     graft.io.BucketRewrite.recover(spark, s"$dir/codes", "cent_id")
     val (m, codes, coarse, books) = ivfPqArtifacts(spark, dir)
     val d = coarse(0).length / m
@@ -1068,8 +1081,11 @@ object Similarity {
       dir: String
   ): Unit = {
     val spark = delta.sparkSession
-    // recover BEFORE appending (the io-family append discipline: a torn
-    // compaction's journal replayed over this append would drop it)
+    // swap first (a committed rebuild replaces the whole tree), THEN the
+    // journal recover, BEFORE appending (the io-family append
+    // discipline: a torn compaction's journal replayed over this append
+    // would drop it)
+    ivfPqSwapRecover(spark, dir)
     graft.io.BucketRewrite.recover(spark, s"$dir/codes", "cent_id")
     ivfPqIndexEncode(spark, dir, delta, idCol, vecCol)
       .repartition(col("cent_id"))
@@ -1082,8 +1098,105 @@ object Similarity {
     * the vector index). Straight content-identical rewrite of only the
     * fragmented cells; serving is unchanged (IvfPqIndexSpec pins it). */
   def ivfPqIndexCompact(spark: org.apache.spark.sql.SparkSession,
-      dir: String): graft.io.Compact.CompactStats =
+      dir: String): graft.io.Compact.CompactStats = {
+    ivfPqSwapRecover(spark, dir)
     graft.io.Compact.compactTree(spark, s"$dir/codes", "cent_id")
+  }
+
+  /** Maintenance-time ANN drift gauge for a persisted IVF+PQ index (the
+    * r17 verdict's missing piece: [[ivfPqIndexAppend]] correctly
+    * freezes `train()` — the FAISS contract — but nothing measured when
+    * the frozen quantizer has drifted off the corpus it now encodes).
+    * The gauge serves `queries` two ways over the SAME candidate sliver
+    * `sample` (raw vectors, ids ⊆ the indexed corpus — delta-sized by
+    * the caller):
+    *  - approx: the sliver encoded with the index's STORED artifacts
+    *    ([[ivfPqIndexEncode]] — exactly the codes the index holds for
+    *    those ids) and ranked through the probed-cell ADC path the
+    *    serving face runs;
+    *  - exact: [[bruteForceTopK]] over the sliver's raw vectors.
+    * Holding the candidate set fixed on both sides isolates what the
+    * gauge should measure — probe + quantization loss under the frozen
+    * training — from corpus composition. Returns [[recallAtK]]'s
+    * per-query (query_id, n_truth, n_hits, recall); aggregate and
+    * threshold it on a maintenance cadence, and [[ivfPqIndexRebuild]]
+    * when it decays. Cost: one sliver encode + one sliver×queries
+    * broadcast rank — never corpus-sized. */
+  def ivfPqIndexDriftGauge(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      sample: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int = 4
+  ): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    ivfPqSwapRecover(spark, dir)
+    val (m, codes, coarse, books) = ivfPqArtifacts(spark, dir)
+    val d = coarse(0).length / m
+    val qunit = unitized(queries, idCol, vecCol, "query_id")
+    // probes feed ONE consumer here (the ADC tables — no partition-prune
+    // collect, the gauge never touches codes/), so no pin is needed
+    val probes = ivfPqProbes(spark, qunit, coarse, nProbe)
+    val approx = ivfPqRank(ivfPqIndexEncode(spark, dir, sample, idCol, vecCol),
+      ivfPqAdc(probes, books, m, codes, d), k, m, codes)
+    recallAtK(approx, bruteForceTopK(sample, queries, idCol, vecCol, k), k)
+  }
+
+  /** Re-train on the CURRENT corpus and atomically swap the layout in —
+    * the rebuild face the drift gauge's decay triggers. The new index
+    * builds completely in a sibling `<dir>.swap` tree, an engine-owned
+    * commit sentinel flips it authoritative ([[graft.io.Commit]]), and
+    * the swap is delete-then-rename — with [[ivfPqSwapRecover]] run by
+    * every entry point, so readers never see a half-swapped index:
+    *  - crash building the swap tree (no sentinel) → next entry drops
+    *    it, the OLD index serves untouched;
+    *  - crash after the sentinel, before/inside the swap → next entry
+    *    COMPLETES the swap and the NEW index serves whole.
+    * Cross-process caveat as everywhere in the io family: a reader in
+    * another process mid-scan during the swap can lose files —
+    * maintenance windows or retry (the [[graft.io.Compact]] reader
+    * contract). */
+  def ivfPqIndexRebuild(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String,
+      dims: Int,
+      nCentroids: Int = 16,
+      m: Int = 4,
+      codes: Int = 16,
+      iters: Int = 2
+  ): Unit = {
+    val spark = corpus.sparkSession
+    ivfPqSwapRecover(spark, dir)
+    val swap = s"$dir.swap"
+    val swapPath = new org.apache.hadoop.fs.Path(swap)
+    val fs = swapPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(swapPath, true) // a stale UNCOMMITTED swap from a dead run
+    ivfPqIndexWrite(corpus, idCol, vecCol, swap, dims, nCentroids, m,
+      codes, iters)
+    graft.io.Commit.mark(spark, swap)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    fs.rename(swapPath, new org.apache.hadoop.fs.Path(dir)): Unit
+  }
+
+  /** Complete or discard a torn [[ivfPqIndexRebuild]] swap — the
+    * [[graft.io.TextIndex]] stats-swap protocol on the whole index
+    * tree. Cheap no-op (one exists check) when healthy. */
+  private def ivfPqSwapRecover(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val swapPath = new org.apache.hadoop.fs.Path(s"$dir.swap")
+    val fs = swapPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(swapPath)) {
+      if (graft.io.Commit.isCommitted(spark, s"$dir.swap")) {
+        fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+        fs.rename(swapPath, new org.apache.hadoop.fs.Path(dir)): Unit
+      } else fs.delete(swapPath, true): Unit
+    }
+  }
 
   /** IVF + PQ with RESIDUAL encoding — the Jégou et al. §IV refinement
     * (IVFADC proper) that [[ivfPqTopK]] deliberately skips: the PQ

@@ -608,15 +608,14 @@ object Streaming {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val applied = graft.io.BandIndex.appendBatch(batch.toDF(), idCol,
-          textCol, indexDir, batchId)
-        // compaction cadence: every appended batch adds a file per
-        // touched bucket; folding [[graft.io.Compact]] into every Kth
-        // batch bounds the probe fan-in at K files/bucket. Gated on
-        // `applied` so a replayed (skipped) batch doesn't re-compact,
-        // and safe mid-stream because compaction is content-identical
-        if (applied && compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-          graft.io.BandIndex.compact(batch.sparkSession, indexDir): Unit
+        // the shared skeleton: gated apply + compaction cadence (every
+        // appended batch adds a file per touched bucket; every Kth batch
+        // bounds the probe fan-in at K files/bucket, replay-safe and
+        // content-identical — see [[graft.io.MaintenanceFace]])
+        graft.io.MaintenanceFace.step(batchId, compactEvery)(
+          graft.io.BandIndex.appendBatch(batch.toDF(), idCol, textCol,
+            indexDir, batchId))(
+          graft.io.BandIndex.compact(batch.sparkSession, indexDir): Unit): Unit
       }
       .start()
 
@@ -642,10 +641,10 @@ object Streaming {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val applied = graft.io.TextIndex.appendBatch(batch.toDF(), idCol,
-          textCol, indexDir, batchId)
-        if (applied && compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-          graft.io.TextIndex.compact(batch.sparkSession, indexDir): Unit
+        graft.io.MaintenanceFace.step(batchId, compactEvery)(
+          graft.io.TextIndex.appendBatch(batch.toDF(), idCol, textCol,
+            indexDir, batchId))(
+          graft.io.TextIndex.compact(batch.sparkSession, indexDir): Unit): Unit
       }
       .start()
 
@@ -682,11 +681,11 @@ object Streaming {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val applied = graft.io.SeenSet.dedupBatch(batch.toDF(), urlCol,
-          seenDir, novelDir, batchId)
-        // the bandIndexMaintenance compaction cadence, on the urls store
-        if (applied && compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-          graft.io.SeenSet.compact(batch.sparkSession, seenDir): Unit
+        // the shared skeleton, compaction on the urls store
+        graft.io.MaintenanceFace.step(batchId, compactEvery)(
+          graft.io.SeenSet.dedupBatch(batch.toDF(), urlCol, seenDir,
+            novelDir, batchId))(
+          graft.io.SeenSet.compact(batch.sparkSession, seenDir): Unit): Unit
       }
       .start()
 
@@ -720,10 +719,126 @@ object Streaming {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        graft.io.CorpusStore.applyCurationBatch(batch.toDF(), opCol, idCol,
-          textCol, storeDir, batchId): Unit
+        // no compactEvery knob, deliberately (the one maintenance face
+        // without it): CorpusStore's upsert/delete REWRITES each touched
+        // bucket directory wholesale (read-merge-overwrite), so file
+        // count per bucket never accumulates with batch count — there is
+        // nothing to compact, unlike the append-only band/text/seen
+        // layouts whose every batch adds a file per touched bucket
+        graft.io.MaintenanceFace.step(batchId, compactEvery = 0)(
+          graft.io.CorpusStore.applyCurationBatch(batch.toDF(), opCol, idCol,
+            textCol, storeDir, batchId))(()): Unit
       }
       .start()
+
+  /** STREAMING steady-state ingestion (parity harness #18) — the
+    * COMPOSED fleet loop. Harnesses #14–#17 each maintain ONE persisted
+    * artifact; the real steady-state shape is a single discovery stream
+    * driving ALL of them per micro-batch, in one foreachBatch:
+    *
+    *  1. seen-set novelty ([[graft.io.SeenSet.dedupBatch]]): the batch
+    *     dedups against the disk-resident URL set, the novel sliver is
+    *     emitted exactly-once to `novelDir/batch_id=<n>` and fed back;
+    *  2. the quality gate runs ONCE over the emitted sliver
+    *     (`qualityFilter(textCol).keep`, pinned — the verdict serves
+    *     every downstream face);
+    *  3. the kept sliver installs into the [[graft.io.CorpusStore]] and
+    *     failing ids evict ([[graft.io.CorpusStore.applyGatedBatch]] —
+    *     keep-IS-NOT-TRUE, one pass over the touched buckets);
+    *  4. the SAME kept sliver appends into the [[graft.io.BandIndex]]
+    *     and the [[graft.io.TextIndex]] — their ids-disjoint append
+    *     contract is GUARANTEED by the novelty gate: only first-seen
+    *     URLs reach the appends, so an id can never arrive twice.
+    *
+    * Batch-read accounting: the source batch is pinned once
+    * (`localCheckpoint`) and its ONLY consumer is the novelty probe —
+    * every downstream face reads the EMITTED novel sliver back from
+    * disk (authoritative under replay: the emit commits before the
+    * seen watermark advances), so the stream source is scanned exactly
+    * once per batch (StreamingSpec #18 pins it with an accumulator).
+    *
+    * Replay safety COMPOSES per artifact: each face keeps its own
+    * batch-id watermark, so a crash between faces replays the batch
+    * and every already-applied face no-ops while the rest catch up —
+    * no cross-artifact transaction needed, because face order doesn't
+    * matter for convergence (each consumes the same on-disk sliver).
+    * StreamingSpec #18 pins: final store == the batch gate applied to
+    * first-occurrence-per-URL from scratch, both index probes == full
+    * rebuilds over the same kept set, a replayed batch is a whole-body
+    * no-op, and a mid-crash (seen-set applied, rest not) heals.
+    *
+    * Caller contract: one row per (url, id) with id derived from the
+    * URL (key-unique batches, the CDC-compaction discipline).
+    * `compactEvery` spans the three append-maintained artifacts;
+    * the store needs none (see [[curateStream]]). At 100 TB each batch
+    * pays delta-proportional work only: one Bloom-prefiltered probe,
+    * one gate pass, touched-bucket rewrites, two batch-sized appends. */
+  def steadyStateIngest(
+      discoveries: DataFrame,
+      urlCol: String,
+      idCol: String,
+      textCol: String,
+      seenDir: String,
+      novelDir: String,
+      storeDir: String,
+      bandDir: String,
+      textDir: String,
+      checkpointDir: String,
+      compactEvery: Int = 0
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    discoveries.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        steadyStateStep(batch.toDF(), batchId, urlCol, idCol, textCol,
+          seenDir, novelDir, storeDir, bandDir, textDir, compactEvery)
+      }
+      .start()
+
+  /** The [[steadyStateIngest]] batch body — public so the replay specs
+    * (and a batch backfill) can drive it directly with explicit batch
+    * ids. */
+  def steadyStateStep(
+      batch: DataFrame, batchId: Long,
+      urlCol: String, idCol: String, textCol: String,
+      seenDir: String, novelDir: String, storeDir: String,
+      bandDir: String, textDir: String,
+      compactEvery: Int = 0
+  ): Unit = {
+    val spark = batch.sparkSession
+    // the ONE source materialization (see scan accounting above)
+    val b = batch.localCheckpoint()
+    try {
+      graft.io.MaintenanceFace.step(batchId, compactEvery)(
+        graft.io.SeenSet.dedupBatch(b, urlCol, seenDir, novelDir, batchId))(
+        graft.io.SeenSet.compact(spark, seenDir): Unit): Unit
+      // the emitted sliver is this batch's authoritative novel set —
+      // present even when dedupBatch was a replay no-op
+      val novel = spark.read.parquet(s"$novelDir/batch_id=$batchId")
+      // gate once, pinned: one verdict serves install, evict, and both
+      // index appends
+      val gated = novel.withColumn("__graft_keep",
+          graft.functions.TextFunctions.qualityFilter(textCol)
+            .getField("keep"))
+        .localCheckpoint()
+      try {
+        val kept = gated.filter(col("__graft_keep")).drop("__graft_keep")
+        val failedIds = gated
+          .filter(!coalesce(col("__graft_keep"), lit(false)))
+          .select(col(idCol))
+        graft.io.CorpusStore.applyGatedBatch(
+          kept, failedIds, idCol, storeDir, batchId): Unit
+        graft.io.MaintenanceFace.step(batchId, compactEvery)(
+          graft.io.BandIndex.appendBatch(kept, idCol, textCol, bandDir,
+            batchId))(
+          graft.io.BandIndex.compact(spark, bandDir): Unit): Unit
+        graft.io.MaintenanceFace.step(batchId, compactEvery)(
+          graft.io.TextIndex.appendBatch(kept, idCol, textCol, textDir,
+            batchId))(
+          graft.io.TextIndex.compact(spark, textDir): Unit): Unit
+      } finally graft.operators.Dedup.release(gated)
+    } finally graft.operators.Dedup.release(b)
+  }
 
   /** Running per-key count/sum with custom state; emits updated stats on
     * every batch a key appears in. */

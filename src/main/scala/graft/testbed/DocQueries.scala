@@ -1848,6 +1848,22 @@ object DocQueries {
         .orderBy("doc_id")
     }),
 
+    // IR8: the ANN DRIFT GAUGE over the persisted IVF+PQ index — the
+    // maintenance-time number an operator thresholds to trigger a
+    // rebuild: recall@3 of the index's frozen-training ADC serving
+    // against exact brute force, over the same candidate sample (here
+    // the full embeddings table, so the gauge's approx side equals the
+    // index serving exactly and the oracle can mirror both chains).
+    // Runs after ir3 (alphabetical), so the shared index is warm and
+    // ir8 measures the gauge itself
+    "ir8_ann_drift_gauge" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Similarity.ivfPqIndexDriftGauge(s, ivfPqIndexDir(s, dir), emb,
+          emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+          k = 3, nProbe = 4)
+        .orderBy("query_id")
+    }),
+
     // IR7: the standing corpus read back FROM THE MAINTAINED STORE —
     // keyed upsert and delete applied as bucket-directory rewrites
     // (delta-proportional — only touched buckets were rewritten; the
@@ -4131,6 +4147,38 @@ object DocQueries {
     // IR4: the index-served IVF+PQ search — bit-identical to v11 by the
     // IvfPqIndexSpec contract, so the same mirror adjudicates both
     "ir4_ivfpq_search" -> ivfPqTopkSql,
+
+    // IR8: the drift gauge over the full-corpus sample — approx = the
+    // v11 IVF+PQ chain's top-3 (the gauge's stored-artifact encode of
+    // the full sample IS the index), truth = exact brute-force top-3,
+    // folded with the v7/v10 recall-join shape
+    "ir8_ann_drift_gauge" ->
+      s"""WITH ${pqCtes(4, 16, 2, 64)},
+         |${ivfPqScoredCte(4, 2, 64, 16, 4)},
+         | aranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+         |  FROM scored
+         | ),
+         | approx AS (SELECT query_id, neighbor_id FROM aranked WHERE rnk <= 3),
+         | bscored AS (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |         ROUND(list_dot_product(q.v, e.v)
+         |               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))), 4) AS cosine
+         |  FROM (SELECT * FROM e WHERE vec_id < 20) q, e
+         |  WHERE e.vec_id <> q.vec_id
+         | ),
+         | branked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+         |  FROM bscored
+         | ),
+         | truth AS (SELECT query_id, neighbor_id FROM branked WHERE rnk <= 3)
+         |SELECT t.query_id AS query_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_truth,
+         |       CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+         |       ROUND(COUNT(a.neighbor_id) * 1.0 / COUNT(*), 4) AS recall
+         |FROM truth t
+         |LEFT JOIN approx a ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+         |GROUP BY t.query_id ORDER BY query_id""".stripMargin,
 
     // IR3: the persisted index's per-cell code counts — the coarse
     // assignment recomputed independently (the v11 chain's coarse/cassign

@@ -144,6 +144,8 @@ class CompactSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$dir/urls.journal/data")
     Seq(b).toDF("bucket").write.mode("overwrite")
       .parquet(s"$dir/urls.journal/touched")
+    // the writer's engine-owned commit sentinel (see BucketRewrite)
+    new java.io.File(s"$dir/urls.journal/_GRAFT_COMMIT").createNewFile()
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm); f.delete(): Unit
     }

@@ -135,6 +135,9 @@ class CorpusStoreSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$dir/rows.journal/data")
     Seq(b).toDF("bucket").write.mode("overwrite")
       .parquet(s"$dir/rows.journal/touched")
+    // the writer's engine-owned commit sentinel (created after both
+    // journal writes return — committer-independent, unlike _SUCCESS)
+    new java.io.File(s"$dir/rows.journal/_GRAFT_COMMIT").createNewFile()
     // the mid-commit loss: the bucket directory is GONE
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm); f.delete(): Unit
@@ -149,12 +152,13 @@ class CorpusStoreSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/rows.journal").exists(),
       "the journal is dropped after recovery")
 
-    // an UNCOMMITTED journal (no _SUCCESS on data) means the overwrite
-    // never started: the tree is intact and the journal must be dropped
+    // an UNCOMMITTED journal (no engine-owned sentinel at the journal
+    // root — a crash anywhere before the mark, even with the committer's
+    // own _SUCCESS present on the data dir) means the overwrite never
+    // started: the tree is intact and the journal must be dropped
     val before = rowSet(CorpusStore.read(spark, dir))
     Seq((888888L, "torn", b)).toDF("doc_id", "text", "__graft_bucket")
       .write.mode("overwrite").parquet(s"$dir/rows.journal/data")
-    new java.io.File(s"$dir/rows.journal/data/_SUCCESS").delete()
     assert(rowSet(CorpusStore.read(spark, dir)) === before,
       "an uncommitted journal must not change the tree")
     assert(!new java.io.File(s"$dir/rows.journal").exists())
@@ -195,5 +199,82 @@ class CorpusStoreSpec extends SparkSpec {
     CorpusStore.upsert(Seq((good(4)._1, good(4)._2)).toDF("doc_id", "text"),
       "doc_id", dir)
     assert(rowSet(CorpusStore.read(spark, dir)) === after1)
+  }
+
+  test("serve-while-maintain: reads during journaled rewrites never lose rows") {
+    import spark.implicits._
+    // the r17 verdict-#3 shape, in-JVM: a serving thread's recover()
+    // racing the writer's journaledOverwrite. Without the shared
+    // per-tree lock, a reader that lists the writer's just-committed
+    // journal re-applies it CONCURRENTLY with the writer's own apply —
+    // two dynamic overwrites of the same directories, which can lose a
+    // bucket outright. With the lock, every SUCCESSFUL read sees a
+    // complete key-unique store and the final state is exact. (A read
+    // may still fail transiently on a file the overwrite just replaced
+    // — the documented cross-process reader contract — so only
+    // successful reads are asserted; losing ROWS is the defect.)
+    val dir = Files.createTempDirectory("graft-cstore-conc").toFile.getAbsolutePath
+    def gen(v: Int) = spark.range(100)
+      .select(col("id").as("doc_id"),
+        concat(lit(s"v$v-"), col("id")).as("text"))
+    CorpusStore.write(gen(0), "doc_id", dir, buckets = 8)
+    @volatile var writerErr: Option[Throwable] = None
+    val writer = new Thread(() => {
+      try (1 to 5).foreach(v => CorpusStore.upsert(gen(v), "doc_id", dir))
+      catch { case t: Throwable => writerErr = Some(t) }
+    })
+    writer.start()
+    var okReads = 0
+    while (writer.isAlive && okReads < 500) {
+      try {
+        val keys = CorpusStore.read(spark, dir)
+          .select("doc_id").collect().map(_.getLong(0))
+        assert(keys.length === 100,
+          s"a concurrent read lost rows: ${keys.length} of 100")
+        assert(keys.distinct.length === 100,
+          "a concurrent read saw duplicate keys")
+        okReads += 1
+      } catch { case _: org.apache.spark.SparkException => () }
+    }
+    writer.join()
+    assert(writerErr.isEmpty, s"writer failed: $writerErr")
+    assert(okReads > 0, "no read completed — the handshake never exercised")
+    val fin = CorpusStore.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fin.size === 100)
+    assert(fin.forall { case (k, v) => v == s"v5-$k" },
+      "the final state must be the last upsert exactly — no lost bucket")
+  }
+
+  test("two concurrent recovers of one committed journal apply exactly once") {
+    import spark.implicits._
+    // deterministic two-reader handshake on the crafted-journal fixture:
+    // both threads discover the same committed journal; the per-tree
+    // lock serializes them — the second re-checks and no-ops instead of
+    // double-applying (and instead of crashing on the first's delete)
+    val dir = newStore(buckets = 4)
+    val rows = CorpusStore.read(spark, dir)
+      .withColumn("__graft_bucket", pmod(xxhash64(col("doc_id")), lit(4L)))
+    val b = rows.select("__graft_bucket").head().getLong(0)
+    rows.filter(col("__graft_bucket") === b)
+      .unionByName(Seq((777777L, "sentinel", b))
+        .toDF("doc_id", "text", "__graft_bucket"))
+      .write.mode("overwrite").parquet(s"$dir/rows.journal/data")
+    Seq(b).toDF("bucket").write.mode("overwrite")
+      .parquet(s"$dir/rows.journal/touched")
+    new java.io.File(s"$dir/rows.journal/_GRAFT_COMMIT").createNewFile()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val readers = (1 to 2).map(_ => new Thread(() => {
+      gate.await()
+      try CorpusStore.read(spark, dir).count(): Unit
+      catch { case t: Throwable => errs.add(t): Unit }
+    }))
+    readers.foreach(_.start()); gate.countDown(); readers.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent recover crashed: ${errs.peek()}")
+    assert(CorpusStore.read(spark, dir)
+      .filter(col("doc_id") === 777777L).count() === 1,
+      "the journal applied exactly once")
+    assert(!new java.io.File(s"$dir/rows.journal").exists())
   }
 }

@@ -137,4 +137,43 @@ class SeenSetSpec extends SparkSpec {
     assert(dupNovel.count() === 2 * novel.count(),
       "duplicate batch rows must all survive like an anti-join")
   }
+
+  test("a torn watermark marker degrades to a replayed append, never a brick") {
+    // the r17 verdict-#2 window: the marker overwrite's crash can leave
+    // watermark/ PRESENT with only _temporary (no committed parquet
+    // footer) or with a committed-but-empty file set. Either used to
+    // throw on EVERY later batch (schema inference / null max),
+    // bricking the face until manual cleanup; it must read as -1.
+    val dir = Files.createTempDirectory("graft-seen-wm").toFile.getAbsolutePath
+    val novelDir = Files.createTempDirectory("graft-seen-wm-n").toFile.getAbsolutePath
+    SeenSet.writeSet(seenUrls, "url", dir)
+    assert(SeenSet.dedupBatch(batch, "url", dir, novelDir, 0L))
+    val emitted = rowSet(spark.read.parquet(s"$novelDir/batch_id=0").select("url"))
+
+    // tear shape 1: data files gone, dir + _temporary left behind
+    val wm = new java.io.File(s"$dir/watermark")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(): Unit
+    }
+    wm.listFiles().foreach(rm)
+    assert(new java.io.File(wm, "_temporary").mkdir())
+    // the replayed batch 0 must APPLY (watermark reads -1), reuse the
+    // committed emission (not recompute — the set already holds these
+    // URLs, a re-probe would emit nothing), and re-append harmlessly
+    assert(SeenSet.dedupBatch(batch, "url", dir, novelDir, 0L),
+      "a torn marker must degrade to a replayed (healed) append")
+    assert(rowSet(spark.read.parquet(s"$novelDir/batch_id=0").select("url"))
+      === emitted, "the committed emission is reused, not recomputed")
+    assert(SeenSet.probeNovel(spark, dir, batch, "url").isEmpty,
+      "membership must be intact after the healed replay")
+    // and the marker is committed again: the replay is not repeated
+    assert(!SeenSet.dedupBatch(batch, "url", dir, novelDir, 0L))
+
+    // tear shape 2: a committed-but-EMPTY marker file set (null max)
+    import spark.implicits._
+    Seq.empty[Long].toDF("batch_id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/watermark")
+    assert(SeenSet.dedupBatch(batch, "url", dir, novelDir, 1L),
+      "an empty marker must read as -1, not NPE")
+  }
 }

@@ -873,6 +873,9 @@ class StreamingSpec extends SparkSpec {
     // sliver; simulate by hand-committing batch 3's emit dir
     (400 until 420).map(url).toDF("url")
       .write.mode("overwrite").parquet(s"$novelDir/batch_id=3")
+    // the writer's engine-owned sentinel (created after the emit write
+    // returns — the commit gate is no longer the committer's _SUCCESS)
+    new java.io.File(s"$novelDir/batch_id=3/_GRAFT_COMMIT").createNewFile()
     assert(SeenSet.dedupBatch(Seq.empty[String].toDF("url"), "url",
       seenDir, novelDir, batchId = 3))
     assert(emitted(3) === (400 until 420).map(url).toSet,
@@ -881,9 +884,9 @@ class StreamingSpec extends SparkSpec {
       (400 until 420).map(url).toDF("url"), "url").isEmpty,
       "the recovered batch's novel sliver must have entered the set")
 
-    // torn emit (no _SUCCESS): the files are garbage from a mid-write
-    // crash; the append never ran, so the body must RE-PROBE and
-    // overwrite them
+    // torn emit (no commit sentinel — even if the committer's own
+    // _SUCCESS survived): the files are garbage from a mid-write crash;
+    // the append never ran, so the body must RE-PROBE and overwrite them
     val torn = new java.io.File(s"$novelDir/batch_id=4")
     torn.mkdirs()
     java.nio.file.Files.write(
@@ -1014,5 +1017,126 @@ class StreamingSpec extends SparkSpec {
     // restart replay of the last batch: whole-body no-op
     assert(!CorpusStore.applyCurationBatch(batches.last.toDF("op", "doc_id",
       "text"), "op", "doc_id", "text", storeDir, batches.size - 1L))
+  }
+
+  test("steady-state loop: one stream drives seen set, store, both indexes (#18)") {
+    // the COMPOSED fleet shape: harnesses #14-#17 each maintain ONE
+    // artifact; here a single discovery stream drives seen-set novelty
+    // -> quality gate -> CorpusStore install/evict -> BandIndex +
+    // TextIndex appends on the same slivers, one foreachBatch. Pins:
+    // (a) final store == the batch gate over first-occurrence-per-URL
+    // from scratch, (b) both index probes == full rebuilds over the
+    // same kept set, (c) the batch source is scanned ONCE per batch,
+    // across uneven micro-batches (incl. a fully-seen one) with a
+    // replay and a mid-crash heal.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.io.{BandIndex, CorpusStore, SeenSet, TextIndex}
+    def prose(i: Long) = "the quick brown fox jumps over a lazy dog " +
+      "while many other animals watch from their warm homes and some " +
+      "birds fly across the evening sky toward distant hills " + i
+    def text(i: Long) = if (i % 9 == 0) "zz qq" else prose(i)
+    def url(i: Long) = s"http://h${i % 7}.example/d/$i"
+    def row(i: Long) = (url(i), i, text(i))
+    def mkDir(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val seenDir = mkDir("graft-ss-seen"); val novelDir = mkDir("graft-ss-novel")
+    val storeDir = mkDir("graft-ss-store"); val bandDir = mkDir("graft-ss-band")
+    val textDir = mkDir("graft-ss-text"); val ckDir = mkDir("graft-ss-ck")
+    // standing state: urls 0..49 seen; the gate-passing subset of them
+    // installed and indexed (the fleet's running state)
+    val seedKept = (0L until 50L).filter(_ % 9 != 0)
+      .map(row).toDF("url", "doc_id", "text")
+    SeenSet.writeSet((0L until 50L).map(i => Tuple1(url(i))).toDF("url"),
+      "url", seenDir)
+    CorpusStore.write(seedKept, "doc_id", storeDir, buckets = 8)
+    BandIndex.writeIndex(seedKept, "doc_id", "text", bandDir)
+    TextIndex.writeIndex(seedKept, "doc_id", "text", textDir, buckets = 16)
+    // uneven, overlapping batches; batch 0 discovers url 60 TWICE; batch
+    // 2 is FULLY SEEN (empty novel sliver — the face must not crash)
+    val batches = Seq(
+      (0L until 100L) ++ Seq(60L),
+      80L until 140L,
+      20L until 90L,
+      0L until 180L
+    ).map(_.map(row))
+    val input = MemoryStream[(String, Long, String)]
+    val q = Streaming.steadyStateIngest(
+      input.toDF().toDF("url", "doc_id", "text"), "url", "doc_id", "text",
+      seenDir, novelDir, storeDir, bandDir, textDir, ckDir, compactEvery = 2)
+    try batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+
+    // exactly-once emission with first-batch attribution, empty batch incl.
+    def emitted(b: Int) = spark.read.parquet(s"$novelDir/batch_id=$b")
+      .select("url").collect().map(_.getString(0)).toSeq
+    assert(emitted(0).sorted === (50L until 100L).map(url).sorted,
+      "batch 0 emits its novel sliver once per URL")
+    assert(emitted(1).sorted === (100L until 140L).map(url).sorted)
+    assert(emitted(2).isEmpty, "a fully-seen batch emits nothing")
+    assert(emitted(3).sorted === (140L until 180L).map(url).sorted)
+
+    // (a) store == the batch gate over the first-occurrence universe
+    def expectedKept(n: Long) = (0L until n).map(row)
+      .toDF("url", "doc_id", "text")
+      .filter(coalesce(graft.functions.TextFunctions.qualityFilter("text")
+        .getField("keep"), lit(false)))
+    assert(rowSet(CorpusStore.read(spark, storeDir))
+      === rowSet(expectedKept(180L)),
+      "the maintained store must equal the batch gate from scratch")
+
+    // (b) both index probes == full rebuilds over the same kept set
+    val bandRb = mkDir("graft-ss-band-rb"); val textRb = mkDir("graft-ss-text-rb")
+    BandIndex.writeIndex(expectedKept(180L), "doc_id", "text", bandRb)
+    TextIndex.writeIndex(expectedKept(180L), "doc_id", "text", textRb,
+      buckets = 16)
+    val probeBatch = Seq((9001L, prose(10)), (9002L, prose(1000)),
+      (9003L, "completely unrelated words about ships and harbors"))
+      .toDF("doc_id", "text")
+    assert(rowSet(BandIndex.probe(spark, bandDir, probeBatch, "doc_id", "text"))
+      === rowSet(BandIndex.probe(spark, bandRb, probeBatch, "doc_id", "text")),
+      "maintained band index must probe exactly like the rebuild")
+    val terms = Seq("fox", "animals", "evening")
+    def serve(d: String) = rowSet(TextIndex.bm25SearchIndex(spark, d, terms, k = 10))
+    assert(serve(textDir) === serve(textRb),
+      "maintained text index must serve exactly like the rebuild")
+
+    // replayed last batch: whole-body no-op across ALL artifacts
+    val storeBefore = rowSet(CorpusStore.read(spark, storeDir))
+    Streaming.steadyStateStep(batches.last.toDF("url", "doc_id", "text"),
+      batches.size - 1L, "url", "doc_id", "text",
+      seenDir, novelDir, storeDir, bandDir, textDir)
+    assert(rowSet(CorpusStore.read(spark, storeDir)) === storeBefore)
+    assert(serve(textDir) === serve(textRb))
+    assert(emitted(3).sorted === (140L until 180L).map(url).sorted)
+
+    // mid-crash heal: the seen set applied batch 4, the rest did not
+    // (crash between face 1 and face 2); the replayed step must read the
+    // committed emission back and catch the store and indexes up
+    val b4 = (170L until 190L).map(row).toDF("url", "doc_id", "text")
+    assert(SeenSet.dedupBatch(b4, "url", seenDir, novelDir, 4L))
+    Streaming.steadyStateStep(b4, 4L, "url", "doc_id", "text",
+      seenDir, novelDir, storeDir, bandDir, textDir)
+    assert(rowSet(CorpusStore.read(spark, storeDir))
+      === rowSet(expectedKept(190L)),
+      "the healed replay must catch the store up to the emitted sliver")
+    val textRb2 = mkDir("graft-ss-text-rb2")
+    TextIndex.writeIndex(expectedKept(190L), "doc_id", "text", textRb2,
+      buckets = 16)
+    assert(serve(textDir) === serve(textRb2))
+
+    // (c) scan accounting: the batch source materializes exactly once
+    // per step — downstream faces consume the EMITTED sliver, not the
+    // source (one partition => accumulator counts materializations)
+    val acc = spark.sparkContext.longAccumulator("graft-ss-scans")
+    val counted = spark.createDataset((190L until 200L).map(row))
+      .repartition(1)
+      .mapPartitions { it => acc.add(1); it }
+      .toDF("url", "doc_id", "text")
+    Streaming.steadyStateStep(counted, 5L, "url", "doc_id", "text",
+      seenDir, novelDir, storeDir, bandDir, textDir)
+    assert(acc.value === 1L,
+      s"the batch must be read once, was ${acc.value}")
+    assert(rowSet(CorpusStore.read(spark, storeDir))
+      === rowSet(expectedKept(200L)))
   }
 }

@@ -115,4 +115,87 @@ class TextIndexSpec extends SparkSpec {
       .collect()
     assert(out.map(_.toSeq).toSeq === scan.map(_.toSeq).toSeq)
   }
+
+  private def search(dir: String, buckets: Int): Seq[Seq[Any]] =
+    TextIndex.bm25SearchIndex(spark, dir,
+      Seq("hash", "join", "merge"), k = 15, buckets = buckets)
+      .collect().map(_.toSeq).toSeq
+
+  test("appendToIndex retry is idempotent: content tag overwrites itself") {
+    // the r17 advisory: a crash between the postings write and the
+    // stats row used to make a naive caller retry double-append
+    // postings (healed at read) and double-count the BM25 normalizers
+    // (NOT healed — a second random-tag stats row). The content-derived
+    // tag makes the retry overwrite its own leaves and stats row.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ti-retry").toString
+    val base = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 5 === 0)
+    TextIndex.writeIndex(base, "doc_id", "text", dir, buckets = 16)
+    TextIndex.appendToIndex(delta, "doc_id", "text", dir)
+    val once = search(dir, 16)
+    TextIndex.appendToIndex(delta, "doc_id", "text", dir) // the naive retry
+    assert(search(dir, 16) === once,
+      "a retried append must not change tf or the stats ledger")
+    // and both equal the from-scratch index (normalizers counted once)
+    val dirFull = java.nio.file.Files.createTempDirectory("graft-ti-retry-f").toString
+    TextIndex.writeIndex(docs, "doc_id", "text", dirFull, buckets = 16)
+    assert(once === search(dirFull, 16))
+  }
+
+  private def statsBatchDirs(dir: String): Seq[String] =
+    new java.io.File(s"$dir/stats").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .map(_.getName).toSeq
+
+  test("compact folds the stats ledger to one row; search unchanged") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-ti-ledger").toString
+    TextIndex.writeIndex(docs.filter(col("doc_id") % 3 === 0),
+      "doc_id", "text", dir, buckets = 8)
+    TextIndex.appendToIndex(docs.filter(col("doc_id") % 3 === 1),
+      "doc_id", "text", dir)
+    TextIndex.appendToIndex(docs.filter(col("doc_id") % 3 === 2),
+      "doc_id", "text", dir)
+    assert(statsBatchDirs(dir).length === 3, "one ledger row per append")
+    val pre = search(dir, 8)
+    TextIndex.compact(spark, dir)
+    assert(statsBatchDirs(dir).length === 1,
+      "compaction must consolidate the ledger, not let it grow forever")
+    assert(search(dir, 8) === pre, "consolidated totals must be exact")
+    // idempotent: a second compact is a no-op on a single-row ledger
+    TextIndex.compact(spark, dir)
+    assert(statsBatchDirs(dir).length === 1 && search(dir, 8) === pre)
+  }
+
+  test("a torn ledger swap recovers: committed completes, uncommitted drops") {
+    import org.apache.spark.sql.functions.{col, size}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ti-swap").toString
+    TextIndex.writeIndex(docs, "doc_id", "text", dir, buckets = 8)
+    val pre = search(dir, 8)
+    val totals = docs.select(
+        graft.functions.TextFunctions.tokens("text").as("toks"))
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.sum(size(col("toks"))).cast("long"))
+      .head()
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(): Unit
+    }
+    // COMMITTED swap + stats already deleted (crash between the delete
+    // and the rename): the next read must complete the swap and serve
+    Seq((totals.getLong(0), totals.getLong(1), 8))
+      .toDF("n_docs", "sum_dl", "buckets").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/stats.swap/batch=base")
+    new java.io.File(s"$dir/stats.swap/_GRAFT_COMMIT").createNewFile()
+    rm(new java.io.File(s"$dir/stats"))
+    assert(search(dir, 8) === pre, "a committed swap must complete and serve")
+    assert(new java.io.File(s"$dir/stats").exists())
+    assert(!new java.io.File(s"$dir/stats.swap").exists())
+    // UNCOMMITTED swap (crash before the mark): dropped, old ledger serves
+    Seq((1L, 1L, 8)).toDF("n_docs", "sum_dl", "buckets").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/stats.swap/batch=base")
+    assert(search(dir, 8) === pre, "an uncommitted swap must be ignored")
+    assert(!new java.io.File(s"$dir/stats.swap").exists())
+  }
 }
