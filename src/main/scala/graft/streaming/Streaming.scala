@@ -772,7 +772,23 @@ object Streaming {
     * `compactEvery` spans the three append-maintained artifacts;
     * the store needs none (see [[curateStream]]). At 100 TB each batch
     * pays delta-proportional work only: one Bloom-prefiltered probe,
-    * one gate pass, touched-bucket rewrites, two batch-sized appends. */
+    * one gate pass, touched-bucket rewrites, two batch-sized appends.
+    *
+    * `nearDupMinBands > 0` adds the fourth fleet gate: kept docs probe
+    * the STANDING band index and any doc sharing ≥ that many bands
+    * with standing content is DROPPED (not installed, not indexed) —
+    * the [[graft.operators.Dedup.incrementalNearDup]] admission rule,
+    * live. Because the probe's answer depends on index state, the
+    * whole gated verdict (keep flag + dup flag per novel row) is
+    * EMITTED exactly-once to `<novelDir>.curated/batch_id=<n>` BEFORE
+    * any face applies — a replay that lands after this batch's own
+    * band append would otherwise see the batch's docs as standing
+    * content and compute a DIFFERENT (smaller) sliver, desynchronizing
+    * faces that had not yet applied. With the emission, every face of
+    * every replay consumes the same persisted verdict. Batch-INTERNAL
+    * near-dups are deliberately admitted together (the
+    * incrementalNearDup batch-vs-reference contract); a replay-time
+    * self-match (`ref_id == doc_id`) is filtered. */
   def steadyStateIngest(
       discoveries: DataFrame,
       urlCol: String,
@@ -784,14 +800,16 @@ object Streaming {
       bandDir: String,
       textDir: String,
       checkpointDir: String,
-      compactEvery: Int = 0
+      compactEvery: Int = 0,
+      nearDupMinBands: Int = 0
   ): org.apache.spark.sql.streaming.StreamingQuery =
     discoveries.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         steadyStateStep(batch.toDF(), batchId, urlCol, idCol, textCol,
-          seenDir, novelDir, storeDir, bandDir, textDir, compactEvery)
+          seenDir, novelDir, storeDir, bandDir, textDir, compactEvery,
+          nearDupMinBands)
       }
       .start()
 
@@ -803,7 +821,8 @@ object Streaming {
       urlCol: String, idCol: String, textCol: String,
       seenDir: String, novelDir: String, storeDir: String,
       bandDir: String, textDir: String,
-      compactEvery: Int = 0
+      compactEvery: Int = 0,
+      nearDupMinBands: Int = 0
   ): Unit = {
     val spark = batch.sparkSession
     // the ONE source materialization (see scan accounting above)
@@ -815,15 +834,57 @@ object Streaming {
       // the emitted sliver is this batch's authoritative novel set —
       // present even when dedupBatch was a replay no-op
       val novel = spark.read.parquet(s"$novelDir/batch_id=$batchId")
-      // gate once, pinned: one verdict serves install, evict, and both
-      // index appends
-      val gated = novel.withColumn("__graft_keep",
-          graft.functions.TextFunctions.qualityFilter(textCol)
-            .getField("keep"))
-        .localCheckpoint()
+      // the per-row verdict frame every face consumes: (novel columns,
+      // __graft_keep, __graft_dup) — computed in-flight on the plain
+      // path, persisted exactly-once on the near-dup path (its probe
+      // answer depends on index state; see [[steadyStateIngest]])
+      val verdicts =
+        if (nearDupMinBands <= 0)
+          novel.withColumn("__graft_keep",
+              graft.functions.TextFunctions.qualityFilter(textCol)
+                .getField("keep"))
+            .withColumn("__graft_dup", lit(false))
+            .localCheckpoint()
+        else {
+          val cur = s"$novelDir.curated/batch_id=$batchId"
+          if (!graft.io.Commit.isCommitted(spark, cur)) {
+            val gated = novel.withColumn("__graft_keep",
+                graft.functions.TextFunctions.qualityFilter(textCol)
+                  .getField("keep"))
+              .localCheckpoint()
+            try {
+              val kept = gated
+                .filter(coalesce(col("__graft_keep"), lit(false)))
+              // probe the STANDING index (this batch's own append runs
+              // later); self-matches guard the replay-after-append case
+              val dupIds = graft.io.BandIndex.probeScoped(spark, bandDir,
+                  kept, idCol, textCol) { pairs =>
+                pairs.filter(col("ref_id") =!= col("doc_id"))
+                  .filter(col("shared_bands") >= nearDupMinBands)
+                  .select(col("doc_id").as("__graft_dup_id")).distinct()
+                  .localCheckpoint() // materialized INSIDE the scope
+              }
+              try gated
+                .join(dupIds, col(idCol) === col("__graft_dup_id"),
+                  "left")
+                .withColumn("__graft_dup", col("__graft_dup_id").isNotNull)
+                .drop("__graft_dup_id")
+                .write.mode("overwrite").parquet(cur)
+              finally graft.operators.Dedup.release(dupIds)
+              graft.io.Commit.mark(spark, cur)
+            } finally graft.operators.Dedup.release(gated)
+          }
+          spark.read.parquet(cur).localCheckpoint()
+        }
       try {
-        val kept = gated.filter(col("__graft_keep")).drop("__graft_keep")
-        val failedIds = gated
+        val kept = verdicts
+          .filter(coalesce(col("__graft_keep"), lit(false))
+            && !col("__graft_dup"))
+          .drop("__graft_keep", "__graft_dup")
+        // gate-failing docs evict (keep-IS-NOT-TRUE); standing-dup docs
+        // only DROP — they are copies of standing content, and as novel
+        // ids they have no standing row to evict
+        val failedIds = verdicts
           .filter(!coalesce(col("__graft_keep"), lit(false)))
           .select(col(idCol))
         graft.io.CorpusStore.applyGatedBatch(
@@ -836,7 +897,7 @@ object Streaming {
           graft.io.TextIndex.appendBatch(kept, idCol, textCol, textDir,
             batchId))(
           graft.io.TextIndex.compact(spark, textDir): Unit): Unit
-      } finally graft.operators.Dedup.release(gated)
+      } finally graft.operators.Dedup.release(verdicts)
     } finally graft.operators.Dedup.release(b)
   }
 
