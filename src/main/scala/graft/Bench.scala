@@ -169,7 +169,20 @@ object Bench {
     }
     val (docQs, cubeQs) = selected.sortBy(_._1)
       .partition(q => docKeys.contains(q._1))
+    // Mid-battery canary TIMELINE (r18): the endpoint probes alone can
+    // miss the window the battery actually ran in — the r18 sf1
+    // recording measured first=0.874/last=0.380 ns/row (host calming
+    // mid-run), and min-of-endpoints normalization then treats a
+    // contended battery as quiet, inflating normalized totals and
+    // over-flagging the auto-isolation gate. One probe at each family
+    // barrier (~0.3 s each, JVM long since hot there) timestamps the
+    // window per family; the battery-median drives the gate's
+    // threshold scaling, and the full timeline ships in the JSON so a
+    // reader can normalize per family instead of per run.
+    val canaryTimeline =
+      scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val cubeResults = run(cubeQs)
+    canaryTimeline("cube") = graft.testbed.CpuCanary.nsPerRow(canary())
     graft.testbed.DatacubeQueries.clearCaches(spark)
     // The doc battery runs as prefix FAMILIES (d, g, ir, m, o, t, v) with a
     // cache-drop + GC barrier between them: every shared materialization
@@ -186,6 +199,7 @@ object Bench {
       val t0 = System.nanoTime()
       val rs = run(qs)
       familyTimes(fam) = (System.nanoTime() - t0) / 1e9
+      canaryTimeline(fam) = graft.testbed.CpuCanary.nsPerRow(canary())
       graft.testbed.DocQueries.clearCaches(spark)
       System.gc()
       rs
@@ -289,10 +303,19 @@ object Bench {
     // every threshold
     val canaryLast = canary()
     val nsPerRow = math.min(canaryFirst, canaryLast) / 2e8 * 1e9
+    // the window the battery ACTUALLY ran in: median of the per-family
+    // barrier probes (endpoint min can read quiet when the battery ran
+    // contended — the r18 sf1 lesson). Drives the gate's threshold
+    // scaling; prior artifacts publish endpoint-min ns_per_row, which
+    // equals the median for any quiet recording, so cross-round scaling
+    // stays consistent for clean baselines.
+    val timelineVals = canaryTimeline.values.toSeq.sorted
+    val nsBattery =
+      if (timelineVals.isEmpty) nsPerRow else timelineVals(timelineVals.size / 2)
     val autoIsolated: Seq[(String, Double, Double, Double)] =
       if (only.nonEmpty || prevQ.isEmpty || prevSf != sfDir) Seq.empty
       else {
-        val scaleP = if (prevNs > 0 && nsPerRow > 0) nsPerRow / prevNs else 1.0
+        val scaleP = if (prevNs > 0 && nsBattery > 0) nsBattery / prevNs else 1.0
         val flagged = results.flatMap { case (name, cur) =>
           prevQ.get(name) match {
             // floor at 1 s: sub-second entries flap on job-overhead noise;
@@ -352,8 +375,10 @@ object Bench {
     val ioMbPerSec =
       if (ioFirst <= 0) -1.0
       else ioBytes / 1048576.0 / math.min(ioFirst, math.max(1e-9, ioLast))
+    val timelineJson = canaryTimeline
+      .map { case (k, v) => q(k) + ":" + v }.mkString("{", ",", "}")
     val canaryJson =
-      s"""{"first":$canaryFirst,"last":$canaryLast,"contended":$contended,"warmup_runs":$warmRuns,"ns_per_row":$nsPerRow,"io_first":$ioFirst,"io_last":$ioLast,"io_contended":$ioContended,"io_mb_per_sec":$ioMbPerSec}"""
+      s"""{"first":$canaryFirst,"last":$canaryLast,"contended":$contended,"warmup_runs":$warmRuns,"ns_per_row":$nsPerRow,"ns_per_row_battery":$nsBattery,"timeline":$timelineJson,"io_first":$ioFirst,"io_last":$ioLast,"io_contended":$ioContended,"io_mb_per_sec":$ioMbPerSec}"""
     val isoJson = isolated.map { case (k, v) => q(k) + ":" + v }
       .mkString("{", ",", "}")
     val autoIsoJson = autoIsolated.map { case (k, bat, iso, ps) =>
@@ -383,11 +408,19 @@ object Bench {
     // 0.573 ns/row). Convention: scale every family to a canonical
     // 0.40 ns/row host (the quiet-window figure this repo's round history
     // centers on), i.e. normalized = raw * (0.40 / measured_ns_per_row).
-    // The reference constant is emitted too so a reader can undo it.
+    // Since r18 the measured figure is PER FAMILY (that family's own
+    // barrier probe — the window can shift mid-battery); cube-block
+    // families share the post-cube sample, and a run with no timeline
+    // (subset runs) falls back to the battery median. The reference
+    // constant is emitted too so a reader can undo it.
     val refNsPerRow = 0.40
-    val normScale = if (nsPerRow > 0) refNsPerRow / nsPerRow else 1.0
+    def famNs(f: String): Double = canaryTimeline.getOrElse(f,
+      canaryTimeline.getOrElse("cube", nsBattery))
     val famNormJson = familyTimes.toSeq.sortBy(_._1)
-      .map { case (k, v) => q(k) + ":" + (v * normScale) }
+      .map { case (k, v) =>
+        val ns = famNs(k)
+        q(k) + ":" + (v * (if (ns > 0) refNsPerRow / ns else 1.0))
+      }
       .mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"families":$famJson,"families_normalized":$famNormJson,"canary_ref_ns_per_row":$refNsPerRow,"isolated":$isoJson,"auto_isolated":$autoIsoJson,"errors":$errJson,"canary":$canaryJson,"sf":"$sfDir"}"""
     println(json)
