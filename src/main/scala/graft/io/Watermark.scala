@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   * contradicting the degrades-to-a-replayed-append contract. So the
   * read checks for committed data files first, reads with an explicit
   * schema (never inference), and treats a null max as -1. */
-private[io] object Watermark {
+private[graft] object Watermark {
 
   def read(spark: SparkSession, indexDir: String): Long = {
     val p = new org.apache.hadoop.fs.Path(s"$indexDir/watermark")

@@ -951,6 +951,10 @@ object Similarity {
       swapPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .delete(swapPath, true): Unit
     }
+    // a stale batch-id watermark from a previous stream would silently
+    // drop the first batches of a NEW stream whose checkpoint restarts
+    // ids at 0 (the io-family full-rebuild rule)
+    graft.io.Watermark.clear(spark, dir)
     val (coarse, books, enc) =
       ivfPqTrainEncode(corpus, idCol, vecCol, dims, nCentroids, m, codes, iters)
     spark.createDataFrame(
@@ -1028,8 +1032,16 @@ object Similarity {
     val probes = ivfPqProbes(spark, qunit, coarse, nProbe).localCheckpoint()
     val probedCells = probes.select(col("cent_id").cast("int"))
       .distinct().collect().map(_.getInt(0))
+    // dropDuplicates on the vector id: a no-op on a healthy index (one
+    // cell + one code row per vector by construction — duplicate rows
+    // are identical), it collapses the physical duplicates a replayed
+    // [[ivfPqIndexAppendBatch]] crash window leaves (codes appended,
+    // marker not advanced) — without it a duplicated neighbor would
+    // claim two of the k ranks. Runs on the cell-pruned sliver only,
+    // the BandIndex.probe merge-on-read discipline.
     val enc = spark.read.parquet(s"$dir/codes")
       .filter(col("cent_id").isin(probedCells.toIndexedSeq: _*))
+      .dropDuplicates("neighbor_id")
     ivfPqRank(enc, ivfPqAdc(probes, books, m, codes, d), k, m, codes)
   }
 
@@ -1092,15 +1104,38 @@ object Similarity {
       .write.mode("append").partitionBy("cent_id").parquet(s"$dir/codes")
   }
 
+  /** Replay-safe streaming append for the vector index (the
+    * [[graft.streaming.Streaming.vectorIndexMaintenance]] foreachBatch
+    * body, parity harness #19) — the [[graft.io.BandIndex.appendBatch]]
+    * posture on the IVF+PQ layout: the index's own batch-id watermark
+    * turns Structured Streaming's restart replay into a no-op, and the
+    * one unprotected window (codes appended, marker not advanced)
+    * replays as PHYSICAL duplicate code rows that [[ivfPqIndexTopK]]
+    * collapses on the pruned sliver before ranking (merge-on-read), so
+    * the window costs wasted bytes, never a duplicated neighbor in the
+    * top-k. Returns true iff applied. Ids must be disjoint from the
+    * indexed corpus (the append contract). */
+  def ivfPqIndexAppendBatch(
+      delta: DataFrame, idCol: String, vecCol: String, dir: String,
+      batchId: Long
+  ): Boolean =
+    graft.io.MaintenanceFace.gated(delta.sparkSession, dir, batchId) {
+      ivfPqIndexAppend(delta, idCol, vecCol, dir)
+    }
+
   /** Compact fragmented code-cell directories — each [[ivfPqIndexAppend]]
     * adds one parquet file per touched cell, so probe fan-in grows with
     * every append batch (the [[graft.io.Compact]] small-files decay, on
-    * the vector index). Straight content-identical rewrite of only the
-    * fragmented cells; serving is unchanged (IvfPqIndexSpec pins it). */
+    * the vector index). Content-identical rewrite of only the
+    * fragmented cells (serving unchanged — IvfPqIndexSpec pins it);
+    * `dedupCols` additionally collapses the physical duplicates a
+    * replayed [[ivfPqIndexAppendBatch]] crash window leaves, making the
+    * serve-path heal free by removing the bytes. */
   def ivfPqIndexCompact(spark: org.apache.spark.sql.SparkSession,
       dir: String): graft.io.Compact.CompactStats = {
     ivfPqSwapRecover(spark, dir)
-    graft.io.Compact.compactTree(spark, s"$dir/codes", "cent_id")
+    graft.io.Compact.compactTree(spark, s"$dir/codes", "cent_id",
+      dedupCols = Some(Seq("neighbor_id")))
   }
 
   /** Maintenance-time ANN drift gauge for a persisted IVF+PQ index (the

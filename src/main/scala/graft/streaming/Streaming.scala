@@ -731,6 +731,71 @@ object Streaming {
       }
       .start()
 
+  /** STREAMING vector-index maintenance (parity harness #19) — the
+    * live face of [[graft.operators.Similarity.ivfPqIndexAppend]],
+    * completing the streaming-maintenance story for the LAST persisted
+    * family (band #14, seen #15, store #16, text #17): a stream of new
+    * embedding rows drains into the persisted IVF+PQ index via
+    * `foreachBatch` → `ivfPqIndexAppendBatch` — watermark-gated, with
+    * the crash window's physical duplicates collapsed by the serve path
+    * (and removed for good by the compaction cadence, which dedups on
+    * the vector id).
+    *
+    * The FAISS contract shapes what streaming can maintain: `train()`
+    * stays frozen, so appends quantize against the build-time
+    * artifacts and drift accumulates silently. `gaugeEvery > 0` closes
+    * that loop operationally: every Kth applied batch, the batch
+    * ITSELF (the most recent data — exactly where a frozen quantizer
+    * drifts first) serves as both the candidate sliver and the query
+    * sample for [[graft.operators.Similarity.ivfPqIndexDriftGauge]],
+    * and the per-query recall rows land in `gaugeDir/batch_id=<n>` (a
+    * batch-scoped overwrite — replay-idempotent like every emission in
+    * this file). The stream never rebuilds — a rebuild is corpus-sized
+    * and retrains, so it belongs to a maintenance window; the ledger
+    * is the trigger an operator (or a scheduled job) thresholds to
+    * call [[graft.operators.Similarity.ivfPqIndexRebuild]].
+    *
+    * Ids must be disjoint from the indexed corpus (the append
+    * contract — feed a novelty-gated sliver, as #18 does for the other
+    * families). At 100 TB each batch costs one batch-sized encode
+    * projection + a cell-partitioned append; the gauge adds
+    * batch × batch work on its cadence, never corpus-sized. */
+  def vectorIndexMaintenance(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      indexDir: String,
+      checkpointDir: String,
+      compactEvery: Int = 0,
+      gaugeEvery: Int = 0,
+      gaugeDir: String = "",
+      gaugeK: Int = 5,
+      gaugeNProbe: Int = 4
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(gaugeEvery <= 0 || gaugeDir.nonEmpty,
+      "gaugeEvery > 0 needs a gaugeDir for the recall ledger")
+    vectors.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.toDF().localCheckpoint() // one source scan: append + gauge
+        try {
+          val applied = graft.io.MaintenanceFace.step(batchId, compactEvery)(
+            graft.operators.Similarity.ivfPqIndexAppendBatch(b, idCol,
+              vecCol, indexDir, batchId))(
+            graft.operators.Similarity.ivfPqIndexCompact(spark,
+              indexDir): Unit)
+          if (applied && gaugeEvery > 0 && (batchId + 1) % gaugeEvery == 0)
+            graft.operators.Similarity.ivfPqIndexDriftGauge(spark, indexDir,
+                b, b, idCol, vecCol, gaugeK, gaugeNProbe)
+              .write.mode("overwrite")
+              .parquet(s"$gaugeDir/batch_id=$batchId")
+        } finally graft.operators.Dedup.release(b)
+      }
+      .start()
+  }
+
   /** STREAMING steady-state ingestion (parity harness #18) — the
     * COMPOSED fleet loop. Harnesses #14–#17 each maintain ONE persisted
     * artifact; the real steady-state shape is a single discovery stream

@@ -1184,6 +1184,97 @@ class StreamingSpec extends SparkSpec {
       === rowSet(expectedKept(200L)))
   }
 
+  test("streaming vector-index maintenance with the drift-gauge ledger (#19)") {
+    // the LAST persisted family gains its live face: embedding deltas
+    // stream into the IVF+PQ index; the maintained index must serve
+    // exactly the batch append face, a replayed batch id is a no-op,
+    // the crash window's physical duplicates heal at serve and vanish
+    // under compaction, a torn watermark degrades to a healed replay,
+    // and the drift-gauge ledger lands on its cadence.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def mkDir(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val ixDir = mkDir("graft-svec"); val ckDir = mkDir("graft-svec-ck")
+    val gaugeDir = mkDir("graft-svec-gauge")
+    Similarity.ivfPqIndexWrite(emb.filter(col("vec_id") < 100),
+      "vec_id", "embedding", ixDir,
+      dims = 64, nCentroids = 16, m = 4, codes = 16, iters = 2)
+    val rows = emb.filter(col("vec_id") >= 100 && col("vec_id") < 250)
+      .select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+    val batches = Seq(rows.take(50), rows.slice(50, 120), rows.drop(120))
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = Streaming.vectorIndexMaintenance(
+      input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      ixDir, ckDir, gaugeEvery = 2, gaugeDir = gaugeDir)
+    try batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+
+    // twin maintained through the BATCH append face: stream == batch
+    val twinDir = mkDir("graft-svec-twin")
+    Similarity.ivfPqIndexWrite(emb.filter(col("vec_id") < 100),
+      "vec_id", "embedding", twinDir,
+      dims = 64, nCentroids = 16, m = 4, codes = 16, iters = 2)
+    batches.foreach(b => Similarity.ivfPqIndexAppend(
+      b.toDF("vec_id", "embedding"), "vec_id", "embedding", twinDir))
+    val queries = emb.filter(col("vec_id") < 5)
+    def serve(d: String) = rowSet(Similarity.ivfPqIndexTopK(spark, d,
+      queries, "vec_id", "embedding", k = 3, nProbe = 4))
+    val expected = serve(twinDir)
+    assert(serve(ixDir) === expected,
+      "stream-maintained index must serve exactly the batch append face")
+
+    // restart replay: the last committed batch id is a whole-body no-op
+    def codesCount() = spark.read.parquet(s"$ixDir/codes").count()
+    val codes0 = codesCount()
+    assert(!Similarity.ivfPqIndexAppendBatch(
+      batches.last.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      ixDir, batchId = batches.size - 1L))
+    assert(codesCount() === codes0, "replayed batch must not append")
+
+    // the crash window made flesh: a raw double-append leaves duplicate
+    // code rows; the serve path must collapse them before ranking
+    Similarity.ivfPqIndexAppend(batches.last.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", ixDir)
+    assert(codesCount() > codes0)
+    assert(serve(ixDir) === expected,
+      "a duplicated neighbor must not claim two of the k ranks")
+    // ... and compaction removes the duplicate bytes for good
+    val stats = Similarity.ivfPqIndexCompact(spark, ixDir)
+    assert(stats.bucketsCompacted > 0)
+    assert(codesCount() === codes0,
+      "compaction must collapse the replayed duplicates")
+    assert(serve(ixDir) === expected)
+
+    // torn watermark marker (dir present, only _temporary): reads -1,
+    // heals through a replayed (serve-collapsed) append
+    val wm = new java.io.File(s"$ixDir/watermark")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(): Unit
+    }
+    wm.listFiles().foreach(rm)
+    assert(new java.io.File(wm, "_temporary").mkdir())
+    assert(Similarity.ivfPqIndexAppendBatch(
+      batches.last.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      ixDir, batchId = batches.size - 1L),
+      "a torn marker must degrade to a replayed append, not a brick")
+    assert(serve(ixDir) === expected)
+
+    // drift-gauge ledger: cadence fires after batch 1 only (gaugeEvery=2
+    // over batch ids 0..2), batch-scoped, recalls well-formed
+    assert(new java.io.File(s"$gaugeDir/batch_id=1").exists())
+    assert(!new java.io.File(s"$gaugeDir/batch_id=0").exists()
+      && !new java.io.File(s"$gaugeDir/batch_id=2").exists())
+    val ledger = spark.read.parquet(s"$gaugeDir/batch_id=1")
+    assert(ledger.count() === batches(1).size.toLong,
+      "one recall row per query of the gauged batch")
+    val recalls = ledger.select("recall").collect().map(_.getDouble(0))
+    assert(recalls.forall(r => r >= 0.0 && r <= 1.0))
+  }
+
   test("steady-state loop with the standing near-dup gate (#18b)") {
     // the fourth fleet gate: novel + quality-passing docs additionally
     // probe the STANDING band index; copies of standing content DROP
