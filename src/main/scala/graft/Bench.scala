@@ -291,8 +291,12 @@ object Bench {
         .filter(_.getName.matches("BENCH_sf[0-9]+_r[0-9]+\\.json"))
         .sortBy(f => -"_r([0-9]+)\\.json".r.findFirstMatchIn(f.getName)
           .map(_.group(1).toInt).getOrElse(0))
+      // NO fallback to the out path (r18 review: that would reintroduce
+      // the same-round-contended-baseline failure whenever the sf match
+      // misses — first round at a new SF, or data at a new path); with
+      // no round-stamped baseline the gate simply stays off.
       stamped.find(f => parsePrev(f.getPath)._3 == sfDir)
-        .map(_.getPath).getOrElse(outPath)
+        .map(_.getPath).getOrElse("")
     }
     val (prevQ, prevNs, prevSf) = parsePrev(prevPath)
     // post-battery probe measured HERE (before the gate, after the

@@ -52,12 +52,10 @@ private[graft] object BucketRewrite {
     * re-checks and no-ops (journal gone). ACROSS processes the
     * single-maintainer contract still applies: exactly one application
     * (the streaming maintenance job) owns a tree's mutations, recovery
-    * included. */
-  private val treeLocks =
-    scala.collection.concurrent.TrieMap.empty[String, Object]
-
+    * included. The lock map itself lives in [[Commit]] (shared with the
+    * swap protocol — one locking story for every mutating recovery). */
   private def withTreeLock[A](treeDir: String)(body: => A): A =
-    treeLocks.getOrElseUpdate(treeDir, new Object).synchronized(body)
+    Commit.withTreeLock(treeDir)(body)
 
   /** Heal a torn rewrite if a committed journal exists; drop an
     * uncommitted one. Cheap no-op (one exists check) when healthy. */
@@ -67,11 +65,18 @@ private[graft] object BucketRewrite {
       val fs = fsOf(spark, j)
       val jPath = new org.apache.hadoop.fs.Path(j)
       if (fs.exists(jPath)) {
-        // the journal's commit gate is the engine-owned sentinel, not
-        // the committer's _SUCCESS (see [[Commit]]): a committed journal
-        // misread as uncommitted would be dropped here — permanently
-        // losing the very bucket it was written to protect
-        if (Commit.isCommitted(spark, j)) {
+        // the journal's commit gate is the engine-owned sentinel at the
+        // journal ROOT (see [[Commit]]); a journal written by the
+        // pre-sentinel code committed via per-dir _SUCCESS on BOTH
+        // content dirs, honored here as the legacy form — a committed
+        // journal misread as uncommitted would be dropped, permanently
+        // losing the very bucket it was written to protect (the r18
+        // review's migration finding)
+        val legacyCommitted =
+          Commit.isCommitted(spark, s"$j/data") &&
+            Commit.isCommitted(spark, s"$j/touched")
+        if (fs.exists(new org.apache.hadoop.fs.Path(s"$j/${Commit.Marker}"))
+            || legacyCommitted) {
           val touched = spark.read.parquet(s"$j/touched")
             .select(col("bucket").cast("long")).collect().map(_.getLong(0))
           applyOverwrite(spark, treeDir, bucketCol, touched.toIndexedSeq,

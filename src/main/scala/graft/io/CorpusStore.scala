@@ -165,12 +165,20 @@ object CorpusStore {
     val spark = kept.sparkSession
     MaintenanceFace.gated(spark, dir, batchId) {
       val buckets = storedBuckets(spark, dir)
+      // pinned: the install frame's lineage executes twice below (the
+      // change-key materialization and the merged-sliver one), and this
+      // is a foreachBatch building block — a caller handing it the raw
+      // micro-batch frame must not trigger a second source scan (the
+      // applyCurationBatch discipline; r18 review finding)
       val k = kept.withColumn("__graft_bucket", bucketOf(col(idCol), buckets))
-      val e = evictIds.select(col(idCol))
-        .withColumn("__graft_bucket", bucketOf(col(idCol), buckets))
-      rewriteKeyed(spark, dir,
-        k.select(col(idCol), col("__graft_bucket")).unionByName(e),
-        Some(k), idCol)
+        .localCheckpoint()
+      try {
+        val e = evictIds.select(col(idCol))
+          .withColumn("__graft_bucket", bucketOf(col(idCol), buckets))
+        rewriteKeyed(spark, dir,
+          k.select(col(idCol), col("__graft_bucket")).unionByName(e),
+          Some(k), idCol)
+      } finally graft.operators.Dedup.release(k)
     }
   }
 

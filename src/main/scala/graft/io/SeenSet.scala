@@ -220,8 +220,10 @@ object SeenSet {
     * every crash-replay interleaving, without a transaction log:
     *  - batchId ≤ watermark → the whole body is a no-op (the normal
     *    restart replay);
-    *  - emit dir exists WITHOUT the [[Commit]] sentinel (torn emit,
-    *    including a crash between the write and the mark) → the append
+    *  - emit dir exists WITHOUT a commit marker (torn mid-write emit;
+    *    a crash between a completed write and the mark reads COMMITTED
+    *    via the committer's legacy `_SUCCESS` where one exists — safe,
+    *    the content is complete — and recomputes otherwise) → the append
     *    never ran (it only runs after a committed emit), so the set is
     *    unchanged and the probe re-computes the same novelty; the
     *    overwrite discards the torn files;

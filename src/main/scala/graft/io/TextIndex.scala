@@ -114,23 +114,15 @@ object TextIndex {
     (r.getLong(0), r.getLong(1))
   }
 
-  /** Complete or discard a torn ledger swap (see [[consolidateStats]]):
-    * a COMMITTED `stats.swap` is the consolidated truth — finish the
-    * delete-then-rename; an uncommitted one is a torn write — drop it,
-    * the old ledger is intact. Cheap no-op (one exists check) when
-    * healthy; called from every ledger read so a crash mid-swap can
-    * never brick the index. */
-  private def statsSwapRecover(spark: SparkSession, dir: String): Unit = {
-    val swap = new org.apache.hadoop.fs.Path(s"$dir/stats.swap")
-    val fs = swap.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(swap)) {
-      if (Commit.isCommitted(spark, s"$dir/stats.swap")) {
-        val stats = new org.apache.hadoop.fs.Path(s"$dir/stats")
-        fs.delete(stats, true)
-        fs.rename(swap, stats): Unit
-      } else fs.delete(swap, true): Unit
-    }
-  }
+  /** Complete a committed ledger swap, ignore an uncommitted one (see
+    * [[consolidateStats]]) — the shared [[Commit.swapRecover]]
+    * protocol, LOCKED: the r18 review found the unlocked hand-rolled
+    * version let two concurrent in-JVM readers double-run the
+    * delete-then-rename and destroy the ledger outright. Called from
+    * every ledger read, so a crash mid-swap can never brick the
+    * index. */
+  private def statsSwapRecover(spark: SparkSession, dir: String): Unit =
+    Commit.swapRecover(spark, s"$dir/stats")
 
   /** Fold the stats ledger back to ONE row (r17 advisory): every append
     * adds a `stats/batch=*` directory forever, so without this the BM25
@@ -153,12 +145,14 @@ object TextIndex {
     if (batchDirs.length <= 1) return
     val (nDocs, sumDl) = statsTotals(spark, dir)
     val nBuckets = storedBuckets(spark, dir, DefaultBuckets)
+    // maintainer-only stale-build clear, then build, then the locked
+    // mark→delete→rename (Commit.commitSwap) — readers' swapRecover
+    // can never interleave its own swap with this one
+    Commit.clearSwap(spark, s"$dir/stats")
     spark.createDataFrame(Seq((nDocs, sumDl, nBuckets)))
       .toDF("n_docs", "sum_dl", "buckets").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/stats.swap/batch=base")
-    Commit.mark(spark, s"$dir/stats.swap")
-    fs.delete(stats, true)
-    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/stats.swap"), stats): Unit
+    Commit.commitSwap(spark, s"$dir/stats")
   }
 
   /** Incremental maintenance: add a DELTA corpus (document ids disjoint

@@ -946,11 +946,7 @@ object Similarity {
     // ... and a stale rebuild swap is invalidated wholesale, except when
     // THIS build is itself targeting a swap tree (ivfPqIndexRebuild owns
     // that lifecycle — recursing into `<dir>.swap.swap` would be noise)
-    if (!dir.endsWith(".swap")) {
-      val swapPath = new org.apache.hadoop.fs.Path(s"$dir.swap")
-      swapPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(swapPath, true): Unit
-    }
+    if (!dir.endsWith(".swap")) graft.io.Commit.clearSwap(spark, dir)
     // a stale batch-id watermark from a previous stream would silently
     // drop the first batches of a NEW stream whose checkpoint restarts
     // ids at 0 (the io-family full-rebuild rule)
@@ -1207,31 +1203,24 @@ object Similarity {
   ): Unit = {
     val spark = corpus.sparkSession
     ivfPqSwapRecover(spark, dir)
-    val swap = s"$dir.swap"
-    val swapPath = new org.apache.hadoop.fs.Path(swap)
-    val fs = swapPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(swapPath, true) // a stale UNCOMMITTED swap from a dead run
-    ivfPqIndexWrite(corpus, idCol, vecCol, swap, dims, nCentroids, m,
-      codes, iters)
-    graft.io.Commit.mark(spark, swap)
-    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
-    fs.rename(swapPath, new org.apache.hadoop.fs.Path(dir)): Unit
+    // maintainer-only: drop a stale build from a dead run, build the
+    // replacement, then the LOCKED mark→delete→rename — a concurrent
+    // serve's swapRecover can never interleave its own swap (the r18
+    // review's double-swap race, fixed in graft.io.Commit once)
+    graft.io.Commit.clearSwap(spark, dir)
+    ivfPqIndexWrite(corpus, idCol, vecCol, s"$dir.swap", dims, nCentroids,
+      m, codes, iters)
+    graft.io.Commit.commitSwap(spark, dir)
   }
 
-  /** Complete or discard a torn [[ivfPqIndexRebuild]] swap — the
-    * [[graft.io.TextIndex]] stats-swap protocol on the whole index
-    * tree. Cheap no-op (one exists check) when healthy. */
+  /** Complete a committed [[ivfPqIndexRebuild]] swap, ignore an
+    * uncommitted one (an in-flight builder may still be writing it;
+    * only the rebuild clears stale builds) — the shared LOCKED
+    * [[graft.io.Commit.swapRecover]] protocol on the whole index
+    * tree. Cheap no-op when healthy. */
   private def ivfPqSwapRecover(
-      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
-    val swapPath = new org.apache.hadoop.fs.Path(s"$dir.swap")
-    val fs = swapPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(swapPath)) {
-      if (graft.io.Commit.isCommitted(spark, s"$dir.swap")) {
-        fs.delete(new org.apache.hadoop.fs.Path(dir), true)
-        fs.rename(swapPath, new org.apache.hadoop.fs.Path(dir)): Unit
-      } else fs.delete(swapPath, true): Unit
-    }
-  }
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    graft.io.Commit.swapRecover(spark, dir)
 
   /** IVF + PQ with RESIDUAL encoding — the Jégou et al. §IV refinement
     * (IVFADC proper) that [[ivfPqTopK]] deliberately skips: the PQ

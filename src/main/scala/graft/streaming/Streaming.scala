@@ -781,16 +781,29 @@ object Streaming {
         val spark = batch.sparkSession
         val b = batch.toDF().localCheckpoint() // one source scan: append + gauge
         try {
-          val applied = graft.io.MaintenanceFace.step(batchId, compactEvery)(
+          graft.io.MaintenanceFace.step(batchId, compactEvery)(
             graft.operators.Similarity.ivfPqIndexAppendBatch(b, idCol,
               vecCol, indexDir, batchId))(
             graft.operators.Similarity.ivfPqIndexCompact(spark,
-              indexDir): Unit)
-          if (applied && gaugeEvery > 0 && (batchId + 1) % gaugeEvery == 0)
-            graft.operators.Similarity.ivfPqIndexDriftGauge(spark, indexDir,
-                b, b, idCol, vecCol, gaugeK, gaugeNProbe)
-              .write.mode("overwrite")
-              .parquet(s"$gaugeDir/batch_id=$batchId")
+              indexDir): Unit): Unit
+          // the ledger write is gated on its OWN commit sentinel, not on
+          // `applied` (r18 review finding): a crash between the append's
+          // watermark advance and the gauge write replays the batch with
+          // applied=false, and an applied-gated gauge would then skip its
+          // cadence point FOREVER — a ledger gap exactly at a crash, the
+          // moment drift evidence matters most. The emission protocol is
+          // SeenSet's: recompute-and-overwrite until committed (the
+          // replayed source batch is identical, so the rewrite is too),
+          // then reuse.
+          if (gaugeEvery > 0 && (batchId + 1) % gaugeEvery == 0) {
+            val ledgerDir = s"$gaugeDir/batch_id=$batchId"
+            if (!graft.io.Commit.isCommitted(spark, ledgerDir)) {
+              graft.operators.Similarity.ivfPqIndexDriftGauge(spark,
+                  indexDir, b, b, idCol, vecCol, gaugeK, gaugeNProbe)
+                .write.mode("overwrite").parquet(ledgerDir)
+              graft.io.Commit.mark(spark, ledgerDir)
+            }
+          }
         } finally graft.operators.Dedup.release(b)
       }
       .start()

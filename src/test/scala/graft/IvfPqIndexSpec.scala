@@ -202,7 +202,10 @@ class IvfPqIndexSpec extends SparkSpec {
       "a rebuilt index must serve exactly a fresh full-corpus build")
 
     // torn window 1: crash BUILDING the swap (no commit sentinel) — the
-    // next serve drops the junk and the standing index serves untouched
+    // next serve IGNORES the junk (readers never delete an uncommitted
+    // swap: an in-flight builder in another thread may still be writing
+    // it — only the next rebuild clears stale builds) and the standing
+    // index serves untouched
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm); f.delete(): Unit
     }
@@ -211,8 +214,12 @@ class IvfPqIndexSpec extends SparkSpec {
       dims = 64, nCentroids = 16, m = 4, codes = 16, iters = 2)
     Similarity.ivfPqIndexWrite(emb, "vec_id", "embedding", s"$dir.swap",
       dims = 64, nCentroids = 16, m = 4, codes = 16, iters = 2)
+    // parquet jobs leave _SUCCESS inside the swap's SUBDIRS, but the
+    // swap-root sentinel is what commits the swap — absent here
+    new java.io.File(s"$dir.swap/_SUCCESS").delete()
     assert(serve() === v1, "an uncommitted swap must not serve")
-    assert(!new java.io.File(s"$dir.swap").exists(), "junk swap dropped")
+    assert(new java.io.File(s"$dir.swap").exists(),
+      "readers leave the uncommitted swap for the maintainer")
 
     // torn window 2: crash AFTER the sentinel, mid-swap (old tree
     // already deleted) — the next serve COMPLETES the swap and the new

@@ -899,9 +899,10 @@ class StreamingSpec extends SparkSpec {
       (400 until 420).map(url).toDF("url"), "url").isEmpty,
       "the recovered batch's novel sliver must have entered the set")
 
-    // torn emit (no commit sentinel — even if the committer's own
-    // _SUCCESS survived): the files are garbage from a mid-write crash;
-    // the append never ran, so the body must RE-PROBE and overwrite them
+    // torn emit (neither the engine sentinel nor a committer _SUCCESS —
+    // a mid-write crash can leave neither, since the committer writes
+    // _SUCCESS last): the files are garbage; the append never ran, so
+    // the body must RE-PROBE and overwrite them
     val torn = new java.io.File(s"$novelDir/batch_id=4")
     torn.mkdirs()
     java.nio.file.Files.write(

@@ -192,10 +192,14 @@ class TextIndexSpec extends SparkSpec {
     assert(search(dir, 8) === pre, "a committed swap must complete and serve")
     assert(new java.io.File(s"$dir/stats").exists())
     assert(!new java.io.File(s"$dir/stats.swap").exists())
-    // UNCOMMITTED swap (crash before the mark): dropped, old ledger serves
+    // UNCOMMITTED swap (crash before the mark — no sentinel at the swap
+    // ROOT; the batch subdir's own _SUCCESS does not commit the swap):
+    // ignored by readers (only the maintainer clears stale builds), the
+    // old ledger serves
     Seq((1L, 1L, 8)).toDF("n_docs", "sum_dl", "buckets").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/stats.swap/batch=base")
     assert(search(dir, 8) === pre, "an uncommitted swap must be ignored")
-    assert(!new java.io.File(s"$dir/stats.swap").exists())
+    assert(new java.io.File(s"$dir/stats.swap").exists(),
+      "readers leave the uncommitted swap for the maintainer")
   }
 }
