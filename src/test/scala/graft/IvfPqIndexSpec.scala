@@ -233,6 +233,42 @@ class IvfPqIndexSpec extends SparkSpec {
       && !new java.io.File(s"$dir.swap").exists())
   }
 
+  test("two concurrent serves of one committed swap complete it exactly once") {
+    // the r18 review's double-swap race, pinned: both readers discover
+    // the committed swap; the shared per-tree lock serializes the
+    // delete-then-rename, so the second entrant re-checks and no-ops —
+    // unlocked, both would run it and delete BOTH copies of the index
+    val dir = Files.createTempDirectory("graft-ivfpq-race").toFile.getAbsolutePath
+    Similarity.ivfPqIndexWrite(emb.filter(col("vec_id") < 150),
+      "vec_id", "embedding", dir,
+      dims = 64, nCentroids = 16, m = 4, codes = 16, iters = 2)
+    Similarity.ivfPqIndexWrite(emb, "vec_id", "embedding", s"$dir.swap",
+      dims = 64, nCentroids = 16, m = 4, codes = 16, iters = 2)
+    new java.io.File(s"$dir.swap/_GRAFT_COMMIT").createNewFile()
+    val queries = emb.filter(col("vec_id") < 5)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val readers = (1 to 2).map(_ => new Thread(() => {
+      gate.await()
+      try Similarity.ivfPqIndexTopK(spark, dir, queries,
+        "vec_id", "embedding", k = 3, nProbe = 4).count(): Unit
+      catch { case t: Throwable => errs.add(t): Unit }
+    }))
+    readers.foreach(_.start()); gate.countDown(); readers.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent swap recovery crashed: ${errs.peek()}")
+    assert(new java.io.File(dir).exists()
+      && !new java.io.File(s"$dir.swap").exists(),
+      "exactly one completion: target present, swap consumed")
+    // and the swapped-in index serves whole (== a fresh full build)
+    val fresh = Files.createTempDirectory("graft-ivfpq-race-f").toFile.getAbsolutePath
+    Similarity.ivfPqIndexWrite(emb, "vec_id", "embedding", fresh,
+      dims = 64, nCentroids = 16, m = 4, codes = 16, iters = 2)
+    assert(rowSet(Similarity.ivfPqIndexTopK(spark, dir, queries,
+      "vec_id", "embedding", k = 3, nProbe = 4))
+      === rowSet(Similarity.ivfPqIndexTopK(spark, fresh, queries,
+        "vec_id", "embedding", k = 3, nProbe = 4)))
+  }
+
   test("serving resolves parameters from the layout, not the caller") {
     // a non-default geometry: the meta sidecar must carry it to the probe
     val dir = Files.createTempDirectory("graft-ivfpq-m8").toFile.getAbsolutePath
