@@ -1372,4 +1372,88 @@ class StreamingSpec extends SparkSpec {
       "the replayed text append must consume the persisted verdict, " +
         "not a recomputed one")
   }
+
+  test("steady-state loop under seeded random crash injection (#18c)") {
+    // fault-injection sweep over the composed loop: after every batch, a
+    // seeded RNG wipes a random subset of the four faces' watermarks —
+    // the apply-done-marker-lost window, the worst replay shape each
+    // face claims to converge through — and the step re-runs with the
+    // SAME batch id before the stream moves on. Whatever the
+    // interleaving, the end state must be exact: store == the batch
+    // fold, both indexes == rebuilds over the installs, emissions
+    // exactly-once. Deterministic (fixed seeds), so a regression in any
+    // face's replay protocol fails reproducibly.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.io.{BandIndex, CorpusStore, SeenSet, TextIndex}
+    def tok(i: Long, k: Int): String = {
+      val n = i * 131 + k
+      (0 until 5).map(j => ('a' + ((n >> (j * 4)) & 15)).toChar).mkString
+    }
+    def uprose(i: Long) = "the " + (0 until 10).map(tok(i, _)).mkString(" ") +
+      " and some " + (10 until 18).map(tok(i, _)).mkString(" ") + " from here"
+    def url(i: Long) = s"http://cr${i % 5}.example/d/$i"
+    def row(i: Long) = (url(i), i, uprose(i))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(): Unit
+    }
+    for (seed <- Seq(7L, 23L)) {
+      val rng = new scala.util.Random(seed)
+      def mkDir(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+      val seenDir = mkDir("graft-cr-seen"); val novelDir = mkDir("graft-cr-novel")
+      val storeDir = mkDir("graft-cr-store"); val bandDir = mkDir("graft-cr-band")
+      val textDir = mkDir("graft-cr-text")
+      val seed0 = (0L until 20L).map(row).toDF("url", "doc_id", "text")
+      SeenSet.writeSet(seed0.select("url"), "url", seenDir)
+      CorpusStore.write(seed0, "doc_id", storeDir, buckets = 8)
+      BandIndex.writeIndex(seed0, "doc_id", "text", bandDir)
+      TextIndex.writeIndex(seed0, "doc_id", "text", textDir, buckets = 16)
+      // overlapping batches; each also re-discovers a random seen slice,
+      // and batch 3 contains a copy of a standing doc (the dup gate)
+      val batchRanges = Seq(10L until 45L, 30L until 70L, 55L until 90L,
+        0L until 100L)
+      val dirs = Seq(seenDir, storeDir, bandDir, textDir)
+      batchRanges.zipWithIndex.foreach { case (r, bid) =>
+        val extra = if (bid == 3) Seq((url(990), 990L, uprose(3))) else Nil
+        val b = (r.map(row) ++ extra).toDF("url", "doc_id", "text")
+        def step(): Unit = Streaming.steadyStateStep(b, bid.toLong,
+          "url", "doc_id", "text", seenDir, novelDir, storeDir, bandDir,
+          textDir, nearDupMinBands = 1)
+        step()
+        // crash: lose a random subset of the faces' watermark advances,
+        // then the restart replays the same batch id
+        val wiped = dirs.filter(_ => rng.nextBoolean())
+        if (wiped.nonEmpty) {
+          wiped.foreach(d => rm(new java.io.File(s"$d/watermark")))
+          step()
+        }
+      }
+      // invariants, whatever the interleaving
+      val expected = (0L until 100L).map(row).toDF("url", "doc_id", "text")
+        .filter(coalesce(graft.functions.TextFunctions.qualityFilter("text")
+          .getField("keep"), lit(false)))
+      assert(rowSet(CorpusStore.read(spark, storeDir)) === rowSet(expected),
+        s"seed $seed: store must equal the batch fold (990 = dup, dropped)")
+      val installed = CorpusStore.read(spark, storeDir)
+      val textRb = mkDir("graft-cr-text-rb")
+      TextIndex.writeIndex(installed, "doc_id", "text", textRb, buckets = 16)
+      val terms = Seq("the", "some", tok(42, 3))
+      assert(rowSet(TextIndex.bm25SearchIndex(spark, textDir, terms, k = 10))
+        === rowSet(TextIndex.bm25SearchIndex(spark, textRb, terms, k = 10)),
+        s"seed $seed: text index must equal the rebuild")
+      val bandRb = mkDir("graft-cr-band-rb")
+      BandIndex.writeIndex(installed, "doc_id", "text", bandRb)
+      val probeBatch = Seq((9001L, uprose(42)), (9002L, uprose(7777)))
+        .toDF("doc_id", "text")
+      assert(rowSet(BandIndex.probe(spark, bandDir, probeBatch, "doc_id", "text"))
+        === rowSet(BandIndex.probe(spark, bandRb, probeBatch, "doc_id", "text")),
+        s"seed $seed: band index must probe like the rebuild")
+      // exactly-once emissions: the union of batch emissions holds each
+      // novel URL once, attributed to its first batch
+      val emitted = spark.read.parquet(novelDir).select("url")
+        .collect().map(_.getString(0)).toSeq
+      assert(emitted.sorted === ((20L until 100L).map(url) :+ url(990)).sorted,
+        s"seed $seed: emissions must be exactly-once per novel URL")
+    }
+  }
 }
