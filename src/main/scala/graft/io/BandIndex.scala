@@ -81,9 +81,29 @@ object BandIndex {
     // repartition on the bucket key first — the TextIndex lesson: without
     // it every shuffle partition writes a sliver into every bucket
     // directory (partitions × buckets small files and a file-commit storm)
-    bandRows(reference, idCol, textCol, n, numHashes, bands, buckets, "ref_id")
-      .repartition(col("band_bucket"))
+    val rows =
+      bandRows(reference, idCol, textCol, n, numHashes, bands, buckets, "ref_id")
+    rows.repartition(col("band_bucket"))
       .write.mode("overwrite").partitionBy("band_bucket").parquet(s"$dir/bands")
+    // 0-row schema sidecar (the CorpusStore/TextIndex discipline): a
+    // DAY-ZERO index — the steady-state loop's bootstrap shape, built
+    // before any reference doc exists — has no parquet footer to infer
+    // from and the id column's type is the caller's; the sidecar keeps
+    // [[probe]] well-typed so an empty index serves an empty candidate
+    // set instead of throwing
+    rows.limit(0).write.mode("overwrite").parquet(s"$dir/schema")
+  }
+
+  /** The bands tree read through the schema sidecar when one exists
+    * (pre-r18 indexes lack it — inference works there, they were
+    * necessarily built non-empty). */
+  private def bandsFrame(spark: SparkSession, dir: String): DataFrame = {
+    val schemaPath = new org.apache.hadoop.fs.Path(s"$dir/schema")
+    val fs = schemaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(schemaPath))
+      spark.read.schema(spark.read.parquet(s"$dir/schema").schema)
+        .parquet(s"$dir/bands")
+    else spark.read.parquet(s"$dir/bands")
   }
 
   private def storedMeta(spark: SparkSession, dir: String): (Int, Int, Int, Int) = {
@@ -198,7 +218,7 @@ object BandIndex {
     // same partitioning: one sliver shuffle total, what the join alone
     // would cost (when AQE instead broadcasts the sliver, the exchange
     // is the broadcast's input — still one, still sliver-sized)
-    val ref = spark.read.parquet(s"$dir/bands")
+    val ref = bandsFrame(spark, dir)
       .filter(col("band_bucket").isin(probed.toIndexedSeq: _*))
       .select(col("ref_id"), col("band"), col("band_hash"))
       .repartition(col("band"), col("band_hash"))

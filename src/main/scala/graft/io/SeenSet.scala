@@ -137,6 +137,21 @@ object SeenSet {
     } finally graft.operators.Dedup.release(u)
   }
 
+  /** The urls tree, empty-safe: a DAY-ZERO set (written from zero URLs
+    * — the steady-state loop's bootstrap shape) or a fully-drained one
+    * has no bucket directory and no parquet footer to infer from; the
+    * schema is fixed by contract (url string + the bucket key), so the
+    * guard is a typed empty frame, not a sidecar. */
+  private def urlsFrame(spark: SparkSession, dir: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(s"$dir/urls")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasBuckets = fs.exists(root) && fs.listStatus(root)
+      .exists(_.getPath.getName.startsWith("url_bucket="))
+    if (hasBuckets) spark.read.parquet(s"$dir/urls")
+    else spark.range(0)
+      .select(lit("").cast("string").as("url"), lit(0L).as("url_bucket"))
+  }
+
   private def storedMeta(spark: SparkSession, dir: String): (Int, Long, Double) = {
     val r = spark.read.parquet(s"$dir/meta")
       .select(col("buckets").cast("int"), col("expected_urls").cast("long"),
@@ -160,7 +175,7 @@ object SeenSet {
     else {
       val (_, expected, fpp) = storedMeta(spark, dir)
       val bytes = bloomBytes(bloomOf(
-        spark.read.parquet(s"$dir/urls").select(col("url")), "url",
+        urlsFrame(spark, dir).select(col("url")), "url",
         expected, fpp))
       writeBloom(spark, dir, bytes)
       bytes
@@ -317,7 +332,7 @@ object SeenSet {
       .localCheckpoint()
     val probed = bb.filter(col("__graft_claimed"))
       .select(col("__graft_bucket")).distinct().collect().map(_.getLong(0))
-    val seen = spark.read.parquet(s"$dir/urls")
+    val seen = urlsFrame(spark, dir)
       .filter(col("url_bucket").isin(probed.toIndexedSeq: _*))
       .select(col("url").as("__graft_seen_url"))
     val novel = bb.filter(!col("__graft_claimed")).select(outCols: _*)

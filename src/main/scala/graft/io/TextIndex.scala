@@ -58,7 +58,7 @@ object TextIndex {
       .getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(s"$dir/stats"), true)
     toks.agg(count(lit(1)).as("n_docs"),
-        sum(size(col("toks"))).cast("long").as("sum_dl"))
+        coalesce(sum(size(col("toks"))), lit(0L)).cast("long").as("sum_dl"))
       .withColumn("buckets", lit(buckets))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/stats/batch=base")
@@ -79,6 +79,25 @@ object TextIndex {
       .repartition(col("term_bucket"))
       .write.mode("overwrite")
       .partitionBy("term_bucket", "ingest_batch").parquet(s"$dir/postings")
+    // 0-row schema sidecar (the CorpusStore discipline): a DAY-ZERO
+    // index (built from an empty corpus — the bootstrap shape of the
+    // steady-state loop) has no parquet footer to infer from, and the
+    // id column's type is the caller's; the sidecar keeps every read
+    // well-typed so an empty index SERVES (empty) instead of throwing
+    postings(toks, buckets).withColumn("ingest_batch", lit("base"))
+      .limit(0).write.mode("overwrite").parquet(s"$dir/schema")
+  }
+
+  /** The postings tree read through the schema sidecar when one exists
+    * (indexes written before r18 lack it — inference still works there,
+    * since they were necessarily built from a non-empty corpus). */
+  private def postingsFrame(spark: SparkSession, dir: String): DataFrame = {
+    val schemaPath = new org.apache.hadoop.fs.Path(s"$dir/schema")
+    val fs = schemaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(schemaPath))
+      spark.read.schema(spark.read.parquet(s"$dir/schema").schema)
+        .parquet(s"$dir/postings")
+    else spark.read.parquet(s"$dir/postings")
   }
 
   /** Positional postings: (term, doc_id, tf, dl, positions) — positions
@@ -111,7 +130,8 @@ object TextIndex {
     val r = spark.read.parquet(s"$dir/stats")
       .agg(sum(col("n_docs").cast("long")), sum(col("sum_dl").cast("long")))
       .head()
-    (r.getLong(0), r.getLong(1))
+    (if (r.isNullAt(0)) 0L else r.getLong(0),
+      if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 
   /** Complete a committed ledger swap, ignore an uncommitted one (see
@@ -197,7 +217,7 @@ object TextIndex {
         .partitionBy("term_bucket", "ingest_batch").parquet(s"$dir/postings")
       // a fresh ledger row per append: totals aggregate at read time
       toks.agg(count(lit(1)).as("n_docs"),
-          sum(size(col("toks"))).cast("long").as("sum_dl"))
+          coalesce(sum(size(col("toks"))), lit(0L)).cast("long").as("sum_dl"))
         .withColumn("buckets", lit(nBuckets))
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$dir/stats/batch=$tag")
@@ -241,7 +261,7 @@ object TextIndex {
           .partitionBy("term_bucket", "ingest_batch")
           .parquet(s"$dir/postings")
         toks.agg(count(lit(1)).as("n_docs"),
-            sum(size(col("toks"))).cast("long").as("sum_dl"))
+            coalesce(sum(size(col("toks"))), lit(0L)).cast("long").as("sum_dl"))
           .withColumn("buckets", lit(nBuckets))
           .coalesce(1)
           .write.mode("overwrite").parquet(s"$dir/stats/batch=b$batchId")
@@ -334,14 +354,21 @@ object TextIndex {
         org.apache.spark.unsafe.types.UTF8String.fromString(t)), nBuckets.toLong)
     }.distinct
     val (nDocs, sumDl) = statsTotals(spark, dir)
+    // avgdl computed driver-side: the in-plan literal division constant-
+    // folds at analysis, and a DAY-ZERO index (n_docs = 0) would throw
+    // ANSI DIVIDE_BY_ZERO before the (empty) scan even runs. The IEEE
+    // double division is identical either way; null on an empty index
+    // (nothing scores anyway — the postings sliver is empty).
+    val avgdl: Option[Double] =
+      if (nDocs == 0L) None else Some(sumDl.toDouble / nDocs.toDouble)
     val stats = broadcast(spark.range(1).select(
       lit(nDocs).as("n_docs"), lit(sumDl).as("sum_dl"),
-      (lit(sumDl).cast("double") / lit(nDocs).cast("double")).as("avgdl")))
+      lit(avgdl.orNull).cast("double").as("avgdl")))
     // dropDuplicates on the posting key: a no-op on a healthy index
     // ((term, doc_id) is unique; duplicate rows are identical), it
     // collapses the residue a torn [[compact]] can leave (old tags +
     // a partial consolidated tag) — runs on the pruned sliver only
-    val tf = spark.read.parquet(s"$dir/postings")
+    val tf = postingsFrame(spark, dir)
       .filter(col("term_bucket").isin(probed: _*))
       .filter(col("term").isin(terms: _*))
       .dropDuplicates("term", "doc_id")
@@ -390,7 +417,7 @@ object TextIndex {
       math.floorMod(graft.functions.Winnow60.hash60(
         org.apache.spark.unsafe.types.UTF8String.fromString(t)), nBuckets.toLong)
     }.distinct
-    val posts = spark.read.parquet(s"$dir/postings")
+    val posts = postingsFrame(spark, dir)
       .filter(col("term_bucket").isin(probed: _*))
       .filter(col("term").isin(terms: _*))
       .dropDuplicates("term", "doc_id") // torn-compact residue (see bm25)

@@ -84,4 +84,21 @@ class BandIndexSpec extends SparkSpec {
       n = 2, numHashes = 32, bands = 8)
     assert(rowSet(fromIndex) === rowSet(inFlight))
   }
+
+  test("day-zero index: built from an empty reference, probes empty, grows") {
+    // the steady-state loop's bootstrap: the near-dup index exists
+    // before any reference doc. Probe must serve an EMPTY candidate set
+    // (schema sidecar, not an inference error); append is the first
+    // content and the grown index equals a from-scratch build.
+    val dir = java.nio.file.Files.createTempDirectory("graft-band-zero").toString
+    BandIndex.writeIndex(reference.limit(0), "doc_id", "text", dir)
+    assert(BandIndex.probe(spark, dir, batch, "doc_id", "text").isEmpty,
+      "an empty index must probe empty, not throw")
+    BandIndex.appendToIndex(reference, "doc_id", "text", dir)
+    val dirRef = java.nio.file.Files.createTempDirectory("graft-band-zero-f").toString
+    BandIndex.writeIndex(reference, "doc_id", "text", dirRef)
+    assert(rowSet(BandIndex.probe(spark, dir, batch, "doc_id", "text"))
+      === rowSet(BandIndex.probe(spark, dirRef, batch, "doc_id", "text")),
+      "empty-then-append must equal the from-scratch build")
+  }
 }

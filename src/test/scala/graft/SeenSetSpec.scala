@@ -176,4 +176,19 @@ class SeenSetSpec extends SparkSpec {
     assert(SeenSet.dedupBatch(batch, "url", dir, novelDir, 1L),
       "an empty marker must read as -1, not NPE")
   }
+
+  test("day-zero set: written from zero URLs, everything is novel once") {
+    // the crawl fleet's bootstrap: nothing seen yet. The empty set must
+    // probe (all novel — no inference error on the empty urls tree),
+    // take the feedback append, and then behave like any standing set.
+    val dir = Files.createTempDirectory("graft-seen-zero").toFile.getAbsolutePath
+    SeenSet.writeSet(seenUrls.limit(0), "url", dir)
+    assert(rowSet(SeenSet.probeNovel(spark, dir, batch, "url"))
+      === rowSet(batch), "against an empty set the whole batch is novel")
+    SeenSet.appendToSet(batch, "url", dir)
+    assert(SeenSet.probeNovel(spark, dir, batch, "url").isEmpty,
+      "after the feedback append the batch is fully seen")
+    assert(rowSet(SeenSet.probeNovel(spark, dir, seenUrls, "url"))
+      === rowSet(exactNovel(batch, seenUrls)))
+  }
 }

@@ -1373,6 +1373,61 @@ class StreamingSpec extends SparkSpec {
         "not a recomputed one")
   }
 
+  test("steady-state loop bootstraps from day-zero artifacts (#18d)") {
+    // the fleet's first hour: every standing artifact exists but is
+    // EMPTY (nothing seen, nothing installed, nothing indexed). The
+    // loop must run — probes serve empty instead of throwing on
+    // footer-less trees — and after two batches the state equals the
+    // batch fold, including the near-dup gate kicking in against
+    // content installed one batch earlier.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.io.{BandIndex, CorpusStore, SeenSet, TextIndex}
+    def tok(i: Long, k: Int): String = {
+      val n = i * 131 + k
+      (0 until 5).map(j => ('a' + ((n >> (j * 4)) & 15)).toChar).mkString
+    }
+    def uprose(i: Long) = "the " + (0 until 10).map(tok(i, _)).mkString(" ") +
+      " and some " + (10 until 18).map(tok(i, _)).mkString(" ") + " from here"
+    def url(i: Long) = s"http://dz${i % 5}.example/d/$i"
+    def row(i: Long) = (url(i), i, uprose(i))
+    def mkDir(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val seenDir = mkDir("graft-dz-seen"); val novelDir = mkDir("graft-dz-novel")
+    val storeDir = mkDir("graft-dz-store"); val bandDir = mkDir("graft-dz-band")
+    val textDir = mkDir("graft-dz-text")
+    val empty = Seq.empty[(String, Long, String)].toDF("url", "doc_id", "text")
+    SeenSet.writeSet(empty.select("url"), "url", seenDir)
+    CorpusStore.write(empty, "doc_id", storeDir, buckets = 4)
+    BandIndex.writeIndex(empty, "doc_id", "text", bandDir)
+    TextIndex.writeIndex(empty, "doc_id", "text", textDir, buckets = 8)
+    // batch 0: first content ever (plus one gate-failing doc); batch 1:
+    // overlaps batch 0, adds fresh docs and a COPY of a batch-0 doc —
+    // the near-dup gate must already work against one-batch-old content
+    val b0 = ((0L until 15L).map(row) :+ ((url(99), 99L, "zz qq")))
+      .toDF("url", "doc_id", "text")
+    val b1 = ((10L until 25L).map(row) :+ ((url(98), 98L, uprose(3))))
+      .toDF("url", "doc_id", "text")
+    Streaming.steadyStateStep(b0, 0L, "url", "doc_id", "text",
+      seenDir, novelDir, storeDir, bandDir, textDir, nearDupMinBands = 1)
+    Streaming.steadyStateStep(b1, 1L, "url", "doc_id", "text",
+      seenDir, novelDir, storeDir, bandDir, textDir, nearDupMinBands = 1)
+    val ids = CorpusStore.read(spark, storeDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids === (0L until 25L).toSet,
+      "fold from zero: installs minus the gate failure and the dup copy")
+    val installed = CorpusStore.read(spark, storeDir)
+    val textRb = mkDir("graft-dz-text-rb")
+    TextIndex.writeIndex(installed, "doc_id", "text", textRb, buckets = 8)
+    val terms = Seq("the", "some", tok(12, 3))
+    assert(rowSet(TextIndex.bm25SearchIndex(spark, textDir, terms, k = 10))
+      === rowSet(TextIndex.bm25SearchIndex(spark, textRb, terms, k = 10)))
+    val bandRb = mkDir("graft-dz-band-rb")
+    BandIndex.writeIndex(installed, "doc_id", "text", bandRb)
+    val probeBatch = Seq((9001L, uprose(12))).toDF("doc_id", "text")
+    assert(rowSet(BandIndex.probe(spark, bandDir, probeBatch, "doc_id", "text"))
+      === rowSet(BandIndex.probe(spark, bandRb, probeBatch, "doc_id", "text")))
+  }
+
   test("steady-state loop under seeded random crash injection (#18c)") {
     // fault-injection sweep over the composed loop: after every batch, a
     // seeded RNG wipes a random subset of the four faces' watermarks —

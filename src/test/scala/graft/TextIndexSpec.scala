@@ -202,4 +202,24 @@ class TextIndexSpec extends SparkSpec {
     assert(new java.io.File(s"$dir/stats.swap").exists(),
       "readers leave the uncommitted swap for the maintainer")
   }
+
+  test("day-zero index: built empty, serves empty, grows by append") {
+    // the steady-state loop's bootstrap shape: the index exists before
+    // any document does. Every face must work — search serves EMPTY
+    // (schema sidecar, not an inference error), append is the first
+    // content, and the grown index equals a from-scratch build.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ti-zero").toString
+    TextIndex.writeIndex(docs.limit(0), "doc_id", "text", dir, buckets = 8)
+    assert(TextIndex.bm25SearchIndex(spark, dir,
+      Seq("hash"), k = 5, buckets = 8).isEmpty,
+      "an empty index must serve empty, not throw")
+    assert(TextIndex.phraseSearchIndex(spark, dir,
+      Seq("hash", "join"), buckets = 8).isEmpty)
+    val half = docs.filter(org.apache.spark.sql.functions.col("doc_id") < 150)
+    TextIndex.appendToIndex(half, "doc_id", "text", dir)
+    val dirRef = java.nio.file.Files.createTempDirectory("graft-ti-zero-f").toString
+    TextIndex.writeIndex(half, "doc_id", "text", dirRef, buckets = 8)
+    assert(search(dir, 8) === search(dirRef, 8),
+      "empty-then-append must equal the from-scratch build")
+  }
 }
