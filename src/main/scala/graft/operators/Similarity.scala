@@ -852,6 +852,16 @@ object Similarity {
     graft.plans.GraftExtensions.register(corpus.sparkSession)
     val sample = collectTrainSample(corpus, idCol, vecCol, TrainSampleCap)
       .flatMap { case (vid, v) => unitizeLocal(v).map((vid, _)) }
+    // a LOUD day-zero failure, named here instead of an obscure
+    // empty-seed crash downstream: unlike the text/band/seen families
+    // (whose empty layouts serve empty — the bootstrap contract), an
+    // IVF+PQ index cannot train without vectors. Bootstrap the vector
+    // index on the first non-empty batch and stream appends after.
+    require(sample.nonEmpty,
+      "IVF+PQ training needs a non-empty corpus (at least one non-zero " +
+        "vector): the coarse/code seeds are drawn from it. Build the " +
+        "index on the first non-empty batch; day-zero serving is the " +
+        "text/band/seen families' contract, not the vector index's.")
     val books = pqTrainBooksOnSample(sample, m, codes, iters, d)
     val coarse = sample.take(nCentroids).map(_._2)
     val coarseLit = typedLit(coarse.map(_.toSeq).toSeq)

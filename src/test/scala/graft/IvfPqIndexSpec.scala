@@ -269,6 +269,16 @@ class IvfPqIndexSpec extends SparkSpec {
         "vec_id", "embedding", k = 3, nProbe = 4)))
   }
 
+  test("an empty training corpus fails loudly at build, not obscurely later") {
+    val dir = Files.createTempDirectory("graft-ivfpq-zero").toFile.getAbsolutePath
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfPqIndexWrite(emb.limit(0), "vec_id", "embedding", dir,
+        dims = 64, nCentroids = 16, m = 4, codes = 16, iters = 2)
+    }
+    assert(e.getMessage.contains("non-empty corpus"),
+      s"wrong failure: ${e.getMessage}")
+  }
+
   test("serving resolves parameters from the layout, not the caller") {
     // a non-default geometry: the meta sidecar must carry it to the probe
     val dir = Files.createTempDirectory("graft-ivfpq-m8").toFile.getAbsolutePath
