@@ -94,17 +94,9 @@ object BandIndex {
     rows.limit(0).write.mode("overwrite").parquet(s"$dir/schema")
   }
 
-  /** The bands tree read through the schema sidecar when one exists
-    * (pre-r18 indexes lack it — inference works there, they were
-    * necessarily built non-empty). */
-  private def bandsFrame(spark: SparkSession, dir: String): DataFrame = {
-    val schemaPath = new org.apache.hadoop.fs.Path(s"$dir/schema")
-    val fs = schemaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(schemaPath))
-      spark.read.schema(spark.read.parquet(s"$dir/schema").schema)
-        .parquet(s"$dir/bands")
-    else spark.read.parquet(s"$dir/bands")
-  }
+  /** The bands tree, day-zero-safe ([[Layout.sidecarRead]]). */
+  private def bandsFrame(spark: SparkSession, dir: String): DataFrame =
+    Layout.sidecarRead(spark, s"$dir/bands", s"$dir/schema")
 
   private def storedMeta(spark: SparkSession, dir: String): (Int, Int, Int, Int) = {
     val r = spark.read.parquet(s"$dir/meta")

@@ -52,4 +52,25 @@ object Layout {
     df.write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
       .saveAsTable(table)
+
+  /** Read a partitioned data tree through a 0-row schema sidecar when
+    * one exists — the ONE copy of the day-zero read guard (r18 review:
+    * it was hand-rolled in [[TextIndex]] and [[BandIndex]]; the
+    * [[CorpusStore]] original keeps its own because it also rewrites
+    * the bucket column's type). A DAY-ZERO tree (built from an empty
+    * frame) has no parquet footer to infer a schema from, so inference
+    * throws; the sidecar — written by the build face as `limit(0)` of
+    * the exact tree shape — keeps the read well-typed and an empty
+    * tree serves an empty frame. Trees written before the sidecar
+    * existed fall back to inference, which works there: they were
+    * necessarily built non-empty. */
+  private[graft] def sidecarRead(
+      spark: org.apache.spark.sql.SparkSession,
+      dataDir: String, schemaDir: String): DataFrame = {
+    val schemaPath = new org.apache.hadoop.fs.Path(schemaDir)
+    val fs = schemaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(schemaPath))
+      spark.read.schema(spark.read.parquet(schemaDir).schema).parquet(dataDir)
+    else spark.read.parquet(dataDir)
+  }
 }

@@ -57,6 +57,13 @@ object TextIndex {
     new org.apache.hadoop.fs.Path(s"$dir/stats")
       .getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(s"$dir/stats"), true)
+    // ... and a stale stats swap is invalidated wholesale (the
+    // full-rebuild rule, r18 review finding): a committed swap left by
+    // a crashed consolidation of the PREVIOUS index would otherwise be
+    // resurrected OVER this fresh ledger by the first read's
+    // statsSwapRecover — old corpus totals (and possibly an old bucket
+    // count) silently corrupting every subsequent search and append
+    Commit.clearSwap(docs.sparkSession, s"$dir/stats")
     toks.agg(count(lit(1)).as("n_docs"),
         coalesce(sum(size(col("toks"))), lit(0L)).cast("long").as("sum_dl"))
       .withColumn("buckets", lit(buckets))
@@ -88,17 +95,9 @@ object TextIndex {
       .limit(0).write.mode("overwrite").parquet(s"$dir/schema")
   }
 
-  /** The postings tree read through the schema sidecar when one exists
-    * (indexes written before r18 lack it — inference still works there,
-    * since they were necessarily built from a non-empty corpus). */
-  private def postingsFrame(spark: SparkSession, dir: String): DataFrame = {
-    val schemaPath = new org.apache.hadoop.fs.Path(s"$dir/schema")
-    val fs = schemaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(schemaPath))
-      spark.read.schema(spark.read.parquet(s"$dir/schema").schema)
-        .parquet(s"$dir/postings")
-    else spark.read.parquet(s"$dir/postings")
-  }
+  /** The postings tree, day-zero-safe ([[Layout.sidecarRead]]). */
+  private def postingsFrame(spark: SparkSession, dir: String): DataFrame =
+    Layout.sidecarRead(spark, s"$dir/postings", s"$dir/schema")
 
   /** Positional postings: (term, doc_id, tf, dl, positions) — positions
     * are the term's sorted 1-based token offsets, what phrase queries

@@ -853,15 +853,16 @@ object Similarity {
     val sample = collectTrainSample(corpus, idCol, vecCol, TrainSampleCap)
       .flatMap { case (vid, v) => unitizeLocal(v).map((vid, _)) }
     // a LOUD day-zero failure, named here instead of an obscure
-    // empty-seed crash downstream: unlike the text/band/seen families
-    // (whose empty layouts serve empty — the bootstrap contract), an
-    // IVF+PQ index cannot train without vectors. Bootstrap the vector
-    // index on the first non-empty batch and stream appends after.
+    // empty-seed crash downstream. This guard sits in the SHARED train
+    // path, so it covers the in-flight ivfPqTopK face too — both faces
+    // draw their coarse/code seeds from the corpus and neither can
+    // train without vectors; the message stays face-neutral (the
+    // persisted-index bootstrap remedy lives in ivfPqIndexWrite's docs:
+    // build on the first non-empty batch, stream appends after —
+    // day-zero serving is the text/band/seen families' contract).
     require(sample.nonEmpty,
-      "IVF+PQ training needs a non-empty corpus (at least one non-zero " +
-        "vector): the coarse/code seeds are drawn from it. Build the " +
-        "index on the first non-empty batch; day-zero serving is the " +
-        "text/band/seen families' contract, not the vector index's.")
+      "IVF+PQ training needs a non-empty corpus with at least one " +
+        "non-zero vector: the coarse and code seeds are drawn from it.")
     val books = pqTrainBooksOnSample(sample, m, codes, iters, d)
     val coarse = sample.take(nCentroids).map(_._2)
     val coarseLit = typedLit(coarse.map(_.toSeq).toSeq)
@@ -1192,8 +1193,12 @@ object Similarity {
     * commit sentinel flips it authoritative ([[graft.io.Commit]]), and
     * the swap is delete-then-rename — with [[ivfPqSwapRecover]] run by
     * every entry point, so readers never see a half-swapped index:
-    *  - crash building the swap tree (no sentinel) → next entry drops
-    *    it, the OLD index serves untouched;
+    *  - crash building the swap tree (no sentinel) → readers IGNORE it
+    *    (never delete — an in-flight builder may still be writing) and
+    *    the OLD index serves untouched; the stale tree stays on disk
+    *    until the NEXT rebuild's entry clears it, so at scale schedule
+    *    rebuilds (or a manual [[graft.io.Commit.clearSwap]]) rather
+    *    than counting on serving traffic for cleanup;
     *  - crash after the sentinel, before/inside the swap → next entry
     *    COMPLETES the swap and the NEW index serves whole.
     * Cross-process caveat as everywhere in the io family: a reader in
@@ -1220,17 +1225,36 @@ object Similarity {
     graft.io.Commit.clearSwap(spark, dir)
     ivfPqIndexWrite(corpus, idCol, vecCol, s"$dir.swap", dims, nCentroids,
       m, codes, iters)
-    graft.io.Commit.commitSwap(spark, dir)
+    // BOTH locks, root-then-subtree (see [[ivfPqSwapRecover]]): the
+    // whole-tree delete inside commitSwap must not interleave with a
+    // concurrent serve thread's committed-journal re-apply on
+    // `$dir/codes` — an overwrite running mid-delete would recreate the
+    // codes subtree, the rename would find the target present and fail,
+    // and the index would be left a zombie (r18 review finding)
+    graft.io.Commit.withTreeLock(dir) {
+      graft.io.Commit.withTreeLock(s"$dir/codes") {
+        graft.io.Commit.commitSwap(spark, dir)
+      }
+    }
   }
 
   /** Complete a committed [[ivfPqIndexRebuild]] swap, ignore an
     * uncommitted one (an in-flight builder may still be writing it;
     * only the rebuild clears stale builds) — the shared LOCKED
-    * [[graft.io.Commit.swapRecover]] protocol on the whole index
-    * tree. Cheap no-op when healthy. */
+    * [[graft.io.Commit.swapRecover]] protocol on the whole index tree.
+    * This is the engine's one NESTED-tree swap (the codes SUBTREE has
+    * its own journal lock), so the swap takes both locks in a fixed
+    * root-then-subtree order — journal recovery takes only the subtree
+    * lock, so no cycle — keeping a whole-tree delete-then-rename from
+    * interleaving with a committed-journal re-apply on codes/. Cheap
+    * no-op when healthy. */
   private def ivfPqSwapRecover(
       spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
-    graft.io.Commit.swapRecover(spark, dir)
+    graft.io.Commit.withTreeLock(dir) {
+      graft.io.Commit.withTreeLock(s"$dir/codes") {
+        graft.io.Commit.swapRecover(spark, dir)
+      }
+    }
 
   /** IVF + PQ with RESIDUAL encoding — the Jégou et al. §IV refinement
     * (IVFADC proper) that [[ivfPqTopK]] deliberately skips: the PQ

@@ -748,9 +748,14 @@ object Streaming {
     * ITSELF (the most recent data — exactly where a frozen quantizer
     * drifts first) serves as both the candidate sliver and the query
     * sample for [[graft.operators.Similarity.ivfPqIndexDriftGauge]],
-    * and the per-query recall rows land in `gaugeDir/batch_id=<n>` (a
-    * batch-scoped overwrite — replay-idempotent like every emission in
-    * this file). The stream never rebuilds — a rebuild is corpus-sized
+    * and the per-query recall rows land in `gaugeDir/batch_id=<n>` —
+    * sentinel-gated: an APPLIED batch overwrites its entry
+    * unconditionally (so a stale ledger from a previous stream, whose
+    * batch ids restarted at 0 after a rebuild, can never serve as the
+    * new index's evidence), while a replayed batch reuses a committed
+    * entry and recomputes an uncommitted one (no permanent gap from a
+    * crash between the watermark advance and the ledger write). The
+    * stream never rebuilds — a rebuild is corpus-sized
     * and retrains, so it belongs to a maintenance window; the ledger
     * is the trigger an operator (or a scheduled job) thresholds to
     * call [[graft.operators.Similarity.ivfPqIndexRebuild]].
@@ -781,23 +786,25 @@ object Streaming {
         val spark = batch.sparkSession
         val b = batch.toDF().localCheckpoint() // one source scan: append + gauge
         try {
-          graft.io.MaintenanceFace.step(batchId, compactEvery)(
+          val applied = graft.io.MaintenanceFace.step(batchId, compactEvery)(
             graft.operators.Similarity.ivfPqIndexAppendBatch(b, idCol,
               vecCol, indexDir, batchId))(
             graft.operators.Similarity.ivfPqIndexCompact(spark,
-              indexDir): Unit): Unit
-          // the ledger write is gated on its OWN commit sentinel, not on
-          // `applied` (r18 review finding): a crash between the append's
-          // watermark advance and the gauge write replays the batch with
-          // applied=false, and an applied-gated gauge would then skip its
-          // cadence point FOREVER — a ledger gap exactly at a crash, the
-          // moment drift evidence matters most. The emission protocol is
-          // SeenSet's: recompute-and-overwrite until committed (the
-          // replayed source batch is identical, so the rewrite is too),
-          // then reuse.
+              indexDir): Unit)
+          // ledger rule (two r18 review findings, one on each side):
+          //  - a batch THIS invocation applied is live new work under
+          //    the current stream/index — recompute and OVERWRITE
+          //    unconditionally, so a stale committed entry left by a
+          //    PREVIOUS stream (batch ids restart at 0 after a rebuild)
+          //    can never masquerade as this index's drift evidence;
+          //  - a replayed batch (applied=false) reuses a committed
+          //    entry, and recomputes an uncommitted one — the crash
+          //    between the watermark advance and the ledger write no
+          //    longer leaves a permanent gap (the replayed source batch
+          //    is identical, so the rewrite is too).
           if (gaugeEvery > 0 && (batchId + 1) % gaugeEvery == 0) {
             val ledgerDir = s"$gaugeDir/batch_id=$batchId"
-            if (!graft.io.Commit.isCommitted(spark, ledgerDir)) {
+            if (applied || !graft.io.Commit.isCommitted(spark, ledgerDir)) {
               graft.operators.Similarity.ivfPqIndexDriftGauge(spark,
                   indexDir, b, b, idCol, vecCol, gaugeK, gaugeNProbe)
                 .write.mode("overwrite").parquet(ledgerDir)

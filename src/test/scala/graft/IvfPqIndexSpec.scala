@@ -277,6 +277,14 @@ class IvfPqIndexSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("non-empty corpus"),
       s"wrong failure: ${e.getMessage}")
+    // the guard sits in the shared train path: the in-flight face gets
+    // the same loud failure instead of an obscure empty-seed crash
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopK(emb.limit(0), emb.filter(col("vec_id") < 3),
+        "vec_id", "embedding", k = 3, dims = 64, nCentroids = 16,
+        nProbe = 4, m = 4, codes = 16, iters = 2).count()
+    }
+    assert(e2.getMessage.contains("non-empty corpus"))
   }
 
   test("serving resolves parameters from the layout, not the caller") {

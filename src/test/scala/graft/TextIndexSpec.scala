@@ -203,6 +203,31 @@ class TextIndexSpec extends SparkSpec {
       "readers leave the uncommitted swap for the maintainer")
   }
 
+  test("a full rebuild invalidates a stale committed ledger swap") {
+    // the r18 review's resurrection window: a consolidation crash on the
+    // OLD index leaves a COMMITTED stats.swap; a from-scratch writeIndex
+    // must invalidate it, or the first read's swapRecover would install
+    // the old corpus's totals (and possibly bucket count) OVER the fresh
+    // ledger — silently corrupting every score
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ti-stale").toString
+    TextIndex.writeIndex(docs.filter(
+      org.apache.spark.sql.functions.col("doc_id") < 100),
+      "doc_id", "text", dir, buckets = 8)
+    // the crashed old consolidation: committed, WRONG totals + buckets
+    Seq((999999L, 999999L, 4)).toDF("n_docs", "sum_dl", "buckets")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/stats.swap/batch=base")
+    new java.io.File(s"$dir/stats.swap/_GRAFT_COMMIT").createNewFile()
+    TextIndex.writeIndex(docs, "doc_id", "text", dir, buckets = 8)
+    assert(!new java.io.File(s"$dir/stats.swap").exists(),
+      "the rebuild must drop the stale committed swap")
+    val dirRef = java.nio.file.Files.createTempDirectory("graft-ti-stale-f").toString
+    TextIndex.writeIndex(docs, "doc_id", "text", dirRef, buckets = 8)
+    assert(search(dir, 8) === search(dirRef, 8),
+      "the rebuilt index must serve its own totals, not the resurrection")
+  }
+
   test("day-zero index: built empty, serves empty, grows by append") {
     // the steady-state loop's bootstrap shape: the index exists before
     // any document does. Every face must work — search serves EMPTY
