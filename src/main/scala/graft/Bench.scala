@@ -285,10 +285,24 @@ object Bench {
     // (contended/quiet/sub) deliberately don't match the pattern. The sf
     // check reads the candidate's own "sf" field, so a wrong-sf pick is
     // structurally impossible; env-overridable for ad-hoc comparisons.
+    // the CURRENT round, inferred from the newest driver-written
+    // CORRECTNESS_r{N}.json (written at the END of round N, so during
+    // round N+1 the max is N): candidates are capped STRICTLY BELOW it
+    // (r18 advisory — the newest stamped artifact can be THIS round's
+    // own recording when the official artifact is re-recorded in a
+    // quiet window, and a same-round rerun must not gate against its
+    // own round's numbers). No correctness file → no cap (fresh repo).
+    val currentRound = Option(new java.io.File(".").listFiles)
+      .getOrElse(Array.empty[java.io.File])
+      .flatMap(f => "CORRECTNESS_r([0-9]+)\\.json".r
+        .findFirstMatchIn(f.getName).map(_.group(1).toInt))
+      .maxOption.map(_ + 1).getOrElse(Int.MaxValue)
     val prevPath = sys.env.get("SPARK_GRAFT_BENCH_PREV").getOrElse {
       val stamped = Option(new java.io.File("doc").listFiles)
         .getOrElse(Array.empty[java.io.File])
         .filter(_.getName.matches("BENCH_sf[0-9]+_r[0-9]+\\.json"))
+        .filter(f => "_r([0-9]+)\\.json".r.findFirstMatchIn(f.getName)
+          .exists(_.group(1).toInt < currentRound))
         .sortBy(f => -"_r([0-9]+)\\.json".r.findFirstMatchIn(f.getName)
           .map(_.group(1).toInt).getOrElse(0))
       // NO fallback to the out path (r18 review: that would reintroduce
@@ -316,7 +330,41 @@ object Bench {
     val timelineVals = canaryTimeline.values.toSeq.sorted
     val nsBattery =
       if (timelineVals.isEmpty) nsPerRow else timelineVals(timelineVals.size / 2)
-    val autoIsolated: Seq[(String, Double, Double, Double)] =
+    // the family's battery-window probe, stamped onto every flag so a
+    // window-local artifact self-identifies (r18 verdict #1: the a-family
+    // flags shipped without the 0.726 ns/row patch evidence that
+    // adjudicated them)
+    def famCanaryOf(name: String): Double =
+      canaryTimeline.getOrElse(familyOf(name),
+        canaryTimeline.getOrElse("cube", nsBattery))
+    // FAMILY-AWARE isolated retime (r18 verdict #1): an isolated a-entry
+    // re-pays the a00 cube-cache build it shares in battery order, so a
+    // bare retime reads WORSE than the battery number and a flag
+    // "confirms" a regression that never happened. Re-run the family's
+    // alphabetically-first entry UNTIMED first — the battery's own
+    // cache-absorber position — so the retime measures the flagged
+    // operator, not the family's shared materialization.
+    def retimeFlagged(name: String): Double =
+      SparkEntry.queries.get(name).map { fn =>
+        graft.testbed.DatacubeQueries.clearCaches(spark)
+        graft.testbed.DocQueries.clearCaches(spark)
+        System.gc()
+        val fam = familyOf(name)
+        SparkEntry.queries.keys.toSeq.sorted
+          .find(k => familyOf(k) == fam).filter(_ != name)
+          .foreach { w =>
+            try { SparkEntry.queries(w)(spark, sfDir).count(); () }
+            catch { case _: Throwable => () }
+          }
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); () }
+        catch { case _: Throwable => () }
+        val t = (System.nanoTime() - t0) / 1e9
+        graft.testbed.DatacubeQueries.clearCaches(spark)
+        graft.testbed.DocQueries.clearCaches(spark)
+        t
+      }.getOrElse(-1.0)
+    val autoIsolated: Seq[(String, Double, Double, Double, Double)] =
       if (only.nonEmpty || prevQ.isEmpty || prevSf != sfDir) Seq.empty
       else {
         val scaleP = if (prevNs > 0 && nsBattery > 0) nsBattery / prevNs else 1.0
@@ -339,9 +387,11 @@ object Bench {
         // re-timed — adjudicate with a fresh-session run").
         val byOvershoot = flagged.sortBy { case (_, cur, ps) => -(cur / ps) }
         val retimed = byOvershoot.take(12)
-          .map { case (name, cur, ps) => (name, cur, retimeOnce(name), ps) }
+          .map { case (name, cur, ps) =>
+            (name, cur, retimeFlagged(name), ps, famCanaryOf(name)) }
         val unretimed = byOvershoot.drop(12)
-          .map { case (name, cur, ps) => (name, cur, -1.0, ps) }
+          .map { case (name, cur, ps) =>
+            (name, cur, -1.0, ps, famCanaryOf(name)) }
         retimed ++ unretimed
       }
     def q(s: String): String =
@@ -385,8 +435,9 @@ object Bench {
       s"""{"first":$canaryFirst,"last":$canaryLast,"contended":$contended,"warmup_runs":$warmRuns,"ns_per_row":$nsPerRow,"ns_per_row_battery":$nsBattery,"timeline":$timelineJson,"io_first":$ioFirst,"io_last":$ioLast,"io_contended":$ioContended,"io_mb_per_sec":$ioMbPerSec}"""
     val isoJson = isolated.map { case (k, v) => q(k) + ":" + v }
       .mkString("{", ",", "}")
-    val autoIsoJson = autoIsolated.map { case (k, bat, iso, ps) =>
-      q(k) + ":" + s"""{"battery":$bat,"isolated":$iso,"prev_scaled":$ps}"""
+    val autoIsoJson = autoIsolated.map { case (k, bat, iso, ps, fc) =>
+      q(k) + ":" +
+        s"""{"battery":$bat,"isolated":$iso,"prev_scaled":$ps,"family_canary":$fc}"""
     }.mkString("{", ",", "}")
     // Cube-battery families (a/g/o/p/s...) run in one block with no
     // per-family barrier, so their totals are per-query sums rather than

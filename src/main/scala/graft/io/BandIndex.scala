@@ -75,6 +75,8 @@ object BandIndex {
     val spark = reference.sparkSession
     BucketRewrite.dropJournal(spark, s"$dir/bands")
     Watermark.clear(spark, dir)
+    // fresh build → fresh snapshot lineage (v1 committed below)
+    Manifest.reset(spark, dir)
     spark.createDataFrame(Seq((n, numHashes, bands, buckets)))
       .toDF("n", "num_hashes", "bands", "buckets")
       .write.mode("overwrite").parquet(s"$dir/meta")
@@ -92,11 +94,20 @@ object BandIndex {
     // [[probe]] well-typed so an empty index serves an empty candidate
     // set instead of throwing
     rows.limit(0).write.mode("overwrite").parquet(s"$dir/schema")
+    Manifest.initFromListing(spark, dir, Seq("bands")): Unit
   }
 
-  /** The bands tree, day-zero-safe ([[Layout.sidecarRead]]). */
+  /** The bands tree: manifest trees serve through the committed
+    * snapshot (maintenance commits never invalidate an executing
+    * read — see [[Manifest]]); legacy trees keep the day-zero-safe
+    * listing read ([[Layout.sidecarRead]]). */
   private def bandsFrame(spark: SparkSession, dir: String): DataFrame =
-    Layout.sidecarRead(spark, s"$dir/bands", s"$dir/schema")
+    Manifest.current(spark, dir) match {
+      case Some(snap) =>
+        Manifest.readSubtree(spark, dir, snap, "bands",
+          Layout.sidecarSchema(spark, s"$dir/schema"))
+      case None => Layout.sidecarRead(spark, s"$dir/bands", s"$dir/schema")
+    }
 
   private def storedMeta(spark: SparkSession, dir: String): (Int, Int, Int, Int) = {
     val r = spark.read.parquet(s"$dir/meta")
@@ -116,12 +127,27 @@ object BandIndex {
   ): Unit = {
     val spark = delta.sparkSession
     // recover BEFORE appending (the SeenSet.appendToSet reasoning)
-    BucketRewrite.recover(spark, s"$dir/bands", "band_bucket")
+    BucketRewrite.recover(spark, s"$dir/bands", "band_bucket",
+      manifestRoot = Some(dir))
     val (n, numHashes, bands, buckets) = storedMeta(spark, dir)
+    // before/after listing brackets the append so the manifest commit
+    // adds precisely this write's files (see SeenSet.appendToSet)
+    val before =
+      if (Manifest.exists(spark, dir))
+        Manifest.listFiles(spark, dir, "bands").toSet
+      else Set.empty[String]
     bandRows(delta, idCol, textCol, n, numHashes, bands, buckets, "ref_id")
       .repartition(col("band_bucket"))
       .write.mode("append").partitionBy("band_bucket").parquet(s"$dir/bands")
+    if (Manifest.exists(spark, dir))
+      Manifest.commitAdd(spark, dir,
+        Manifest.listFiles(spark, dir, "bands").filterNot(before), Nil): Unit
   }
+
+  /** Physically reclaim superseded bytes ([[Manifest.vacuum]]) on the
+    * serving fleet's retention cadence. */
+  def vacuum(spark: SparkSession, dir: String): Manifest.VacuumStats =
+    Manifest.vacuum(spark, dir, Seq("bands"))
 
   /** Replay-safe append for streaming maintenance (the
     * [[graft.streaming.Streaming.bandIndexMaintenance]] foreachBatch
@@ -152,7 +178,8 @@ object BandIndex {
     * to one file. */
   def compact(spark: SparkSession, dir: String): Compact.CompactStats =
     Compact.compactTree(spark, s"$dir/bands", "band_bucket",
-      dedupCols = Some(Seq("ref_id", "band", "band_hash")))
+      dedupCols = Some(Seq("ref_id", "band", "band_hash")),
+      manifestRoot = Some(dir))
 
   /** Candidate (batch, reference) near-dup pairs against the persisted
     * index: the batch's band stream is computed in-flight (with the
@@ -188,7 +215,8 @@ object BandIndex {
       spark: SparkSession, dir: String,
       batch: DataFrame, idCol: String, textCol: String
   ): (DataFrame, DataFrame) = {
-    BucketRewrite.recover(spark, s"$dir/bands", "band_bucket")
+    BucketRewrite.recover(spark, s"$dir/bands", "band_bucket",
+      manifestRoot = Some(dir))
     val (n, numHashes, bands, buckets) = storedMeta(spark, dir)
     // eager localCheckpoint: the band frame feeds TWO executions (the
     // bucket collect below and the served join) and the batch's

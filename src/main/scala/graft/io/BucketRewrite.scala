@@ -58,8 +58,12 @@ private[graft] object BucketRewrite {
     Commit.withTreeLock(treeDir)(body)
 
   /** Heal a torn rewrite if a committed journal exists; drop an
-    * uncommitted one. Cheap no-op (one exists check) when healthy. */
-  def recover(spark: SparkSession, treeDir: String, bucketCol: String): Unit =
+    * uncommitted one. Cheap no-op (one exists check) when healthy.
+    * `manifestRoot`: when the tree lives under a [[Manifest]], a heal
+    * is a destructive rewrite of the touched buckets and must refresh
+    * the snapshot (see [[journaledOverwrite]]). */
+  def recover(spark: SparkSession, treeDir: String, bucketCol: String,
+      manifestRoot: Option[String] = None): Unit =
     withTreeLock(treeDir) {
       val j = journalDir(treeDir)
       val fs = fsOf(spark, j)
@@ -81,6 +85,8 @@ private[graft] object BucketRewrite {
             .select(col("bucket").cast("long")).collect().map(_.getLong(0))
           applyOverwrite(spark, treeDir, bucketCol, touched.toIndexedSeq,
             spark.read.parquet(s"$j/data"))
+          refreshManifest(spark, treeDir, bucketCol,
+            touched.toIndexedSeq, manifestRoot)
         }
         fs.delete(jPath, true): Unit
       }
@@ -93,7 +99,8 @@ private[graft] object BucketRewrite {
     * (see [[treeLocks]]); the JVM monitor is reentrant, so a caller
     * already holding it via its own recover is fine. */
   def journaledOverwrite(spark: SparkSession, treeDir: String,
-      bucketCol: String, touched: Seq[Long], merged: DataFrame): Unit =
+      bucketCol: String, touched: Seq[Long], merged: DataFrame,
+      manifestRoot: Option[String] = None): Unit =
     withTreeLock(treeDir) {
       import spark.implicits._
       val j = journalDir(treeDir)
@@ -104,7 +111,35 @@ private[graft] object BucketRewrite {
       // in one create — both content dirs are fully written before it
       Commit.mark(spark, j)
       applyOverwrite(spark, treeDir, bucketCol, touched, merged)
+      refreshManifest(spark, treeDir, bucketCol, touched, manifestRoot)
       fsOf(spark, j).delete(new org.apache.hadoop.fs.Path(j), true): Unit
+    }
+
+  /** Post-overwrite [[Manifest]] delta for trees that carry one (the
+    * [[CorpusStore]] shape — the one family whose keyed maintenance is
+    * inherently a destructive in-place rewrite): the touched buckets'
+    * previous files are gone from disk, so they leave the live set, and
+    * the freshly-written files are adopted. The overwrite itself is the
+    * destructive step — a cross-process reader pinned on the previous
+    * snapshot is protected against COMPACTION and REBUILD by the
+    * manifest, but a keyed upsert/delete rewrites in place by design;
+    * the snapshot guarantees it a consistent file list between commits,
+    * not across one (the store's documented single-owner posture). */
+  private def refreshManifest(spark: SparkSession, treeDir: String,
+      bucketCol: String, touched: Seq[Long],
+      manifestRoot: Option[String]): Unit =
+    manifestRoot.filter(Manifest.exists(spark, _)).foreach { root =>
+      val subtree = treeDir.stripPrefix(root).stripPrefix("/")
+      val snap = Manifest.current(spark, root).get
+      val touchedDirs = touched.map(b => s"$subtree/$bucketCol=$b/").toSet
+      val dead = snap.under(subtree)
+        .filter(f => touchedDirs.exists(f.startsWith))
+      // precise add: only the touched directories are re-listed — the
+      // overwrite replaced their contents wholesale, so the fresh
+      // listing IS the new truth for exactly those directories
+      val added = touched
+        .flatMap(b => Manifest.listFiles(spark, root, s"$subtree/$bucketCol=$b"))
+      Manifest.commitAdd(spark, root, added, dead): Unit
     }
 
   private def applyOverwrite(spark: SparkSession, treeDir: String,

@@ -98,7 +98,17 @@ private[graft] object Commit {
       val fs = fsOf(spark, targetDir)
       if (fs.exists(swapPath) && isCommitted(spark, swap)) {
         fs.delete(new org.apache.hadoop.fs.Path(targetDir), true)
-        fs.rename(swapPath, new org.apache.hadoop.fs.Path(targetDir)): Unit
+        // rename failure surfaces as a named error, not a silent false
+        // (r18 advisory): Hadoop FileSystems often return false instead
+        // of throwing — e.g. the destination reappeared because a
+        // cross-process writer recreated it — and swallowing it leaves
+        // the target deleted with the swap still pending, a state that
+        // converges only on a later read and loops forever if the
+        // failure is persistent
+        if (!fs.rename(swapPath, new org.apache.hadoop.fs.Path(targetDir)))
+          sys.error(s"Commit.swapRecover: rename $swap -> $targetDir " +
+            "returned false (destination recreated by another writer, or " +
+            "a filesystem refusal); the committed swap is still pending")
       }
     }
 
@@ -122,7 +132,11 @@ private[graft] object Commit {
       mark(spark, swap)
       val fs = fsOf(spark, targetDir)
       fs.delete(new org.apache.hadoop.fs.Path(targetDir), true)
-      fs.rename(new org.apache.hadoop.fs.Path(swap),
-        new org.apache.hadoop.fs.Path(targetDir)): Unit
+      // same named-error contract as swapRecover (r18 advisory)
+      if (!fs.rename(new org.apache.hadoop.fs.Path(swap),
+          new org.apache.hadoop.fs.Path(targetDir)))
+        sys.error(s"Commit.commitSwap: rename $swap -> $targetDir " +
+          "returned false (destination recreated by another writer, or " +
+          "a filesystem refusal); the committed swap is still pending")
     }
 }

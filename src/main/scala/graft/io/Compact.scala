@@ -9,36 +9,42 @@ import org.apache.spark.sql.functions._
   * directory, so after N append batches a probe's scan fan-in is N files
   * per bucket — the classic small-files decay of any append-only layout.
   * Compaction rewrites ONLY the fragmented directories (file count above
-  * `maxFilesPerBucket`) back to one file each, content-identical, via
-  * dynamic partition overwrite; untouched buckets keep their files
-  * byte-for-byte.
+  * `maxFilesPerBucket`) back to one file each, content-identical;
+  * untouched buckets keep their files byte-for-byte.
   *
-  * Crash-tolerant through [[BucketRewrite]]'s journal (dynamic
-  * overwrite's per-directory delete-then-rename commit could otherwise
-  * lose a bucket outright to a mid-commit crash); beyond that, torn
-  * runs are harmless by content (compacted == fragmented), so re-running
-  * converges. Run it from a maintenance window or the streaming
-  * maintenance's own foreachBatch cadence (every Kth batch).
+  * Two protocols, picked by the tree's layout:
+  *
+  *  - MANIFEST trees (`manifestRoot` given and a committed [[Manifest]]
+  *    exists — every tree the r19+ build faces write): compaction is
+  *    ADDITIVE and reader-invisible across processes. The fragmented
+  *    buckets' live files are read through the current snapshot, the
+  *    consolidated (optionally deduplicated) content is APPENDED as new
+  *    files into the same bucket directories, and one manifest commit
+  *    retires the old files without deleting them — a concurrent reader
+  *    in any process pinned on the previous snapshot keeps serving
+  *    bit-identical results until [[Manifest.vacuum]] reclaims the
+  *    bytes on the maintenance cadence. No journal is needed: a crash
+  *    before the commit leaves invisible orphan files (adopted — as
+  *    exact-duplicate rows the serve paths already collapse — or
+  *    vacuumed), never a lost bucket.
+  *
+  *  - LEGACY trees (no manifest): the r17/r18 protocol — dynamic
+  *    partition overwrite journaled by [[BucketRewrite]] (the
+  *    delete-then-rename commit could otherwise lose a bucket to a
+  *    mid-commit crash), with the in-JVM per-tree lock held across the
+  *    whole list→read→pin→overwrite span so two in-JVM maintenance
+  *    faces cannot pin stale rows past each other's rewrite (r18
+  *    advisory). Cross-process, the single-maintainer contract must
+  *    extend to serving sessions (probe between maintenance windows or
+  *    retry on a lost-file failure) — the gap the manifest layout
+  *    exists to close.
   *
   * `dedupCols` additionally collapses physically duplicated rows — the
   * residue a replayed streaming append can leave ([[BandIndex
   * .appendBatch]]'s crash window; [[SeenSet]]'s membership-idempotent
   * re-appends): the serving paths already tolerate those duplicates,
   * compaction with the family's natural key makes the tolerance free by
-  * removing the bytes.
-  *
-  * Reader contract (r17 advisory): the dynamic overwrite replaces the
-  * fragmented directories' files, so a CONCURRENT serving query in
-  * ANOTHER process that listed those files before the rewrite can fail
-  * mid-scan with FileNotFoundException. The single-maintainer contract
-  * therefore extends to serving sessions: external readers either
-  * probe between maintenance windows or retry on a lost-file failure —
-  * the retried plan lists the compacted files and serves identical
-  * results by construction (compacted == fragmented by content).
-  * Within ONE driver JVM, serve and maintain interleave safely: plans
-  * list files at execution start, the maintenance faces are
-  * call-sequenced, and [[BucketRewrite]]'s per-tree lock serializes
-  * journal recovery against the rewrite. */
+  * removing the bytes. */
 object Compact {
 
   final case class CompactStats(
@@ -46,9 +52,83 @@ object Compact {
 
   def compactTree(
       spark: SparkSession, treeDir: String, bucketCol: String,
-      dedupCols: Option[Seq[String]] = None, maxFilesPerBucket: Int = 1
+      dedupCols: Option[Seq[String]] = None, maxFilesPerBucket: Int = 1,
+      manifestRoot: Option[String] = None
   ): CompactStats = {
     require(maxFilesPerBucket >= 1, "a bucket keeps at least one file")
+    val snapRoot = manifestRoot.filter(Manifest.exists(spark, _))
+    snapRoot match {
+      case Some(root) =>
+        compactManifest(spark, root, treeDir, bucketCol, dedupCols,
+          maxFilesPerBucket)
+      case None =>
+        compactLegacy(spark, treeDir, bucketCol, dedupCols,
+          maxFilesPerBucket)
+    }
+  }
+
+  /** The manifest protocol: read live files of the fragmented buckets
+    * through the snapshot, append consolidated files, retire+commit. */
+  private def compactManifest(
+      spark: SparkSession, root: String, treeDir: String, bucketCol: String,
+      dedupCols: Option[Seq[String]], maxFilesPerBucket: Int
+  ): CompactStats = Commit.withTreeLock(treeDir) {
+    val subtree = relSubtree(root, treeDir)
+    val snap = Manifest.current(spark, root).get
+    // fragmentation is judged on the LIVE file list, not the directory
+    // (retired-but-unvacuumed files must not recount forever)
+    val byBucket = snap.under(subtree)
+      .filter(_.stripPrefix(subtree + "/").startsWith(s"$bucketCol="))
+      .groupBy(f => f.stripPrefix(subtree + "/").takeWhile(_ != '/'))
+    val fragmented = byBucket.filter(_._2.size > maxFilesPerBucket)
+    if (fragmented.isEmpty) return CompactStats(0, 0, 0)
+    val oldFiles = fragmented.values.flatten.toSeq
+    val base = spark.read.option("basePath", treeDir)
+      .parquet(oldFiles.map(f => s"$root/$f"): _*)
+      .withColumn(bucketCol, col(bucketCol).cast("long"))
+    val deduped = dedupCols.fold(base)(ks => base.dropDuplicates(ks))
+    // pin before the append (one derivation, one write) — severing the
+    // file-source lineage also keeps Spark from objecting to writing
+    // into directories the plan reads
+    val pinned = deduped.localCheckpoint()
+    // before/after listing brackets the write: the commit adds
+    // precisely the files this compaction produced
+    val before = Manifest.listFiles(spark, root, subtree).toSet
+    try
+      pinned.repartition(col(bucketCol))
+        .write.mode("append").partitionBy(bucketCol).parquet(treeDir)
+    finally graft.operators.Dedup.release(pinned)
+    // DATA → RETIRE → COMMIT (the Manifest protocol): the old files
+    // leave the live set but stay on disk for pinned readers until
+    // vacuum
+    val added = Manifest.listFiles(spark, root, subtree).filterNot(before)
+    val next = Manifest.commitAdd(spark, root, added, oldFiles)
+    val afterByBucket = next.under(subtree)
+      .groupBy(f => f.stripPrefix(subtree + "/").takeWhile(_ != '/'))
+    val after = fragmented.keys.toSeq
+      .map(b => afterByBucket.getOrElse(b, Seq.empty).size).sum
+    CompactStats(fragmented.size, oldFiles.size, after)
+  }
+
+  private def relSubtree(root: String, treeDir: String): String = {
+    val rel = treeDir.stripPrefix(root).stripPrefix("/")
+    require(rel.nonEmpty && rel != treeDir,
+      s"compactTree: $treeDir is not under manifest root $root")
+    rel
+  }
+
+  /** The pre-manifest protocol (journaled dynamic overwrite), for trees
+    * written before the manifest existed. */
+  private def compactLegacy(
+      spark: SparkSession, treeDir: String, bucketCol: String,
+      dedupCols: Option[Seq[String]], maxFilesPerBucket: Int
+  // the whole list→read→pin→overwrite span holds the per-tree lock
+  // (r18 advisory): journaledOverwrite alone taking it let two in-JVM
+  // maintenance faces pin stale rows, then overwrite them into a tree
+  // the other had just rewritten — excluded by convention only. The
+  // monitor is reentrant, so the nested recover/overwrite locks are
+  // free.
+  ): CompactStats = Commit.withTreeLock(treeDir) {
     BucketRewrite.recover(spark, treeDir, bucketCol)
     val root = new org.apache.hadoop.fs.Path(treeDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)

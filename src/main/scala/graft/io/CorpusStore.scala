@@ -50,6 +50,8 @@ object CorpusStore {
     val spark = df.sparkSession
     BucketRewrite.dropJournal(spark, s"$dir/rows")
     Watermark.clear(spark, dir)
+    // fresh build → fresh snapshot lineage (v1 committed below)
+    Manifest.reset(spark, dir)
     spark.createDataFrame(Seq(Tuple1(buckets))).toDF("buckets")
       .write.mode("overwrite").parquet(s"$dir/meta")
     df.limit(0).write.mode("overwrite").parquet(s"$dir/schema")
@@ -57,6 +59,7 @@ object CorpusStore {
       .repartition(col("__graft_bucket"))
       .write.mode("overwrite").partitionBy("__graft_bucket")
       .parquet(s"$dir/rows")
+    Manifest.initFromListing(spark, dir, Seq("rows")): Unit
   }
 
   private def storedBuckets(spark: SparkSession, dir: String): Int =
@@ -68,22 +71,39 @@ object CorpusStore {
     * frame, not an inference error, and the partition column's
     * dirname-inferred int never leaks into a union. */
   private def rowsFrame(spark: SparkSession, dir: String): DataFrame = {
-    BucketRewrite.recover(spark, s"$dir/rows", "__graft_bucket")
+    BucketRewrite.recover(spark, s"$dir/rows", "__graft_bucket",
+      manifestRoot = Some(dir))
     val logical = spark.read.parquet(s"$dir/schema")
-    val root = new org.apache.hadoop.fs.Path(s"$dir/rows")
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasBuckets = fs.exists(root) && fs.listStatus(root)
-      .exists(_.getPath.getName.startsWith("__graft_bucket="))
-    if (!hasBuckets)
-      logical.withColumn("__graft_bucket", lit(null).cast("long"))
-    else
-      spark.read.schema(logical.schema).parquet(s"$dir/rows")
-        .withColumn("__graft_bucket", col("__graft_bucket").cast("long"))
+    Manifest.current(spark, dir) match {
+      // manifest trees: the committed snapshot is the file list (an
+      // emptied store has an empty snapshot — same typed-empty serve)
+      case Some(snap) if snap.under("rows").isEmpty =>
+        logical.withColumn("__graft_bucket", lit(null).cast("long"))
+      case Some(snap) =>
+        Manifest.readSubtree(spark, dir, snap, "rows", Some(logical.schema))
+          .withColumn("__graft_bucket", col("__graft_bucket").cast("long"))
+      case None =>
+        val root = new org.apache.hadoop.fs.Path(s"$dir/rows")
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val hasBuckets = fs.exists(root) && fs.listStatus(root)
+          .exists(_.getPath.getName.startsWith("__graft_bucket="))
+        if (!hasBuckets)
+          logical.withColumn("__graft_bucket", lit(null).cast("long"))
+        else
+          spark.read.schema(logical.schema).parquet(s"$dir/rows")
+            .withColumn("__graft_bucket", col("__graft_bucket").cast("long"))
+    }
   }
 
   /** The standing corpus (layout column dropped). */
   def read(spark: SparkSession, dir: String): DataFrame =
     rowsFrame(spark, dir).drop("__graft_bucket")
+
+  /** Physically reclaim non-live bytes (a torn run's orphans; the
+    * store's in-place rewrites retire nothing) — [[Manifest.vacuum]]
+    * on the maintenance cadence. */
+  def vacuum(spark: SparkSession, dir: String): Manifest.VacuumStats =
+    Manifest.vacuum(spark, dir, Seq("rows"))
 
   /** Keyed upsert: `delta` rows replace same-key standing rows, new keys
     * append — [[graft.operators.Dedup.mergeUpsert]] semantics, at
@@ -131,7 +151,8 @@ object CorpusStore {
     * the output). */
   private def rewriteKeyed(spark: SparkSession, dir: String,
       changeKeys: DataFrame, install: Option[DataFrame], idCol: String): Unit = {
-    BucketRewrite.recover(spark, s"$dir/rows", "__graft_bucket")
+    BucketRewrite.recover(spark, s"$dir/rows", "__graft_bucket",
+      manifestRoot = Some(dir))
     val keys = changeKeys.localCheckpoint()
     try {
       val touched = keys.select(col("__graft_bucket")).distinct()
@@ -144,7 +165,8 @@ object CorpusStore {
         val merged0 = install.fold(survivors)(survivors.unionByName(_))
         val merged = merged0.localCheckpoint()
         try BucketRewrite.journaledOverwrite(spark, s"$dir/rows",
-          "__graft_bucket", touched.toIndexedSeq, merged)
+          "__graft_bucket", touched.toIndexedSeq, merged,
+          manifestRoot = Some(dir))
         finally graft.operators.Dedup.release(merged)
       }
     } finally graft.operators.Dedup.release(keys)

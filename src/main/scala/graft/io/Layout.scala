@@ -66,11 +66,22 @@ object Layout {
     * necessarily built non-empty. */
   private[graft] def sidecarRead(
       spark: org.apache.spark.sql.SparkSession,
-      dataDir: String, schemaDir: String): DataFrame = {
+      dataDir: String, schemaDir: String): DataFrame =
+    sidecarSchema(spark, schemaDir) match {
+      case Some(s) => spark.read.schema(s).parquet(dataDir)
+      case None => spark.read.parquet(dataDir)
+    }
+
+  /** The 0-row sidecar's schema when one exists — shared by the
+    * listing read above and the [[Manifest]] snapshot reads (which
+    * need the schema separately, to type a day-zero empty sliver). */
+  private[graft] def sidecarSchema(
+      spark: org.apache.spark.sql.SparkSession, schemaDir: String
+  ): Option[org.apache.spark.sql.types.StructType] = {
     val schemaPath = new org.apache.hadoop.fs.Path(schemaDir)
     val fs = schemaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(schemaPath))
-      spark.read.schema(spark.read.parquet(schemaDir).schema).parquet(dataDir)
-    else spark.read.parquet(dataDir)
+      Some(spark.read.parquet(schemaDir).schema)
+    else None
   }
 }

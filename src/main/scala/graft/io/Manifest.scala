@@ -1,0 +1,329 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Versioned file manifest for the persisted index families — the
+  * snapshot-isolation layer (r18 verdict #1) that turns compaction,
+  * ledger consolidation, and rebuild swaps into READER-INVISIBLE
+  * operations across processes, the Iceberg/Delta move re-expressed at
+  * the scale this engine needs (a file list, not a table format):
+  *
+  *  - `<root>/manifest/v<NNNNNNNNNNNN>-<rand>` — one UTF-8 text file
+  *    per committed version, one ROOT-RELATIVE data-file path per line,
+  *    written to a dot-prefixed temp name and RENAMED into place
+  *    (atomic on HDFS/local; a single-object PUT on object stores), so
+  *    a version file either exists whole or not at all and the current
+  *    snapshot is simply the highest committed version;
+  *  - `<root>/manifest/retired/` — the retirement ledger: text files of
+  *    paths that maintenance superseded but deliberately did NOT delete.
+  *
+  * The protocol every mutating face follows is DATA → RETIRE → COMMIT:
+  * write new files first (additively — never deleting what the current
+  * manifest references), append the superseded paths to the retirement
+  * ledger, then commit the next version. Every commit computes the
+  * live set as `(previous − retired − dropped) ∪ precisely-the-files-
+  * this-mutation-wrote`, so a crash at any point converges: before the
+  * retire, readers keep the old version and the orphan new files stay
+  * invisible forever (an add-list is never a blind subtree adoption);
+  * between retire and commit, the old version still references every
+  * file on disk (nothing was deleted) and the NEXT commit completes
+  * the fold.
+  *
+  * Readers resolve the snapshot ONCE per serve call and read through
+  * its explicit file list (`basePath`-anchored, so hive partition
+  * pruning is unchanged) — a maintainer committing v(N+1) concurrently
+  * never invalidates a v(N) reader, because v(N)'s files are still on
+  * disk until [[vacuum]], the ONE deliberately destructive face: it
+  * deletes retired files, drops superseded version files, and prunes
+  * emptied directories. Vacuum is the declared pin-expiry point — run
+  * it on the maintenance cadence with whatever retention the serving
+  * fleet's longest query needs (the single-maintainer contract covers
+  * WRITERS only; readers need no coordination at all).
+  *
+  * Trees written before the manifest existed have no `manifest/` dir;
+  * every face falls back to directory-listing reads and the r17/r18
+  * maintenance-window contract there (the migration shape).
+  *
+  * At 100 TB: a manifest is O(file count) driver-side text — with
+  * bucket counts sized per family and compaction bounding per-bucket
+  * fan-in, that is tens of thousands of lines, kilobytes to a few MB —
+  * one metadata read per serve call (cached in-JVM by version), one
+  * listing + one small write per maintenance batch. */
+object Manifest {
+
+  final case class Snapshot(version: Long, files: IndexedSeq[String]) {
+    def under(subtree: String): IndexedSeq[String] =
+      files.filter(_.startsWith(subtree + "/"))
+  }
+
+  final case class VacuumStats(
+      filesDeleted: Int, versionsDropped: Int, dirsDeleted: Int)
+
+  private def fsOf(spark: SparkSession, p: String) =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestDir(root: String) = s"$root/manifest"
+  private def retiredDir(root: String) = s"$root/manifest/retired"
+
+  // the random suffix makes two same-NUMBER versions distinguishable
+  // (a legacy whole-tree swap can replace one manifest tree with
+  // another at the same count — the cache must miss, not serve the
+  // old tree's file list); ordering rides the zero-padded number
+  private val VersionName = "v([0-9]{12})-[0-9a-f]{8}".r
+
+  /** In-JVM snapshot cache keyed by root: one listStatus per resolve
+    * validates the cached version FILE NAME; the file read happens only
+    * when a new version appeared (or on first touch). */
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, Snapshot)]
+
+  private def lock[A](root: String)(body: => A): A =
+    Commit.withTreeLock(manifestDir(root))(body)
+
+  private def writeLines(
+      spark: SparkSession, dir: String, name: String,
+      lines: Seq[String]): Unit = {
+    val fs = fsOf(spark, dir)
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$dir/.tmp-$name-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(
+      lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dest = new org.apache.hadoop.fs.Path(s"$dir/$name")
+    if (!fs.rename(tmp, dest))
+      sys.error(s"Manifest: rename $tmp -> $dest failed (a concurrent " +
+        "writer committed the same name? the single-maintainer contract " +
+        "covers manifest commits)")
+  }
+
+  private def readLines(spark: SparkSession,
+      path: org.apache.hadoop.fs.Path): Seq[String] = {
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(path)
+    try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  private def versionFiles(spark: SparkSession,
+      root: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    val d = new org.apache.hadoop.fs.Path(manifestDir(root))
+    val fs = fsOf(spark, root)
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).toSeq.collect {
+      case s if s.isFile => s.getPath.getName match {
+        case VersionName(n) => Some(n.toLong -> s.getPath)
+        case _ => None
+      }
+      case _ => None
+    }.flatten
+  }
+
+  /** The current committed snapshot, or None when the tree has no
+    * manifest (legacy layout — callers fall back to listing reads). */
+  def current(spark: SparkSession, root: String): Option[Snapshot] = {
+    val vs = versionFiles(spark, root)
+    if (vs.isEmpty) None
+    else {
+      val (v, p) = vs.maxBy(_._1)
+      cache.get(root).collect {
+        case (name, snap) if name == p.getName => snap
+      }.orElse {
+        val snap = Snapshot(v, readLines(spark, p).sorted.toIndexedSeq)
+        cache.put(root, p.getName -> snap)
+        Some(snap)
+      }
+    }
+  }
+
+  def exists(spark: SparkSession, root: String): Boolean =
+    versionFiles(spark, root).nonEmpty
+
+  /** Full-rebuild faces: drop the manifest AND the retirement ledger —
+    * a fresh tree invalidates both (the io-family full-rebuild rule). */
+  def reset(spark: SparkSession, root: String): Unit = lock(root) {
+    cache.remove(root)
+    fsOf(spark, root).delete(
+      new org.apache.hadoop.fs.Path(manifestDir(root)), true): Unit
+  }
+
+  /** Recursively list committed data files under `root/<scope>`,
+    * root-relative. Dot/underscore names (markers, temp dirs, CRCs)
+    * are invisible, matching Spark's own listing rules. */
+  def listFiles(spark: SparkSession, root: String,
+      scope: String): Seq[String] = {
+    val fs = fsOf(spark, root)
+    val base = new org.apache.hadoop.fs.Path(s"$root/$scope")
+    if (!fs.exists(base)) return Seq.empty
+    // qualify once: listStatus returns fully-qualified paths, the
+    // caller's root/scope usually isn't
+    val baseQ = fs.makeQualified(base).toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    def walk(p: org.apache.hadoop.fs.Path): Unit =
+      fs.listStatus(p).foreach { s =>
+        val n = s.getPath.getName
+        // Spark's listing rule: underscore names hide UNLESS they are
+        // partition directories (contain '='; CorpusStore's
+        // `__graft_bucket=N` dirs are exactly that shape)
+        if ((!n.startsWith("_") || n.contains("=")) && !n.startsWith(".")) {
+          if (s.isDirectory) walk(s.getPath)
+          else if (n.endsWith(".parquet"))
+            out += s"$scope/" + s.getPath.toString
+              .stripPrefix(baseQ).stripPrefix("/")
+        }
+      }
+    walk(base)
+    out.toSeq
+  }
+
+  private def retiredSet(spark: SparkSession, root: String): Set[String] = {
+    val d = new org.apache.hadoop.fs.Path(retiredDir(root))
+    val fs = fsOf(spark, root)
+    if (!fs.exists(d)) Set.empty
+    else fs.listStatus(d).toSeq.filter(_.isFile)
+      .filterNot(_.getPath.getName.startsWith("."))
+      .flatMap(s => readLines(spark, s.getPath)).toSet
+  }
+
+  private def appendRetired(spark: SparkSession, root: String,
+      paths: Seq[String]): Unit =
+    if (paths.nonEmpty)
+      writeLines(spark, retiredDir(root),
+        s"r-${java.util.UUID.randomUUID().toString.take(12)}",
+        paths.sorted)
+
+  private def commitVersion(spark: SparkSession, root: String,
+      prev: Option[Snapshot], files: Seq[String]): Snapshot = {
+    val v = prev.map(_.version + 1).getOrElse(1L)
+    val name =
+      f"v$v%012d-${java.util.UUID.randomUUID().toString.take(8)}"
+    writeLines(spark, manifestDir(root), name, files.sorted)
+    val snap = Snapshot(v, files.sorted.toIndexedSeq)
+    cache.put(root, name -> snap)
+    snap
+  }
+
+  /** Bootstrap a manifest on a tree that has none: v1 = the current
+    * listing of `scopes` (correct for a legacy tree — nothing was ever
+    * retired, so the listing IS the live set). No-op if one exists. */
+  def initFromListing(spark: SparkSession, root: String,
+      scopes: Seq[String]): Snapshot = lock(root) {
+    current(spark, root).getOrElse {
+      commitVersion(spark, root, None, scopes.flatMap(listFiles(spark, root, _)))
+    }
+  }
+
+  /** The ONE mutation commit (data → retire → commit): next version =
+    * `(previous − retired − drop) ∪ add`, with `drop` appended to the
+    * retirement ledger FIRST. `add` is the PRECISE list of files the
+    * mutation wrote (faces compute it by a tag-scoped or before/after
+    * listing — never a blind subtree adoption, which would
+    * nondeterministically resurrect a torn run's orphans); `drop`
+    * names the paths the mutation superseded (old compacted-bucket
+    * files, old ledger rows, a replay-overwritten batch tag's prior
+    * files). Subtracting the ledger from the previous set is what
+    * makes the retire-then-commit crash window converge (see the
+    * object scaladoc); never-committed orphans stay invisible until
+    * [[vacuum]] sweeps them. */
+  def commitAdd(spark: SparkSession, root: String, add: Seq[String],
+      drop: Seq[String]): Snapshot = lock(root) {
+    val prev = current(spark, root)
+    appendRetired(spark, root, drop)
+    val retired = retiredSet(spark, root)
+    val files = ((prev.map(_.files.toSet).getOrElse(Set.empty)
+      -- retired -- drop) ++ add).toSeq
+    commitVersion(spark, root, prev, files)
+  }
+
+  /** Commit an EXPLICIT live set (the rebuild/gen-flip face): `files`
+    * becomes the whole next version, `retire` goes to the ledger first.
+    * Paths in both are kept live (`files` wins — the current manifest
+    * must never reference a path the ledger condemns). */
+  def commitSet(spark: SparkSession, root: String, files: Seq[String],
+      retire: Seq[String]): Snapshot = lock(root) {
+    val prev = current(spark, root)
+    appendRetired(spark, root, retire.filterNot(files.toSet))
+    commitVersion(spark, root, prev, files)
+  }
+
+  /** Read a snapshot's `subtree` sliver as a DataFrame: explicit file
+    * list anchored at `basePath`, so hive partition columns (and their
+    * pruning) behave exactly as a directory read. Zero files serve a
+    * typed empty frame through `schema` (the day-zero contract). */
+  def readSubtree(spark: SparkSession, root: String, snap: Snapshot,
+      subtree: String, schema: Option[StructType]): DataFrame = {
+    val files = snap.under(subtree)
+    if (files.isEmpty)
+      spark.createDataFrame(
+        new java.util.ArrayList[Row](),
+        schema.getOrElse(sys.error(
+          s"Manifest.readSubtree($root, $subtree): empty snapshot sliver " +
+            "needs an explicit schema (pass the family's sidecar/contract " +
+            "schema)")))
+    else {
+      val reader = spark.read.option("basePath", s"$root/$subtree")
+      schema.fold(reader)(reader.schema)
+        .parquet(files.map(f => s"$root/$f"): _*)
+    }
+  }
+
+  /** Delete every non-live byte — retired files AND never-committed
+    * orphans under `scopes` (a torn maintenance run's partial output,
+    * invisible to every snapshot by construction) — drop superseded
+    * version files, clear the ledger, and prune directories the
+    * deletes emptied. The ONE destructive face, and the declared
+    * expiry point for pinned snapshot readers. Files the CURRENT
+    * version references are never deleted. Single-maintainer, like
+    * every mutating face — and unlike reads, which need no
+    * coordination at all. `scopes` must be exactly the family's
+    * manifest-covered subtrees: sweeping a sidecar that lives outside
+    * the manifest (meta/, bloom/, watermark/) would destroy it. */
+  def vacuum(spark: SparkSession, root: String,
+      scopes: Seq[String]): VacuumStats = lock(root) {
+    val cur = current(spark, root).getOrElse(
+      return VacuumStats(0, 0, 0))
+    val fs = fsOf(spark, root)
+    val live = cur.files.toSet
+    val dead = (retiredSet(spark, root)
+      ++ scopes.flatMap(listFiles(spark, root, _))).toSeq
+      .filterNot(live).distinct
+    var deleted = 0
+    val parents = scala.collection.mutable.Set.empty[String]
+    dead.foreach { rel =>
+      val p = new org.apache.hadoop.fs.Path(s"$root/$rel")
+      if (fs.exists(p)) { fs.delete(p, false); deleted += 1 }
+      Option(p.getParent).foreach(parents += _.toString)
+    }
+    // prune emptied directories bottom-up (old tag leaves, old gens):
+    // a dir whose only residue is markers/CRCs is dead — stop at the
+    // family root and at any dir still holding live data
+    var dirsDeleted = 0
+    def contentless(p: org.apache.hadoop.fs.Path): Boolean =
+      fs.exists(p) && fs.listStatus(p).forall(s =>
+        s.isFile && (s.getPath.getName.startsWith("_")
+          || s.getPath.getName.startsWith(".")))
+    var frontier = parents.toSet
+    val rootPath = new org.apache.hadoop.fs.Path(root).toString
+    while (frontier.nonEmpty) {
+      val next = scala.collection.mutable.Set.empty[String]
+      frontier.foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        if (p.toString != rootPath && p.toString.startsWith(rootPath)
+            && contentless(p)) {
+          fs.delete(p, true)
+          dirsDeleted += 1
+          Option(p.getParent).foreach(next += _.toString)
+        }
+      }
+      frontier = next.toSet
+    }
+    // superseded version files + the ledger
+    val dropped = versionFiles(spark, root).filter(_._1 < cur.version)
+    dropped.foreach { case (_, p) => fs.delete(p, false): Unit }
+    fs.delete(new org.apache.hadoop.fs.Path(retiredDir(root)), true)
+    VacuumStats(deleted, dropped.size, dirsDeleted)
+  }
+}

@@ -120,6 +120,9 @@ object SeenSet {
     val spark = urls.sparkSession
     BucketRewrite.dropJournal(spark, s"$dir/urls")
     Watermark.clear(spark, dir)
+    // a fresh build invalidates the previous snapshot lineage wholesale
+    // (the io-family full-rebuild rule), then commits v1 below
+    Manifest.reset(spark, dir)
     // eager localCheckpoint: the distinct frame feeds three executions
     // (count when auto-sizing, Bloom build, bucket write)
     val u = urls.select(col(urlCol).as("url")).distinct().localCheckpoint()
@@ -134,23 +137,39 @@ object SeenSet {
       u.withColumn("url_bucket", bucketOf(col("url"), buckets))
         .repartition(col("url_bucket"))
         .write.mode("overwrite").partitionBy("url_bucket").parquet(s"$dir/urls")
+      Manifest.initFromListing(spark, dir, Seq("urls")): Unit
     } finally graft.operators.Dedup.release(u)
   }
+
+  /** The urls tree's contract schema (url + the bucket key) — what the
+    * manifest read and the day-zero guard type empty slivers with. */
+  private val urlsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("url",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("url_bucket",
+      org.apache.spark.sql.types.LongType)))
 
   /** The urls tree, empty-safe: a DAY-ZERO set (written from zero URLs
     * — the steady-state loop's bootstrap shape) or a fully-drained one
     * has no bucket directory and no parquet footer to infer from; the
     * schema is fixed by contract (url string + the bucket key), so the
     * guard is a typed empty frame, not a sidecar. */
-  private def urlsFrame(spark: SparkSession, dir: String): DataFrame = {
-    val root = new org.apache.hadoop.fs.Path(s"$dir/urls")
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasBuckets = fs.exists(root) && fs.listStatus(root)
-      .exists(_.getPath.getName.startsWith("url_bucket="))
-    if (hasBuckets) spark.read.parquet(s"$dir/urls")
-    else spark.range(0)
-      .select(lit("").cast("string").as("url"), lit(0L).as("url_bucket"))
-  }
+  private def urlsFrame(spark: SparkSession, dir: String): DataFrame =
+    // manifest trees serve through the committed snapshot (explicit file
+    // list — maintenance commits never invalidate an executing read);
+    // legacy trees keep the listing read + typed day-zero guard
+    Manifest.current(spark, dir) match {
+      case Some(snap) =>
+        Manifest.readSubtree(spark, dir, snap, "urls", Some(urlsSchema))
+      case None =>
+        val root = new org.apache.hadoop.fs.Path(s"$dir/urls")
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val hasBuckets = fs.exists(root) && fs.listStatus(root)
+          .exists(_.getPath.getName.startsWith("url_bucket="))
+        if (hasBuckets) spark.read.parquet(s"$dir/urls")
+        else spark.range(0)
+          .select(lit("").cast("string").as("url"), lit(0L).as("url_bucket"))
+    }
 
   private def storedMeta(spark: SparkSession, dir: String): (Int, Long, Double) = {
     val r = spark.read.parquet(s"$dir/meta")
@@ -195,7 +214,7 @@ object SeenSet {
     val spark = delta.sparkSession
     // recover BEFORE appending: replaying a compaction journal over a
     // bucket that took this append would drop the appended rows
-    BucketRewrite.recover(spark, s"$dir/urls", "url_bucket")
+    BucketRewrite.recover(spark, s"$dir/urls", "url_bucket", manifestRoot = Some(dir))
     val (buckets, expected, fpp) = storedMeta(spark, dir)
     val u = delta.select(col(urlCol).as("url")).distinct().localCheckpoint()
     try {
@@ -207,11 +226,28 @@ object SeenSet {
         .readFrom(new java.io.ByteArrayInputStream(storedBloom(spark, dir)))
       merged.mergeInPlace(bloomOf(u, "url", expected, fpp))
       writeBloom(spark, dir, bloomBytes(merged))
+      // before/after listing brackets the append so the manifest commit
+      // adds PRECISELY the files this write produced (never a torn
+      // run's orphans — those stay invisible until vacuum)
+      val before =
+        if (Manifest.exists(spark, dir))
+          Manifest.listFiles(spark, dir, "urls").toSet
+        else Set.empty[String]
       u.withColumn("url_bucket", bucketOf(col("url"), buckets))
         .repartition(col("url_bucket"))
         .write.mode("append").partitionBy("url_bucket").parquet(s"$dir/urls")
+      if (Manifest.exists(spark, dir))
+        Manifest.commitAdd(spark, dir,
+          Manifest.listFiles(spark, dir, "urls").filterNot(before), Nil): Unit
     } finally graft.operators.Dedup.release(u)
   }
+
+  /** Physically reclaim superseded bytes — retired files [[compact]]
+    * left for snapshot-pinned readers plus any torn run's orphans —
+    * on whatever retention cadence the serving fleet needs
+    * ([[Manifest.vacuum]]). */
+  def vacuum(spark: SparkSession, dir: String): Manifest.VacuumStats =
+    Manifest.vacuum(spark, dir, Seq("urls"))
 
   /** Compact fragmented bucket directories (one parquet file per append
     * accumulates — see [[Compact]]) and collapse the physically
@@ -219,7 +255,7 @@ object SeenSet {
     * membership is unchanged, probe fan-in and bytes shrink. */
   def compact(spark: SparkSession, dir: String): Compact.CompactStats =
     Compact.compactTree(spark, s"$dir/urls", "url_bucket",
-      dedupCols = Some(Seq("url")))
+      dedupCols = Some(Seq("url")), manifestRoot = Some(dir))
 
   /** Replay-safe streaming novelty: probe the batch, EMIT the novel
     * sliver — ONE row per novel URL, an arbitrary representative when
@@ -318,7 +354,7 @@ object SeenSet {
       batch: DataFrame, urlCol: String
   ): (DataFrame, DataFrame) = {
     graft.plans.GraftExtensions.register(spark)
-    BucketRewrite.recover(spark, s"$dir/urls", "url_bucket")
+    BucketRewrite.recover(spark, s"$dir/urls", "url_bucket", manifestRoot = Some(dir))
     val (buckets, _, _) = storedMeta(spark, dir)
     val bfBytes = storedBloom(spark, dir)
     val outCols = batch.columns.map(col).toIndexedSeq

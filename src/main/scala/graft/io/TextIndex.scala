@@ -43,6 +43,8 @@ object TextIndex {
   ): Unit = {
     require(buckets >= 1, "need at least one bucket")
     Watermark.clear(docs.sparkSession, dir)
+    // fresh build → fresh snapshot lineage (v1 committed at the end)
+    Manifest.reset(docs.sparkSession, dir)
     val toks = docs.select(col(idCol).as("doc_id"),
       TextFunctions.tokens(textCol).as("toks"))
     // sum_dl is stored alongside so stats MERGE exactly on append
@@ -93,11 +95,33 @@ object TextIndex {
     // well-typed so an empty index SERVES (empty) instead of throwing
     postings(toks, buckets).withColumn("ingest_batch", lit("base"))
       .limit(0).write.mode("overwrite").parquet(s"$dir/schema")
+    Manifest.initFromListing(docs.sparkSession, dir,
+      Seq("postings", "stats")): Unit
   }
 
-  /** The postings tree, day-zero-safe ([[Layout.sidecarRead]]). */
-  private def postingsFrame(spark: SparkSession, dir: String): DataFrame =
-    Layout.sidecarRead(spark, s"$dir/postings", s"$dir/schema")
+  /** The postings tree, day-zero-safe: manifest trees serve through the
+    * resolved snapshot (ONE per serve call, so postings and stats are
+    * read from the same committed instant); legacy trees keep the
+    * listing read ([[Layout.sidecarRead]]). */
+  private def postingsFrame(spark: SparkSession, dir: String,
+      snap: Option[Manifest.Snapshot]): DataFrame =
+    snap match {
+      case Some(s) => Manifest.readSubtree(spark, dir, s, "postings",
+        Layout.sidecarSchema(spark, s"$dir/schema"))
+      case None => Layout.sidecarRead(spark, s"$dir/postings", s"$dir/schema")
+    }
+
+  /** The stats ledger through the same snapshot (legacy trees run the
+    * swap recovery first — on manifest trees consolidation is a
+    * manifest commit, and no swap can exist). */
+  private def statsFrame(spark: SparkSession, dir: String,
+      snap: Option[Manifest.Snapshot]): DataFrame =
+    snap match {
+      case Some(s) => Manifest.readSubtree(spark, dir, s, "stats", None)
+      case None =>
+        statsSwapRecover(spark, dir)
+        spark.read.parquet(s"$dir/stats")
+    }
 
   /** Positional postings: (term, doc_id, tf, dl, positions) — positions
     * are the term's sorted 1-based token offsets, what phrase queries
@@ -115,18 +139,18 @@ object TextIndex {
     * persisted. A mismatched caller value would silently split a term's
     * postings across two directories (append) or probe the wrong
     * directory (search) — so every entry point resolves through here. */
-  private def storedBuckets(spark: SparkSession, dir: String, fallback: Int): Int = {
-    statsSwapRecover(spark, dir)
-    val stats = spark.read.parquet(s"$dir/stats")
+  private def storedBuckets(spark: SparkSession, dir: String, fallback: Int,
+      snap: Option[Manifest.Snapshot]): Int = {
+    val stats = statsFrame(spark, dir, snap)
     if (stats.columns.contains("buckets"))
       stats.agg(max(col("buckets").cast("int"))).head().getInt(0)
     else fallback
   }
 
   /** Corpus totals aggregated over the stats ledger. */
-  private def statsTotals(spark: SparkSession, dir: String): (Long, Long) = {
-    statsSwapRecover(spark, dir)
-    val r = spark.read.parquet(s"$dir/stats")
+  private def statsTotals(spark: SparkSession, dir: String,
+      snap: Option[Manifest.Snapshot]): (Long, Long) = {
+    val r = statsFrame(spark, dir, snap)
       .agg(sum(col("n_docs").cast("long")), sum(col("sum_dl").cast("long")))
       .head()
     (if (r.isNullAt(0)) 0L else r.getLong(0),
@@ -154,25 +178,41 @@ object TextIndex {
     * (an append's ledger row landing between the total read and the
     * rename would be silently dropped — compaction and appends run from
     * the same maintenance face, serialized). */
-  private def consolidateStats(spark: SparkSession, dir: String): Unit = {
-    statsSwapRecover(spark, dir)
-    val stats = new org.apache.hadoop.fs.Path(s"$dir/stats")
-    val fs = stats.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(stats)) return
-    val batchDirs = fs.listStatus(stats)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-    if (batchDirs.length <= 1) return
-    val (nDocs, sumDl) = statsTotals(spark, dir)
-    val nBuckets = storedBuckets(spark, dir, DefaultBuckets)
-    // maintainer-only stale-build clear, then build, then the locked
-    // mark→delete→rename (Commit.commitSwap) — readers' swapRecover
-    // can never interleave its own swap with this one
-    Commit.clearSwap(spark, s"$dir/stats")
-    spark.createDataFrame(Seq((nDocs, sumDl, nBuckets)))
-      .toDF("n_docs", "sum_dl", "buckets").coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/stats.swap/batch=base")
-    Commit.commitSwap(spark, s"$dir/stats")
-  }
+  private def consolidateStats(spark: SparkSession, dir: String): Unit =
+    Manifest.current(spark, dir) match {
+      case Some(snap) =>
+        // manifest protocol: the fold is a NEW ledger row + one commit
+        // that retires the old rows — no swap, nothing deleted, a
+        // pinned reader keeps summing the old rows to the same totals
+        val old = snap.under("stats")
+        if (old.size <= 1) return
+        val (nDocs, sumDl) = statsTotals(spark, dir, Some(snap))
+        val nBuckets = storedBuckets(spark, dir, DefaultBuckets, Some(snap))
+        val tag = s"c${java.util.UUID.randomUUID().toString.take(12)}"
+        spark.createDataFrame(Seq((nDocs, sumDl, nBuckets)))
+          .toDF("n_docs", "sum_dl", "buckets").coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/stats/batch=$tag")
+        Manifest.commitAdd(spark, dir,
+          Manifest.listFiles(spark, dir, s"stats/batch=$tag"), old): Unit
+      case None =>
+        statsSwapRecover(spark, dir)
+        val stats = new org.apache.hadoop.fs.Path(s"$dir/stats")
+        val fs = stats.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(stats)) return
+        val batchDirs = fs.listStatus(stats)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+        if (batchDirs.length <= 1) return
+        val (nDocs, sumDl) = statsTotals(spark, dir, None)
+        val nBuckets = storedBuckets(spark, dir, DefaultBuckets, None)
+        // maintainer-only stale-build clear, then build, then the locked
+        // mark→delete→rename (Commit.commitSwap) — readers' swapRecover
+        // can never interleave its own swap with this one
+        Commit.clearSwap(spark, s"$dir/stats")
+        spark.createDataFrame(Seq((nDocs, sumDl, nBuckets)))
+          .toDF("n_docs", "sum_dl", "buckets").coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/stats.swap/batch=base")
+        Commit.commitSwap(spark, s"$dir/stats")
+    }
 
   /** Incremental maintenance: add a DELTA corpus (document ids disjoint
     * from the indexed ones) to an existing index. Delta postings append
@@ -198,7 +238,8 @@ object TextIndex {
       buckets: Int = DefaultBuckets
   ): Unit = {
     val spark = delta.sparkSession
-    val nBuckets = storedBuckets(spark, dir, buckets)
+    val snap = Manifest.current(spark, dir)
+    val nBuckets = storedBuckets(spark, dir, buckets, snap)
     // pinned: feeds the content tag, the postings write, and the stats
     // row — without it the delta would tokenize three times
     val toks = delta.select(col(idCol).as("doc_id"),
@@ -220,8 +261,28 @@ object TextIndex {
         .withColumn("buckets", lit(nBuckets))
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$dir/stats/batch=$tag")
+      commitAppend(spark, dir, snap, tag)
     } finally graft.operators.Dedup.release(toks)
   }
+
+  /** One snapshot commit per append: adopt the tag's fresh files, drop
+    * the SAME tag's previous files (a retried append's own prior
+    * attempt — its dynamic overwrite replaced them on disk, so the
+    * snapshot must not keep referencing the dead paths). Postings and
+    * stats flip together, so a reader never sees one without the
+    * other. No-op on legacy trees. */
+  private def commitAppend(spark: SparkSession, dir: String,
+      snap: Option[Manifest.Snapshot], tag: String): Unit =
+    snap.foreach { s =>
+      val ofTag = (f: String) =>
+        f.contains(s"/ingest_batch=$tag/") || f.startsWith(s"stats/batch=$tag/")
+      val stale = s.files.filter(ofTag)
+      // precise add: only this tag's freshly-written files (a
+      // tag-scoped filter over the listing — never a blind adoption)
+      val added = (Manifest.listFiles(spark, dir, "postings")
+        ++ Manifest.listFiles(spark, dir, "stats")).filter(ofTag)
+      Manifest.commitAdd(spark, dir, added, stale): Unit
+    }
 
   /** EXACTLY-ONCE streaming maintenance (the foreachBatch body of
     * [[graft.streaming.Streaming.textIndexMaintenance]], parity harness
@@ -247,7 +308,8 @@ object TextIndex {
   ): Boolean = {
     val spark = delta.sparkSession
     MaintenanceFace.gated(spark, dir, batchId) {
-      val nBuckets = storedBuckets(spark, dir, DefaultBuckets)
+      val snap = Manifest.current(spark, dir)
+      val nBuckets = storedBuckets(spark, dir, DefaultBuckets, snap)
       // pinned: feeds the postings write and the stats row
       val toks = delta.select(col(idCol).as("doc_id"),
         TextFunctions.tokens(textCol).as("toks")).localCheckpoint()
@@ -264,6 +326,7 @@ object TextIndex {
           .withColumn("buckets", lit(nBuckets))
           .coalesce(1)
           .write.mode("overwrite").parquet(s"$dir/stats/batch=b$batchId")
+        commitAppend(spark, dir, snap, s"b$batchId")
       } finally graft.operators.Dedup.release(toks)
     }
   }
@@ -285,17 +348,56 @@ object TextIndex {
     * forever and the normalizer read decays into a many-tiny-files
     * scan).
     *
-    * Reader contract (r17 advisory): the old-tag deletes below can
-    * fail a CONCURRENT serving query in another process that listed
-    * those files before the delete (FileNotFoundException mid-scan) —
-    * the single-maintainer contract must extend to serving sessions:
-    * external readers either probe between maintenance windows or
-    * retry on a lost-file failure (the re-listed plan sees the
-    * consolidated tag; results are identical by construction). Within
-    * ONE driver, serve and maintain interleave safely — plans list
-    * files at execution start and the in-JVM maintenance faces are
-    * call-sequenced. */
-  def compact(spark: SparkSession, dir: String): Compact.CompactStats = {
+    * On MANIFEST trees (every index the r19+ [[writeIndex]] builds)
+    * both folds are reader-invisible across processes: the
+    * consolidated tag/ledger row is written additively, one
+    * [[Manifest]] commit flips the live set, and the superseded files
+    * stay on disk for snapshot-pinned readers until
+    * [[Manifest.vacuum]]. Legacy trees keep the delete-after-write
+    * protocol and its maintenance-window/retry contract for external
+    * readers. */
+  def compact(spark: SparkSession, dir: String): Compact.CompactStats =
+    Manifest.current(spark, dir) match {
+      case Some(snap) => compactManifest(spark, dir, snap)
+      case None => compactLegacy(spark, dir)
+    }
+
+  private def compactManifest(spark: SparkSession, dir: String,
+      snap: Manifest.Snapshot): Compact.CompactStats = {
+    val oldPostings = snap.under("postings")
+    val tagOf = (f: String) => f.split('/')
+      .find(_.startsWith("ingest_batch=")).getOrElse("")
+    val oldTags = oldPostings.map(tagOf).filter(_.nonEmpty).distinct
+    if (oldTags.length <= 1) return Compact.CompactStats(0, 0, 0)
+    val oldBuckets = oldPostings
+      .map(_.stripPrefix("postings/").takeWhile(_ != '/')).distinct
+    val tag = s"c${java.util.UUID.randomUUID().toString.take(12)}"
+    val consolidated = postingsFrame(spark, dir, Some(snap))
+      .drop("ingest_batch")
+      .dropDuplicates("term", "doc_id")
+      .withColumn("term_bucket", col("term_bucket").cast("long"))
+      .withColumn("ingest_batch", lit(tag))
+      .localCheckpoint() // one derivation for the one write
+    // the new tag's directories are fresh — the dynamic overwrite is
+    // additive with respect to every standing file; the commit retires
+    // the old tags without deleting them (snapshot-pinned readers keep
+    // serving them bit-identically until vacuum)
+    try
+      consolidated.repartition(col("term_bucket"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("term_bucket", "ingest_batch").parquet(s"$dir/postings")
+    finally graft.operators.Dedup.release(consolidated)
+    val added = Manifest.listFiles(spark, dir, "postings")
+      .filter(_.contains(s"/ingest_batch=$tag/"))
+    val next = Manifest.commitAdd(spark, dir, added, oldPostings)
+    consolidateStats(spark, dir)
+    Compact.CompactStats(oldBuckets.size, oldPostings.size,
+      next.under("postings").size)
+  }
+
+  private def compactLegacy(spark: SparkSession, dir: String)
+      : Compact.CompactStats = {
     val root = new org.apache.hadoop.fs.Path(s"$dir/postings")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Compact.CompactStats(0, 0, 0)
@@ -332,6 +434,13 @@ object TextIndex {
     Compact.CompactStats(bucketDirs.length, before, fileCount())
   }
 
+  /** Physically reclaim superseded bytes — old batch tags and ledger
+    * rows [[compact]] retired for snapshot-pinned readers, plus any
+    * torn run's orphans — on the serving fleet's retention cadence
+    * ([[Manifest.vacuum]]). */
+  def vacuum(spark: SparkSession, dir: String): Manifest.VacuumStats =
+    Manifest.vacuum(spark, dir, Seq("postings", "stats"))
+
   /** BM25 top-k against a persisted index: the query terms' buckets
     * become a literal partition predicate (query metadata, not row
     * data), postings filter to the exact terms inside those directories,
@@ -344,15 +453,19 @@ object TextIndex {
     require(queryTerms.nonEmpty, "empty query")
     require(k > 0, "k must be positive")
     val terms = queryTerms.distinct
+    // ONE snapshot for the whole serve call: stats and postings read
+    // from the same committed instant, and a concurrent maintenance
+    // commit can never invalidate this query's file list
+    val snap = Manifest.current(spark, dir)
     // NOTE: named nBuckets, not b — `b` is the BM25 length-normalization
     // parameter in scope here
-    val nBuckets = storedBuckets(spark, dir, buckets)
+    val nBuckets = storedBuckets(spark, dir, buckets, snap)
     // bucket ids are computable driver-side: same hash, tiny input
     val probed = terms.map { t =>
       math.floorMod(graft.functions.Winnow60.hash60(
         org.apache.spark.unsafe.types.UTF8String.fromString(t)), nBuckets.toLong)
     }.distinct
-    val (nDocs, sumDl) = statsTotals(spark, dir)
+    val (nDocs, sumDl) = statsTotals(spark, dir, snap)
     // avgdl computed driver-side: the in-plan literal division constant-
     // folds at analysis, and a DAY-ZERO index (n_docs = 0) would throw
     // ANSI DIVIDE_BY_ZERO before the (empty) scan even runs. The IEEE
@@ -367,7 +480,7 @@ object TextIndex {
     // ((term, doc_id) is unique; duplicate rows are identical), it
     // collapses the residue a torn [[compact]] can leave (old tags +
     // a partial consolidated tag) — runs on the pruned sliver only
-    val tf = postingsFrame(spark, dir)
+    val tf = postingsFrame(spark, dir, snap)
       .filter(col("term_bucket").isin(probed: _*))
       .filter(col("term").isin(terms: _*))
       .dropDuplicates("term", "doc_id")
@@ -411,12 +524,13 @@ object TextIndex {
   ): DataFrame = {
     require(phrase.nonEmpty, "empty phrase")
     val terms = phrase.distinct
-    val nBuckets = storedBuckets(spark, dir, buckets)
+    val snap = Manifest.current(spark, dir) // one snapshot per serve call
+    val nBuckets = storedBuckets(spark, dir, buckets, snap)
     val probed = terms.map { t =>
       math.floorMod(graft.functions.Winnow60.hash60(
         org.apache.spark.unsafe.types.UTF8String.fromString(t)), nBuckets.toLong)
     }.distinct
-    val posts = postingsFrame(spark, dir)
+    val posts = postingsFrame(spark, dir, snap)
       .filter(col("term_bucket").isin(probed: _*))
       .filter(col("term").isin(terms: _*))
       .dropDuplicates("term", "doc_id") // torn-compact residue (see bm25)

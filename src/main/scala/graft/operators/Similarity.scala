@@ -950,37 +950,139 @@ object Similarity {
   ): Unit = {
     val spark = corpus.sparkSession
     // a committed journal left by a torn compaction of the PREVIOUS
-    // index must not be replayed over the rebuild (review finding: the
-    // other write faces all drop it; old-codebook cells replacing new
-    // ones would silently corrupt search)
+    // index must not be replayed over the rebuild (legacy flat trees;
+    // generation trees get fresh directories, so no stale journal can
+    // exist there)
     graft.io.BucketRewrite.dropJournal(spark, s"$dir/codes")
-    // ... and a stale rebuild swap is invalidated wholesale, except when
-    // THIS build is itself targeting a swap tree (ivfPqIndexRebuild owns
-    // that lifecycle — recursing into `<dir>.swap.swap` would be noise)
+    // ... and a stale legacy rebuild swap is invalidated wholesale,
+    // except when THIS build is itself targeting a swap tree (the
+    // legacy rebuild path owns that lifecycle)
     if (!dir.endsWith(".swap")) graft.io.Commit.clearSwap(spark, dir)
     // a stale batch-id watermark from a previous stream would silently
     // drop the first batches of a NEW stream whose checkpoint restarts
-    // ids at 0 (the io-family full-rebuild rule)
+    // ids at 0 (the io-family full-rebuild rule; the in-stream
+    // [[ivfPqIndexRebuild]] deliberately PRESERVES the watermark)
     graft.io.Watermark.clear(spark, dir)
+    ivfPqBuildGen(corpus, idCol, vecCol, dir, dims, nCentroids, m, codes,
+      iters)
+  }
+
+  private val IvfPqGenName = "g([0-9]{6})".r
+
+  /** Build a fresh GENERATION subtree (`<dir>/g<NNNNNN>/{centroids,
+    * codebooks,meta,codes}`) and flip the family [[graft.io.Manifest]]
+    * to it — the shared mechanics of [[ivfPqIndexWrite]] (bootstrap)
+    * and [[ivfPqIndexRebuild]] (re-train): one manifest commit makes
+    * the new generation the live index and RETIRES the previous one
+    * (or the flat legacy subtrees, on first migration) without
+    * deleting a byte — a reader in any process pinned on the previous
+    * snapshot keeps serving the old generation bit-identically until
+    * [[ivfPqIndexVacuum]]. A crash mid-build leaves an orphan
+    * generation directory no snapshot references (swept by vacuum);
+    * generation numbers always advance past every directory on disk,
+    * committed or not, so a torn build's directory is never reused. */
+  private def ivfPqBuildGen(
+      corpus: DataFrame, idCol: String, vecCol: String, dir: String,
+      dims: Int, nCentroids: Int, m: Int, codes: Int, iters: Int
+  ): Unit = {
+    val spark = corpus.sparkSession
+    val prev = graft.io.Manifest.current(spark, dir)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existing =
+      if (fs.exists(dirPath))
+        fs.listStatus(dirPath).toSeq.filter(_.isDirectory)
+          .map(_.getPath.getName)
+          .collect { case IvfPqGenName(n) => n.toLong }
+      else Seq.empty
+    val gen = f"g${existing.maxOption.getOrElse(0L) + 1L}%06d"
+    ivfPqWriteTree(corpus, idCol, vecCol, s"$dir/$gen", dims, nCentroids,
+      m, codes, iters)
+    val subtrees = Seq("centroids", "codebooks", "meta", "codes")
+    val files = subtrees
+      .flatMap(s => graft.io.Manifest.listFiles(spark, dir, s"$gen/$s"))
+    val retire = prev.map(_.files.toSeq).getOrElse(
+      subtrees.flatMap(s => graft.io.Manifest.listFiles(spark, dir, s)))
+    graft.io.Manifest.commitSet(spark, dir, files, retire): Unit
+  }
+
+  /** The four-subtree write into `treeRoot` — pure layout, no
+    * lifecycle (journals/watermarks/manifests are the callers'). */
+  private def ivfPqWriteTree(
+      corpus: DataFrame, idCol: String, vecCol: String, treeRoot: String,
+      dims: Int, nCentroids: Int, m: Int, codes: Int, iters: Int
+  ): Unit = {
+    val spark = corpus.sparkSession
     val (coarse, books, enc) =
       ivfPqTrainEncode(corpus, idCol, vecCol, dims, nCentroids, m, codes, iters)
     spark.createDataFrame(
         coarse.toIndexedSeq.zipWithIndex.map { case (v, i) => (i, v.toSeq) })
       .toDF("cent_id", "centv")
-      .write.mode("overwrite").parquet(s"$dir/centroids")
+      .write.mode("overwrite").parquet(s"$treeRoot/centroids")
     spark.createDataFrame(
         for { s <- 0 until m; c <- 0 until codes } yield (s, c, books(s)(c).toSeq))
       .toDF("sub", "code", "cv")
-      .write.mode("overwrite").parquet(s"$dir/codebooks")
+      .write.mode("overwrite").parquet(s"$treeRoot/codebooks")
     spark.createDataFrame(Seq((dims, nCentroids, m, codes)))
       .toDF("dims", "n_centroids", "m", "codes")
-      .write.mode("overwrite").parquet(s"$dir/meta")
+      .write.mode("overwrite").parquet(s"$treeRoot/meta")
     // repartition on the cell key first (the TextIndex/BandIndex lesson):
     // without it every task writes a sliver file into every cell
     // directory — tasks × nCentroids files and a commit storm, and every
     // subsequent probe's scan pays the per-cell file count forever
     enc.repartition(col("cent_id"))
-      .write.mode("overwrite").partitionBy("cent_id").parquet(s"$dir/codes")
+      .write.mode("overwrite").partitionBy("cent_id").parquet(s"$treeRoot/codes")
+  }
+
+  /** A resolved IVF+PQ tree: `root` is where the four subtrees live —
+    * the manifest's live generation, or the family dir itself on a
+    * legacy flat layout — and `snap` pins the file list every read of
+    * this serve call goes through (so a concurrent rebuild/compaction
+    * commit can never mix generations inside one call). */
+  private final case class IvfPqTree(dir: String, root: String,
+      snap: Option[graft.io.Manifest.Snapshot], gen: String) {
+    def codesDir: String = s"$root/codes"
+  }
+
+  private def ivfPqResolve(
+      spark: org.apache.spark.sql.SparkSession, dir: String): IvfPqTree =
+    graft.io.Manifest.current(spark, dir) match {
+      case Some(s) =>
+        val gen = s.files.headOption.map(_.takeWhile(_ != '/')).getOrElse(
+          sys.error(s"IVF+PQ index at $dir: the committed manifest lists " +
+            "no files — an IVF+PQ index is never legitimately empty (an " +
+            "empty training corpus fails loudly at build), so this is a " +
+            "corrupted manifest; rebuild the index"))
+        IvfPqTree(dir, s"$dir/$gen", Some(s), gen)
+      case None =>
+        // legacy flat layout: complete a torn swap first (the swap may
+        // install a manifest tree — the migration edge), then re-check
+        ivfPqSwapRecover(spark, dir)
+        graft.io.Manifest.current(spark, dir) match {
+          case Some(_) => ivfPqResolve(spark, dir)
+          case None => IvfPqTree(dir, dir, None, "")
+        }
+    }
+
+  /** The codes tree through the resolved snapshot (legacy: listing). */
+  private def ivfPqCodesFrame(
+      spark: org.apache.spark.sql.SparkSession, tree: IvfPqTree): DataFrame =
+    tree.snap match {
+      case Some(s) => graft.io.Manifest.readSubtree(spark, tree.dir, s,
+        s"${tree.gen}/codes", None)
+      case None => spark.read.parquet(tree.codesDir)
+    }
+
+  /** Per-cell code counts of the LIVE index — the layout inspection
+    * face (ir3's build witness): (cent_id, n_vecs) through the resolved
+    * snapshot, so retired generations and compaction-superseded files
+    * never count. */
+  def ivfPqIndexCellCounts(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val tree = ivfPqResolve(spark, dir)
+    ivfPqCodesFrame(spark, tree)
+      .groupBy(col("cent_id").cast("long").as("cent_id"))
+      .agg(count(lit(1)).as("n_vecs"))
   }
 
   /** Top-k over a persisted IVF+PQ index ([[ivfPqIndexWrite]]): the
@@ -997,20 +1099,22 @@ object Similarity {
     * exactly, so every consumer quantizes with the build's exact
     * arithmetic. */
   private def ivfPqArtifacts(
-      spark: org.apache.spark.sql.SparkSession, dir: String
+      spark: org.apache.spark.sql.SparkSession, tree: IvfPqTree
   ): (Int, Int, Array[Array[Double]], Array[Array[Array[Double]]]) = {
-    // every consumer resolves artifacts through here, so a torn rebuild
-    // swap heals before any read (see [[ivfPqIndexRebuild]])
-    ivfPqSwapRecover(spark, dir)
-    val meta = spark.read.parquet(s"$dir/meta")
+    // a generation is immutable once committed (appends touch only
+    // codes/), so plain directory reads inside the resolved root are
+    // snapshot-consistent; legacy trees healed any torn swap when the
+    // caller resolved the tree
+    val root = tree.root
+    val meta = spark.read.parquet(s"$root/meta")
       .select("dims", "n_centroids", "m", "codes").head()
     val (m, codes) = (meta.getInt(2), meta.getInt(3))
-    val coarse = spark.read.parquet(s"$dir/centroids")
+    val coarse = spark.read.parquet(s"$root/centroids")
       .select(col("cent_id").cast("int"), col("centv"))
       .orderBy("cent_id").collect()
       .map(_.getSeq[Double](1).toArray)
     val books = Array.fill(m, codes)(Array.empty[Double])
-    spark.read.parquet(s"$dir/codebooks")
+    spark.read.parquet(s"$root/codebooks")
       .select(col("sub").cast("int"), col("code").cast("int"), col("cv"))
       .collect()
       .foreach(r => books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
@@ -1027,10 +1131,14 @@ object Similarity {
       nProbe: Int = 4
   ): DataFrame = {
     graft.plans.GraftExtensions.register(spark)
-    ivfPqSwapRecover(spark, dir) // BEFORE the journal recover: a
-    // completed swap replaces the tree the journal belonged to
-    graft.io.BucketRewrite.recover(spark, s"$dir/codes", "cent_id")
-    val (m, codes, coarse, books) = ivfPqArtifacts(spark, dir)
+    // resolve (manifest snapshot, or legacy swap-heal) BEFORE the
+    // journal recover: a completed swap replaces the tree the journal
+    // belonged to; re-resolve after a heal so the snapshot reflects it
+    graft.io.BucketRewrite.recover(spark,
+      ivfPqResolve(spark, dir).codesDir, "cent_id",
+      manifestRoot = Some(dir))
+    val tree = ivfPqResolve(spark, dir)
+    val (m, codes, coarse, books) = ivfPqArtifacts(spark, tree)
     val d = coarse(0).length / m
     val qunit = unitized(queries, idCol, vecCol, "query_id")
     // eager localCheckpoint: the probe frame feeds TWO executions (the
@@ -1046,7 +1154,7 @@ object Similarity {
     // marker not advanced) — without it a duplicated neighbor would
     // claim two of the k ranks. Runs on the cell-pruned sliver only,
     // the BandIndex.probe merge-on-read discipline.
-    val enc = spark.read.parquet(s"$dir/codes")
+    val enc = ivfPqCodesFrame(spark, tree)
       .filter(col("cent_id").isin(probedCells.toIndexedSeq: _*))
       .dropDuplicates("neighbor_id")
     ivfPqRank(enc, ivfPqAdc(probes, books, m, codes, d), k, m, codes)
@@ -1063,9 +1171,15 @@ object Similarity {
       vectors: DataFrame,
       idCol: String,
       vecCol: String
+  ): DataFrame =
+    ivfPqEncodeTree(spark, ivfPqResolve(spark, dir), vectors, idCol, vecCol)
+
+  private def ivfPqEncodeTree(
+      spark: org.apache.spark.sql.SparkSession, tree: IvfPqTree,
+      vectors: DataFrame, idCol: String, vecCol: String
   ): DataFrame = {
     graft.plans.GraftExtensions.register(spark)
-    val (m, codes, coarse, books) = ivfPqArtifacts(spark, dir)
+    val (m, codes, coarse, books) = ivfPqArtifacts(spark, tree)
     val d = coarse(0).length / m
     val coarseLit = typedLit(coarse.map(_.toSeq).toSeq)
     spreadToCores(unitized(vectors, idCol, vecCol, "neighbor_id"))
@@ -1100,15 +1214,26 @@ object Similarity {
       dir: String
   ): Unit = {
     val spark = delta.sparkSession
-    // swap first (a committed rebuild replaces the whole tree), THEN the
-    // journal recover, BEFORE appending (the io-family append
-    // discipline: a torn compaction's journal replayed over this append
-    // would drop it)
-    ivfPqSwapRecover(spark, dir)
-    graft.io.BucketRewrite.recover(spark, s"$dir/codes", "cent_id")
-    ivfPqIndexEncode(spark, dir, delta, idCol, vecCol)
+    // resolve first (legacy: heals a committed rebuild swap — it
+    // replaces the whole tree), THEN the journal recover, BEFORE
+    // appending (the io-family append discipline: a torn compaction's
+    // journal replayed over this append would drop it)
+    graft.io.BucketRewrite.recover(spark,
+      ivfPqResolve(spark, dir).codesDir, "cent_id",
+      manifestRoot = Some(dir))
+    val tree = ivfPqResolve(spark, dir)
+    // before/after listing brackets the append so the snapshot commit
+    // adds precisely this write's files (the io-family discipline)
+    val before = tree.snap.map(_ =>
+      graft.io.Manifest.listFiles(spark, dir, s"${tree.gen}/codes").toSet)
+    ivfPqEncodeTree(spark, tree, delta, idCol, vecCol)
       .repartition(col("cent_id"))
-      .write.mode("append").partitionBy("cent_id").parquet(s"$dir/codes")
+      .write.mode("append").partitionBy("cent_id").parquet(tree.codesDir)
+    before.foreach { b =>
+      graft.io.Manifest.commitAdd(spark, dir,
+        graft.io.Manifest.listFiles(spark, dir, s"${tree.gen}/codes")
+          .filterNot(b), Nil): Unit
+    }
   }
 
   /** Replay-safe streaming append for the vector index (the
@@ -1140,9 +1265,32 @@ object Similarity {
     * serve-path heal free by removing the bytes. */
   def ivfPqIndexCompact(spark: org.apache.spark.sql.SparkSession,
       dir: String): graft.io.Compact.CompactStats = {
-    ivfPqSwapRecover(spark, dir)
-    graft.io.Compact.compactTree(spark, s"$dir/codes", "cent_id",
-      dedupCols = Some(Seq("neighbor_id")))
+    val tree = ivfPqResolve(spark, dir)
+    graft.io.Compact.compactTree(spark, tree.codesDir, "cent_id",
+      dedupCols = Some(Seq("neighbor_id")), manifestRoot = Some(dir))
+  }
+
+  /** Physically reclaim non-live bytes — generations a rebuild retired
+    * for snapshot-pinned readers, compaction-superseded cell files, and
+    * torn builds' orphan generation dirs — [[graft.io.Manifest.vacuum]]
+    * over every generation on disk plus the flat legacy subtrees a
+    * migration left behind. The declared pin-expiry point: run it on a
+    * retention cadence longer than the serving fleet's longest query. */
+  def ivfPqIndexVacuum(spark: org.apache.spark.sql.SparkSession,
+      dir: String): graft.io.Manifest.VacuumStats = {
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gens =
+      if (fs.exists(dirPath))
+        fs.listStatus(dirPath).toSeq.filter(_.isDirectory)
+          .map(_.getPath.getName).filter {
+            case IvfPqGenName(_) => true
+            case _ => false
+          }
+      else Seq.empty
+    val flat = Seq("centroids", "codebooks", "meta", "codes")
+    graft.io.Manifest.vacuum(spark, dir,
+      gens.flatMap(g => flat.map(s => s"$g/$s")) ++ flat)
   }
 
   /** Maintenance-time ANN drift gauge for a persisted IVF+PQ index (the
@@ -1161,9 +1309,24 @@ object Similarity {
     * gauge should measure — probe + quantization loss under the frozen
     * training — from corpus composition. Returns [[recallAtK]]'s
     * per-query (query_id, n_truth, n_hits, recall); aggregate and
-    * threshold it on a maintenance cadence, and [[ivfPqIndexRebuild]]
-    * when it decays. Cost: one sliver encode + one sliver×queries
-    * broadcast rank — never corpus-sized. */
+    * threshold it on a maintenance cadence
+    * ([[graft.streaming.Streaming.shouldRebuild]]), and
+    * [[ivfPqIndexRebuild]] when it decays. Cost: one sliver encode +
+    * one sliver×queries broadcast rank — never corpus-sized.
+    *
+    * SELF-MATCH ASYMMETRY (r18 advisory): when the query set overlaps
+    * the candidate sliver by id — the streaming gauge's shape, where
+    * the batch serves as both — the two sides treat the query's own
+    * vector DIFFERENTLY: the exact side ([[bruteForceTopK]]) excludes
+    * self by contract, while the approx ADC ranking scores every
+    * encoded sliver row, so the self row (nearly always approx rank 1)
+    * burns one of the k approx slots on a row that can never be a
+    * truth hit — recall@k reads up to 1/k off purely from the overlap,
+    * muting the drift signal the ledger exists to expose. `excludeSelf
+    * = true` makes the sides symmetric: both rank top-(k+1), drop the
+    * self row, renumber — exact, since at most one self row exists per
+    * query. Leave it false when queries and sliver are disjoint, where
+    * it changes nothing but costs one extra rank row. */
   def ivfPqIndexDriftGauge(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
@@ -1172,39 +1335,60 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      nProbe: Int = 4
+      nProbe: Int = 4,
+      excludeSelf: Boolean = false
   ): DataFrame = {
     graft.plans.GraftExtensions.register(spark)
-    ivfPqSwapRecover(spark, dir)
-    val (m, codes, coarse, books) = ivfPqArtifacts(spark, dir)
+    val tree = ivfPqResolve(spark, dir)
+    val (m, codes, coarse, books) = ivfPqArtifacts(spark, tree)
     val d = coarse(0).length / m
     val qunit = unitized(queries, idCol, vecCol, "query_id")
     // probes feed ONE consumer here (the ADC tables — no partition-prune
     // collect, the gauge never touches codes/), so no pin is needed
     val probes = ivfPqProbes(spark, qunit, coarse, nProbe)
-    val approx = ivfPqRank(ivfPqIndexEncode(spark, dir, sample, idCol, vecCol),
-      ivfPqAdc(probes, books, m, codes, d), k, m, codes)
-    recallAtK(approx, bruteForceTopK(sample, queries, idCol, vecCol, k), k)
+    val kRank = if (excludeSelf) k + 1 else k
+    def dropSelf(ranked: DataFrame): DataFrame =
+      if (!excludeSelf) ranked
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id")).orderBy(col("rank"))
+        ranked.filter(col("neighbor_id") =!= col("query_id"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+      }
+    val approx = dropSelf(ivfPqRank(
+      ivfPqEncodeTree(spark, tree, sample, idCol, vecCol),
+      ivfPqAdc(probes, books, m, codes, d), kRank, m, codes))
+    recallAtK(approx,
+      dropSelf(bruteForceTopK(sample, queries, idCol, vecCol, kRank)), k)
   }
 
-  /** Re-train on the CURRENT corpus and atomically swap the layout in —
-    * the rebuild face the drift gauge's decay triggers. The new index
-    * builds completely in a sibling `<dir>.swap` tree, an engine-owned
-    * commit sentinel flips it authoritative ([[graft.io.Commit]]), and
-    * the swap is delete-then-rename — with [[ivfPqSwapRecover]] run by
-    * every entry point, so readers never see a half-swapped index:
-    *  - crash building the swap tree (no sentinel) → readers IGNORE it
-    *    (never delete — an in-flight builder may still be writing) and
-    *    the OLD index serves untouched; the stale tree stays on disk
-    *    until the NEXT rebuild's entry clears it, so at scale schedule
-    *    rebuilds (or a manual [[graft.io.Commit.clearSwap]]) rather
-    *    than counting on serving traffic for cleanup;
-    *  - crash after the sentinel, before/inside the swap → next entry
-    *    COMPLETES the swap and the NEW index serves whole.
-    * Cross-process caveat as everywhere in the io family: a reader in
-    * another process mid-scan during the swap can lose files —
-    * maintenance windows or retry (the [[graft.io.Compact]] reader
-    * contract). */
+  /** Re-train on the CURRENT corpus and flip the layout in — the
+    * rebuild face the drift gauge's decay (see
+    * [[graft.streaming.Streaming.shouldRebuild]]) triggers.
+    *
+    * On MANIFEST trees (every index the r19+ [[ivfPqIndexWrite]]
+    * builds) the rebuild is a GENERATION FLIP ([[ivfPqBuildGen]]): the
+    * new index trains and writes completely under `<dir>/g<N+1>/`, one
+    * manifest commit makes it live, and the old generation stays on
+    * disk — READER-INVISIBLE ACROSS PROCESSES: a serve call in any
+    * process that resolved the previous snapshot keeps its file list
+    * intact until [[ivfPqIndexVacuum]] (the declared retention point).
+    * A crash mid-build leaves an orphan generation no reader ever
+    * sees; the next rebuild numbers past it and vacuum sweeps it. The
+    * index's batch-id watermark is PRESERVED — an in-stream rebuild
+    * (the [[graft.streaming.Streaming.vectorIndexMaintenance]] /
+    * steady-state loop shape) must keep gating the same stream's
+    * replays; a genuinely new stream starts with [[ivfPqIndexWrite]],
+    * which clears it.
+    *
+    * LEGACY flat trees keep the r18 swap protocol — build a sibling
+    * `<dir>.swap`, sentinel-commit, locked delete-then-rename, healed
+    * by every entry point's resolve — and MIGRATE: the swapped-in tree
+    * is generation-layout with a manifest, so the next rebuild is
+    * already a flip. (The swap window on a legacy tree keeps the old
+    * same-process guarantees; cross-process reader isolation starts at
+    * the first manifest commit.) */
   def ivfPqIndexRebuild(
       corpus: DataFrame,
       idCol: String,
@@ -1217,6 +1401,11 @@ object Similarity {
       iters: Int = 2
   ): Unit = {
     val spark = corpus.sparkSession
+    if (graft.io.Manifest.exists(spark, dir)) {
+      ivfPqBuildGen(corpus, idCol, vecCol, dir, dims, nCentroids, m,
+        codes, iters)
+      return
+    }
     ivfPqSwapRecover(spark, dir)
     // maintainer-only: drop a stale build from a dead run, build the
     // replacement, then the LOCKED mark→delete→rename — a concurrent

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -785,35 +785,144 @@ object Streaming {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         val b = batch.toDF().localCheckpoint() // one source scan: append + gauge
-        try {
-          val applied = graft.io.MaintenanceFace.step(batchId, compactEvery)(
-            graft.operators.Similarity.ivfPqIndexAppendBatch(b, idCol,
-              vecCol, indexDir, batchId))(
-            graft.operators.Similarity.ivfPqIndexCompact(spark,
-              indexDir): Unit)
-          // ledger rule (two r18 review findings, one on each side):
-          //  - a batch THIS invocation applied is live new work under
-          //    the current stream/index — recompute and OVERWRITE
-          //    unconditionally, so a stale committed entry left by a
-          //    PREVIOUS stream (batch ids restart at 0 after a rebuild)
-          //    can never masquerade as this index's drift evidence;
-          //  - a replayed batch (applied=false) reuses a committed
-          //    entry, and recomputes an uncommitted one — the crash
-          //    between the watermark advance and the ledger write no
-          //    longer leaves a permanent gap (the replayed source batch
-          //    is identical, so the rewrite is too).
-          if (gaugeEvery > 0 && (batchId + 1) % gaugeEvery == 0) {
-            val ledgerDir = s"$gaugeDir/batch_id=$batchId"
-            if (applied || !graft.io.Commit.isCommitted(spark, ledgerDir)) {
-              graft.operators.Similarity.ivfPqIndexDriftGauge(spark,
-                  indexDir, b, b, idCol, vecCol, gaugeK, gaugeNProbe)
-                .write.mode("overwrite").parquet(ledgerDir)
-              graft.io.Commit.mark(spark, ledgerDir)
-            }
-          }
-        } finally graft.operators.Dedup.release(b)
+        try vectorFaceStep(spark, b, batchId, idCol, vecCol, indexDir,
+          compactEvery, gaugeEvery, gaugeDir, gaugeK, gaugeNProbe): Unit
+        finally graft.operators.Dedup.release(b)
       }
       .start()
+  }
+
+  /** The vector face of one micro-batch — watermark-gated IVF+PQ append
+    * + compaction cadence + the drift-gauge recall ledger — shared by
+    * [[vectorIndexMaintenance]] (harness #19) and the composed
+    * steady-state loop ([[steadyStateStep]], #18e). `b` must be pinned
+    * by the caller. Returns true iff the batch applied.
+    *
+    * Ledger rule (two r18 review findings, one on each side):
+    *  - a batch THIS invocation applied is live new work under the
+    *    current stream/index — recompute and OVERWRITE unconditionally,
+    *    so a stale committed entry left by a PREVIOUS stream (batch ids
+    *    restart at 0 after a fresh [[graft.operators.Similarity
+    *    .ivfPqIndexWrite]]) can never masquerade as this index's drift
+    *    evidence;
+    *  - a replayed batch (applied=false) reuses a committed entry, and
+    *    recomputes an uncommitted one — the crash between the watermark
+    *    advance and the ledger write no longer leaves a permanent gap
+    *    (the replayed source batch is identical, so the rewrite is too).
+    *
+    * The gauge runs with `excludeSelf = true` (r18 advisory): the batch
+    * serves as both candidate sliver and query set here, so without the
+    * exclusion every query's own vector burns an approx-side slot that
+    * can never be a truth hit (the exact side excludes self by
+    * contract) — recall@k reads up to 1/k off purely from the overlap,
+    * muting exactly the drift the ledger exists to catch. */
+  private def vectorFaceStep(
+      spark: SparkSession, b: DataFrame, batchId: Long,
+      idCol: String, vecCol: String, indexDir: String,
+      compactEvery: Int, gaugeEvery: Int, gaugeDir: String,
+      gaugeK: Int, gaugeNProbe: Int): Boolean = {
+    val applied = graft.io.MaintenanceFace.step(batchId, compactEvery)(
+      graft.operators.Similarity.ivfPqIndexAppendBatch(b, idCol,
+        vecCol, indexDir, batchId))(
+      graft.operators.Similarity.ivfPqIndexCompact(spark, indexDir): Unit)
+    if (gaugeEvery > 0 && (batchId + 1) % gaugeEvery == 0) {
+      val ledgerDir = s"$gaugeDir/batch_id=$batchId"
+      if (applied || !graft.io.Commit.isCommitted(spark, ledgerDir)) {
+        graft.operators.Similarity.ivfPqIndexDriftGauge(spark,
+            indexDir, b, b, idCol, vecCol, gaugeK, gaugeNProbe,
+            excludeSelf = true)
+          .write.mode("overwrite").parquet(ledgerDir)
+        graft.io.Commit.mark(spark, ledgerDir)
+      }
+    }
+    applied
+  }
+
+  /** The drift-gauge ledger folded into the REBUILD DECISION — the
+    * operator call ir8 left as prose, as a frame (the oracle face):
+    * the newest `window` COMMITTED ledger entries' per-query recalls
+    * average into one row `(n_batches, n_queries, mean_recall,
+    * should_rebuild)`, where should_rebuild = the window is non-empty
+    * AND its mean recall sits below `threshold`. Day-zero (no committed
+    * entries, or entries with zero scored queries) reads NO EVIDENCE —
+    * never a rebuild trigger. Reads only the selected entries' files
+    * (the ledger is batch_id-partitioned), so the decision costs
+    * `window` tiny reads regardless of stream age. */
+  def gaugeLedgerDecision(
+      spark: SparkSession, gaugeDir: String, threshold: Double,
+      window: Int = 3): DataFrame = {
+    require(window >= 1, "window must be at least one ledger entry")
+    val root = new org.apache.hadoop.fs.Path(gaugeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+        .map(_.getPath.getName.stripPrefix("batch_id=").toLong)
+        .filter(id => graft.io.Commit.isCommitted(spark,
+          s"$gaugeDir/batch_id=$id"))
+        .sorted.takeRight(window)
+    val empty = spark.range(1).select(
+      lit(0L).as("n_batches"), lit(0L).as("n_queries"),
+      lit(null).cast("double").as("mean_recall"),
+      lit(false).as("should_rebuild"))
+    if (committed.isEmpty) empty
+    else {
+      val rows = spark.read.option("basePath", gaugeDir)
+        .parquet(committed.map(id => s"$gaugeDir/batch_id=$id"): _*)
+      rows.agg(
+          countDistinct(col("batch_id")).as("n_batches"),
+          count(lit(1)).as("n_queries"),
+          round(avg(col("recall")), 4).as("mean_recall"))
+        .withColumn("should_rebuild",
+          col("n_queries") > 0 && col("mean_recall") < threshold)
+    }
+  }
+
+  /** [[gaugeLedgerDecision]] as the boolean the maintenance window
+    * acts on: rebuild ([[graft.operators.Similarity.ivfPqIndexRebuild]]
+    * — a reader-invisible generation flip on r19 manifest trees) when
+    * the recent gauge window's mean recall decays below `threshold`. */
+  def shouldRebuild(
+      spark: SparkSession, gaugeDir: String, threshold: Double,
+      window: Int = 3): Boolean =
+    gaugeLedgerDecision(spark, gaugeDir, threshold, window)
+      .select(col("should_rebuild")).head().getBoolean(0)
+
+  /** Retention GC for the steady-state loop's own plumbing (r18 verdict
+    * "what's wrong" #2): `novelDir/batch_id=*`, `.curated/batch_id=*`
+    * and `gaugeDir/batch_id=*` accumulate one directory per micro-batch
+    * FOREVER — they are the replay-safety substrate, so they cannot be
+    * deleted casually, but at production cadence that is ~500k small
+    * directories a year. An emission for batch N is REPLAY-DEAD by
+    * construction once every consuming face's committed watermark is
+    * strictly above N: Structured Streaming only ever replays the last
+    * started batch, and every face has already applied N, so no code
+    * path reads the emission again. This face deletes exactly those
+    * (minus `retainTrailing` extra newest ones — give the gauge ledger
+    * a window's worth of history), and is idempotent and safe on any
+    * cadence. Faces that never applied anything read watermark −1, so a
+    * bootstrapping loop GCs nothing. Returns the directories removed. */
+  def emissionRetention(
+      spark: SparkSession,
+      emissionDirs: Seq[String],
+      faceDirs: Seq[String],
+      retainTrailing: Int = 0): Int = {
+    require(faceDirs.nonEmpty, "need the consuming faces' watermarks")
+    val minMark = faceDirs.map(graft.io.Watermark.read(spark, _)).min
+    val cutoff = minMark - retainTrailing.toLong
+    if (cutoff <= 0) return 0
+    var removed = 0
+    emissionDirs.foreach { d =>
+      val root = new org.apache.hadoop.fs.Path(d)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(root))
+        fs.listStatus(root).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+          .filter(_.getPath.getName.stripPrefix("batch_id=").toLong < cutoff)
+          .foreach { s => fs.delete(s.getPath, true); removed += 1 }
+    }
+    removed
   }
 
   /** STREAMING steady-state ingestion (parity harness #18) — the
@@ -886,7 +995,14 @@ object Streaming {
       textDir: String,
       checkpointDir: String,
       compactEvery: Int = 0,
-      nearDupMinBands: Int = 0
+      nearDupMinBands: Int = 0,
+      qualityGate: Option[Column] = None,
+      vecCol: String = "",
+      vectorDir: String = "",
+      gaugeEvery: Int = 0,
+      gaugeDir: String = "",
+      gaugeK: Int = 5,
+      gaugeNProbe: Int = 4
   ): org.apache.spark.sql.streaming.StreamingQuery =
     discoveries.writeStream
       .outputMode("append")
@@ -894,21 +1010,60 @@ object Streaming {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         steadyStateStep(batch.toDF(), batchId, urlCol, idCol, textCol,
           seenDir, novelDir, storeDir, bandDir, textDir, compactEvery,
-          nearDupMinBands)
+          nearDupMinBands, qualityGate, vecCol, vectorDir, gaugeEvery,
+          gaugeDir, gaugeK, gaugeNProbe)
       }
       .start()
 
   /** The [[steadyStateIngest]] batch body — public so the replay specs
     * (and a batch backfill) can drive it directly with explicit batch
-    * ids. */
+    * ids.
+    *
+    * `qualityGate` (r18 verdict "what's wrong" #3): the per-row keep
+    * verdict as a Column over the novel sliver's columns — defaults to
+    * [[graft.functions.TextFunctions.qualityFilter]]'s composite keep
+    * at its published thresholds; pass a re-tuned gate (every curation
+    * pipeline re-tunes per corpus, the [[graft.pipeline.DocPipeline]]
+    * posture) without forking the loop. The keep-IS-NOT-TRUE eviction
+    * rule applies to whatever gate runs.
+    *
+    * `vecCol` non-empty composes the VECTOR FACE (#18e) into the same
+    * foreachBatch: the kept sliver's embeddings append into the
+    * persisted IVF+PQ index at `vectorDir` ([[graft.operators
+    * .Similarity.ivfPqIndexAppendBatch]] — the novelty gate guarantees
+    * its ids-disjoint contract, exactly as for the band/text appends),
+    * with harness #19's compaction cadence and drift-gauge recall
+    * ledger (`gaugeEvery`/`gaugeDir`, self-matches excluded); threshold
+    * the ledger with [[shouldRebuild]] and re-train with
+    * [[graft.operators.Similarity.ivfPqIndexRebuild]] from a
+    * maintenance window — on r19 manifest trees that flip is
+    * reader-invisible, so it CAN run between batches of a live loop.
+    *
+    * On the `compactEvery` cadence the loop also runs
+    * [[emissionRetention]] over its own emission/ledger directories —
+    * replay-dead batch dirs (older than every face's committed
+    * watermark) are reclaimed, bounding the loop's plumbing at
+    * ~cadence-many directories instead of one per batch forever; the
+    * gauge ledger retains a decision window's worth extra. */
   def steadyStateStep(
       batch: DataFrame, batchId: Long,
       urlCol: String, idCol: String, textCol: String,
       seenDir: String, novelDir: String, storeDir: String,
       bandDir: String, textDir: String,
       compactEvery: Int = 0,
-      nearDupMinBands: Int = 0
+      nearDupMinBands: Int = 0,
+      qualityGate: Option[Column] = None,
+      vecCol: String = "",
+      vectorDir: String = "",
+      gaugeEvery: Int = 0,
+      gaugeDir: String = "",
+      gaugeK: Int = 5,
+      gaugeNProbe: Int = 4
   ): Unit = {
+    require(vecCol.isEmpty == vectorDir.isEmpty,
+      "the vector face needs BOTH vecCol and vectorDir (or neither)")
+    require(gaugeEvery <= 0 || (vecCol.nonEmpty && gaugeDir.nonEmpty),
+      "gaugeEvery > 0 needs the vector face on and a gaugeDir")
     val spark = batch.sparkSession
     // the ONE source materialization (see scan accounting above)
     val b = batch.localCheckpoint()
@@ -923,19 +1078,20 @@ object Streaming {
       // __graft_keep, __graft_dup) — computed in-flight on the plain
       // path, persisted exactly-once on the near-dup path (its probe
       // answer depends on index state; see [[steadyStateIngest]])
+      // the gate: caller-tuned, or the published-threshold default
+      // (computed ONCE per batch; every face consumes the verdict)
+      val gate = qualityGate.getOrElse(
+        graft.functions.TextFunctions.qualityFilter(textCol)
+          .getField("keep"))
       val verdicts =
         if (nearDupMinBands <= 0)
-          novel.withColumn("__graft_keep",
-              graft.functions.TextFunctions.qualityFilter(textCol)
-                .getField("keep"))
+          novel.withColumn("__graft_keep", gate)
             .withColumn("__graft_dup", lit(false))
             .localCheckpoint()
         else {
           val cur = s"$novelDir.curated/batch_id=$batchId"
           if (!graft.io.Commit.isCommitted(spark, cur)) {
-            val gated = novel.withColumn("__graft_keep",
-                graft.functions.TextFunctions.qualityFilter(textCol)
-                  .getField("keep"))
+            val gated = novel.withColumn("__graft_keep", gate)
               .localCheckpoint()
             try {
               val kept = gated
@@ -982,7 +1138,29 @@ object Streaming {
           graft.io.TextIndex.appendBatch(kept, idCol, textCol, textDir,
             batchId))(
           graft.io.TextIndex.compact(spark, textDir): Unit): Unit
+        // #18e: the SAME kept sliver feeds the vector index (pinned via
+        // verdicts — the batch is still scanned exactly once); the
+        // novelty gate guarantees the append face's ids-disjoint
+        // contract, and the drift ledger rides the same cadence rules
+        // as harness #19
+        if (vecCol.nonEmpty)
+          vectorFaceStep(spark, kept, batchId, idCol, vecCol, vectorDir,
+            compactEvery, gaugeEvery, gaugeDir, gaugeK, gaugeNProbe): Unit
       } finally graft.operators.Dedup.release(verdicts)
+      // retention rides the compaction cadence: replay-dead emissions
+      // (strictly below every face's committed watermark) reclaim; the
+      // gauge ledger keeps a decision window's worth of extra history
+      if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+        val faces = Seq(seenDir, storeDir, bandDir, textDir) ++
+          (if (vecCol.nonEmpty) Seq(vectorDir) else Nil)
+        emissionRetention(spark,
+          Seq(novelDir) ++
+            (if (nearDupMinBands > 0) Seq(s"$novelDir.curated") else Nil),
+          faces): Unit
+        if (gaugeEvery > 0)
+          emissionRetention(spark, Seq(gaugeDir), faces,
+            retainTrailing = gaugeEvery * 8): Unit
+      }
     } finally graft.operators.Dedup.release(b)
   }
 

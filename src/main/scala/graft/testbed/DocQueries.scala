@@ -231,6 +231,29 @@ object DocQueries {
       ix
     })
 
+  /** The ir10 drift-gauge LEDGER: two committed batch entries of
+    * per-query recall rows ([[Similarity.ivfPqIndexDriftGauge]] over
+    * deterministic corpus slivers, the shape harness #19/#18e persists
+    * per maintenance batch), so the battery exercises the
+    * ledger→decision fold ([[graft.streaming.Streaming
+    * .gaugeLedgerDecision]]) end-to-end against real ledger bytes. */
+  private val gaugeLedgerCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+  private def gaugeLedgerDir(s: SparkSession, dir: String): String =
+    gaugeLedgerCache.getOrElseUpdate((s, dir), {
+      val ld = java.nio.file.Files.createTempDirectory("graft-gauge-ledger").toString
+      val emb = table(s, dir, "embeddings")
+      Seq(0, 1).foreach { i =>
+        Similarity.ivfPqIndexDriftGauge(s, ivfPqIndexDir(s, dir),
+            emb.filter(col("vec_id") % 3 === i),
+            emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+            k = 3, nProbe = 4)
+          .write.mode("overwrite").parquet(s"$ld/batch_id=$i")
+        graft.io.Commit.mark(s, s"$ld/batch_id=$i")
+      }
+      ld
+    })
+
   /** The persisted MinHash band index serving ir5 — the d17 corpus split
     * (reference < 250) built as write(< 150) + append(150..249), so the
     * battery's oracle gate exercises the APPEND face too: a probe over
@@ -1797,13 +1820,11 @@ object DocQueries {
     // ingest-time cost ir4 amortizes. Runs before ir4 (alphabetical), so
     // ir4 measures SERVING. Emits the per-cell code counts; the oracle
     // recomputes the coarse assignment independently (the v11 CTE chain)
-    "ir3_ivfpq_index_build" -> ((s, dir) => {
-      val ix = ivfPqIndexDir(s, dir)
-      s.read.parquet(s"$ix/codes")
-        .groupBy(col("cent_id").cast("long").as("cent_id"))
-        .agg(count(lit(1)).as("n_vecs"))
-        .orderBy("cent_id")
-    }),
+    "ir3_ivfpq_index_build" -> ((s, dir) =>
+      // cell counts through the live snapshot (the codes tree lives
+      // under the manifest's generation dir since r19)
+      Similarity.ivfPqIndexCellCounts(s, ivfPqIndexDir(s, dir))
+        .orderBy("cent_id")),
 
     // IR4: IVF+PQ top-k SERVED FROM THE PERSISTED INDEX — the 100 TB
     // serving artifact: centroids/codebooks collect as driver metadata,
@@ -1863,6 +1884,52 @@ object DocQueries {
           k = 3, nProbe = 4)
         .orderBy("query_id")
     }),
+
+    // IR9: INDEX-SERVED HYBRID RETRIEVAL — the RAG serving shape: BM25
+    // from the persisted inverted index (bucket-pruned postings) and
+    // ANN from the persisted IVF+PQ index (cell-pruned codes), fused
+    // per query by reciprocal-rank (the v15 arithmetic over PERSISTED
+    // artifacts instead of in-flight rankings). The lexical ranking is
+    // query-independent here (one term set), so it broadcasts into
+    // every vector query's fusion; both index scans stay pruned
+    // (PlanAudit ir9 note), so serving cost is |terms| + nProbe
+    // directory reads — corpus-size-free
+    "ir9_hybrid_retrieval" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val text = graft.io.TextIndex.bm25SearchIndex(s, textIndexDir(s, dir),
+          Seq("hash", "join", "merge"), k = 20)
+        .select(col("doc_id"), col("rank").as("rank_t"))
+      val ann = Similarity.ivfPqIndexTopK(s, ivfPqIndexDir(s, dir),
+          emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+          k = 3, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank").as("rank_a"))
+      val qs = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"))
+      // both rank frames are query-batch-sized metadata — broadcast the
+      // replicated lexical list; the fusion never touches a corpus scan
+      val textAll = qs.crossJoin(broadcast(text))
+      val u = textAll.join(ann, Seq("query_id", "doc_id"), "full_outer")
+        .withColumn("rrf", round(
+          coalesce(lit(1.0) / (lit(60) + col("rank_t")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(60) + col("rank_a")), lit(0.0)), 6))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("rrf").desc, col("doc_id").asc)
+      u.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        .select("query_id", "rank", "doc_id", "rrf")
+        .orderBy("query_id", "rank")
+    }),
+
+    // IR10: the drift-gauge LEDGER folded into the rebuild decision —
+    // the operator call ir8 leaves as prose, from REAL ledger bytes
+    // (two committed batch entries written by the gauge, the #19/#18e
+    // persistence shape) through Streaming.gaugeLedgerDecision's
+    // window read. should_rebuild cast to int for the cross-engine
+    // hash
+    "ir10_rebuild_decision" -> ((s, dir) =>
+      graft.streaming.Streaming.gaugeLedgerDecision(s,
+          gaugeLedgerDir(s, dir), threshold = 0.9, window = 2)
+        .withColumn("should_rebuild", col("should_rebuild").cast("int"))),
 
     // IR7: the standing corpus read back FROM THE MAINTAINED STORE —
     // keyed upsert and delete applied as bucket-directory rewrites
@@ -3344,6 +3411,28 @@ object DocQueries {
   /** The v11 IVF+PQ mirror, shared with ir4: the index-served search is
     * bit-identical to the in-flight operator (IvfPqIndexSpec), so one
     * oracle adjudicates both. */
+  /** The ir1 BM25 mirror, shared with ir9's lexical side. */
+  private lazy val bm25Sql: String =
+    s"""$wCte,
+       | terms AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM w),
+       | qt AS (SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl FROM terms
+       |        WHERE term IN ('hash', 'join', 'merge') GROUP BY 1, 2),
+       | dfq AS (SELECT term, COUNT(*) AS df FROM qt GROUP BY 1),
+       | st AS (SELECT COUNT(*) AS n_docs, AVG(len($ws)) AS avgdl FROM documents),
+       | scored AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched,
+       |         ROUND(SUM(CAST(ROUND(
+       |           ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+       |             * (qt.tf * (1.2 + 1.0))
+       |             / (qt.tf + 1.2 * (1.0 - 0.75 + 0.75 * qt.dl / st.avgdl))
+       |           * 100000000) AS BIGINT)) / 100000000.0, 4) AS score
+       |  FROM qt JOIN dfq USING (term) CROSS JOIN st GROUP BY doc_id
+       | ),
+       | ranked AS (SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS "rank"
+       |            FROM scored)
+       |SELECT "rank", doc_id, n_matched, score FROM ranked
+       |WHERE "rank" <= 20 ORDER BY "rank"""".stripMargin
+
   private lazy val ivfPqTopkSql: String =
     s"""WITH ${pqCtes(4, 16, 2, 64)},
        |${ivfPqScoredCte(4, 2, 64, 16, 4)},
@@ -3554,6 +3643,63 @@ object DocQueries {
     // arithmetic — the store semantics (mergeUpsert then anti-join) ARE
     // the restatement; CorpusStoreSpec pins that the physical
     // bucket-rewrite path implements exactly this
+    // IR10: the ledger→decision fold — each ledger entry's per-query
+    // recalls re-derived (the ir8 gauge arithmetic restricted to the
+    // entry's sliver: the approx side is the v11 chain filtered to the
+    // sliver — encoding is per-vector, so the restriction commutes
+    // with the probe), unioned and averaged; n_batches is the two
+    // committed entries by construction (both slivers are non-empty at
+    // every sf)
+    "ir10_rebuild_decision" ->
+      s"""WITH ${pqCtes(4, 16, 2, 64)},
+         |${ivfPqScoredCte(4, 2, 64, 16, 4)},
+         | ar0 AS (
+         |  SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+         |  FROM scored WHERE neighbor_id % 3 = 0
+         | ),
+         | ap0 AS (SELECT query_id, neighbor_id FROM ar0 WHERE rnk <= 3),
+         | bs0 AS (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |         ROUND(list_dot_product(q.v, e.v)
+         |               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))), 4) AS cosine
+         |  FROM (SELECT * FROM e WHERE vec_id < 20) q, e
+         |  WHERE e.vec_id % 3 = 0 AND e.vec_id <> q.vec_id
+         | ),
+         | br0 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM bs0),
+         | tr0 AS (SELECT query_id, neighbor_id FROM br0 WHERE rnk <= 3),
+         | rec0 AS (
+         |  SELECT t.query_id, ROUND(COUNT(a.neighbor_id) * 1.0 / COUNT(*), 4) AS recall
+         |  FROM tr0 t LEFT JOIN ap0 a ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+         |  GROUP BY t.query_id
+         | ),
+         | ar1 AS (
+         |  SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+         |  FROM scored WHERE neighbor_id % 3 = 1
+         | ),
+         | ap1 AS (SELECT query_id, neighbor_id FROM ar1 WHERE rnk <= 3),
+         | bs1 AS (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |         ROUND(list_dot_product(q.v, e.v)
+         |               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))), 4) AS cosine
+         |  FROM (SELECT * FROM e WHERE vec_id < 20) q, e
+         |  WHERE e.vec_id % 3 = 1 AND e.vec_id <> q.vec_id
+         | ),
+         | br1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM bs1),
+         | tr1 AS (SELECT query_id, neighbor_id FROM br1 WHERE rnk <= 3),
+         | rec1 AS (
+         |  SELECT t.query_id, ROUND(COUNT(a.neighbor_id) * 1.0 / COUNT(*), 4) AS recall
+         |  FROM tr1 t LEFT JOIN ap1 a ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+         |  GROUP BY t.query_id
+         | ),
+         | rec AS (SELECT recall FROM rec0 UNION ALL SELECT recall FROM rec1)
+         |SELECT CAST(2 AS BIGINT) AS n_batches,
+         |       CAST(COUNT(*) AS BIGINT) AS n_queries,
+         |       ROUND(CAST(AVG(recall) AS DOUBLE), 4) AS mean_recall,
+         |       CAST(CASE WHEN COUNT(*) > 0
+         |                  AND ROUND(CAST(AVG(recall) AS DOUBLE), 4) < 0.9
+         |            THEN 1 ELSE 0 END AS INT) AS should_rebuild
+         |FROM rec""".stripMargin,
+
     "ir7_corpus_store" ->
       """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
         | up AS (SELECT doc_id, text || ' v2' AS text
@@ -4391,26 +4537,32 @@ object DocQueries {
 
     // IR1: df computed over the query-term sliver (same as the Spark
     // side), per-term q8 scores summed as integers
-    "ir1_bm25_search" ->
-      s"""$wCte,
-         | terms AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM w),
-         | qt AS (SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl FROM terms
-         |        WHERE term IN ('hash', 'join', 'merge') GROUP BY 1, 2),
-         | dfq AS (SELECT term, COUNT(*) AS df FROM qt GROUP BY 1),
-         | st AS (SELECT COUNT(*) AS n_docs, AVG(len($ws)) AS avgdl FROM documents),
-         | scored AS (
-         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched,
-         |         ROUND(SUM(CAST(ROUND(
-         |           ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
-         |             * (qt.tf * (1.2 + 1.0))
-         |             / (qt.tf + 1.2 * (1.0 - 0.75 + 0.75 * qt.dl / st.avgdl))
-         |           * 100000000) AS BIGINT)) / 100000000.0, 4) AS score
-         |  FROM qt JOIN dfq USING (term) CROSS JOIN st GROUP BY doc_id
+    "ir1_bm25_search" -> bm25Sql,
+
+    // IR9: the hybrid fusion — the v15 RRF arithmetic over the ir1
+    // (lexical) and ir4/v11 (vector) mirrors; the lexical list is
+    // query-independent and replicates across the vector query set
+    "ir9_hybrid_retrieval" ->
+      s"""WITH a AS ($ivfPqTopkSql),
+         | b AS ($bm25Sql),
+         | qs AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 20),
+         | x AS (SELECT q.query_id, b.doc_id, b."rank" AS rank_t
+         |       FROM qs q CROSS JOIN b),
+         | u AS (
+         |  SELECT COALESCE(a.query_id, x.query_id) AS query_id,
+         |         COALESCE(a.neighbor_id, x.doc_id) AS doc_id,
+         |         ROUND(COALESCE(1.0e0 / (60 + x.rank_t), 0.0e0)
+         |               + COALESCE(1.0e0 / (60 + a."rank"), 0.0e0), 6) AS rrf
+         |  FROM x FULL JOIN a
+         |    ON a.query_id = x.query_id AND a.neighbor_id = x.doc_id
          | ),
-         | ranked AS (SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS "rank"
-         |            FROM scored)
-         |SELECT "rank", doc_id, n_matched, score FROM ranked
-         |WHERE "rank" <= 20 ORDER BY "rank"""".stripMargin,
+         | r AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |                               ORDER BY rrf DESC, doc_id) AS "rank"
+         |  FROM u
+         | )
+         |SELECT query_id, "rank", doc_id, rrf FROM r
+         |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
 
     // IR2: inclusive 1-based list slice equality over every window start
     "ir2_phrase_search" ->

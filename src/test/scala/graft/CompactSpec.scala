@@ -4,13 +4,17 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 
-import graft.io.{BandIndex, Compact, SeenSet, TextIndex}
+import graft.io.{BandIndex, Compact, Manifest, SeenSet, TextIndex}
 
 /** [[Compact]]: compaction must be invisible to every serving path
-  * (content-identical), reduce fragmented buckets to one file each,
-  * leave already-compact buckets' files untouched, remove the physical
-  * duplicates replayed appends leave, and be an idempotent no-op when
-  * re-run. */
+  * (content-identical), reduce fragmented buckets to one LIVE file
+  * each, leave already-compact buckets' files untouched, remove the
+  * physical duplicates replayed appends leave, and be an idempotent
+  * no-op when re-run. On manifest trees (everything the build faces
+  * write now) compaction is logical — superseded files stay on disk
+  * for snapshot-pinned readers — and [[Manifest.vacuum]] is the
+  * physical reclaim, so the byte-level assertions here run after the
+  * vacuum. */
 class CompactSpec extends SparkSpec {
 
   private lazy val docs = spark.read
@@ -46,12 +50,18 @@ class CompactSpec extends SparkSpec {
       Seq("the", "and"), k = 10))
     val stats = TextIndex.compact(spark, dir)
     assert(stats.bucketsCompacted > 0 && stats.filesAfter === stats.bucketsCompacted)
+    assert(rowSet(TextIndex.bm25SearchIndex(spark, dir,
+      Seq("the", "and"), k = 10)) === served,
+      "compaction changed what the index serves")
+    // physical reclaim is vacuum's job (superseded files stay on disk
+    // for snapshot-pinned readers until then)
+    assert(TextIndex.vacuum(spark, dir).filesDeleted > 0)
     val after = parquetsPerBucketDeep(s"$dir/postings", "term_bucket=")
     assert(after.keySet === before.keySet)
     assert(after.values.forall(_ === 1), s"still fragmented: $after")
     assert(rowSet(TextIndex.bm25SearchIndex(spark, dir,
       Seq("the", "and"), k = 10)) === served,
-      "compaction changed what the index serves")
+      "vacuum changed what the index serves")
     // idempotent: a single consolidated tag remains — nothing to do
     assert(TextIndex.compact(spark, dir) === Compact.CompactStats(0, 0, 0))
   }
@@ -98,10 +108,15 @@ class CompactSpec extends SparkSpec {
     val rowsBefore = spark.read.parquet(s"$dir/bands").count()
     val stats = BandIndex.compact(spark, dir)
     assert(stats.bucketsCompacted > 0)
+    assert(rowSet(BandIndex.probe(spark, dir, batch, "doc_id", "text"))
+      === served, "compaction changed the served pairs")
+    // vacuum reclaims the superseded bytes; only then does the
+    // directory read shrink
+    assert(BandIndex.vacuum(spark, dir).filesDeleted > 0)
     assert(spark.read.parquet(s"$dir/bands").count() < rowsBefore,
       "the duplicated delta's rows must be gone")
     assert(rowSet(BandIndex.probe(spark, dir, batch, "doc_id", "text"))
-      === served, "compaction changed the served pairs")
+      === served, "vacuum changed the served pairs")
     assert(parquetsPerBucket(s"$dir/bands", "band_bucket=")
       .values.forall(_ === 1))
   }
@@ -120,9 +135,12 @@ class CompactSpec extends SparkSpec {
     assert(rowsBefore > 300, "fixture must contain physical duplicates")
     val stats = SeenSet.compact(spark, dir)
     assert(stats.bucketsCompacted > 0)
-    assert(spark.read.parquet(s"$dir/urls").count() === 300)
     assert(rowSet(SeenSet.probeNovel(spark, dir, batch, "url")) === novel,
       "compaction changed membership")
+    assert(SeenSet.vacuum(spark, dir).filesDeleted > 0)
+    assert(spark.read.parquet(s"$dir/urls").count() === 300)
+    assert(rowSet(SeenSet.probeNovel(spark, dir, batch, "url")) === novel,
+      "vacuum changed membership")
   }
 
   test("a probe heals a compaction torn mid-commit from the journal") {

@@ -18,6 +18,32 @@ class IvfPqIndexSpec extends SparkSpec {
 
   private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
 
+  /** The live data root: r19 manifest trees keep the four subtrees
+    * under a generation directory; the newest gen is the live one in
+    * every single-writer fixture here. */
+  private def liveRoot(dir: String): String = {
+    val gens = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.matches("g[0-9]{6}"))
+    if (gens.isEmpty) dir else s"$dir/${gens.map(_.getName).max}"
+  }
+
+  /** Flatten a gen-layout tree back to the pre-manifest FLAT layout
+    * (subtrees at the root, no manifest) — the fixture the legacy
+    * swap-protocol pins below run against. */
+  private def toLegacy(dir: String): Unit = {
+    val root = new java.io.File(dir)
+    val gen = root.listFiles()
+      .filter(f => f.isDirectory && f.getName.matches("g[0-9]{6}")).head
+    gen.listFiles().foreach(s => java.nio.file.Files.move(
+      s.toPath, new java.io.File(root, s.getName).toPath))
+    gen.delete(): Unit
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(): Unit
+    }
+    rm(new java.io.File(root, "manifest"))
+  }
+
   test("index serve equals in-flight IVF+PQ and prunes to the probed cells") {
     val dir = Files.createTempDirectory("graft-ivfpq").toFile.getAbsolutePath
     Similarity.ivfPqIndexWrite(emb, "vec_id", "embedding", dir,
@@ -33,7 +59,7 @@ class IvfPqIndexSpec extends SparkSpec {
     assert(fromIndex.count() > 0, "serving returned no rows")
 
     // layout: one directory per coarse cell, codes only (m ints/vector)
-    val cellDirs = new java.io.File(s"$dir/codes").listFiles()
+    val cellDirs = new java.io.File(s"${liveRoot(dir)}/codes").listFiles()
       .filter(_.getName.startsWith("cent_id=")).map(_.getName).sorted
     assert(cellDirs.nonEmpty && cellDirs.length <= 16)
 
@@ -75,7 +101,7 @@ class IvfPqIndexSpec extends SparkSpec {
 
     // layout fidelity: read-back codes (partition column included) equal
     // the in-flight encode with the same stored artifacts, row for row
-    val readBack = spark.read.parquet(s"$dir/codes")
+    val readBack = spark.read.parquet(s"${liveRoot(dir)}/codes")
       .filter(col("neighbor_id") >= 150)
       .select(col("neighbor_id").cast("long"), col("cent_id").cast("int"),
         col("pq_codes"))
@@ -124,7 +150,7 @@ class IvfPqIndexSpec extends SparkSpec {
         emb.filter(col("vec_id") >= a && col("vec_id") < b),
         "vec_id", "embedding", dir)
     }
-    def fanIn = new java.io.File(s"$dir/codes").listFiles()
+    def fanIn = new java.io.File(s"${liveRoot(dir)}/codes").listFiles()
       .filter(_.getName.startsWith("cent_id="))
       .map(_.listFiles().count(_.getName.endsWith(".parquet")))
     assert(fanIn.max > 1, "appends must have fragmented the cells")
@@ -133,10 +159,16 @@ class IvfPqIndexSpec extends SparkSpec {
       "vec_id", "embedding", k = 3, nProbe = 4))
     val stats = Similarity.ivfPqIndexCompact(spark, dir)
     assert(stats.bucketsCompacted > 0)
-    assert(fanIn.forall(_ === 1), "cells still fragmented after compaction")
     assert(rowSet(Similarity.ivfPqIndexTopK(spark, dir, queries,
       "vec_id", "embedding", k = 3, nProbe = 4)) === served,
       "compaction changed what the index serves")
+    // physical defrag is vacuum's job (the superseded cell files stay
+    // on disk for snapshot-pinned readers until then)
+    assert(Similarity.ivfPqIndexVacuum(spark, dir).filesDeleted > 0)
+    assert(fanIn.forall(_ === 1), "cells still fragmented after vacuum")
+    assert(rowSet(Similarity.ivfPqIndexTopK(spark, dir, queries,
+      "vec_id", "embedding", k = 3, nProbe = 4)) === served,
+      "vacuum changed what the index serves")
   }
 
   test("drift gauge: full-sample gauge equals recall of index serving vs exact") {
@@ -242,6 +274,9 @@ class IvfPqIndexSpec extends SparkSpec {
     Similarity.ivfPqIndexWrite(emb.filter(col("vec_id") < 150),
       "vec_id", "embedding", dir,
       dims = 64, nCentroids = 16, m = 4, codes = 16, iters = 2)
+    // the swap protocol belongs to the pre-manifest flat layout
+    // (manifest trees rebuild by generation flip and never swap)
+    toLegacy(dir)
     Similarity.ivfPqIndexWrite(emb, "vec_id", "embedding", s"$dir.swap",
       dims = 64, nCentroids = 16, m = 4, codes = 16, iters = 2)
     new java.io.File(s"$dir.swap/_GRAFT_COMMIT").createNewFile()

@@ -1,0 +1,162 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.io.{Manifest, SeenSet, TextIndex}
+import graft.operators.Similarity
+
+/** [[Manifest]] — the snapshot-isolation layer (r19): maintenance
+  * (compaction, ledger consolidation, rebuild) commits a new version
+  * WITHOUT deleting the previous version's files, so a reader in any
+  * process pinned on snapshot v(N) keeps serving bit-identical results
+  * while v(N+1) commits; [[Manifest.vacuum]] is the one destructive
+  * face and the declared pin-expiry point. */
+class ManifestSpec extends SparkSpec {
+
+  private lazy val docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("a reader pinned on v(N) survives a compaction commit of v(N+1), bit-identical") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-man-pin").toString
+    def url(i: Int) = s"http://pin${i % 7}.org/p/$i"
+    SeenSet.writeSet((0 until 300).map(url).toDF("url"), "url", dir,
+      buckets = 8)
+    SeenSet.appendToSet((200 until 500).map(url).toDF("url"), "url", dir)
+    // the pinned reader: resolve v(N), materialize ITS file list as a
+    // frame, and read it once now (the baseline)
+    val vN = Manifest.current(spark, dir).get
+    def pinnedRead() = rowSet(
+      Manifest.readSubtree(spark, dir, vN, "urls", None)
+        .select(col("url")))
+    val baseline = pinnedRead()
+    // maintenance commits v(N+1) — compaction with dedup rewrites the
+    // fragmented buckets' live set
+    val stats = SeenSet.compact(spark, dir)
+    assert(stats.bucketsCompacted > 0, "fixture must have fragmented")
+    val vN1 = Manifest.current(spark, dir).get
+    assert(vN1.version === vN.version + 1)
+    assert(vN1.files !== vN.files)
+    // THE contract: the pinned v(N) reader re-executes bit-identically
+    // AFTER the commit — its files were retired, not deleted
+    assert(pinnedRead() === baseline,
+      "a v(N) reader must survive the v(N+1) commit unchanged")
+    // and the new snapshot serves the same membership (dedup is
+    // physical, not semantic; rowSet collapses the physical duplicates
+    // on both sides)
+    assert(rowSet(Manifest.readSubtree(spark, dir, vN1, "urls", None)
+      .select(col("url"))) === baseline)
+    // vacuum is the declared expiry: v(N)'s retired files go away and
+    // the pinned reader's list is no longer servable
+    assert(SeenSet.vacuum(spark, dir).filesDeleted > 0)
+    val missing = vN.files.filterNot(f =>
+      new java.io.File(s"$dir/$f").exists())
+    assert(missing.nonEmpty, "vacuum must reclaim the retired files")
+  }
+
+  test("a reader pinned on v(N) survives an IVF+PQ rebuild (generation flip)") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(400)
+    val queries = emb.limit(8)
+    val dir = Files.createTempDirectory("graft-man-gen").toString
+    Similarity.ivfPqIndexWrite(emb, "vec_id", "embedding", dir,
+      dims = 32, nCentroids = 8, m = 4, codes = 8)
+    val vN = Manifest.current(spark, dir).get
+    val genN = vN.files.head.takeWhile(_ != '/')
+    def pinnedCodes() = rowSet(
+      Manifest.readSubtree(spark, dir, vN, s"$genN/codes", None))
+    val baseline = pinnedCodes()
+    val served = rowSet(Similarity.ivfPqIndexTopK(spark, dir, queries,
+      "vec_id", "embedding", k = 5))
+    // the rebuild re-trains and commits the next generation — no swap
+    // tree, no delete of the old generation
+    Similarity.ivfPqIndexRebuild(emb, "vec_id", "embedding", dir,
+      dims = 32, nCentroids = 8, m = 4, codes = 8)
+    assert(!new java.io.File(s"$dir.swap").exists(),
+      "a manifest-tree rebuild must not use the legacy swap protocol")
+    val vN1 = Manifest.current(spark, dir).get
+    val genN1 = vN1.files.head.takeWhile(_ != '/')
+    assert(genN1 !== genN, "the rebuild must flip to a new generation")
+    assert(new java.io.File(s"$dir/$genN").exists(),
+      "the old generation must survive the flip for pinned readers")
+    // pinned v(N) reader: bit-identical after the flip
+    assert(pinnedCodes() === baseline)
+    // deterministic same-corpus retrain: the new generation serves the
+    // same results (training is seeded/deterministic end-to-end)
+    assert(rowSet(Similarity.ivfPqIndexTopK(spark, dir, queries,
+      "vec_id", "embedding", k = 5)) === served)
+    // vacuum sweeps the retired generation wholesale
+    assert(Similarity.ivfPqIndexVacuum(spark, dir).filesDeleted > 0)
+    assert(!new java.io.File(s"$dir/$genN").exists(),
+      "vacuum must remove the retired generation directory")
+    assert(rowSet(Similarity.ivfPqIndexTopK(spark, dir, queries,
+      "vec_id", "embedding", k = 5)) === served)
+  }
+
+  test("ledger consolidation is snapshot-committed: pinned totals and live totals agree") {
+    val dir = Files.createTempDirectory("graft-man-led").toString
+    TextIndex.writeIndex(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", dir, buckets = 8)
+    TextIndex.appendToIndex(docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", dir)
+    val vN = Manifest.current(spark, dir).get
+    def totals(s: Manifest.Snapshot) =
+      Manifest.readSubtree(spark, dir, s, "stats", None)
+        .agg(sum(col("n_docs")), sum(col("sum_dl"))).head()
+    val pre = totals(vN)
+    TextIndex.compact(spark, dir) // consolidates postings AND the ledger
+    val vAfter = Manifest.current(spark, dir).get
+    assert(vAfter.under("stats").size === 1,
+      "the live ledger must be one row after consolidation")
+    assert(totals(vAfter) === pre, "consolidated totals must be exact")
+    assert(totals(vN) === pre,
+      "the pinned reader's ledger rows must still sum to the same totals")
+  }
+
+  test("orphan files of a torn run are invisible to every snapshot; vacuum sweeps them") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-man-orph").toString
+    def url(i: Int) = s"http://orph.org/p/$i"
+    SeenSet.writeSet((0 until 100).map(url).toDF("url"), "url", dir,
+      buckets = 4)
+    val batch = (50 until 150).map(url).toDF("url")
+    val novel = rowSet(SeenSet.probeNovel(spark, dir, batch, "url"))
+    // a torn maintenance run's orphan: real parquet bytes in a live
+    // bucket directory, never committed to any manifest version
+    val bucketDir = new java.io.File(s"$dir/urls").listFiles()
+      .filter(_.getName.startsWith("url_bucket=")).head
+    Seq("http://orph.org/p/50").toDF("url").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/.orphtmp")
+    val part = new java.io.File(s"$dir/.orphtmp").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val dest = new java.io.File(bucketDir, "part-orphan-000.parquet")
+    java.nio.file.Files.copy(part.toPath, dest.toPath)
+    assert(rowSet(SeenSet.probeNovel(spark, dir, batch, "url")) === novel,
+      "an uncommitted orphan must not change what the set serves")
+    assert(SeenSet.vacuum(spark, dir).filesDeleted >= 1)
+    assert(!dest.exists(), "vacuum must sweep the orphan")
+    assert(rowSet(SeenSet.probeNovel(spark, dir, batch, "url")) === novel)
+  }
+
+  test("version commits are atomic names: temp files and foreign names are ignored") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-man-atom").toString
+    SeenSet.writeSet((0 until 10).map(i => s"u$i").toDF("url"), "url", dir,
+      buckets = 2)
+    val v1 = Manifest.current(spark, dir).get
+    // a torn commit = a temp file that never got renamed; readers skip it
+    val tmp = new java.io.File(s"$dir/manifest/.tmp-v999-deadbeef")
+    java.nio.file.Files.write(tmp.toPath, "urls/bogus.parquet".getBytes)
+    val junk = new java.io.File(s"$dir/manifest/notaversion")
+    java.nio.file.Files.write(junk.toPath, "urls/bogus.parquet".getBytes)
+    assert(Manifest.current(spark, dir).get === v1)
+    SeenSet.appendToSet((10 until 20).map(i => s"u$i").toDF("url"), "url", dir)
+    val v2 = Manifest.current(spark, dir).get
+    assert(v2.version === v1.version + 1)
+    assert(v1.files.toSet.subsetOf(v2.files.toSet),
+      "a pure append only adds files")
+  }
+}

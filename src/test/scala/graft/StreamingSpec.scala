@@ -861,11 +861,20 @@ class StreamingSpec extends SparkSpec {
     try batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
     finally q.stop()
     // the compaction cadence bounds the fan-in: compacted after batch 1,
-    // then at most batch 2's append on top — never 3 files deep
-    val maxFanIn = new java.io.File(s"$seenDir/urls").listFiles()
+    // then at most batch 2's append on top — never 3 files deep. What a
+    // probe scans is the LIVE (manifest) file set — superseded files
+    // stay on disk for snapshot-pinned readers and never enter a plan
+    val snap = graft.io.Manifest.current(spark, seenDir).get
+    val maxFanIn = snap.under("urls")
+      .groupBy(_.split('/')(1)).map(_._2.size).max
+    assert(maxFanIn <= 2, s"compaction cadence did not bound fan-in: $maxFanIn")
+    // ... and vacuum makes the bound physical too
+    SeenSet.vacuum(spark, seenDir): Unit
+    val maxFanInDisk = new java.io.File(s"$seenDir/urls").listFiles()
       .filter(_.getName.startsWith("url_bucket="))
       .map(_.listFiles().count(_.getName.endsWith(".parquet"))).max
-    assert(maxFanIn <= 2, s"compaction cadence did not bound fan-in: $maxFanIn")
+    assert(maxFanInDisk <= 2,
+      s"vacuum did not reclaim the superseded files: $maxFanInDisk")
     // exactly-once with first-batch attribution
     def emittedRows(b: Int) = spark.read.parquet(s"$novelDir/batch_id=$b")
       .collect().map(_.getString(0)).toSeq
@@ -1108,17 +1117,22 @@ class StreamingSpec extends SparkSpec {
     val q = Streaming.steadyStateIngest(
       input.toDF().toDF("url", "doc_id", "text"), "url", "doc_id", "text",
       seenDir, novelDir, storeDir, bandDir, textDir, ckDir, compactEvery = 2)
-    try batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
-    finally q.stop()
-
-    // exactly-once emission with first-batch attribution, empty batch incl.
+    // exactly-once emission with first-batch attribution, empty batch
+    // incl. — asserted per batch WHILE the emission is live: the
+    // compaction cadence also runs the retention GC (#18f), which
+    // reclaims replay-dead emissions as the loop advances
     def emitted(b: Int) = spark.read.parquet(s"$novelDir/batch_id=$b")
       .select("url").collect().map(_.getString(0)).toSeq
-    assert(emitted(0).sorted === (50L until 100L).map(url).sorted,
-      "batch 0 emits its novel sliver once per URL")
-    assert(emitted(1).sorted === (100L until 140L).map(url).sorted)
-    assert(emitted(2).isEmpty, "a fully-seen batch emits nothing")
-    assert(emitted(3).sorted === (140L until 180L).map(url).sorted)
+    val expectedEmit = Seq(
+      (50L until 100L).map(url),
+      (100L until 140L).map(url),
+      Seq.empty[String],
+      (140L until 180L).map(url))
+    try batches.zipWithIndex.foreach { case (b, i) =>
+      input.addData(b: _*); q.processAllAvailable()
+      assert(emitted(i).sorted === expectedEmit(i).sorted,
+        s"batch $i emits its novel sliver once per URL")
+    } finally q.stop()
 
     // (a) store == the batch gate over the first-occurrence universe
     def expectedKept(n: Long) = (0L until n).map(row)
@@ -1229,7 +1243,9 @@ class StreamingSpec extends SparkSpec {
       "stream-maintained index must serve exactly the batch append face")
 
     // restart replay: the last committed batch id is a whole-body no-op
-    def codesCount() = spark.read.parquet(s"$ixDir/codes").count()
+    // (codes live under the r19 generation dir; no rebuild in this test,
+    // so the first generation is the live one throughout)
+    def codesCount() = spark.read.parquet(s"$ixDir/g000001/codes").count()
     val codes0 = codesCount()
     assert(!Similarity.ivfPqIndexAppendBatch(
       batches.last.toDF("vec_id", "embedding"), "vec_id", "embedding",
@@ -1243,9 +1259,12 @@ class StreamingSpec extends SparkSpec {
     assert(codesCount() > codes0)
     assert(serve(ixDir) === expected,
       "a duplicated neighbor must not claim two of the k ranks")
-    // ... and compaction removes the duplicate bytes for good
+    // ... and compaction + vacuum remove the duplicate bytes for good
+    // (compaction is the logical collapse — snapshot-pinned readers
+    // keep the old files; vacuum is the physical reclaim)
     val stats = Similarity.ivfPqIndexCompact(spark, ixDir)
     assert(stats.bucketsCompacted > 0)
+    assert(Similarity.ivfPqIndexVacuum(spark, ixDir).filesDeleted > 0)
     assert(codesCount() === codes0,
       "compaction must collapse the replayed duplicates")
     assert(serve(ixDir) === expected)
@@ -1510,5 +1529,254 @@ class StreamingSpec extends SparkSpec {
       assert(emitted.sorted === ((20L until 100L).map(url) :+ url(990)).sorted,
         s"seed $seed: emissions must be exactly-once per novel URL")
     }
+  }
+
+  test("steady-state loop composes the vector face: five families, one batch body (#18e)") {
+    // #18 drove seen/store/band/text; the vector index ran as its own
+    // stream (#19). Here ONE batch body maintains all five: the kept
+    // novel sliver's embeddings append into the persisted IVF+PQ index
+    // in the same step, the drift-gauge ledger lands on its cadence,
+    // and the ledger thresholds into the rebuild decision
+    // (shouldRebuild). Pins: store == batch fold; band/text == rebuilds;
+    // vector == the batch append face fed the same kept slivers; a
+    // replayed batch is a whole-body no-op across ALL FIVE; a
+    // vector-face-only crash (marker lost) heals on the replayed step;
+    // day-zero ledger reads no evidence.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.io.{BandIndex, CorpusStore, SeenSet, TextIndex}
+    import graft.operators.Similarity
+    def prose(i: Long) = "the quick brown fox jumps over a lazy dog " +
+      "while many other animals watch from their warm homes and some " +
+      "birds fly across the evening sky toward distant hills " + i
+    def text(i: Long) = if (i % 9 == 0) "zz qq" else prose(i)
+    def embv(i: Long): Seq[Double] =
+      (0 until 16).map(j => math.sin(i * 31.0 + j * 7.0))
+    def url(i: Long) = s"http://v${i % 7}.example/d/$i"
+    def row(i: Long) = (url(i), i, text(i), embv(i))
+    def mkDir(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val seenDir = mkDir("graft-ve-seen"); val novelDir = mkDir("graft-ve-novel")
+    val storeDir = mkDir("graft-ve-store"); val bandDir = mkDir("graft-ve-band")
+    val textDir = mkDir("graft-ve-text"); val vecDir = mkDir("graft-ve-vec")
+    val gaugeDir = mkDir("graft-ve-gauge")
+    val seedKept = (0L until 50L).filter(_ % 9 != 0)
+      .map(row).toDF("url", "doc_id", "text", "emb")
+    SeenSet.writeSet((0L until 50L).map(i => Tuple1(url(i))).toDF("url"),
+      "url", seenDir)
+    CorpusStore.write(seedKept, "doc_id", storeDir, buckets = 8)
+    BandIndex.writeIndex(seedKept, "doc_id", "text", bandDir)
+    TextIndex.writeIndex(seedKept, "doc_id", "text", textDir, buckets = 16)
+    Similarity.ivfPqIndexWrite(seedKept.select("doc_id", "emb"),
+      "doc_id", "emb", vecDir, dims = 16, nCentroids = 4, m = 4, codes = 8)
+    // day-zero ledger: no committed evidence is never a rebuild trigger
+    assert(!Streaming.shouldRebuild(spark, gaugeDir, threshold = 0.99))
+
+    // uneven batches; batch 2 is FULLY SEEN (empty kept sliver — the
+    // vector face must no-op, not crash); gaugeEvery=2 gauges 1 and 3
+    val batches = Seq(
+      (0L until 100L) ++ Seq(60L),
+      80L until 140L,
+      20L until 90L,
+      0L until 180L
+    ).map(_.map(row))
+    def step(b: Seq[(String, Long, String, Seq[Double])], id: Long): Unit =
+      Streaming.steadyStateStep(b.toDF("url", "doc_id", "text", "emb"), id,
+        "url", "doc_id", "text", seenDir, novelDir, storeDir, bandDir,
+        textDir, vecCol = "emb", vectorDir = vecDir,
+        gaugeEvery = 2, gaugeDir = gaugeDir, gaugeK = 3)
+    batches.zipWithIndex.foreach { case (b, i) => step(b, i.toLong) }
+
+    def expectedKept(n: Long) = (0L until n).map(row)
+      .toDF("url", "doc_id", "text", "emb")
+      .filter(coalesce(graft.functions.TextFunctions.qualityFilter("text")
+        .getField("keep"), lit(false)))
+    assert(rowSet(CorpusStore.read(spark, storeDir))
+      === rowSet(expectedKept(180L)),
+      "the maintained store must equal the batch gate from scratch")
+
+    // band/text == rebuilds (the #18 pins, unchanged by the fifth face)
+    val bandRb = mkDir("graft-ve-band-rb"); val textRb = mkDir("graft-ve-text-rb")
+    BandIndex.writeIndex(expectedKept(180L), "doc_id", "text", bandRb)
+    TextIndex.writeIndex(expectedKept(180L), "doc_id", "text", textRb,
+      buckets = 16)
+    val probeBatch = Seq((9001L, prose(10)), (9002L, prose(1000)))
+      .toDF("doc_id", "text")
+    assert(rowSet(BandIndex.probe(spark, bandDir, probeBatch, "doc_id", "text"))
+      === rowSet(BandIndex.probe(spark, bandRb, probeBatch, "doc_id", "text")))
+    def serveText(d: String) = rowSet(
+      TextIndex.bm25SearchIndex(spark, d, Seq("fox", "animals"), k = 10))
+    assert(serveText(textDir) === serveText(textRb))
+
+    // vector == the batch append face fed the same kept slivers (the
+    // #19 twin discipline: append quantizes against frozen training, so
+    // the twin is write(seed) + appends, not a rebuild)
+    val twinDir = mkDir("graft-ve-twin")
+    Similarity.ivfPqIndexWrite(seedKept.select("doc_id", "emb"),
+      "doc_id", "emb", twinDir, dims = 16, nCentroids = 4, m = 4, codes = 8)
+    batches.indices.foreach { i =>
+      val kept = spark.read.parquet(s"$novelDir/batch_id=$i")
+        .filter(coalesce(graft.functions.TextFunctions.qualityFilter("text")
+          .getField("keep"), lit(false)))
+        .select("doc_id", "emb")
+      Similarity.ivfPqIndexAppend(kept, "doc_id", "emb", twinDir)
+    }
+    val queries = (500L until 505L).map(i => (i, embv(i * 3 + 1)))
+      .toDF("doc_id", "emb")
+    def serveVec(d: String) = rowSet(Similarity.ivfPqIndexTopK(spark, d,
+      queries, "doc_id", "emb", k = 3, nProbe = 2))
+    val vecExpected = serveVec(twinDir)
+    assert(serveVec(vecDir) === vecExpected,
+      "loop-maintained vector index must equal the batch append face")
+
+    // ledger on cadence, committed, well-formed, self-excluded recalls
+    assert(graft.io.Commit.isCommitted(spark, s"$gaugeDir/batch_id=1"))
+    assert(graft.io.Commit.isCommitted(spark, s"$gaugeDir/batch_id=3"))
+    assert(!new java.io.File(s"$gaugeDir/batch_id=0").exists()
+      && !new java.io.File(s"$gaugeDir/batch_id=2").exists())
+    val recalls = spark.read.parquet(s"$gaugeDir/batch_id=3")
+      .select("recall").collect().map(_.getDouble(0))
+    assert(recalls.nonEmpty && recalls.forall(r => r >= 0.0 && r <= 1.0))
+    // the threshold decision: evidence present, mean <= 1.0 < 1.1 so a
+    // 1.1 threshold trips; a 0.0 threshold never does
+    assert(Streaming.shouldRebuild(spark, gaugeDir, threshold = 1.1,
+      window = 2))
+    assert(!Streaming.shouldRebuild(spark, gaugeDir, threshold = 0.0))
+    val decision = Streaming.gaugeLedgerDecision(spark, gaugeDir, 1.1, 2)
+      .head()
+    assert(decision.getLong(0) === 2L, "window must cover two entries")
+
+    // replayed last batch: whole-body no-op across all five families
+    def codesCount() = spark.read
+      .parquet(s"$vecDir/g000001/codes").count()
+    val codes0 = codesCount()
+    val store0 = rowSet(CorpusStore.read(spark, storeDir))
+    step(batches.last, batches.size - 1L)
+    assert(codesCount() === codes0, "replay must not append codes")
+    assert(rowSet(CorpusStore.read(spark, storeDir)) === store0)
+    assert(serveVec(vecDir) === vecExpected)
+
+    // vector-face-only crash: the marker advance is lost AFTER the
+    // append landed; the replayed step no-ops every other face (their
+    // watermarks are ahead) and re-applies the vector face — physical
+    // duplicate codes the serve path collapses, so serving stays exact
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(): Unit
+    }
+    rm(new java.io.File(s"$vecDir/watermark"))
+    step(batches.last, batches.size - 1L)
+    assert(codesCount() > codes0, "the heal re-appends physically")
+    assert(serveVec(vecDir) === vecExpected,
+      "duplicate codes must collapse at serve after the heal")
+    assert(rowSet(CorpusStore.read(spark, storeDir)) === store0,
+      "the vector-face heal must not disturb the other faces")
+  }
+
+  test("emission retention: replay-dead batch dirs GC on the watermark minimum (#18f)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.io.{BandIndex, CorpusStore, SeenSet, TextIndex}
+    // unit semantics first: cutoff = min(face watermarks) - retain;
+    // a never-applied face (watermark -1) disables GC outright
+    def mkDir(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val f1 = mkDir("graft-ret-f1"); val f2 = mkDir("graft-ret-f2")
+    val em = mkDir("graft-ret-em")
+    (0L until 10L).foreach(i => Seq(i).toDF("x")
+      .write.mode("overwrite").parquet(s"$em/batch_id=$i"))
+    graft.io.Watermark.advance(spark, f1, 7L)
+    graft.io.Watermark.advance(spark, f2, 9L)
+    def remaining() = new java.io.File(em).listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).sorted.toSeq
+    val f3 = mkDir("graft-ret-f3") // no watermark: -1
+    assert(Streaming.emissionRetention(spark, Seq(em), Seq(f1, f2, f3)) === 0)
+    assert(remaining().size === 10, "a bootstrapping face blocks GC")
+    assert(Streaming.emissionRetention(spark, Seq(em), Seq(f1, f2),
+      retainTrailing = 3) === 4, "cutoff 7-3=4 deletes ids 0..3")
+    assert(Streaming.emissionRetention(spark, Seq(em), Seq(f1, f2)) === 3,
+      "cutoff 7 deletes the remaining ids 4..6")
+    assert(remaining() === (7L until 10L).map(i => s"batch_id=$i"))
+
+    // loop wiring: the cadence GCs replay-dead emissions and the LAST
+    // batch's emission survives, so a restart replay still converges
+    def prose(i: Long) = "the quick brown fox jumps over a lazy dog " +
+      "while many other animals watch from their warm homes " + i
+    def url(i: Long) = s"http://r${i % 3}.example/d/$i"
+    def row(i: Long) = (url(i), i, prose(i))
+    val seenDir = mkDir("graft-ret-seen"); val novelDir = mkDir("graft-ret-novel")
+    val storeDir = mkDir("graft-ret-store"); val bandDir = mkDir("graft-ret-band")
+    val textDir = mkDir("graft-ret-text")
+    val seed0 = (0L until 10L).map(row).toDF("url", "doc_id", "text")
+    SeenSet.writeSet(seed0.select("url"), "url", seenDir)
+    CorpusStore.write(seed0, "doc_id", storeDir, buckets = 4)
+    BandIndex.writeIndex(seed0, "doc_id", "text", bandDir)
+    TextIndex.writeIndex(seed0, "doc_id", "text", textDir, buckets = 8)
+    def step(b: Seq[(String, Long, String)], id: Long): Unit =
+      Streaming.steadyStateStep(b.toDF("url", "doc_id", "text"), id,
+        "url", "doc_id", "text", seenDir, novelDir, storeDir, bandDir,
+        textDir, compactEvery = 2)
+    val batches = (0 until 6).map(k =>
+      (10L + k * 10L until 25L + k * 10L).map(row))
+    batches.zipWithIndex.foreach { case (b, i) => step(b, i.toLong) }
+    // retention fired on the cadence: the emission-dir count is bounded
+    // by the cadence, never one-per-batch-forever
+    val dirs = new java.io.File(novelDir).listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).sorted
+    assert(dirs.length <= 2, s"emission dirs unbounded: ${dirs.toSeq}")
+    assert(dirs.contains("batch_id=5"),
+      "the replayable last batch's emission must survive GC")
+    // the restart replay of the last batch still converges after GC
+    val store0 = rowSet(CorpusStore.read(spark, storeDir))
+    step(batches.last, 5L)
+    assert(rowSet(CorpusStore.read(spark, storeDir)) === store0)
+  }
+
+  test("steady-state loop with a caller-tuned quality gate (#18g)") {
+    // r18 "what's wrong" #3: the loop gate was hardcoded to the default
+    // thresholds. A corpus of short documents that the DEFAULT gate
+    // rejects wholesale must be curatable by passing a re-tuned gate —
+    // and the keep-IS-NOT-TRUE eviction rule must follow the gate that
+    // actually ran.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.io.{BandIndex, CorpusStore, SeenSet, TextIndex}
+    def text(i: Long) =
+      if (i % 7 == 0) "x" // fails even the tuned gate (one token)
+      else s"short note ${i} about the item and its many uses here"
+    def url(i: Long) = s"http://g${i % 3}.example/d/$i"
+    def row(i: Long) = (url(i), i, text(i))
+    def mkDir(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val seenDir = mkDir("graft-qg-seen"); val novelDir = mkDir("graft-qg-novel")
+    val storeDir = mkDir("graft-qg-store"); val bandDir = mkDir("graft-qg-band")
+    val textDir = mkDir("graft-qg-text")
+    val empty = Seq.empty[(String, Long, String)]
+      .toDF("url", "doc_id", "text")
+    SeenSet.writeSet(empty.select("url"), "url", seenDir)
+    CorpusStore.write(empty, "doc_id", storeDir, buckets = 4)
+    BandIndex.writeIndex(empty, "doc_id", "text", bandDir)
+    TextIndex.writeIndex(empty, "doc_id", "text", textDir, buckets = 8)
+    // the tuned gate: short docs welcome, single-token junk still out
+    val tuned = graft.functions.TextFunctions.qualityFilter("text",
+      minTokens = 5, maxTokens = 200, minTtr = 0.1, minStopRatio = 0.0,
+      maxPunctRatio = 1.0, minAvgTokenLen = 1.0, maxAvgTokenLen = 20.0)
+      .getField("keep")
+    def step(b: Seq[(String, Long, String)], id: Long): Unit =
+      Streaming.steadyStateStep(b.toDF("url", "doc_id", "text"), id,
+        "url", "doc_id", "text", seenDir, novelDir, storeDir, bandDir,
+        textDir, qualityGate = Some(tuned))
+    step((0L until 30L).map(row), 0L)
+    step((20L until 60L).map(row), 1L)
+    val universe = (0L until 60L).map(row).toDF("url", "doc_id", "text")
+    assert(rowSet(CorpusStore.read(spark, storeDir))
+      === rowSet(universe.filter(coalesce(tuned, lit(false)))),
+      "the store must equal the batch fold under the TUNED gate")
+    assert(CorpusStore.read(spark, storeDir).count() > 0,
+      "fixture degenerate: the tuned gate kept nothing")
+    assert(CorpusStore.read(spark, storeDir)
+      .filter(col("doc_id") % 7 === 0).count() === 0,
+      "keep-IS-NOT-TRUE eviction must follow the tuned gate")
+    // the same corpus under the DEFAULT gate keeps nothing — proof the
+    // parameter actually reached the verdict
+    assert(universe.filter(coalesce(
+      graft.functions.TextFunctions.qualityFilter("text").getField("keep"),
+      lit(false))).isEmpty)
   }
 }

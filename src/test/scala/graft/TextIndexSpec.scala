@@ -159,9 +159,13 @@ class TextIndexSpec extends SparkSpec {
     assert(statsBatchDirs(dir).length === 3, "one ledger row per append")
     val pre = search(dir, 8)
     TextIndex.compact(spark, dir)
+    assert(search(dir, 8) === pre, "consolidated totals must be exact")
+    // the fold is logical (snapshot-pinned readers keep the old rows);
+    // vacuum is the physical reclaim that leaves ONE ledger row on disk
+    TextIndex.vacuum(spark, dir): Unit
     assert(statsBatchDirs(dir).length === 1,
       "compaction must consolidate the ledger, not let it grow forever")
-    assert(search(dir, 8) === pre, "consolidated totals must be exact")
+    assert(search(dir, 8) === pre, "vacuum changed the served totals")
     // idempotent: a second compact is a no-op on a single-row ledger
     TextIndex.compact(spark, dir)
     assert(statsBatchDirs(dir).length === 1 && search(dir, 8) === pre)
@@ -172,6 +176,13 @@ class TextIndexSpec extends SparkSpec {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-ti-swap").toString
     TextIndex.writeIndex(docs, "doc_id", "text", dir, buckets = 8)
+    // the ledger SWAP protocol belongs to the pre-manifest legacy
+    // layout (manifest trees consolidate by snapshot commit and never
+    // swap) — construct that layout by stripping the manifest
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf); f.delete(): Unit
+    }
+    rmrf(new java.io.File(s"$dir/manifest"))
     val pre = search(dir, 8)
     val totals = docs.select(
         graft.functions.TextFunctions.tokens("text").as("toks"))
