@@ -115,16 +115,14 @@ private[graft] object BucketRewrite {
       fsOf(spark, j).delete(new org.apache.hadoop.fs.Path(j), true): Unit
     }
 
-  /** Post-overwrite [[Manifest]] delta for trees that carry one (the
-    * [[CorpusStore]] shape — the one family whose keyed maintenance is
-    * inherently a destructive in-place rewrite): the touched buckets'
-    * previous files are gone from disk, so they leave the live set, and
-    * the freshly-written files are adopted. The overwrite itself is the
-    * destructive step — a cross-process reader pinned on the previous
-    * snapshot is protected against COMPACTION and REBUILD by the
-    * manifest, but a keyed upsert/delete rewrites in place by design;
-    * the snapshot guarantees it a consistent file list between commits,
-    * not across one (the store's documented single-owner posture). */
+  /** Post-overwrite [[Manifest]] delta for trees that carry one — the
+    * journal-HEAL path on a manifest tree (a pre-migration journal, or
+    * a spec-crafted one): the replayed overwrite destroyed and
+    * recreated the touched buckets' files, so the snapshot must drop
+    * the dead paths and adopt exactly the re-listed touched
+    * directories. (Live maintenance on manifest trees never journals —
+    * [[CorpusStore.rewriteKeyed]]'s additive snapshot flip replaced
+    * the destructive overwrite there in r19.) */
   private def refreshManifest(spark: SparkSession, treeDir: String,
       bucketCol: String, touched: Seq[Long],
       manifestRoot: Option[String]): Unit =

@@ -98,7 +98,7 @@ object Compact {
       pinned.repartition(col(bucketCol))
         .write.mode("append").partitionBy(bucketCol).parquet(treeDir)
     finally graft.operators.Dedup.release(pinned)
-    // DATA → RETIRE → COMMIT (the Manifest protocol): the old files
+    // DATA → COMMIT → RETIRE (the Manifest protocol): the old files
     // leave the live set but stay on disk for pinned readers until
     // vacuum
     val added = Manifest.listFiles(spark, root, subtree).filterNot(before)

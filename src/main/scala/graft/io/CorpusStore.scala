@@ -19,14 +19,19 @@ import org.apache.spark.sql.functions._
   * bucket count is fixed at write time — the [[Layout.writeBucketed]]
   * caveat).
   *
-  * Crash posture (single writer — a streaming maintenance query — by
-  * contract): both [[upsert]] and [[delete]] are IDEMPOTENT keyed
-  * overwrites (re-applying the same batch to any half-applied state
-  * converges to the same final rows), so the replay protocol is just
-  * the [[Watermark]] gate — a torn dynamic overwrite (some buckets new,
-  * some old) heals on the replayed apply. [[applyCurationBatch]]
-  * packages gate + upsert + evict + watermark as the foreachBatch body
-  * of [[graft.streaming.Streaming.curateStream]].
+  * Crash posture (single WRITER — a streaming maintenance query — by
+  * contract; readers need no coordination on r19 manifest trees): both
+  * [[upsert]] and [[delete]] are IDEMPOTENT keyed rewrites
+  * (re-applying the same batch to any half-applied state converges to
+  * the same final rows), so the replay protocol is just the
+  * [[Watermark]] gate. On manifest trees the rewrite is an ADDITIVE
+  * snapshot flip (see [[rewriteKeyed]]) — new files commit, old files
+  * retire undeleted, every crash window converges, and a reader in any
+  * process pinned on the previous snapshot is untouched; on legacy
+  * trees a torn dynamic overwrite heals via the [[BucketRewrite]]
+  * journal on the replayed apply. [[applyCurationBatch]] packages
+  * gate + upsert + evict + watermark as the foreachBatch body of
+  * [[graft.streaming.Streaming.curateStream]].
   *
   * Key-uniqueness is the caller's contract, exactly as
   * [[graft.operators.Dedup.mergeUpsert]] documents: the standing store
@@ -140,15 +145,24 @@ object CorpusStore {
     * standing rows of ONLY those directories are read (partition-pruned
     * — CorpusStoreSpec pins it), change keys anti-joined away, install
     * rows unioned back. The merged sliver is pinned (localCheckpoint)
-    * BEFORE the write both because it severs the file-source lineage
-    * (Spark refuses to overwrite a path a plan still reads) and because
-    * the write must not re-derive it mid-overwrite; the overwrite itself
-    * is journaled ([[BucketRewrite]]) because dynamic partition
-    * overwrite's per-directory delete-then-rename commit can otherwise
-    * LOSE a bucket to a mid-commit crash — a loss no replay could heal.
-    * Emptied buckets ride the journal's touched list and are removed
-    * explicitly (dynamic overwrite only replaces directories present in
-    * the output). */
+    * before the write: one derivation, and the write must not re-derive
+    * its own input mid-flight.
+    *
+    * MANIFEST trees (r19): the rewrite is ADDITIVE — the merged
+    * sliver's files append into the touched bucket directories and ONE
+    * snapshot commit makes them live while the buckets' previous files
+    * retire undeleted — so even the store's keyed maintenance is
+    * reader-invisible across processes (the last family to get there),
+    * a crash anywhere converges (orphans before the commit, vacuum
+    * sweep after), the LIVE per-bucket fan-in stays at one file (each
+    * rewrite's commit drops the previous), and no journal is needed:
+    * nothing is ever deleted on the write path, so there is no
+    * lost-bucket window to journal against. The journal write ALSO
+    * wrote the merged sliver twice (journal data + overwrite), so the
+    * additive path halves the store's maintenance write volume.
+    * Emptied buckets simply leave the live set; their directories are
+    * pruned by the vacuum face. LEGACY trees keep the journaled
+    * dynamic-overwrite protocol ([[BucketRewrite]]). */
   private def rewriteKeyed(spark: SparkSession, dir: String,
       changeKeys: DataFrame, install: Option[DataFrame], idCol: String): Unit = {
     BucketRewrite.recover(spark, s"$dir/rows", "__graft_bucket",
@@ -164,10 +178,23 @@ object CorpusStore {
           .join(keys.select(col(idCol)), Seq(idCol), "left_anti")
         val merged0 = install.fold(survivors)(survivors.unionByName(_))
         val merged = merged0.localCheckpoint()
-        try BucketRewrite.journaledOverwrite(spark, s"$dir/rows",
-          "__graft_bucket", touched.toIndexedSeq, merged,
-          manifestRoot = Some(dir))
-        finally graft.operators.Dedup.release(merged)
+        try Manifest.current(spark, dir) match {
+          case Some(snap) =>
+            val before = Manifest.listFiles(spark, dir, "rows").toSet
+            merged.repartition(col("__graft_bucket"))
+              .write.mode("append").partitionBy("__graft_bucket")
+              .parquet(s"$dir/rows")
+            val added = Manifest.listFiles(spark, dir, "rows")
+              .filterNot(before)
+            val touchedDirs =
+              touched.map(b => s"rows/__graft_bucket=$b/").toSet
+            val dead = snap.under("rows")
+              .filter(f => touchedDirs.exists(f.startsWith))
+            Manifest.commitAdd(spark, dir, added, dead): Unit
+          case None =>
+            BucketRewrite.journaledOverwrite(spark, s"$dir/rows",
+              "__graft_bucket", touched.toIndexedSeq, merged)
+        } finally graft.operators.Dedup.release(merged)
       }
     } finally graft.operators.Dedup.release(keys)
   }

@@ -18,17 +18,24 @@ import org.apache.spark.sql.types.StructType
   *  - `<root>/manifest/retired/` — the retirement ledger: text files of
   *    paths that maintenance superseded but deliberately did NOT delete.
   *
-  * The protocol every mutating face follows is DATA → RETIRE → COMMIT:
+  * The protocol every mutating face follows is DATA → COMMIT → RETIRE:
   * write new files first (additively — never deleting what the current
-  * manifest references), append the superseded paths to the retirement
-  * ledger, then commit the next version. Every commit computes the
-  * live set as `(previous − retired − dropped) ∪ precisely-the-files-
-  * this-mutation-wrote`, so a crash at any point converges: before the
-  * retire, readers keep the old version and the orphan new files stay
-  * invisible forever (an add-list is never a blind subtree adoption);
-  * between retire and commit, the old version still references every
-  * file on disk (nothing was deleted) and the NEXT commit completes
-  * the fold.
+  * manifest references), commit the next version (live set =
+  * `(previous − retired − dropped) ∪ precisely-the-files-this-
+  * mutation-wrote` — an add-list is never a blind subtree adoption),
+  * THEN append the superseded paths to the retirement ledger. The
+  * ordering is load-bearing: a crash BEFORE the commit leaves the new
+  * files as invisible orphans and readers on the old version (nothing
+  * lost); a crash AFTER the commit but before the retire leaves the
+  * superseded files merely un-ledgered — they are already out of the
+  * live set, still on disk for pinned readers, and [[vacuum]]'s
+  * orphan sweep (everything under the family scopes that the current
+  * version doesn't reference) reclaims them without the ledger.
+  * (Retire-FIRST would be wrong: a crash between retire and commit
+  * would make the next commit subtract the superseded files while
+  * their replacement was never added — silent data loss. The ledger
+  * is therefore an optimization for vacuum and a defense layer, never
+  * the source of truth.)
   *
   * Readers resolve the snapshot ONCE per serve call and read through
   * its explicit file list (`basePath`-anchored, so hive partition
@@ -216,37 +223,39 @@ object Manifest {
     }
   }
 
-  /** The ONE mutation commit (data → retire → commit): next version =
-    * `(previous − retired − drop) ∪ add`, with `drop` appended to the
-    * retirement ledger FIRST. `add` is the PRECISE list of files the
-    * mutation wrote (faces compute it by a tag-scoped or before/after
-    * listing — never a blind subtree adoption, which would
-    * nondeterministically resurrect a torn run's orphans); `drop`
-    * names the paths the mutation superseded (old compacted-bucket
-    * files, old ledger rows, a replay-overwritten batch tag's prior
-    * files). Subtracting the ledger from the previous set is what
-    * makes the retire-then-commit crash window converge (see the
-    * object scaladoc); never-committed orphans stay invisible until
-    * [[vacuum]] sweeps them. */
+  /** The ONE mutation commit (data → COMMIT → retire; see the object
+    * scaladoc for why the version write must precede the ledger
+    * append): next version = `(previous − retired − drop) ∪ add`.
+    * `add` is the PRECISE list of files the mutation wrote (faces
+    * compute it by a tag-scoped or before/after listing — never a
+    * blind subtree adoption, which would nondeterministically
+    * resurrect a torn run's orphans); `drop` names the paths the
+    * mutation superseded (old compacted-bucket files, old ledger
+    * rows, a replay-overwritten batch tag's prior files).
+    * Never-committed orphans — and superseded files whose retire was
+    * lost to a crash — stay invisible until [[vacuum]] sweeps them. */
   def commitAdd(spark: SparkSession, root: String, add: Seq[String],
       drop: Seq[String]): Snapshot = lock(root) {
     val prev = current(spark, root)
-    appendRetired(spark, root, drop)
     val retired = retiredSet(spark, root)
     val files = ((prev.map(_.files.toSet).getOrElse(Set.empty)
       -- retired -- drop) ++ add).toSeq
-    commitVersion(spark, root, prev, files)
+    val snap = commitVersion(spark, root, prev, files)
+    appendRetired(spark, root, drop)
+    snap
   }
 
   /** Commit an EXPLICIT live set (the rebuild/gen-flip face): `files`
-    * becomes the whole next version, `retire` goes to the ledger first.
+    * becomes the whole next version; `retire` goes to the ledger AFTER
+    * the version commits (same ordering argument as [[commitAdd]]).
     * Paths in both are kept live (`files` wins — the current manifest
     * must never reference a path the ledger condemns). */
   def commitSet(spark: SparkSession, root: String, files: Seq[String],
       retire: Seq[String]): Snapshot = lock(root) {
     val prev = current(spark, root)
+    val snap = commitVersion(spark, root, prev, files)
     appendRetired(spark, root, retire.filterNot(files.toSet))
-    commitVersion(spark, root, prev, files)
+    snap
   }
 
   /** Read a snapshot's `subtree` sliver as a DataFrame: explicit file

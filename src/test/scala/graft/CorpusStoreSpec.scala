@@ -93,19 +93,24 @@ class CorpusStoreSpec extends SparkSpec {
     assert(rowSet(CorpusStore.read(spark, dir)) === afterDel)
   }
 
-  test("a delete that empties a bucket removes its directory") {
-    // tiny store, 4 buckets: delete EVERYTHING — dynamic overwrite alone
-    // would leave every old directory alive (it only replaces partitions
-    // present in the output); the explicit cleanup must remove them
+  test("a delete that empties a bucket empties its live set; vacuum removes the directory") {
+    // tiny store, 4 buckets: delete EVERYTHING. The snapshot commit
+    // takes the buckets' files out of the live set immediately (the
+    // read must not resurrect them); the DIRECTORIES hold the retired
+    // files for pinned readers until vacuum, which prunes them.
     val dir = Files.createTempDirectory("graft-cstore-e").toFile.getAbsolutePath
     val small = docs.filter(col("doc_id") < 20)
     CorpusStore.write(small, "doc_id", dir, buckets = 4)
     CorpusStore.delete(small.select("doc_id"), "doc_id", dir)
     assert(CorpusStore.read(spark, dir).isEmpty,
       "deleted rows must not resurrect from stale bucket directories")
-    val left = new java.io.File(s"$dir/rows").listFiles()
+    assert(CorpusStore.vacuum(spark, dir).filesDeleted > 0)
+    // a fully-drained store may lose the rows/ dir itself to the prune
+    val left = Option(new java.io.File(s"$dir/rows").listFiles())
+      .getOrElse(Array.empty[java.io.File])
       .count(_.getName.startsWith("__graft_bucket="))
     assert(left === 0, s"emptied bucket dirs must be removed, $left left")
+    assert(CorpusStore.read(spark, dir).isEmpty)
     // deleting absent ids on the emptied store is a no-op, not an error
     CorpusStore.delete(small.select("doc_id"), "doc_id", dir)
     assert(CorpusStore.read(spark, dir).isEmpty)

@@ -141,6 +141,78 @@ class ManifestSpec extends SparkSpec {
     assert(rowSet(SeenSet.probeNovel(spark, dir, batch, "url")) === novel)
   }
 
+  test("a reader pinned on v(N) survives a corpus-store keyed upsert (additive rewrite)") {
+    // r19's last family to go reader-invisible: the store's keyed
+    // maintenance is an additive snapshot flip, so even an UPSERT —
+    // the one face that used to rewrite bucket directories in place —
+    // leaves a pinned reader's file list intact until vacuum.
+    import spark.implicits._
+    import graft.io.CorpusStore
+    val dir = Files.createTempDirectory("graft-man-store").toString
+    val base = (0L until 100L).map(i => (i, s"v0-$i")).toDF("doc_id", "text")
+    CorpusStore.write(base, "doc_id", dir, buckets = 8)
+    val vN = Manifest.current(spark, dir).get
+    def pinned() = rowSet(
+      Manifest.readSubtree(spark, dir, vN, "rows", None)
+        .select(col("doc_id"), col("text")))
+    val baseline = pinned()
+    CorpusStore.upsert(
+      (0L until 50L).map(i => (i, s"v1-$i")).toDF("doc_id", "text"),
+      "doc_id", dir)
+    CorpusStore.delete(Seq(99L).toDF("doc_id"), "doc_id", dir)
+    // the pinned v(N) reader re-executes bit-identically AFTER both
+    // keyed rewrites committed
+    assert(pinned() === baseline)
+    // and the live store serves the post-maintenance truth
+    val live = CorpusStore.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(live.size === 99 && live(3L) === "v1-3" && live(60L) === "v0-60"
+      && !live.contains(99L))
+    // vacuum expires the pin and the live store is unchanged
+    assert(CorpusStore.vacuum(spark, dir).filesDeleted > 0)
+    assert(CorpusStore.read(spark, dir).count() === 99)
+  }
+
+  test("a retire lost to a crash converges: delisted files stay pinned-servable, vacuum sweeps them") {
+    // the DATA -> COMMIT -> RETIRE ordering's one crash window: the
+    // version committed (new files live, old files out of the live
+    // set) but the ledger append never ran. Nothing may be lost —
+    // pinned readers of the PREVIOUS version still see the old files
+    // on disk, the current version serves the replacement, and the
+    // orphan sweep reclaims the un-ledgered files without the ledger.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-man-lost").toString
+    def url(i: Int) = s"http://lost.org/p/$i"
+    SeenSet.writeSet((0 until 200).map(url).toDF("url"), "url", dir,
+      buckets = 4)
+    SeenSet.appendToSet((100 until 300).map(url).toDF("url"), "url", dir)
+    val vN = Manifest.current(spark, dir).get
+    def pinnedCount() =
+      Manifest.readSubtree(spark, dir, vN, "urls", None).count()
+    val pinnedBefore = pinnedCount()
+    val batch = (250 until 350).map(url).toDF("url")
+    val novel = rowSet(SeenSet.probeNovel(spark, dir, batch, "url"))
+    assert(SeenSet.compact(spark, dir).bucketsCompacted > 0)
+    // simulate the lost retire: delete the ledger the compact wrote
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(): Unit
+    }
+    rm(new java.io.File(s"$dir/manifest/retired"))
+    // current version excludes the superseded files and serves exactly
+    assert(rowSet(SeenSet.probeNovel(spark, dir, batch, "url")) === novel)
+    // the previous version's reader still re-executes identically
+    // (the superseded files are un-ledgered but UNDELETED)
+    assert(pinnedCount() === pinnedBefore)
+    // vacuum's orphan sweep reclaims them WITHOUT the ledger, and the
+    // next mutation + serve converge
+    assert(SeenSet.vacuum(spark, dir).filesDeleted > 0)
+    assert(rowSet(SeenSet.probeNovel(spark, dir, batch, "url")) === novel)
+    SeenSet.appendToSet((300 until 400).map(url).toDF("url"), "url", dir)
+    assert(SeenSet.probeNovel(spark, dir,
+      (0 until 400).map(url).toDF("url"), "url").isEmpty,
+      "post-crash maintenance must converge to exact membership")
+  }
+
   test("version commits are atomic names: temp files and foreign names are ignored") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-man-atom").toString
