@@ -104,6 +104,28 @@ object CorpusStore {
   def read(spark: SparkSession, dir: String): DataFrame =
     rowsFrame(spark, dir).drop("__graft_bucket")
 
+  /** TIME TRAVEL: the corpus as committed manifest version `version`
+    * saw it — every keyed rewrite commits a version, so a training run
+    * that records the version it read can reproduce its exact input
+    * bytes later (the provenance contract data pipelines are asked for
+    * first), until the operator's [[vacuum]] cadence reclaims the
+    * retired files. Fails loudly on a never-committed or
+    * vacuumed-away version — silently serving the nearest one would
+    * forge provenance. [[graft.io.Manifest.versions]] lists the
+    * horizon. */
+  def readVersion(spark: SparkSession, dir: String,
+      version: Long): DataFrame = {
+    val snap = Manifest.at(spark, dir, version).getOrElse(sys.error(
+      s"CorpusStore.readVersion($dir, $version): no such committed " +
+        s"version on disk (horizon: " +
+        s"${Manifest.versions(spark, dir).mkString(",")}) — it was " +
+        "never committed, or vacuum reclaimed it"))
+    val logical = spark.read.parquet(s"$dir/schema")
+    if (snap.under("rows").isEmpty) logical
+    else Manifest.readSubtree(spark, dir, snap, "rows",
+      Some(logical.schema)).drop("__graft_bucket")
+  }
+
   /** Physically reclaim non-live bytes (a torn run's orphans; the
     * store's in-place rewrites retire nothing) — [[Manifest.vacuum]]
     * on the maintenance cadence. */

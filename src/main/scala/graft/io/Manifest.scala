@@ -149,6 +149,23 @@ object Manifest {
   def exists(spark: SparkSession, root: String): Boolean =
     versionFiles(spark, root).nonEmpty
 
+  /** A SPECIFIC committed version — time travel (the capability the
+    * snapshot layer gives away for free, and the one a training run
+    * needs for reproducibility: record the version you read, and
+    * re-reading it returns the exact corpus bytes until [[vacuum]]
+    * reclaims them). None when that version was never committed or was
+    * vacuumed away. Not cached: historical reads are rare by nature. */
+  def at(spark: SparkSession, root: String,
+      version: Long): Option[Snapshot] =
+    versionFiles(spark, root).find(_._1 == version).map { case (v, p) =>
+      Snapshot(v, readLines(spark, p).sorted.toIndexedSeq)
+    }
+
+  /** All committed versions still on disk, ascending — the time-travel
+    * horizon ([[vacuum]] trims it to the current version). */
+  def versions(spark: SparkSession, root: String): Seq[Long] =
+    versionFiles(spark, root).map(_._1).sorted
+
   /** Full-rebuild faces: drop the manifest AND the retirement ledger —
     * a fresh tree invalidates both (the io-family full-rebuild rule). */
   def reset(spark: SparkSession, root: String): Unit = lock(root) {

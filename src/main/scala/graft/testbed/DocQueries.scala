@@ -1943,6 +1943,19 @@ object DocQueries {
         .select(col("doc_id"), md5(col("text")).as("content_md5"))
         .orderBy("doc_id")),
 
+    // IR11: TIME TRAVEL on the maintained store — the provenance read
+    // the snapshot layer gives away for free: the ir7 fixture commits
+    // v1 (build), v2 (upsert), v3 (delete); reading v2 must serve the
+    // corpus EXACTLY as it stood after the upsert and BEFORE the
+    // delete, byte-identical, because the delete's commit retired (not
+    // deleted) v2's files. A training run records the version it read
+    // and can reproduce its input until the vacuum cadence
+    "ir11_corpus_time_travel" -> ((s, dir) =>
+      graft.io.CorpusStore.readVersion(s, corpusStoreDir(s, dir),
+          version = 2L)
+        .select(col("doc_id"), md5(col("text")).as("content_md5"))
+        .orderBy("doc_id")),
+
     // T42: Unicode NFC normalization (native nfc_normalize expression,
     // JDK Normalizer) — per-doc payloads get decomposed sequences
     // appended (combining acute/ring, doc_id-conditional precomposed é),
@@ -3711,6 +3724,21 @@ object DocQueries {
         | )
         |SELECT doc_id, md5(text) AS content_md5
         |FROM merged WHERE doc_id % 7 <> 0
+        |ORDER BY doc_id""".stripMargin,
+
+    // IR11: version 2 = after the upsert, before the delete — the ir7
+    // arithmetic WITHOUT the final delete filter
+    "ir11_corpus_time_travel" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+        | up AS (SELECT doc_id, text || ' v2' AS text
+        |        FROM documents WHERE doc_id % 5 = 0),
+        | merged AS (
+        |  SELECT * FROM up
+        |  UNION ALL
+        |  SELECT * FROM base WHERE doc_id NOT IN (SELECT doc_id FROM up)
+        | )
+        |SELECT doc_id, md5(text) AS content_md5
+        |FROM merged
         |ORDER BY doc_id""".stripMargin,
 
     // IR6: the seen-set probe restated as the plain anti-join over the

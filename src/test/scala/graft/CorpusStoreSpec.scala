@@ -116,6 +116,43 @@ class CorpusStoreSpec extends SparkSpec {
     assert(CorpusStore.read(spark, dir).isEmpty)
   }
 
+  test("time travel: every keyed rewrite commits a readable version; vacuum expires it loudly") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-cstore-tt").toFile.getAbsolutePath
+    val base = (0L until 60L).map(i => (i, s"v0-$i")).toDF("doc_id", "text")
+    CorpusStore.write(base, "doc_id", dir, buckets = 8) // v1
+    CorpusStore.upsert(
+      (0L until 30L).map(i => (i, s"v1-$i")).toDF("doc_id", "text"),
+      "doc_id", dir) // v2
+    CorpusStore.delete(Seq(5L, 45L).toDF("doc_id"), "doc_id", dir) // v3
+    assert(graft.io.Manifest.versions(spark, dir) === Seq(1L, 2L, 3L))
+    assert(rowSet(CorpusStore.readVersion(spark, dir, 1L)) === rowSet(base),
+      "v1 must be the corpus as built")
+    val v2 = CorpusStore.readVersion(spark, dir, 2L).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v2.size === 60 && v2(3L) === "v1-3" && v2(45L) === "v0-45",
+      "v2 must be post-upsert, pre-delete")
+    assert(rowSet(CorpusStore.readVersion(spark, dir, 3L))
+      === rowSet(CorpusStore.read(spark, dir)),
+      "the newest version is the live read")
+    // a never-committed version fails loudly (forged provenance is
+    // worse than no read)
+    val e = intercept[RuntimeException] {
+      CorpusStore.readVersion(spark, dir, 9L)
+    }
+    assert(e.getMessage.contains("no such committed version"))
+    // vacuum trims the horizon to the current version; expired history
+    // fails loudly too
+    CorpusStore.vacuum(spark, dir): Unit
+    assert(graft.io.Manifest.versions(spark, dir) === Seq(3L))
+    val e2 = intercept[RuntimeException] {
+      CorpusStore.readVersion(spark, dir, 2L)
+    }
+    assert(e2.getMessage.contains("no such committed version"))
+    assert(rowSet(CorpusStore.readVersion(spark, dir, 3L))
+      === rowSet(CorpusStore.read(spark, dir)))
+  }
+
   test("a committed journal heals a bucket lost mid-commit; uncommitted is dropped") {
     import spark.implicits._
     // dynamic partition overwrite commits delete-then-rename per bucket:
