@@ -146,8 +146,9 @@ object BandIndex {
 
   /** Physically reclaim superseded bytes ([[Manifest.vacuum]]) on the
     * serving fleet's retention cadence. */
-  def vacuum(spark: SparkSession, dir: String): Manifest.VacuumStats =
-    Manifest.vacuum(spark, dir, Seq("bands"))
+  def vacuum(spark: SparkSession, dir: String, retainVersions: Int = 0,
+      orphanGraceMs: Long = 0L): Manifest.VacuumStats =
+    Manifest.vacuum(spark, dir, Seq("bands"), retainVersions, orphanGraceMs)
 
   /** Replay-safe append for streaming maintenance (the
     * [[graft.streaming.Streaming.bandIndexMaintenance]] foreachBatch

@@ -129,8 +129,9 @@ object CorpusStore {
   /** Physically reclaim non-live bytes (a torn run's orphans; the
     * store's in-place rewrites retire nothing) — [[Manifest.vacuum]]
     * on the maintenance cadence. */
-  def vacuum(spark: SparkSession, dir: String): Manifest.VacuumStats =
-    Manifest.vacuum(spark, dir, Seq("rows"))
+  def vacuum(spark: SparkSession, dir: String, retainVersions: Int = 0,
+      orphanGraceMs: Long = 0L): Manifest.VacuumStats =
+    Manifest.vacuum(spark, dir, Seq("rows"), retainVersions, orphanGraceMs)
 
   /** Keyed upsert: `delta` rows replace same-key standing rows, new keys
     * append — [[graft.operators.Dedup.mergeUpsert]] semantics, at

@@ -246,8 +246,9 @@ object SeenSet {
     * left for snapshot-pinned readers plus any torn run's orphans —
     * on whatever retention cadence the serving fleet needs
     * ([[Manifest.vacuum]]). */
-  def vacuum(spark: SparkSession, dir: String): Manifest.VacuumStats =
-    Manifest.vacuum(spark, dir, Seq("urls"))
+  def vacuum(spark: SparkSession, dir: String, retainVersions: Int = 0,
+      orphanGraceMs: Long = 0L): Manifest.VacuumStats =
+    Manifest.vacuum(spark, dir, Seq("urls"), retainVersions, orphanGraceMs)
 
   /** Compact fragmented bucket directories (one parquet file per append
     * accumulates — see [[Compact]]) and collapse the physically

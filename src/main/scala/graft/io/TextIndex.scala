@@ -225,14 +225,23 @@ object TextIndex {
     *
     * RETRYABLE (r17 advisory): the ingest tag is derived from the
     * delta's CONTENT (xor of per-doc hashes over id + token list), not
-    * a random UUID, so a caller's naive retry after a crash between the
-    * postings write and the stats row re-writes the SAME tag — the
-    * postings land as a dynamic overwrite of that tag's own leaf
-    * directories and the stats row overwrites its own batch dir,
-    * instead of double-appending postings and double-counting the BM25
-    * normalizers. (Two DIFFERENT deltas colliding on the 64-bit tag is
-    * a hash-collision event, not an operational one; the streaming face
-    * [[appendBatch]] uses the batch id and is immune outright.) */
+    * a random UUID, so a caller's naive retry converges to exactly one
+    * copy of the delta instead of double-appending postings and
+    * double-counting the BM25 normalizers. (Two DIFFERENT deltas
+    * colliding on the 64-bit tag is a hash-collision event, not an
+    * operational one; the streaming face [[appendBatch]] uses the
+    * batch id and is immune outright.)
+    *
+    * On MANIFEST trees each attempt writes its own SUFFIXED tag
+    * (`a<hash>-<rand>`) and the commit retires every other attempt of
+    * the same content hash (r19 advisory: the old same-tag dynamic
+    * overwrite physically deleted the prior COMMITTED attempt's files
+    * before the new commit — the one write path that could yank bytes
+    * from under a pinned reader mid-scan when a caller retried after
+    * an ambiguous failure). Retired attempts stay on disk for pinned
+    * readers until [[vacuum]]; a torn attempt's files are orphans no
+    * snapshot ever references. Legacy trees keep the same-tag
+    * overwrite — there the physical overwrite IS the idempotence. */
   def appendToIndex(
       delta: DataFrame, idCol: String, textCol: String, dir: String,
       buckets: Int = DefaultBuckets
@@ -245,10 +254,15 @@ object TextIndex {
     val toks = delta.select(col(idCol).as("doc_id"),
       TextFunctions.tokens(textCol).as("toks")).localCheckpoint()
     try {
+      // empty delta: nothing to index — writing a 0-row stats ledger
+      // row would churn a manifest version for no content (r19
+      // advisory, the empty-micro-batch rule)
+      if (toks.isEmpty) return
       val contentHash = toks
         .agg(coalesce(bit_xor(xxhash64(col("doc_id"), col("toks"))), lit(0L)))
         .head().getLong(0)
-      val tag = "a" + java.lang.Long.toHexString(contentHash)
+      val base = "a" + java.lang.Long.toHexString(contentHash)
+      val tag = attemptTag(base, snap)
       postings(toks, nBuckets)
         .withColumn("ingest_batch", lit(tag))
         .repartition(col("term_bucket"))
@@ -261,23 +275,39 @@ object TextIndex {
         .withColumn("buckets", lit(nBuckets))
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$dir/stats/batch=$tag")
-      commitAppend(spark, dir, snap, tag)
+      commitAppend(spark, dir, snap, base, tag)
     } finally graft.operators.Dedup.release(toks)
   }
 
-  /** One snapshot commit per append: adopt the tag's fresh files, drop
-    * the SAME tag's previous files (a retried append's own prior
-    * attempt — its dynamic overwrite replaced them on disk, so the
-    * snapshot must not keep referencing the dead paths). Postings and
-    * stats flip together, so a reader never sees one without the
-    * other. No-op on legacy trees. */
+  /** Manifest trees get a per-attempt suffix so a retry never
+    * overwrites committed leaf directories (see [[appendToIndex]]);
+    * legacy trees keep the bare tag — the same-tag overwrite is their
+    * idempotence mechanism. Bases never contain '-' (hex hashes,
+    * `b<id>` batch ids), so attempt-of-base matching is unambiguous. */
+  private def attemptTag(base: String,
+      snap: Option[Manifest.Snapshot]): String =
+    if (snap.isDefined)
+      s"$base-${java.util.UUID.randomUUID().toString.take(8)}"
+    else base
+
+  /** One snapshot commit per append: adopt the fresh ATTEMPT's files,
+    * drop every prior attempt of the same BASE tag (a retried append —
+    * its prior attempt may have committed even though the caller saw a
+    * failure, the ambiguous-failure retry). Postings and stats flip
+    * together, so a reader never sees one without the other. No-op on
+    * legacy trees. */
   private def commitAppend(spark: SparkSession, dir: String,
-      snap: Option[Manifest.Snapshot], tag: String): Unit =
+      snap: Option[Manifest.Snapshot], base: String, tag: String): Unit =
     snap.foreach { s =>
+      val ofBase = (f: String) =>
+        f.contains(s"/ingest_batch=$base/") ||
+          f.contains(s"/ingest_batch=$base-") ||
+          f.startsWith(s"stats/batch=$base/") ||
+          f.startsWith(s"stats/batch=$base-")
       val ofTag = (f: String) =>
         f.contains(s"/ingest_batch=$tag/") || f.startsWith(s"stats/batch=$tag/")
-      val stale = s.files.filter(ofTag)
-      // precise add: only this tag's freshly-written files (a
+      val stale = s.files.filter(ofBase)
+      // precise add: only this attempt's freshly-written files (a
       // tag-scoped filter over the listing — never a blind adoption)
       val added = (Manifest.listFiles(spark, dir, "postings")
         ++ Manifest.listFiles(spark, dir, "stats")).filter(ofTag)
@@ -313,9 +343,16 @@ object TextIndex {
       // pinned: feeds the postings write and the stats row
       val toks = delta.select(col(idCol).as("doc_id"),
         TextFunctions.tokens(textCol).as("toks")).localCheckpoint()
-      try {
+      try if (!toks.isEmpty) {
+        // manifest trees: attempt-suffixed like [[appendToIndex]] — a
+        // replay after a crash between the manifest commit and the
+        // watermark mark must not overwrite the committed attempt's
+        // live files (it writes a fresh attempt; the commit retires
+        // the old one). Legacy trees keep the bare-tag overwrite.
+        val base = s"b$batchId"
+        val tag = attemptTag(base, snap)
         postings(toks, nBuckets)
-          .withColumn("ingest_batch", lit(s"b$batchId"))
+          .withColumn("ingest_batch", lit(tag))
           .repartition(col("term_bucket"))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
@@ -325,8 +362,8 @@ object TextIndex {
             coalesce(sum(size(col("toks"))), lit(0L)).cast("long").as("sum_dl"))
           .withColumn("buckets", lit(nBuckets))
           .coalesce(1)
-          .write.mode("overwrite").parquet(s"$dir/stats/batch=b$batchId")
-        commitAppend(spark, dir, snap, s"b$batchId")
+          .write.mode("overwrite").parquet(s"$dir/stats/batch=$tag")
+        commitAppend(spark, dir, snap, base, tag)
       } finally graft.operators.Dedup.release(toks)
     }
   }
@@ -438,8 +475,10 @@ object TextIndex {
     * rows [[compact]] retired for snapshot-pinned readers, plus any
     * torn run's orphans — on the serving fleet's retention cadence
     * ([[Manifest.vacuum]]). */
-  def vacuum(spark: SparkSession, dir: String): Manifest.VacuumStats =
-    Manifest.vacuum(spark, dir, Seq("postings", "stats"))
+  def vacuum(spark: SparkSession, dir: String, retainVersions: Int = 0,
+      orphanGraceMs: Long = 0L): Manifest.VacuumStats =
+    Manifest.vacuum(spark, dir, Seq("postings", "stats"),
+      retainVersions, orphanGraceMs)
 
   /** BM25 top-k against a persisted index: the query terms' buckets
     * become a literal partition predicate (query metadata, not row

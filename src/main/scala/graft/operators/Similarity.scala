@@ -1277,7 +1277,8 @@ object Similarity {
     * migration left behind. The declared pin-expiry point: run it on a
     * retention cadence longer than the serving fleet's longest query. */
   def ivfPqIndexVacuum(spark: org.apache.spark.sql.SparkSession,
-      dir: String): graft.io.Manifest.VacuumStats = {
+      dir: String, retainVersions: Int = 0,
+      orphanGraceMs: Long = 0L): graft.io.Manifest.VacuumStats = {
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val gens =
@@ -1290,7 +1291,8 @@ object Similarity {
       else Seq.empty
     val flat = Seq("centroids", "codebooks", "meta", "codes")
     graft.io.Manifest.vacuum(spark, dir,
-      gens.flatMap(g => flat.map(s => s"$g/$s")) ++ flat)
+      gens.flatMap(g => flat.map(s => s"$g/$s")) ++ flat,
+      retainVersions, orphanGraceMs)
   }
 
   /** Maintenance-time ANN drift gauge for a persisted IVF+PQ index (the

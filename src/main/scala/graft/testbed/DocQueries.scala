@@ -1777,12 +1777,49 @@ object DocQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // IR00: the ir-family FIXTURE ABSORBER (the a00/d00 convention,
+    // extended per the r19 verdict: ir10's milliseconds-sized decision
+    // read was absorbing two full gauge runs, and ir11 — sorting before
+    // ir7 — was absorbing the corpus-store fixture, so the recorded
+    // times measured fixture builds, not the serve paths). Every
+    // persisted artifact the ir entries serve from is built HERE, in
+    // the family's alphabetically-first (cache-absorber) position: the
+    // inverted text index, the IVF+PQ index, the drift-gauge ledger,
+    // the band index, the URL seen set, and the maintained corpus
+    // store. Verifiable in its own right: each artifact's row/doc
+    // count, read back FROM THE BUILT ARTIFACT through its serving
+    // face, must equal the oracle's restatement from source-table
+    // arithmetic — so the absorber is itself an end-to-end build gate.
+    "ir00_fixture_warmup" -> ((s, dir) => {
+      val nText = s.read.parquet(s"${textIndexDir(s, dir)}/stats")
+        .agg(sum(col("n_docs").cast("long"))).head().getLong(0)
+      val nCodes = Similarity.ivfPqIndexCellCounts(s, ivfPqIndexDir(s, dir))
+        .agg(sum(col("n_vecs"))).head().getLong(0)
+      val nGauge = s.read.parquet(gaugeLedgerDir(s, dir)).count()
+      val bandIx = bandIndexDir(s, dir)
+      val nBand = graft.io.Manifest.readSubtree(s, bandIx,
+        graft.io.Manifest.current(s, bandIx).get, "bands", None).count()
+      val seenIx = seenSetDir(s, dir)
+      val nSeen = graft.io.Manifest.readSubtree(s, seenIx,
+        graft.io.Manifest.current(s, seenIx).get, "urls", None)
+        .agg(countDistinct(col("url"))).head().getLong(0)
+      val nStore = graft.io.CorpusStore.read(s, corpusStoreDir(s, dir)).count()
+      val sess = s
+      import sess.implicits._
+      Seq(("band_index", nBand), ("corpus_store", nStore),
+        ("gauge_ledger", nGauge), ("ivfpq_codes", nCodes),
+        ("seen_set", nSeen), ("text_index", nText))
+        .toDF("fixture", "n_rows").orderBy("fixture")
+    }),
+
     // IR0: the index BUILD as its own battery entry — one tokenize + one
     // positional-postings aggregation + a bucket-partitioned write, the
-    // ingest-time cost every index-served query amortizes. Runs first in
-    // the ir family (alphabetical), so ir1/ir2 measure SERVING. The
-    // emitted stats (doc count, total/avg doc length) are recomputed
-    // independently by the oracle with the same tokenizer.
+    // ingest-time cost every index-served query amortizes. (Since r20
+    // the physical build happens in ir00, the family absorber; this
+    // entry records the stats-ledger aggregation — the totals read
+    // every search resolves.) The emitted stats (doc count, total/avg
+    // doc length) are recomputed independently by the oracle with the
+    // same tokenizer.
     "ir0_index_build" -> ((s, dir) => {
       val ix = textIndexDir(s, dir)
       // the stats sidecar is a per-batch LEDGER (r17): totals aggregate
@@ -3474,6 +3511,30 @@ object DocQueries {
         |UNION ALL
         |SELECT 'embeddings', CAST(COUNT(*) AS BIGINT) FROM embeddings
         |ORDER BY tbl""".stripMargin,
+
+    // ir00: each fixture's row count restated from source-table
+    // arithmetic — band index = bands(16) rows per doc (< 250), corpus
+    // store = the ir7 key set, gauge ledger = 2 committed batches ×
+    // the query batch, codes = one per embedding, seen set = the 60%
+    // URL membership, text index = the corpus
+    "ir00_fixture_warmup" ->
+      """SELECT * FROM (
+        | SELECT 'band_index' AS fixture, CAST(16 * COUNT(*) AS BIGINT) AS n_rows
+        | FROM documents WHERE doc_id < 250
+        | UNION ALL
+        | SELECT 'corpus_store', CAST(COUNT(*) AS BIGINT) FROM documents
+        | WHERE (doc_id % 3 = 0 OR doc_id % 5 = 0) AND doc_id % 7 <> 0
+        | UNION ALL
+        | SELECT 'gauge_ledger', CAST(2 * COUNT(*) AS BIGINT) FROM embeddings
+        | WHERE vec_id < 20
+        | UNION ALL
+        | SELECT 'ivfpq_codes', CAST(COUNT(*) AS BIGINT) FROM embeddings
+        | UNION ALL
+        | SELECT 'seen_set', CAST(COUNT(*) AS BIGINT) FROM documents
+        | WHERE doc_id % 10 < 6
+        | UNION ALL
+        | SELECT 'text_index', CAST(COUNT(*) AS BIGINT) FROM documents
+        |) ORDER BY fixture""".stripMargin,
 
     // ir0: the index's stats sidecar recomputed independently — same
     // whitespace tokenizer as every other oracle (the `w` CTE)
