@@ -51,6 +51,38 @@ object ManifestScale {
         .filter(_.getName.startsWith("v")).map(_.length).max
       println(f"""{"files":$n,"commit_ms":$commitMs%.1f,"delta_commit_ms":$deltaMs%.1f,"resolve_cold_ms":$coldMs%.1f,"resolve_warm_ms":$warmMs%.1f,"version_bytes":$bytes,"live":${resolved.files.size}}""")
     }
+
+    // Sustained micro-batch commits (r20): the streaming loop's commit
+    // cadence between vacuums. The r19 advisory found commitAdd re-read
+    // the whole retirement ledger (one file per mutation), making
+    // metadata cost grow with mutation count; after the fix a commit is
+    // one manifest listing + one version read + one write + the
+    // sibling-detection re-list, independent of how many mutations ran
+    // since the last vacuum. Pin: the last-50 mean ≈ the first-50 mean
+    // over 400 sequential commits on a 10^4-file tree.
+    {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-manscale-sustained").toString
+      val files = (0 until 10000).map(i =>
+        f"rows/__graft_bucket=${i % 256}/part-$i%08d-0000.snappy.parquet")
+      graft.io.Manifest.commitSet(spark, root, files, Nil)
+      val ms = (0 until 400).map { i =>
+        val t0 = System.nanoTime()
+        graft.io.Manifest.commitAdd(spark, root,
+          Seq(f"rows/__graft_bucket=${i % 256}/part-mb$i%06d.snappy.parquet"),
+          Seq(f"rows/__graft_bucket=${i % 256}/part-$i%08d-0000.snappy.parquet"))
+        (System.nanoTime() - t0) / 1e6
+      }
+      val head = ms.take(50).sum / 50
+      val tail = ms.takeRight(50).sum / 50
+      // vacuum with retention on the mutation-heavy tree: the horizon
+      // keeps K versions, everything older is reclaimed in one pass
+      val t0 = System.nanoTime()
+      val vs = graft.io.Manifest.vacuum(spark, root, Seq("rows"),
+        retainVersions = 10)
+      val vacMs = (System.nanoTime() - t0) / 1e6
+      println(f"""{"sustained_commits":400,"live_files":10000,"commit_ms_head50":$head%.1f,"commit_ms_tail50":$tail%.1f,"vacuum_retain10_ms":$vacMs%.1f,"versions_dropped":${vs.versionsDropped},"horizon":${graft.io.Manifest.versions(spark, root).size}}""")
+    }
     spark.stop()
   }
 }
