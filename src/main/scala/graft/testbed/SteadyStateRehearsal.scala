@@ -126,17 +126,40 @@ object SteadyStateRehearsal {
       println(s"[rehearsal] ${fanIns.last}")
     }
 
-    // vacuum pass: reclaim retired bytes, then one serve per family to
-    // prove nothing live was touched
+    // provenance pin (r20): a "training run" records the store version
+    // it read — one maintenance step back — and digests its content
+    // BEFORE the vacuum; the retention-vacuumed tree must serve the
+    // same bytes after (the ir11 contract surviving the vacuum cadence)
+    val retain = sys.env.getOrElse("SPARK_GRAFT_VACUUM_RETAIN", "2").toInt
+    val pinnedV = graft.io.Manifest.versions(spark, storeDir).max - 1
+    def storeDigest(v: Long): (Long, Long) = {
+      val r = graft.io.CorpusStore.readVersion(spark, storeDir, v)
+        .agg(count(lit(1)),
+          coalesce(bit_xor(xxhash64(col("doc_id"), col("text"))), lit(0L)))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val digestBefore = storeDigest(pinnedV)
+
+    // vacuum pass WITH RETENTION: reclaim retired bytes while keeping
+    // the provenance horizon, then one serve per family to prove
+    // nothing live was touched
     val vt0 = System.nanoTime()
     val vstats = Seq(
-      graft.io.SeenSet.vacuum(spark, seenDir),
-      graft.io.BandIndex.vacuum(spark, bandDir),
-      graft.io.TextIndex.vacuum(spark, textDir),
-      graft.io.CorpusStore.vacuum(spark, storeDir),
-      graft.operators.Similarity.ivfPqIndexVacuum(spark, vecDir))
+      graft.io.SeenSet.vacuum(spark, seenDir, retainVersions = retain),
+      graft.io.BandIndex.vacuum(spark, bandDir, retainVersions = retain),
+      graft.io.TextIndex.vacuum(spark, textDir, retainVersions = retain),
+      graft.io.CorpusStore.vacuum(spark, storeDir, retainVersions = retain),
+      graft.operators.Similarity.ivfPqIndexVacuum(spark, vecDir,
+        retainVersions = retain))
     val vacSec = (System.nanoTime() - vt0) / 1e9
     val vacDeleted = vstats.map(_.filesDeleted).sum
+    val digestAfter = storeDigest(pinnedV)
+    val horizon = graft.io.Manifest.versions(spark, storeDir).size
+    require(digestAfter == digestBefore,
+      s"retention vacuum broke the pinned read: $digestBefore -> $digestAfter")
+    require(horizon == retain + 1,
+      s"horizon must be exactly retain+1, got $horizon")
     val serveT0 = System.nanoTime()
     val stored = graft.io.CorpusStore.read(spark, storeDir).count()
     val bm25 = graft.io.TextIndex.bm25SearchIndex(spark, textDir,
@@ -149,7 +172,7 @@ object SteadyStateRehearsal {
       spark, gaugeDir, threshold = 0.7, window = 3).head()
 
     val head = perBatch.take(3); val tail = perBatch.takeRight(3)
-    println(f"""{"metric":"steady_state_rehearsal","sf":"$sfDir","batches":$nBatches,"seed_sec":$seedSec%.1f,"per_batch":[${perBatch.map(s => f"$s%.2f").mkString(",")}],"head3_mean":${head.sum / 3}%.2f,"tail3_mean":${tail.sum / 3}%.2f,"vacuum_deleted":$vacDeleted,"vacuum_sec":$vacSec%.1f,"store_rows":$stored,"bm25_rows":$bm25,"ann_rows":$ann,"serve_sec":$serveSec%.1f,"gauge_mean_recall":${decision.get(2)},"fanins":[${fanIns.mkString(",")}]}""")
+    println(f"""{"metric":"steady_state_rehearsal","sf":"$sfDir","batches":$nBatches,"seed_sec":$seedSec%.1f,"per_batch":[${perBatch.map(s => f"$s%.2f").mkString(",")}],"head3_mean":${head.sum / 3}%.2f,"tail3_mean":${tail.sum / 3}%.2f,"vacuum_deleted":$vacDeleted,"vacuum_sec":$vacSec%.1f,"vacuum_retain":$retain,"pinned_version":$pinnedV,"timetravel_rows":${digestAfter._1},"timetravel_ok":${digestAfter == digestBefore},"store_horizon":$horizon,"store_rows":$stored,"bm25_rows":$bm25,"ann_rows":$ann,"serve_sec":$serveSec%.1f,"gauge_mean_recall":${decision.get(2)},"fanins":[${fanIns.mkString(",")}]}""")
     spark.stop()
   }
 }
