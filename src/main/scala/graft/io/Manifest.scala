@@ -129,13 +129,43 @@ object Manifest {
     }.flatten
   }
 
+  /** Resolve same-number version TWINS — the residue a contract-
+    * violating committer leaves when it crashes inside the
+    * [[commitVersion]] rollback window (rename done, sibling re-list or
+    * rollback delete never ran). Identical contents (e.g. two
+    * bootstrap [[initFromListing]] racers listing the same tree)
+    * converge on either file; DIVERGENT contents must fail loudly on
+    * the READ side too — a maxBy tie-break would silently serve one
+    * writer's live set and let vacuum eventually reclaim the other's
+    * data. Repair is manual by construction (only an operator knows
+    * which commit's data→retire pairing is whole): delete the wrong
+    * twin, then vacuum. */
+  private def resolveTwins(spark: SparkSession, root: String,
+      twins: Seq[(Long, org.apache.hadoop.fs.Path)])
+      : (Long, org.apache.hadoop.fs.Path) =
+    if (twins.size == 1) twins.head
+    else {
+      val contents = twins.map { case (_, p) =>
+        p.getName -> readLines(spark, p).sorted
+      }
+      if (contents.map(_._2).distinct.size > 1)
+        sys.error(s"Manifest: divergent twin commits at $root version " +
+          s"${twins.head._1} (${contents.map(_._1).mkString(", ")}) — a " +
+          "concurrent committer crashed before its rollback; decide which " +
+          "commit's data is whole, delete the other version file, then " +
+          "vacuum. Refusing to tie-break silently.")
+      twins.minBy(_._2.getName.toString)
+    }
+
   /** The current committed snapshot, or None when the tree has no
-    * manifest (legacy layout — callers fall back to listing reads). */
+    * manifest (legacy layout — callers fall back to listing reads).
+    * Fails loudly on divergent same-number twins ([[resolveTwins]]). */
   def current(spark: SparkSession, root: String): Option[Snapshot] = {
     val vs = versionFiles(spark, root)
     if (vs.isEmpty) None
     else {
-      val (v, p) = vs.maxBy(_._1)
+      val vMax = vs.map(_._1).max
+      val (v, p) = resolveTwins(spark, root, vs.filter(_._1 == vMax))
       cache.get(root).collect {
         case (name, snap) if name == p.getName => snap
       }.orElse {
@@ -156,15 +186,20 @@ object Manifest {
     * reclaims them). None when that version was never committed or was
     * vacuumed away. Not cached: historical reads are rare by nature. */
   def at(spark: SparkSession, root: String,
-      version: Long): Option[Snapshot] =
-    versionFiles(spark, root).find(_._1 == version).map { case (v, p) =>
-      Snapshot(v, readLines(spark, p).sorted.toIndexedSeq)
+      version: Long): Option[Snapshot] = {
+    val hits = versionFiles(spark, root).filter(_._1 == version)
+    if (hits.isEmpty) None
+    else {
+      val (v, p) = resolveTwins(spark, root, hits)
+      Some(Snapshot(v, readLines(spark, p).sorted.toIndexedSeq))
     }
+  }
 
-  /** All committed versions still on disk, ascending — the time-travel
-    * horizon ([[vacuum]] trims it to the current version). */
+  /** All committed versions still on disk, ascending and DISTINCT —
+    * the time-travel horizon ([[vacuum]] trims it to the current
+    * version; same-number twins count once). */
   def versions(spark: SparkSession, root: String): Seq[Long] =
-    versionFiles(spark, root).map(_._1).sorted
+    versionFiles(spark, root).map(_._1).distinct.sorted
 
   /** Full-rebuild faces: drop the manifest AND the retirement ledger —
     * a fresh tree invalidates both (the io-family full-rebuild rule). */
@@ -242,15 +277,21 @@ object Manifest {
     val siblings = versionFiles(spark, root)
       .filter { case (n, p) => n == v && p.getName != name }
     if (siblings.nonEmpty) {
-      fsOf(spark, root).delete(
+      val rolledBack = fsOf(spark, root).delete(
         new org.apache.hadoop.fs.Path(s"${manifestDir(root)}/$name"), false)
       cache.remove(root)
       sys.error(s"Manifest: concurrent commit detected at $root " +
         s"version $v (sibling ${siblings.map(_._2.getName).mkString(",")} " +
         s"vs $name) — two maintainers committed against the same parent; " +
-        "this commit was rolled back (its data files are unreferenced " +
-        "orphans). The single-maintainer contract covers all mutating " +
-        "faces; serialize the maintenance schedule.")
+        (if (rolledBack)
+          "this commit was rolled back (its data files are unreferenced " +
+            "orphans). "
+         else
+           s"AND the rollback delete of $name FAILED, so the tree now " +
+             "holds same-number twins — reads fail loudly on divergence " +
+             "until an operator deletes one twin. ") +
+        "The single-maintainer contract covers all mutating faces; " +
+        "serialize the maintenance schedule.")
     }
     val snap = Snapshot(v, files.sorted.toIndexedSeq)
     cache.put(root, name -> snap)
@@ -380,22 +421,30 @@ object Manifest {
     val all = versionFiles(spark, root)
     if (all.isEmpty) return VacuumStats(0, 0, 0)
     val fs = fsOf(spark, root)
-    val keptVersions = all.sortBy(-_._1).take(retainVersions + 1)
+    // retention counts DISTINCT version numbers, not files: a crash-
+    // residue twin must not occupy a retention slot and expire a real
+    // version early — both twins of a retained number stay (and keep
+    // their referenced files live) until an operator repairs the tree
+    val keptNumbers = all.map(_._1).distinct
+      .sorted(Ordering[Long].reverse).take(retainVersions + 1).toSet
+    val keptVersions = all.filter(v => keptNumbers(v._1))
     val live: Set[String] = keptVersions.flatMap { case (_, p) =>
       readLines(spark, p)
     }.toSet
     val retired = retiredSet(spark, root)
-    val graceCutoff =
-      if (orphanGraceMs <= 0L) Long.MaxValue
-      else System.currentTimeMillis() - orphanGraceMs
-    val dead = (retired ++ scopes.flatMap(listFiles(spark, root, _))).toSeq
-      .filterNot(live).distinct
-      .filter { rel =>
-        retired(rel) || {
-          // never-committed orphan: the grace window applies
-          val p = new org.apache.hadoop.fs.Path(s"$root/$rel")
-          !fs.exists(p) ||
-            fs.getFileStatus(p).getModificationTime <= graceCutoff
+    val nonLive = (retired ++ scopes.flatMap(listFiles(spark, root, _)))
+      .toSeq.filterNot(live).distinct
+    val dead =
+      if (orphanGraceMs <= 0L) nonLive // no grace: no per-file stats
+      else {
+        val graceCutoff = System.currentTimeMillis() - orphanGraceMs
+        nonLive.filter { rel =>
+          retired(rel) || {
+            // never-committed orphan: the grace window applies
+            val p = new org.apache.hadoop.fs.Path(s"$root/$rel")
+            !fs.exists(p) ||
+              fs.getFileStatus(p).getModificationTime <= graceCutoff
+          }
         }
       }
     var deleted = 0

@@ -1791,7 +1791,9 @@ object DocQueries {
     // face, must equal the oracle's restatement from source-table
     // arithmetic — so the absorber is itself an end-to-end build gate.
     "ir00_fixture_warmup" -> ((s, dir) => {
-      val nText = s.read.parquet(s"${textIndexDir(s, dir)}/stats")
+      val textIx = textIndexDir(s, dir)
+      val nText = graft.io.Manifest.readSubtree(s, textIx,
+          graft.io.Manifest.current(s, textIx).get, "stats", None)
         .agg(sum(col("n_docs").cast("long"))).head().getLong(0)
       val nCodes = Similarity.ivfPqIndexCellCounts(s, ivfPqIndexDir(s, dir))
         .agg(sum(col("n_vecs"))).head().getLong(0)
@@ -1823,7 +1825,11 @@ object DocQueries {
     "ir0_index_build" -> ((s, dir) => {
       val ix = textIndexDir(s, dir)
       // the stats sidecar is a per-batch LEDGER (r17): totals aggregate
-      s.read.parquet(s"$ix/stats")
+      // over the SNAPSHOT-resolved rows (the serving-face read — a raw
+      // directory read would also sum retired attempt/consolidation
+      // residue awaiting vacuum)
+      graft.io.Manifest.readSubtree(s, ix,
+          graft.io.Manifest.current(s, ix).get, "stats", None)
         .agg(sum(col("n_docs").cast("long")).as("n_docs"),
           sum(col("sum_dl").cast("long")).as("sum_dl"))
         .select(col("n_docs"), col("sum_dl"),

@@ -131,7 +131,11 @@ object SteadyStateRehearsal {
     // BEFORE the vacuum; the retention-vacuumed tree must serve the
     // same bytes after (the ir11 contract surviving the vacuum cadence)
     val retain = sys.env.getOrElse("SPARK_GRAFT_VACUUM_RETAIN", "2").toInt
-    val pinnedV = graft.io.Manifest.versions(spark, storeDir).max - 1
+    require(retain >= 1, "the rehearsal pins a version one step below " +
+      "current, so SPARK_GRAFT_VACUUM_RETAIN must be >= 1 (retain=0 " +
+      "would vacuum the pin away before the post-vacuum digest)")
+    val storeVersionsBefore = graft.io.Manifest.versions(spark, storeDir)
+    val pinnedV = storeVersionsBefore.max - 1
     def storeDigest(v: Long): (Long, Long) = {
       val r = graft.io.CorpusStore.readVersion(spark, storeDir, v)
         .agg(count(lit(1)),
@@ -158,8 +162,12 @@ object SteadyStateRehearsal {
     val horizon = graft.io.Manifest.versions(spark, storeDir).size
     require(digestAfter == digestBefore,
       s"retention vacuum broke the pinned read: $digestBefore -> $digestAfter")
-    require(horizon == retain + 1,
-      s"horizon must be exactly retain+1, got $horizon")
+    // vacuum keeps at most retain+1 versions — and at least as many as
+    // existed (a short run can't synthesize history)
+    val expectHorizon = math.min(retain + 1, storeVersionsBefore.size)
+    require(horizon == expectHorizon,
+      s"horizon must be $expectHorizon (min(retain+1, pre-vacuum " +
+        s"versions)), got $horizon")
     val serveT0 = System.nanoTime()
     val stored = graft.io.CorpusStore.read(spark, storeDir).count()
     val bm25 = graft.io.TextIndex.bm25SearchIndex(spark, textDir,

@@ -64,6 +64,41 @@ class ManifestHardeningSpec extends graft.SparkSpec {
     assert(Manifest.current(spark, dir).get.version === 3L)
   }
 
+  test("same-number twins: identical contents converge, divergent contents fail loudly on read") {
+    // the one state commit-time detection can't reach: the violating
+    // committer crashed AFTER its rename but BEFORE its sibling
+    // re-list/rollback. Reads must not maxBy-tie-break silently.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-man-twin").toString
+    SeenSet.writeSet((0 until 20).map(i => s"http://twin/$i").toDF("url"),
+      "url", dir, buckets = 2)
+    val v1 = Manifest.current(spark, dir).get
+    val v1File = new java.io.File(s"$dir/manifest").listFiles()
+      .filter(_.getName.startsWith("v000000000001")).head
+    // identical twin (two bootstrap racers listing the same tree):
+    // reads converge on either file — same snapshot either way
+    java.nio.file.Files.copy(v1File.toPath,
+      new java.io.File(s"$dir/manifest/v000000000001-bbbbbbbb").toPath)
+    assert(Manifest.current(spark, dir).get.files === v1.files)
+    assert(Manifest.versions(spark, dir) === Seq(1L),
+      "twins must count once in the horizon")
+    // divergent twin (the crashed violator's different live set):
+    // every read of that version fails loudly until an operator repairs
+    val rogue = new java.io.File(s"$dir/manifest/v000000000001-cccccccc")
+    java.nio.file.Files.write(rogue.toPath,
+      (v1.files :+ "urls/rogue-only.parquet").sorted
+        .mkString("\n").getBytes("UTF-8"))
+    val e = intercept[RuntimeException] { Manifest.current(spark, dir) }
+    assert(e.getMessage.contains("divergent twin"))
+    intercept[RuntimeException] { Manifest.at(spark, dir, 1L) }
+    // repair: delete the rogue twin — reads recover without a rebuild
+    assert(rogue.delete())
+    assert(Manifest.current(spark, dir).get.files === v1.files)
+    assert(rowSet(SeenSet.probeNovel(spark, dir,
+      (0 until 25).map(i => s"http://twin/$i").toDF("url"), "url"))
+      === (20 until 25).map(i => Seq[Any](s"http://twin/$i")).toSet)
+  }
+
   test("vacuum retention: a retained version time-travels after vacuum; an expired one fails loudly") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-man-retain").toString
