@@ -488,6 +488,35 @@ object TextIndex {
       spark: SparkSession, dir: String, queryTerms: Seq[String], k: Int,
       buckets: Int = DefaultBuckets,
       k1: Double = 1.2, b: Double = 0.75
+  ): DataFrame =
+    bm25Core(spark, dir, Manifest.current(spark, dir), queryTerms, k,
+      buckets, k1, b)
+
+  /** [[bm25SearchIndex]] pinned to a COMMITTED VERSION — the
+    * reproducible-eval face (r20, the index-family counterpart of
+    * [[CorpusStore.readVersion]]): a search-quality eval records the
+    * version it ran against, and re-running it serves the exact same
+    * postings and normalizers until [[vacuum]]'s retention expires the
+    * version — maintenance committed in between is invisible. Fails
+    * loudly on a never-committed or vacuumed version. */
+  def bm25SearchIndexAt(
+      spark: SparkSession, dir: String, version: Long,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75
+  ): DataFrame = {
+    val snap = Manifest.at(spark, dir, version).getOrElse(sys.error(
+      s"TextIndex.bm25SearchIndexAt($dir, $version): no such committed " +
+        s"version on disk (horizon: " +
+        s"${Manifest.versions(spark, dir).mkString(",")}) — it was never " +
+        "committed, or vacuum reclaimed it; raise vacuum's retainVersions " +
+        "to keep the eval horizon"))
+    bm25Core(spark, dir, Some(snap), queryTerms, k, DefaultBuckets, k1, b)
+  }
+
+  private def bm25Core(
+      spark: SparkSession, dir: String, snap: Option[Manifest.Snapshot],
+      queryTerms: Seq[String], k: Int, buckets: Int,
+      k1: Double, b: Double
   ): DataFrame = {
     require(queryTerms.nonEmpty, "empty query")
     require(k > 0, "k must be positive")
@@ -495,7 +524,6 @@ object TextIndex {
     // ONE snapshot for the whole serve call: stats and postings read
     // from the same committed instant, and a concurrent maintenance
     // commit can never invalidate this query's file list
-    val snap = Manifest.current(spark, dir)
     // NOTE: named nBuckets, not b — `b` is the BM25 length-normalization
     // parameter in scope here
     val nBuckets = storedBuckets(spark, dir, buckets, snap)
@@ -560,10 +588,29 @@ object TextIndex {
   def phraseSearchIndex(
       spark: SparkSession, dir: String, phrase: Seq[String],
       buckets: Int = DefaultBuckets
+  ): DataFrame =
+    phraseCore(spark, dir, Manifest.current(spark, dir), phrase, buckets)
+
+  /** [[phraseSearchIndex]] pinned to a COMMITTED VERSION — see
+    * [[bm25SearchIndexAt]] for the reproducible-eval contract. */
+  def phraseSearchIndexAt(
+      spark: SparkSession, dir: String, version: Long, phrase: Seq[String]
+  ): DataFrame = {
+    val snap = Manifest.at(spark, dir, version).getOrElse(sys.error(
+      s"TextIndex.phraseSearchIndexAt($dir, $version): no such committed " +
+        s"version on disk (horizon: " +
+        s"${Manifest.versions(spark, dir).mkString(",")}) — it was never " +
+        "committed, or vacuum reclaimed it; raise vacuum's retainVersions " +
+        "to keep the eval horizon"))
+    phraseCore(spark, dir, Some(snap), phrase, DefaultBuckets)
+  }
+
+  private def phraseCore(
+      spark: SparkSession, dir: String, snap: Option[Manifest.Snapshot],
+      phrase: Seq[String], buckets: Int
   ): DataFrame = {
     require(phrase.nonEmpty, "empty phrase")
     val terms = phrase.distinct
-    val snap = Manifest.current(spark, dir) // one snapshot per serve call
     val nBuckets = storedBuckets(spark, dir, buckets, snap)
     val probed = terms.map { t =>
       math.floorMod(graft.functions.Winnow60.hash60(
