@@ -233,9 +233,13 @@ object Similarity {
     * driver-local loops instead of one distributed aggregation per pass.
     * At battery scale every corpus is under the cap, so the sample IS
     * the corpus and results are identical to the full-corpus iteration
-    * the DuckDB oracles unroll. At 100 TB the sample is the first
-    * `TrainSampleCap` vectors by id (deterministic, one narrow
-    * TakeOrdered job) and only encode/assign/score touch the full data.
+    * the DuckDB oracles unroll. At 100 TB the sample is a HASH-SPREAD
+    * `TrainSampleCap`-sized subset (deterministic — ordered by
+    * xxhash64(vid) — one narrow TakeOrdered job) so it represents the
+    * whole id range, not the oldest shard: a retrain triggered by
+    * drift in the NEWEST data must actually see that data (the #18h
+    * autonomic-loop lesson), and "first cap ids" never would. Only
+    * encode/assign/score touch the full data.
     *
     * Why this replaced distributed Lloyd passes: each pass was one job +
     * one giant codegen'd plan; at 16 centroids × 64 dims the per-pass
@@ -245,16 +249,36 @@ object Similarity {
     * training is what you'd run anyway. */
   val TrainSampleCap: Int = 1 << 16
 
-  /** The first `cap` (vid, vector) rows by id — the deterministic
-    * bounded training sample. One narrow TakeOrdered job. */
+  /** A deterministic bounded training sample, ascending-vid: ALL rows
+    * when the corpus fits the cap (the oracle-matched regime —
+    * identical to the old orderBy(vid).limit(cap)), else a
+    * hash-spread cap-sized subset (ordered by xxhash64(vid), a pure
+    * function of the ids, then re-sorted by vid for the seed/summation
+    * order contract). One narrow TakeOrdered job either way. */
   private def collectTrainSample(
       vecs: DataFrame, idCol: String, vecCol: String, cap: Int
   ): Array[(Long, Array[Double])] =
     vecs.select(col(idCol).cast("long").as("vid"),
         col(vecCol).cast("array<double>").as("v"))
       .filter(col("v").isNotNull)
-      .orderBy("vid").limit(cap)
+      .orderBy(xxhash64(col("vid")), col("vid")).limit(cap)
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+
+  /** Deterministic SPREAD seed pick — `k` indices STRIDED across the
+    * `n`-row id-ordered sample (0, s, 2s, …, (k−1)·s with s = n/k; all
+    * of 0 until n when n ≤ k). Seeds were previously the first k rows
+    * by id — under append-only corpus growth that is the OLDEST data,
+    * so a drift-triggered retrain seeded every Lloyd/PQ codebook from
+    * exactly the region the corpus drifted AWAY from and could never
+    * recover recall (degenerately: seeds identical → one cluster
+    * absorbs everything and the rest never update). Strided-by-rank is
+    * as deterministic and as cheap, spans the sample's id range, and
+    * is reproducible in plain SQL (the DuckDB oracles mirror it
+    * rank-for-rank). */
+  private def stridedIdx(n: Int, k: Int): Array[Int] =
+    if (n <= k) Array.range(0, n)
+    else { val s = n / k; Array.tabulate(k)(_ * s) }
 
   /** Unit-normalize in the exact arithmetic of the distributed path
     * (left-fold dot, sqrt, per-element divide); zero-norm → None. */
@@ -299,7 +323,8 @@ object Similarity {
       unit: Array[(Long, Array[Double])], nCentroids: Int, iters: Int
   ): Array[(Int, Array[Double])] = {
     var cent: Array[(Int, Array[Double])] =
-      unit.take(nCentroids).zipWithIndex.map { case ((_, uv), i) => (i, uv) }
+      stridedIdx(unit.length, nCentroids).zipWithIndex
+        .map { case (j, i) => (i, unit(j)._2) }
     val n = unit.length
     val cids = new Array[Int](n)
     for (_ <- 0 until iters) {
@@ -710,7 +735,11 @@ object Similarity {
       iters: Int,
       d: Int
   ): Array[Array[Array[Double]]] = {
-    val seeds = sample.take(codes).map(_._2)
+    require(sample.length >= codes,
+      s"PQ training needs at least `codes` sample vectors: asked for " +
+        s"$codes codes from a ${sample.length}-row sample — shrink " +
+        "`codes` or grow the corpus")
+    val seeds = stridedIdx(sample.length, codes).map(sample(_)._2)
     var books: Array[Array[Array[Double]]] =
       Array.tabulate(m)(s => seeds.map(_.slice(s * d, s * d + d)))
     // subvector slices per sample row, sliced once outside the loop
@@ -864,7 +893,7 @@ object Similarity {
       "IVF+PQ training needs a non-empty corpus with at least one " +
         "non-zero vector: the coarse and code seeds are drawn from it.")
     val books = pqTrainBooksOnSample(sample, m, codes, iters, d)
-    val coarse = sample.take(nCentroids).map(_._2)
+    val coarse = stridedIdx(sample.length, nCentroids).map(sample(_)._2)
     val coarseLit = typedLit(coarse.map(_.toSeq).toSeq)
     val cunit = spreadToCores(unitized(corpus, idCol, vecCol, "neighbor_id"))
     val enc = cunit.select(col("neighbor_id"),
@@ -1427,6 +1456,31 @@ object Similarity {
         graft.io.Commit.commitSwap(spark, dir)
       }
     }
+  }
+
+  /** [[ivfPqIndexRebuild]] at the LIVE index's OWN geometry — the
+    * in-loop retrain face the autonomic steady-state loop calls
+    * ([[graft.streaming.Streaming.steadyStateStep]]'s rebuild cadence,
+    * harness #18h): a drift-triggered retrain wants "the same index,
+    * trained on what the corpus looks like NOW", so the (dims,
+    * n_centroids, m, codes) tuple is read from the live generation's
+    * `meta/` — the same stored-parameters-over-caller-trust discipline
+    * the serving faces use — instead of asking the stream closure to
+    * re-thread build-time constants it has no authority over. `iters`
+    * stays a knob (training budget is a per-retrain decision, not
+    * layout). Everything else is [[ivfPqIndexRebuild]]: a
+    * reader-invisible generation flip that preserves the batch-id
+    * watermark. */
+  def ivfPqIndexRetrain(
+      corpus: DataFrame, idCol: String, vecCol: String, dir: String,
+      iters: Int = 2
+  ): Unit = {
+    val spark = corpus.sparkSession
+    val tree = ivfPqResolve(spark, dir)
+    val meta = spark.read.parquet(s"${tree.root}/meta")
+      .select("dims", "n_centroids", "m", "codes").head()
+    ivfPqIndexRebuild(corpus, idCol, vecCol, dir, meta.getInt(0),
+      meta.getInt(1), meta.getInt(2), meta.getInt(3), iters)
   }
 
   /** Complete a committed [[ivfPqIndexRebuild]] swap, ignore an

@@ -925,6 +925,23 @@ object Streaming {
     removed
   }
 
+  /** Drop every ledger entry after a generation flip (#18h): committed
+    * gauge rows measured the RETIRED generation's quantization, so they
+    * are not evidence about the live index — leaving them would re-trip
+    * [[shouldRebuild]] on every cadence until the window rolled past
+    * them. Deleting (not marking) reuses the ledger's existing replay
+    * rule: a replayed batch finds its entry uncommitted and recomputes
+    * it against the live (new) generation. */
+  private def sweepGaugeLedger(
+      spark: SparkSession, gaugeDir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(gaugeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root))
+      fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+        .foreach(s => fs.delete(s.getPath, true): Unit)
+  }
+
   /** STREAMING steady-state ingestion (parity harness #18) — the
     * COMPOSED fleet loop. Harnesses #14–#17 each maintain ONE persisted
     * artifact; the real steady-state shape is a single discovery stream
@@ -1002,7 +1019,9 @@ object Streaming {
       gaugeEvery: Int = 0,
       gaugeDir: String = "",
       gaugeK: Int = 5,
-      gaugeNProbe: Int = 4
+      gaugeNProbe: Int = 4,
+      rebuildThreshold: Option[Double] = None,
+      rebuildWindow: Int = 3
   ): org.apache.spark.sql.streaming.StreamingQuery =
     discoveries.writeStream
       .outputMode("append")
@@ -1011,7 +1030,7 @@ object Streaming {
         steadyStateStep(batch.toDF(), batchId, urlCol, idCol, textCol,
           seenDir, novelDir, storeDir, bandDir, textDir, compactEvery,
           nearDupMinBands, qualityGate, vecCol, vectorDir, gaugeEvery,
-          gaugeDir, gaugeK, gaugeNProbe)
+          gaugeDir, gaugeK, gaugeNProbe, rebuildThreshold, rebuildWindow)
       }
       .start()
 
@@ -1033,11 +1052,20 @@ object Streaming {
     * .Similarity.ivfPqIndexAppendBatch]] — the novelty gate guarantees
     * its ids-disjoint contract, exactly as for the band/text appends),
     * with harness #19's compaction cadence and drift-gauge recall
-    * ledger (`gaugeEvery`/`gaugeDir`, self-matches excluded); threshold
-    * the ledger with [[shouldRebuild]] and re-train with
-    * [[graft.operators.Similarity.ivfPqIndexRebuild]] from a
-    * maintenance window — on r19 manifest trees that flip is
-    * reader-invisible, so it CAN run between batches of a live loop.
+    * ledger (`gaugeEvery`/`gaugeDir`, self-matches excluded).
+    *
+    * `rebuildThreshold` (harness #18h) closes that loop AUTONOMICALLY:
+    * on the gauge cadence the step itself thresholds the ledger's
+    * newest `rebuildWindow` committed entries ([[shouldRebuild]]) and,
+    * on a trip, re-trains the index on the corpus store's current
+    * content at the live generation's own geometry
+    * ([[graft.operators.Similarity.ivfPqIndexRetrain]]) — a
+    * reader-invisible generation flip that runs BETWEEN batches of the
+    * live loop (the manifest layer's point), preserves the batch-id
+    * watermark, and sweeps the now-stale ledger so the retired
+    * generation's drift evidence can't re-trip the next cadence.
+    * Callers that prefer the maintenance-window posture leave it None
+    * and threshold the ledger themselves.
     *
     * On the `compactEvery` cadence the loop also runs
     * [[emissionRetention]] over its own emission/ledger directories —
@@ -1058,12 +1086,17 @@ object Streaming {
       gaugeEvery: Int = 0,
       gaugeDir: String = "",
       gaugeK: Int = 5,
-      gaugeNProbe: Int = 4
+      gaugeNProbe: Int = 4,
+      rebuildThreshold: Option[Double] = None,
+      rebuildWindow: Int = 3
   ): Unit = {
     require(vecCol.isEmpty == vectorDir.isEmpty,
       "the vector face needs BOTH vecCol and vectorDir (or neither)")
     require(gaugeEvery <= 0 || (vecCol.nonEmpty && gaugeDir.nonEmpty),
       "gaugeEvery > 0 needs the vector face on and a gaugeDir")
+    require(rebuildThreshold.isEmpty || gaugeEvery > 0,
+      "rebuildThreshold needs the drift-gauge ledger on (gaugeEvery > 0)" +
+        " — the decision thresholds its entries")
     val spark = batch.sparkSession
     // the ONE source materialization (see scan accounting above)
     val b = batch.localCheckpoint()
@@ -1143,9 +1176,40 @@ object Streaming {
         // novelty gate guarantees the append face's ids-disjoint
         // contract, and the drift ledger rides the same cadence rules
         // as harness #19
-        if (vecCol.nonEmpty)
+        if (vecCol.nonEmpty) {
           vectorFaceStep(spark, kept, batchId, idCol, vecCol, vectorDir,
             compactEvery, gaugeEvery, gaugeDir, gaugeK, gaugeNProbe): Unit
+          // #18h — the AUTONOMIC rebuild: on the gauge cadence (right
+          // after this batch's ledger entry may have landed), threshold
+          // the window; a trip re-trains on the CORPUS STORE — the
+          // loop's corpus of record, whose content is by construction
+          // the id set the index accumulated (every kept sliver feeds
+          // both; the bootstrap corpus must too — caller contract) —
+          // and generation-flips the live index READER-INVISIBLY
+          // (ivfPqIndexRetrain preserves the batch-id watermark, so
+          // replays of this same stream stay gated). The ledger is then
+          // SWEPT: every committed entry measured the RETIRED
+          // generation, and stale evidence would re-trip the rebuild on
+          // every subsequent cadence. Post-sweep the decision reads
+          // day-zero until fresh entries accumulate against the new
+          // generation. Crash accounting: a crash between the flip and
+          // the sweep (or before the watermark) replays the batch —
+          // faces no-op, the gauge entry recomputes against the NEW
+          // generation, and a decision window still holding old
+          // evidence can trip ONCE more (a second deterministic retrain
+          // on the same corpus — wasteful, never wrong); rebuilds are
+          // at-least-once, serving is exact throughout.
+          if (rebuildThreshold.isDefined &&
+              (batchId + 1) % gaugeEvery == 0 &&
+              shouldRebuild(spark, gaugeDir, rebuildThreshold.get,
+                rebuildWindow)) {
+            val corpus = graft.io.CorpusStore.read(spark, storeDir)
+              .select(col(idCol), col(vecCol))
+            graft.operators.Similarity.ivfPqIndexRetrain(corpus, idCol,
+              vecCol, vectorDir)
+            sweepGaugeLedger(spark, gaugeDir)
+          }
+        }
       } finally graft.operators.Dedup.release(verdicts)
       // retention rides the compaction cadence: replay-dead emissions
       // (strictly below every face's committed watermark) reclaim; the

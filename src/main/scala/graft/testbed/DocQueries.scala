@@ -426,6 +426,26 @@ object DocQueries {
     head
   }
 
+  /** The strided seed pick as a CTE body, mirroring the Spark side's
+    * `Similarity.stridedIdx` RANK-FOR-RANK: k rows at ranks 0, s, 2s,
+    * … ((k−1)·s) of the vid-ordered unit rows, s = n/k integer (all n
+    * rows when n ≤ k). Seeds used to be the first k by vid — the
+    * OLDEST data under append-only growth, which made a
+    * drift-triggered retrain unable to adapt (see stridedIdx's
+    * scaladoc); both engines moved together so the hash compare stays
+    * exact. `kSql` may be any scalar SQL (d24 passes a subquery). */
+  private def stridedSeedSelect(kSql: String, unitCte: String,
+      outId: String, outVec: String): String =
+    s"""  SELECT CASE WHEN kn.n <= kn.k THEN u.rn
+       |              ELSE u.rn // (kn.n // kn.k) END AS $outId,
+       |         u.uv AS $outVec
+       |  FROM (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS rn, uv
+       |        FROM $unitCte) u,
+       |       (SELECT (SELECT count(*) FROM $unitCte) AS n, ($kSql) AS k) kn
+       |  WHERE CASE WHEN kn.n <= kn.k THEN u.rn < kn.k
+       |             ELSE u.rn % (kn.n // kn.k) = 0
+       |                  AND u.rn // (kn.n // kn.k) < kn.k END""".stripMargin
+
   /** The headless Lloyd chain of [[kmeansCtes]] — seed `c0` through
     * `cent(cent_id, centv)` over an existing `unit` CTE, so it can
     * compose with other chains that bring their own head (the v12/v13
@@ -438,9 +458,7 @@ object DocQueries {
       pfx: String = "", unitCte: String = "unit"): String = {
     val head =
       s""" ${pfx}c0 AS (
-         |  SELECT cent_id, centv FROM (
-         |   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cent_id, uv AS centv
-         |   FROM $unitCte) WHERE cent_id < $nCentSql
+         |${stridedSeedSelect(nCentSql, unitCte, "cent_id", "centv")}
          | )""".stripMargin
     val steps = (1 to iters).map { i =>
       val p = i - 1
@@ -479,7 +497,8 @@ object DocQueries {
     * `best_centroid` dot (the -0.5 factor is a power-of-two scale, so
     * the doubles are bit-identical), ties to the lowest code, an emptied
     * code keeps its previous centroid, seeds are the subvector slices of
-    * the first `codes` unit vectors by id. Produces CTEs: `e`, `unit`,
+    * `codes` unit vectors STRIDED across the id order
+    * ([[stridedSeedSelect]]). Produces CTEs: `e`, `unit`,
     * `seed`, per sub `s{s}_c0..c{iters}` (codebooks) and `s{s}_enc`, and
     * the joined `enc(vec_id, c0..c{m-1})`.
     *
@@ -502,9 +521,7 @@ object DocQueries {
         (if (extraCte.isEmpty) "" else s"\n$extraCte,") +
       s"""
          | seed AS (
-         |  SELECT * FROM (
-         |   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, uv
-         |   FROM $src) WHERE code < $codes
+         |${stridedSeedSelect(codes.toString, src, "code", "uv")}
          | )""".stripMargin
     val subs = (0 until m).map { s =>
       val c0 =
@@ -589,9 +606,7 @@ object DocQueries {
     val joins = (0 until m).map(s =>
       s"JOIN s${s}_c$iters b$s ON b$s.code = v.c$s").mkString("\n         |  ")
     s""" coarse AS (
-       |  SELECT * FROM (
-       |   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cent_id, uv AS centv
-       |   FROM unit) WHERE cent_id < $nCentroids
+       |${stridedSeedSelect(nCentroids.toString, "unit", "cent_id", "centv")}
        | ),
        | cassign AS (
        |  SELECT vec_id, cent_id FROM (
@@ -4425,16 +4440,14 @@ object DocQueries {
     // assignment recomputed independently (the v11 chain's coarse/cassign
     // CTEs) and aggregated
     "ir3_ivfpq_index_build" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         | unit AS (
         |  SELECT vec_id, list_transform(v, x -> x / nrm) AS uv
         |  FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
         |  WHERE nrm > 0
         | ),
         | coarse AS (
-        |  SELECT * FROM (
-        |   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cent_id, uv AS centv
-        |   FROM unit) WHERE cent_id < 16
+        |${stridedSeedSelect("16", "unit", "cent_id", "centv")}
         | ),
         | cassign AS (
         |  SELECT vec_id, cent_id FROM (

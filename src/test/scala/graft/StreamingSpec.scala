@@ -1789,4 +1789,149 @@ class StreamingSpec extends SparkSpec {
       graft.functions.TextFunctions.qualityFilter("text").getField("keep"),
       lit(false))).isEmpty)
   }
+
+  test("autonomic ANN loop: drift decay trips an in-loop generation-flip rebuild against the live stream (#18h)") {
+    // The composition the r17-r19 pieces built toward, end-to-end in
+    // ONE loop: the stream runs -> the corpus drifts off the frozen
+    // quantizer -> the gauge ledger decays -> shouldRebuild trips on
+    // the cadence -> ivfPqIndexRetrain flips the generation WHILE the
+    // stream keeps appending -> subsequent batches append into the new
+    // generation -> the gauge recovers and no further flip fires.
+    // Pins (the r19 verdict's done-criterion, verbatim): the
+    // stream-maintained serve == the batch rebuild+append fold across
+    // the flip; the watermark survives (a replayed flip batch is a
+    // no-op); a reader pinned pre-flip stays bit-identical; ledger
+    // entries after the flip show recovered recall.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.io.{CorpusStore, Manifest, SeenSet}
+    import graft.operators.Similarity
+    def prose(i: Long) = "the quick brown fox jumps over a lazy dog " +
+      "while many other animals watch from their warm homes and some " +
+      "birds fly across the evening sky toward distant hills " + i
+    // region A: energy in dims 0-3; region B (the drift): dims 4-7 —
+    // EXACTLY orthogonal subspaces, so codebooks trained on A quantize
+    // region B to all-ties and recall collapses until a retrain sees B
+    // (m=8/codes=32/nc=8 measured at A≈0.79 / drifted≈0.04 /
+    // post-retrain≈0.77 — clean bands around the 0.5 threshold).
+    def emb(i: Long, drifted: Boolean): Seq[Double] = {
+      val hot = (0 until 4).map(j => math.sin(i * 31.0 + j * 7.0))
+      val cold = Seq.fill(4)(0.0)
+      if (drifted) cold ++ hot else hot ++ cold
+    }
+    def url(i: Long) = s"http://h${i % 5}.example/d/$i"
+    def row(i: Long, drifted: Boolean) =
+      (url(i), i, prose(i), emb(i, drifted))
+    def mkDir(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val seenDir = mkDir("graft-au-seen"); val novelDir = mkDir("graft-au-novel")
+    val storeDir = mkDir("graft-au-store"); val bandDir = mkDir("graft-au-band")
+    val textDir = mkDir("graft-au-text"); val vecDir = mkDir("graft-au-vec")
+    val gaugeDir = mkDir("graft-au-gauge")
+    // bootstrap: region-A corpus in BOTH the store and the index (the
+    // rebuild-from-the-corpus-of-record contract)
+    val seed = (0L until 60L).map(row(_, drifted = false))
+      .toDF("url", "doc_id", "text", "emb")
+    SeenSet.writeSet((0L until 60L).map(i => Tuple1(url(i))).toDF("url"),
+      "url", seenDir)
+    CorpusStore.write(seed, "doc_id", storeDir, buckets = 8)
+    graft.io.BandIndex.writeIndex(seed, "doc_id", "text", bandDir)
+    graft.io.TextIndex.writeIndex(seed, "doc_id", "text", textDir,
+      buckets = 16)
+    Similarity.ivfPqIndexWrite(seed.select("doc_id", "emb"),
+      "doc_id", "emb", vecDir, dims = 8, nCentroids = 8, m = 8, codes = 32)
+
+    // the threshold parameter demands the gauge it thresholds
+    intercept[IllegalArgumentException] {
+      Streaming.steadyStateStep(seed, 99L, "url", "doc_id", "text",
+        seenDir, novelDir, storeDir, bandDir, textDir,
+        vecCol = "emb", vectorDir = vecDir,
+        rebuildThreshold = Some(0.5))
+    }
+
+    val threshold = 0.5
+    // batch 0: still region A (healthy gauge); 1-4: drifted region B
+    val batches = Seq(
+      (60L until 160L).map(row(_, drifted = false)),
+      (160L until 260L).map(row(_, drifted = true)),
+      (260L until 360L).map(row(_, drifted = true)),
+      (360L until 460L).map(row(_, drifted = true)),
+      (460L until 560L).map(row(_, drifted = true)))
+    def step(b: Seq[(String, Long, String, Seq[Double])], id: Long): Unit =
+      Streaming.steadyStateStep(b.toDF("url", "doc_id", "text", "emb"),
+        id, "url", "doc_id", "text", seenDir, novelDir, storeDir,
+        bandDir, textDir, vecCol = "emb", vectorDir = vecDir,
+        gaugeEvery = 1, gaugeDir = gaugeDir, gaugeK = 5, gaugeNProbe = 8,
+        rebuildThreshold = Some(threshold), rebuildWindow = 2)
+    def liveGen() = Manifest.current(spark, vecDir).get
+      .files.head.takeWhile(_ != '/')
+    val gen0 = liveGen()
+    val snap0 = Manifest.current(spark, vecDir).get
+    def pinnedCodes() = rowSet(
+      Manifest.readSubtree(spark, vecDir, snap0, s"$gen0/codes", None))
+
+    val gens = batches.indices.map { i =>
+      step(batches(i), i.toLong); liveGen()
+    }
+    // exactly one flip, after at least one drifted gauge entry
+    val flipAt = gens.indexWhere(_ != gen0)
+    assert(flipAt >= 1, s"drift decay must trip a flip (gens: $gens)")
+    assert(gens.distinct.size === 2,
+      s"exactly one rebuild must fire — the post-flip gauge recovers " +
+        s"and stale pre-flip evidence was swept (gens: $gens)")
+    // pre-flip evidence actually decayed; post-flip evidence recovered
+    // (the flip swept the old ledger, so every committed entry now
+    // measures the NEW generation)
+    val decision = Streaming.gaugeLedgerDecision(spark, gaugeDir,
+      threshold, window = 2).head()
+    assert(decision.getLong(0) > 0L, "post-flip gauge entries must exist")
+    assert(decision.getDouble(2) >= threshold,
+      s"post-flip recall must recover above $threshold, " +
+        s"read ${decision.getDouble(2)}")
+    assert(!decision.getBoolean(3))
+
+    // a reader pinned BEFORE the flip stays bit-identical (the old
+    // generation was retired, never deleted)
+    val pinned0 = pinnedCodes()
+    assert(new java.io.File(s"$vecDir/$gen0").exists(),
+      "the retired generation must survive the flip")
+    assert(pinnedCodes() === pinned0)
+
+    // the watermark survived the flip: a replayed last batch is a
+    // whole-body no-op — no duplicate codes, no second rebuild
+    def liveCodes() = spark.read.parquet(s"$vecDir/${gens.last}/codes").count()
+    val codes0 = liveCodes()
+    step(batches.last, batches.size - 1L)
+    assert(liveGen() === gens.last, "a replay must not re-trip the rebuild")
+    assert(liveCodes() === codes0, "a replay must not re-append codes")
+
+    // THE parity pin: the loop-maintained index == the batch fold that
+    // rebuilds at the same point — write(seed) + appends 0..flipAt,
+    // retrain on the corpus-of-record at the flip, appends after
+    val twinDir = mkDir("graft-au-twin")
+    Similarity.ivfPqIndexWrite(seed.select("doc_id", "emb"),
+      "doc_id", "emb", twinDir, dims = 8, nCentroids = 8, m = 8, codes = 32)
+    def keptSliver(i: Int) = batches(i)
+      .toDF("url", "doc_id", "text", "emb").select("doc_id", "emb")
+    (0 to flipAt).foreach(i =>
+      Similarity.ivfPqIndexAppend(keptSliver(i), "doc_id", "emb", twinDir))
+    val corpusAtFlip = (seed.select("doc_id", "emb") +:
+      (0 to flipAt).map(keptSliver)).reduce(_ unionAll _)
+    Similarity.ivfPqIndexRetrain(corpusAtFlip, "doc_id", "emb", twinDir)
+    ((flipAt + 1) until batches.size).foreach(i =>
+      Similarity.ivfPqIndexAppend(keptSliver(i), "doc_id", "emb", twinDir))
+    val queries = ((9000L until 9005L).map(row(_, drifted = false)) ++
+      (9005L until 9010L).map(row(_, drifted = true)))
+      .toDF("url", "doc_id", "text", "emb").select("doc_id", "emb")
+    def serve(d: String) = rowSet(Similarity.ivfPqIndexTopK(spark, d,
+      queries, "doc_id", "emb", k = 3, nProbe = 2))
+    assert(serve(vecDir) === serve(twinDir),
+      "the autonomic loop must equal the batch rebuild+append fold")
+
+    // and the flip is the manifest's: vacuum at the loop's own face
+    // reclaims the retired generation, serving unchanged
+    val served = serve(vecDir)
+    assert(Similarity.ivfPqIndexVacuum(spark, vecDir).filesDeleted > 0)
+    assert(!new java.io.File(s"$vecDir/$gen0").exists())
+    assert(serve(vecDir) === served)
+  }
 }
