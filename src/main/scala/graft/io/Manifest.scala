@@ -52,6 +52,52 @@ import org.apache.spark.sql.types.StructType
   * every face falls back to directory-listing reads and the r17/r18
   * maintenance-window contract there (the migration shape).
   *
+  * == What the manifest deliberately does NOT cover ==
+  *
+  * Each family keeps a small set of sidecars OUTSIDE its manifest
+  * scopes, each safe under concurrent snapshot readers for its own
+  * reason — the one table to check BEFORE adding a maintenance face
+  * (a face that mutates a sidecar outside these rules silently breaks
+  * a family; ManifestSpec pins that every family's vacuum leaves them
+  * untouched):
+  *
+  * {{{
+  * family      scopes            out-of-manifest sidecar + argument
+  * ----------  ----------------  ----------------------------------------
+  * TextIndex   postings, stats   watermark/ - single-row replay gate,
+  *                               single-writer stream; written AFTER the
+  *                               face applies, so a torn overwrite only
+  *                               re-runs an idempotent apply
+  * BandIndex   bands             meta/ - probe geometry, written once at
+  *                               writeIndex, immutable after; watermark/
+  *                               as above
+  * SeenSet     urls              meta/ - immutable; bloom/ - MERGE-ONLY
+  *                               over-approximation (append unions bits,
+  *                               never clears), and serving confirms every
+  *                               Bloom hit with the exact anti-join, so a
+  *                               stale read is correctness-neutral;
+  *                               watermark/ as above
+  * CorpusStore rows              meta/ - immutable; watermark/ as above;
+  *                               journal/ - LEGACY trees only (manifest
+  *                               trees' keyed rewrite is additive)
+  * IVF+PQ      g<N>/{centroids,  per-generation meta/ IS manifest-scoped
+  *             codebooks,meta,   (immutable per generation); watermark/
+  *             codes} (+ flat    sits at the ROOT, outside every
+  *             legacy subtrees)  generation, because the rebuild flip
+  *                               deliberately PRESERVES it (the stream's
+  *                               replay gate outlives the quantizer)
+  * gauge       (no manifest)     batch_id=<N>/ + commit marker per entry,
+  * ledger                        single-writer stream; readers select only
+  *                               committed entries; the #18h flip SWEEPS
+  *                               committed entries (stale evidence), and a
+  *                               replayed batch recomputes its entry
+  *                               against the live generation
+  * }}}
+  *
+  * Cross-cutting: `_committed` markers and tree-lock files are
+  * protocol state, not data — no face lists them as scope content,
+  * and vacuum's directory pruning never deletes a non-empty dir.
+  *
   * At 100 TB: a manifest is O(file count) driver-side text — with
   * bucket counts sized per family and compaction bounding per-bucket
   * fan-in, that is tens of thousands of lines, kilobytes to a few MB —
@@ -63,6 +109,14 @@ object Manifest {
     def under(subtree: String): IndexedSeq[String] =
       files.filter(_.startsWith(subtree + "/"))
   }
+
+  /** Two maintainers committed against the same parent version.
+    * `rolledBack` = this writer's version file was successfully
+    * deleted (its data files are unreferenced orphans; the tree is
+    * clean) — the ONLY state a CAS retry may proceed from. When false
+    * the tree holds same-number twins and needs an operator. */
+  final class ConcurrentCommitException(msg: String,
+      val rolledBack: Boolean) extends RuntimeException(msg)
 
   final case class VacuumStats(
       filesDeleted: Int, versionsDropped: Int, dirsDeleted: Int)
@@ -280,7 +334,8 @@ object Manifest {
       val rolledBack = fsOf(spark, root).delete(
         new org.apache.hadoop.fs.Path(s"${manifestDir(root)}/$name"), false)
       cache.remove(root)
-      sys.error(s"Manifest: concurrent commit detected at $root " +
+      throw new ConcurrentCommitException(
+        s"Manifest: concurrent commit detected at $root " +
         s"version $v (sibling ${siblings.map(_._2.getName).mkString(",")} " +
         s"vs $name) — two maintainers committed against the same parent; " +
         (if (rolledBack)
@@ -291,7 +346,8 @@ object Manifest {
              "holds same-number twins — reads fail loudly on divergence " +
              "until an operator deletes one twin. ") +
         "The single-maintainer contract covers all mutating faces; " +
-        "serialize the maintenance schedule.")
+        "serialize the maintenance schedule (or, for COMMUTING additive " +
+        "faces, pass commitAdd a casRetries budget).", rolledBack)
     }
     val snap = Snapshot(v, files.sorted.toIndexedSeq)
     cache.put(root, name -> snap)
@@ -333,18 +389,69 @@ object Manifest {
     * An EMPTY mutation (no adds, no drops — a streaming face's empty
     * micro-batch) returns the current snapshot without committing a
     * new version: nothing changed, so churning the version count (and
-    * the time-travel horizon) would be pure metadata cost. */
+    * the time-travel horizon) would be pure metadata cost.
+    *
+    * `casRetries` (r20 — optimistic multi-writer commits for the
+    * COMMUTING faces; doc/PLANS.md has the full commutativity
+    * analysis): on a detected-and-rolled-back concurrent commit,
+    * re-resolve the new parent, re-apply this mutation's SAME
+    * add/drop lists against it, and re-commit — sound because adds
+    * are always this mutation's own uniquely-named files (disjoint
+    * from any sibling's by construction) and drops subtract
+    * idempotently. The default 0 keeps the loud single-maintainer
+    * failure: only faces whose semantics commute (pure appends;
+    * append-vs-compaction) may pass a budget, and the retry aborts
+    * loudly anyway if the new parent shares no files with the one
+    * this mutation prepared against — the wholesale-replacement
+    * signature of a rebuild/generation flip, whose winner this
+    * mutation must NOT graft old-generation files onto. */
   def commitAdd(spark: SparkSession, root: String, add: Seq[String],
-      drop: Seq[String]): Snapshot = lock(root) {
-    val prev = current(spark, root)
-    if (add.isEmpty && drop.isEmpty && prev.isDefined) prev.get
-    else {
+      drop: Seq[String], casRetries: Int = 0): Snapshot = lock(root) {
+    commitAddFrom(spark, root, current(spark, root), add, drop, casRetries)
+  }
+
+  // private[io] so the race spec can drive the exact cross-process
+  // interleaving (a sibling committed between the parent resolve and
+  // the rename) that the in-JVM tree lock makes unreachable from the
+  // public face: `parent0` is the possibly-stale snapshot the first
+  // attempt commits against; retries always re-resolve.
+  private[io] def commitAddFrom(spark: SparkSession, root: String,
+      parent0: Option[Snapshot], add: Seq[String], drop: Seq[String],
+      casRetries: Int): Snapshot = {
+    var prev = parent0
+    var attempt = 0
+    while (true) {
+      if (add.isEmpty && drop.isEmpty && prev.isDefined) return prev.get
       val files =
         ((prev.map(_.files.toSet).getOrElse(Set.empty) -- drop) ++ add).toSeq
-      val snap = commitVersion(spark, root, prev, files)
-      appendRetired(spark, root, drop)
-      snap
+      try {
+        val snap = commitVersion(spark, root, prev, files)
+        appendRetired(spark, root, drop)
+        return snap
+      } catch {
+        case e: ConcurrentCommitException
+            if e.rolledBack && attempt < casRetries =>
+          attempt += 1
+          val next = current(spark, root)
+          val disjoint = (prev, next) match {
+            case (Some(p), Some(n)) =>
+              p.files.nonEmpty && n.files.nonEmpty &&
+                !n.files.exists(p.files.toSet)
+            case _ => false
+          }
+          if (disjoint)
+            throw new ConcurrentCommitException(
+              s"Manifest: CAS retry at $root aborted — the winning " +
+                s"commit (v${next.get.version}) shares no files with " +
+                s"the parent this mutation prepared against " +
+                s"(v${prev.get.version}): that is a wholesale " +
+                "replacement (rebuild/generation flip), which does NOT " +
+                "commute with this mutation. Re-run the face against " +
+                "the new tree.", rolledBack = true)
+          prev = next
+      }
     }
+    sys.error("unreachable")
   }
 
   /** Commit an EXPLICIT live set (the rebuild/gen-flip face): `files`

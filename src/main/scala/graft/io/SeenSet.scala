@@ -209,8 +209,17 @@ object SeenSet {
     * `mergeInPlace` is exact). Duplicates WITHIN the delta collapse;
     * re-adding an already-seen URL is harmless for probe correctness
     * (membership joins tolerate duplicates) but wastes bucket bytes —
-    * feed the novel sliver, not the raw batch. */
-  def appendToSet(delta: DataFrame, urlCol: String, dir: String): Unit = {
+    * feed the novel sliver, not the raw batch.
+    *
+    * `casRetries` (r20): this face is a PURE APPEND — its manifest
+    * commit adds only its own uniquely-named files and drops nothing,
+    * and the Bloom sidecar merge is monotone — so it commutes with
+    * concurrent appends and compaction, and a fleet that wants two
+    * writers on one seen set (e.g. a compaction daemon beside the
+    * discovery stream) may pass a retry budget instead of the default
+    * loud single-maintainer failure (doc/PLANS.md r20 ledger). */
+  def appendToSet(delta: DataFrame, urlCol: String, dir: String,
+      casRetries: Int = 0): Unit = {
     val spark = delta.sparkSession
     // recover BEFORE appending: replaying a compaction journal over a
     // bucket that took this append would drop the appended rows
@@ -238,7 +247,8 @@ object SeenSet {
         .write.mode("append").partitionBy("url_bucket").parquet(s"$dir/urls")
       if (Manifest.exists(spark, dir))
         Manifest.commitAdd(spark, dir,
-          Manifest.listFiles(spark, dir, "urls").filterNot(before), Nil): Unit
+          Manifest.listFiles(spark, dir, "urls").filterNot(before), Nil,
+          casRetries): Unit
     } finally graft.operators.Dedup.release(u)
   }
 

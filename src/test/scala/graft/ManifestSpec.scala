@@ -231,4 +231,79 @@ class ManifestSpec extends SparkSpec {
     assert(v1.files.toSet.subsetOf(v2.files.toSet),
       "a pure append only adds files")
   }
+
+  test("vacuum scopes exclude every family's out-of-manifest sidecars (the concurrency table)") {
+    // The Manifest header's sidecar table, pinned: each family's vacuum
+    // face sweeps ONLY its manifest-covered scopes, so the sidecars
+    // that live outside the manifest (meta/, bloom/, the root
+    // watermark/) survive a full mutate-then-vacuum cycle and the
+    // family still serves. A future maintenance face that widens a
+    // scope over a sidecar fails here, not in production.
+    import spark.implicits._
+    import graft.io.{BandIndex, CorpusStore}
+    def mkDir(p: String) = Files.createTempDirectory(p).toString
+    def exists(p: String) = new java.io.File(p).exists()
+
+    // SeenSet: meta/ immutable, bloom/ merge-only
+    val seenDir = mkDir("graft-side-seen")
+    SeenSet.writeSet((0 until 50).map(i => s"http://s.org/$i").toDF("url"),
+      "url", seenDir, buckets = 4)
+    SeenSet.appendToSet((40 until 90).map(i => s"http://s.org/$i").toDF("url"),
+      "url", seenDir)
+    assert(SeenSet.vacuum(spark, seenDir).filesDeleted >= 0)
+    assert(exists(s"$seenDir/meta") && exists(s"$seenDir/bloom"),
+      "SeenSet vacuum must not sweep meta/ or bloom/")
+    assert(SeenSet.probeNovel(spark, seenDir,
+      (80 until 100).map(i => s"http://s.org/$i").toDF("url"),
+      "url").count() === 10)
+
+    // BandIndex: meta/ immutable, watermark/ single-writer
+    val bandDir = mkDir("graft-side-band")
+    val d0 = (0 until 30).map(i =>
+      (i.toLong, s"band sidecar prose number $i keeps shingles alive " +
+        "with enough words to fill every window")).toDF("doc_id", "text")
+    BandIndex.writeIndex(d0, "doc_id", "text", bandDir)
+    val d1 = (30 until 60).map(i =>
+      (i.toLong, s"band sidecar prose number $i keeps shingles alive " +
+        "with enough words to fill every window")).toDF("doc_id", "text")
+    assert(BandIndex.appendBatch(d1, "doc_id", "text", bandDir, 0L))
+    assert(BandIndex.vacuum(spark, bandDir).filesDeleted >= 0)
+    assert(exists(s"$bandDir/meta") && exists(s"$bandDir/watermark"),
+      "BandIndex vacuum must not sweep meta/ or watermark/")
+
+    // CorpusStore: meta/ immutable
+    val storeDir = mkDir("graft-side-store")
+    CorpusStore.write((0 until 40).map(i => (i.toLong, s"doc $i"))
+      .toDF("doc_id", "text"), "doc_id", storeDir, buckets = 4)
+    CorpusStore.upsert((30 until 50).map(i => (i.toLong, s"doc $i v2"))
+      .toDF("doc_id", "text"), "doc_id", storeDir)
+    assert(CorpusStore.vacuum(spark, storeDir).filesDeleted > 0)
+    assert(exists(s"$storeDir/meta"),
+      "CorpusStore vacuum must not sweep meta/")
+    assert(CorpusStore.read(spark, storeDir).count() === 50)
+
+    // IVF+PQ: the ROOT watermark sits outside every generation scope —
+    // the rebuild flip preserves it, and so must vacuum
+    val vecDir = mkDir("graft-side-vec")
+    def emb(i: Long) = (0 until 8).map(j => math.sin(i * 3.0 + j))
+    val e0 = (0L until 40L).map(i => (i, emb(i))).toDF("vec_id", "v")
+    Similarity.ivfPqIndexWrite(e0, "vec_id", "v", vecDir,
+      dims = 8, nCentroids = 4, m = 2, codes = 8)
+    val e1 = (40L until 60L).map(i => (i, emb(i))).toDF("vec_id", "v")
+    assert(Similarity.ivfPqIndexAppendBatch(e1, "vec_id", "v", vecDir, 0L))
+    assert(Similarity.ivfPqIndexVacuum(spark, vecDir).filesDeleted >= 0)
+    assert(exists(s"$vecDir/watermark"),
+      "IVF+PQ vacuum must not sweep the root watermark/")
+    assert(graft.io.Watermark.read(spark, vecDir) === 0L)
+
+    // TextIndex: stats IS manifest-scoped (it rides snapshots); the
+    // sidecars are the commit/lock protocol files, which vacuum's
+    // orphan sweep never lists as scope content
+    val textDir = mkDir("graft-side-text")
+    TextIndex.writeIndex(d0, "doc_id", "text", textDir, buckets = 4)
+    TextIndex.appendToIndex(d1, "doc_id", "text", textDir)
+    assert(TextIndex.vacuum(spark, textDir).filesDeleted >= 0)
+    assert(TextIndex.bm25SearchIndex(spark, textDir,
+      Seq("sidecar"), k = 5).count() === 5)
+  }
 }

@@ -65,6 +65,70 @@ class ManifestHardeningSpec extends graft.SparkSpec {
     assert(Manifest.current(spark, dir).get.version === 3L)
   }
 
+  test("a CAS retry re-applies a commuting append against the winner and commits the union (r20)") {
+    // The optimistic multi-writer case (doc/PLANS.md r20 ledger): two
+    // PURE APPENDS race — adds are each writer's own uniquely-named
+    // files, drops empty — so the loser's retry against the winner's
+    // commit is exactly the union both schedules would have produced.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-man-cas").toString
+    SeenSet.writeSet((0 until 30).map(i => s"http://cas/$i").toDF("url"),
+      "url", dir, buckets = 2)
+    val v1 = Manifest.current(spark, dir).get
+    // "another process" wins the race: its append commits v2 between
+    // our parent read (v1) and our rename
+    val sibling = new java.io.File(s"$dir/manifest/v000000000002-bbbbbbbb")
+    java.nio.file.Files.write(sibling.toPath,
+      (v1.files :+ "urls/url_bucket=0/winner.parquet").sorted
+        .mkString("\n").getBytes("UTF-8"))
+    // the loser prepared against v1; with a retry budget it converges
+    // instead of failing
+    val snap = Manifest.commitAddFrom(spark, dir, Some(v1),
+      add = Seq("urls/url_bucket=1/loser.parquet"), drop = Nil,
+      casRetries = 2)
+    assert(snap.version === 3L, "the retry commits on TOP of the winner")
+    assert(snap.files.contains("urls/url_bucket=0/winner.parquet") &&
+      snap.files.contains("urls/url_bucket=1/loser.parquet"),
+      "the union of both appends must serve")
+    assert(Manifest.current(spark, dir).get === snap)
+    // with NO budget the same interleaving stays loud (the default
+    // single-maintainer contract is unchanged)
+    val sibling2 = new java.io.File(s"$dir/manifest/v000000000004-cccccccc")
+    java.nio.file.Files.write(sibling2.toPath,
+      snap.files.mkString("\n").getBytes("UTF-8"))
+    intercept[Manifest.ConcurrentCommitException] {
+      Manifest.commitAddFrom(spark, dir, Some(snap),
+        add = Seq("urls/url_bucket=0/third.parquet"), drop = Nil,
+        casRetries = 0)
+    }
+  }
+
+  test("a CAS retry refuses to graft onto a wholesale replacement (generation flip)") {
+    // Rebuild/generation-flip commits share NO files with the parent a
+    // concurrent append prepared against — the append's files belong
+    // to the retired layout, so retrying would corrupt the new tree's
+    // subtree resolution. The retry guard aborts loudly instead.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-man-casflip").toString
+    SeenSet.writeSet((0 until 20).map(i => s"http://flip/$i").toDF("url"),
+      "url", dir, buckets = 2)
+    val v1 = Manifest.current(spark, dir).get
+    val flip = new java.io.File(s"$dir/manifest/v000000000002-dddddddd")
+    java.nio.file.Files.write(flip.toPath,
+      "g2/urls/rebuilt.parquet".getBytes("UTF-8"))
+    val e = intercept[Manifest.ConcurrentCommitException] {
+      Manifest.commitAddFrom(spark, dir, Some(v1),
+        add = Seq("urls/url_bucket=0/stale-layout.parquet"), drop = Nil,
+        casRetries = 5)
+    }
+    assert(e.getMessage.contains("does NOT commute"),
+      s"must name the abort reason, got: ${e.getMessage}")
+    // the flip's tree is untouched by the aborted retry
+    val cur = Manifest.current(spark, dir).get
+    assert(cur.version === 2L)
+    assert(cur.files === IndexedSeq("g2/urls/rebuilt.parquet"))
+  }
+
   test("same-number twins: identical contents converge, divergent contents fail loudly on read") {
     // the one state commit-time detection can't reach: the violating
     // committer crashed AFTER its rename but BEFORE its sibling
