@@ -134,4 +134,19 @@ class PqSpec extends SparkSpec {
       }
     })
   }
+
+  test("PQ training fails loudly when asked for more codes than sample vectors") {
+    // The strided-seed fix surfaced this edge: seeds used to silently
+    // truncate (take(codes) on a shorter sample) and then crash
+    // mid-Lloyd with an index error; now the contract is named.
+    import spark.implicits._
+    val tiny = (0L until 6L).map(i =>
+      (i, (0 until 8).map(j => math.sin(i + j * 1.0)))).toDF("vec_id", "v")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqTopK(tiny, tiny.filter(col("vec_id") < 2), "vec_id", "v",
+        k = 2, dims = 8, m = 2, codes = 16)
+    }
+    assert(e.getMessage.contains("codes"),
+      s"must name the knob, got: ${e.getMessage}")
+  }
 }
