@@ -177,10 +177,11 @@ object BandIndex {
     * duplicates a replayed [[appendBatch]] crash window leaves: the
     * served pairs are unchanged, the per-bucket scan fan-in returns
     * to one file. */
-  def compact(spark: SparkSession, dir: String): Compact.CompactStats =
+  def compact(spark: SparkSession, dir: String,
+      casRetries: Int = 0): Compact.CompactStats =
     Compact.compactTree(spark, s"$dir/bands", "band_bucket",
       dedupCols = Some(Seq("ref_id", "band", "band_hash")),
-      manifestRoot = Some(dir))
+      manifestRoot = Some(dir), casRetries = casRetries)
 
   /** Candidate (batch, reference) near-dup pairs against the persisted
     * index: the batch's band stream is computed in-flight (with the

@@ -53,14 +53,14 @@ object Compact {
   def compactTree(
       spark: SparkSession, treeDir: String, bucketCol: String,
       dedupCols: Option[Seq[String]] = None, maxFilesPerBucket: Int = 1,
-      manifestRoot: Option[String] = None
+      manifestRoot: Option[String] = None, casRetries: Int = 0
   ): CompactStats = {
     require(maxFilesPerBucket >= 1, "a bucket keeps at least one file")
     val snapRoot = manifestRoot.filter(Manifest.exists(spark, _))
     snapRoot match {
       case Some(root) =>
         compactManifest(spark, root, treeDir, bucketCol, dedupCols,
-          maxFilesPerBucket)
+          maxFilesPerBucket, casRetries)
       case None =>
         compactLegacy(spark, treeDir, bucketCol, dedupCols,
           maxFilesPerBucket)
@@ -71,7 +71,8 @@ object Compact {
     * through the snapshot, append consolidated files, retire+commit. */
   private def compactManifest(
       spark: SparkSession, root: String, treeDir: String, bucketCol: String,
-      dedupCols: Option[Seq[String]], maxFilesPerBucket: Int
+      dedupCols: Option[Seq[String]], maxFilesPerBucket: Int,
+      casRetries: Int
   ): CompactStats = Commit.withTreeLock(treeDir) {
     val subtree = relSubtree(root, treeDir)
     val snap = Manifest.current(spark, root).get
@@ -102,7 +103,11 @@ object Compact {
     // leave the live set but stay on disk for pinned readers until
     // vacuum
     val added = Manifest.listFiles(spark, root, subtree).filterNot(before)
-    val next = Manifest.commitAdd(spark, root, added, oldFiles)
+    // compaction commutes with concurrent appends (the content it
+    // rewrote is parent content; an interleaved append's file is not
+    // in its drop set) — a daemon racing a casRetries-enabled stream
+    // may pass its own budget here (doc/PLANS.md r20 ledger)
+    val next = Manifest.commitAdd(spark, root, added, oldFiles, casRetries)
     val afterByBucket = next.under(subtree)
       .groupBy(f => f.stripPrefix(subtree + "/").takeWhile(_ != '/'))
     val after = fragmented.keys.toSeq

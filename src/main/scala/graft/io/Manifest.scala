@@ -433,21 +433,34 @@ object Manifest {
             if e.rolledBack && attempt < casRetries =>
           attempt += 1
           val next = current(spark, root)
-          val disjoint = (prev, next) match {
-            case (Some(p), Some(n)) =>
-              p.files.nonEmpty && n.files.nonEmpty &&
-                !n.files.exists(p.files.toSet)
-            case _ => false
+          // The non-commuting winner to detect is a GENERATION FLIP:
+          // this mutation's files belong to the retired layout, and
+          // grafting them onto the new tree would corrupt subtree
+          // resolution. Its signature, family-agnostic: the winner no
+          // longer references ANY file under a top-level subtree this
+          // mutation wrote into (the flip abandons `g<N>/` wholesale).
+          // A compaction winner — even one that rewrote EVERY live
+          // file — keeps files under the same subtrees, so the
+          // commuting append-vs-compaction pair retries through.
+          val addRoots = add.map(_.takeWhile(_ != '/')).distinct
+          val abandoned = next match {
+            case Some(n) if addRoots.nonEmpty =>
+              addRoots.filterNot(r => n.files.exists(_.startsWith(r + "/")))
+            case _ => Seq.empty
           }
-          if (disjoint)
+          if (abandoned.nonEmpty && prev.exists(_.files.nonEmpty))
             throw new ConcurrentCommitException(
               s"Manifest: CAS retry at $root aborted — the winning " +
-                s"commit (v${next.get.version}) shares no files with " +
-                s"the parent this mutation prepared against " +
-                s"(v${prev.get.version}): that is a wholesale " +
-                "replacement (rebuild/generation flip), which does NOT " +
-                "commute with this mutation. Re-run the face against " +
-                "the new tree.", rolledBack = true)
+                s"commit (v${next.get.version}) no longer references " +
+                s"subtree(s) ${abandoned.mkString(",")} that this " +
+                "mutation wrote into: that is a wholesale replacement " +
+                "(rebuild/generation flip), which does NOT commute " +
+                "with this mutation. Re-run the face against the new " +
+                "tree.", rolledBack = true)
+          // small randomized backoff: in the tightest race BOTH
+          // writers roll back and would otherwise retry in lockstep,
+          // burning both budgets colliding with each other
+          Thread.sleep(1L + scala.util.Random.nextInt(20 * attempt))
           prev = next
       }
     }

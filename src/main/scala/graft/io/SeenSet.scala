@@ -217,7 +217,19 @@ object SeenSet {
     * concurrent appends and compaction, and a fleet that wants two
     * writers on one seen set (e.g. a compaction daemon beside the
     * discovery stream) may pass a retry budget instead of the default
-    * loud single-maintainer failure (doc/PLANS.md r20 ledger). */
+    * loud single-maintainer failure (doc/PLANS.md r20 ledger).
+    *
+    * Multi-writer caveat on the add-list: the before/after listing
+    * bracket below is PRECISE only under one writer — with a
+    * concurrent writer, files it lands under `urls/` between the two
+    * listings are adopted into THIS commit's add-list (including a
+    * crashed compactor's uncommitted output, which then serves
+    * alongside the files it rewrote). That is correctness-neutral
+    * HERE because seen-set membership reads are duplicate-tolerant by
+    * contract — but it is exactly why this casRetries pattern must
+    * not be copied to a face whose reads are not, without switching
+    * the add-list to a tag-scoped listing (the text index's
+    * attempt-tag discipline). */
   def appendToSet(delta: DataFrame, urlCol: String, dir: String,
       casRetries: Int = 0): Unit = {
     val spark = delta.sparkSession
@@ -264,9 +276,11 @@ object SeenSet {
     * accumulates — see [[Compact]]) and collapse the physically
     * duplicated URLs membership-idempotent re-appends leave behind:
     * membership is unchanged, probe fan-in and bytes shrink. */
-  def compact(spark: SparkSession, dir: String): Compact.CompactStats =
+  def compact(spark: SparkSession, dir: String,
+      casRetries: Int = 0): Compact.CompactStats =
     Compact.compactTree(spark, s"$dir/urls", "url_bucket",
-      dedupCols = Some(Seq("url")), manifestRoot = Some(dir))
+      dedupCols = Some(Seq("url")), manifestRoot = Some(dir),
+      casRetries = casRetries)
 
   /** Replay-safe streaming novelty: probe the batch, EMIT the novel
     * sliver — ONE row per novel URL, an arbitrary representative when

@@ -178,7 +178,8 @@ object TextIndex {
     * (an append's ledger row landing between the total read and the
     * rename would be silently dropped — compaction and appends run from
     * the same maintenance face, serialized). */
-  private def consolidateStats(spark: SparkSession, dir: String): Unit =
+  private def consolidateStats(spark: SparkSession, dir: String,
+      casRetries: Int = 0): Unit =
     Manifest.current(spark, dir) match {
       case Some(snap) =>
         // manifest protocol: the fold is a NEW ledger row + one commit
@@ -193,7 +194,8 @@ object TextIndex {
           .toDF("n_docs", "sum_dl", "buckets").coalesce(1)
           .write.mode("overwrite").parquet(s"$dir/stats/batch=$tag")
         Manifest.commitAdd(spark, dir,
-          Manifest.listFiles(spark, dir, s"stats/batch=$tag"), old): Unit
+          Manifest.listFiles(spark, dir, s"stats/batch=$tag"), old,
+          casRetries): Unit
       case None =>
         statsSwapRecover(spark, dir)
         val stats = new org.apache.hadoop.fs.Path(s"$dir/stats")
@@ -393,14 +395,15 @@ object TextIndex {
     * [[Manifest.vacuum]]. Legacy trees keep the delete-after-write
     * protocol and its maintenance-window/retry contract for external
     * readers. */
-  def compact(spark: SparkSession, dir: String): Compact.CompactStats =
+  def compact(spark: SparkSession, dir: String,
+      casRetries: Int = 0): Compact.CompactStats =
     Manifest.current(spark, dir) match {
-      case Some(snap) => compactManifest(spark, dir, snap)
+      case Some(snap) => compactManifest(spark, dir, snap, casRetries)
       case None => compactLegacy(spark, dir)
     }
 
   private def compactManifest(spark: SparkSession, dir: String,
-      snap: Manifest.Snapshot): Compact.CompactStats = {
+      snap: Manifest.Snapshot, casRetries: Int): Compact.CompactStats = {
     val oldPostings = snap.under("postings")
     val tagOf = (f: String) => f.split('/')
       .find(_.startsWith("ingest_batch=")).getOrElse("")
@@ -427,8 +430,8 @@ object TextIndex {
     finally graft.operators.Dedup.release(consolidated)
     val added = Manifest.listFiles(spark, dir, "postings")
       .filter(_.contains(s"/ingest_batch=$tag/"))
-    val next = Manifest.commitAdd(spark, dir, added, oldPostings)
-    consolidateStats(spark, dir)
+    val next = Manifest.commitAdd(spark, dir, added, oldPostings, casRetries)
+    consolidateStats(spark, dir, casRetries)
     Compact.CompactStats(oldBuckets.size, oldPostings.size,
       next.under("postings").size)
   }

@@ -201,9 +201,11 @@ object Similarity {
 
   /** Spherical k-means (Lloyd) refinement of IVF centroids.
     *
-    * Seeds with the first `nCentroids` corpus vectors by id (the same
-    * deterministic seed [[ivfTopK]] uses directly), then runs `iters`
-    * assignment + re-center steps:
+    * Seeds with `nCentroids` corpus vectors STRIDED across the
+    * id-ordered training sample ([[stridedIdx]] — [[ivfTopK]]'s
+    * unrefined path keeps its simpler first-k pick, which is fine
+    * there because those centroids are never retrained against a
+    * drifted corpus), then runs `iters` assignment + re-center steps:
     *
     *  - ASSIGN: each (unit-normalized) corpus vector gets its max-dot
     *    centroid from the native `best_centroid` argmax over the
@@ -306,7 +308,8 @@ object Similarity {
     * argmax assignment (ties to the lowest cent_id — BestCentroid's
     * contract), per-cell mean summed in sample order, unit
     * re-normalization; an empty cell keeps its previous centroid. Seeds
-    * are the first `nCentroids` sample vectors.
+    * are `nCentroids` sample vectors strided across the id order
+    * ([[stridedIdx]]).
     *
     * PARALLEL, bit-deterministic: the assignment pass (the sample×k dot
     * grid — under the auto-k regime this was the measured super-linear
@@ -684,8 +687,9 @@ object Similarity {
     * subspaces is one projection off the scan (no corpus × codes join),
     * and the re-center is one (sub, code, pos)-keyed mean whose key
     * cardinality is m × codes × (dims/m), corpus-size-free. Seeds are
-    * the subvectors of the first `codes` unit vectors by id
-    * (deterministic); an emptied code keeps its previous centroid; ties
+    * the subvectors of `codes` unit vectors strided across the id
+    * order ([[stridedIdx]], deterministic); an emptied code keeps its
+    * previous centroid; ties
     * go to the lowest code, all mirrored by the DuckDB oracle.
     * Returns [sub][code][dims/m]. */
   def pqCodebooks(
@@ -710,9 +714,10 @@ object Similarity {
   /** The shared Lloyd loop of [[pqCodebooks]] and the residual variant:
     * trains m per-subspace codebooks over ANY (vid, uv) vector frame
     * (unit vectors for PQ-on-the-vector, cell residuals for IVFADC) —
-    * the input need not be normalized. Seeds are the subvector slices of
-    * the first `codes` rows by vid; every per-iteration quantity is the
-    * same as [[pqCodebooks]] documents. */
+    * the input need not be normalized. Seeds are the subvector slices
+    * of `codes` rows strided across the vid order ([[stridedIdx]]);
+    * every per-iteration quantity is the same as [[pqCodebooks]]
+    * documents. */
   private[graft] def pqTrainBooks(
       vecs: DataFrame,
       m: Int,
@@ -804,8 +809,9 @@ object Similarity {
 
   /** IVF + PQ — the two scale levers composed, the shape of a FAISS
     * IVFx,PQy index re-expressed as a Spark plan: the coarse quantizer
-    * (first `nCentroids` unit vectors by id, dot-assigned — identical
-    * cells to [[ivfTopK]]'s cosine assignment on the nonzero corpus)
+    * (`nCentroids` unit vectors strided across the id order,
+    * dot-assigned — same assignment RULE as [[ivfTopK]]'s cosine
+    * argmax, different seed pick since the strided-seed change)
     * prunes WHICH vectors a query scores, and the PQ codes decide what
     * the stored corpus IS (m small ints per vector). One corpus
     * projection emits (cell, pq_codes); a query batch probes `nProbe`
@@ -868,8 +874,8 @@ object Similarity {
 
   /** The shared train+encode of [[ivfPqTopK]] and [[ivfPqIndexWrite]]:
     * ONE collected sample trains both artifacts (PQ codebooks + the
-    * coarse quantizer = the first nCentroids nonzero unit vectors by
-    * id), and ONE corpus projection emits (neighbor_id, cent_id,
+    * coarse quantizer = nCentroids nonzero unit vectors strided across
+    * the id order), and ONE corpus projection emits (neighbor_id, cent_id,
     * pq_codes). Sharing the code path is what makes the persisted
     * index's results equal the in-flight operator's bit-for-bit. */
   private def ivfPqTrainEncode(
@@ -1476,11 +1482,21 @@ object Similarity {
       iters: Int = 2
   ): Unit = {
     val spark = corpus.sparkSession
+    val (dims, nCentroids, m, codes) = ivfPqIndexGeometry(spark, dir)
+    ivfPqIndexRebuild(corpus, idCol, vecCol, dir, dims, nCentroids, m,
+      codes, iters)
+  }
+
+  /** The live generation's stored layout (dims, n_centroids, m, codes)
+    * — the parameters [[ivfPqIndexRetrain]] trains at, exposed so a
+    * caller can pre-check trainability (a retrain needs at least
+    * `codes` usable corpus vectors) before committing to the build. */
+  def ivfPqIndexGeometry(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Int, Int, Int, Int) = {
     val tree = ivfPqResolve(spark, dir)
     val meta = spark.read.parquet(s"${tree.root}/meta")
       .select("dims", "n_centroids", "m", "codes").head()
-    ivfPqIndexRebuild(corpus, idCol, vecCol, dir, meta.getInt(0),
-      meta.getInt(1), meta.getInt(2), meta.getInt(3), iters)
+    (meta.getInt(0), meta.getInt(1), meta.getInt(2), meta.getInt(3))
   }
 
   /** Complete a committed [[ivfPqIndexRebuild]] swap, ignore an

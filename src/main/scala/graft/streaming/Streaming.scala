@@ -1193,11 +1193,12 @@ object Streaming {
           // every subsequent cadence. Post-sweep the decision reads
           // day-zero until fresh entries accumulate against the new
           // generation. Crash accounting: a crash between the flip and
-          // the sweep (or before the watermark) replays the batch —
-          // faces no-op, the gauge entry recomputes against the NEW
-          // generation, and a decision window still holding old
-          // evidence can trip ONCE more (a second deterministic retrain
-          // on the same corpus — wasteful, never wrong); rebuilds are
+          // the sweep replays the batch — faces no-op, the batch's
+          // gauge entry is still COMMITTED (it is not recomputed; it
+          // measured the retired generation), so the stale window trips
+          // ONCE more — a second deterministic retrain on the same
+          // corpus, wasteful never wrong — and the sweep then clears
+          // it, leaving that batch with no ledger entry; rebuilds are
           // at-least-once, serving is exact throughout.
           if (rebuildThreshold.isDefined &&
               (batchId + 1) % gaugeEvery == 0 &&
@@ -1205,9 +1206,23 @@ object Streaming {
                 rebuildWindow)) {
             val corpus = graft.io.CorpusStore.read(spark, storeDir)
               .select(col(idCol), col(vecCol))
-            graft.operators.Similarity.ivfPqIndexRetrain(corpus, idCol,
-              vecCol, vectorDir)
-            sweepGaugeLedger(spark, gaugeDir)
+            // trainability gate: PQ training fails loudly below `codes`
+            // usable vectors, and inside foreachBatch that loud failure
+            // is a restart-replay CRASH LOOP (the stale ledger re-trips
+            // every restart). A corpus the quality gate has thinned
+            // below the live geometry keeps serving the old generation
+            // and re-checks on the next cadence instead.
+            val (_, _, _, codes) =
+              graft.operators.Similarity.ivfPqIndexGeometry(spark, vectorDir)
+            val usable = corpus.filter(col(vecCol).isNotNull)
+              .filter(expr(s"aggregate(cast(`$vecCol` as array<double>), " +
+                "0D, (acc, x) -> acc + x * x) > 0D"))
+              .limit(codes).count()
+            if (usable >= codes) {
+              graft.operators.Similarity.ivfPqIndexRetrain(corpus, idCol,
+                vecCol, vectorDir)
+              sweepGaugeLedger(spark, gaugeDir)
+            }
           }
         }
       } finally graft.operators.Dedup.release(verdicts)

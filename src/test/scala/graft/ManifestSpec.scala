@@ -250,7 +250,7 @@ class ManifestSpec extends SparkSpec {
       "url", seenDir, buckets = 4)
     SeenSet.appendToSet((40 until 90).map(i => s"http://s.org/$i").toDF("url"),
       "url", seenDir)
-    assert(SeenSet.vacuum(spark, seenDir).filesDeleted >= 0)
+    SeenSet.vacuum(spark, seenDir): Unit
     assert(exists(s"$seenDir/meta") && exists(s"$seenDir/bloom"),
       "SeenSet vacuum must not sweep meta/ or bloom/")
     assert(SeenSet.probeNovel(spark, seenDir,
@@ -267,7 +267,7 @@ class ManifestSpec extends SparkSpec {
       (i.toLong, s"band sidecar prose number $i keeps shingles alive " +
         "with enough words to fill every window")).toDF("doc_id", "text")
     assert(BandIndex.appendBatch(d1, "doc_id", "text", bandDir, 0L))
-    assert(BandIndex.vacuum(spark, bandDir).filesDeleted >= 0)
+    BandIndex.vacuum(spark, bandDir): Unit
     assert(exists(s"$bandDir/meta") && exists(s"$bandDir/watermark"),
       "BandIndex vacuum must not sweep meta/ or watermark/")
 
@@ -291,7 +291,7 @@ class ManifestSpec extends SparkSpec {
       dims = 8, nCentroids = 4, m = 2, codes = 8)
     val e1 = (40L until 60L).map(i => (i, emb(i))).toDF("vec_id", "v")
     assert(Similarity.ivfPqIndexAppendBatch(e1, "vec_id", "v", vecDir, 0L))
-    assert(Similarity.ivfPqIndexVacuum(spark, vecDir).filesDeleted >= 0)
+    Similarity.ivfPqIndexVacuum(spark, vecDir): Unit
     assert(exists(s"$vecDir/watermark"),
       "IVF+PQ vacuum must not sweep the root watermark/")
     assert(graft.io.Watermark.read(spark, vecDir) === 0L)
@@ -302,7 +302,7 @@ class ManifestSpec extends SparkSpec {
     val textDir = mkDir("graft-side-text")
     TextIndex.writeIndex(d0, "doc_id", "text", textDir, buckets = 4)
     TextIndex.appendToIndex(d1, "doc_id", "text", textDir)
-    assert(TextIndex.vacuum(spark, textDir).filesDeleted >= 0)
+    TextIndex.vacuum(spark, textDir): Unit
     assert(TextIndex.bm25SearchIndex(spark, textDir,
       Seq("sidecar"), k = 5).count() === 5)
   }

@@ -1934,4 +1934,76 @@ class StreamingSpec extends SparkSpec {
     assert(!new java.io.File(s"$vecDir/$gen0").exists())
     assert(serve(vecDir) === served)
   }
+
+  test("autonomic rebuild skips (not crashes) when the corpus of record is below the live geometry's codes") {
+    // The trainability gate: PQ training requires >= `codes` usable
+    // vectors, and inside foreachBatch that loud failure would be a
+    // restart-replay crash loop (the stale ledger re-trips on every
+    // restart). A tripped decision over a too-thin corpus must keep
+    // serving the old generation and re-check next cadence — and fire
+    // normally once the corpus grows past the geometry.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.io.{CorpusStore, Manifest, SeenSet}
+    import graft.operators.Similarity
+    def prose(i: Long) = "the quick brown fox jumps over a lazy dog " +
+      "while many other animals watch from their warm homes and some " +
+      "birds fly across the evening sky toward distant hills " + i
+    def emb(i: Long, drifted: Boolean): Seq[Double] = {
+      val hot = (0 until 4).map(j => math.sin(i * 31.0 + j * 7.0))
+      val cold = Seq.fill(4)(0.0)
+      if (drifted) cold ++ hot else hot ++ cold
+    }
+    def url(i: Long) = s"http://t${i % 5}.example/d/$i"
+    def row(i: Long, drifted: Boolean) =
+      (url(i), i, prose(i), emb(i, drifted))
+    def mkDir(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val seenDir = mkDir("graft-tg-seen"); val novelDir = mkDir("graft-tg-novel")
+    val storeDir = mkDir("graft-tg-store"); val bandDir = mkDir("graft-tg-band")
+    val textDir = mkDir("graft-tg-text"); val vecDir = mkDir("graft-tg-vec")
+    val gaugeDir = mkDir("graft-tg-gauge")
+    // the index bootstraps on 40 docs at codes=32, but the store of
+    // record starts with only 10 — the thinned-corpus shape the gate
+    // exists for (a quality sweep evicted most of the bootstrap)
+    val idxSeed = (0L until 40L).map(row(_, drifted = false))
+      .toDF("url", "doc_id", "text", "emb")
+    val storeSeed = (0L until 10L).map(row(_, drifted = false))
+      .toDF("url", "doc_id", "text", "emb")
+    SeenSet.writeSet((0L until 40L).map(i => Tuple1(url(i))).toDF("url"),
+      "url", seenDir)
+    CorpusStore.write(storeSeed, "doc_id", storeDir, buckets = 4)
+    graft.io.BandIndex.writeIndex(storeSeed, "doc_id", "text", bandDir)
+    graft.io.TextIndex.writeIndex(storeSeed, "doc_id", "text", textDir,
+      buckets = 8)
+    Similarity.ivfPqIndexWrite(idxSeed.select("doc_id", "emb"),
+      "doc_id", "emb", vecDir, dims = 8, nCentroids = 4, m = 8, codes = 32)
+    def liveGen() = Manifest.current(spark, vecDir).get
+      .files.head.takeWhile(_ != '/')
+    val gen0 = liveGen()
+    def step(b: Seq[(String, Long, String, Seq[Double])], id: Long): Unit =
+      Streaming.steadyStateStep(b.toDF("url", "doc_id", "text", "emb"),
+        id, "url", "doc_id", "text", seenDir, novelDir, storeDir,
+        bandDir, textDir, vecCol = "emb", vectorDir = vecDir,
+        gaugeEvery = 1, gaugeDir = gaugeDir, gaugeK = 5, gaugeNProbe = 4,
+        rebuildThreshold = Some(0.99), rebuildWindow = 1)
+    // batch 0: 15 novel docs -> store holds 25 < 32 codes; the 0.99
+    // threshold trips on ANY gauge entry, but the gate must skip
+    step((40L until 55L).map(row(_, drifted = true)), 0L)
+    assert(liveGen() === gen0,
+      "a below-geometry corpus must skip the flip, not crash the loop")
+    // the skipped trip did NOT sweep the ledger (the evidence is still
+    // live for the next cadence)
+    assert(Streaming.gaugeLedgerDecision(spark, gaugeDir, 0.99, 1)
+      .head().getLong(0) === 1L)
+    // batch 1: 15 more -> store holds 40 >= 32; the standing trip now
+    // fires the generation flip
+    step((55L until 70L).map(row(_, drifted = true)), 1L)
+    assert(liveGen() !== gen0,
+      "once the corpus clears the geometry the rebuild must fire")
+    // and the loop still serves
+    val q = (9000L until 9003L).map(row(_, drifted = true))
+      .toDF("url", "doc_id", "text", "emb").select("doc_id", "emb")
+    assert(Similarity.ivfPqIndexTopK(spark, vecDir, q, "doc_id", "emb",
+      k = 2, nProbe = 4).count() > 0)
+  }
 }

@@ -103,6 +103,31 @@ class ManifestHardeningSpec extends graft.SparkSpec {
     }
   }
 
+  test("a CAS retry commutes THROUGH a full-rewrite compaction winner (same subtrees)") {
+    // The guard must distinguish a generation flip from a compaction
+    // that happened to rewrite EVERY live file: the compaction keeps
+    // files under the same top-level subtrees, so the loser's append
+    // still commutes — file-set disjointness alone would false-abort
+    // exactly the daemon-beside-stream fleet the feature exists for.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-man-casfull").toString
+    SeenSet.writeSet((0 until 20).map(i => s"http://full/$i").toDF("url"),
+      "url", dir, buckets = 1)
+    val v1 = Manifest.current(spark, dir).get
+    // the winner: a one-bucket compaction that dropped ALL of v1's
+    // files and added only its consolidated replacement
+    val win = new java.io.File(s"$dir/manifest/v000000000002-eeeeeeee")
+    java.nio.file.Files.write(win.toPath,
+      "urls/url_bucket=0/compacted.parquet".getBytes("UTF-8"))
+    val snap = Manifest.commitAddFrom(spark, dir, Some(v1),
+      add = Seq("urls/url_bucket=0/appended.parquet"), drop = Nil,
+      casRetries = 2)
+    assert(snap.version === 3L)
+    assert(snap.files === IndexedSeq("urls/url_bucket=0/appended.parquet",
+      "urls/url_bucket=0/compacted.parquet"),
+      "the union of the compaction and the append must serve")
+  }
+
   test("a CAS retry refuses to graft onto a wholesale replacement (generation flip)") {
     // Rebuild/generation-flip commits share NO files with the parent a
     // concurrent append prepared against — the append's files belong
