@@ -188,10 +188,19 @@ object SeenSet {
     * full-set scan) is paid once, and the set is never bricked by a
     * mid-append crash. */
   private def storedBloom(spark: SparkSession, dir: String): Array[Byte] = {
-    if (Commit.isCommitted(spark, s"$dir/bloom"))
-      spark.read.parquet(s"$dir/bloom").select(col("bloom")).head()
-        .getAs[Array[Byte]](0)
-    else {
+    // the committed read can still lose a race with a concurrent
+    // writer's overwrite (delete-then-write is not atomic): a vanished
+    // or torn dir falls through to the rebuild path below — the Bloom
+    // is always recoverable exactly from the urls store, so a torn
+    // sidecar heals instead of throwing (multi-writer mode hits this
+    // window; single-writer never does)
+    val committed =
+      if (!Commit.isCommitted(spark, s"$dir/bloom")) None
+      else try
+        Some(spark.read.parquet(s"$dir/bloom").select(col("bloom")).head()
+          .getAs[Array[Byte]](0))
+      catch { case scala.util.control.NonFatal(_) => None }
+    committed.getOrElse {
       val (_, expected, fpp) = storedMeta(spark, dir)
       val bytes = bloomBytes(bloomOf(
         urlsFrame(spark, dir).select(col("url")), "url",
