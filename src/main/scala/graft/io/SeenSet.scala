@@ -238,7 +238,21 @@ object SeenSet {
     * contract — but it is exactly why this casRetries pattern must
     * not be copied to a face whose reads are not, without switching
     * the add-list to a tag-scoped listing (the text index's
-    * attempt-tag discipline). */
+    * attempt-tag discipline).
+    *
+    * Multi-writer caveat on the BLOOM: two concurrent APPENDERS can
+    * race the sidecar's read-merge-overwrite and lose each other's
+    * merged bits (last writer wins) — a lost bit makes [[probeNovel]]
+    * re-emit an already-seen URL as novel WITHOUT the exact confirm
+    * (unclaimed rows skip it by design). For pure membership /
+    * crawl-frontier use that is wasted work, nothing more; but a
+    * pipeline that feeds the novel sliver into faces with a
+    * DISJOINT-ID contract (the steady-state loop's text/band/vector
+    * appends) must keep ONE appender per seen set — the blessed
+    * two-writer fleet there is appender + compaction daemon, which
+    * never touches the Bloom. [[rebuildBloom]] heals accumulated bit
+    * loss exactly; run it on the daemon's cadence if two appenders
+    * are unavoidable. */
   def appendToSet(delta: DataFrame, urlCol: String, dir: String,
       casRetries: Int = 0): Unit = {
     val spark = delta.sparkSession
@@ -271,6 +285,19 @@ object SeenSet {
           Manifest.listFiles(spark, dir, "urls").filterNot(before), Nil,
           casRetries): Unit
     } finally graft.operators.Dedup.release(u)
+  }
+
+  /** Rebuild the Bloom sidecar EXACTLY from the urls store — the
+    * maintenance face that heals accumulated bit loss from racing
+    * appenders' last-writer-wins sidecar overwrites (see
+    * [[appendToSet]]'s multi-writer caveats). Costs one pass over the
+    * membership; after it, every stored URL claims again and
+    * [[probeNovel]]'s wasted re-emissions stop. Idempotent; safe on
+    * any cadence (a compaction daemon's is the natural one). */
+  def rebuildBloom(spark: SparkSession, dir: String): Unit = {
+    val (_, expected, fpp) = storedMeta(spark, dir)
+    writeBloom(spark, dir, bloomBytes(bloomOf(
+      urlsFrame(spark, dir).select(col("url")), "url", expected, fpp)))
   }
 
   /** Physically reclaim superseded bytes — retired files [[compact]]

@@ -885,7 +885,19 @@ object Similarity {
     require(dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
     val d = dims / m
     graft.plans.GraftExtensions.register(corpus.sparkSession)
-    val sample = collectTrainSample(corpus, idCol, vecCol, TrainSampleCap)
+    // zero-norm rows are dropped BEFORE the sample cap, not after:
+    // post-cap dropping spent sample slots on untrainable vectors, and
+    // — worse — let a mostly-zero >cap corpus pass a corpus-wide
+    // "usable >= codes" pre-check and still crash pqTrainBooksOnSample
+    // (the sample could hold fewer nonzero rows than the whole corpus
+    // does). Under the cap the composition is identical (same rows
+    // survive either order); unitizeLocal still runs on the RAW
+    // vector so the unit arithmetic stays bit-equal to the oracle's.
+    val trainable = corpus
+      .filter(col(vecCol).isNotNull)
+      .filter(sqrt(dot(col(vecCol).cast("array<double>"),
+        col(vecCol).cast("array<double>"))) > 0.0)
+    val sample = collectTrainSample(trainable, idCol, vecCol, TrainSampleCap)
       .flatMap { case (vid, v) => unitizeLocal(v).map((vid, _)) }
     // a LOUD day-zero failure, named here instead of an obscure
     // empty-seed crash downstream. This guard sits in the SHARED train

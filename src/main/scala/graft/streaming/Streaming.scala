@@ -1207,22 +1207,33 @@ object Streaming {
             val corpus = graft.io.CorpusStore.read(spark, storeDir)
               .select(col(idCol), col(vecCol))
             // trainability gate: PQ training fails loudly below `codes`
-            // usable vectors, and inside foreachBatch that loud failure
-            // is a restart-replay CRASH LOOP (the stale ledger re-trips
-            // every restart). A corpus the quality gate has thinned
-            // below the live geometry keeps serving the old generation
-            // and re-checks on the next cadence instead.
-            val (_, _, _, codes) =
+            // usable (non-null, nonzero-norm) vectors, and inside
+            // foreachBatch that loud failure is a restart-replay CRASH
+            // LOOP (the stale ledger re-trips every restart). The
+            // corpus-wide count is EXACT against the training require
+            // because the train sample drops untrainable rows before
+            // its cap. A corpus the quality gate has thinned below the
+            // live geometry keeps serving the old generation and
+            // re-checks on the next cadence instead.
+            val (dims, nCentroids, m, codes) =
               graft.operators.Similarity.ivfPqIndexGeometry(spark, vectorDir)
             val usable = corpus.filter(col(vecCol).isNotNull)
-              .filter(expr(s"aggregate(cast(`$vecCol` as array<double>), " +
-                "0D, (acc, x) -> acc + x * x) > 0D"))
+              .filter(aggregate(col(vecCol).cast("array<double>"),
+                lit(0.0), (acc, x) => acc + x * x) > 0.0)
               .limit(codes).count()
             if (usable >= codes) {
-              graft.operators.Similarity.ivfPqIndexRetrain(corpus, idCol,
-                vecCol, vectorDir)
+              // geometry already read for the gate — the explicit
+              // rebuild overload skips retrain's second meta read
+              graft.operators.Similarity.ivfPqIndexRebuild(corpus, idCol,
+                vecCol, vectorDir, dims, nCentroids, m, codes)
               sweepGaugeLedger(spark, gaugeDir)
-            }
+            } else
+              org.slf4j.LoggerFactory.getLogger("graft.streaming")
+                .warn(s"autonomic rebuild of $vectorDir SKIPPED on batch " +
+                  s"$batchId: drift decision tripped but the corpus of " +
+                  s"record holds only $usable usable vectors (< codes=" +
+                  s"$codes); serving the standing generation, re-checking " +
+                  "next cadence")
           }
         }
       } finally graft.operators.Dedup.release(verdicts)

@@ -69,19 +69,9 @@ object CasRace {
     graft.io.SeenSet.writeSet(base.toDF("url"), "url", dir,
       buckets = 8, expectedUrls = 4000L)
 
-    val cp = Seq("target/scala-2.13/classes",
-      "/opt/spark/jars/*").mkString(java.io.File.pathSeparator)
-    val moduleFlags = org.apache.spark.launcher.JavaModuleOptions
-      .defaultModuleOptions().split(" ").toSeq
-    val cmd = Seq("java") ++ moduleFlags ++ Seq("-Xmx4g", "-cp", cp,
-      "graft.testbed.CasRaceWriter", dir, appendsPerSide.toString,
-      urlsPerAppend.toString)
-    val pb = new ProcessBuilder(cmd: _*)
-    pb.redirectError(java.io.File.createTempFile("casrace-child", ".err"))
     val t0 = System.nanoTime()
-    val child = pb.start()
-    val childOut = new java.io.BufferedReader(
-      new java.io.InputStreamReader(child.getInputStream))
+    val child = ForkedJvm.spawn("graft.testbed.CasRaceWriter",
+      Seq(dir, appendsPerSide.toString, urlsPerAppend.toString))
 
     // the parent's side of the race: disjoint URL stream, no pacing
     var parentFaceRetries = 0
@@ -90,12 +80,7 @@ object CasRace {
         (0 until urlsPerAppend).map(j => s"http://parent/$i/$j"), 5)
     }
 
-    require(child.waitFor(600, java.util.concurrent.TimeUnit.SECONDS),
-      "child writer did not finish")
-    val childLines = Iterator.continually(childOut.readLine())
-      .takeWhile(_ != null).toSeq
-    require(child.exitValue() == 0,
-      s"child writer failed: ${childLines.mkString(" | ")}")
+    val childLines = child.awaitLines(600, "child writer")
     val childFaceRetries = childLines.find(_.startsWith("RETRIES "))
       .map(_.stripPrefix("RETRIES ").toInt).getOrElse(-1)
     val wallSec = (System.nanoTime() - t0) / 1e9
@@ -120,9 +105,18 @@ object CasRace {
       s"membership $distinct != expected $wantMembers — a racing " +
         "commit was lost")
     // no version fork / no shadowed commit: exactly one version per
-    // successful commit, strictly linear history
-    val versions = graft.io.Manifest.versions(spark, dir)
+    // successful commit, strictly linear history. Counted on the RAW
+    // version FILES, not Manifest.versions (which dedups same-number
+    // twins by design) — a failed rollback's surviving twin at a
+    // non-max version must fail HERE, not hide
+    val versionFiles = new java.io.File(s"$dir/manifest").listFiles()
+      .map(_.getName).filter(_.matches("v[0-9]{12}-[0-9a-f]{8}")).toSeq
     val wantVersions = 1 + 2 * appendsPerSide
+    require(versionFiles.size == wantVersions,
+      s"${versionFiles.size} version files != $wantVersions — a twin " +
+        "survived a failed rollback (forked history) or a commit was " +
+        "lost")
+    val versions = graft.io.Manifest.versions(spark, dir)
     require(versions == (1L to wantVersions.toLong),
       s"version history ${versions.take(5)}...${versions.takeRight(2)} " +
         s"(n=${versions.size}) is not the linear 1..$wantVersions")

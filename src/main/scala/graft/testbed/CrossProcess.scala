@@ -56,21 +56,11 @@ object CrossProcess {
     val pinned = graft.io.Manifest.versions(spark, dir).max
     val want = digestOf(spark, dir, pinned)
 
-    // fork the reader JVM: same classes + spark jars, NOTHING else
-    // shared (fresh manifest cache, fresh session)
-    val cp = Seq("target/scala-2.13/classes",
-      "/opt/spark/jars/*").mkString(java.io.File.pathSeparator)
-    val moduleFlags = org.apache.spark.launcher.JavaModuleOptions
-      .defaultModuleOptions().split(" ").toSeq
-    val cmd = Seq("java") ++ moduleFlags ++ Seq("-Xmx4g", "-cp", cp,
-      "graft.testbed.CrossProcessReader", dir, pinned.toString, "25")
-    val pb = new ProcessBuilder(cmd: _*)
-    pb.redirectErrorStream(false)
-    pb.redirectError(java.io.File.createTempFile("xproc-child", ".err"))
+    // fork the reader JVM ([[ForkedJvm]]): same classes + spark jars,
+    // NOTHING else shared (fresh manifest cache, fresh session)
     val t0 = System.nanoTime()
-    val child = pb.start()
-    val childOut = new java.io.BufferedReader(
-      new java.io.InputStreamReader(child.getInputStream))
+    val child = ForkedJvm.spawn("graft.testbed.CrossProcessReader",
+      Seq(dir, pinned.toString, "25"))
 
     // churn: keyed maintenance commits while the child reads. Each
     // round rewrites touched buckets ADDITIVELY (the r19 protocol), so
@@ -90,16 +80,12 @@ object CrossProcess {
     val vac = graft.io.CorpusStore.vacuum(spark, dir,
       retainVersions = (cur - pinned).toInt)
 
-    val exited = child.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)
-    require(exited, "child JVM did not finish")
-    val childLines = Iterator.continually(childOut.readLine())
-      .takeWhile(_ != null).toSeq
+    val childLines = child.awaitLines(300,
+      "reader JVM (a non-identical pinned read or failed live read " +
+        "exits non-zero)")
     val childSec = (System.nanoTime() - t0) / 1e9
     val childDigest = childLines.filter(_.startsWith("DIGEST "))
       .map(_.stripPrefix("DIGEST ")).distinct
-    require(child.exitValue() == 0,
-      s"child saw a non-identical pinned read or a failed live read: " +
-        s"${childLines.mkString(" | ")}")
     require(childDigest == Seq(s"${want._1},${want._2}"),
       s"child digest ${childDigest.mkString(",")} != parent's $want")
     // and the parent's own post-vacuum pinned read agrees

@@ -129,10 +129,13 @@ class ManifestHardeningSpec extends graft.SparkSpec {
   }
 
   test("a CAS retry refuses to graft onto a wholesale replacement (generation flip)") {
-    // Rebuild/generation-flip commits share NO files with the parent a
-    // concurrent append prepared against — the append's files belong
-    // to the retired layout, so retrying would corrupt the new tree's
-    // subtree resolution. The retry guard aborts loudly instead.
+    // The guard's actual rule: a retry aborts when the WINNER no
+    // longer references any top-level subtree this mutation wrote
+    // into (here the flip abandoned `urls/` for `g2/`) — the append's
+    // files belong to the retired layout, so retrying would corrupt
+    // the new tree's subtree resolution. Plain file-set disjointness
+    // is deliberately NOT the rule (a full-rewrite compaction is
+    // disjoint too, and commutes — see the previous test).
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-man-casflip").toString
     SeenSet.writeSet((0 until 20).map(i => s"http://flip/$i").toDF("url"),
