@@ -1154,10 +1154,26 @@ object Multimodal {
           aviFrames(payload) match {
             case Some(frames) =>
               var rs = 0L; var gs = 0L; var bs = 0L; var sampled = 0L
+              // one-entry decode memo (r20 opt, guide §1.2 per-task work):
+              // MJPEG streams repeat byte-identical frames across static
+              // scenes, and decode is deterministic on the bytes — a
+              // repeated frame reuses the previous frame's stats instead
+              // of paying ImageIO's per-call reader/stream setup again.
+              // Failures memoize too (same bytes fail the same way).
+              var memoBytes: Array[Byte] = null
+              var memoStats: Option[PixelStats] = None
               var i = 0
               while (i < frames.length) {
-                decodePixels(frames(i)).foreach { img =>
-                  val s = pixelStats(img)
+                val fb = frames(i)
+                val st =
+                  if (memoBytes != null && java.util.Arrays.equals(memoBytes, fb))
+                    memoStats
+                  else {
+                    memoStats = decodePixels(fb).map(pixelStats)
+                    memoBytes = fb
+                    memoStats
+                  }
+                st.foreach { s =>
                   rs += s.rSum; gs += s.gSum; bs += s.bSum; sampled += 1
                 }
                 i += step
@@ -1205,9 +1221,23 @@ object Multimodal {
             case Some(frames) =>
               var prev: Option[PixelImage] = None
               var compared = 0L; var cuts = 0L; var firstCut = -1L
+              // one-entry decode memo (r20 opt — see sampleVideoFrames):
+              // byte-identical repeated frames (static shots) reuse the
+              // previous decode; the diff loop still runs, so the
+              // compared/cut counters are untouched by construction
+              var memoBytes: Array[Byte] = null
+              var memoImg: Option[PixelImage] = None
+              def decodeMemo(fb: Array[Byte]): Option[PixelImage] =
+                if (memoBytes != null && java.util.Arrays.equals(memoBytes, fb))
+                  memoImg
+                else {
+                  memoImg = decodePixels(fb)
+                  memoBytes = fb
+                  memoImg
+                }
               var i = 0
               while (i < frames.length) {
-                decodePixels(frames(i)).foreach { img =>
+                decodeMemo(frames(i)).foreach { img =>
                   prev match {
                     case Some(p) if p.width == img.width && p.height == img.height =>
                       compared += 1

@@ -221,6 +221,30 @@ object Sketches {
     pmod(hash60(concat(lit("cms"), row.cast("string"), lit(":"), v)), lit(w.toLong))
       .as("cms_bucket")
 
+  /** [[cmsCounters]] from a PRE-AGGREGATED `(value, count)` frame: per-value
+    * counts ADD into cells, so the result is bit-identical to counting raw
+    * occurrences (integer sums re-sum exactly). A caller that already pays a
+    * per-value aggregation (distinct candidates, exact counts) feeds it here
+    * instead of re-scanning the corpus, and the `d` string hashes of the
+    * bucket projection run once per VOCABULARY entry instead of once per
+    * occurrence. */
+  def cmsCountersFromCounts(
+      counts: DataFrame,
+      valueCol: String,
+      countCol: String,
+      d: Int = 4,
+      w: Int = 512
+  ): DataFrame = {
+    require(d >= 1 && d <= 8 && w >= 2, s"need 1<=d<=8, w>=2, got d=$d w=$w")
+    counts.where(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("string").as("_v"),
+        col(countCol).cast("long").as("_c"),
+        explode(sequence(lit(0), lit(d - 1))).as("cms_row"))
+      .select(col("cms_row"), cmsBucket(col("_v"), col("cms_row"), w), col("_c"))
+      .groupBy("cms_row", "cms_bucket")
+      .agg(sum("_c").as("cms_count"))
+  }
+
   /** Merge counter frames from two corpus slices: counts ADD per cell. */
   def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b)
@@ -263,10 +287,18 @@ object Sketches {
       d: Int = 4,
       w: Int = 512
   ): DataFrame = {
-    val counters = cmsCounters(df, valueCol, d, w)
-    val cand = df.where(col(valueCol).isNotNull)
-      .select(col(valueCol).cast("string").as(valueCol)).distinct()
-    cmsEstimate(counters, cand, valueCol, d, w)
+    // ONE corpus pass (r20 opt): the distinct-candidate aggregation the
+    // answer needs anyway also carries each value's exact count, and the
+    // counters ADD those counts — bit-identical to counting occurrences
+    // (integer sums), with the corpus scanned once instead of twice and
+    // the d bucket hashes computed per vocabulary entry, not per
+    // occurrence. Spark's ReuseExchange serves both consumers from the
+    // single vocabulary shuffle.
+    val counts = df.where(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("string").as(valueCol))
+      .groupBy(valueCol).agg(count(lit(1)).as("_graft_vc"))
+    val counters = cmsCountersFromCounts(counts, valueCol, "_graft_vc", d, w)
+    cmsEstimate(counters, counts.select(col(valueCol)), valueCol, d, w)
       .orderBy(col("cms_count").desc, col(valueCol))
       .limit(k)
   }

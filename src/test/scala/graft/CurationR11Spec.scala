@@ -428,4 +428,31 @@ class CurationR11Spec extends SparkSpec {
     assert(out.getLong(2) === 1L) // only big↔big compared
     assert(out.getLong(3) === 0L)
   }
+
+  test("video walks: repeated frames + an undecodable frame between repeats " +
+      "keep exact counts (the decode-memo invariance pin)") {
+    // [A, A, garbage, A, B, B]: the counters must read as if every frame
+    // were decoded independently — a one-entry decode memo (r20) may only
+    // short-circuit byte-identical repeats, and a failed decode sitting
+    // between two identical frames must not poison the comparison chain
+    import spark.implicits._
+    System.setProperty("java.awt.headless", "true")
+    val a = Multimodal.encodePng(4, 4, (_, _) => 0x101010)
+    val b = Multimodal.encodePng(4, 4, (_, _) => 0xF0F0F0)
+    val garbage = Array[Byte](9, 9, 9, 9)
+    val avi = Multimodal.syntheticAviPng(Seq(a, a, garbage, a, b, b))
+    val cut = Multimodal.videoCutDetect(
+        Seq((1L, avi)).toDF("doc_id", "payload"), "doc_id", threshold = 48.0)
+      .collect().head
+    assert(cut.getLong(1) === 6L) // n_frames
+    assert(cut.getLong(2) === 4L) // A-A, A-A (across the garbage), A-B, B-B
+    assert(cut.getLong(3) === 1L) // the A->B switch
+    assert(cut.getLong(4) === 5L) // frame 5 (1-based) opens shot B
+    val samp = Multimodal.sampleVideoFrames(
+        Seq((1L, avi)).toDF("doc_id", "payload"), "doc_id", step = 1)
+      .collect().head
+    assert(samp.getLong(1) === 6L) // n_frames
+    assert(samp.getLong(2) === 5L) // garbage frame skipped from the sums
+    assert(samp.getLong(3) === 3L * 16 * 0x10 + 2L * 16 * 0xF0) // r_sum: 3 A + 2 B rasters
+  }
 }
