@@ -28,3 +28,20 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Deflake (r20 verdict #1): one driver run lost the shared SparkContext
+// mid-suite (async teardown after a RejectedExecutionException in
+// TaskSchedulerImpl) and the versioned-search spec died with it. The
+// manifest-hardening suite runs in its OWN forked JVM — sbt's default
+// ForkedTestGroup limit is 1, so groups run serially and a sibling
+// group's context teardown can never land inside this one.
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val opts = (Test / javaOptions).value.toVector
+  val base = baseDirectory.value
+  def group(name: String, ts: Seq[TestDefinition]) =
+    Tests.Group(name, ts, Tests.SubProcess(ForkOptions()
+      .withRunJVMOptions(opts)
+      .withWorkingDirectory(Option(base))))
+  val (iso, rest) = tests.partition(_.name.contains("ManifestHardeningSpec"))
+  Seq(group("manifest-hardening", iso), group("main", rest))
+}

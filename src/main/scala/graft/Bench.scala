@@ -254,7 +254,11 @@ object Bench {
     // noise", not "the operator is slow" (the r17 sf1 w4 case: battery
     // 5.9 s flagged, isolated 10.3 s = the full crawl chain, while a
     // fresh-session warm-cache A/B measured the operator at 1.25 s).
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    // cpu-suffixed DEFAULT (r20 verdict #5): the driver's low-CPU scaling
+    // run used to overwrite the 32-CPU run's BENCH.json (both defaulted
+    // to the same path), losing the round's main per-query artifact.
+    // With the core count in the name the two runs land side by side.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", s"BENCH.c$cpus.json")
     def parsePrev(path: String): (Map[String, Double], Double, String) =
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
@@ -479,6 +483,15 @@ object Bench {
       .mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"families":$famJson,"families_normalized":$famNormJson,"canary_ref_ns_per_row":$refNsPerRow,"isolated":$isoJson,"auto_isolated":$autoIsoJson,"errors":$errJson,"canary":$canaryJson,"sf":"$sfDir"}"""
     println(json)
+    // COMPACT summary line, printed LAST (r20 verdict #5): the driver
+    // captures a bounded stdout tail (~2000 chars) and the full JSON line
+    // above outgrew it rounds ago (every BENCH_r{N}.json since r16 parsed
+    // null). This second line is <= ~1200 chars at the current family
+    // count, so the tail always contains one complete parseable JSON
+    // object; the full per-query map still ships via the line above and
+    // the $outPath file. Same numbers, no methodology change.
+    val compact = s"""{"metric":"total_compact","total_sec":$total,"n":${results.size},"n_errors":${errors.size},"cpus":$cpus,"canary_ns_per_row":$nsPerRow,"canary_battery":$nsBattery,"contended":$contended,"families":$famJson,"sf":"$sfDir","out":"$outPath"}"""
+    println(compact)
     // The driver captures stdout with a bounded tail, and two rounds in a
     // row (r14, r15) the official BENCH_r{N}.json arrived truncated with
     // the per-query dict unusable. The file write makes the artifact

@@ -276,10 +276,10 @@ object Sketches {
 
   /** Heavy hitters: the top `k` values of `valueCol` by CMS-estimated
     * frequency (ties broken by value — a strict total order, so both
-    * engines cut the identical prefix). At scale the exact per-value
-    * count never happens: the stream aggregates once into `d*w` counters,
-    * candidates are the distinct values (already needed for the answer),
-    * and ranking runs on the estimate. */
+    * engines cut the identical prefix). The counter build rides the same
+    * per-value aggregation the candidate set already requires (one corpus
+    * pass, one vocabulary-sized exchange — the exact counts are free on
+    * that exchange), and ranking runs on the estimate. */
   def cmsTopK(
       df: DataFrame,
       valueCol: String,

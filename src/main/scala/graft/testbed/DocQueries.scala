@@ -1834,6 +1834,13 @@ object DocQueries {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
       import scala.concurrent.duration.Duration
+      // pre-touch the shared table cache on the DRIVER thread (r20
+      // advice): TrieMap.getOrElseUpdate does not guarantee single
+      // evaluation of the by-name builder, so concurrent first-touch
+      // from the futures below could evaluate read.parquet(...).cache()
+      // more than once (benign today, but the once-only contract should
+      // hold by construction, not by luck)
+      table(s, dir, "documents"); table(s, dir, "embeddings")
       val fText = Future {
         val textIx = textIndexDir(s, dir)
         graft.io.Manifest.readSubtree(s, textIx,
@@ -2182,13 +2189,17 @@ object DocQueries {
     "t32_hll_distinct" -> ((s, dir) => {
       val toks = table(s, dir, "documents")
         .select(col("lang"), explode(TextFunctions.tokens("text")).as("t"))
-      // ONE tokenize pass (r20 opt): both sketches are insensitive to
-      // duplicate values (HLL registers are a max, the salted count is a
-      // countDistinct), so they read the SAME distinct-(lang, token)
-      // frame; the two identical distinct exchanges dedup via
-      // ReuseExchange, and the corpus is scanned+tokenized once instead
-      // of twice. Results are bit-identical by construction.
-      val vocab = toks.distinct()
+      // ONE tokenize pass (r20 opt, REPAIRED r21): both sketches are
+      // insensitive to duplicate values (HLL registers are a max, the
+      // salted count is a countDistinct), so they read the SAME
+      // distinct-(lang, token) frame. r20 left the shared frame unpinned
+      // and the committed plan showed NO ReusedExchange — both branches
+      // still tokenized the corpus and each carried its own distinct
+      // exchange (a net pessimization, r20 advice). Pinning it
+      // (localCheckpoint — the t33 vocab pattern) makes the one tokenize
+      // + one distinct exchange structural: both consumers read the
+      // materialized vocab. Results are bit-identical by construction.
+      val vocab = toks.distinct().localCheckpoint()
       Sketches.hllDistinct(vocab, Seq("lang"), "t", p = 12)
         .join(Salted.saltedCountDistinct(vocab, Seq("lang"), "t", buckets = 16), "lang")
         .select(col("lang"), col("hll_distinct"), col("n_distinct"),
@@ -2218,10 +2229,16 @@ object DocQueries {
         .localCheckpoint()
       val counters =
         Sketches.cmsCountersFromCounts(vocab, "t", "true_count", d = 4, w = 512)
+      // pinned (r21, advice): `top` is referenced twice below (join left
+      // side + the broadcast semi-join), and unpinned the 20-row
+      // estimate+TakeOrdered recomputed once per reference — output was
+      // already deterministic (total-order tiebreak), this just runs it
+      // once, matching the entry's one-pass intent.
       val top = Sketches.cmsEstimate(counters, vocab.select(col("t")), "t",
           d = 4, w = 512)
         .orderBy(col("cms_count").desc, col("t"))
         .limit(20)
+        .localCheckpoint()
       top.join(broadcast(vocab.join(broadcast(top.select(col("t"))),
           Seq("t"), "left_semi")), "t")
         .select(col("t").as("token"), col("cms_count"), col("true_count"),

@@ -24,7 +24,19 @@ trait SparkSpec extends AnyFunSuite {
 }
 
 object SparkSpec {
-  lazy val session: SparkSession = {
+  // SELF-HEALING accessor (r20 verdict #1): one driver run died mid-suite
+  // with "Job cancelled because SparkContext was shut down" — an async
+  // context teardown (RejectedExecutionException in TaskSchedulerImpl →
+  // DAGScheduler stops the context in a new thread) that a plain
+  // `lazy val` then serves, stopped, to every remaining suite. Rebuild
+  // when the held context is stopped so at most the suite the teardown
+  // landed in is affected, never the rest of the run.
+  private var s: SparkSession = null
+  def session: SparkSession = synchronized {
+    if (s == null || s.sparkContext.isStopped) s = build()
+    s
+  }
+  private def build(): SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
